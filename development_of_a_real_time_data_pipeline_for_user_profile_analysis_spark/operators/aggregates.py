@@ -1,0 +1,67 @@
+"""The dashboard query workload, promoted to first-class Spark.
+
+The reference computes all of these in single-threaded pandas inside
+the Dash web process, re-scanning MongoDB every 10 s
+(dashbord/dashbord.py:94-108). Here they are Spark aggregations over
+the curated table — partial/final hash aggregation, top-k via
+TakeOrderedAndProject, distributed from day one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.columns import email_domain
+
+
+def gender_distribution(profiles: DataFrame) -> DataFrame:
+    """A1 — dashbord.py:98. Hash agg; map-side partial combine makes
+    this a tiny shuffle of one row per (partition, gender)."""
+    return profiles.groupBy("gender").agg(F.count(F.lit(1)).alias("count"))
+
+
+def top_email_domains(profiles: DataFrame, k: int = 5) -> DataFrame:
+    """A2 — dashbord.py:99-100 (tldextract + value_counts().head(5)).
+
+    Domain extraction is a JVM regex, not per-row Python. orderBy +
+    limit compiles to TakeOrderedAndProject: each partition keeps a
+    k-row heap, the driver merges heaps — no global sort at any scale.
+    Count-desc then domain-asc makes rank-k ties deterministic.
+    """
+    return (
+        profiles.select(email_domain(F.col("email")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("domain"))
+        .limit(k)
+    )
+
+
+def total_users(profiles: DataFrame) -> DataFrame:
+    """A3 — dashbord.py:101 (len(df))."""
+    return profiles.agg(F.count(F.lit(1)).alias("count"))
+
+
+def age_ecdf(profiles: DataFrame) -> DataFrame:
+    """A4/A5 — dashbord.py:104-109: sorted ages paired with 1..N.
+
+    Strict parity requires a global ordering → single-partition window.
+    Documented non-scalable (dashboard-sized inputs only); use
+    :func:`age_histogram` at scale.
+    """
+    w = Window.orderBy("age")
+    return profiles.select("age").select(
+        "age", F.row_number().over(w).cast("long").alias("cum_count")
+    )
+
+
+def age_histogram(profiles: DataFrame) -> DataFrame:
+    """Scalable form of the age-distribution view: one row per age.
+    Cumulative counts, if needed, come from a window over the ~80-row
+    aggregate — not over the raw data."""
+    return (
+        profiles.groupBy("age")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("age")
+    )

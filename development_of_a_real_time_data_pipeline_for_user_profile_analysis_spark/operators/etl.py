@@ -1,0 +1,133 @@
+"""Envelope → curated-profile ETL.
+
+The transform chain of the reference streaming job
+(Real_Time_Data.py:45-137), rebuilt as pure DataFrame→DataFrame
+functions so the *same* code runs in batch tests, the DuckDB-oracle
+sweep, and Structured Streaming (streaming/pipeline.py). Everything
+stays JVM-side; Catalyst collapses the projection chain and prunes
+the nested schema through from_json/explode automatically.
+
+Scale notes (100 TB): the chain is narrow (no shuffle) — it scales
+linearly with input partitions. Parallelism is governed entirely by
+the source (Kafka partitions / parquet splits); nothing here ever
+repartitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions.columns import (
+    age_years_compat,
+    age_years_exact,
+    full_address,
+    full_name,
+    pseudonymize_col,
+)
+from ..schemas import ENVELOPE_SCHEMA, PROFILE_COLUMNS
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def parse_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Binary/string JSON envelope → one row per user struct.
+
+    Mirrors reference Real_Time_Data.py:45,83 (CAST → from_json →
+    explode). PERMISSIVE parse: malformed JSON yields a NULL struct,
+    dropped later by the id-not-null filter — same observable
+    semantics as the reference, but see :func:`parse_envelopes_audited`
+    for the dead-letter variant the reference lacked.
+    """
+    return df.select(
+        F.from_json(F.col(value_col).cast("string"), ENVELOPE_SCHEMA).alias("values")
+    ).select(F.explode("values.results").alias("user"))
+
+
+def parse_envelopes_audited(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Like :func:`parse_envelopes` but keeps the raw payload of rows
+    that failed to parse in a ``_corrupt_record`` column (NULL for good
+    rows), so a dead-letter sink can subscribe. Fixes the reference's
+    useless try/except around lazy from_json
+    (.ipynb_checkpoints/consumer-checkpoint.py:46-49).
+
+    Implementation note: PERMISSIVE ``from_json`` yields a struct of
+    NULL fields (not a NULL struct) on malformed input, so a plain
+    ``values IS NULL`` check never fires — the corrupt column must be
+    part of the parse schema (``columnNameOfCorruptRecord``).
+    """
+    audited_schema = StructType(
+        ENVELOPE_SCHEMA.fields + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    parsed = df.select(
+        F.from_json(
+            F.col(value_col).cast("string"),
+            audited_schema,
+            {"columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("values")
+    )
+    return parsed.select(
+        F.explode_outer("values.results").alias("user"),
+        F.col(f"values.{CORRUPT_COL}").alias(CORRUPT_COL),
+    )
+
+
+def curate_profiles(
+    users: DataFrame,
+    user_col: str = "user",
+    adult_min_age: int = 18,
+    compat_age: bool = True,
+) -> DataFrame:
+    """Exploded user struct → the 9-column curated profile, with the
+    GDPR adult filter and the non-null-id guard applied.
+
+    Column derivations follow reference Real_Time_Data.py:85-106;
+    filters :109 (strict ``age > 18``) and :137 (``id IS NOT NULL``).
+    ``compat_age=True`` preserves the reference's year-boundary age
+    formula; False uses the calendar-exact form.
+    """
+    u = F.col(user_col)
+    age_fn = age_years_compat if compat_age else age_years_exact
+    out = users.select(
+        u["login"]["uuid"].alias("id"),
+        u["login"]["username"].alias("username"),
+        u["gender"].alias("gender"),
+        u["name"]["title"].alias("title"),
+        age_fn(u["dob"]["date"]).alias("age"),
+        u["email"].alias("email"),
+        u["registered"]["date"].alias("inscription"),
+        full_name(u["name"]["first"], u["name"]["last"]).alias("full_name"),
+        full_address(
+            u["location"]["country"],
+            u["location"]["state"],
+            u["location"]["city"],
+            u["location"]["street"]["number"],
+            u["location"]["postcode"],
+        ).alias("full_address"),
+    )
+    return out.filter(F.col("age") > adult_min_age).filter(F.col("id").isNotNull())
+
+
+def na_drop(profiles: DataFrame) -> DataFrame:
+    """Drop rows with any NULL column — the exploratory variant's
+    ``result_df.na.drop()``
+    (.ipynb_checkpoints/transformation_data-checkpoint.py:88)."""
+    return profiles.na.drop()
+
+
+def pseudonymize(profiles: DataFrame, cols: tuple[str, ...] = ("id", "email")) -> DataFrame:
+    """SHA-256 the direct identifiers (the reference imported sha2 for
+    this but never wired it — Real_Time_Data.py:4)."""
+    out = profiles
+    for c in cols:
+        out = out.withColumn(c, pseudonymize_col(F.col(c)))
+    return out
+
+
+def enforce_profile_schema(df: DataFrame) -> DataFrame:
+    """Project to the declared output contract (order + names) before
+    any sink — the reference declared its output schema twice
+    (select chain + Cassandra DDL); here the contract is enforced
+    once, at the boundary."""
+    return df.select(*PROFILE_COLUMNS)
