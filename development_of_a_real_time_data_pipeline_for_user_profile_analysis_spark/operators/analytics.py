@@ -1,1 +1,278 @@
-"""(filled in below)"""
+"""Relational analytics over the star schema.
+
+The reference has no joins and no Spark-side aggregation (SURVEY
+§2.6-2.7: its whole query workload is five pandas aggregates); this
+module is the engine's general-purpose analytic surface — joins,
+grouped/rolled-up aggregation, window functions, set ops,
+sessionization — built so the physical plans hold at 100 TB:
+
+- Dimension joins take ``broadcast()`` hints (region/nation/supplier/
+  customer are small at any SF; AQE would pick broadcast anyway, the
+  hint removes the dependency on stats).
+- Top-k is always ``orderBy().limit(k)`` → TakeOrderedAndProject
+  (per-partition heaps, no global sort).
+- All money aggregates are rounded at the boundary so results are
+  reproducible bit-for-bit against the DuckDB oracle.
+- Sessionization is a two-window composition (lag → running sum) —
+  shuffles once on user_id, then both windows reuse that partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-01") -> DataFrame:
+    """TPC-H Q1 shape: one narrow scan → partial/final hash agg.
+    The shipdate filter pushes down to the parquet scan."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(cutoff)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast join → agg →
+    top-k. customer is broadcast (tiny after the segment filter);
+    orders⋈lineitem shuffles on orderkey once."""
+    revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.to_timestamp(F.lit(date)))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.to_timestamp(F.lit(date))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def nation_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, local-supplier condition
+    (c_nationkey = s_nationkey). All dims broadcast; the only big
+    shuffle is lineitem⋈orders on orderkey."""
+    revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("r_name"), F.asc("n_name"))
+    )
+
+
+def top_customers(customer: DataFrame, orders: DataFrame, k: int = 10) -> DataFrame:
+    """Revenue top-k with deterministic tiebreak."""
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def mktsegment_rollup(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """ROLLUP over (segment, status) — subtotals + grand total."""
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def orders_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority)."""
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+def customer_order_rank(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k orders per customer — partitioned window; shuffles once
+    on o_custkey, scales with the number of customers."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join (NOT EXISTS)."""
+    return customer.join(
+        orders.select("o_custkey"),
+        customer["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+def purchasing_customers(customer: DataFrame, events: DataFrame) -> DataFrame:
+    """Semi join (EXISTS): customers with at least one purchase event
+    (events.user_id keys into c_custkey)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return customer.join(
+        purchases, customer["c_custkey"] == F.col("user_id"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def open_not_pending_customers(orders: DataFrame) -> DataFrame:
+    """EXCEPT (distinct set difference) — ``subtract`` is Spark's
+    EXCEPT DISTINCT (``exceptAll`` would be bag semantics)."""
+    opened = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    pending = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return opened.subtract(pending)
+
+
+def viewers_and_clickers(events: DataFrame) -> DataFrame:
+    """INTERSECT."""
+    views = events.filter(F.col("event_type") == "view").select("user_id")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    return views.intersect(clicks)
+
+
+def distinct_stats(events: DataFrame) -> DataFrame:
+    """Multi-distinct aggregate (expands to two shuffles; exact)."""
+    return events.agg(
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct("event_type").alias("types"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog++ sketch — the 100 TB answer to COUNT(DISTINCT):
+    one pass, no distinct-expand shuffle, mergeable partial sketches.
+    Non-deterministic vs an exact oracle → rows-only check."""
+    return events.agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling-window aggregate (batch form of the streaming windowed
+    agg — same window() operator Structured Streaming uses)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionization: new session when the gap from
+    the previous event of the same user exceeds ``gap_minutes``.
+
+    Both windows share the user_id partitioning → one shuffle total.
+    (The streaming twin uses session_window — streaming/pipeline.py.)
+    """
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = gap_minutes * 60 * 1_000_000
+    is_new = (
+        F.col("prev_ts").isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))) > gap_us)
+    ).cast("long")
+    return (
+        events.select("user_id", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w_user))
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT with an explicit value list (no extra distinct-scan job);
+    absent combinations are 0, not NULL."""
+    out = events.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return out.na.fill(0, EVENT_TYPES).select(
+        "user_id", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
+    )
+
+
+def orders_by_month(orders: DataFrame) -> DataFrame:
+    """Calendar bucketing on the natural time column."""
+    return (
+        orders.groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("month")
+    )

@@ -1,1 +1,250 @@
-"""(filled in below)"""
+"""Deduplication operators — exact, n-gram Jaccard, MinHash-LSH,
+SimHash.
+
+Design for 100 TB:
+- Exact dedup is a hash-groupBy on a 128-bit fingerprint — one
+  shuffle keyed on the digest, perfectly parallel, no skew (digests
+  are uniform).
+- Near-dup never compares all pairs. MinHash-LSH shuffles
+  (band_id, band_signature) bucket keys; only same-bucket docs meet.
+  Candidate verification (exact Jaccard) runs only on the candidate
+  set.
+- All hashing is md5-based (not Spark's xxhash64) so signatures are
+  engine-portable — verifiable against the DuckDB oracle and stable
+  across cluster/Spark versions.
+
+The n-gram/minhash shingle explosion multiplies rows by ~doc length;
+that's fine because it is map-side only (explode → project → partial
+min-aggregate) and never materializes unaggregated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_LEN = 9  # char-level 9-grams (~2 words)
+MINHASH_FUNCS = 8
+LSH_BANDS = 4  # 4 bands x 2 rows
+
+
+def with_synthetic_dupes(documents: DataFrame) -> DataFrame:
+    """Augment the corpus with deterministic duplicates so dedup
+    operators have known positives: every 5th doc gets an exact copy
+    (doc_id + 100000), every 7th a near-copy with a token appended
+    (doc_id + 200000)."""
+    exact = (
+        documents.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    near = (
+        documents.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" appended marker token")))
+    )
+    return documents.unionByName(exact).unionByName(near)
+
+
+# SQL mirror of with_synthetic_dupes (DuckDB dialect), as a CTE named
+# `dupes`. Keep in lockstep with the function above.
+DUPES_ORACLE_CTE = """
+dupes AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' appended marker token', lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content digest: one row per distinct content,
+    keeping the lowest doc_id, with the duplicate count."""
+    return (
+        docs.select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """The curation output: docs with duplicate content removed
+    (lowest doc_id wins)."""
+    keepers = exact_dedup_groups(docs).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "left_semi")
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_LEN) -> DataFrame:
+    """Distinct character n-gram shingles per doc: explode over
+    offsets 1..len-n+1. Map-side row multiplication only."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+            ).alias("i"),
+            F.col("text"),
+        )
+        .select("doc_id", F.substring(F.col("text"), F.col("i"), n).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate pairs
+    (columns doc_a < doc_b). The verify stage after LSH candidate
+    generation — never run on the full cross product."""
+    sh = shingles(docs)
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    # Intersection size via shingle equi-join restricted to candidate
+    # pairs; union size by inclusion-exclusion from per-doc set sizes.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        a.join(b, "shingle")
+        .join(pairs, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _minhash_value(shingle: Column, seed: int) -> Column:
+    """Portable minhash 'permutation': md5 of seed-prefixed shingle,
+    compared lexicographically on the hex digest. min(digest) is a
+    uniform random choice of shingle per seed."""
+    return F.md5(F.concat(F.lit(f"s{seed}:"), shingle))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = MINHASH_FUNCS) -> DataFrame:
+    """doc_id → [min-hash_0 .. min-hash_{n-1}] (hex-string minima).
+    One shuffle (groupBy doc_id); all hashing map-side."""
+    sh = shingles(docs)
+    aggs = [
+        F.min(_minhash_value(F.col("shingle"), s)).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = MINHASH_FUNCS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash-LSH banding: docs agreeing on all rows of any band
+    become a candidate pair. Shuffle key is (band_id, band_hash) —
+    uniform, skew-free; the self-join only meets same-bucket rows."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes)
+    band_cols = [
+        F.concat_ws("|", F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.array(*band_cols)).alias("band_key"),
+    )
+    other = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("band_key")
+    )
+    return (
+        banded.join(other, "band_key")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
+def near_dedup_minhash(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataFrame:
+    """Full near-dedup pipeline: LSH candidates → exact Jaccard verify
+    → confirmed near-duplicate pairs."""
+    cands = lsh_candidate_pairs(docs)
+    verified = ngram_jaccard_pairs(docs, cands)
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash document signatures (JVM-side, no UDF).
+
+    Per token: a `bits`-wide hash derived from md5 hex (first 8 hex
+    chars → 32-bit int). Signature bit j = sign of sum over tokens of
+    (bit j ? +1 : -1). Near-dups have small Hamming distance.
+    Map + one groupBy-free aggregate per row (all higher-order array
+    functions) — scales as a pure scan.
+    """
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    tok_hash = F.transform(
+        toks, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+
+    def _vote(j: int):
+        # closure (not default-arg lambda): PySpark dispatches HOF
+        # lambdas on parameter count, so an extra default param would
+        # be bound to a generated column.
+        mask = F.lit(1 << j)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(mask) != 0, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(tok_hash, F.lit(0).cast("long"), _vote(j)) for j in range(bits)
+    ]
+    sig = F.aggregate(
+        F.array(*[F.when(v > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j, v in enumerate(bit_votes)]),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select("doc_id", sig.alias("simhash"))
+
+
+def embedding_near_dupes(
+    embeddings: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold (brute-force
+    all-pairs — correctness baseline; the scale path is LSH bucketing,
+    see similarity.ann_lsh_bucketed)."""
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), to_double.alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), to_double.alias("emb_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (norm("emb_a") * norm("emb_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,1 +1,94 @@
-"""(filled in below)"""
+"""Multimodal column plumbing.
+
+Convention: media travel as opaque ``binary`` payload columns with a
+typed metadata struct alongside. Decode / feature-extract run as
+Arrow-batched ``mapInPandas`` — the only sanctioned Python-in-the-
+loop path, because media decoding is genuinely not expressible in
+Spark SQL. The image/audio libraries are not in this container, so
+the decode *content* is stubbed (deterministic fake, clearly marked);
+the Spark-side plumbing — schema, Arrow batch shape, partitioning —
+is real and tested.
+
+At 100 TB: payloads dominate I/O, so metadata predicates must prune
+*before* payload bytes move — keep metadata in separate columns (not
+inside the binary), store parquet with large row groups, and filter
+on metadata first so column pruning skips payload pages entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, mime string, fake_width long, fake_height long"
+)
+
+
+def attach_payload(documents: DataFrame) -> DataFrame:
+    """Model the documents table as a multimodal table: utf-8 bytes of
+    the text stand in for an encoded media payload, plus a metadata
+    struct. (With real media this column comes off the wire/object
+    store as-is.)"""
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.col("text")).cast("long").alias("declared_len"),
+        ).alias("meta"),
+    )
+
+
+def decode_payload(media: DataFrame) -> DataFrame:
+    """'Decode' each payload via Arrow-batched mapInPandas.
+
+    STUB: a real implementation would PIL/ffmpeg-decode here; this
+    container has no media libs, so the decode derives deterministic
+    fake dimensions from the byte length. The batch plumbing (Arrow
+    transfer, vectorized pandas ops, output schema) is the real thing.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_bytes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    # deterministic fake of image dimensions
+                    "fake_width": n_bytes % 640,
+                    "fake_height": n_bytes % 480,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def real_decode_stub(media: DataFrame) -> DataFrame:
+    """Where true media decoding would plug in. Raises until the
+    runtime has decode libraries."""
+    raise NotImplementedError(
+        "media decode requires PIL/ffmpeg; not available in this runtime — "
+        "use decode_payload (deterministic fake) for plumbing tests"
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
+    """'Frame sampling' plan for video-like payloads: emit one row per
+    sampled offset — pure JVM sequence/explode; the (stubbed) frame
+    decode would map over the offsets."""
+    return media.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.length(F.col("payload")) - 1, F.lit(0)),
+                F.lit(every_n_bytes),
+            )
+        ).alias("frame_offset"),
+    )

@@ -1,1 +1,138 @@
-"""(filled in below)"""
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB design requires:
+- ``cosine_topk`` — brute-force exact scan. One pass over the corpus,
+  TakeOrderedAndProject top-k (per-partition heaps). Correctness
+  baseline and perfectly adequate when the query side is small.
+- ``ann_lsh_bucketed`` — random-hyperplane LSH: docs hash to sign
+  buckets; search only probes the query's bucket. Sub-linear probe
+  cost; hyperplanes are derived from md5 so signatures are
+  deterministic and engine-portable (no RNG state to ship).
+
+All vector math is JVM higher-order functions (zip_with/aggregate) in
+double precision — no Python, no UDF, codegen-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LSH_PLANES = 8
+
+
+def _to_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine to the embedding of ``query_vec_id``.
+    The single query row broadcasts; the corpus is scanned once."""
+    q = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(_to_double(F.col("embedding")).alias("q_emb"))
+    )
+    corpus = embeddings.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("emb")
+    )
+    return (
+        corpus.join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _hyperplane_sign(emb, plane: int) -> Column:
+    """Sign of <emb, h_plane> where h_plane has deterministic ±1
+    components: component d is +1 iff the first hex digit of
+    md5('p{plane}d{d}') is >= 8. No RNG, no broadcast of plane
+    matrices — each executor recomputes the tiny constant expression."""
+    signed = F.zip_with(
+        emb,
+        F.transform(
+            F.sequence(F.lit(0), F.size(emb) - 1),
+            lambda d: F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"p{plane}d"), d.cast("string"))), 1, 1
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                >= 8,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ),
+        lambda x, s: x * s,
+    )
+    return (F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x) >= 0).cast("int")
+
+
+def lsh_bucket(emb, planes: int = LSH_PLANES) -> Column:
+    """Bucket id = concatenated sign bits of `planes` hyperplanes."""
+    return F.concat_ws(
+        "", *[_hyperplane_sign(emb, p).cast("string") for p in range(planes)]
+    )
+
+
+def ann_lsh_bucketed(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket, then
+    exact cosine within it. At scale the bucketed corpus would be
+    written pre-partitioned by bucket (partition pruning turns the
+    probe into a single-partition read)."""
+    with_bucket = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("emb")
+    ).withColumn("bucket", lsh_bucket(F.col("emb"), planes))
+    q = (
+        with_bucket.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("emb").alias("q_emb"), F.col("bucket").alias("q_bucket"))
+    )
+    return (
+        with_bucket.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label mean embedding (the IVF coarse-quantizer build step):
+    element-wise array average via posexplode → groupBy. Shuffles
+    (label, dim) pairs — scales with corpus × dim, not corpus²."""
+    dim_rows = embeddings.select(
+        "label", F.posexplode(_to_double(F.col("embedding"))).alias("dim", "v")
+    )
+    return dim_rows.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("mean_v")
+    )

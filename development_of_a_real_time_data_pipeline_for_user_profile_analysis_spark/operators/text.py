@@ -1,1 +1,129 @@
-"""(filled in below)"""
+"""Text-analysis operators for training-data curation.
+
+All hot-path functions are JVM-side (split/filter/transform/regexp) —
+no Python per row. Each operator is a narrow map over the documents
+scan: at 100 TB these scale linearly with input splits and never
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword langid
+# heuristic. Deliberately small and portable to the SQL oracle.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "fr": ["le", "la", "de", "et", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "y", "es"],
+}
+
+_PUNCT_RE = r"[\.,;:!\?\(\)\[\]\"']"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (regex split, JVM-side)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-approximating token count: word-pieces of <=4 chars —
+    ceil(len(word)/4) summed. A cheap, deterministic stand-in for a
+    real tokenizer's token budget."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    # NB: a closure, not a default-arg lambda — PySpark dispatches
+    # higher-order-function lambdas on *parameter count*, so
+    # ``lambda w, ws=ws:`` would receive the array index as ``ws``.
+    return F.size(F.filter(toks, lambda w: w.isin(*words)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    return _stopword_hits(toks, STOPWORDS[lang]) / F.size(toks)
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, _PUNCT_RE, ""))
+    return n_punct / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: stopword presence (real
+    language has function words), length sweet-spot, low punctuation
+    noise. Weights are arbitrary but fixed; rounded at the boundary
+    for oracle reproducibility."""
+    length_score = F.least(F.size(tokens(text)) / F.lit(64.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 8, F.lit(1.0))
+    return F.round(
+        0.4 * length_score + 0.4 * stop_score + 0.2 * (1 - punct_ratio(text)), 4
+    )
+
+
+def predict_lang(text: Column) -> Column:
+    """Stopword-voting language ID. Scores each language by stopword
+    hit ratio; highest ratio wins (ties broken by language code
+    order); 'und' if nothing scores > 0."""
+    toks = tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = {
+        lang: _stopword_hits(toks, ws) / n for lang, ws in STOPWORDS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        out = F.when(
+            (scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)
+        ).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text. md5 (not xxhash) so the fingerprint is portable across
+    engines — the dedup join key at 100 TB."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document curation features (the 'score every doc' pass a
+    training-data pipeline runs before filtering)."""
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars_computed"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Predicted vs labeled language counts (langid evaluation)."""
+    return (
+        documents.select(
+            F.col("lang"), predict_lang(F.col("text")).alias("predicted_lang")
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quality_filter(documents: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """The actual curation gate: keep docs above a quality threshold."""
+    return documents.filter(quality_score(F.col("text")) >= min_quality)

@@ -138,6 +138,498 @@ def q_age_histogram(spark, sf_dir):
     return aggregates.age_histogram(profiles_df(spark, sf_dir))
 
 
+# ------------------------------------------------------------------
+# Analytics: joins / windows / rollup / set ops / sessionization
+# (beyond-reference surface; SURVEY §2.7-2.9 "absent; built-in")
+# ------------------------------------------------------------------
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+)
+def q_pricing_summary(spark, sf_dir):
+    return analytics.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "shipping_priority",
+    """SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""",
+)
+def q_shipping_priority(spark, sf_dir):
+    return analytics.shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "nation_revenue",
+    """SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE c_nationkey = s_nationkey
+       GROUP BY r_name, n_name
+       ORDER BY revenue DESC, r_name ASC, n_name ASC""",
+)
+def q_nation_revenue(spark, sf_dir):
+    return analytics.nation_revenue(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "top_customers",
+    """SELECT c_custkey, c_name,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_custkey, c_name
+       ORDER BY revenue DESC, c_custkey ASC LIMIT 10""",
+)
+def q_top_customers(spark, sf_dir):
+    return analytics.top_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "mktsegment_rollup",
+    """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""",
+)
+def q_mktsegment_rollup(spark, sf_dir):
+    return analytics.mktsegment_rollup(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "orders_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+)
+def q_orders_cube(spark, sf_dir):
+    return analytics.orders_cube(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "customer_order_rank",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+         FROM orders) WHERE rnk <= 3""",
+)
+def q_customer_order_rank(spark, sf_dir):
+    return analytics.customer_order_rank(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "customers_without_orders",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def q_customers_without_orders(spark, sf_dir):
+    return analytics.customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "purchasing_customers",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM events
+                     WHERE user_id = c_custkey AND event_type = 'purchase')""",
+)
+def q_purchasing_customers(spark, sf_dir):
+    return analytics.purchasing_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events")
+    )
+
+
+@query(
+    "open_not_pending_customers",
+    """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+)
+def q_open_not_pending_customers(spark, sf_dir):
+    return analytics.open_not_pending_customers(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "viewers_and_clickers",
+    """SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'click'""",
+)
+def q_viewers_and_clickers(spark, sf_dir):
+    return analytics.viewers_and_clickers(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "distinct_stats",
+    """SELECT count(DISTINCT user_id) AS users,
+       count(DISTINCT event_type) AS types, count(*) AS n FROM events""",
+)
+def q_distinct_stats(spark, sf_dir):
+    return analytics.distinct_stats(_t(spark, sf_dir, "events"))
+
+
+@query("approx_distinct_users")  # sketch-based; rows-only check
+def q_approx_distinct_users(spark, sf_dir):
+    return analytics.approx_distinct_users(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_hourly",
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_events_hourly(spark, sf_dir):
+    return analytics.events_hourly(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_sessionized",
+    """WITH flagged AS (
+         SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), numbered AS (
+         SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged
+       )
+       SELECT user_id, session_id, min(ts) AS session_start,
+              max(ts) AS session_end, count(*) AS n_events
+       FROM numbered GROUP BY user_id, session_id""",
+)
+def q_events_sessionized(spark, sf_dir):
+    return analytics.sessionize(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "event_type_pivot",
+    """SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+       FROM events GROUP BY user_id""",
+)
+def q_event_type_pivot(spark, sf_dir):
+    return analytics.event_type_pivot(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "orders_by_month",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+       FROM orders GROUP BY 1 ORDER BY 1""",
+)
+def q_orders_by_month(spark, sf_dir):
+    return analytics.orders_by_month(_t(spark, sf_dir, "orders"))
+
+
+# ------------------------------------------------------------------
+# Text analysis (LLM-data-pipeline surface)
+# ------------------------------------------------------------------
+
+_SPLIT = "string_split(text, ' ')"
+_STOP_EN = "'the','a','of','and','is','to','in'"
+_PUNCT_SQL = """[.,;:!?()\\[\\]"'']"""  # '' = escaped quote inside SQL literal
+
+
+def _sql_stop_ratio(stop_list: str) -> str:
+    return (
+        f"len(list_filter({_SPLIT}, w -> w IN ({stop_list}))) / len({_SPLIT})"
+    )
+
+
+@query(
+    "text_stats",
+    f"""SELECT doc_id,
+        len({_SPLIT}) AS n_tokens,
+        CAST(list_sum(list_transform({_SPLIT},
+             w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens,
+        length(text) AS n_chars_computed,
+        round({_sql_stop_ratio(_STOP_EN)}, 4) AS stopword_ratio,
+        round(0.4 * least(len({_SPLIT}) / 64.0, 1.0)
+            + 0.4 * least({_sql_stop_ratio(_STOP_EN)} * 8, 1.0)
+            + 0.2 * (1 - (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))
+                         / greatest(length(text), 1)), 4) AS quality,
+        md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents""",
+)
+def q_text_stats(spark, sf_dir):
+    return text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def _lang_confusion_oracle() -> str:
+    score = {
+        lang: f"(len(list_filter({_SPLIT}, w -> w IN "
+        f"({','.join(repr(w) for w in ws)}))) / len({_SPLIT}))"
+        for lang, ws in text.STOPWORDS.items()
+    }
+    best = f"greatest({', '.join(score.values())})"
+    case = "CASE " + " ".join(
+        f"WHEN {score[lang]} > 0 AND {score[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(text.STOPWORDS)
+    ) + " ELSE 'und' END"
+    return (
+        f"SELECT lang, predicted_lang, count(*) AS n FROM "
+        f"(SELECT lang, {case} AS predicted_lang FROM documents) "
+        f"GROUP BY lang, predicted_lang"
+    )
+
+
+@query("lang_confusion", _lang_confusion_oracle())
+def q_lang_confusion(spark, sf_dir):
+    return text.lang_confusion(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------
+# Deduplication (LLM-data-pipeline surface)
+# ------------------------------------------------------------------
+
+
+def _with_dupes(sql: str) -> str:
+    return f"WITH {dedup.DUPES_ORACLE_CTE} {sql}"
+
+
+def _dupes_df(spark, sf_dir):
+    return dedup.with_synthetic_dupes(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_exact_groups",
+    _with_dupes(
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies FROM dupes GROUP BY 1"""
+    ),
+)
+def q_dedup_exact_groups(spark, sf_dir):
+    return dedup.exact_dedup_groups(_dupes_df(spark, sf_dir))
+
+
+@query(
+    "dedup_exact_docs",
+    _with_dupes(
+        """SELECT doc_id, source, n_chars FROM dupes
+           WHERE doc_id IN (SELECT min(doc_id) FROM dupes GROUP BY md5(text))"""
+    ),
+)
+def q_dedup_exact_docs(spark, sf_dir):
+    return dedup.exact_dedup(_dupes_df(spark, sf_dir)).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 9) AS shingle
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+        FROM dupes)
+)"""
+
+_MINHASH_CTE = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('s{s}:' || shingle)) AS mh{s}" for s in range(8))
+    + " FROM sh GROUP BY doc_id)"
+)
+
+_BANDS_CTE = (
+    "banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, concat_ws('|', '{b}', mh{2*b}, mh{2*b+1}) AS band_key FROM sig"
+        for b in range(4)
+    )
+    + ")"
+)
+
+_CAND_CTE = """
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+@query(
+    "minhash_lsh_candidates",
+    _with_dupes(
+        f", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE} "
+        "SELECT doc_a, doc_b FROM cands"
+    ),
+)
+def q_minhash_lsh_candidates(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(_dupes_df(spark, sf_dir))
+
+
+@query(
+    "near_dedup_minhash",
+    _with_dupes(
+        f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6"""
+    ),
+)
+def q_near_dedup_minhash(spark, sf_dir):
+    return dedup.near_dedup_minhash(_dupes_df(spark, sf_dir))
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    toks = "list_distinct(string_split(text, ' '))"
+    h = "CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) AS BIGINT)"
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({toks}, "
+        f"w -> CASE WHEN ({h} & {1 << j}) != 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM documents"
+
+
+@query("simhash_signatures", _simhash_oracle())
+def q_simhash_signatures(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "embedding_near_dupes",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+       FROM embeddings a, embeddings b
+       WHERE a.vec_id < b.vec_id
+         AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) >= 0.45""",
+)
+def q_embedding_near_dupes(spark, sf_dir):
+    return dedup.embedding_near_dupes(_t(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------------
+# Similarity search (LLM-data-pipeline surface)
+# ------------------------------------------------------------------
+
+
+@query(
+    "cosine_topk",
+    """SELECT vec_id, label,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+             6) AS cosine
+       FROM embeddings WHERE vec_id != 0
+       ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+)
+def q_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@query("ann_lsh_topk")  # LSH-bucketed ANN; rows-only check
+def q_ann_lsh_topk(spark, sf_dir):
+    return similarity.ann_lsh_bucketed(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "label_centroids",
+    """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+       round(avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 6) AS mean_v
+       FROM embeddings, range(1, 65) t(i) GROUP BY label, dim""",
+)
+def q_label_centroids(spark, sf_dir):
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------------
+# Multimodal plumbing (LLM-data-pipeline surface)
+# ------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       'text/plain' AS mime,
+       octet_length(encode(text)) % 640 AS fake_width,
+       octet_length(encode(text)) % 480 AS fake_height
+       FROM documents""",
+)
+def q_multimodal_decode(spark, sf_dir):
+    return multimodal.decode_payload(
+        multimodal.attach_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+@query(
+    "frame_offsets",
+    """SELECT doc_id, CAST(o AS BIGINT) AS frame_offset
+       FROM (SELECT doc_id,
+                    unnest(generate_series(0, greatest(octet_length(encode(text)) - 1, 0), 100)) AS o
+             FROM documents)""",
+)
+def q_frame_offsets(spark, sf_dir):
+    return multimodal.frame_sample_plan(
+        multimodal.attach_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

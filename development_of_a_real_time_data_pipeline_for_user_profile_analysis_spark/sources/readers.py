@@ -10,14 +10,30 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import TPCH_TABLES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Parquet files written by pandas/pyarrow default to TIMESTAMP(NANOS),
+# which Spark's vectorized reader rejects outright. We read nanos as
+# raw int64 (legacy conf) and rebuild a micros timestamp with integer
+# division — NOT float division: nano epochs (~1.7e18) exceed a
+# double's 53-bit mantissa and would corrupt low-order digits.
+_NANO_TS_COLS = {"events": ["ts"]}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nano_cols = _NANO_TS_COLS.get(name, [])
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
