@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query materializes through the `noop` sink so the full plan
+executes (a bare .count() would let Catalyst prune most of the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "etl_curate_profiles",
+    "gender_distribution",
+    "top_email_domains",
+    "age_ecdf",
+    "pricing_summary",
+    "shipping_priority",
+    "nation_revenue",
+    "customer_order_rank",
+    "events_hourly",
+    "events_sessionized",
+    "text_stats",
+    "dedup_exact_groups",
+    "minhash_lsh_candidates",
+    "near_dedup_minhash",
+    "simhash_signatures",
+    "cosine_topk",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.plans import (
+        QUERIES,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths so per-query times measure the
+    # queries, not session startup
+    QUERIES["total_users"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -104,12 +104,17 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     sh = shingles(docs)
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
-    # Intersection size via shingle equi-join restricted to candidate
-    # pairs; union size by inclusion-exclusion from per-doc set sizes.
+    # Drive the join FROM the candidate pairs (broadcast: they are
+    # orders of magnitude smaller than the shingle table) so the plan
+    # never forms the full shingle self-join — pairs ⋈ shingles(a)
+    # fans out to |pairs|·|shingles/doc| rows, then the (doc_b,
+    # shingle) equi-join is a keyed lookup. Union size by
+    # inclusion-exclusion from per-doc set sizes.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        a.join(b, "shingle")
-        .join(pairs, ["doc_a", "doc_b"], "left_semi")
+        F.broadcast(pairs)
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -126,22 +131,27 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_value(shingle: Column, seed: int) -> Column:
-    """Portable minhash 'permutation': md5 of seed-prefixed shingle,
-    compared lexicographically on the hex digest. min(digest) is a
-    uniform random choice of shingle per seed."""
-    return F.md5(F.concat(F.lit(f"s{seed}:"), shingle))
+MINHASH_PRIME = 4294967291  # largest prime < 2^32
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = MINHASH_FUNCS) -> DataFrame:
-    """doc_id → [min-hash_0 .. min-hash_{n-1}] (hex-string minima).
-    One shuffle (groupBy doc_id); all hashing map-side."""
+    """doc_id → [min-hash_0 .. min-hash_{n-1}].
+
+    One md5 per shingle, split into two 32-bit halves (a, b); hash
+    family i is the affine combination (a + i*b) mod P (Carter-Wegman
+    style). 8× cheaper than hashing per function, still md5-portable
+    to other engines. One shuffle (groupBy doc_id); hashing map-side.
+    """
     sh = shingles(docs)
+    digest = F.md5(F.col("shingle"))
+    a = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    hashed = sh.select("doc_id", a.alias("ha"), b.alias("hb"))
     aggs = [
-        F.min(_minhash_value(F.col("shingle"), s)).alias(f"mh{s}")
+        F.min((F.col("ha") + s * F.col("hb")) % MINHASH_PRIME).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

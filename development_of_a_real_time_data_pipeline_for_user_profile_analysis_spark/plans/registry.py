@@ -478,9 +478,13 @@ sh AS (
 )"""
 
 _MINHASH_CTE = (
+    "hashed AS (SELECT doc_id, "
+    "CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT) AS BIGINT) AS ha, "
+    "CAST(CAST('0x' || substr(md5(shingle), 9, 8) AS UBIGINT) AS BIGINT) AS hb "
+    "FROM sh), "
     "sig AS (SELECT doc_id, "
-    + ", ".join(f"min(md5('s{s}:' || shingle)) AS mh{s}" for s in range(8))
-    + " FROM sh GROUP BY doc_id)"
+    + ", ".join(f"min((ha + {s} * hb) % 4294967291) AS mh{s}" for s in range(8))
+    + " FROM hashed GROUP BY doc_id)"
 )
 
 _BANDS_CTE = (

@@ -142,6 +142,17 @@ profiles AS (
 
 
 # -- pure-python feeder (streaming tests; no Spark dependency) -------
+def _drop_nones(obj):
+    """Recursively drop None values — Spark's to_json omits null
+    fields, so the python feeder must too for wire-format parity
+    (from_json treats absent and null identically)."""
+    if isinstance(obj, dict):
+        return {k: _drop_nones(v) for k, v in obj.items() if v is not None}
+    if isinstance(obj, list):
+        return [_drop_nones(v) for v in obj]
+    return obj
+
+
 def envelope_dict(k: int) -> dict:
     """Python mirror of seed_user_columns for writing JSONL fixtures."""
     import datetime as dt
@@ -154,7 +165,7 @@ def envelope_dict(k: int) -> dict:
     domain = next(name for bound, name in _DOMAINS if d < bound)
     import hashlib
 
-    return {
+    return _drop_nones({
         "results": [
             {
                 "gender": "female" if k % 2 == 0 else "male",
@@ -181,7 +192,7 @@ def envelope_dict(k: int) -> dict:
                 "registered": {"date": reg.strftime("%Y-%m-%dT%H:%M:%S.000Z")},
             }
         ]
-    }
+    })
 
 
 def write_envelopes_jsonl(

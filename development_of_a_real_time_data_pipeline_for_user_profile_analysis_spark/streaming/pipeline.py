@@ -1,0 +1,171 @@
+"""Structured Streaming pipeline — the reference's streaming core,
+re-architected.
+
+The reference runs THREE independent ``writeStream.start()`` calls on
+one lineage (Real_Time_Data.py:139-159): each re-reads Kafka and
+re-executes the whole transform chain, and only the Cassandra query
+has a checkpoint — the Mongo and console sinks silently duplicate on
+restart. Here the design is ONE checkpointed query whose
+``foreachBatch`` fans out to every sink: one source read, one
+checkpoint, consistent batch ids across sinks, and idempotent
+(replace-by-batch) parquet writes so restart replays are harmless.
+
+The same batch transform functions (operators/etl.py) run inside the
+stream — streaming/batch parity is by construction, not by parallel
+implementations.
+
+Scale notes: the ETL chain is stateless/narrow → scales with source
+partitions. The stateful pieces (dedup, windowed aggs) key their
+state by id / (window, key); watermarks bound state size so a
+1000-executor job doesn't accumulate unbounded state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.etl import curate_profiles, parse_envelopes
+
+DEFAULT_GAP = "10 minutes"
+
+
+def read_envelope_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based envelope source (JSON lines, one envelope per line).
+    Same wire format as the Kafka topic; used for tests/replay."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def read_envelope_kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "user_data_topic",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka envelope source — mirror of reference
+    Real_Time_Data.py:37-42. Requires the spark-sql-kafka connector
+    on the classpath (not bundled in this runtime); the returned plan
+    is identical in shape to the file source after the value cast."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    )
+
+
+def curated_stream(source: DataFrame) -> DataFrame:
+    """Envelope stream → curated profile stream (the reference's full
+    transform chain, same functions as batch)."""
+    return curate_profiles(parse_envelopes(source))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source: DataFrame,
+    sink_dirs: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Start THE streaming query: single checkpoint, foreachBatch
+    fan-out to every sink directory (curated table, serving table,
+    dead-letter, ... — the roles Cassandra/Mongo/console played in
+    the reference). The batch is persisted once and written N times —
+    one source read total, versus the reference's N full re-reads.
+
+    foreachBatch is at-least-once per sink, so each write is per-batch
+    idempotent: the batch id is embedded in the directory and written
+    with overwrite — a replayed batch replaces itself instead of
+    duplicating (the guarantee the reference only got implicitly from
+    Cassandra's PK upsert).
+    """
+    curated = curated_stream(source)
+
+    def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for d in sink_dirs:
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(d, f"batch_id={batch_id}")
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        curated.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fan_out)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def deduped_stream(source: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Streaming dedup on profile id — fixes the reference's silent
+    duplicate problem (Mongo append had no PK). Event time comes from
+    the `inscription` timestamp; the watermark bounds dedup state."""
+    curated = curated_stream(source).withColumn(
+        "event_time", F.to_timestamp(F.col("inscription"))
+    )
+    return curated.withWatermark("event_time", watermark_delay).dropDuplicates(["id"])
+
+
+def streaming_gender_counts(source: DataFrame) -> DataFrame:
+    """Update-mode live aggregate — the dashboard's gender distribution
+    computed incrementally instead of re-scanning the store each poll."""
+    return curated_stream(source).groupBy("gender").count()
+
+
+def registrations_per_window(
+    source: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Event-time windowed registrations (tumbling, or sliding when
+    `slide` is given) with watermark-bounded state and late-data
+    tolerance — capability the reference lacks entirely (its
+    batchWatermarkMs is 0 in every checkpoint offsets file)."""
+    curated = curated_stream(source).withColumn(
+        "event_time", F.to_timestamp(F.col("inscription"))
+    )
+    win = (
+        F.window("event_time", window, slide) if slide else F.window("event_time", window)
+    )
+    return (
+        curated.withWatermark("event_time", watermark_delay)
+        .groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("registrations"))
+        .select(F.col("w.start").alias("window_start"), "registrations")
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = DEFAULT_GAP, watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming session windows (the stateful twin of the batch
+    gaps-and-islands sessionizer in operators/analytics.py)."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,218 @@
+"""Golden-value unit tests for aggregates, analytics, text, dedup,
+similarity, multimodal operators on hand-computed inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+    aggregates,
+    analytics,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+@pytest.fixture(scope="module")
+def profiles(spark):
+    rows = [
+        Row(id=str(i), username=f"u{i}", gender="male" if i % 2 else "female",
+            title="Mr", age=20 + (i % 3), email=e, inscription="2020-01-01T00:00:00.000Z",
+            full_name=f"F{i} L{i}", full_address="X Y Z 1 2")
+        for i, e in enumerate(
+            ["a@x.com", "b@x.com", "c@y.co.uk", "d@x.com", "e@z.org", "f@y.co.uk"]
+        )
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_gender_distribution(profiles):
+    got = {r.gender: r["count"] for r in aggregates.gender_distribution(profiles).collect()}
+    assert got == {"male": 3, "female": 3}
+
+
+def test_top_email_domains(profiles):
+    got = [(r.domain, r["count"]) for r in aggregates.top_email_domains(profiles, 2).collect()]
+    assert got == [("x", 3), ("y", 2)]
+
+
+def test_age_ecdf_is_cumulative(profiles):
+    rows = aggregates.age_ecdf(profiles).collect()
+    assert [r.cum_count for r in rows] == list(range(1, 7))
+    assert [r.age for r in rows] == sorted(r.age for r in rows)
+
+
+def test_sessionize_gap_splits(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=t0),
+            Row(user_id=1, ts=t0 + dt.timedelta(minutes=10)),
+            Row(user_id=1, ts=t0 + dt.timedelta(minutes=50)),  # gap 40m > 30m
+            Row(user_id=2, ts=t0),
+        ]
+    )
+    got = {
+        (r.user_id, r.session_id): r.n_events
+        for r in analytics.sessionize(events, gap_minutes=30).collect()
+    }
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_pivot_fills_zero(spark):
+    events = spark.createDataFrame(
+        [Row(user_id=1, event_type="click"), Row(user_id=1, event_type="view")]
+    )
+    r = analytics.event_type_pivot(events).collect()[0]
+    assert (r.click, r.view, r.purchase, r.error, r.signup) == (1, 1, 0, 0, 0)
+
+
+def test_subtract_set_semantics(spark):
+    orders = spark.createDataFrame(
+        [Row(o_custkey=1, o_orderstatus="O")] * 3
+        + [Row(o_custkey=2, o_orderstatus="O"), Row(o_custkey=2, o_orderstatus="P")]
+    )
+    got = [r.o_custkey for r in analytics.open_not_pending_customers(orders).collect()]
+    assert got == [1]  # dup 'O' rows collapse; custkey 2 excluded
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="alpha beta gamma")])
+    r = text.text_stats(df).collect()[0]
+    assert r.n_tokens == 3
+    # ceil(5/4)+ceil(4/4)+ceil(5/4) = 2+1+2
+    assert r.n_bpe_tokens == 5
+    assert r.n_chars_computed == 16
+
+
+def test_langid_votes(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="the cat of the house is here"),
+            Row(doc_id=2, lang="fr", text="le chat de la maison est la"),
+            Row(doc_id=3, lang="und", text="zzz qqq www"),
+        ]
+    )
+    got = {(r.lang, r.predicted_lang) for r in text.lang_confusion(df).collect()}
+    assert ("en", "en") in got
+    assert ("fr", "fr") in got
+    assert ("und", "und") in got
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello  World"), Row(doc_id=2, text="hello world ")]
+    )
+    fps = [r.fingerprint for r in df.select(
+        F.col("doc_id"), text.fingerprint(F.col("text")).alias("fingerprint")
+    ).collect()]
+    assert fps[0] == fps[1]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base, lang="en", source="s", n_chars=len(base)),
+            Row(doc_id=2, text=base, lang="en", source="s", n_chars=len(base)),  # exact dup
+            Row(doc_id=3, text=base + " extra", lang="en", source="s", n_chars=len(base) + 6),  # near dup
+            Row(doc_id=4, text="completely different content about spark engines and parquet files",
+                lang="en", source="s", n_chars=66),
+        ]
+    )
+
+
+def test_exact_dedup(docs):
+    groups = {r.keeper_doc_id: r.n_copies for r in dedup.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(docs).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_finds_dups_not_distinct(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated don't
+
+
+def test_jaccard_identical_is_one(docs):
+    pairs = docs.sparkSession.createDataFrame([Row(doc_a=1, doc_b=2)])
+    j = dedup.ngram_jaccard_pairs(docs, pairs).collect()[0]
+    assert j.jaccard == 1.0
+
+
+def test_near_dedup_pipeline(docs):
+    confirmed = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.near_dedup_minhash(docs, jaccard_threshold=0.6).collect()
+    }
+    assert (1, 2) in confirmed and confirmed[(1, 2)] == 1.0
+    for pair in confirmed:
+        assert 4 not in pair
+
+
+def test_simhash_close_for_near_dups(docs):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0], label=0),
+            Row(vec_id=1, embedding=[0.9, 0.1, 0.0], label=0),
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0], label=1),
+            Row(vec_id=3, embedding=[-1.0, 0.0, 0.0], label=1),
+        ]
+    )
+
+
+def test_cosine_topk_order(embeddings):
+    got = [r.vec_id for r in similarity.cosine_topk(embeddings, 0, 3).collect()]
+    assert got == [1, 2, 3]
+
+
+def test_lsh_same_vector_same_bucket(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.5, -0.2, 0.8], label=0),
+         Row(vec_id=1, embedding=[0.5, -0.2, 0.8], label=0)]
+    )
+    buckets = [
+        r.bucket
+        for r in df.select(
+            similarity.lsh_bucket(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("bucket")
+        ).collect()
+    ]
+    assert buckets[0] == buckets[1]
+
+
+def test_multimodal_decode_bytes(docs):
+    out = {r.doc_id: r for r in multimodal.decode_payload(multimodal.attach_payload(docs)).collect()}
+    base_len = len("the quick brown fox jumps over the lazy dog and runs far away home")
+    assert out[1].n_bytes == base_len
+    assert out[1].mime == "text/plain"
+    assert out[1].fake_width == base_len % 640
+
+
+def test_real_decode_raises(docs):
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode_stub(multimodal.attach_payload(docs))
+
+
+def test_frame_offsets(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x" * 250, lang="en", source="s", n_chars=250)])
+    offs = [r.frame_offset for r in multimodal.frame_sample_plan(
+        multimodal.attach_payload(df)
+    ).collect()]
+    assert offs == [0, 100, 200]
