@@ -266,6 +266,84 @@ def event_type_pivot(events: DataFrame) -> DataFrame:
     )
 
 
+def props_avg_by_type(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the JSON props
+    column (JVM-side get_json_object — no parse to Python)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.count(k).alias("n_with_k")
+    )
+
+
+def daily_revenue_moving_avg(orders: DataFrame, days: int = 7) -> DataFrame:
+    """Frame-based window: N-row moving average over the (tiny) daily
+    aggregate — the window runs on ~2400 rows, not the raw orders."""
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("day").rowsBetween(-(days - 1), 0)
+    return daily.select(
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.avg("revenue").over(w), 4).alias(f"ma{days}"),
+        F.round(F.col("revenue") - F.lag("revenue", 1).over(Window.orderBy("day")), 2).alias(
+            "dod_delta"
+        ),
+    )
+
+
+def last_signup_asof(events: DataFrame) -> DataFrame:
+    """As-of association via running conditional max — for each event,
+    the most recent signup time of the same user at or before it.
+    Deliberately join-free: a windowed running max scales as one
+    shuffle on user_id, where the naive as-of join would be
+    events×orders per key."""
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return events.select(
+        "event_id", "user_id", "ts", F.max(signup_ts).over(w).alias("last_signup_ts")
+    )
+
+
+def revenue_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact continuous percentiles (interpolated, matching ANSI
+    percentile_cont). The sketch-based alternative for 100 TB is
+    approx_percentile — see approx_distinct_users for the pattern."""
+    return orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+def segment_priority_grouping_sets(
+    spark, customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """GROUPING SETS via the SQL surface (every engine query is also
+    runnable as spark.sql — SURVEY M2)."""
+    customer.createOrReplaceTempView("gs_customer")
+    orders.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
+           FROM gs_orders JOIN gs_customer ON o_custkey = c_custkey
+           GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))"""
+    )
+
+
+def above_avg_orders(spark, orders: DataFrame) -> DataFrame:
+    """Correlated subquery (decorrelated by Catalyst into an
+    aggregate + join): orders larger than their customer's average."""
+    orders.createOrReplaceTempView("sub_orders")
+    return spark.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM sub_orders o
+           WHERE o_totalprice > 2 * (SELECT avg(i.o_totalprice)
+                                     FROM sub_orders i
+                                     WHERE i.o_custkey = o.o_custkey)"""
+    )
+
+
 def orders_by_month(orders: DataFrame) -> DataFrame:
     """Calendar bucketing on the natural time column."""
     return (

@@ -15,7 +15,7 @@ double precision — no Python, no UDF, codegen-friendly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 LSH_PLANES = 8
@@ -116,6 +116,70 @@ def ann_lsh_bucketed(
     return (
         with_bucket.filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def centroid_arrays(embeddings: DataFrame) -> DataFrame:
+    """label → centroid array<double> (ordered by dim). The collect
+    per label is over `dim` rows only — tiny at any corpus size."""
+    dim_rows = embeddings.select(
+        "label", F.posexplode(_to_double(F.col("embedding"))).alias("dim", "v")
+    )
+    return (
+        dim_rows.groupBy("label", "dim")
+        .agg(F.avg("v").alias("mean_v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_v"))),
+                lambda s: s["mean_v"],
+            ).alias("centroid")
+        )
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    centroid (cell), then search only the query's cell.
+
+    The centroid table is tiny → broadcast; cell assignment is one
+    scan. At scale the corpus is written partitioned by cell so a
+    query reads one partition (n_probe partitions for higher recall).
+    """
+    cents = centroid_arrays(embeddings)
+    corpus = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("emb")
+    )
+    # assign each vector to its max-cosine centroid
+    assigned = (
+        corpus.join(F.broadcast(cents.withColumnRenamed("label", "cell")))
+        .withColumn("cent_cos", cosine(F.col("emb"), F.col("centroid")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cent_cos"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "emb", "cell")
+    )
+    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("q_emb"), F.col("cell").alias("q_cell")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("cell") == F.col("q_cell"))
         .select(
             "vec_id",
             "label",

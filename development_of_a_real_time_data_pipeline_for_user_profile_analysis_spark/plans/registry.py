@@ -375,6 +375,141 @@ def q_orders_by_month(spark, sf_dir):
     return analytics.orders_by_month(_t(spark, sf_dir, "orders"))
 
 
+@query(
+    "props_avg_by_type",
+    """SELECT event_type,
+       round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k
+       FROM events GROUP BY event_type""",
+)
+def q_props_avg_by_type(spark, sf_dir):
+    return analytics.props_avg_by_type(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "daily_revenue_moving_avg",
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                sum(o_totalprice) AS revenue
+         FROM orders GROUP BY 1)
+       SELECT day, round(revenue, 2) AS revenue,
+         round(avg(revenue) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+         round(revenue - lag(revenue, 1) OVER (ORDER BY day), 2) AS dod_delta
+       FROM daily""",
+)
+def q_daily_revenue_moving_avg(spark, sf_dir):
+    return analytics.daily_revenue_moving_avg(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "last_signup_asof",
+    """SELECT event_id, user_id, ts,
+       max(CASE WHEN event_type = 'signup' THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+       FROM events""",
+)
+def q_last_signup_asof(spark, sf_dir):
+    return analytics.last_signup_asof(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "revenue_percentiles",
+    """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+              round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+              round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+       FROM orders""",
+)
+def q_revenue_percentiles(spark, sf_dir):
+    return analytics.revenue_percentiles(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "segment_priority_grouping_sets",
+    """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))""",
+)
+def q_segment_priority_grouping_sets(spark, sf_dir):
+    return analytics.segment_priority_grouping_sets(
+        spark, _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "above_avg_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+       WHERE o_totalprice > 2 * (SELECT avg(i.o_totalprice)
+                                 FROM orders i
+                                 WHERE i.o_custkey = o.o_custkey)""",
+)
+def q_above_avg_orders(spark, sf_dir):
+    return analytics.above_avg_orders(spark, _t(spark, sf_dir, "orders"))
+
+
+# ------------------------------------------------------------------
+# Streaming entries (Structured Streaming run to completion via
+# availableNow; the hourly aggregate has a full batch-SQL oracle —
+# streaming/batch parity is part of the check)
+# ------------------------------------------------------------------
+
+
+def _events_stream(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file streaming source wants a directory; expose the single
+    # parquet file through a temp dir symlink
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    schema = (
+        "event_id long, ts long, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(d)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df, output_mode: str = "complete"):
+    import uuid
+
+    name = "q_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
+@query(
+    "streaming_events_hourly",
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_streaming_events_hourly(spark, sf_dir):
+    return _run_to_memory(analytics.events_hourly(_events_stream(spark, sf_dir)))
+
+
+@query("streaming_session_windows")  # stateful session_window; rows-only
+def q_streaming_session_windows(spark, sf_dir):
+    from ..streaming.pipeline import sessionized_stream
+
+    return _run_to_memory(
+        sessionized_stream(_events_stream(spark, sf_dir), gap="30 minutes")
+    )
+
+
 # ------------------------------------------------------------------
 # Text analysis (LLM-data-pipeline surface)
 # ------------------------------------------------------------------
@@ -590,6 +725,11 @@ def q_cosine_topk(spark, sf_dir):
 @query("ann_lsh_topk")  # LSH-bucketed ANN; rows-only check
 def q_ann_lsh_topk(spark, sf_dir):
     return similarity.ann_lsh_bucketed(_t(spark, sf_dir, "embeddings"))
+
+
+@query("ann_ivf_topk")  # IVF cell-probe ANN; rows-only check
+def q_ann_ivf_topk(spark, sf_dir):
+    return similarity.ann_ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
 @query(
