@@ -606,9 +606,10 @@ def q_dedup_exact_docs(spark, sf_dir):
 
 _SHINGLES_CTE = """
 sh AS (
-  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 9) AS shingle
-  FROM (SELECT doc_id, text,
-               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+               unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i
         FROM dupes)
 )"""
 
