@@ -248,6 +248,54 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return docs.select("doc_id", sig.alias("simhash"))
 
 
+def near_dup_clusters(docs: DataFrame, jaccard_threshold: float = 0.6, max_iter: int = 10) -> DataFrame:
+    """Connected components over the confirmed near-dup pair graph →
+    (doc_id, cluster_id = min doc_id in component). Iterative min-label
+    propagation; near-dup components have tiny diameter so this
+    converges in a few rounds. Each round localCheckpoints to truncate
+    lineage. (At extreme scale this becomes GraphFrames/Pregel or
+    alternating large/small-star; the dataflow shape is the same.)
+    """
+    pairs = near_dedup_minhash(docs, jaccard_threshold).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["doc_b"] == labels["node"])
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["doc_a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter("n.cluster_id != o.cluster_id")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def embedding_near_dupes(
     embeddings: DataFrame, threshold: float = 0.45
 ) -> DataFrame:

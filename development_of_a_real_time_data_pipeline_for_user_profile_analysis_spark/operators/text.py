@@ -127,3 +127,40 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
 def quality_filter(documents: DataFrame, min_quality: float = 0.5) -> DataFrame:
     """The actual curation gate: keep docs above a quality threshold."""
     return documents.filter(quality_score(F.col("text")) >= min_quality)
+
+
+def ngram_counts(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Top-k word n-grams by raw occurrence (vocab/contamination
+    analysis). Explode is map-side; the count shuffles (ngram) keys
+    with partial aggregation; top-k is TakeOrderedAndProject."""
+    words = F.split(F.col("text"), " ")
+    return (
+        documents.select(
+            words.alias("w"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+            ).alias("i"),
+        )
+        .select(F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def deterministic_split(documents: DataFrame) -> DataFrame:
+    """Reproducible train/val/test assignment by content-independent
+    key hash (md5(doc_id) mod 100 → 80/10/10). The standard
+    seed-free split for pipelines that must re-derive identical
+    splits across engines, runs, and cluster sizes."""
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return documents.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

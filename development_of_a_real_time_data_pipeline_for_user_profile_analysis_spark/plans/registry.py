@@ -567,6 +567,33 @@ def q_lang_confusion(spark, sf_dir):
     return text.lang_confusion(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "top_ngrams",
+    """SELECT array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS ngram,
+              count(*) AS n
+       FROM (SELECT string_split(text, ' ') AS w,
+                    unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i
+             FROM documents)
+       GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT 20""",
+)
+def q_top_ngrams(spark, sf_dir):
+    return text.ngram_counts(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "deterministic_split",
+    """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                   ELSE 'test' END AS split,
+              count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM (SELECT n_chars,
+                    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100 AS b
+             FROM documents)
+       GROUP BY 1""",
+)
+def q_deterministic_split(spark, sf_dir):
+    return text.deterministic_split(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------------
 # Deduplication (LLM-data-pipeline surface)
 # ------------------------------------------------------------------
@@ -684,6 +711,11 @@ def _simhash_oracle(bits: int = 32) -> str:
         for j in range(bits)
     )
     return f"SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM documents"
+
+
+@query("near_dup_clusters")  # iterative connected components; rows-only
+def q_near_dup_clusters(spark, sf_dir):
+    return dedup.near_dup_clusters(_dupes_df(spark, sf_dir))
 
 
 @query("simhash_signatures", _simhash_oracle())

@@ -1,0 +1,43 @@
+"""Table writers — the storage-layout half of the 100 TB design.
+
+The reference wrote rows to Cassandra/Mongo (Real_Time_Data.py:139-157)
+with no layout control. Here the curated/silver tables are parquet
+with explicit layout:
+
+- ``write_partitioned``: hive-style partition directories → partition
+  pruning turns predicate scans into directory listings.
+- ``write_bucketed``: ``bucketBy`` on the join key → two tables
+  bucketed the same way join with ZERO exchange on either side (the
+  co-located join a 100 TB fact⋈fact needs; verified by
+  tests/test_sinks.py asserting no Exchange in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (bucket metadata only exists through the
+    catalog, so this is saveAsTable, not a path write)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -12,8 +12,14 @@ from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.se
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", cpus=8, shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        "tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
 
 
