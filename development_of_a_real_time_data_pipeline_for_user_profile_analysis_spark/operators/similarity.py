@@ -15,6 +15,8 @@ double precision — no Python, no UDF, codegen-friendly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -185,6 +187,33 @@ def ann_ivf_topk(
             "label",
             F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cosine"),
         )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_topk_vectorized(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Arrow-vectorized Pandas-UDF cosine — the alternative hot path
+    when the per-row JVM higher-order functions become the bottleneck
+    (numpy does the whole batch as one matrix-vector product). Same
+    results as cosine_topk modulo the query-vector source."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @pandas_udf(DoubleType())
+    def cos(batch: pd.Series) -> pd.Series:
+        m = np.stack(batch.to_numpy())  # (rows, dim) float64
+        m = m.astype(np.float64)
+        sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+        return pd.Series(np.round(sims, 6))
+
+    return (
+        embeddings.select("vec_id", "label", cos(F.col("embedding")).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )

@@ -510,6 +510,23 @@ def q_streaming_session_windows(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_user_totals",
+    """SELECT user_id, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+       FROM events GROUP BY user_id""",
+)
+def q_streaming_user_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState). The source
+    arrives as one availableNow batch, so the emitted running totals
+    equal the batch aggregate — checked against the SQL oracle."""
+    from ..streaming.stateful import running_user_totals
+
+    return _run_to_memory(
+        running_user_totals(_events_stream(spark, sf_dir)), output_mode="update"
+    )
+
+
 # ------------------------------------------------------------------
 # Text analysis (LLM-data-pipeline surface)
 # ------------------------------------------------------------------

@@ -1,0 +1,70 @@
+"""applyInPandasWithState custom stateful operator + vectorized UDF
+parity tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+    similarity,
+)
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming import (
+    stateful,
+)
+
+
+def test_running_user_totals_across_batches(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "ev")
+    # two files → two batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [Row(user_id=1, ts=t0, value=1.0), Row(user_id=1, ts=t0, value=2.0)]
+    ).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [Row(user_id=1, ts=t0, value=4.0), Row(user_id=2, ts=t0, value=10.0)]
+    ).write.parquet(src + "/f2")
+
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stateful.running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM running_totals").collect()
+    # state accumulates across batches: user 1 ends at n=3, total=7
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.total_value)
+    assert final[1] == (3, 7.0)
+    assert final[2] == (1, 10.0)
+
+
+def test_vectorized_cosine_matches_jvm(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0], label=0),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0], label=1),
+        Row(vec_id=3, embedding=[-1.0, 0.5, 0.0], label=1),
+    ]
+    df = spark.createDataFrame(rows)
+    jvm = {
+        r.vec_id: r.cosine for r in similarity.cosine_topk(df, 0, 3).collect()
+    }
+    vec = {
+        r.vec_id: r.cosine
+        for r in similarity.cosine_topk_vectorized(
+            df.filter("vec_id != 0"), [1.0, 0.0, 0.0], 3
+        ).collect()
+    }
+    assert jvm == vec
