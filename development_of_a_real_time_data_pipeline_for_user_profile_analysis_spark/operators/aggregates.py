@@ -56,6 +56,32 @@ def age_ecdf(profiles: DataFrame) -> DataFrame:
     )
 
 
+def similar_profiles(profiles: DataFrame) -> DataFrame:
+    """Blocked profile-similarity self-join: candidate 'similar user'
+    pairs share (email domain, age, gender). Blocking keys bound the
+    pair explosion (the EDBT'24 profile-join pattern: equi-join on
+    blocking keys, never a cross product)."""
+    from ..functions.columns import email_domain
+
+    keyed = profiles.select(
+        "id",
+        email_domain(F.col("email")).alias("domain"),
+        "age",
+        "gender",
+    )
+    a = keyed.select(
+        F.col("id").alias("id_a"), "domain", "age", "gender"
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), "domain", "age", "gender"
+    )
+    return (
+        a.join(b, ["domain", "age", "gender"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "domain", "age", "gender")
+    )
+
+
 def age_histogram(profiles: DataFrame) -> DataFrame:
     """Scalable form of the age-distribution view: one row per age.
     Cumulative counts, if needed, come from a window over the ~80-row

@@ -129,6 +129,28 @@ def quality_filter(documents: DataFrame, min_quality: float = 0.5) -> DataFrame:
     return documents.filter(quality_score(F.col("text")) >= min_quality)
 
 
+def zscore_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source z-score of document length via grouped-map
+    applyInPandas (the in-group normalization pattern; pandas gets the
+    whole group as one frame). Shuffles once on the group key; group
+    size bounds executor memory, not corpus size."""
+    import pandas as pd
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, s = pdf["n_chars"].mean(), pdf["n_chars"].std()  # ddof=1
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "len_z": ((pdf["n_chars"] - m) / s).round(4),
+            }
+        )
+
+    return documents.select("doc_id", "source", "n_chars").groupBy("source").applyInPandas(
+        norm, schema="doc_id long, source string, len_z double"
+    )
+
+
 def ngram_counts(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     """Top-k word n-grams by raw occurrence (vocab/contamination
     analysis). Explode is map-side; the count shuffles (ngram) keys

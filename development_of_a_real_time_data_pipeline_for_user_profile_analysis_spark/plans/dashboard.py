@@ -1,0 +1,38 @@
+"""Dashboard serving layer — the reference Dash app's data needs
+(dashbord/dashbord.py:85-121) computed engine-side.
+
+The reference re-scans all of MongoDB and recomputes four pandas
+aggregates every 10 s poll. Here one ``refresh`` call computes all
+four views off a single cached pass over the curated table; the UI
+would read the four tiny results. (In production the stream itself
+maintains these incrementally — streaming/pipeline.py
+``streaming_gender_counts`` — and the dashboard reads pre-aggregated
+state instead of triggering compute at all.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators import aggregates
+
+
+def refresh(profiles: DataFrame) -> dict[str, DataFrame]:
+    """One scan, four views: gender distribution, top-5 email domains,
+    total users, age distribution (ECDF parity form + scalable
+    histogram)."""
+    profiles.persist()
+    try:
+        views = {
+            "gender_distribution": aggregates.gender_distribution(profiles),
+            "top_email_domains": aggregates.top_email_domains(profiles),
+            "total_users": aggregates.total_users(profiles),
+            "age_ecdf": aggregates.age_ecdf(profiles),
+            "age_histogram": aggregates.age_histogram(profiles),
+        }
+        # materialize while the input is pinned
+        for df in views.values():
+            df.persist().count()
+        return views
+    finally:
+        profiles.unpersist()

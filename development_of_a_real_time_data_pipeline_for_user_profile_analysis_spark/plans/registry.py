@@ -129,6 +129,34 @@ def q_age_ecdf(spark, sf_dir):
 
 
 @query(
+    "similar_profiles",
+    _with_profiles(
+        """SELECT a.id AS id_a, b.id AS id_b,
+           regexp_extract(a.email, '@([A-Za-z0-9-]+)\\.', 1) AS domain,
+           a.age AS age, a.gender AS gender
+           FROM profiles a JOIN profiles b
+             ON regexp_extract(a.email, '@([A-Za-z0-9-]+)\\.', 1)
+              = regexp_extract(b.email, '@([A-Za-z0-9-]+)\\.', 1)
+            AND a.age = b.age AND a.gender = b.gender
+            AND a.id < b.id"""
+    ),
+)
+def q_similar_profiles(spark, sf_dir):
+    return aggregates.similar_profiles(profiles_df(spark, sf_dir))
+
+
+@query(
+    "zscore_by_source",
+    """SELECT doc_id, source,
+       round((n_chars - avg(n_chars) OVER (PARTITION BY source))
+             / stddev_samp(n_chars) OVER (PARTITION BY source), 4) AS len_z
+       FROM documents""",
+)
+def q_zscore_by_source(spark, sf_dir):
+    return text.zscore_by_source(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "age_histogram",
     _with_profiles(
         "SELECT age, COUNT(*) AS count FROM profiles GROUP BY age ORDER BY age"
