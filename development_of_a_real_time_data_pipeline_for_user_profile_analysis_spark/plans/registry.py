@@ -508,15 +508,23 @@ def _run_to_memory(df, output_mode: str = "complete"):
     import uuid
 
     name = "q_" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    # Stateful micro-batches pay a per-partition state-store init; at
+    # gate data sizes 8 partitions beats the session default by ~5x.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @query(

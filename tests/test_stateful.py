@@ -50,6 +50,46 @@ def test_running_user_totals_across_batches(spark, tmp_path):
     assert final[2] == (1, 10.0)
 
 
+def test_stateful_restart_preserves_state(spark, tmp_path):
+    """State must survive a query restart from checkpoint: totals keep
+    accumulating instead of resetting (the recovery guarantee the
+    custom operator inherits from the state store)."""
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stateful.running_user_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [Row(user_id=7, ts=t0, value=5.0)]
+    ).write.parquet(src + "/f1")
+    run_once()
+    spark.createDataFrame(
+        [Row(user_id=7, ts=t0, value=6.0)]
+    ).write.parquet(src + "/f2")
+    run_once()
+    emitted = spark.read.parquet(out).collect()
+    latest = max((r.n_events, r.total_value) for r in emitted if r.user_id == 7)
+    assert latest == (2, 11.0)  # 5.0 from before restart + 6.0 after
+
+
 def test_vectorized_cosine_matches_jvm(spark):
     rows = [
         Row(vec_id=0, embedding=[1.0, 0.0, 0.0], label=0),
