@@ -266,6 +266,39 @@ def event_type_pivot(events: DataFrame) -> DataFrame:
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-mitigating equi-join: fact rows scatter across `n_salts`
+    sub-keys (deterministic hash of the whole row, no RNG), the dim
+    side replicates ×n_salts, and the join runs on (key, salt) so one
+    hot key spreads over n_salts reducers instead of one straggler.
+
+    AQE's skew-join split handles moderate skew automatically; this is
+    the explicit form for pathological keys (or non-AQE engines).
+    Result is identical to the plain join — tests assert it.
+    """
+    fact_salted = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    )
+    dim_salted = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>")),
+    )
+    return (
+        fact_salted.join(
+            dim_salted,
+            (fact_salted[fact_key] == dim_salted[dim_key])
+            & (fact_salted["_salt"] == dim_salted["_salt"]),
+        )
+        .drop("_salt")
+    )
+
+
 def props_avg_by_type(events: DataFrame) -> DataFrame:
     """Semi-structured extraction: pull a field out of the JSON props
     column (JVM-side get_json_object — no parse to Python)."""
