@@ -1,0 +1,92 @@
+"""Event-time semantics: late-data dropping under watermark, and
+update-mode streaming aggregate parity with batch."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row, functions as F
+
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+    aggregates,
+)
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.synthetic import (
+    write_envelopes_jsonl,
+)
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming import (
+    pipeline,
+)
+
+
+def _write(spark, rows, path):
+    spark.createDataFrame(rows).write.parquet(path)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A row older than the watermark must not resurrect its window."""
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    src = str(tmp_path / "ev")
+    # batch 1: events 10:00, 10:30, 11:00 -> watermark advances to 10:50
+    _write(spark, [Row(user_id=1, ts=t(10)), Row(user_id=1, ts=t(10, 30)),
+                   Row(user_id=1, ts=t(11))], src + "/f1")
+    # batch 2: 09:30 is LATE (window [9,10) closed) + 11:30 advances wm
+    _write(spark, [Row(user_id=1, ts=t(9, 30)), Row(user_id=1, ts=t(11, 30))], src + "/f2")
+    # batch 3: far-future row forces all earlier windows to close
+    _write(spark, [Row(user_id=1, ts=t(20))], src + "/f3")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.ws: r.n for r in spark.sql("SELECT * FROM wm_out").collect()}
+    assert got.get(t(10)) == 2  # 10:00 + 10:30
+    assert got.get(t(11)) == 2  # 11:00 + 11:30
+    assert t(9) not in got  # the late 09:30 row was dropped, not revived
+
+
+def test_update_mode_aggregate_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "srcj")
+    import os
+
+    os.makedirs(src)
+    write_envelopes_jsonl(os.path.join(src, "a.jsonl"), 250)
+    stream_counts = pipeline.streaming_gender_counts(
+        pipeline.read_envelope_file_stream(spark, src)
+    )
+    q = (
+        stream_counts.writeStream.format("memory")
+        .queryName("gender_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import etl
+
+    batch = {
+        r.gender: r["count"]
+        for r in aggregates.gender_distribution(
+            etl.curate_profiles(etl.parse_envelopes(spark.read.text(src)))
+        ).collect()
+    }
+    streamed = {
+        r.gender: r["count"]
+        for r in spark.sql("SELECT * FROM gender_stream").collect()
+    }
+    assert streamed == batch
