@@ -31,7 +31,13 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "near_dedup_minhash",
     "simhash_signatures",
+    "embedding_near_dupes",
     "cosine_topk",
+    "ann_ivf_topk",
+    "similar_profiles",
+    "zscore_by_source",
+    "top_ngrams",
+    "deterministic_split",
     "multimodal_decode",
 ]
 

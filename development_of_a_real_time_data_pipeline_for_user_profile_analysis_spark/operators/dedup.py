@@ -302,28 +302,24 @@ def embedding_near_dupes(
     """Embedding-cosine near-dup pairs above threshold (brute-force
     all-pairs — correctness baseline; the scale path is LSH bucketing,
     see similarity.ann_lsh_bucketed)."""
+    # Pre-normalize once per vector (map-side) so the O(n²) pair stage
+    # does a 64-mult dot and nothing else — norms in the pair loop
+    # would triple the hot-path FLOPs.
     to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), to_double.alias("emb_a")
+    norm = F.sqrt(
+        F.aggregate(to_double, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), to_double.alias("emb_b")
-    )
+    unit = F.transform(to_double, lambda x: x / norm)
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), unit.alias("emb_a"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), unit.alias("emb_b"))
     dot = F.aggregate(
         F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(dot / (norm("emb_a") * norm("emb_b")), 6).alias("cosine"),
-        )
+        .select("vec_a", "vec_b", F.round(dot, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
