@@ -41,3 +41,22 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def create_curated_table(
+    spark: SparkSession, table: str = "user_profiles", location: str | None = None
+) -> None:
+    """Engine-native DDL for the curated table — replaces the
+    reference's out-of-band cassandra-driver CREATE KEYSPACE/TABLE
+    side-channel (Real_Time_Data.py:113-136). The schema string is
+    derived from the single declared PROFILE_SCHEMA, so the DDL can
+    never drift from the transform output."""
+    from ..schemas import PROFILE_SCHEMA
+
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString().upper()}" for f in PROFILE_SCHEMA.fields
+    )
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING parquet{loc}"
+    )

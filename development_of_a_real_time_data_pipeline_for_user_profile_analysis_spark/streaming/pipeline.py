@@ -63,6 +63,29 @@ def read_envelope_kafka_stream(
     )
 
 
+def write_kafka_sink(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+):
+    """Kafka producer sink (reference producer.py:40-42 role, but as a
+    streaming sink with checkpointed offsets instead of a hand-rolled
+    poll/flush loop). Requires the spark-sql-kafka connector on the
+    classpath — not bundled in this runtime."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(value_col).cast("string").alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def curated_stream(source: DataFrame) -> DataFrame:
     """Envelope stream → curated profile stream (the reference's full
     transform chain, same functions as batch)."""
