@@ -1,0 +1,128 @@
+"""Scale soak: replicate the sf0.1 corpus ~10x (key-consistent shifts,
+~= sf1: 6M lineitem rows) into /tmp and run the headline queries.
+
+This is the 'would the plan survive a 10x scale-up' probe — run
+manually, watch for spills, stragglers, or plan flips:
+
+    python tools/soak.py [replication]
+
+O(n²) brute-force ops (embedding_near_dupes) are excluded by design —
+at this scale only their LSH/IVF variants are legitimate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/soak_sf1"
+
+QUERIES_TO_RUN = [
+    "etl_curate_profiles",
+    "gender_distribution",
+    "age_ecdf",
+    "pricing_summary",
+    "shipping_priority",
+    "nation_revenue",
+    "customer_order_rank",
+    "events_hourly",
+    "events_sessionized",
+    "text_stats",
+    "top_ngrams",
+    "dedup_exact_groups",
+    "minhash_lsh_candidates",
+    "near_dedup_minhash",
+    "simhash_signatures",
+    "cosine_topk",
+    "ann_ivf_topk",
+    "deterministic_split",
+    "multimodal_decode",
+]
+
+# (table, {col: unit}) — each replica i shifts col by i*unit so join
+# keys stay consistent across tables
+SHIFTS = {
+    "customer": {"c_custkey": 1_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "lineitem": {
+        "l_orderkey": 10_000_000,
+        "l_partkey": 1_000_000,
+        "l_suppkey": 1_000_000,
+    },
+    "supplier": {"s_suppkey": 1_000_000},
+    "part": {"p_partkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 10_000},
+    "embeddings": {"vec_id": 1_000_000},
+    "region": {},
+    "nation": {},
+}
+
+
+def build(spark, replication: int) -> None:
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+
+    os.makedirs(DST, exist_ok=True)
+    for table, shifts in SHIFTS.items():
+        base = load_table(spark, SRC, table)
+        if not shifts:  # tiny dims copied as-is
+            base.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
+            continue
+        reps = []
+        for i in range(replication):
+            df = base
+            for col, unit in shifts.items():
+                df = df.withColumn(col, F.col(col) + F.lit(i * unit))
+            reps.append(df)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
+
+
+def main() -> None:
+    replication = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.plans import (
+        QUERIES,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    build(spark, replication)
+    print(f"# built {replication}x corpus in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    per_query = {}
+    t_all = time.time()
+    for name in QUERIES_TO_RUN:
+        t0 = time.time()
+        QUERIES[name](spark, DST).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 2)
+        print(f"# {name}: {per_query[name]}s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "soak_wall_time",
+                "value": round(time.time() - t_all, 2),
+                "unit": "sec",
+                "queries": per_query,
+                "replication": replication,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
