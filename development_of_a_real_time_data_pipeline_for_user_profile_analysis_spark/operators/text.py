@@ -171,18 +171,19 @@ def ngram_counts(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     )
 
 
-def deterministic_split(documents: DataFrame) -> DataFrame:
+def split_col(doc_id: Column) -> Column:
     """Reproducible train/val/test assignment by content-independent
-    key hash (md5(doc_id) mod 100 → 80/10/10). The standard
-    seed-free split for pipelines that must re-derive identical
-    splits across engines, runs, and cluster sizes."""
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+    key hash (md5(doc_id) mod 100 → 80/10/10) — identical across
+    engines, runs, and cluster sizes (no RNG)."""
+    bucket = F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10).cast(
         "long"
     ) % 100
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
-    return documents.groupBy(split.alias("split")).agg(
+    return F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+
+def deterministic_split(documents: DataFrame) -> DataFrame:
+    """Split-size summary of :func:`split_col`."""
+    return documents.groupBy(split_col(F.col("doc_id")).alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )

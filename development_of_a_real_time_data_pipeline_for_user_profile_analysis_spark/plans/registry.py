@@ -684,14 +684,18 @@ def q_dedup_exact_docs(spark, sf_dir):
     )
 
 
-_SHINGLES_CTE = """
+def _shingles_cte(src: str = "dupes") -> str:
+    return f"""
 sh AS (
   SELECT DISTINCT doc_id,
          array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS w,
                unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i
-        FROM dupes)
+        FROM {src})
 )"""
+
+
+_SHINGLES_CTE = _shingles_cte("dupes")
 
 _MINHASH_CTE = (
     "hashed AS (SELECT doc_id, "
@@ -788,6 +792,65 @@ def q_simhash_signatures(spark, sf_dir):
 )
 def q_embedding_near_dupes(spark, sf_dir):
     return dedup.embedding_near_dupes(_t(spark, sf_dir, "embeddings"))
+
+
+_QUALITY_SQL = (
+    f"round(0.4 * least(len({_SPLIT}) / 64.0, 1.0)"
+    f" + 0.4 * least({_sql_stop_ratio(_STOP_EN)} * 8, 1.0)"
+    f" + 0.2 * (1 - (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))"
+    f" / greatest(length(text), 1)), 4)"
+)
+
+_SPLIT_SQL = (
+    "CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100 < 80 THEN 'train' "
+    "WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@query(
+    "curation_pipeline",
+    _with_dupes(
+        f""", keepers AS (
+          SELECT * FROM dupes
+          WHERE doc_id IN (SELECT min(doc_id) FROM dupes GROUP BY md5(text))
+        ), {_shingles_cte('keepers')}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ),
+        losers AS (
+          SELECT DISTINCT doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6
+        ),
+        survivors AS (
+          SELECT * FROM keepers WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+        )
+        SELECT doc_id, source, n_chars, {_SPLIT_SQL} AS split
+        FROM survivors WHERE {_QUALITY_SQL} >= 0.5"""
+    ),
+)
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation: exact dedup → MinHash-LSH
+    near-dedup (drop the higher doc_id of each confirmed pair) →
+    quality gate → reproducible split assignment."""
+    from pyspark.sql import functions as F
+
+    d = _dupes_df(spark, sf_dir)
+    step1 = dedup.exact_dedup(d)
+    pairs = dedup.near_dedup_minhash(step1, jaccard_threshold=0.6)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    step2 = step1.join(losers, "doc_id", "left_anti")
+    step3 = text.quality_filter(step2, 0.5)
+    return step3.select(
+        "doc_id", "source", "n_chars", text.split_col(F.col("doc_id")).alias("split")
+    )
 
 
 # ------------------------------------------------------------------
