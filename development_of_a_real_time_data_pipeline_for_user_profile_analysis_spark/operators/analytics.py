@@ -377,6 +377,26 @@ def above_avg_orders(spark, orders: DataFrame) -> DataFrame:
     )
 
 
+def user_event_type_sets(events: DataFrame) -> DataFrame:
+    """Set-valued aggregation: distinct event types per user, sorted
+    for deterministic comparison."""
+    return events.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
+def largest_order_per_customer(orders: DataFrame) -> DataFrame:
+    """Argmax aggregation (max_by) with a deterministic struct
+    tiebreak — one row per customer without a window."""
+    return orders.groupBy("o_custkey").agg(
+        F.expr(
+            "max_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+        ).alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
 def orders_by_month(orders: DataFrame) -> DataFrame:
     """Calendar bucketing on the natural time column."""
     return (

@@ -394,6 +394,29 @@ def q_event_type_pivot(spark, sf_dir):
 
 
 @query(
+    "user_event_type_sets",
+    """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+              count(DISTINCT event_type) AS n_types
+       FROM events GROUP BY user_id""",
+)
+def q_user_event_type_sets(spark, sf_dir):
+    return analytics.user_event_type_sets(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "largest_order_per_customer",
+    """SELECT o_custkey, o_orderkey AS top_orderkey,
+              round(o_totalprice, 2) AS top_price
+       FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+             FROM orders)
+       WHERE rn = 1""",
+)
+def q_largest_order_per_customer(spark, sf_dir):
+    return analytics.largest_order_per_customer(_t(spark, sf_dir, "orders"))
+
+
+@query(
     "orders_by_month",
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
        count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
