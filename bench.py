@@ -67,6 +67,17 @@ def main() -> None:
         per_query[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_all, 3)
 
+    # apples-to-apples with BASELINE.md: envelope->curated-profile
+    # records/second through the full reference transform chain (the
+    # reference sustained ~0.153 rec/s, producer-bound)
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.plans.registry import (
+        profiles_df,
+    )
+
+    t0 = time.time()
+    n_records = profiles_df(spark, sf_dir).count()
+    etl_rec_s = round(n_records / (time.time() - t0), 1)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -76,6 +87,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "etl_records_per_sec": etl_rec_s,
+                "baseline_etl_records_per_sec": 0.153,
             }
         )
     )

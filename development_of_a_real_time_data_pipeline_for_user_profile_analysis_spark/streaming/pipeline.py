@@ -97,6 +97,7 @@ def run_pipeline(
     source: DataFrame,
     sink_dirs: list[str],
     checkpoint_dir: str,
+    dead_letter_dir: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
 ):
@@ -112,20 +113,56 @@ def run_pipeline(
     duplicating (the guarantee the reference only got implicitly from
     Cassandra's PK upsert).
     """
-    curated = curated_stream(source)
+    if dead_letter_dir is None:
+        stream, has_audit = curated_stream(source), False
+    else:
+        # audited parse keeps the raw payload of unparseable rows so
+        # the dead-letter sink gets them (SURVEY §1.2: the reference
+        # silently dropped corrupt records)
+        from ..operators.etl import CORRUPT_COL, curate_profiles, parse_envelopes_audited
+
+        audited = parse_envelopes_audited(source)
+        good = curate_profiles(audited.filter(F.col("user").isNotNull()))
+        stream = good.withColumn(CORRUPT_COL, F.lit(None).cast("string")).unionByName(
+            audited.filter(F.col(CORRUPT_COL).isNotNull()).selectExpr(
+                "CAST(NULL AS STRING) AS id",
+                "CAST(NULL AS STRING) AS username",
+                "CAST(NULL AS STRING) AS gender",
+                "CAST(NULL AS STRING) AS title",
+                "CAST(NULL AS INT) AS age",
+                "CAST(NULL AS STRING) AS email",
+                "CAST(NULL AS STRING) AS inscription",
+                "CAST(NULL AS STRING) AS full_name",
+                "CAST(NULL AS STRING) AS full_address",
+                CORRUPT_COL,
+            )
+        )
+        has_audit = True
 
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
+            if has_audit:
+                good = batch_df.filter(F.col("_corrupt_record").isNull()).drop(
+                    "_corrupt_record"
+                )
+                bad = batch_df.filter(F.col("_corrupt_record").isNotNull()).select(
+                    "_corrupt_record"
+                )
+                bad.write.mode("overwrite").parquet(
+                    os.path.join(dead_letter_dir, f"batch_id={batch_id}")
+                )
+            else:
+                good = batch_df
             for d in sink_dirs:
-                batch_df.write.mode("overwrite").parquet(
+                good.write.mode("overwrite").parquet(
                     os.path.join(d, f"batch_id={batch_id}")
                 )
         finally:
             batch_df.unpersist()
 
     writer = (
-        curated.writeStream.outputMode("append")
+        stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(fan_out)
     )

@@ -144,6 +144,29 @@ def test_streaming_session_window(spark, stream_dirs, tmp_path):
     assert got[(2, t0)] == 1
 
 
+def test_dead_letter_sink_captures_malformed(spark, stream_dirs, tmp_path):
+    write_envelopes_jsonl(
+        os.path.join(stream_dirs["src"], "a.jsonl"), 90, malformed_every=9
+    )  # 10 malformed lines
+    dl = str(tmp_path / "dead")
+    source = pipeline.read_envelope_file_stream(spark, stream_dirs["src"])
+    q = pipeline.run_pipeline(
+        spark,
+        source,
+        [stream_dirs["sink_a"]],
+        stream_dirs["ckpt"],
+        dead_letter_dir=dl,
+    )
+    q.awaitTermination(120)
+    dead = spark.read.parquet(dl)
+    assert dead.count() == 10
+    # batch_id is the hive partition dir; payload is the raw line
+    assert sorted(dead.columns) == ["_corrupt_record", "batch_id"]
+    good = spark.read.parquet(stream_dirs["sink_a"])
+    assert good.count() == 80  # 90 - 10 malformed (no null-ids < 101)
+    assert "_corrupt_record" not in good.columns
+
+
 def test_idempotent_batch_overwrite(spark, stream_dirs):
     """Replaying a batch id must replace, not append (the multi-sink
     exactly-once mechanism)."""
