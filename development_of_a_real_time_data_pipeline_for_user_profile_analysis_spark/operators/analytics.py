@@ -377,6 +377,37 @@ def above_avg_orders(spark, orders: DataFrame) -> DataFrame:
     )
 
 
+def daily_revenue_range_ma(orders: DataFrame, days: int = 7) -> DataFrame:
+    """RANGE-frame moving average (calendar days, not rows): gaps in
+    the date sequence shrink the window, unlike the ROWS frame of
+    daily_revenue_moving_avg. Spark range frames need a numeric
+    ordering key → unix_date."""
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    w = (
+        Window.orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.avg("revenue").over(w), 4).alias("range_ma"),
+    )
+
+
+def customer_revenue_quartiles(orders: DataFrame) -> DataFrame:
+    """ntile bucketing over per-customer revenue (deterministic
+    tiebreak on the key)."""
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    return rev.select(
+        "o_custkey", "revenue", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
 def user_event_type_sets(events: DataFrame) -> DataFrame:
     """Set-valued aggregation: distinct event types per user, sorted
     for deterministic comparison."""

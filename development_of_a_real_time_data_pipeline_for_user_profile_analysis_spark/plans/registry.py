@@ -394,6 +394,36 @@ def q_event_type_pivot(spark, sf_dir):
 
 
 @query(
+    "daily_revenue_range_ma",
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                sum(o_totalprice) AS revenue
+         FROM orders GROUP BY 1)
+       SELECT day, round(revenue, 2) AS revenue,
+              round(avg(revenue) OVER (ORDER BY day
+                    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW),
+                    4) AS range_ma
+       FROM daily""",
+)
+def q_daily_revenue_range_ma(spark, sf_dir):
+    return analytics.daily_revenue_range_ma(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "customer_revenue_quartiles",
+    """WITH rev AS (
+         SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+         FROM orders GROUP BY o_custkey)
+       SELECT o_custkey, revenue,
+              CAST(ntile(4) OVER (ORDER BY revenue DESC, o_custkey ASC) AS BIGINT)
+                AS quartile
+       FROM rev""",
+)
+def q_customer_revenue_quartiles(spark, sf_dir):
+    return analytics.customer_revenue_quartiles(_t(spark, sf_dir, "orders"))
+
+
+@query(
     "user_event_type_sets",
     """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
               count(DISTINCT event_type) AS n_types
