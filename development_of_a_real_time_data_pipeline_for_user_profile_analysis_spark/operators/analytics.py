@@ -351,16 +351,26 @@ def revenue_percentiles(orders: DataFrame) -> DataFrame:
     )
 
 
+def _temp_view(df: DataFrame, prefix: str) -> str:
+    """Collision-safe temp view (unique name per call, so concurrent
+    query invocations in one session can't clobber each other)."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def segment_priority_grouping_sets(
     spark, customer: DataFrame, orders: DataFrame
 ) -> DataFrame:
     """GROUPING SETS via the SQL surface (every engine query is also
     runnable as spark.sql — SURVEY M2)."""
-    customer.createOrReplaceTempView("gs_customer")
-    orders.createOrReplaceTempView("gs_orders")
+    c = _temp_view(customer, "gs_customer")
+    o = _temp_view(orders, "gs_orders")
     return spark.sql(
-        """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
-           FROM gs_orders JOIN gs_customer ON o_custkey = c_custkey
+        f"""SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
+           FROM {o} JOIN {c} ON o_custkey = c_custkey
            GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))"""
     )
 
@@ -368,11 +378,11 @@ def segment_priority_grouping_sets(
 def above_avg_orders(spark, orders: DataFrame) -> DataFrame:
     """Correlated subquery (decorrelated by Catalyst into an
     aggregate + join): orders larger than their customer's average."""
-    orders.createOrReplaceTempView("sub_orders")
+    t = _temp_view(orders, "sub_orders")
     return spark.sql(
-        """SELECT o_orderkey, o_custkey, o_totalprice FROM sub_orders o
+        f"""SELECT o_orderkey, o_custkey, o_totalprice FROM {t} o
            WHERE o_totalprice > 2 * (SELECT avg(i.o_totalprice)
-                                     FROM sub_orders i
+                                     FROM {t} i
                                      WHERE i.o_custkey = o.o_custkey)"""
     )
 
