@@ -299,6 +299,47 @@ def salted_join(
     )
 
 
+def clicks_before_errors(events: DataFrame, window_minutes: int = 5) -> DataFrame:
+    """Time-range join, banded: for each error event, count clicks by
+    the same user in the preceding `window_minutes`.
+
+    A naive `t BETWEEN a AND b` join compiles to a nested-loop — fatal
+    at scale. Banding makes it an equi-join: both sides bucket time by
+    the window size; a qualifying click can only be in the error's
+    bucket or the one before, so each error probes exactly two
+    (user, bucket) keys and the exact range predicate filters within
+    candidates. Shuffle is keyed on (user, bucket) — uniform.
+    """
+    gap_us = window_minutes * 60 * 1_000_000
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("click_us"),
+        (F.unix_micros("ts") / gap_us).cast("long").alias("c_bucket"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.unix_micros("ts").alias("err_us"),
+        (F.unix_micros("ts") / gap_us).cast("long").alias("e_bucket"),
+    )
+    probes = errors.withColumn(
+        "c_bucket", F.explode(F.array(F.col("e_bucket") - 1, F.col("e_bucket")))
+    )
+    return (
+        probes.join(
+            clicks,
+            (F.col("c_user") == F.col("e_user"))
+            & (clicks["c_bucket"] == probes["c_bucket"]),
+        )
+        .filter(
+            (F.col("click_us") >= F.col("err_us") - gap_us)
+            & (F.col("click_us") < F.col("err_us"))
+        )
+        .groupBy("error_id")
+        .agg(F.count(F.lit(1)).alias("n_preceding_clicks"))
+    )
+
+
 def props_avg_by_type(events: DataFrame) -> DataFrame:
     """Semi-structured extraction: pull a field out of the JSON props
     column (JVM-side get_json_object — no parse to Python)."""

@@ -457,6 +457,21 @@ def q_orders_by_month(spark, sf_dir):
 
 
 @query(
+    "clicks_before_errors",
+    """SELECT e.event_id AS error_id, count(*) AS n_preceding_clicks
+       FROM events e JOIN events c
+         ON c.user_id = e.user_id
+        AND c.event_type = 'click'
+        AND epoch_us(c.ts) >= epoch_us(e.ts) - 300000000
+        AND epoch_us(c.ts) < epoch_us(e.ts)
+       WHERE e.event_type = 'error'
+       GROUP BY e.event_id""",
+)
+def q_clicks_before_errors(spark, sf_dir):
+    return analytics.clicks_before_errors(_t(spark, sf_dir, "events"))
+
+
+@query(
     "props_avg_by_type",
     """SELECT event_type,
        round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
