@@ -104,11 +104,13 @@ def shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, sh: DataFrame | None = None
+) -> DataFrame:
     """Exact shingle-set Jaccard for given candidate pairs
     (columns doc_a < doc_b). The verify stage after LSH candidate
     generation — never run on the full cross product."""
-    sh = shingles(docs)
+    sh = shingles(docs) if sh is None else sh
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
     # Drive the join FROM the candidate pairs (broadcast: they are
@@ -141,15 +143,20 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 MINHASH_PRIME = 4294967291  # largest prime < 2^32
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = MINHASH_FUNCS) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = MINHASH_FUNCS, sh: DataFrame | None = None
+) -> DataFrame:
     """doc_id → [min-hash_0 .. min-hash_{n-1}].
 
     One md5 per shingle, split into two 32-bit halves (a, b); hash
     family i is the affine combination (a + i*b) mod P (Carter-Wegman
     style). 8× cheaper than hashing per function, still md5-portable
     to other engines. One shuffle (groupBy doc_id); hashing map-side.
+    Pass a precomputed (cached) shingle table via `sh` to share it
+    across pipeline stages — Catalyst does not reuse the exchange
+    across the branches otherwise.
     """
-    sh = shingles(docs)
+    sh = shingles(docs) if sh is None else sh
     digest = F.md5(F.col("shingle"))
     a = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
     b = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
@@ -165,12 +172,13 @@ def lsh_candidate_pairs(
     docs: DataFrame,
     n_hashes: int = MINHASH_FUNCS,
     bands: int = LSH_BANDS,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding: docs agreeing on all rows of any band
     become a candidate pair. Shuffle key is (band_id, band_hash) —
     uniform, skew-free; the self-join only meets same-bucket rows."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes)
+    sigs = minhash_signatures(docs, n_hashes, sh=sh)
     band_cols = [
         F.concat_ws("|", F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
             f"band{b}"
@@ -195,8 +203,13 @@ def lsh_candidate_pairs(
 def near_dedup_minhash(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataFrame:
     """Full near-dedup pipeline: LSH candidates → exact Jaccard verify
     → confirmed near-duplicate pairs."""
-    cands = lsh_candidate_pairs(docs)
-    verified = ngram_jaccard_pairs(docs, cands)
+    # NB: measured both ways — persisting the shared shingle table is
+    # SLOWER here (cache materialization costs more than recomputing
+    # the narrow codegen'd scan+explode a few times). Share the plan,
+    # not a cache; revisit only if the shingle source becomes wide.
+    sh = shingles(docs)
+    cands = lsh_candidate_pairs(docs, sh=sh)
+    verified = ngram_jaccard_pairs(docs, cands, sh=sh)
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
 
 
