@@ -39,6 +39,11 @@ HEADLINE = [
     "top_ngrams",
     "deterministic_split",
     "multimodal_decode",
+    "curation_pipeline",
+    "clicks_before_errors",
+    "largest_order_per_customer",
+    "daily_revenue_range_ma",
+    "customer_revenue_quartiles",
 ]
 
 
