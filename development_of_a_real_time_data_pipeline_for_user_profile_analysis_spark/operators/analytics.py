@@ -392,6 +392,48 @@ def revenue_percentiles(orders: DataFrame) -> DataFrame:
     )
 
 
+def latest_order_asof_events(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Cogrouped applyInPandas: per user, as-of merge events against
+    that customer's order history (pandas merge_asof semantics,
+    deterministic tiebreak on orderkey). Both sides shuffle once on
+    the key; pandas sees one (events, orders) frame pair per user —
+    the cogroup API surface for per-key alignment logic Spark SQL
+    can't express directly."""
+    import pandas as pd
+
+    def merge(evts: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
+        if len(evts) == 0:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "latest_orderkey"]
+            )
+        if len(ords) == 0:
+            latest = None
+        else:
+            # latest order; ties on o_orderdate broken by max orderkey
+            top = ords.sort_values(["o_orderdate", "o_orderkey"]).iloc[-1]
+            latest = int(top["o_orderkey"])
+        return pd.DataFrame(
+            {
+                "event_id": evts["event_id"],
+                "user_id": evts["user_id"],
+                "latest_orderkey": latest,
+            }
+        )
+
+    return (
+        events.select("event_id", "user_id")
+        .groupBy("user_id")
+        .cogroup(
+            orders.select("o_custkey", "o_orderkey", "o_orderdate").groupBy(
+                "o_custkey"
+            )
+        )
+        .applyInPandas(
+            merge, schema="event_id long, user_id long, latest_orderkey long"
+        )
+    )
+
+
 def _temp_view(df: DataFrame, prefix: str) -> str:
     """Collision-safe temp view (unique name per call, so concurrent
     query invocations in one session can't clobber each other)."""

@@ -93,6 +93,33 @@ def q_profiles_pseudonymized(spark, sf_dir):
 
 
 @query(
+    "senior_profiles",
+    _with_profiles(f"SELECT {_PROFILE_COLS} FROM profiles WHERE age > 60"),
+)
+def q_senior_profiles(spark, sf_dir):
+    """F3: the exploratory variant's alternate threshold
+    (.ipynb_checkpoints/transformation_data-checkpoint.py:86) —
+    the age predicate is parameterized, not hard-coded."""
+    envelopes = envelopes_from_customers(load_table(spark, sf_dir, "customer"))
+    return etl.curate_profiles(etl.parse_envelopes(envelopes), adult_min_age=60)
+
+
+@query(
+    "latest_order_asof_events",
+    """SELECT e.event_id, e.user_id,
+              (SELECT o.o_orderkey FROM orders o
+               WHERE o.o_custkey = e.user_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               LIMIT 1) AS latest_orderkey
+       FROM events e""",
+)
+def q_latest_order_asof_events(spark, sf_dir):
+    return analytics.latest_order_asof_events(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders")
+    )
+
+
+@query(
     "gender_distribution",
     _with_profiles("SELECT gender, COUNT(*) AS count FROM profiles GROUP BY gender"),
 )
