@@ -133,8 +133,16 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            # floor-based 4dp rounding: engine-portable on knife-edge
+            # ratios (see text.round4)
+            (
+                F.floor(
+                    F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                    * 10000
+                    + 0.5
+                ).cast("long")
+                / 10000.0
             ).alias("jaccard"),
         )
     )

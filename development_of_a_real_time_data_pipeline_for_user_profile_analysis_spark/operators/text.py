@@ -60,6 +60,14 @@ def punct_ratio(text: Column) -> Column:
     return n_punct / F.greatest(F.length(text), F.lit(1))
 
 
+def round4(x: Column) -> Column:
+    """Engine-portable 4-dp rounding: floor(x*1e4 + 0.5)/1e4 — pure
+    float ops, bit-identical across engines. Spark's round() goes
+    through BigDecimal HALF_UP while DuckDB rounds the double
+    directly; on knife-edge values (e.g. 0.86875) they disagree."""
+    return F.floor(x * 10000 + 0.5).cast("long") / 10000.0
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: stopword presence (real
     language has function words), length sweet-spot, low punctuation
@@ -67,8 +75,8 @@ def quality_score(text: Column) -> Column:
     for oracle reproducibility."""
     length_score = F.least(F.size(tokens(text)) / F.lit(64.0), F.lit(1.0))
     stop_score = F.least(stopword_ratio(text) * 8, F.lit(1.0))
-    return F.round(
-        0.4 * length_score + 0.4 * stop_score + 0.2 * (1 - punct_ratio(text)), 4
+    return round4(
+        0.4 * length_score + 0.4 * stop_score + 0.2 * (1 - punct_ratio(text))
     )
 
 
@@ -107,7 +115,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
         token_count(t).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_bpe_tokens"),
         F.length(t).cast("long").alias("n_chars_computed"),
-        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        round4(stopword_ratio(t)).alias("stopword_ratio"),
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
@@ -142,7 +150,7 @@ def zscore_by_source(documents: DataFrame) -> DataFrame:
             {
                 "doc_id": pdf["doc_id"],
                 "source": pdf["source"],
-                "len_z": ((pdf["n_chars"] - m) / s).round(4),
+                "len_z": (((pdf["n_chars"] - m) / s * 10000 + 0.5) // 1) / 10000.0,
             }
         )
 

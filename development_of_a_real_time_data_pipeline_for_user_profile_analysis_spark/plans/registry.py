@@ -175,8 +175,8 @@ def q_similar_profiles(spark, sf_dir):
 @query(
     "zscore_by_source",
     """SELECT doc_id, source,
-       round((n_chars - avg(n_chars) OVER (PARTITION BY source))
-             / stddev_samp(n_chars) OVER (PARTITION BY source), 4) AS len_z
+       floor((n_chars - avg(n_chars) OVER (PARTITION BY source))
+             / stddev_samp(n_chars) OVER (PARTITION BY source) * 10000 + 0.5) / 10000.0 AS len_z
        FROM documents""",
 )
 def q_zscore_by_source(spark, sf_dir):
@@ -680,11 +680,11 @@ def _sql_stop_ratio(stop_list: str) -> str:
         CAST(list_sum(list_transform({_SPLIT},
              w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens,
         length(text) AS n_chars_computed,
-        round({_sql_stop_ratio(_STOP_EN)}, 4) AS stopword_ratio,
-        round(0.4 * least(len({_SPLIT}) / 64.0, 1.0)
+        floor(({_sql_stop_ratio(_STOP_EN)}) * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+        floor((0.4 * least(len({_SPLIT}) / 64.0, 1.0)
             + 0.4 * least({_sql_stop_ratio(_STOP_EN)} * 8, 1.0)
             + 0.2 * (1 - (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))
-                         / greatest(length(text), 1)), 4) AS quality,
+                         / greatest(length(text), 1))) * 10000 + 0.5) / 10000.0 AS quality,
         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
         FROM documents""",
 )
@@ -842,11 +842,11 @@ def q_minhash_lsh_candidates(spark, sf_dir):
           GROUP BY c.doc_a, c.doc_b
         )
         SELECT doc_a, doc_b,
-               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+               floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0 AS jaccard
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6"""
+        WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0 >= 0.6"""
     ),
 )
 def q_near_dedup_minhash(spark, sf_dir):
@@ -890,10 +890,10 @@ def q_embedding_near_dupes(spark, sf_dir):
 
 
 _QUALITY_SQL = (
-    f"round(0.4 * least(len({_SPLIT}) / 64.0, 1.0)"
+    f"(floor((0.4 * least(len({_SPLIT}) / 64.0, 1.0)"
     f" + 0.4 * least({_sql_stop_ratio(_STOP_EN)} * 8, 1.0)"
     f" + 0.2 * (1 - (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))"
-    f" / greatest(length(text), 1)), 4)"
+    f" / greatest(length(text), 1))) * 10000 + 0.5) / 10000.0)"
 )
 
 _SPLIT_SQL = (
@@ -922,7 +922,7 @@ _SPLIT_SQL = (
           SELECT DISTINCT doc_b FROM inter
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
-          WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6
+          WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0 >= 0.6
         ),
         survivors AS (
           SELECT * FROM keepers WHERE doc_id NOT IN (SELECT doc_b FROM losers)
