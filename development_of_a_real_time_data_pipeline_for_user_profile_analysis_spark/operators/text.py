@@ -179,6 +179,27 @@ def ngram_counts(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     )
 
 
+def doc_repetition_scores(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): the
+    fraction of word n-gram occurrences that are repeats of an n-gram
+    already seen in the same document. High ratio → boilerplate/spam.
+    Pure array ops per row — no shuffle at all."""
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    rep = (total - distinct) / total
+    return documents.select(
+        "doc_id",
+        total.cast("long").alias("n_ngrams"),
+        distinct.cast("long").alias("n_distinct"),
+        round4(rep).alias("rep_ratio"),
+    )
+
+
 def split_col(doc_id: Column) -> Column:
     """Reproducible train/val/test assignment by content-independent
     key hash (md5(doc_id) mod 100 → 80/10/10) — identical across

@@ -729,6 +729,24 @@ def q_top_ngrams(spark, sf_dir):
 
 
 @query(
+    "doc_repetition_scores",
+    """SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       floor((len(grams) - len(list_distinct(grams))) / len(grams) * 10000 + 0.5)
+         / 10000.0 AS rep_ratio
+       FROM (SELECT doc_id,
+                    list_transform(
+                      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                      i -> array_to_string(string_split(text, ' ')[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')
+                    ) AS grams
+             FROM documents)""",
+)
+def q_doc_repetition_scores(spark, sf_dir):
+    return text.doc_repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "deterministic_split",
     """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
                    ELSE 'test' END AS split,
