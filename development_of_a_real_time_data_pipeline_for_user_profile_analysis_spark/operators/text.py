@@ -179,6 +179,35 @@ def ngram_counts(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     )
 
 
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, stride: int = 32
+) -> DataFrame:
+    """Context-window chunking: slide a `chunk_tokens`-wide window
+    over each document with `stride`, one output row per chunk —
+    the map from curated docs to training sequences. Pure JVM
+    sequence/slice (explode is map-side; no shuffle); a document's
+    chunk count is ~len/stride so output scales linearly."""
+    words = F.split(F.col("text"), " ")
+    last_start = F.greatest(F.size(words) - (chunk_tokens - 1), F.lit(1))
+    return (
+        documents.select(
+            "doc_id",
+            words.alias("w"),
+            F.posexplode(
+                F.sequence(F.lit(1), last_start, F.lit(stride))
+            ).alias("chunk_id", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("start_token"),
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("start"), chunk_tokens)).alias(
+                "chunk"
+            ),
+        )
+    )
+
+
 def doc_repetition_scores(documents: DataFrame, n: int = 3) -> DataFrame:
     """Intra-document repetition (Gopher-style quality signal): the
     fraction of word n-gram occurrences that are repeats of an n-gram

@@ -729,6 +729,20 @@ def q_top_ngrams(spark, sf_dir):
 
 
 @query(
+    "chunk_documents",
+    """SELECT doc_id,
+       CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_token,
+       array_to_string(w[CAST(s AS INTEGER):CAST(s + 63 AS INTEGER)], ' ') AS chunk
+       FROM (SELECT doc_id, w,
+                    unnest(generate_series(1, greatest(len(w) - 63, 1), 32)) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""",
+)
+def q_chunk_documents(spark, sf_dir):
+    return text.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "doc_repetition_scores",
     """SELECT doc_id,
        CAST(len(grams) AS BIGINT) AS n_ngrams,
