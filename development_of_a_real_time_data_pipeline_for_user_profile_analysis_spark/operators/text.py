@@ -208,6 +208,35 @@ def chunk_documents(
     )
 
 
+def pack_documents(documents: DataFrame, budget_tokens: int = 2048) -> DataFrame:
+    """Sequence packing (training-batch assembly): concatenate docs in
+    deterministic order and cut packs every `budget_tokens` tokens.
+    pack_id/offset derive from a running token sum — one window over
+    the (split, doc_id) ordering; at scale, partition by split/shard
+    so each window is bounded.
+
+    Docs may straddle pack boundaries (concatenation-packing
+    semantics, the standard pretraining layout).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(split_col(F.col("doc_id")))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    cum = F.sum(n_tokens).over(w)
+    before = cum - n_tokens
+    return documents.select(
+        "doc_id",
+        split_col(F.col("doc_id")).alias("split"),
+        n_tokens.alias("n_tokens"),
+        (before / budget_tokens).cast("long").alias("pack_id"),
+        (before % budget_tokens).cast("long").alias("pack_offset"),
+    )
+
+
 def doc_repetition_scores(documents: DataFrame, n: int = 3) -> DataFrame:
     """Intra-document repetition (Gopher-style quality signal): the
     fraction of word n-gram occurrences that are repeats of an n-gram

@@ -742,6 +742,37 @@ def q_chunk_documents(spark, sf_dir):
     return text.chunk_documents(_t(spark, sf_dir, "documents"))
 
 
+_QUALITY_SQL = (
+    f"(floor((0.4 * least(len({_SPLIT}) / 64.0, 1.0)"
+    f" + 0.4 * least({_sql_stop_ratio(_STOP_EN)} * 8, 1.0)"
+    f" + 0.2 * (1 - (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))"
+    f" / greatest(length(text), 1))) * 10000 + 0.5) / 10000.0)"
+)
+
+_SPLIT_SQL = (
+    "CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100 < 80 THEN 'train' "
+    "WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+
+@query(
+    "pack_documents",
+    f"""SELECT doc_id, split, n_tokens,
+        CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+        FROM (SELECT doc_id, split, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM (SELECT doc_id, {_SPLIT_SQL} AS split,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents))""",
+)
+def q_pack_documents(spark, sf_dir):
+    return text.pack_documents(_t(spark, sf_dir, "documents"))
+
+
 @query(
     "doc_repetition_scores",
     """SELECT doc_id,
@@ -919,20 +950,6 @@ def q_simhash_signatures(spark, sf_dir):
 )
 def q_embedding_near_dupes(spark, sf_dir):
     return dedup.embedding_near_dupes(_t(spark, sf_dir, "embeddings"))
-
-
-_QUALITY_SQL = (
-    f"(floor((0.4 * least(len({_SPLIT}) / 64.0, 1.0)"
-    f" + 0.4 * least({_sql_stop_ratio(_STOP_EN)} * 8, 1.0)"
-    f" + 0.2 * (1 - (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))"
-    f" / greatest(length(text), 1))) * 10000 + 0.5) / 10000.0)"
-)
-
-_SPLIT_SQL = (
-    "CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100 < 80 THEN 'train' "
-    "WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'val' "
-    "ELSE 'test' END"
-)
 
 
 @query(
