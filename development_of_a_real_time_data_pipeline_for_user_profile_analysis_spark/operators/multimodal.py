@@ -78,6 +78,30 @@ def real_decode_stub(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = "doc_id long, width long, height long, n_bytes_out long"
+
+
+def resize_payload(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """'Resize' stub over mapInPandas: real image resize needs PIL
+    (absent here), so the output byte count is a deterministic fake
+    (w*h*3); the Arrow batch plumbing and the fixed output geometry
+    contract are the real part — a training pipeline's resize stage
+    has exactly this shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "n_bytes_out": width * height * 3,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
     """'Frame sampling' plan for video-like payloads: emit one row per
     sampled offset — pure JVM sequence/explode; the (stubbed) frame

@@ -205,6 +205,13 @@ def test_multimodal_decode_bytes(docs):
     assert out[1].fake_width == base_len % 640
 
 
+def test_resize_stub_geometry(docs):
+    out = multimodal.resize_payload(multimodal.attach_payload(docs), 128, 96)
+    rows = out.collect()
+    assert len(rows) == 4
+    assert all(r.width == 128 and r.height == 96 and r.n_bytes_out == 128 * 96 * 3 for r in rows)
+
+
 def test_real_decode_raises(docs):
     with pytest.raises(NotImplementedError):
         multimodal.real_decode_stub(multimodal.attach_payload(docs))
