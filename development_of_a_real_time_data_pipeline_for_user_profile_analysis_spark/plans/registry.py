@@ -31,6 +31,8 @@ def query(name: str, oracle: str | None = None):
             ensure_engine_conf(spark)
             return fn(spark, sf_dir)
 
+        if name in QUERIES:  # a silent overwrite would hide a query
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
