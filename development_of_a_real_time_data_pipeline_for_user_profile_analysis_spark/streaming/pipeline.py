@@ -213,6 +213,17 @@ def registrations_per_window(
     )
 
 
+def enriched_stream(source: DataFrame, dim: DataFrame, on: str = "gender") -> DataFrame:
+    """Stream-static join: enrich the curated stream with a static
+    dimension (broadcast per micro-batch). The static side is re-read
+    each batch, so a slowly-changing dim picks up updates without
+    restarting the query — the streaming replacement for the
+    reference's post-hoc dashboard lookups."""
+    from pyspark.sql.functions import broadcast
+
+    return curated_stream(source).join(broadcast(dim), on, "left")
+
+
 def sessionized_stream(
     events: DataFrame, gap: str = DEFAULT_GAP, watermark_delay: str = "1 hour"
 ) -> DataFrame:

@@ -144,6 +144,29 @@ def test_streaming_session_window(spark, stream_dirs, tmp_path):
     assert got[(2, t0)] == 1
 
 
+def test_stream_static_join_enriches(spark, stream_dirs):
+    from pyspark.sql import Row
+
+    _feed(stream_dirs["src"], 60)
+    dim = spark.createDataFrame(
+        [Row(gender="male", code="M"), Row(gender="female", code="F")]
+    )
+    source = pipeline.read_envelope_file_stream(spark, stream_dirs["src"])
+    q = (
+        pipeline.enriched_stream(source, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM enriched")
+    assert out.filter("code IS NULL").count() == 0
+    assert {r.code for r in out.select("code").distinct().collect()} == {"M", "F"}
+
+
 def test_dead_letter_sink_captures_malformed(spark, stream_dirs, tmp_path):
     write_envelopes_jsonl(
         os.path.join(stream_dirs["src"], "a.jsonl"), 90, malformed_every=9
