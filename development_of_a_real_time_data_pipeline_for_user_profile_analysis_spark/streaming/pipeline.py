@@ -224,6 +224,38 @@ def enriched_stream(source: DataFrame, dim: DataFrame, on: str = "gender") -> Da
     return curated_stream(source).join(broadcast(dim), on, "left")
 
 
+def clicks_errors_stream_join(
+    events: DataFrame, window_minutes: int = 5, watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: pair each
+    error with same-user clicks in the preceding window. Watermarks on
+    BOTH sides + the time-bound condition let Spark evict join state —
+    unbounded state otherwise (the batch twin is
+    analytics.clicks_before_errors)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark_delay)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark_delay)
+    )
+    return errors.join(
+        clicks,
+        F.expr(
+            f"""c_user = e_user
+            AND click_ts >= err_ts - INTERVAL {window_minutes} MINUTES
+            AND click_ts < err_ts"""
+        ),
+    )
+
+
 def sessionized_stream(
     events: DataFrame, gap: str = DEFAULT_GAP, watermark_delay: str = "1 hour"
 ) -> DataFrame:

@@ -60,6 +60,41 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert t(9) not in got  # the late 09:30 row was dropped, not revived
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path, sf_dir):
+    """The watermarked stream-stream join must produce exactly the
+    pairs the batch banded range join counts."""
+    import os
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_pq")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        pipeline.clicks_errors_stream_join(stream)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_pairs_stream = spark.sql("SELECT count(*) AS n FROM ss_join").collect()[0].n
+    n_pairs_batch = (
+        analytics.clicks_before_errors(events)
+        .agg(F.sum("n_preceding_clicks").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert n_pairs_stream == n_pairs_batch
+
+
 def test_update_mode_aggregate_matches_batch(spark, tmp_path):
     src = str(tmp_path / "srcj")
     import os
