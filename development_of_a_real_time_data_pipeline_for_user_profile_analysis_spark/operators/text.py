@@ -98,6 +98,32 @@ def predict_lang(text: Column) -> Column:
     return out
 
 
+def regex_token_count(text: Column) -> Column:
+    """Tokenizer-style counting: word runs and standalone punctuation
+    each count as one token (the BPE-pre-tokenizer regex shape)."""
+    return F.regexp_count(text, F.lit(r"\w+|[^\w\s]")).cast("long")
+
+
+ROLLING_BASE = 1_000_003
+ROLLING_MOD = (1 << 61) - 1  # Mersenne prime
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive Karp-Rabin fingerprint over token hashes:
+    h = (h * B + t_i) mod P. Unlike the md5 content digest, token
+    order matters and the hash is incrementally maintainable —
+    portable integer arithmetic (oracle-checkable)."""
+    tok_hash = F.transform(
+        F.split(text, " "),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        tok_hash,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc % 1_000_000_007 * ROLLING_BASE + t) % ROLLING_MOD,
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text. md5 (not xxhash) so the fingerprint is portable across

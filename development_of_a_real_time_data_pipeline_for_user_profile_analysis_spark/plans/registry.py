@@ -760,6 +760,30 @@ _SPLIT_SQL = (
 
 
 @query(
+    "doc_fingerprints",
+    """SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             w -> CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) AS BIGINT))),
+         (acc, t) -> (acc % 1000000007 * 1000003 + t) % 2305843009213693951
+       ) AS rolling_fp,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_regex_tokens
+       FROM documents""",
+)
+def q_doc_fingerprints(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+        text.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+        text.regex_token_count(F.col("text")).alias("n_regex_tokens"),
+    )
+
+
+@query(
     "pack_documents",
     f"""SELECT doc_id, split, n_tokens,
         CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
