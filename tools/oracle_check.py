@@ -20,7 +20,7 @@ def canon(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.6g}"
+        return f"{v:.17g}"  # full double precision — driver may compare exact
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
