@@ -349,6 +349,20 @@ def props_avg_by_type(events: DataFrame) -> DataFrame:
     )
 
 
+def props_variant_stats(events: DataFrame) -> DataFrame:
+    """Same extraction through Spark 4's VARIANT type (parse once into
+    a binary semi-structured value, typed access via variant_get) —
+    the modern path when props are accessed repeatedly: the parse
+    happens once per row, not once per JsonPath."""
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return events.groupBy("event_type").agg(
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
 def daily_revenue_moving_avg(orders: DataFrame, days: int = 7) -> DataFrame:
     """Frame-based window: N-row moving average over the (tiny) daily
     aggregate — the window runs on ~2400 rows, not the raw orders."""

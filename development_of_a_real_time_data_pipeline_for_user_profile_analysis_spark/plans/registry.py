@@ -512,6 +512,18 @@ def q_props_avg_by_type(spark, sf_dir):
 
 
 @query(
+    "props_variant_stats",
+    """SELECT event_type,
+       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+       count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k
+       FROM events GROUP BY event_type""",
+)
+def q_props_variant_stats(spark, sf_dir):
+    return analytics.props_variant_stats(_t(spark, sf_dir, "events"))
+
+
+@query(
     "daily_revenue_moving_avg",
     """WITH daily AS (
          SELECT CAST(o_orderdate AS DATE) AS day,

@@ -62,7 +62,7 @@ _envelope = st.one_of(
 )
 
 
-@settings(max_examples=1, deadline=None)
+@settings(max_examples=3, deadline=None)
 @given(st.lists(_envelope, min_size=60, max_size=120))
 def test_pipeline_invariants(spark, envelopes):
     df = spark.createDataFrame([(e,) for e in envelopes], ["value"])
