@@ -48,3 +48,34 @@ def test_jaccard_verify_is_pair_driven(spark, sf_dir):
 def test_etl_chain_is_narrow(spark, sf_dir):
     plan = _plan(spark, "etl_curate_profiles", sf_dir)
     assert "Exchange" not in plan  # no shuffle anywhere in the chain
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """AQE must shrink the shuffle partition count at runtime when the
+    data is small — the mechanism that lets one conf serve sf0.001
+    and sf10 alike."""
+    df = QUERIES["gender_distribution"](spark, sf_dir)
+    df.collect()  # materialize so AQE finalizes the plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in final
+
+
+def test_observation_metrics(spark, sf_dir):
+    """df.observe(): per-query metrics collected on the executors
+    without a second pass (how a production job reports row counts /
+    quality tallies for free)."""
+    from pyspark.sql import Observation, functions as F
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.plans.registry import (
+        profiles_df,
+    )
+
+    obs = Observation("profile_metrics")
+    df = profiles_df(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("title").isNull(), 1).otherwise(0)).alias("null_titles"),
+    )
+    n = df.count()
+    assert obs.get["rows"] == n
+    assert 0 <= obs.get["null_titles"] < n
