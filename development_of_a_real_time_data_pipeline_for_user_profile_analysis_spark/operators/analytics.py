@@ -545,3 +545,73 @@ def orders_by_month(orders: DataFrame) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def conversion_funnel(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase.
+
+    A user advances a stage only with an event strictly AFTER the
+    timestamp that completed the previous stage (first-touch
+    attribution). Implemented as three key-partitioned conditional
+    aggregations joined on user_id — every shuffle is on user_id, so
+    with the events table bucketed by user_id the whole funnel runs
+    exchange-free; nothing is quadratic and no window over the full
+    event log is needed.
+    """
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    first_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    stages = [
+        ("1_view", first_view),
+        ("2_click_after_view", first_click),
+        ("3_purchase_after_click", first_purchase),
+    ]
+    out = None
+    for name, df in stages:
+        row = df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Daily cohort retention matrix: users grouped by the day of
+    their first event; for each later day, how many were active
+    (classic retention triangle; the corpus spans one month so the
+    cohort grain is daily).
+
+    Two aggregations and one join, all keyed on user_id / cohort —
+    the distinct() collapses the event log to user-days first so the
+    join input is tiny relative to the raw log.
+    """
+    cohort = events.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    active = events.select(
+        "user_id", F.to_date("ts").alias("act_day")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("act_day", F.col("cohort_day")).alias("days_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -1105,6 +1105,51 @@ def q_frame_offsets(spark, sf_dir):
     )
 
 
+@query(
+    "conversion_funnel",
+    """WITH fv AS (
+         SELECT user_id, min(ts) AS view_ts FROM events
+         WHERE event_type = 'view' GROUP BY user_id
+       ), fc AS (
+         SELECT e.user_id, min(e.ts) AS click_ts
+         FROM events e JOIN fv ON fv.user_id = e.user_id
+         WHERE e.event_type = 'click' AND e.ts > fv.view_ts
+         GROUP BY e.user_id
+       ), fp AS (
+         SELECT e.user_id, min(e.ts) AS purchase_ts
+         FROM events e JOIN fc ON fc.user_id = e.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > fc.click_ts
+         GROUP BY e.user_id
+       )
+       SELECT '1_view' AS stage, count(*) AS n_users FROM fv
+       UNION ALL
+       SELECT '2_click_after_view', count(*) FROM fc
+       UNION ALL
+       SELECT '3_purchase_after_click', count(*) FROM fp""",
+)
+def q_conversion_funnel(spark, sf_dir):
+    return analytics.conversion_funnel(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "cohort_retention",
+    """WITH cohort AS (
+         SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+         FROM events GROUP BY user_id
+       ), active AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day
+         FROM events
+       )
+       SELECT cohort_day,
+              datediff('day', cohort_day, act_day) AS days_since,
+              count(*) AS n_active
+       FROM active JOIN cohort USING (user_id)
+       GROUP BY cohort_day, days_since""",
+)
+def q_cohort_retention(spark, sf_dir):
+    return analytics.cohort_retention(_t(spark, sf_dir, "events"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -223,3 +223,46 @@ def test_frame_offsets(spark):
         multimodal.attach_payload(df)
     ).collect()]
     assert offs == [0, 100, 200]
+
+
+def test_embedding_near_dupes_arrow_matches_hof(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fast = dedup.embedding_near_dupes(emb).orderBy("vec_a", "vec_b").collect()
+    ref = dedup.embedding_near_dupes_hof(emb).orderBy("vec_a", "vec_b").collect()
+    assert fast == ref and len(fast) > 0
+
+
+def test_conversion_funnel_monotonic(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.analytics import (
+        conversion_funnel,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = {r.stage: r.n_users for r in conversion_funnel(events).collect()}
+    assert (
+        rows["1_view"]
+        >= rows["2_click_after_view"]
+        >= rows["3_purchase_after_click"]
+    )
+    assert rows["1_view"] > 0
+
+
+def test_cohort_retention_day0_covers_all_users(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.analytics import (
+        cohort_retention,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    ret = cohort_retention(events)
+    day0 = (
+        ret.filter(F.col("days_since") == 0)
+        .agg(F.sum("n_active").alias("s"))
+        .collect()[0].s
+    )
+    n_users = events.select("user_id").distinct().count()
+    assert day0 == n_users  # everyone is active on their cohort day
+    assert ret.filter(F.col("days_since") < 0).count() == 0
