@@ -44,6 +44,11 @@ HEADLINE = [
     "largest_order_per_customer",
     "daily_revenue_range_ma",
     "customer_revenue_quartiles",
+    "conversion_funnel",
+    "cohort_retention",
+    "promo_revenue_share",
+    "returned_items_report",
+    "top_suppliers_by_revenue",
 ]
 
 

@@ -615,3 +615,73 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: percentage of revenue from PROMO-type parts.
+    part broadcasts; lineitem is scanned once with a conditional
+    partial aggregate (no shuffle of line-level rows — only the two
+    partial sums move)."""
+    from .text import round4
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            round4(F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias(
+                "promo_share_pct"
+            )
+        )
+    )
+
+
+def returned_items_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue
+    (l_returnflag = 'R'). The returnflag filter is pushed to the
+    parquet scan; customer/nation broadcast; the only big shuffle is
+    lineitem⋈orders on orderkey; top-k is TakeOrderedAndProject."""
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    )
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def top_suppliers_by_revenue(
+    lineitem: DataFrame, supplier: DataFrame, k: int = 5
+) -> DataFrame:
+    """TPC-H Q15 shape: rank suppliers by shipped revenue, keep the
+    top k INCLUDING ties (rank(), not row_number()). The per-supplier
+    aggregate is tiny, so the single-partition ranking window is over
+    supplier-count rows, never line-level data."""
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    )
+    per_supp = (
+        lineitem.groupBy("l_suppkey").agg(revenue.alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"))
+    return (
+        per_supp.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("revenue"), F.col("rnk")
+        )
+        .orderBy("rnk", "s_suppkey")
+    )

@@ -1150,6 +1150,64 @@ def q_cohort_retention(spark, sf_dir):
     return analytics.cohort_retention(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "promo_revenue_share",
+    """SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000.0
+             AS promo_share_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey""",
+)
+def q_promo_revenue_share(spark, sf_dir):
+    return analytics.promo_revenue_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "returned_items_report",
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20""",
+)
+def q_returned_items_report(spark, sf_dir):
+    return analytics.returned_items_report(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "top_suppliers_by_revenue",
+    """WITH per_supp AS (
+         SELECT l_suppkey,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem GROUP BY l_suppkey
+       ), ranked AS (
+         SELECT l_suppkey, revenue,
+                rank() OVER (ORDER BY revenue DESC) AS rnk
+         FROM per_supp
+       )
+       SELECT s_suppkey, s_name, revenue, rnk
+       FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+       WHERE rnk <= 5
+       ORDER BY rnk, s_suppkey""",
+)
+def q_top_suppliers_by_revenue(spark, sf_dir):
+    return analytics.top_suppliers_by_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

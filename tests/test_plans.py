@@ -79,3 +79,16 @@ def test_observation_metrics(spark, sf_dir):
     n = df.count()
     assert obs.get["rows"] == n
     assert 0 <= obs.get["null_titles"] < n
+
+
+def test_returned_items_pushes_returnflag_and_broadcasts(spark, sf_dir):
+    plan = _plan(spark, "returned_items_report", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # customer, nation
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_promo_share_broadcasts_part(spark, sf_dir):
+    plan = _plan(spark, "promo_revenue_share", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
