@@ -300,3 +300,47 @@ def deterministic_split(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+DEFAULT_SAMPLE_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.75}
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-source downsampling — the training-data
+    mixture knob (e.g. downweight a crawl source, keep books at 100%).
+
+    Uses a content-independent hash threshold instead of sampleBy():
+    md5(doc_id) chars 9-16 mod 100 < rate·100. Reproducible across
+    engines/runs/cluster sizes, join-stable (a doc's fate never
+    changes), and statistically independent of split_col, which uses
+    chars 1-8 of the same digest — the sample doesn't skew the
+    train/val/test ratio."""
+    rates = DEFAULT_SAMPLE_RATES if rates is None else rates
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+    ).cast("long") % 100
+    rate_pct = F.lit(int(default_rate * 100))
+    for src, r in sorted(rates.items()):
+        rate_pct = F.when(F.col("source") == src, F.lit(int(r * 100))).otherwise(
+            rate_pct
+        )
+    return documents.filter(bucket < rate_pct)
+
+
+def stratified_sample_summary(
+    documents: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-source kept/total counts for the stratified sample."""
+    kept = stratified_sample(documents, rates, default_rate).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n_kept"))
+    total = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return total.join(kept, "source", "left").select(
+        "source", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )

@@ -1208,6 +1208,49 @@ def q_top_suppliers_by_revenue(spark, sf_dir):
     )
 
 
+@query(
+    "large_volume_orders",
+    """WITH big AS (
+         SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+         FROM lineitem GROUP BY l_orderkey
+         HAVING round(sum(l_quantity), 2) > 250.0
+       )
+       SELECT c_custkey, c_name, o_orderkey,
+              CAST(o_orderdate AS DATE) AS orderdate,
+              round(o_totalprice, 2) AS totalprice, total_qty
+       FROM big
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       ORDER BY total_qty DESC, o_orderkey
+       LIMIT 20""",
+)
+def q_large_volume_orders(spark, sf_dir):
+    return analytics.large_volume_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "stratified_sample_counts",
+    """WITH sampled AS (
+         SELECT source FROM documents
+         WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS UBIGINT) AS BIGINT) % 100
+               < CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 50
+                             WHEN 'src2' THEN 75 ELSE 100 END
+       ), kept AS (
+         SELECT source, count(*) AS n_kept FROM sampled GROUP BY source
+       )
+       SELECT d.source, count(*) AS n_total,
+              coalesce(any_value(k.n_kept), 0) AS n_kept
+       FROM documents d LEFT JOIN kept k ON d.source = k.source
+       GROUP BY d.source""",
+)
+def q_stratified_sample_counts(spark, sf_dir):
+    return text.stratified_sample_summary(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

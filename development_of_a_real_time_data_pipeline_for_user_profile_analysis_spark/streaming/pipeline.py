@@ -183,6 +183,27 @@ def deduped_stream(source: DataFrame, watermark_delay: str = "1 hour") -> DataFr
     return curated.withWatermark("event_time", watermark_delay).dropDuplicates(["id"])
 
 
+def deduped_stream_within_watermark(
+    source: DataFrame, watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """Like deduped_stream, but state per key is EVICTED once the
+    watermark passes it (dropDuplicatesWithinWatermark, Spark 3.5+).
+
+    plain dropDuplicates keeps every seen id forever — unbounded state
+    on an unbounded stream. Within-watermark dedup bounds state to the
+    watermark horizon, which is the right call at 100 TB/day ingest
+    where duplicates only ever arrive close together (retries,
+    at-least-once sources). Duplicates farther apart than the delay
+    are deliberately NOT collapsed — that is the documented trade.
+    """
+    curated = curated_stream(source).withColumn(
+        "event_time", F.to_timestamp(F.col("inscription"))
+    )
+    return curated.withWatermark(
+        "event_time", watermark_delay
+    ).dropDuplicatesWithinWatermark(["id"])
+
+
 def streaming_gender_counts(source: DataFrame) -> DataFrame:
     """Update-mode live aggregate — the dashboard's gender distribution
     computed incrementally instead of re-scanning the store each poll."""

@@ -266,3 +266,24 @@ def test_cohort_retention_day0_covers_all_users(spark):
     n_users = events.select("user_id").distinct().count()
     assert day0 == n_users  # everyone is active on their cohort day
     assert ret.filter(F.col("days_since") < 0).count() == 0
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.text import (
+        stratified_sample,
+        stratified_sample_summary,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s1 = sorted(r.doc_id for r in stratified_sample(docs).select("doc_id").collect())
+    s2 = sorted(r.doc_id for r in stratified_sample(docs).select("doc_id").collect())
+    assert s1 == s2 and len(s1) > 0  # reproducible, join-stable
+
+    summary = {
+        r.source: (r.n_kept, r.n_total)
+        for r in stratified_sample_summary(docs).collect()
+    }
+    kept0, total0 = summary["src0"]
+    assert kept0 < total0 * 0.6  # ~25% rate actually downsamples
+    assert summary["src9"][0] == summary["src9"][1]  # default rate keeps all
+    assert all(k <= t for k, t in summary.values())

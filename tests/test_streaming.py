@@ -206,3 +206,24 @@ def test_idempotent_batch_overwrite(spark, stream_dirs):
     df.write.mode("overwrite").parquet(batch0)
     after = spark.read.parquet(stream_dirs["sink_a"]).count()
     assert before == after
+
+
+def test_streaming_dedup_within_watermark_bounds_state(spark, stream_dirs):
+    # duplicates arriving together (the at-least-once retry shape)
+    # collapse to one row per id, same as unbounded dropDuplicates —
+    # but the state store only retains ids inside the watermark horizon
+    _feed(stream_dirs["src"], 50, start=1, name="a.jsonl")
+    _feed(stream_dirs["src"], 50, start=1, name="b.jsonl")
+    source = pipeline.read_envelope_file_stream(spark, stream_dirs["src"])
+    deduped = pipeline.deduped_stream_within_watermark(source)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT id FROM dedup_wm_out")
+    assert out.count() == out.distinct().count() == 50

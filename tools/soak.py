@@ -44,6 +44,11 @@ QUERIES_TO_RUN = [
     "ann_ivf_topk",
     "deterministic_split",
     "multimodal_decode",
+    "conversion_funnel",
+    "cohort_retention",
+    "promo_revenue_share",
+    "returned_items_report",
+    "top_suppliers_by_revenue",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
