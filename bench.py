@@ -49,6 +49,8 @@ HEADLINE = [
     "promo_revenue_share",
     "returned_items_report",
     "top_suppliers_by_revenue",
+    "large_volume_orders",
+    "stratified_sample_counts",
 ]
 
 
