@@ -51,6 +51,8 @@ HEADLINE = [
     "top_suppliers_by_revenue",
     "large_volume_orders",
     "stratified_sample_counts",
+    "late_shipment_priority",
+    "daily_revenue_delta",
 ]
 
 

@@ -718,3 +718,42 @@ def large_volume_orders(
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(k)
     )
+
+
+def late_shipment_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: order counts by priority where at least one
+    line shipped after the order date — an EXISTS (left-semi) join
+    whose condition mixes an equi key with an inequality. The semi
+    join keeps orders rows only; lineitem never widens the output."""
+    late_lines = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late_lines,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def daily_revenue_delta(orders: DataFrame) -> DataFrame:
+    """Day-over-day revenue change (lag window over the daily
+    aggregate). The window runs over day-count rows — the raw orders
+    are collapsed first, so the unpartitioned ordering is never
+    applied to fact-table volume."""
+    from .text import round4
+
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        round4((F.col("revenue") - prev) / prev * 100).alias("pct_change"),
+    )

@@ -1251,6 +1251,40 @@ def q_stratified_sample_counts(spark, sf_dir):
     return text.stratified_sample_summary(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "late_shipment_priority",
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority""",
+)
+def q_late_shipment_priority(spark, sf_dir):
+    return analytics.late_shipment_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@query(
+    "daily_revenue_delta",
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                round(sum(o_totalprice), 2) AS revenue
+         FROM orders GROUP BY 1
+       )
+       SELECT day, revenue,
+              round(revenue - lag(revenue) OVER (ORDER BY day), 2) AS delta,
+              floor((revenue - lag(revenue) OVER (ORDER BY day))
+                    / lag(revenue) OVER (ORDER BY day) * 100 * 10000 + 0.5)
+                    / 10000.0 AS pct_change
+       FROM daily""",
+)
+def q_daily_revenue_delta(spark, sf_dir):
+    return analytics.daily_revenue_delta(_t(spark, sf_dir, "orders"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

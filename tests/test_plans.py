@@ -92,3 +92,8 @@ def test_promo_share_broadcasts_part(spark, sf_dir):
     plan = _plan(spark, "promo_revenue_share", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_late_shipment_is_semi_join(spark, sf_dir):
+    plan = _plan(spark, "late_shipment_priority", sf_dir)
+    assert "LeftSemi" in plan  # EXISTS never widens the orders side
