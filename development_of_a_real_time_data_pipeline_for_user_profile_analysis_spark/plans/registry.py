@@ -1252,6 +1252,32 @@ def q_stratified_sample_counts(spark, sf_dir):
 
 
 @query(
+    "streaming_dedup_profiles",
+    _with_profiles(f"SELECT {_PROFILE_COLS} FROM profiles"),
+)
+def q_streaming_dedup_profiles(spark, sf_dir):
+    """Streaming dedup, oracle-verified: the envelope feed is written
+    to the file source TWICE (every id arrives as a duplicate — the
+    at-least-once delivery shape), streamed through the curate chain
+    and stateful dropDuplicates("id"). The deduped output must equal
+    the batch profiles table exactly — which is the SQL oracle."""
+    import tempfile
+
+    from ..streaming.pipeline import deduped_stream, read_envelope_file_stream
+
+    d = tempfile.mkdtemp(prefix="dedup_stream_")
+    env = envelopes_from_customers(load_table(spark, sf_dir, "customer")).select(
+        "value"
+    )
+    env.write.mode("overwrite").text(d)
+    env.write.mode("append").text(d)
+    src = read_envelope_file_stream(spark, d)
+    return _run_to_memory(
+        deduped_stream(src).drop("event_time"), output_mode="append"
+    )
+
+
+@query(
     "late_shipment_priority",
     """SELECT o_orderpriority, count(*) AS n_late_orders
        FROM orders
