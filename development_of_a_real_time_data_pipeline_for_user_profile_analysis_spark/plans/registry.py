@@ -396,12 +396,12 @@ def q_events_hourly(spark, sf_dir):
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
        ), numbered AS (
          SELECT user_id, ts,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
          FROM flagged
        )
        SELECT user_id, session_id, min(ts) AS session_start,
-              max(ts) AS session_end, count(*) AS n_events
+              max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
        FROM numbered GROUP BY user_id, session_id""",
 )
 def q_events_sessionized(spark, sf_dir):
@@ -454,7 +454,8 @@ def q_customer_revenue_quartiles(spark, sf_dir):
 
 @query(
     "user_event_type_sets",
-    """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+    """SELECT user_id,
+              array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
               count(DISTINCT event_type) AS n_types
        FROM events GROUP BY user_id""",
 )
