@@ -232,6 +232,20 @@ def test_embedding_near_dupes_arrow_matches_hof(spark):
     assert fast == ref and len(fast) > 0
 
 
+def test_embedding_near_dupes_multiblock_exact(spark):
+    # rows_per_block=96 → 6 blocks at n=500: every pair crosses the
+    # diagonal AND off-diagonal block-pair paths; results must be
+    # identical to the single-block run (exact all-pairs semantics)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    multi = dedup.embedding_near_dupes(emb, rows_per_block=96).orderBy(
+        "vec_a", "vec_b"
+    ).collect()
+    single = dedup.embedding_near_dupes(emb, rows_per_block=10_000).orderBy(
+        "vec_a", "vec_b"
+    ).collect()
+    assert multi == single and len(multi) > 0
+
+
 def test_conversion_funnel_monotonic(spark):
     from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.analytics import (
         conversion_funnel,
