@@ -202,6 +202,25 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     return events.agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
 
 
+def approx_distinct_check(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Accuracy-bounded form of the HLL sketch for the oracle gate:
+    exact distinct count alongside `within_tolerance` asserting the
+    sketch is within 3·rsd of exact. The sketch is deterministic for
+    fixed input, so the boolean is reproducible and an exact-SQL
+    oracle can demand `true`."""
+    agg = events.agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "exact_users",
+        (
+            F.abs(F.col("approx") - F.col("exact_users")) / F.col("exact_users")
+            <= 3 * rsd
+        ).alias("within_tolerance"),
+    )
+
+
 def events_hourly(events: DataFrame) -> DataFrame:
     """Tumbling-window aggregate (batch form of the streaming windowed
     agg — same window() operator Structured Streaming uses)."""

@@ -371,9 +371,17 @@ def q_distinct_stats(spark, sf_dir):
     return analytics.distinct_stats(_t(spark, sf_dir, "events"))
 
 
-@query("approx_distinct_users")  # sketch-based; rows-only check
+@query(
+    "approx_distinct_users",
+    """SELECT count(DISTINCT user_id) AS exact_users,
+       true AS within_tolerance FROM events""",
+)
 def q_approx_distinct_users(spark, sf_dir):
-    return analytics.approx_distinct_users(_t(spark, sf_dir, "events"))
+    """HLL sketch with a deterministic oracle: emits the exact
+    distinct count plus an in-query assertion that the sketch lands
+    within 3·rsd of it — the sketch is deterministic for fixed data,
+    so the boolean is stable and the oracle can require `true`."""
+    return analytics.approx_distinct_check(_t(spark, sf_dir, "events"))
 
 
 @query(
@@ -647,7 +655,30 @@ def q_streaming_events_hourly(spark, sf_dir):
     return _run_to_memory(analytics.events_hourly(_events_stream(spark, sf_dir)))
 
 
-@query("streaming_session_windows")  # stateful session_window; rows-only
+@query(
+    "streaming_session_windows",
+    # Gaps-and-islands batch equivalent of session_window: availableNow
+    # processes the whole feed as one batch, so streaming output ==
+    # batch semantics. session_window's [start, last+gap) ranges are
+    # end-EXCLUSIVE — a gap of exactly 30 min starts a NEW session
+    # (hence >= below, where the batch sessionizer uses strict >).
+    """WITH flagged AS (
+         SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), numbered AS (
+         SELECT user_id, ts,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         FROM flagged
+       )
+       SELECT user_id, min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM numbered GROUP BY user_id, sid""",
+)
 def q_streaming_session_windows(spark, sf_dir):
     from ..streaming.pipeline import sessionized_stream
 
