@@ -269,52 +269,94 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return docs.select("doc_id", sig.alias("simhash"))
 
 
-def near_dup_clusters(docs: DataFrame, jaccard_threshold: float = 0.6, max_iter: int = 10) -> DataFrame:
-    """Connected components over the confirmed near-dup pair graph →
-    (doc_id, cluster_id = min doc_id in component). Iterative min-label
-    propagation; near-dup components have tiny diameter so this
-    converges in a few rounds. Each round localCheckpoints to truncate
-    lineage. (At extreme scale this becomes GraphFrames/Pregel or
-    alternating large/small-star; the dataflow shape is the same.)
-    """
-    pairs = near_dedup_minhash(docs, jaccard_threshold).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint()
-    labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("cluster_id", F.col("node"))
-        .localCheckpoint()
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): every node links its strictly-larger
+    neighbors to the minimum of its neighborhood (incl. itself)."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    mins = (
+        nbrs.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select("a", F.least("mb", "a").alias("m"))
+    )
+    return (
+        nbrs.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges high→low; every node links its
+    smaller-or-equal neighbors (and itself) to its minimum."""
+    oriented = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    relink = (
+        oriented.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    self_link = mins.select(F.col("a"), F.col("m").alias("b"))
+    return (
+        relink.unionByName(self_link)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def near_dup_clusters(docs: DataFrame, jaccard_threshold: float = 0.6, max_iter: int = 12) -> DataFrame:
+    """Connected components over the confirmed near-dup pair graph →
+    (doc_id, cluster_id = min doc_id in component).
+
+    Alternating large-star/small-star (DataFrame-only, O(log² n)
+    rounds — near-dup components have tiny diameter so 2-3 rounds in
+    practice). ONE driver action per round: the new edge set is
+    persisted and its (count, xxhash64-sum) fingerprint computed in a
+    single aggregate; convergence = fingerprint unchanged. The
+    previous round's cache is unpersisted each time, so no
+    checkpoint/cache pileup.
+    """
+    import logging
+
+    pairs = near_dedup_minhash(docs, jaccard_threshold).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist()
+    fingerprint = _edge_fingerprint(edges)
+    rounds = 0
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["doc_b"] == labels["node"])
-            .groupBy("doc_a")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["doc_a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter("n.cluster_id != o.cluster_id")
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_edges = _small_star(_large_star(edges)).persist()
+        new_fp = _edge_fingerprint(new_edges)  # also materializes the cache
+        edges.unpersist()
+        rounds += 1
+        converged = new_fp == fingerprint
+        edges, fingerprint = new_edges, new_fp
+        if converged:
             break
-    return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+    logging.getLogger(__name__).info(
+        "near_dup_clusters: converged after %d star rounds (%d edges)",
+        rounds,
+        fingerprint[0],
+    )
+    # converged star graph: every non-root node → component min; add
+    # the roots themselves
+    labels = edges.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
+    roots = edges.select(F.col("b").alias("doc_id"), F.col("b").alias("cluster_id"))
+    result = labels.unionByName(roots).distinct()
+    return result
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple:
+    # bit_xor never overflows (ANSI-safe) and is order-independent;
+    # count disambiguates the xor's pair-cancellation blind spot
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+    ).first()
+    return (row["n"], row["h"])
 
 
 def embedding_near_dupes(

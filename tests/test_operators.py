@@ -157,6 +157,35 @@ def test_near_dedup_pipeline(docs):
         assert 4 not in pair
 
 
+def test_near_dup_clusters_match_python_union_find(spark):
+    docs = dedup.with_synthetic_dupes(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    pair_rows = dedup.near_dedup_minhash(docs).select("doc_a", "doc_b").collect()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pair_rows:
+        parent[find(r.doc_a)] = find(r.doc_b)
+    members: dict = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    expected = {
+        n: min(group) for group in members.values() for n in group
+    }
+
+    got = {
+        r.doc_id: r.cluster_id for r in dedup.near_dup_clusters(docs).collect()
+    }
+    assert len(expected) > 0 and got == expected
+
+
 def test_simhash_close_for_near_dups(docs):
     sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     assert sigs[1] == sigs[2]
