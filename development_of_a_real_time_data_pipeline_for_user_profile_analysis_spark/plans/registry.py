@@ -1343,6 +1343,82 @@ def q_daily_revenue_delta(spark, sf_dir):
     return analytics.daily_revenue_delta(_t(spark, sf_dir, "orders"))
 
 
+# Suffix mix for the PSL query: one of each rule class — default-*,
+# plain 2-label, wildcard (whole-host suffix), exception, 3-label
+# plain, TLD wildcard, and the www.ck exception.
+_PSL_TEST_SUFFIXES = [
+    "com", "co.uk", "ac.uk", "com.au", "co.jp", "kobe.jp",
+    "city.kobe.jp", "k12.ca.us", "foo.ck", "www.ck",
+]
+
+
+def _psl_oracle() -> str:
+    from ..functions.psl import psl_rules_values_sql
+
+    sufs = ", ".join(f"'{s}'" for s in _PSL_TEST_SUFFIXES)
+    n = len(_PSL_TEST_SUFFIXES)
+    return f"""WITH {PROFILES_ORACLE_CTE}, {psl_rules_values_sql()},
+       hosts AS (
+         SELECT id, lower(concat_ws('.',
+             regexp_extract(email, '@([A-Za-z0-9-]+)\\.', 1),
+             list_extract(list_value({sufs}),
+               CAST(CAST('0x' || substr(md5(email), 1, 8) AS UBIGINT) AS BIGINT)
+                 % {n} + 1))) AS host
+         FROM profiles WHERE email IS NOT NULL),
+       l AS (
+         SELECT id, host, string_split(host, '.') AS labs,
+                len(string_split(host, '.')) AS n
+         FROM hosts),
+       m AS (
+         SELECT l.id,
+                max(CASE WHEN r.has_wild AND l.n > r.k THEN r.k + 1
+                         WHEN r.has_plain THEN r.k END) AS ps_plain,
+                max(r.exc_ps) AS exc_ps
+         FROM l LEFT JOIN rules r
+           ON r.key = array_to_string(l.labs[l.n - r.k + 1:], '.')
+         GROUP BY l.id),
+       f AS (
+         SELECT l.id, l.host, l.labs, l.n,
+                coalesce(m.exc_ps, greatest(coalesce(m.ps_plain, 1), 1)) AS ps
+         FROM l JOIN m USING (id))
+       SELECT id, host,
+              array_to_string(labs[n - ps + 1:], '.') AS public_suffix,
+              CASE WHEN n >= ps + 1
+                   THEN array_to_string(labs[n - ps:], '.') END
+                AS registrable_domain,
+              CASE WHEN n >= ps + 1 THEN labs[n - ps] END AS domain
+       FROM f"""
+
+
+@query("registrable_domains", _psl_oracle())
+def q_registrable_domains(spark, sf_dir):
+    """PSL-exact registrable-domain extraction (reference
+    dashbord/dashbord.py:99's tldextract, minus the per-row Python):
+    each profile email's domain label is paired with a deterministic
+    md5-chosen suffix covering every PSL rule class, then resolved via
+    the broadcast rule table — K broadcast equi-joins, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..functions.columns import EMAIL_DOMAIN_RE
+    from ..functions.psl import with_registrable_domain
+
+    profs = profiles_df(spark, sf_dir).filter(F.col("email").isNotNull())
+    idx = (
+        F.conv(F.substring(F.md5("email"), 1, 8), 16, 10).cast("long")
+        % len(_PSL_TEST_SUFFIXES)
+    ).cast("int")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _PSL_TEST_SUFFIXES]), idx + 1
+    )
+    host = F.lower(
+        F.concat_ws(".", F.regexp_extract("email", EMAIL_DOMAIN_RE, 1), suffix)
+    )
+    hosts = profs.select("id", host.alias("host"))
+    return with_registrable_domain(hosts, "host").select(
+        "id", "host", "public_suffix", "registrable_domain", "domain"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
