@@ -17,10 +17,19 @@ from pyspark.sql import DataFrame
 from ..operators import aggregates
 
 
-def refresh(profiles: DataFrame) -> dict[str, DataFrame]:
+def refresh(
+    profiles: DataFrame, previous: dict[str, DataFrame] | None = None
+) -> dict[str, DataFrame]:
     """One scan, four views: gender distribution, top-5 email domains,
     total users, age distribution (ECDF parity form + scalable
-    histogram)."""
+    histogram).
+
+    Pass the prior poll's return value as ``previous`` — its cached
+    results are released first, so the dashboard's repeated-poll
+    pattern holds at most one refresh's blocks in the cache."""
+    if previous:
+        for df in previous.values():
+            df.unpersist()
     profiles.persist()
     try:
         views = {

@@ -21,12 +21,38 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # raw int64 (legacy conf) and rebuild a micros timestamp with integer
 # division — NOT float division: nano epochs (~1.7e18) exceed a
 # double's 53-bit mantissa and would corrupt low-order digits.
-_NANO_TS_COLS = {"events": ["ts"]}
+# Nano columns are detected from the parquet footer per table, so any
+# future nanos-timestamp table is rebuilt too instead of silently
+# surfacing as bigint (the conf itself must stay set: Spark consults
+# it at scan time, not DataFrame-creation time).
+
+
+def _nano_ts_cols(path: str) -> list[str]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return []
+        probe = os.path.join(path, parts[0])
+    try:
+        schema = pq.read_schema(probe)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nano_cols = _NANO_TS_COLS.get(name, [])
+    nano_cols = _nano_ts_cols(path)
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)

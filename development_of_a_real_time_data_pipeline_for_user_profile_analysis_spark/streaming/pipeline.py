@@ -176,7 +176,10 @@ def run_pipeline(
 def deduped_stream(source: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
     """Streaming dedup on profile id — fixes the reference's silent
     duplicate problem (Mongo append had no PK). Event time comes from
-    the `inscription` timestamp; the watermark bounds dedup state."""
+    the `inscription` timestamp. NOTE: with dropDuplicates on [id]
+    alone the watermark only gates late rows — it does NOT evict dedup
+    state, which grows with distinct ids forever. For bounded state on
+    an unbounded stream use deduped_stream_within_watermark below."""
     curated = curated_stream(source).withColumn(
         "event_time", F.to_timestamp(F.col("inscription"))
     )
