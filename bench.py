@@ -60,6 +60,7 @@ HEADLINE = [
     "pack_documents",
     "chunk_documents",
     "user_event_type_sets",
+    "ngram_jaccard_dupes",
 ]
 
 

@@ -105,11 +105,19 @@ def shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, pairs: DataFrame, sh: DataFrame | None = None
+    docs: DataFrame,
+    pairs: DataFrame,
+    sh: DataFrame | None = None,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given candidate pairs
     (columns doc_a < doc_b). The verify stage after LSH candidate
-    generation — never run on the full cross product."""
+    generation — never run on the full cross product.
+
+    `broadcast_pairs` fits LSH output (orders of magnitude smaller
+    than the shingle table); pass False when the candidate set itself
+    scales with the corpus (e.g. rare-shingle blocking) so the join
+    shuffles on doc_id instead of shipping an unbounded broadcast."""
     sh = shingles(docs) if sh is None else sh
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
@@ -121,7 +129,7 @@ def ngram_jaccard_pairs(
     # inclusion-exclusion from per-doc set sizes.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        F.broadcast(pairs)
+        (F.broadcast(pairs) if broadcast_pairs else pairs)
         .join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
@@ -218,6 +226,47 @@ def near_dedup_minhash(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataF
     sh = shingles(docs)
     cands = lsh_candidate_pairs(docs, sh=sh)
     verified = ngram_jaccard_pairs(docs, cands, sh=sh)
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def ngram_jaccard_dupes(
+    docs: DataFrame, jaccard_threshold: float = 0.6, max_df: int = 20
+) -> DataFrame:
+    """Direct n-gram Jaccard dedup — no MinHash sketching.
+
+    Candidate generation blocks on *rare* shingles (document frequency
+    <= max_df): a pair becomes a candidate iff it shares at least one
+    discriminative shingle, then the exact shingle-set Jaccard (over
+    the FULL shingle sets) decides. Near-dup pairs at 0.6 Jaccard
+    share many doc-specific (hence rare) shingles, so recall loss from
+    the df cap is negligible, while the cap bounds the blocking
+    self-join at sum(df^2) <= max_df * |shingle rows| — linear in the
+    corpus, never all-pairs. Candidates shuffle-join into the verify
+    (broadcast_pairs=False): unlike LSH output this set grows with the
+    corpus, so shipping it as a broadcast would not hold at 100 TB.
+
+    Complements near_dedup_minhash (reference has no dedup at all;
+    family required by the LLM-pipeline brief): exact-Jaccard
+    semantics with deterministic recall characterization, vs. the
+    probabilistic banding recall of MinHash-LSH."""
+    sh = shingles(docs)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    rsh = sh.join(rare, "shingle")
+    cands = (
+        rsh.alias("a")
+        .join(rsh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, cands, sh=sh, broadcast_pairs=False)
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
 
 

@@ -986,6 +986,40 @@ def q_near_dedup_minhash(spark, sf_dir):
     return dedup.near_dedup_minhash(_dupes_df(spark, sf_dir))
 
 
+@query(
+    "ngram_jaccard_dupes",
+    _with_dupes(
+        f""", {_SHINGLES_CTE},
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20),
+        rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0 >= 0.6"""
+    ),
+)
+def q_ngram_jaccard_dupes(spark, sf_dir):
+    """Direct n-gram Jaccard dedup family (rare-shingle blocking +
+    exact verify) — the brief's third text-dedup family alongside
+    MinHash-LSH and SimHash. Reference has no dedup (duplicate Mongo
+    appends, Real_Time_Data.py:147-157, are its closest artifact)."""
+    return dedup.ngram_jaccard_dupes(_dupes_df(spark, sf_dir))
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     toks = "list_distinct(string_split(text, ' '))"
     h = "CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) AS BIGINT)"

@@ -45,6 +45,14 @@ def test_jaccard_verify_is_pair_driven(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ngram_jaccard_never_goes_quadratic(spark, sf_dir):
+    plan = _plan(spark, "ngram_jaccard_dupes", sf_dir)
+    # rare-shingle blocking must stay an equi-join on the shingle key;
+    # any nested-loop/cartesian means the df cap got optimized away
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_etl_chain_is_narrow(spark, sf_dir):
     plan = _plan(spark, "etl_curate_profiles", sf_dir)
     assert "Exchange" not in plan  # no shuffle anywhere in the chain
