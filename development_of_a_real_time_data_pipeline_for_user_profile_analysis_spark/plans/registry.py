@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import aggregates, analytics, dedup, etl, multimodal, similarity, text
 from ..session import ensure_engine_conf
+from ..sources import synthetic, userfeed
 from ..sources.readers import load_table
 from ..sources.synthetic import PROFILES_ORACLE_CTE, envelopes_from_customers
 
@@ -65,6 +66,26 @@ _PROFILE_COLS = (
 @query("etl_curate_profiles", _with_profiles(f"SELECT {_PROFILE_COLS} FROM profiles"))
 def q_etl_curate_profiles(spark, sf_dir):
     return profiles_df(spark, sf_dir)
+
+
+_USERFEED_N = 2000
+
+
+@query(
+    "userfeed_profiles",
+    "WITH "
+    + synthetic.profiles_oracle_cte(
+        f"SELECT CAST(x AS BIGINT) AS k FROM generate_series(1, {_USERFEED_N}) t(x)"
+    )
+    + f" SELECT {_PROFILE_COLS} FROM profiles",
+)
+def q_userfeed_profiles(spark, sf_dir):
+    """The reference's HTTP poll feeder (producer.py:17-44) as a
+    PySpark 4 Python DataSource: spark.read.format('userfeed') emits
+    wire-format envelopes, then the same parse→curate chain runs.
+    Verifies the custom-source path value-for-value end to end."""
+    envelopes = userfeed.read_envelopes(spark, _USERFEED_N).select("value")
+    return etl.curate_profiles(etl.parse_envelopes(envelopes))
 
 
 @query(

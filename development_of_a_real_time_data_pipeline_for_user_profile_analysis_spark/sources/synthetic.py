@@ -109,7 +109,18 @@ def envelopes_from_customers(customers: DataFrame) -> DataFrame:
 # (envelopes_from_customers → parse_envelopes → curate_profiles) must
 # reproduce value-for-value. Compose as:
 #   f"WITH {PROFILES_ORACLE_CTE} SELECT ... FROM profiles"
-PROFILES_ORACLE_CTE = f"""
+# The key source is parameterized so the same derivation verifies any
+# feeder: customer-keyed envelopes (default) or the `userfeed` data
+# source's contiguous key range (profiles_oracle_cte of a
+# generate_series).
+
+
+def profiles_oracle_cte(key_src_sql: str) -> str:
+    """The curated-profile CTE over an arbitrary `... AS k` source."""
+    return _PROFILES_CTE_TEMPLATE.replace("__KEY_SRC__", key_src_sql)
+
+
+_PROFILES_CTE_TEMPLATE = f"""
 profiles_all AS (
   SELECT
     CASE WHEN k % {NULL_ID_MOD} = 0 THEN NULL ELSE md5(CAST(k AS VARCHAR)) END AS id,
@@ -134,11 +145,13 @@ profiles_all AS (
                    'City' || CAST(k % 30 AS VARCHAR),
                    CAST((k % 999) + 1 AS VARCHAR),
                    CAST(10000 + (k % 89999) AS VARCHAR)) AS full_address
-  FROM (SELECT c_custkey AS k FROM customer)
+  FROM (__KEY_SRC__)
 ),
 profiles AS (
   SELECT * FROM profiles_all WHERE age > 18 AND id IS NOT NULL
 )"""
+
+PROFILES_ORACLE_CTE = profiles_oracle_cte("SELECT c_custkey AS k FROM customer")
 
 
 # -- pure-python feeder (streaming tests; no Spark dependency) -------

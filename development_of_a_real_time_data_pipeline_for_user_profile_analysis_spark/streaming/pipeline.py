@@ -36,7 +36,12 @@ def read_envelope_file_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-based envelope source (JSON lines, one envelope per line).
-    Same wire format as the Kafka topic; used for tests/replay."""
+    Same wire format as the Kafka topic; used for tests/replay.
+
+    Third source option: `sources.userfeed.read_envelope_stream` — the
+    reference's HTTP poller as a custom Python DataSource (exactly-once
+    offsets, no sidecar process); `.select("value")` makes it a drop-in
+    for either reader here."""
     reader = spark.readStream.format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
