@@ -14,7 +14,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import aggregates, analytics, dedup, etl, multimodal, similarity, text
+from ..operators import (
+    aggregates,
+    analytics,
+    dedup,
+    etl,
+    multimodal,
+    similarity,
+    temporal,
+    text,
+)
 from ..session import ensure_engine_conf
 from ..sources import synthetic, userfeed
 from ..sources.readers import load_table
@@ -413,6 +422,42 @@ def q_approx_distinct_users(spark, sf_dir):
 )
 def q_events_hourly(spark, sf_dir):
     return analytics.events_hourly(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_rollup_multi",
+    """WITH g_minute AS (
+         SELECT date_trunc('minute', ts) AS bucket_start,
+                count(*) AS n_events, sum(value) AS sum_value
+         FROM events GROUP BY 1),
+       g_hour AS (
+         SELECT date_trunc('hour', bucket_start) AS bucket_start,
+                sum(n_events) AS n_events, sum(sum_value) AS sum_value
+         FROM g_minute GROUP BY 1),
+       g_day AS (
+         SELECT CAST(date_trunc('day', bucket_start) AS TIMESTAMP) AS bucket_start,
+                sum(n_events) AS n_events, sum(sum_value) AS sum_value
+         FROM g_hour GROUP BY 1)
+       SELECT 'minute' AS grain, bucket_start,
+              CAST(n_events AS BIGINT) AS n_events,
+              round(sum_value, 2) AS sum_value FROM g_minute
+       UNION ALL
+       SELECT 'hour' AS grain, bucket_start,
+              CAST(n_events AS BIGINT) AS n_events,
+              round(sum_value, 2) AS sum_value FROM g_hour
+       UNION ALL
+       SELECT 'day' AS grain, bucket_start,
+              CAST(n_events AS BIGINT) AS n_events,
+              round(sum_value, 2) AS sum_value FROM g_day""",
+)
+def q_events_rollup_multi(spark, sf_dir):
+    """Hypertable rollup (TimescaleDB-style continuous aggregate):
+    minute/hour/day grains where each coarser grain re-aggregates the
+    finer grain's partials — the raw table is scanned once. The
+    reference recomputes every dashboard view from raw Mongo on each
+    poll (dashbord/dashbord.py:60-123); this is the engine-native
+    replacement for that pattern."""
+    return temporal.hypertable_rollup(_t(spark, sf_dir, "events"))
 
 
 @query(
@@ -1053,8 +1098,41 @@ def _simhash_oracle(bits: int = 32) -> str:
     return f"SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM documents"
 
 
-@query("near_dup_clusters")  # iterative connected components; rows-only
+@query(
+    "near_dup_clusters",
+    "WITH RECURSIVE "
+    + dedup.DUPES_ORACLE_CTE
+    + f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0
+            >= 0.6
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach AS (
+      SELECT a AS doc_id, a AS r FROM edges
+      UNION
+      SELECT reach.doc_id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""",
+)
 def q_near_dup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph. The Spark
+    side runs alternating large-star/small-star rounds; the oracle
+    computes the same components via a recursive-CTE transitive
+    closure (tractable at oracle SF because components are tiny)."""
     return dedup.near_dup_clusters(_dupes_df(spark, sf_dir))
 
 
@@ -1500,8 +1578,8 @@ DRIVER_PRIORITY = [
     "gender_distribution",
     "top_email_domains",
     "total_users",
-    "age_ecdf",
     "registrable_domains",
+    "userfeed_profiles",
     # joins / aggregates (TPC-H-style)
     "pricing_summary",
     "shipping_priority",
@@ -1517,14 +1595,12 @@ DRIVER_PRIORITY = [
     "revenue_percentiles",
     "segment_priority_grouping_sets",
     # event analytics / windows
-    "distinct_stats",
     "approx_distinct_users",
     "events_hourly",
+    "events_rollup_multi",
     "events_sessionized",
     "event_type_pivot",
     "user_event_type_sets",
-    "daily_revenue_moving_avg",
-    "above_avg_orders",
     "conversion_funnel",
     "zscore_by_source",
     # streaming
@@ -1542,6 +1618,8 @@ DRIVER_PRIORITY = [
     "dedup_exact_groups",
     "minhash_lsh_candidates",
     "near_dedup_minhash",
+    "ngram_jaccard_dupes",
+    "near_dup_clusters",
     "simhash_signatures",
     "embedding_near_dupes",
     "curation_pipeline",

@@ -330,3 +330,35 @@ def test_stratified_sample_deterministic_and_rated(spark):
     assert kept0 < total0 * 0.6  # ~25% rate actually downsamples
     assert summary["src9"][0] == summary["src9"][1]  # default rate keeps all
     assert all(k <= t for k, t in summary.values())
+
+
+def test_hypertable_rollup_cascade(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        temporal,
+    )
+
+    t = dt.datetime(2024, 1, 5, 10, 0, 30)
+    rows = [
+        Row(ts=t, value=1.0),
+        Row(ts=t + dt.timedelta(seconds=10), value=2.0),
+        Row(ts=t + dt.timedelta(minutes=1), value=4.0),
+        Row(ts=t + dt.timedelta(hours=3), value=8.0),
+        Row(ts=t + dt.timedelta(days=1), value=16.0),
+    ]
+    out = {
+        (r["grain"], r["bucket_start"]): (r["n_events"], r["sum_value"])
+        for r in temporal.hypertable_rollup(spark.createDataFrame(rows)).collect()
+    }
+    m = dt.datetime(2024, 1, 5, 10, 0)
+    assert out[("minute", m)] == (2, 3.0)
+    assert out[("minute", dt.datetime(2024, 1, 5, 10, 1))] == (1, 4.0)
+    assert out[("hour", dt.datetime(2024, 1, 5, 10, 0))] == (3, 7.0)
+    assert out[("hour", dt.datetime(2024, 1, 5, 13, 0))] == (1, 8.0)
+    assert out[("day", dt.datetime(2024, 1, 5))] == (4, 15.0)
+    assert out[("day", dt.datetime(2024, 1, 6))] == (1, 16.0)
+    assert len(out) == 4 + 3 + 2
+    # every grain conserves the totals
+    for g, n_tot, v_tot in [("minute", 5, 31.0), ("hour", 5, 31.0), ("day", 5, 31.0)]:
+        pairs = [v for k, v in out.items() if k[0] == g]
+        assert sum(p[0] for p in pairs) == n_tot
+        assert sum(p[1] for p in pairs) == v_tot

@@ -117,14 +117,16 @@ def test_driver_window_covers_component_families():
     oracles = e.oracle_sql()
     first50 = names[:50]
     musts = [
-        "etl_curate_profiles", "gender_distribution", "age_ecdf",
-        "registrable_domains", "pricing_summary", "nation_revenue",
-        "events_sessionized", "user_event_type_sets",
-        "approx_distinct_users", "conversion_funnel",
+        "etl_curate_profiles", "gender_distribution",
+        "registrable_domains", "userfeed_profiles", "pricing_summary",
+        "nation_revenue", "events_sessionized", "events_rollup_multi",
+        "user_event_type_sets", "approx_distinct_users",
+        "conversion_funnel",
         "streaming_events_hourly", "streaming_user_totals",
         "streaming_session_windows", "streaming_dedup_profiles",
         "text_stats", "deterministic_split", "dedup_exact_groups",
         "minhash_lsh_candidates", "near_dedup_minhash",
+        "ngram_jaccard_dupes", "near_dup_clusters",
         "simhash_signatures", "embedding_near_dupes",
         "curation_pipeline", "cosine_topk", "label_centroids",
         "multimodal_decode",
@@ -132,3 +134,17 @@ def test_driver_window_covers_component_families():
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
     assert len(names) == len(set(names))
+
+
+def test_rollup_reaggregates_partials_not_raw(spark, sf_dir):
+    """Hypertable rollup: hour/day grains must read the materialized
+    minute partials (InMemoryTableScan), not re-scan raw parquet —
+    the continuous-aggregate dataflow the 100 TB design rests on.
+    (The FileScan string appears once per branch because the plan
+    printer inlines the cached relation's child; the scan itself runs
+    once, to populate the cache.)"""
+    plan = _plan(spark, "events_rollup_multi", sf_dir)
+    assert plan.count("InMemoryTableScan") == 3
+    # coarser grains cascade partials: map-side partial_sum over the
+    # finer grain's n_events, never a recount of raw rows
+    assert "partial_sum(n_events" in plan
