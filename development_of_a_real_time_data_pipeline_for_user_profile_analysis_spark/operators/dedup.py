@@ -379,6 +379,68 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return docs.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_dupes(
+    docs: DataFrame, bits: int = 32, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-distance banding — the pair
+    generator that completes the SimHash dedup family (signatures →
+    pairs), alongside MinHash-LSH and direct n-gram Jaccard.
+
+    Pigeonhole: two signatures within Hamming distance ≤ bands-1 must
+    agree exactly on at least one of the `bands` contiguous bit
+    slices, so candidates come from an equi-join on (band, slice
+    value) — never an all-pairs scan. The exact verify is one cheap
+    JVM expression: bit_count(sig_a XOR sig_b) ≤ max_hamming.
+
+    Scale: shuffle is keyed on (band, slice); bucket cardinality is
+    2^(bits/bands) per band, so at corpus scale raise `bits` (e.g. 48
+    → 2^12 buckets per band at bands=4) to keep buckets small — the
+    signature stage is a pure scan either way. max_hamming must stay
+    ≤ bands-1 or recall is no longer guaranteed by the pigeonhole.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("pigeonhole guarantee needs max_hamming <= bands - 1")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(docs, bits)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.slice").alias("slice"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()  # a pair can collide in several bands
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., 'Connected Components in
     MapReduce and Beyond'): every node links its strictly-larger

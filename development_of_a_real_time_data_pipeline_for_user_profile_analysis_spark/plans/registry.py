@@ -1086,7 +1086,7 @@ def q_ngram_jaccard_dupes(spark, sf_dir):
     return dedup.ngram_jaccard_dupes(_dupes_df(spark, sf_dir))
 
 
-def _simhash_oracle(bits: int = 32) -> str:
+def _simhash_oracle(bits: int = 32, src: str = "documents") -> str:
     toks = "list_distinct(string_split(text, ' '))"
     h = "CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) AS BIGINT)"
     votes = " + ".join(
@@ -1095,7 +1095,7 @@ def _simhash_oracle(bits: int = 32) -> str:
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
-    return f"SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM documents"
+    return f"SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM {src}"
 
 
 @query(
@@ -1139,6 +1139,24 @@ def q_near_dup_clusters(spark, sf_dir):
 @query("simhash_signatures", _simhash_oracle())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "simhash_dupes",
+    _with_dupes(
+        f""", sigs AS ({_simhash_oracle(src="dupes")})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    ),
+)
+def q_simhash_dupes(spark, sf_dir):
+    """SimHash pair generation via Hamming banding. The oracle is the
+    all-pairs form (tractable at oracle SF); the pigeonhole bound
+    (max_hamming=3 <= bands-1) makes the banded Spark plan exact, so
+    both sides produce the identical pair set."""
+    return dedup.simhash_dupes(_dupes_df(spark, sf_dir))
 
 
 @query(
@@ -1592,7 +1610,6 @@ DRIVER_PRIORITY = [
     "purchasing_customers",
     "open_not_pending_customers",
     "viewers_and_clickers",
-    "revenue_percentiles",
     "segment_priority_grouping_sets",
     # event analytics / windows
     "approx_distinct_users",
@@ -1621,6 +1638,7 @@ DRIVER_PRIORITY = [
     "ngram_jaccard_dupes",
     "near_dup_clusters",
     "simhash_signatures",
+    "simhash_dupes",
     "embedding_near_dupes",
     "curation_pipeline",
     "cosine_topk",

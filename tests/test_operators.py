@@ -362,3 +362,31 @@ def test_hypertable_rollup_cascade(spark):
         pairs = [v for k, v in out.items() if k[0] == g]
         assert sum(p[0] for p in pairs) == n_tot
         assert sum(p[1] for p in pairs) == v_tot
+
+
+def test_simhash_dupes_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choices(vocab, k=30))) for i in range(40)
+    ]
+    # exact copies and one-token edits of a few docs -> guaranteed
+    # zero/low-hamming pairs
+    rows += [Row(doc_id=100 + i, text=rows[i]["text"]) for i in range(5)]
+    rows += [Row(doc_id=200 + i, text=rows[i]["text"] + " zz") for i in range(5)]
+    df = spark.createDataFrame(rows)
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_dupes(df).collect()
+    }
+    assert banded == brute  # pigeonhole banding loses nothing vs all-pairs
+    assert all(banded[(i, 100 + i)] == 0 for i in range(5))
