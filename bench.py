@@ -61,6 +61,8 @@ HEADLINE = [
     "chunk_documents",
     "user_event_type_sets",
     "ngram_jaccard_dupes",
+    "events_rollup_multi",
+    "near_dup_clusters",
 ]
 
 

@@ -481,28 +481,44 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+# the last near_dup_clusters call's final checkpointed edge set —
+# released on the next call (same discipline as temporal._last_cache)
+_last_edges: DataFrame | None = None
+
+
 def near_dup_clusters(docs: DataFrame, jaccard_threshold: float = 0.6, max_iter: int = 12) -> DataFrame:
     """Connected components over the confirmed near-dup pair graph →
     (doc_id, cluster_id = min doc_id in component).
 
     Alternating large-star/small-star (DataFrame-only, O(log² n)
     rounds — near-dup components have tiny diameter so 2-3 rounds in
-    practice). ONE driver action per round: the new edge set is
-    persisted and its (count, xxhash64-sum) fingerprint computed in a
-    single aggregate; convergence = fingerprint unchanged. The
-    previous round's cache is unpersisted each time, so no
-    checkpoint/cache pileup.
+    practice). Each round materializes through an EAGER
+    localCheckpoint: a star round references its input four times
+    (neighbor union + min join), so an un-truncated lineage recomputes
+    the parent ~4× per round — geometric blow-up (measured 8.7 s →
+    15.8 s → 279 s per round with persist()-only; flat ~1 s rounds
+    checkpointed). On a cluster the same call sites use reliable
+    checkpoint() to HDFS/object storage. The previous round's
+    checkpoint blocks are released explicitly, so no pileup; the
+    (count, xxhash64-sum) fingerprint on the fresh checkpoint is the
+    convergence test.
     """
     import logging
 
+    global _last_edges
+    if _last_edges is not None:  # previous call's final checkpoint
+        _last_edges.rdd.unpersist()
+        _last_edges = None
     pairs = near_dedup_minhash(docs, jaccard_threshold).select("doc_a", "doc_b")
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist()
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint(eager=True)
     fingerprint = _edge_fingerprint(edges)
     rounds = 0
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).persist()
-        new_fp = _edge_fingerprint(new_edges)  # also materializes the cache
-        edges.unpersist()
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_fp = _edge_fingerprint(new_edges)
+        edges.rdd.unpersist()  # release the previous round's blocks
         rounds += 1
         converged = new_fp == fingerprint
         edges, fingerprint = new_edges, new_fp
@@ -514,7 +530,9 @@ def near_dup_clusters(docs: DataFrame, jaccard_threshold: float = 0.6, max_iter:
         fingerprint[0],
     )
     # converged star graph: every non-root node → component min; add
-    # the roots themselves
+    # the roots themselves. The final checkpoint backs the returned
+    # DataFrame — it is released on the next call, not here.
+    _last_edges = edges
     labels = edges.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
     roots = edges.select(F.col("b").alias("doc_id"), F.col("b").alias("cluster_id"))
     result = labels.unionByName(roots).distinct()
