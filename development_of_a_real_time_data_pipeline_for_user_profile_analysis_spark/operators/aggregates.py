@@ -91,3 +91,37 @@ def age_histogram(profiles: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("age")
     )
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile: row count, null count, exact
+    distinct count, min/max (rendered as strings for a uniform
+    schema). The curation counterpart of the reference's blind
+    ``na.drop`` (Real_Time_Data.py:129): measure the damage before
+    deciding what to drop.
+
+    Plan shape: one narrow aggregate per column, unioned. Columnar
+    parquet makes each branch a single-column pruned scan, so the k
+    branches together read ~one table's worth of bytes and run in
+    parallel — unlike a single `agg(countDistinct(c1), ..., 
+    countDistinct(ck))`, which Catalyst plans as an Expand that
+    multiplies every raw row k-fold before the shuffle.
+    """
+    cols = columns or df.columns
+    profiles = [
+        df.select(F.col(c).alias("v")).agg(
+            F.lit(c).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.count_distinct(F.col("v")).alias("n_distinct"),
+            F.min(F.col("v")).cast("string").alias("min_value"),
+            F.max(F.col("v")).cast("string").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out

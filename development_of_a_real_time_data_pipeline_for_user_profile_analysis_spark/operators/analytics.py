@@ -221,6 +221,42 @@ def approx_distinct_check(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     )
 
 
+def approx_quantiles_check(
+    orders: DataFrame, accuracy: int = 10000, tol: float = 0.005
+) -> DataFrame:
+    """Quantile sketch with an accuracy-bounded oracle — the
+    percentile counterpart of approx_distinct_check. percentile_approx
+    (Greenwald-Khanna sketch: one pass, mergeable partials, no global
+    sort) is compared in-query against the exact interpolated
+    percentile; the oracle demands the exact values plus
+    `within_tolerance = true`. At 100 TB the sketch path is the only
+    viable one — exact percentile needs a full sort or a
+    single-partition window."""
+    ps = [0.5, 0.9, 0.99]
+    agg = orders.agg(
+        F.percentile_approx("o_totalprice", ps, accuracy).alias("approx"),
+        F.percentile("o_totalprice", ps).alias("exact"),
+    )
+    within = F.aggregate(
+        F.zip_with(
+            F.col("approx"),
+            F.col("exact"),
+            lambda a, e: (F.abs(a - e) / e) <= tol,
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    return agg.select(
+        # 4dp, matching revenue_percentiles: interpolated midpoints of
+        # 2dp prices stop at the 3rd decimal, so a 4dp round never
+        # sits on a half-way knife edge (see PERF.md float discipline)
+        F.round(F.element_at("exact", 1), 4).alias("exact_p50"),
+        F.round(F.element_at("exact", 2), 4).alias("exact_p90"),
+        F.round(F.element_at("exact", 3), 4).alias("exact_p99"),
+        within.alias("within_tolerance"),
+    )
+
+
 def events_hourly(events: DataFrame) -> DataFrame:
     """Tumbling-window aggregate (batch form of the streaming windowed
     agg — same window() operator Structured Streaming uses)."""

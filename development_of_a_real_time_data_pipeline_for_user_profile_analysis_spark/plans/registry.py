@@ -638,6 +638,44 @@ def q_revenue_percentiles(spark, sf_dir):
 
 
 @query(
+    "approx_quantiles_check",
+    """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+              round(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+              round(quantile_cont(o_totalprice, 0.99), 4) AS exact_p99,
+              true AS within_tolerance
+       FROM orders""",
+)
+def q_approx_quantiles_check(spark, sf_dir):
+    """Greenwald-Khanna quantile sketch vs exact interpolated
+    percentile, asserted within tolerance in-query (the sketch is
+    deterministic for fixed input) — sketch family beside the HLL
+    check."""
+    return analytics.approx_quantiles_check(_t(spark, sf_dir, "orders"))
+
+
+def _profile_quality_oracle() -> str:
+    cols = [c.strip() for c in _PROFILE_COLS.split(",")]
+    branches = " UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+            CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            count(DISTINCT {c}) AS n_distinct,
+            CAST(min({c}) AS VARCHAR) AS min_value,
+            CAST(max({c}) AS VARCHAR) AS max_value
+            FROM profiles"""
+        for c in cols
+    )
+    return branches
+
+
+@query("profiles_quality_report", _with_profiles(_profile_quality_oracle()))
+def q_profiles_quality_report(spark, sf_dir):
+    """Per-column null/distinct/min/max audit of the curated table —
+    the measurement step the reference's blind na.drop
+    (Real_Time_Data.py:129) skips."""
+    return aggregates.table_profile(profiles_df(spark, sf_dir))
+
+
+@query(
     "segment_priority_grouping_sets",
     """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
        FROM orders JOIN customer ON o_custkey = c_custkey
@@ -1604,15 +1642,15 @@ DRIVER_PRIORITY = [
     "nation_revenue",
     "top_customers",
     "mktsegment_rollup",
-    "orders_cube",
     "customer_order_rank",
     "customers_without_orders",
     "purchasing_customers",
     "open_not_pending_customers",
-    "viewers_and_clickers",
     "segment_priority_grouping_sets",
+    "profiles_quality_report",
     # event analytics / windows
     "approx_distinct_users",
+    "approx_quantiles_check",
     "events_hourly",
     "events_rollup_multi",
     "events_sessionized",

@@ -390,3 +390,14 @@ def test_simhash_dupes_matches_bruteforce(spark):
     }
     assert banded == brute  # pigeonhole banding loses nothing vs all-pairs
     assert all(banded[(i, 100 + i)] == 0 for i in range(5))
+
+
+def test_table_profile_counts(spark):
+    df = spark.createDataFrame(
+        [Row(a="x", b=1), Row(a="x", b=2), Row(a=None, b=2)]
+    )
+    prof = {r["col_name"]: r for r in aggregates.table_profile(df).collect()}
+    assert prof["a"]["n_rows"] == 3 and prof["a"]["n_null"] == 1
+    assert prof["a"]["n_distinct"] == 1  # distinct excludes nulls
+    assert prof["b"]["n_distinct"] == 2
+    assert prof["b"]["min_value"] == "1" and prof["b"]["max_value"] == "2"
