@@ -823,3 +823,59 @@ def daily_revenue_delta(orders: DataFrame) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("delta"),
         round4((F.col("revenue") - prev) / prev * 100).alias("pct_change"),
     )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q21-style: suppliers who were the SOLE late shipper in a
+    multi-supplier finished order — the hardest join shape in the
+    surface (EXISTS + NOT EXISTS, each an equi-join on the order key
+    with a supplier-inequality residual).
+
+    Scale shape: both the semi and the anti join shuffle on
+    l_orderkey only (the inequality is a post-match residual, not a
+    join key), so the plan is two hash/sort-merge joins over the same
+    partitioning — Catalyst reuses the exchange. No correlated
+    per-row subquery execution exists anywhere.
+    """
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li.join(fin, li.l_orderkey == fin.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select("l_orderkey", "l_suppkey").distinct()
+    a = late.alias("a")
+    with_other = a.join(
+        others.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.alias("a").join(
+        late.alias("c"),
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )

@@ -1274,13 +1274,73 @@ def q_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
 
 
-@query("ann_lsh_topk")  # LSH-bucketed ANN; rows-only check
+def _lsh_bucket_sql(planes: int = 8) -> str:
+    """DuckDB rendering of similarity.lsh_bucket: per plane, the sign
+    of <emb, h_p> where h_p[d] = +1 iff the first md5 hex digit of
+    'p{p}d{d}' is >= 8 — bit-for-bit the Spark expression."""
+    bits = []
+    for p in range(planes):
+        comp = (
+            f"CASE WHEN CAST('0x' || substr(md5('p{p}d' || "
+            "CAST(d - 1 AS VARCHAR)), 1, 1) AS UBIGINT) >= 8 "
+            "THEN 1.0 ELSE -1.0 END"
+        )
+        s = (
+            "list_sum(list_transform(generate_series(1, len(emb)), "
+            f"d -> emb[CAST(d AS INTEGER)] * ({comp})))"
+        )
+        bits.append(f"(CASE WHEN {s} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+@query(
+    "ann_lsh_topk",
+    f"""WITH e AS (SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       b AS (SELECT vec_id, label, emb, {_lsh_bucket_sql()} AS bucket FROM e),
+       q AS (SELECT emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0)
+       SELECT b.vec_id AS vec_id, b.label AS label,
+              round(list_cosine_similarity(b.emb, q.q_emb), 6) AS cosine
+       FROM b, q
+       WHERE b.bucket = q.q_bucket AND b.vec_id != 0
+       ORDER BY cosine DESC, vec_id
+       LIMIT 10""",
+)
 def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN. The md5-derived hyperplanes make bucket
+    assignment deterministic and engine-portable, so even the
+    *approximate* path is value-checked against a full SQL oracle."""
     return similarity.ann_lsh_bucketed(_t(spark, sf_dir, "embeddings"))
 
 
-@query("ann_ivf_topk")  # IVF cell-probe ANN; rows-only check
+@query(
+    "ann_ivf_topk",
+    """WITH e AS (SELECT vec_id, label,
+                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       cdim AS (SELECT label AS cell, i,
+                       avg(emb[CAST(i AS INTEGER)]) AS mean_v
+                FROM e, range(1, 65) t(i) GROUP BY cell, i),
+       cent AS (SELECT cell, list(mean_v ORDER BY i) AS centroid
+                FROM cdim GROUP BY cell),
+       asg AS (SELECT e.vec_id, e.label, e.emb, c.cell,
+                      row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e.emb, c.centroid) DESC,
+                                 c.cell ASC) AS rn
+               FROM e CROSS JOIN cent c),
+       a1 AS (SELECT vec_id, label, emb, cell FROM asg WHERE rn = 1),
+       q AS (SELECT emb AS q_emb, cell AS q_cell FROM a1 WHERE vec_id = 0)
+       SELECT a1.vec_id AS vec_id, a1.label AS label,
+              round(list_cosine_similarity(a1.emb, q.q_emb), 6) AS cosine
+       FROM a1, q
+       WHERE a1.cell = q.q_cell AND a1.vec_id != 0
+       ORDER BY cosine DESC, vec_id
+       LIMIT 10""",
+)
 def q_ann_ivf_topk(spark, sf_dir):
+    """IVF cell-probe ANN. Label centroids are the coarse quantizer;
+    assignment (argmax centroid cosine, cell tiebreak) is replicated
+    in the oracle, so the probe result is value-checked."""
     return similarity.ann_ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
@@ -1511,6 +1571,38 @@ def q_streaming_dedup_profiles(spark, sf_dir):
 def q_late_shipment_priority(spark, sf_dir):
     return analytics.late_shipment_priority(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@query(
+    "waiting_suppliers",
+    """WITH late AS (
+         SELECT DISTINCT l.l_orderkey, l.l_suppkey
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderstatus = 'F'
+           AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+       others AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+       SELECT s.s_name AS s_name, count(*) AS numwait
+       FROM late a
+       JOIN supplier s ON s.s_suppkey = a.l_suppkey
+       WHERE EXISTS (SELECT 1 FROM others b
+                     WHERE b.l_orderkey = a.l_orderkey
+                       AND b.l_suppkey != a.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM late c
+                         WHERE c.l_orderkey = a.l_orderkey
+                           AND c.l_suppkey != a.l_suppkey)
+       GROUP BY s.s_name
+       ORDER BY numwait DESC, s_name
+       LIMIT 10""",
+)
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21-style sole-late-shipper ranking: EXISTS + NOT EXISTS
+    with inequality residuals — the one classic join shape the
+    surface lacked."""
+    return analytics.waiting_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
     )
 
 
