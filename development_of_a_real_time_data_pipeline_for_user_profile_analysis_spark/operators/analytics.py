@@ -837,11 +837,12 @@ def waiting_suppliers(
     surface (EXISTS + NOT EXISTS, each an equi-join on the order key
     with a supplier-inequality residual).
 
-    Scale shape: both the semi and the anti join shuffle on
-    l_orderkey only (the inequality is a post-match residual, not a
-    join key), so the plan is two hash/sort-merge joins over the same
-    partitioning — Catalyst reuses the exchange. No correlated
-    per-row subquery execution exists anywhere.
+    Scale shape: the semi and the anti join key on l_orderkey only —
+    the supplier inequality is a post-match residual, never a join
+    key — so both are ordinary hash joins (AQE broadcasts the late
+    set when it is small; at full scale they shuffle on the shared
+    l_orderkey partitioning). No correlated per-row subquery and no
+    nested-loop join exists anywhere in the plan.
     """
     li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
     fin = orders.filter(F.col("o_orderstatus") == "F").select(

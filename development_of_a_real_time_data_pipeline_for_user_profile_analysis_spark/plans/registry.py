@@ -1197,6 +1197,60 @@ def q_simhash_dupes(spark, sf_dir):
     return dedup.simhash_dupes(_dupes_df(spark, sf_dir))
 
 
+def _simhash_weighted_cte(bits: int = 32, src: str = "dupes") -> str:
+    """CTE chain replicating dedup.simhash_weighted: word 3-gram
+    shingles → df tiers (integer weights) → weighted per-bit votes →
+    signature."""
+    tiers = " ".join(
+        f"WHEN d.df <= {bound} THEN {weight}"
+        for bound, weight in dedup.SIMHASH_WEIGHT_TIERS
+    )
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN wt ELSE -wt END) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+{_shingles_cte(src)},
+dft AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+hw AS (SELECT t.doc_id,
+              CAST(CAST('0x' || substr(md5(t.shingle), 1, 8) AS UBIGINT) AS BIGINT) AS h,
+              CASE {tiers} ELSE 1 END AS wt
+       FROM sh t JOIN dft d USING (shingle)),
+votes AS (SELECT doc_id, {vote_cols} FROM hw GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes)"""
+
+
+@query(
+    "simhash_weighted_signatures",
+    f"WITH {_simhash_weighted_cte(src='documents')} "
+    "SELECT doc_id, simhash FROM sigs",
+)
+def q_simhash_weighted_signatures(spark, sf_dir):
+    """IDF-weighted SimHash: rare tokens carry the signature, fixing
+    the shared-vocabulary collapse of the unweighted form (PERF.md).
+    Integer df-tier weights keep vote sums engine-exact."""
+    return dedup.simhash_weighted(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "simhash_weighted_dupes",
+    _with_dupes(
+        f""", {_simhash_weighted_cte(src="dupes")}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    ),
+)
+def q_simhash_weighted_dupes(spark, sf_dir):
+    """Banded pairs over weighted signatures — same pigeonhole-exact
+    banding, discriminative on shared-vocabulary corpora."""
+    return dedup.simhash_weighted_dupes(_dupes_df(spark, sf_dir))
+
+
 @query(
     "embedding_near_dupes",
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

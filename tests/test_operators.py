@@ -401,3 +401,22 @@ def test_table_profile_counts(spark):
     assert prof["a"]["n_distinct"] == 1  # distinct excludes nulls
     assert prof["b"]["n_distinct"] == 2
     assert prof["b"]["min_value"] == "1" and prof["b"]["max_value"] == "2"
+
+
+def test_simhash_weighted_discriminates(spark, sf_dir):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.plans.registry import (
+        _dupes_df,
+    )
+
+    dupes = _dupes_df(spark, sf_dir)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_weighted_dupes(dupes).collect()
+    }
+    # every exact copy (doc_id % 5 == 0 -> doc_id + 100000) must pair
+    # at hamming 0: identical shingle sets give identical signatures
+    exact = [(d, d + 100000) for d in range(0, 500, 5)]
+    assert all(pairs.get(p) == 0 for p in exact)
+    # and the weighted signature must not collapse the corpus the way
+    # the unweighted token form does (28k pairs at this SF)
+    assert len(pairs) < 2000

@@ -148,3 +148,13 @@ def test_rollup_reaggregates_partials_not_raw(spark, sf_dir):
     # coarser grains cascade partials: map-side partial_sum over the
     # finer grain's n_events, never a recount of raw rows
     assert "partial_sum(n_events" in plan
+
+
+def test_waiting_suppliers_no_nested_loop(spark, sf_dir):
+    """Q21 shape: the EXISTS/NOT EXISTS inequality residuals must ride
+    on l_orderkey equi-joins — a CartesianProduct or
+    BroadcastNestedLoopJoin means the residual became the join key."""
+    plan = _plan(spark, "waiting_suppliers", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan

@@ -49,6 +49,13 @@ QUERIES_TO_RUN = [
     "promo_revenue_share",
     "returned_items_report",
     "top_suppliers_by_revenue",
+    # round-2 additions
+    "events_rollup_multi",
+    "waiting_suppliers",
+    "near_dup_clusters",
+    "ngram_jaccard_dupes",
+    "profiles_quality_report",
+    "approx_quantiles_check",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
