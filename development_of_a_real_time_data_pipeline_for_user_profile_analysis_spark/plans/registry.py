@@ -1813,7 +1813,6 @@ DRIVER_PRIORITY = [
     "text_stats",
     "top_ngrams",
     "chunk_documents",
-    "pack_documents",
     "deterministic_split",
     # dedup / similarity / curation / multimodal
     "dedup_exact_groups",
@@ -1823,6 +1822,7 @@ DRIVER_PRIORITY = [
     "near_dup_clusters",
     "simhash_signatures",
     "simhash_dupes",
+    "simhash_weighted_dupes",
     "embedding_near_dupes",
     "curation_pipeline",
     "cosine_topk",
