@@ -63,6 +63,11 @@ HEADLINE = [
     "ngram_jaccard_dupes",
     "events_rollup_multi",
     "near_dup_clusters",
+    "waiting_suppliers",
+    "profiles_quality_report",
+    "approx_quantiles_check",
+    "split_contamination",
+    "simhash_weighted_dupes",
 ]
 
 

@@ -754,3 +754,39 @@ def embedding_near_dupes_hof(
         .select("vec_a", "vec_b", F.round(dot, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def split_contamination(docs: DataFrame) -> DataFrame:
+    """Train→test contamination audit: for each test-split document,
+    the fraction of its shingles that also appear in ANY train-split
+    document. Benchmark leakage through near-verbatim overlap is a
+    first-order training-data concern; the reference has no notion of
+    splits at all (its duplicate Mongo appends are the closest
+    artifact, Real_Time_Data.py:147-157).
+
+    Split assignment is the engine's deterministic md5 bucket
+    (text.split_col) recomputed from doc_id — free, no join against a
+    split table. Scale shape: train shingles collapse to DISTINCT
+    (one uniform shuffle), test shingles probe them with a semi join
+    on the shingle key, then one groupBy per test doc — linear end to
+    end, never quadratic. At web scale put a df-cap or bloom
+    prefilter on the train side exactly as ngram_jaccard_dupes does.
+    """
+    from .text import round4, split_col
+
+    sh = shingles(docs).withColumn("split", split_col(F.col("doc_id")))
+    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    test_sh = sh.filter(F.col("split") == "test").select("doc_id", "shingle")
+    totals = test_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        test_sh.join(train_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_sh",
+        n_cont.alias("n_contaminated"),
+        round4(n_cont / F.col("n_sh")).alias("contamination"),
+    )

@@ -1027,6 +1027,36 @@ sh AS (
 )"""
 
 
+@query(
+    "split_contamination",
+    f"""WITH {_shingles_cte("documents")},
+    tagged AS (
+      SELECT doc_id, shingle,
+             CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS UBIGINT) AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM sh),
+    tr AS (SELECT DISTINCT shingle FROM tagged WHERE split = 'train'),
+    te AS (SELECT doc_id, shingle FROM tagged WHERE split = 'test'),
+    tot AS (SELECT doc_id, count(*) AS n_sh FROM te GROUP BY doc_id),
+    hit AS (SELECT doc_id, count(*) AS n_contaminated
+            FROM te WHERE shingle IN (SELECT shingle FROM tr)
+            GROUP BY doc_id)
+    SELECT t.doc_id, t.n_sh,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           floor(COALESCE(h.n_contaminated, 0) / t.n_sh * 10000 + 0.5) / 10000.0
+             AS contamination
+    FROM tot t LEFT JOIN hit h USING (doc_id)""",
+)
+def q_split_contamination(spark, sf_dir):
+    """Benchmark-leakage audit: shingle overlap of every test-split
+    document against the train split (decontamination's measurement
+    step)."""
+    return dedup.split_contamination(_t(spark, sf_dir, "documents"))
+
+
 _SHINGLES_CTE = _shingles_cte("dupes")
 
 _MINHASH_CTE = (
@@ -1812,8 +1842,8 @@ DRIVER_PRIORITY = [
     # text analysis / training-data ops
     "text_stats",
     "top_ngrams",
-    "chunk_documents",
     "deterministic_split",
+    "split_contamination",
     # dedup / similarity / curation / multimodal
     "dedup_exact_groups",
     "minhash_lsh_candidates",

@@ -420,3 +420,31 @@ def test_simhash_weighted_discriminates(spark, sf_dir):
     # and the weighted signature must not collapse the corpus the way
     # the unweighted token form does (28k pairs at this SF)
     assert len(pairs) < 2000
+
+
+def test_split_contamination_golden(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.text import (
+        split_col,
+    )
+
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    splits = {
+        r["doc_id"]: r["s"]
+        for r in ids.select("doc_id", split_col(F.col("doc_id")).alias("s")).collect()
+    }
+    train_id = next(i for i in splits if splits[i] == "train")
+    test_ids = [i for i in splits if splits[i] == "test"][:2]
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        Row(doc_id=train_id, text=shared),
+        Row(doc_id=test_ids[0], text=shared),  # fully contaminated
+        Row(doc_id=test_ids[1], text="uniq1 uniq2 uniq3 uniq4 uniq5"),  # clean
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup.split_contamination(spark.createDataFrame(rows)).collect()
+    }
+    assert out[test_ids[0]]["contamination"] == 1.0
+    assert out[test_ids[0]]["n_sh"] == 4  # 6 words -> 4 distinct 3-grams
+    assert out[test_ids[1]]["contamination"] == 0.0
+    assert train_id not in out  # report covers the test split only
