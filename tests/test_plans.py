@@ -158,3 +158,13 @@ def test_waiting_suppliers_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_contamination_probe_is_semi_join(spark, sf_dir):
+    """The train-shingle probe must stay a keyed semi join — a
+    nested-loop or cartesian means the IN-subquery decorrelation
+    failed and the audit goes quadratic."""
+    plan = _plan(spark, "split_contamination", sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
