@@ -448,3 +448,52 @@ def test_split_contamination_golden(spark):
     assert out[test_ids[0]]["n_sh"] == 4  # 6 words -> 4 distinct 3-grams
     assert out[test_ids[1]]["contamination"] == 0.0
     assert train_id not in out  # report covers the test split only
+
+
+def test_operators_handle_empty_inputs(spark):
+    """A complete engine survives empty partitions and empty corpora —
+    HOF pipelines, iterative clustering, checkpointed rollups, and
+    the profiler must all yield sane empty-side results, not crash."""
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    events = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        temporal,
+    )
+
+    assert dedup.near_dedup_minhash(docs).count() == 0
+    assert dedup.simhash_weighted_dupes(docs).count() == 0
+    assert dedup.near_dup_clusters(docs).count() == 0
+    assert dedup.split_contamination(docs).count() == 0
+    assert temporal.hypertable_rollup(events).count() == 0
+    prof = aggregates.table_profile(docs)
+    assert prof.count() == 5  # one row per column, all n_rows = 0
+    assert all(r["n_rows"] == 0 and r["min_value"] is None for r in prof.collect())
+
+
+def test_rollup_agrees_with_windowed_aggregate(spark, sf_dir):
+    """Cross-operator consistency: the hypertable hour grain must
+    carry exactly the row counts of the independent window()-based
+    hourly aggregate (streaming-equivalent path, driver-verified)."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        temporal,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = {}
+    for r in analytics.events_hourly(ev).collect():
+        hourly[r["hour_start"]] = hourly.get(r["hour_start"], 0) + r["n"]
+    roll = {
+        r["bucket_start"]: r["n_events"]
+        for r in temporal.hypertable_rollup(ev).collect()
+        if r["grain"] == "hour"
+    }
+    assert roll == hourly
