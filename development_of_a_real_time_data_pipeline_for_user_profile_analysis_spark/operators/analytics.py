@@ -880,3 +880,17 @@ def waiting_suppliers(
         .orderBy(F.desc("numwait"), "s_name")
         .limit(k)
     )
+
+
+def event_type_unpivot(events: DataFrame) -> DataFrame:
+    """UNPIVOT (melt): the wide per-user event-type matrix back to
+    long (user_id, event_type, n) rows — the reshape inverse of
+    event_type_pivot. unpivot() is a zero-shuffle projection over the
+    already-aggregated wide table (Expand node, map-side only); rows
+    with n = 0 are dropped to mirror the long-form groupBy exactly.
+    """
+    wide = event_type_pivot(events)
+    return (
+        wide.unpivot("user_id", EVENT_TYPES, "event_type", "n")
+        .filter(F.col("n") > 0)
+    )

@@ -497,6 +497,20 @@ def q_event_type_pivot(spark, sf_dir):
 
 
 @query(
+    "event_type_unpivot",
+    """SELECT user_id, event_type, count(*) AS n
+       FROM events
+       WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+       GROUP BY 1, 2""",
+)
+def q_event_type_unpivot(spark, sf_dir):
+    """UNPIVOT/melt — the reshape inverse of event_type_pivot; the
+    wide matrix unpivoted back to long form must equal the direct
+    long-form aggregate exactly (the oracle is that aggregate)."""
+    return analytics.event_type_unpivot(_t(spark, sf_dir, "events"))
+
+
+@query(
     "daily_revenue_range_ma",
     """WITH daily AS (
          SELECT CAST(o_orderdate AS DATE) AS day,
