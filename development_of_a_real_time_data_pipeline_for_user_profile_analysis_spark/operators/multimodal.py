@@ -116,3 +116,37 @@ def frame_sample_plan(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
             )
         ).alias("frame_offset"),
     )
+
+
+FEATURES_SCHEMA = "doc_id long, n_bytes long, " + ", ".join(
+    f"h{b} double" for b in range(8)
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature-extract stage (decode → FEATURES → downstream ANN):
+    a per-payload byte-histogram descriptor — 8 buckets over the byte
+    value range, L1-normalized — computed batch-at-a-time in numpy
+    over the Arrow stream. This is the stand-in for a real
+    CNN/embedding feature step with the identical batch shape and a
+    vector-per-payload output; unlike the decode stub it is a real
+    computation over the payload BYTES, so it is value-checked
+    against a SQL oracle end to end. floor-based 4dp rounding keeps
+    the fractions engine-exact (see text.round4).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["payload"]]
+            n = np.array([a.size for a in arrs], dtype=np.int64)
+            hists = np.stack(
+                [np.bincount(a >> 5, minlength=8) for a in arrs]
+            ).astype(np.float64)
+            frac = hists / np.maximum(n, 1)[:, None]
+            out = {"doc_id": pdf["doc_id"], "n_bytes": n}
+            for b in range(8):
+                out[f"h{b}"] = np.floor(frac[:, b] * 10000 + 0.5) / 10000.0
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FEATURES_SCHEMA)

@@ -1489,6 +1489,30 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _features_oracle() -> str:
+    hcols = ", ".join(
+        f"floor(count(*) FILTER (unicode(ch) // 32 = {b}) / count(*) * 10000 + 0.5)"
+        f" / 10000.0 AS h{b}"
+        for b in range(8)
+    )
+    return f"""WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents)
+    SELECT doc_id, count(*) AS n_bytes, {hcols}
+    FROM chars GROUP BY doc_id"""
+
+
+@query("multimodal_features", _features_oracle())
+def q_multimodal_features(spark, sf_dir):
+    """Feature-extract over payload bytes (8-bucket L1-normalized
+    byte histogram) via Arrow mapInPandas + numpy — the multimodal
+    stage that is a real computation, value-checked byte-for-byte
+    (the corpus is ASCII, so the SQL oracle's char codes equal the
+    utf-8 payload bytes)."""
+    return multimodal.extract_features(
+        multimodal.attach_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
 @query(
     "frame_offsets",
     """SELECT doc_id, CAST(o AS BIGINT) AS frame_offset
@@ -1848,7 +1872,6 @@ DRIVER_PRIORITY = [
     "pricing_summary",
     "shipping_priority",
     "nation_revenue",
-    "top_customers",
     "mktsegment_rollup",
     "customer_order_rank",
     "customers_without_orders",
@@ -1890,6 +1913,7 @@ DRIVER_PRIORITY = [
     "cosine_topk",
     "label_centroids",
     "multimodal_decode",
+    "multimodal_features",
 ]
 
 

@@ -497,3 +497,15 @@ def test_rollup_agrees_with_windowed_aggregate(spark, sf_dir):
         if r["grain"] == "hour"
     }
     assert roll == hourly
+
+
+def test_extract_features_golden(spark):
+    media = multimodal.attach_payload(
+        spark.createDataFrame(
+            [Row(doc_id=1, text="    ", lang="en", source="s", n_chars=4)]
+        )
+    )
+    r = multimodal.extract_features(media).collect()[0]
+    # four spaces: byte 0x20 -> bucket 1 with fraction 1.0
+    assert r["n_bytes"] == 4 and r["h1"] == 1.0
+    assert sum(r[f"h{b}"] for b in range(8)) == 1.0

@@ -129,7 +129,10 @@ def test_driver_window_covers_component_families():
         "ngram_jaccard_dupes", "near_dup_clusters",
         "simhash_signatures", "embedding_near_dupes",
         "curation_pipeline", "cosine_topk", "label_centroids",
-        "multimodal_decode",
+        "multimodal_decode", "multimodal_features",
+        "split_contamination", "simhash_weighted_dupes",
+        "profiles_quality_report", "approx_quantiles_check",
+        "events_rollup_multi",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
