@@ -68,6 +68,8 @@ HEADLINE = [
     "approx_quantiles_check",
     "split_contamination",
     "simhash_weighted_dupes",
+    "event_type_unpivot",
+    "multimodal_features",
 ]
 
 
