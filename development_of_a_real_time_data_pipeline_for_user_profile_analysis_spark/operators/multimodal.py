@@ -150,3 +150,29 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def similar_payloads(media: DataFrame, query_doc_id: int = 0, k: int = 10) -> DataFrame:
+    """decode → feature-extract → similarity, end to end: brute-force
+    cosine top-k over the byte-histogram feature vectors (the same
+    TakeOrderedAndProject shape as similarity.cosine_topk). The query
+    row broadcasts; ties in the 6dp-rounded cosine break on doc_id so
+    the top-k is deterministic in any engine."""
+    from .similarity import cosine
+
+    feats = extract_features(media).select(
+        "doc_id", F.array(*[F.col(f"h{b}") for b in range(8)]).alias("fv")
+    )
+    q = feats.filter(F.col("doc_id") == query_doc_id).select(
+        F.col("fv").alias("q_fv")
+    )
+    return (
+        feats.filter(F.col("doc_id") != query_doc_id)
+        .join(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(cosine(F.col("fv"), F.col("q_fv")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(k)
+    )

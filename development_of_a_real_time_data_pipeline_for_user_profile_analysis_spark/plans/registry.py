@@ -1514,6 +1514,25 @@ def q_multimodal_features(spark, sf_dir):
 
 
 @query(
+    "multimodal_similar_docs",
+    f"""WITH feats AS ({_features_oracle()}),
+    fv AS (SELECT doc_id, [h0, h1, h2, h3, h4, h5, h6, h7] AS v FROM feats),
+    q AS (SELECT v AS q_v FROM fv WHERE doc_id = 0)
+    SELECT fv.doc_id, round(list_cosine_similarity(fv.v, q.q_v), 6) AS cosine
+    FROM fv, q WHERE fv.doc_id != 0
+    ORDER BY cosine DESC, fv.doc_id
+    LIMIT 10""",
+)
+def q_multimodal_similar_docs(spark, sf_dir):
+    """The full multimodal pipeline composed: payload → byte-histogram
+    features → cosine top-k — decode-to-retrieval in one plan,
+    value-checked end to end."""
+    return multimodal.similar_payloads(
+        multimodal.attach_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+@query(
     "frame_offsets",
     """SELECT doc_id, CAST(o AS BIGINT) AS frame_offset
        FROM (SELECT doc_id,
