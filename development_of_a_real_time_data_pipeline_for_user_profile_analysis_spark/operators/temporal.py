@@ -82,3 +82,37 @@ def hypertable_rollup(events: DataFrame, materialize: bool = True) -> DataFrame:
         "n_events",
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+def gapfill_minutes(events: DataFrame) -> DataFrame:
+    """time_bucket_gapfill: the dense minute grid between the corpus
+    min/max timestamps, zero-filled where no events landed — what a
+    charting/export consumer needs from the hypertable rollup
+    (sparse buckets read as missing data, not as zero activity).
+
+    The grid derives from a one-row bounds aggregate broadcast into
+    sequence() + explode, so its size is calendar-bounded (~526k rows
+    per year at minute grain) and independent of event volume; the
+    join back to the minute partials is a left join on the bucket
+    key. No driver-side collect anywhere.
+    """
+    bounds = events.agg(
+        F.date_trunc("minute", F.min("ts")).alias("t0"),
+        F.date_trunc("minute", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 MINUTE"))
+        ).alias("bucket_start")
+    )
+    minute = events.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    return grid.join(minute, "bucket_start", "left").select(
+        "bucket_start",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.coalesce(F.col("sum_value"), F.lit(0.0)), 2).alias("sum_value"),
+    )

@@ -461,6 +461,27 @@ def q_events_rollup_multi(spark, sf_dir):
 
 
 @query(
+    "events_gapfill_minute",
+    """WITH b AS (SELECT date_trunc('minute', min(ts)) AS t0,
+                         date_trunc('minute', max(ts)) AS t1 FROM events),
+       grid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE))
+                  AS bucket_start FROM b),
+       m AS (SELECT date_trunc('minute', ts) AS bucket_start,
+                    count(*) AS n_events, sum(value) AS sum_value
+             FROM events GROUP BY 1)
+       SELECT g.bucket_start,
+              CAST(COALESCE(m.n_events, 0) AS BIGINT) AS n_events,
+              round(COALESCE(m.sum_value, 0), 2) AS sum_value
+       FROM grid g LEFT JOIN m USING (bucket_start)""",
+)
+def q_events_gapfill_minute(spark, sf_dir):
+    """time_bucket_gapfill analog: dense zero-filled minute grid —
+    the hypertable rollup's charting/export companion. Grid size is
+    calendar-bounded, independent of event volume."""
+    return temporal.gapfill_minutes(_t(spark, sf_dir, "events"))
+
+
+@query(
     "events_sessionized",
     """WITH flagged AS (
          SELECT user_id, ts,

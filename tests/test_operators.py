@@ -509,3 +509,24 @@ def test_extract_features_golden(spark):
     # four spaces: byte 0x20 -> bucket 1 with fraction 1.0
     assert r["n_bytes"] == 4 and r["h1"] == 1.0
     assert sum(r[f"h{b}"] for b in range(8)) == 1.0
+
+
+def test_gapfill_minutes_golden(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        temporal,
+    )
+
+    t = dt.datetime(2024, 1, 5, 10, 0, 30)
+    rows = [
+        Row(ts=t, value=1.5),
+        Row(ts=t + dt.timedelta(minutes=3), value=2.5),
+    ]
+    out = {
+        r["bucket_start"]: (r["n_events"], r["sum_value"])
+        for r in temporal.gapfill_minutes(spark.createDataFrame(rows)).collect()
+    }
+    assert len(out) == 4  # 10:00 .. 10:03 inclusive, gaps included
+    assert out[dt.datetime(2024, 1, 5, 10, 0)] == (1, 1.5)
+    assert out[dt.datetime(2024, 1, 5, 10, 1)] == (0, 0.0)
+    assert out[dt.datetime(2024, 1, 5, 10, 2)] == (0, 0.0)
+    assert out[dt.datetime(2024, 1, 5, 10, 3)] == (1, 2.5)
