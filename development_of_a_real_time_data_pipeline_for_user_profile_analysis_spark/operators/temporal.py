@@ -116,3 +116,44 @@ def gapfill_minutes(events: DataFrame) -> DataFrame:
         F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
         F.round(F.coalesce(F.col("sum_value"), F.lit(0.0)), 2).alias("sum_value"),
     )
+
+
+def gapfill_locf(events: DataFrame) -> DataFrame:
+    """Gap-fill with last-observation-carried-forward imputation: the
+    minute grid where empty buckets inherit the most recent observed
+    per-minute average (a gauge reading), NULL until the first
+    observation. The global time-ordered window is legitimate here —
+    unlike data-keyed global windows, the grid is calendar-bounded
+    (~526k rows/year), so one partition holds a year comfortably at
+    any corpus size; partition by calendar year for longer ranges.
+    """
+    from pyspark.sql import Window
+
+    bounds = events.agg(
+        F.date_trunc("minute", F.min("ts")).alias("t0"),
+        F.date_trunc("minute", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 MINUTE"))
+        ).alias("bucket_start")
+    )
+    minute = events.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_start")
+    ).agg(
+        # floor-based 4dp rounding BEFORE the carry-forward so the
+        # propagated value is identical in any engine (text.round4)
+        (F.floor(F.avg("value") * 10000 + 0.5).cast("long") / 10000.0).alias(
+            "observed"
+        )
+    )
+    w = Window.orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(minute, "bucket_start", "left")
+        .select(
+            "bucket_start",
+            F.last("observed", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

@@ -482,6 +482,30 @@ def q_events_gapfill_minute(spark, sf_dir):
 
 
 @query(
+    "events_gapfill_locf",
+    """WITH b AS (SELECT date_trunc('minute', min(ts)) AS t0,
+                         date_trunc('minute', max(ts)) AS t1 FROM events),
+       grid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE))
+                  AS bucket_start FROM b),
+       m AS (SELECT date_trunc('minute', ts) AS bucket_start,
+                    floor(avg(value) * 10000 + 0.5) / 10000.0 AS observed
+             FROM events GROUP BY 1)
+       SELECT g.bucket_start,
+              last_value(m.observed IGNORE NULLS) OVER (
+                ORDER BY g.bucket_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS filled_value
+       FROM grid g LEFT JOIN m USING (bucket_start)""",
+)
+def q_events_gapfill_locf(spark, sf_dir):
+    """Gap-fill with last-observation-carried-forward imputation —
+    empty minutes inherit the latest observed per-minute average.
+    The carry-forward source is 4dp-floor-rounded before propagation
+    so both engines carry the identical double."""
+    return temporal.gapfill_locf(_t(spark, sf_dir, "events"))
+
+
+@query(
     "events_sessionized",
     """WITH flagged AS (
          SELECT user_id, ts,

@@ -530,3 +530,24 @@ def test_gapfill_minutes_golden(spark):
     assert out[dt.datetime(2024, 1, 5, 10, 1)] == (0, 0.0)
     assert out[dt.datetime(2024, 1, 5, 10, 2)] == (0, 0.0)
     assert out[dt.datetime(2024, 1, 5, 10, 3)] == (1, 2.5)
+
+
+def test_gapfill_locf_golden(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        temporal,
+    )
+
+    t = dt.datetime(2024, 1, 5, 10, 0, 30)
+    rows = [
+        Row(ts=t, value=2.0),
+        Row(ts=t + dt.timedelta(seconds=20), value=4.0),  # same minute, avg 3.0
+        Row(ts=t + dt.timedelta(minutes=3), value=5.0),
+    ]
+    out = {
+        r["bucket_start"]: r["filled_value"]
+        for r in temporal.gapfill_locf(spark.createDataFrame(rows)).collect()
+    }
+    assert out[dt.datetime(2024, 1, 5, 10, 0)] == 3.0
+    assert out[dt.datetime(2024, 1, 5, 10, 1)] == 3.0  # carried forward
+    assert out[dt.datetime(2024, 1, 5, 10, 2)] == 3.0
+    assert out[dt.datetime(2024, 1, 5, 10, 3)] == 5.0
