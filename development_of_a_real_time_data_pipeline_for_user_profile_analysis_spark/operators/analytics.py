@@ -894,3 +894,354 @@ def event_type_unpivot(events: DataFrame) -> DataFrame:
         wide.unpivot("user_id", EVENT_TYPES, "event_type", "n")
         .filter(F.col("n") > 0)
     )
+
+
+# ------------------------------------------------------------------
+# TPC-H-style join/subquery shapes (adapted to this star schema: no
+# partsupp table, no commitdate/receiptdate/shipmode columns)
+# ------------------------------------------------------------------
+
+def _rev():
+    """Line revenue expression (built lazily — F.col needs a session)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations
+    by ship year. The nation dimension participates TWICE (supplier
+    side and customer side) — both copies broadcast, so the only
+    line-level shuffle is lineitem⋈orders on orderkey. The nation-pair
+    filter is applied before the aggregate so only qualifying rows
+    reach the final groupBy."""
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def nation_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_2",
+    target_region: str = "ASIA",
+    part_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of revenue for one
+    part type sold into one region, per order year. All dimensions
+    broadcast; the share is a conditional-sum ratio computed in a
+    single aggregate pass (no second scan for the denominator)."""
+    from .text import round4
+
+    cust_nation = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == target_region)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    in_share = F.when(F.col("supp_nation") == target_nation, _rev()).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == part_type)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(round4(F.sum(in_share) / F.sum(_rev())).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_token: str = "widget",
+    cost_factor: float = 0.8,
+) -> DataFrame:
+    """TPC-H Q9 shape adapted (no partsupp → supply cost is proxied as
+    ``cost_factor * p_retailprice``): profit on parts whose name
+    contains a token, by supplier nation and ship year. part/supplier/
+    nation broadcast; lineitem is scanned once and never re-widened."""
+    profit = _rev() - F.lit(cost_factor) * F.col("p_retailprice") * F.col(
+        "l_quantity"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_name").contains(name_token))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", F.desc("l_year"))
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many orders,
+    INCLUDING zero-order customers (the left outer join is the point —
+    an inner join would silently drop the largest bucket). Two
+    aggregations: per-customer counts shuffle on custkey; the
+    histogram over those counts is tiny."""
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+def min_price_supplier(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame, k: int = 25
+) -> DataFrame:
+    """TPC-H Q2 shape adapted (no partsupp → the 'offer' is the
+    observed unit price ``l_extendedprice / l_quantity``): for each
+    part, the supplier with the cheapest observed unit price. The
+    min-per-group is a window row_number partitioned BY PART KEY — a
+    keyed window that scales out, not a global sort. Detail joins are
+    applied to the one-row-per-part survivors only."""
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    offers = (
+        lineitem.select("l_partkey", "l_suppkey", unit)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_price").alias("best"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("best"), F.asc("l_suppkey"))
+    return (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("best"), 2).alias("best_price"),
+        )
+        .orderBy("p_partkey")
+        .limit(k)
+    )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    year: int = 1996,
+    discount: float = 0.05,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase if discounts in a band were
+    eliminated — a pure filter + single-value aggregate. Every
+    predicate (year, discount band, quantity) pushes to the parquet
+    scan; only two partial-sum doubles ever move between stages."""
+    return (
+        lineitem.filter(
+            (F.year("l_shipdate") == year)
+            & (F.col("l_discount") >= discount - 0.011)
+            & (F.col("l_discount") <= discount + 0.011)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def supplier_part_breadth(
+    lineitem: DataFrame,
+    part: DataFrame,
+    excluded_brand: str = "Brand#1",
+    sizes: tuple[int, ...] = (1, 5, 10, 15, 20, 25),
+) -> DataFrame:
+    """TPC-H Q16 shape adapted (supplier-part pairs observed in
+    lineitem stand in for partsupp): how many distinct suppliers can
+    ship each (brand, type) bucket. COUNT(DISTINCT) expands to a
+    two-level aggregate — the first level dedups (brand, type,
+    suppkey) triples map-side before anything wide shuffles."""
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != excluded_brand)
+                    & F.col("p_size").isin(list(sizes))
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+def small_qty_part_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#3"
+) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) were not taken.
+    The per-part average is its own aggregate joined back ON THE PART
+    KEY — co-partitioned with the probe side, so the correlated
+    subquery decorrelates into one keyed shuffle, not a rescan per
+    row."""
+    brand_lines = lineitem.join(
+        F.broadcast(part.filter(F.col("p_brand") == brand)),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avg_qty = brand_lines.groupBy(F.col("l_partkey").alias("ak_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cutoff")
+    )
+    return (
+        brand_lines.join(
+            F.broadcast(avg_qty), F.col("l_partkey") == F.col("ak_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg((F.round(F.sum("l_extendedprice") / 7.0, 2)).alias("avg_yearly"))
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    part attributes (brand, size) with line attributes (quantity).
+    The join stays a single broadcast-hash join with the disjunction
+    evaluated as a post-join filter — Catalyst additionally pushes
+    the brand/size union down into the part scan."""
+    cases = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cases)
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+def promo_part_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    year: int = 1997,
+    min_qty: float = 50.0,
+) -> DataFrame:
+    """TPC-H Q20 shape adapted: suppliers who shipped a meaningful
+    volume of PROMO-type parts in one year. The HAVING threshold
+    collapses lineitem to per-supplier rows before the detail joins;
+    supplier/nation broadcast against the handful of survivors."""
+    promo_qty = (
+        lineitem.filter(F.year("l_shipdate") == year)
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("promo_qty"))
+        .filter(F.col("promo_qty") > min_qty)
+    )
+    return (
+        promo_qty.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "promo_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    idle_since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and total balance of
+    customers with above-average positive balance and no RECENT
+    orders (none since ``idle_since``). The global average is a
+    scalar aggregate broadcast into the filter; the no-recent-orders
+    test is a left-anti join on custkey against the date-filtered
+    orders (filter pushed to the scan, anti join is the one keyed
+    shuffle); nation broadcasts."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit(idle_since))
+    ).select("o_custkey")
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -1904,6 +1904,241 @@ def q_registrable_domains(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# TPC-H-style join/subquery shapes, round 2 widening (schema-adapted:
+# no partsupp / commitdate / shipmode in the testdata star)
+# ------------------------------------------------------------------
+
+
+@query(
+    "volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+              round(sum(volume), 2) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    year(l_shipdate) AS l_year,
+                    l_extendedprice * (1 - l_discount) AS volume
+             FROM lineitem
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year""",
+)
+def q_volume_shipping(spark, sf_dir):
+    return analytics.volume_shipping(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "nation_market_share",
+    """SELECT year(o_orderdate) AS o_year,
+              floor(sum(CASE WHEN n1.n_name = 'NATION_2'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+                    / sum(l_extendedprice * (1 - l_discount))
+                    * 10000 + 0.5) / 10000.0 AS mkt_share
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       JOIN region ON r_regionkey = n2.n_regionkey AND r_name = 'ASIA'
+       GROUP BY o_year
+       ORDER BY o_year""",
+)
+def q_nation_market_share(spark, sf_dir):
+    return analytics.nation_market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+@query(
+    "product_profit",
+    """SELECT n_name AS nation, year(l_shipdate) AS l_year,
+              round(sum(l_extendedprice * (1 - l_discount)
+                        - 0.8 * p_retailprice * l_quantity), 2) AS profit
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON n_nationkey = s_nationkey
+       WHERE p_name LIKE '%widget%'
+       GROUP BY n_name, year(l_shipdate)
+       ORDER BY nation, l_year DESC""",
+)
+def q_product_profit(spark, sf_dir):
+    return analytics.product_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+@query(
+    "customer_order_distribution",
+    """SELECT n_orders, count(*) AS n_customers
+       FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey)
+       GROUP BY n_orders
+       ORDER BY n_customers DESC, n_orders DESC""",
+)
+def q_customer_order_distribution(spark, sf_dir):
+    return analytics.customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "min_price_supplier",
+    """WITH offers AS (
+         SELECT l_partkey, l_suppkey,
+                min(l_extendedprice / l_quantity) AS best
+         FROM lineitem GROUP BY l_partkey, l_suppkey
+       ), ranked AS (
+         SELECT l_partkey, l_suppkey, best,
+                row_number() OVER (PARTITION BY l_partkey
+                                   ORDER BY best ASC, l_suppkey ASC) AS rn
+         FROM offers
+       )
+       SELECT p_partkey, p_name, s_suppkey, s_name,
+              round(best, 2) AS best_price
+       FROM ranked
+       JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       WHERE rn = 1
+       ORDER BY p_partkey
+       LIMIT 25""",
+)
+def q_min_price_supplier(spark, sf_dir):
+    return analytics.min_price_supplier(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+@query(
+    "forecast_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+       FROM lineitem
+       WHERE year(l_shipdate) = 1996
+         AND l_discount >= 0.05 - 0.011 AND l_discount <= 0.05 + 0.011
+         AND l_quantity < 24.0""",
+)
+def q_forecast_revenue(spark, sf_dir):
+    return analytics.forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "supplier_part_breadth",
+    """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand != 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+       GROUP BY p_brand, p_type
+       ORDER BY supplier_cnt DESC, p_brand, p_type""",
+)
+def q_supplier_part_breadth(spark, sf_dir):
+    return analytics.supplier_part_breadth(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "small_qty_part_revenue",
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#3'
+         AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = p_partkey)""",
+)
+def q_small_qty_part_revenue(spark, sf_dir):
+    return analytics.small_qty_part_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "disjunctive_revenue",
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
+              AND l_quantity BETWEEN 20 AND 30)""",
+)
+def q_disjunctive_revenue(spark, sf_dir):
+    return analytics.disjunctive_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "promo_part_suppliers",
+    """WITH promo_qty AS (
+         SELECT l_suppkey, round(sum(l_quantity), 2) AS promo_qty
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_type = 'PROMO' AND year(l_shipdate) = 1997
+         GROUP BY l_suppkey
+         HAVING round(sum(l_quantity), 2) > 50.0
+       )
+       SELECT s_suppkey, s_name, n_name, promo_qty
+       FROM promo_qty
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON n_nationkey = s_nationkey
+       ORDER BY s_suppkey""",
+)
+def q_promo_part_suppliers(spark, sf_dir):
+    return analytics.promo_part_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """SELECT n_name, count(*) AS numcust,
+              round(sum(c_acctbal), 2) AS totacctbal
+       FROM customer
+       JOIN nation ON n_nationkey = c_nationkey
+       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                          WHERE c_acctbal > 0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY n_name
+       ORDER BY n_name""",
+)
+def q_idle_rich_customers(spark, sf_dir):
+    return analytics.idle_rich_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
