@@ -344,3 +344,92 @@ def stratified_sample_summary(
     return total.join(kept, "source", "left").select(
         "source", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
     )
+
+
+def _span_offsets(documents: DataFrame, n: int) -> DataFrame:
+    """All word n-gram spans per doc WITH multiplicity (unlike
+    dedup.shingles, which dedups per doc): explode over start
+    offsets. Row count = total corpus words, so the explode scales
+    linearly with input size and stays a narrow map."""
+    w = F.split(F.col("text"), " ")
+    return (
+        documents.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("w") - (n - 1), F.lit(1))
+                )
+            ).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), n)).alias("span"),
+        )
+    )
+
+
+def duplicate_spans(documents: DataFrame, n: int = 8, k: int = 20) -> DataFrame:
+    """Exact-substring duplication signal: word n-gram spans that
+    occur in 2+ distinct documents, ranked by cross-doc spread then
+    total occurrences. This is the memorization-risk scan an LLM
+    training pipeline runs before span-level dedup: one explode, one
+    groupBy on the span (uniform md5-like key distribution — the
+    shuffle is skew-free), top-k via TakeOrderedAndProject."""
+    return (
+        _span_offsets(documents, n)
+        .groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
+        .limit(k)
+    )
+
+
+def doc_span_uniqueness(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document uniqueness: the fraction of a doc's DISTINCT
+    n-gram shingles that appear in no other document — 1.0 means
+    fully original, near 0 means boilerplate/duplicate. Two keyed
+    shuffles (shingle → global doc-frequency, doc_id → per-doc
+    fraction), both on uniform keys; no self-join of the shingle
+    table."""
+    from .dedup import shingles
+
+    sh = shingles(documents, n)
+    df_counts = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("span_df")
+    )
+    uniq = F.when(F.col("span_df") == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            round4(F.avg(uniq)).alias("uniq_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# PII patterns — deliberately RE2/Java-portable (no lookarounds, no
+# backrefs) so the same pattern runs identically in Spark and DuckDB.
+EMAIL_PII_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PII_RE = r"\+?\d[\d()\- ]{7,}\d"
+
+
+def redact_pii(note: Column) -> tuple[Column, Column, Column]:
+    """(redacted_text, n_emails, n_phones) for a free-text column.
+    Emails are replaced first (their local parts can contain digits
+    that would otherwise feed the phone pattern), then phone-shaped
+    digit runs. Pure JVM regexp — no Python in the row path."""
+    n_emails = F.size(F.regexp_extract_all(note, F.lit(EMAIL_PII_RE), F.lit(0)))
+    no_email = F.regexp_replace(note, EMAIL_PII_RE, "[EMAIL]")
+    n_phones = F.size(
+        F.regexp_extract_all(no_email, F.lit(PHONE_PII_RE), F.lit(0))
+    )
+    redacted = F.regexp_replace(no_email, PHONE_PII_RE, "[PHONE]")
+    return redacted, n_emails.cast("long"), n_phones.cast("long")

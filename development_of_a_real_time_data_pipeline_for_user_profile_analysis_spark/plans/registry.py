@@ -2139,6 +2139,91 @@ def q_idle_rich_customers(spark, sf_dir):
     )
 
 
+@query(
+    "duplicate_spans",
+    """WITH spans AS (
+         SELECT doc_id,
+                array_to_string(w[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS span
+         FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                      unnest(generate_series(1,
+                          greatest(len(string_split(text, ' ')) - 7, 1))) AS i
+               FROM documents))
+       SELECT span, count(*) AS n_occurrences,
+              count(DISTINCT doc_id) AS n_docs
+       FROM spans GROUP BY span
+       HAVING count(DISTINCT doc_id) >= 2
+       ORDER BY n_docs DESC, n_occurrences DESC, span
+       LIMIT 20""",
+)
+def q_duplicate_spans(spark, sf_dir):
+    return text.duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_span_uniqueness",
+    f"""WITH {_shingles_cte("documents")},
+       dfc AS (SELECT shingle, count(DISTINCT doc_id) AS span_df
+               FROM sh GROUP BY shingle)
+       SELECT doc_id, count(*) AS n_shingles,
+              floor(avg(CASE WHEN span_df = 1 THEN 1.0 ELSE 0.0 END)
+                    * 10000 + 0.5) / 10000.0 AS uniq_frac
+       FROM sh JOIN dfc USING (shingle)
+       GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_doc_span_uniqueness(spark, sf_dir):
+    return text.doc_span_uniqueness(_t(spark, sf_dir, "documents"))
+
+
+def _pii_oracle() -> str:
+    email_re, phone_re = text.EMAIL_PII_RE, text.PHONE_PII_RE
+    return f"""WITH {PROFILES_ORACLE_CTE},
+       notes AS (
+         SELECT id, full_name || ' reachable at ' || email || ' or +1-' ||
+                CAST(CAST('0x' || substr(md5(id), 1, 8) AS UBIGINT) AS BIGINT)
+                  AS note
+         FROM profiles),
+       stripped AS (
+         SELECT id, note,
+                regexp_replace(note, '{email_re}', '[EMAIL]', 'g') AS no_email
+         FROM notes)
+       SELECT id,
+              regexp_replace(no_email, '{phone_re}', '[PHONE]', 'g')
+                AS note_redacted,
+              CAST(len(regexp_extract_all(note, '{email_re}')) AS BIGINT)
+                AS n_emails,
+              CAST(len(regexp_extract_all(no_email, '{phone_re}')) AS BIGINT)
+                AS n_phones
+       FROM stripped"""
+
+
+@query("pii_redact_profiles", _pii_oracle())
+def q_pii_redact_profiles(spark, sf_dir):
+    """PII scrubbing, the pre-training hygiene pass: a free-text
+    contact note is synthesized per profile (name + email + an
+    md5-derived phone number), then emails and phone-shaped digit
+    runs are redacted with portable JVM regexps and counted. Narrow
+    map over the profile chain — no shuffle, no Python in the row
+    path."""
+    from pyspark.sql import functions as F
+
+    profs = profiles_df(spark, sf_dir)
+    phone_digits = F.conv(F.substring(F.md5("id"), 1, 8), 16, 10)
+    note = F.concat(
+        F.col("full_name"),
+        F.lit(" reachable at "),
+        F.col("email"),
+        F.lit(" or +1-"),
+        phone_digits,
+    )
+    redacted, n_emails, n_phones = text.redact_pii(note)
+    return profs.select(
+        "id",
+        redacted.alias("note_redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
