@@ -867,6 +867,31 @@ def q_streaming_user_totals(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_stream_join",
+    """SELECT e.event_id AS error_id, e.user_id AS e_user,
+              e.ts AS err_ts, c.user_id AS c_user, c.ts AS click_ts
+       FROM events e JOIN events c
+         ON c.user_id = e.user_id
+        AND c.event_type = 'click'
+        AND epoch_us(c.ts) >= epoch_us(e.ts) - 300000000
+        AND epoch_us(c.ts) < epoch_us(e.ts)
+       WHERE e.event_type = 'error'""",
+)
+def q_streaming_stream_join(spark, sf_dir):
+    """Stream-stream interval join (errors ⋈ preceding same-user
+    clicks) with watermarks on both sides so join state is evictable.
+    availableNow processes the feed as one batch, so the append-mode
+    output must equal the batch interval join — which is the oracle
+    (the aggregated batch twin is `clicks_before_errors`)."""
+    from ..streaming.pipeline import clicks_errors_stream_join
+
+    return _run_to_memory(
+        clicks_errors_stream_join(_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
 # ------------------------------------------------------------------
 # Text analysis (LLM-data-pipeline surface)
 # ------------------------------------------------------------------
@@ -2222,6 +2247,21 @@ def q_pii_redact_profiles(spark, sf_dir):
         n_emails.alias("n_emails"),
         n_phones.alias("n_phones"),
     )
+
+
+@query(
+    "format_roundtrip_counts",
+    """SELECT fmt, source, count(*) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents
+       CROSS JOIN (VALUES ('orc'), ('csv'), ('json')) t(fmt)
+       GROUP BY fmt, source
+       ORDER BY fmt, source""",
+)
+def q_format_roundtrip_counts(spark, sf_dir):
+    from ..sources.sinks import format_roundtrip_counts
+
+    return format_roundtrip_counts(_t(spark, sf_dir, "documents"))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

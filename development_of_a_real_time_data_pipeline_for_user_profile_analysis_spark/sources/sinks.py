@@ -60,3 +60,45 @@ def create_curated_table(
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING parquet{loc}"
     )
+
+
+ROUNDTRIP_FORMATS = ("orc", "csv", "json")
+
+
+def format_roundtrip_counts(
+    documents: DataFrame, formats: tuple[str, ...] = ROUNDTRIP_FORMATS
+) -> DataFrame:
+    """Write documents through each columnar/row format and read them
+    back, proving the sink→source path preserves every row: per-format
+    per-source row counts + char totals over the re-read copies. CSV
+    and JSON are schema-on-read (explicit schema, header for CSV) —
+    silently dropped or type-coerced rows would break the count or the
+    sum against the oracle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark = documents.sparkSession
+    slim = documents.select("doc_id", "text", "source", "n_chars")
+    schema = slim.schema
+    parts = []
+    for fmt in formats:
+        d = tempfile.mkdtemp(prefix=f"roundtrip_{fmt}_")
+        w = slim.write.mode("overwrite").format(fmt)
+        r = spark.read.format(fmt).schema(schema)
+        if fmt == "csv":
+            w = w.option("header", "true")
+            r = r.option("header", "true")
+        w.save(d)
+        parts.append(
+            r.load(d)
+            .groupBy(F.lit(fmt).alias("fmt"), "source")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fmt", "source")

