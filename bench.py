@@ -70,6 +70,20 @@ HEADLINE = [
     "simhash_weighted_dupes",
     "event_type_unpivot",
     "multimodal_features",
+    # round-2 widening: TPC-H join/subquery shapes + hygiene ops
+    "volume_shipping",
+    "nation_market_share",
+    "product_profit",
+    "customer_order_distribution",
+    "min_price_supplier",
+    "forecast_revenue",
+    "supplier_part_breadth",
+    "small_qty_part_revenue",
+    "disjunctive_revenue",
+    "idle_rich_customers",
+    "duplicate_spans",
+    "doc_span_uniqueness",
+    "pii_redact_profiles",
 ]
 
 
@@ -82,7 +96,10 @@ def main() -> None:
         get_spark,
     )
 
-    spark = get_spark("bench")
+    # keep stdout to exactly one JSON line — no stage-progress bars
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/codegen paths so per-query times measure the
