@@ -84,6 +84,7 @@ HEADLINE = [
     "duplicate_spans",
     "doc_span_uniqueness",
     "pii_redact_profiles",
+    "kmeans_assignments",
 ]
 
 

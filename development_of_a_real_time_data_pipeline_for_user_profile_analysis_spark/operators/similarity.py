@@ -219,6 +219,76 @@ def cosine_topk_vectorized(
     )
 
 
+def _sq_euclid(a, b) -> Column:
+    """Σ(aᵢ-bᵢ)² via zip_with + aggregate — JVM higher-order fns,
+    left-fold in array order (portable accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = 8, iterations: int = 2
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus —
+    the classic scalable shape: the k centroids are always a tiny
+    broadcast table, each iteration is one narrow scan (k candidate
+    distances per vector → keyed argmin) plus one (cluster, dim)
+    shuffle to re-average; the corpus is never self-joined and never
+    collected.
+
+    Engine-portable determinism: init centroids are the k lowest
+    vec_ids' embeddings; every distance and every recomputed centroid
+    coordinate is rounded to 6 dp before use, and argmin ties break
+    on cluster id — so the assignment trajectory is identical in any
+    IEEE engine (the DuckDB oracle replays the same two iterations).
+    Returns (vec_id, cluster, dist) after `iterations` assignments.
+    """
+    corpus = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    w_init = Window.orderBy("vec_id")
+    centroids = (
+        corpus.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("long").alias("cid"),
+            F.col("emb").alias("c"),
+        )
+    )
+    assigned = None
+    for _ in range(iterations):
+        dist = F.round(F.sqrt(_sq_euclid(F.col("emb"), F.col("c"))), 6)
+        assigned = (
+            corpus.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "emb", "cid", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cid")).alias("m"),
+                F.first("emb").alias("emb"),
+            )
+            .select("vec_id", "emb", F.col("m.cid").alias("cid"),
+                    F.col("m.dist").alias("dist"))
+        )
+        centroids = (
+            assigned.select("cid", F.posexplode("emb").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("mv"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("c")
+            )
+        )
+    return assigned.select(
+        "vec_id", F.col("cid").alias("cluster"), "dist"
+    ).orderBy("vec_id")
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label mean embedding (the IVF coarse-quantizer build step):
     element-wise array average via posexplode → groupBy. Shuffles

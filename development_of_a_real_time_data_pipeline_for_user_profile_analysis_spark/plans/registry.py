@@ -2264,6 +2264,52 @@ def q_format_roundtrip_counts(spark, sf_dir):
     return format_roundtrip_counts(_t(spark, sf_dir, "documents"))
 
 
+_KMEANS_K = 8
+
+
+def _kmeans_oracle(k: int = _KMEANS_K) -> str:
+    """Replays the same two rounded Lloyd iterations as
+    similarity.kmeans_assign: init = k lowest vec_ids, distances and
+    centroid coordinates rounded to 6 dp, argmin ties break on cid."""
+    assign = """
+{out} AS (
+  SELECT vec_id, e, cid, dist FROM (
+    SELECT emb.vec_id, emb.e, c.cid,
+           round(list_distance(emb.e, c.c), 6) AS dist,
+           row_number() OVER (PARTITION BY emb.vec_id
+               ORDER BY round(list_distance(emb.e, c.c), 6), c.cid) AS rn
+    FROM emb CROSS JOIN {cents} c) WHERE rn = 1)"""
+    recompute = """
+{out} AS (
+  SELECT cid, list(mv ORDER BY dim) AS c FROM (
+    SELECT cid, dim, round(avg(v), 6) AS mv FROM (
+      SELECT cid, generate_subscripts(e, 1) AS dim, unnest(e) AS v
+      FROM {src})
+    GROUP BY cid, dim) GROUP BY cid)"""
+    return (
+        f"""WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         e AS c
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k})),"""
+        + assign.format(out="a1", cents="c0")
+        + ","
+        + recompute.format(out="c1", src="a1")
+        + ","
+        + assign.format(out="a2", cents="c1")
+        + """
+SELECT vec_id, cid AS cluster, dist FROM a2 ORDER BY vec_id"""
+    )
+
+
+@query("kmeans_assignments", _kmeans_oracle())
+def q_kmeans_assignments(spark, sf_dir):
+    return similarity.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, iterations=2
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
