@@ -868,6 +868,39 @@ def q_streaming_user_totals(spark, sf_dir):
 
 
 @query(
+    "streaming_enriched",
+    _with_profiles(
+        """SELECT id, username, gender, age,
+                  CASE gender WHEN 'female' THEN 'F'
+                              WHEN 'male' THEN 'M' END AS gender_code
+           FROM profiles"""
+    ),
+)
+def q_streaming_enriched(spark, sf_dir):
+    """Stream-static join: the curated envelope stream enriched
+    against a static dimension (re-read and broadcast every
+    micro-batch — the slowly-changing-dim pattern). availableNow
+    single batch == the batch left join, which is the oracle."""
+    import tempfile
+
+    from ..streaming.pipeline import enriched_stream, read_envelope_file_stream
+
+    d = tempfile.mkdtemp(prefix="enrich_stream_")
+    env = envelopes_from_customers(load_table(spark, sf_dir, "customer")).select(
+        "value"
+    )
+    env.write.mode("overwrite").text(d)
+    dim = spark.createDataFrame(
+        [("female", "F"), ("male", "M")], "gender string, gender_code string"
+    )
+    src = read_envelope_file_stream(spark, d)
+    out = enriched_stream(src, dim).select(
+        "id", "username", "gender", "age", "gender_code"
+    )
+    return _run_to_memory(out, output_mode="append")
+
+
+@query(
     "streaming_stream_join",
     """SELECT e.event_id AS error_id, e.user_id AS e_user,
               e.ts AS err_ts, c.user_id AS c_user, c.ts AS click_ts

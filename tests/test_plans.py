@@ -228,3 +228,13 @@ def test_pii_redact_is_narrow(spark, sf_dir):
     """Redaction is a pure map over the profile chain — no shuffle."""
     plan = _plan(spark, "pii_redact_profiles", sf_dir)
     assert "Exchange" not in plan
+
+
+def test_kmeans_broadcasts_centroids_only(spark, sf_dir):
+    """Lloyd's iterations must broadcast the k centroids (nested-loop
+    over a k-row build side is the right plan) — never sort-merge or
+    shuffle the corpus against itself."""
+    plan = _plan(spark, "kmeans_assignments", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

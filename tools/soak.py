@@ -56,6 +56,22 @@ QUERIES_TO_RUN = [
     "ngram_jaccard_dupes",
     "profiles_quality_report",
     "approx_quantiles_check",
+    # round-2 widening
+    "volume_shipping",
+    "nation_market_share",
+    "product_profit",
+    "customer_order_distribution",
+    "min_price_supplier",
+    "forecast_revenue",
+    "supplier_part_breadth",
+    "disjunctive_revenue",
+    "idle_rich_customers",
+    "duplicate_spans",
+    "doc_span_uniqueness",
+    "pii_redact_profiles",
+    "kmeans_assignments",
+    "streaming_stream_join",
+    "format_roundtrip_counts",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
