@@ -1245,3 +1245,42 @@ def idle_rich_customers(
         )
         .orderBy("n_name")
     )
+
+
+def hll_mergeability_check(events: DataFrame, lg_k: int = 14) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg): per-segment sketches unioned with hll_union_agg
+    must estimate the SAME value as one direct global sketch — the
+    property that makes pre-aggregated distinct counts work at 100 TB
+    (build tiny per-partition/per-day sketches once, merge on demand;
+    never rescan the fact table for a new grouping).
+
+    HLL register merge is max(): commutative, associative,
+    idempotent — so `parts_equal_direct` is deterministically true
+    regardless of partitioning or merge order, and the estimate lands
+    within the sketch's error bound of the exact count
+    (`within_tolerance`, 3σ ≈ 3·1.04/√2^lg_k ≈ 2.4% at lg_k=14).
+    The oracle asserts both booleans plus the exact count.
+    """
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sketch")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_merged")
+    )
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(lg_k))).alias(
+            "est_direct"
+        ),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    tol = 3 * 1.04 / (2 ** (lg_k / 2))
+    return direct.crossJoin(merged).select(
+        "exact_users",
+        (F.col("est_merged") == F.col("est_direct")).alias("parts_equal_direct"),
+        (
+            F.abs(F.col("est_direct") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= tol
+        ).alias("within_tolerance"),
+    )

@@ -790,3 +790,26 @@ def split_contamination(docs: DataFrame) -> DataFrame:
         n_cont.alias("n_contaminated"),
         round4(n_cont / F.col("n_sh")).alias("contamination"),
     )
+
+
+def incremental_new_docs(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """Incremental-ingest dedup: rows of ``batch`` whose content
+    digest does NOT already exist in ``corpus`` — the every-crawl
+    delta step of a continuously-growing training corpus (dedupe the
+    new snapshot against everything already ingested, never re-dedupe
+    the whole corpus).
+
+    Scale shape: the corpus side collapses to DISTINCT digests (16
+    bytes/doc — ~1.6 TB of key material per 100 B docs, a uniform
+    left-anti shuffle join). The batch side is typically ≪ corpus, so
+    AQE picks the right build side; with a persisted digest snapshot
+    table, bucketing both sides on `content_hash` makes the anti-join
+    shuffle-free. A bloom prefilter on the corpus digests cuts the
+    probe further when the batch is tiny.
+    """
+    seen = corpus.select(F.md5(F.col("text")).alias("content_hash")).distinct()
+    return (
+        batch.withColumn("content_hash", F.md5(F.col("text")))
+        .join(seen, "content_hash", "left_anti")
+        .drop("content_hash")
+    )

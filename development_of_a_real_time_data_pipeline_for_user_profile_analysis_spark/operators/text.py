@@ -8,7 +8,7 @@ shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword langid
@@ -433,3 +433,63 @@ def redact_pii(note: Column) -> tuple[Column, Column, Column]:
     )
     redacted = F.regexp_replace(no_email, PHONE_PII_RE, "[PHONE]")
     return redacted, n_emails.cast("long"), n_phones.cast("long")
+
+
+def sample_per_source(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Deterministic top-k-per-stratum subsample: the k docs per
+    source with the lowest md5(doc_id) — a reproducible "give me N
+    examples from every source" draw (inspection sets, eval slices,
+    mixture probes). Hash order makes the draw uniform-ish but
+    engine-portable and stable across runs/cluster sizes; doc_id
+    breaks hash ties.
+
+    Scale shape: one shuffle on `source`; rank+filter is top-k per
+    group, so only k rows per stratum survive the exchange. (With
+    heavily skewed strata, pre-filter by a hash threshold ≈ k/n per
+    source first, then rank the survivors.)
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        documents.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
+def quality_deciles(documents: DataFrame) -> DataFrame:
+    """Corpus quality-score deciles WITHOUT a global sort: per-score
+    counts (the distinct rounded scores are few) → CDF over that tiny
+    histogram → decile = floor(10 · cdf_before / total). The
+    histogram-CDF trick is the same scale form age_ecdf's
+    age_histogram uses: the only single-partition window runs over
+    |distinct scores| rows, never the corpus.
+
+    This is the quality-gating knob ("drop the bottom 3 deciles") a
+    training-data pipeline applies before tokenization. Decile is
+    defined by CDF position of the score VALUE (ties share a decile)
+    — unlike ntile, which splits ties arbitrarily and is neither
+    deterministic nor engine-portable.
+    """
+    scored = documents.select(quality_score(F.col("text")).alias("q"))
+    hist = scored.groupBy("q").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    total = Window.partitionBy()
+    with_dec = hist.select(
+        "q",
+        "n",
+        F.least(
+            F.lit(9),
+            F.floor(
+                10
+                * F.coalesce(F.sum("n").over(w), F.lit(0))
+                / F.sum("n").over(total)
+            ),
+        ).alias("decile"),
+    )
+    return with_dec.groupBy("decile").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.min("q").alias("min_score"),
+        F.max("q").alias("max_score"),
+    )

@@ -13,12 +13,14 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import (
     aggregates,
     analytics,
     dedup,
     etl,
+    maintenance,
     multimodal,
     similarity,
     temporal,
@@ -2343,6 +2345,170 @@ def q_kmeans_assignments(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# Serving-store maintenance (upsert / SCD2) + round-2 widening
+# ------------------------------------------------------------------
+
+_UPSERT_BASE = """,
+base AS (
+  SELECT id, username, age, 1 AS _version,
+         CAST(CAST('0x' || substr(md5(id), 1, 8) AS UBIGINT) AS BIGINT)
+           % 10 AS _b
+  FROM profiles),
+upd AS (
+  SELECT id, username, age + 1 AS age, 2 AS _version
+  FROM base WHERE _b = 0
+  UNION ALL
+  SELECT 'new-' || id, username, age, 2 AS _version
+  FROM base WHERE _b = 7)"""
+
+
+def _upsert_frames(spark, sf_dir):
+    base = profiles_df(spark, sf_dir).select(
+        "id", "username", "age", F.lit(1).alias("_version")
+    )
+    bucket = F.conv(F.substring(F.md5("id"), 1, 8), 16, 10).cast("long") % 10
+    upd = (
+        base.filter(bucket == 0)
+        .withColumn("age", F.col("age") + 1)
+        .withColumn("_version", F.lit(2))
+        .unionByName(
+            base.filter(bucket == 7)
+            .withColumn("id", F.concat(F.lit("new-"), F.col("id")))
+            .withColumn("_version", F.lit(2))
+        )
+    )
+    return base, upd
+
+
+@query(
+    "profiles_upsert",
+    _with_profiles(
+        _UPSERT_BASE
+        + """
+       SELECT id, username, age, _version FROM (
+         SELECT u.*, row_number() OVER (PARTITION BY id
+             ORDER BY _version DESC, _src DESC) AS rn
+         FROM (SELECT id, username, age, _version, 0 AS _src FROM base
+               UNION ALL SELECT *, 1 AS _src FROM upd) u)
+       WHERE rn = 1"""
+    ),
+)
+def q_profiles_upsert(spark, sf_dir):
+    """MERGE INTO semantics on immutable parquet: latest-wins key
+    merge of the curated profile snapshot with a deterministic
+    updates feed (10% age bumps + inserts). Single window shuffle on
+    the merge key — see operators/maintenance.py."""
+    base, upd = _upsert_frames(spark, sf_dir)
+    return maintenance.merge_upsert(base, upd, ["id"], "_version")
+
+
+@query(
+    "customer_status_history",
+    """WITH runs AS (
+         SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+         FROM (SELECT *, lag(o_orderstatus) OVER w AS prev
+               FROM orders
+               WINDOW w AS (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey))
+         WHERE prev IS NULL OR o_orderstatus <> prev)
+       SELECT o_custkey, o_orderstatus,
+              o_orderdate AS valid_from,
+              lead(o_orderdate) OVER w2 AS valid_to,
+              lead(o_orderdate) OVER w2 IS NULL AS is_current
+       FROM runs
+       WINDOW w2 AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)""",
+)
+def q_customer_status_history(spark, sf_dir):
+    """SCD type-2 build from a change feed: each customer's
+    order-status runs with half-open validity intervals. One window
+    shuffle on the entity key (operators/maintenance.py)."""
+    return maintenance.scd2_history(
+        _t(spark, sf_dir, "orders"),
+        key="o_custkey",
+        ts_col="o_orderdate",
+        tracked="o_orderstatus",
+        tiebreak="o_orderkey",
+    )
+
+
+@query(
+    "incremental_dedup_new_docs",
+    f"""WITH {dedup.DUPES_ORACLE_CTE.strip()},
+       batch AS (SELECT * FROM dupes WHERE doc_id >= 100000)
+       SELECT doc_id, lang, source, n_chars FROM batch
+       WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)""",
+)
+def q_incremental_dedup_new_docs(spark, sf_dir):
+    """Incremental-ingest dedup: a synthetic 'new crawl' batch (exact
+    copies + near-copies of corpus docs) anti-joined against the
+    existing corpus digests — only genuinely-new content survives."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = dedup.with_synthetic_dupes(docs).filter(F.col("doc_id") >= 100000)
+    return dedup.incremental_new_docs(docs, batch).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "hll_distinct_users_check",
+    """SELECT count(DISTINCT user_id) AS exact_users,
+       true AS parts_equal_direct, true AS within_tolerance
+       FROM events""",
+)
+def q_hll_distinct_users_check(spark, sf_dir):
+    """Mergeable DataSketches HLL: union of per-segment sketches ==
+    one direct global sketch (deterministic — register merge is
+    max()), and the estimate lands within 3σ of exact."""
+    return analytics.hll_mergeability_check(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "docs_sample_per_source",
+    """SELECT doc_id, source, sample_rank FROM (
+         SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS sample_rank
+         FROM documents)
+       WHERE sample_rank <= 50""",
+)
+def q_docs_sample_per_source(spark, sf_dir):
+    """Deterministic k-per-stratum inspection sample (hash-ranked)."""
+    return text.sample_per_source(_t(spark, sf_dir, "documents"), k=50)
+
+
+_SQL_QUALITY = (
+    f"floor((0.4 * least(len({_SPLIT}) / 64.0, 1.0)"
+    f" + 0.4 * least(({_sql_stop_ratio(_STOP_EN)}) * 8, 1.0)"
+    f" + 0.2 * (1 - (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))"
+    f" / greatest(length(text), 1))) * 10000 + 0.5) / 10000.0"
+)
+
+
+@query(
+    "quality_deciles",
+    f"""WITH hist AS (
+         SELECT {_SQL_QUALITY} AS q, count(*) AS n
+         FROM documents GROUP BY 1),
+       cdf AS (
+         SELECT q, n,
+           least(9, CAST(floor(10 * coalesce(
+             sum(n) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0)
+             / sum(n) OVER ()) AS BIGINT)) AS decile
+         FROM hist)
+       SELECT decile, CAST(sum(n) AS BIGINT) AS n_docs,
+              min(q) AS min_score, max(q) AS max_score
+       FROM cdf GROUP BY decile""",
+)
+def q_quality_deciles(spark, sf_dir):
+    """Quality-score deciles via histogram-CDF (no global sort of the
+    corpus — the only window runs over |distinct scores| rows)."""
+    return text.quality_deciles(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
@@ -2410,7 +2576,7 @@ DRIVER_PRIORITY = [
     "near_dup_clusters",
     "simhash_signatures",
     "simhash_dupes",
-    "simhash_weighted_dupes",
+    "profiles_upsert",
     "embedding_near_dupes",
     "curation_pipeline",
     "cosine_topk",

@@ -130,7 +130,7 @@ def test_driver_window_covers_component_families():
         "simhash_signatures", "embedding_near_dupes",
         "curation_pipeline", "cosine_topk", "label_centroids",
         "multimodal_decode", "multimodal_features",
-        "split_contamination", "simhash_weighted_dupes",
+        "split_contamination", "simhash_dupes", "profiles_upsert",
         "profiles_quality_report", "approx_quantiles_check",
         "events_rollup_multi",
     ]
@@ -238,3 +238,35 @@ def test_kmeans_broadcasts_centroids_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_merge_upsert_is_one_window_no_join(spark, sf_dir):
+    """Upsert = union + window top-1: no join anywhere, and the
+    row_number filter is pushed map-side (WindowGroupLimit) so only
+    candidate winners cross the exchange."""
+    plan = _plan(spark, "profiles_upsert", sf_dir)
+    assert "Join" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_scd2_single_shuffle_shared_by_windows(spark, sf_dir):
+    """lag (run collapse) and lead (interval assignment) must share
+    one exchange on the entity key — a second shuffle here doubles
+    the dominant cost at scale."""
+    plan = _plan(spark, "customer_status_history", sf_dir)
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_anti_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "incremental_dedup_new_docs", sf_dir)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_per_source_pushes_group_topk(spark, sf_dir):
+    """Rank filter must compile to WindowGroupLimit on BOTH sides of
+    the exchange: each map task keeps ≤k rows per stratum before the
+    shuffle, so the exchange moves O(k·strata), not the corpus."""
+    plan = _plan(spark, "docs_sample_per_source", sf_dir)
+    assert plan.count("WindowGroupLimit") >= 2

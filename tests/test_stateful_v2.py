@@ -1,137 +1,97 @@
-"""transformWithStateInPandas processor (streaming/stateful_v2.py).
+"""transformWithStateInPandas (Spark 4 arbitrary-state API) and
+RocksDB state store coverage.
 
-The engine-side integration needs the google.protobuf runtime (the
-transformWithState worker speaks proto to the JVM state server),
-which is absent in this environment — so the processor LOGIC is
-verified here against faithful in-memory fakes of the typed state
-API, and the full streaming integration auto-enables when protobuf
-is present (see PERF.md 'transformWithState status')."""
+transformWithStateInPandas requires the protobuf runtime for its
+Python↔JVM state-server protocol; this container doesn't ship
+protobuf, so the behavior test skips there (the operator is written
+to the public API — streaming/stateful.py). The RocksDB provider is
+JVM-side and runs regardless.
+"""
 
 from __future__ import annotations
 
-import pandas as pd
+import importlib.util
+
 import pytest
 
-from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.stateful_v2 import (
-    UserProfileProcessor,
-    running_user_profiles,
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming import (
+    stateful,
 )
 
-
-class FakeValueState:
-    def __init__(self):
-        self._v = None
-
-    def exists(self):
-        return self._v is not None
-
-    def get(self):
-        return self._v
-
-    def update(self, v):
-        self._v = tuple(v)
-
-    def clear(self):
-        self._v = None
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no 'google' namespace package at all
+    _HAS_PROTOBUF = False
 
 
-class FakeMapState:
-    def __init__(self):
-        self._m = {}
-
-    def exists(self):
-        return bool(self._m)
-
-    def containsKey(self, k):
-        return tuple(k) in self._m
-
-    def getValue(self, k):
-        return self._m[tuple(k)]
-
-    def updateValue(self, k, v):
-        self._m[tuple(k)] = tuple(v)
-
-    def iterator(self):
-        return iter(self._m.items())
-
-    def keys(self):
-        return iter(self._m.keys())
-
-    def values(self):
-        return iter(self._m.values())
-
-    def removeKey(self, k):
-        self._m.pop(tuple(k), None)
-
-    def clear(self):
-        self._m.clear()
-
-
-class FakeHandle:
-    def __init__(self):
-        self.states = {}
-
-    def getValueState(self, name, schema, ttlDurationMs=None):
-        return self.states.setdefault(name, FakeValueState())
-
-    def getMapState(self, name, key_schema, value_schema, ttlDurationMs=None):
-        return self.states.setdefault(name, FakeMapState())
-
-
-def _batch(types_values):
-    return pd.DataFrame(
-        {
-            "event_type": [t for t, _ in types_values],
-            "value": [v for _, v in types_values],
-        }
+def _totals_via(spark, tmp_path, build, ckpt_name, conf=()):
+    spark.createDataFrame(
+        [(1, 1.5), (1, 2.5), (2, 4.0), (3, 0.5)], "user_id long, value double"
+    ).write.parquet(str(tmp_path / "in"))
+    src = spark.readStream.schema("user_id long, value double").parquet(
+        str(tmp_path / "in")
     )
-
-
-def test_processor_accumulates_across_batches():
-    proc = UserProfileProcessor()
-    proc.init(FakeHandle())
-    out1 = pd.concat(
-        proc.handleInputRows((7,), iter([_batch([("view", 1.0), ("click", 2.0)])]), None)
+    name = f"t_{ckpt_name}"
+    writer = (
+        build(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / ckpt_name))
+        .trigger(availableNow=True)
     )
-    assert out1.iloc[0].n_events == 2
-    assert out1.iloc[0].total_value == 3.0
-    assert out1.iloc[0].type_counts == "click:1,view:1"
+    for k, v in conf:
+        writer = writer.option(k, v)
+    q = writer.start()
+    q.awaitTermination(120)
+    return {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(f"select * from {name}").collect()
+    }
 
-    out2 = pd.concat(
-        proc.handleInputRows((7,), iter([_batch([("view", 4.5)])]), None)
+
+EXPECTED = {1: (2, 4.0), 2: (1, 4.0), 3: (1, 0.5)}
+
+
+@pytest.mark.skipif(not _HAS_PROTOBUF, reason="protobuf runtime absent")
+def test_transform_with_state_running_totals(spark, tmp_path):
+    got = _totals_via(spark, tmp_path, stateful.running_user_totals_tws, "tws")
+    assert got == EXPECTED
+
+
+def test_transform_with_state_plan_resolves(spark, tmp_path):
+    """Even without protobuf the logical plan must build and resolve —
+    catches API drift (argument names, output schema) at import cost
+    only."""
+    src = spark.readStream.schema("user_id long, value double").parquet(
+        str(tmp_path)
     )
-    assert out2.iloc[0].n_events == 3
-    assert out2.iloc[0].total_value == 7.5
-    assert out2.iloc[0].type_counts == "click:1,view:2"
+    df = stateful.running_user_totals_tws(src)
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+    ]
+    assert df.isStreaming
 
 
-def test_processor_keys_are_independent():
-    proc = UserProfileProcessor()
-    handle = FakeHandle()
-    proc.init(handle)
-    list(proc.handleInputRows((1,), iter([_batch([("view", 1.0)])]), None))
-    # a second processor instance (as Spark would run per partition)
-    # with its own state sees nothing from key 1
-    proc2 = UserProfileProcessor()
-    proc2.init(FakeHandle())
-    out = pd.concat(proc2.handleInputRows((2,), iter([_batch([("buy", 9.0)])]), None))
-    assert out.iloc[0].n_events == 1 and out.iloc[0].type_counts == "buy:1"
-
-
-def test_streaming_integration_when_protobuf_present(spark, sf_dir):
-    pytest.importorskip("google.protobuf")
-    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.plans.registry import (
-        _events_stream,
-        _run_to_memory,
+def test_rocksdb_state_store_running_totals(spark, tmp_path):
+    """The same stateful aggregation on the RocksDB state store
+    provider — the provider that keeps 100 TB-scale state off-heap
+    with changelog checkpointing. Set per-session, restored after."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-
-    out = _run_to_memory(
-        running_user_profiles(_events_stream(spark, sf_dir)), output_mode="update"
-    )
-    truth = spark.sql(
-        "SELECT user_id, count(*) n FROM {e} GROUP BY user_id",
-        e=spark.read.parquet(f"{sf_dir}/events.parquet"),
-    )
-    got = {r.user_id: r.n_events for r in out.collect()}
-    for r in truth.collect():
-        assert got[r.user_id] == r.n
+    try:
+        got = _totals_via(
+            spark, tmp_path, stateful.running_user_totals, "rocksdb"
+        )
+        assert got == EXPECTED
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
