@@ -770,21 +770,41 @@ def _events_stream(spark, sf_dir):
     import os
     import tempfile
 
+    import pyarrow as pa
+
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources.readers import parquet_schema
+
+    path = os.path.join(sf_dir, "events.parquet")
     # the file streaming source wants a directory; expose the single
     # parquet file through a temp dir symlink
     d = tempfile.mkdtemp(prefix="events_stream_")
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(path, link)
+    # The readStream schema must match the file's physical ts flavor
+    # (the batch reader's adaptive logic — readers.load_table — has no
+    # streaming twin, so probe the footer here the same way).
+    footer = parquet_schema(path)
+    ts_type = footer.field("ts").type if footer is not None else None
     schema = (
-        "event_id long, ts long, user_id long, "
+        "event_id long, ts {}, user_id long, "
         "event_type string, value double, props string"
     )
-    stream = spark.readStream.schema(schema).parquet(d)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type is not None and pa.types.is_timestamp(ts_type) and ts_type.unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stream = spark.readStream.schema(schema.format("long")).parquet(d)
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    naive = (
+        ts_type is not None and pa.types.is_timestamp(ts_type) and ts_type.tz is None
+    )
+    stream = spark.readStream.schema(
+        schema.format("timestamp_ntz" if naive else "timestamp")
+    ).parquet(d)
+    if naive:  # session tz is pinned UTC → value-preserving
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _run_to_memory(df, output_mode: str = "complete"):

@@ -27,21 +27,30 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # it at scan time, not DataFrame-creation time).
 
 
-def _nano_ts_cols(path: str) -> list[str]:
-    import pyarrow as pa
+def parquet_schema(path: str):
+    """Footer schema of a parquet file (or first part-file of a dir);
+    None if unreadable. Used to adapt reads to the corpus's timestamp
+    flavor (nanos-int64 vs micros, UTC-adjusted vs naive) without
+    loading any data."""
     import pyarrow.parquet as pq
 
     probe = path
     if os.path.isdir(path):
-        parts = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
-        )
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
         if not parts:
-            return []
+            return None
         probe = os.path.join(path, parts[0])
     try:
-        schema = pq.read_schema(probe)
+        return pq.read_schema(probe)
     except Exception:
+        return None
+
+
+def _nano_ts_cols(path: str) -> list[str]:
+    import pyarrow as pa
+
+    schema = parquet_schema(path)
+    if schema is None:
         return []
     return [
         f.name
@@ -59,6 +68,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nano_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    # Micros-unit parquet without isAdjustedToUTC surfaces as
+    # TIMESTAMP_NTZ under Spark 4's NTZ inference; the engine pins the
+    # session to UTC, so the cast is value-preserving and gives every
+    # table one uniform timestamp type (unix_micros & friends require
+    # LTZ).
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
