@@ -85,6 +85,9 @@ HEADLINE = [
     "doc_span_uniqueness",
     "pii_redact_profiles",
     "kmeans_assignments",
+    # round-2 continuation: curation decision + ANN memory lever
+    "cluster_canonicals",
+    "quantize_embeddings",
 ]
 
 

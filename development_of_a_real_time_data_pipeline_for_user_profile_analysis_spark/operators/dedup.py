@@ -616,6 +616,39 @@ def near_dup_clusters(docs: DataFrame, jaccard_threshold: float = 0.6, max_iter:
     return result
 
 
+def cluster_canonicals(docs: DataFrame) -> DataFrame:
+    """Canonical-document selection — the decision step that turns
+    near-dup clusters into a curation action: per connected component,
+    keep the highest-quality member (engine-portable 4-dp score from
+    operators.text; ties break to the lowest doc_id) and report how
+    many documents the keeper replaces.
+
+    Scale shape: the cluster label table joins the scored corpus on
+    doc_id (uniform key), then ONE partial-aggregable groupBy on
+    cluster_id. The argmax is max(struct(quality, -doc_id)) — no
+    per-cluster window sort, and a giant cluster degrades to a wide
+    aggregation rather than a single-task sort. The reference has no
+    dedup at all (duplicate Mongo appends, Real_Time_Data.py:147-157).
+    """
+    from .text import quality_score
+
+    clusters = near_dup_clusters(docs)
+    scored = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    members = clusters.join(scored, "doc_id")
+    agg = members.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("best.neg_id")).alias("keeper_id"),
+        F.col("best.quality").alias("keeper_quality"),
+        "n_members",
+    )
+
+
 def _edge_fingerprint(edges: DataFrame) -> tuple:
     # bit_xor never overflows (ANSI-safe) and is order-independent;
     # count disambiguates the xor's pair-cancellation blind spot

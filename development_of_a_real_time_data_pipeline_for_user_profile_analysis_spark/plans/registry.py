@@ -1305,11 +1305,10 @@ def _simhash_oracle(bits: int = 32, src: str = "documents") -> str:
     return f"SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM {src}"
 
 
-@query(
-    "near_dup_clusters",
-    "WITH RECURSIVE "
-    + dedup.DUPES_ORACLE_CTE
-    + f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+# Transitive-closure clustering over the confirmed near-dup pairs —
+# shared by near_dup_clusters and cluster_canonicals (both prefix
+# "WITH RECURSIVE " + DUPES_ORACLE_CTE).
+_CLUSTERS_CTES = f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_inter
@@ -1332,8 +1331,16 @@ def _simhash_oracle(bits: int = 32, src: str = "documents") -> str:
       SELECT a AS doc_id, a AS r FROM edges
       UNION
       SELECT reach.doc_id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
-    )
-    SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""",
+    ),
+    clusters AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)"""
+
+
+@query(
+    "near_dup_clusters",
+    "WITH RECURSIVE "
+    + dedup.DUPES_ORACLE_CTE
+    + _CLUSTERS_CTES
+    + " SELECT doc_id, cluster_id FROM clusters",
 )
 def q_near_dup_clusters(spark, sf_dir):
     """Connected components over the near-dup pair graph. The Spark
@@ -2529,6 +2536,54 @@ def q_quality_deciles(spark, sf_dir):
     return text.quality_deciles(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "quantize_embeddings",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       p AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+                    list_max(v) - list_min(v) AS s, len(v) AS nd
+             FROM e),
+       u AS (SELECT vec_id, mn, mx, nd, s, unnest(v) AS x FROM p),
+       q AS (SELECT vec_id, mn, mx, nd, s, x,
+                    CASE WHEN s > 0
+                         THEN CAST(floor((x - mn) / s * 255 + 0.5) AS BIGINT)
+                         ELSE 0 END AS code
+             FROM u)
+       SELECT vec_id, CAST(max(nd) AS BIGINT) AS n_dims,
+              max(mn) AS vmin, max(mx) AS vmax,
+              CAST(sum(code) AS BIGINT) AS code_sum,
+              floor(sum(pow(x - (mn + code / 255.0 * s), 2)) / max(nd)
+                    * 100000000 + 0.5) / 100000000.0 AS mse
+       FROM q GROUP BY vec_id""",
+)
+def q_quantize_embeddings(spark, sf_dir):
+    return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "cluster_canonicals",
+    "WITH RECURSIVE "
+    + dedup.DUPES_ORACLE_CTE
+    + _CLUSTERS_CTES
+    + f""",
+    scored AS (SELECT doc_id, {_SQL_QUALITY} AS quality FROM dupes),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, s.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                 ORDER BY s.quality DESC, c.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS nm
+      FROM clusters c JOIN scored s USING (doc_id))
+    SELECT cluster_id, doc_id AS keeper_id, quality AS keeper_quality,
+           CAST(nm AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1""",
+)
+def q_cluster_canonicals(spark, sf_dir):
+    """Per near-dup cluster: keep the best-quality member (ties →
+    lowest doc_id) — the curation decision the cluster labels exist
+    for. Single partial-aggregable groupBy; see dedup.py."""
+    return dedup.cluster_canonicals(_dupes_df(spark, sf_dir))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
@@ -2563,7 +2618,6 @@ DRIVER_PRIORITY = [
     "nation_revenue",
     "mktsegment_rollup",
     "customer_order_rank",
-    "customers_without_orders",
     "purchasing_customers",
     "open_not_pending_customers",
     "segment_priority_grouping_sets",
@@ -2577,7 +2631,6 @@ DRIVER_PRIORITY = [
     "event_type_pivot",
     "user_event_type_sets",
     "conversion_funnel",
-    "zscore_by_source",
     # streaming
     "streaming_events_hourly",
     "streaming_user_totals",
@@ -2594,12 +2647,14 @@ DRIVER_PRIORITY = [
     "near_dedup_minhash",
     "ngram_jaccard_dupes",
     "near_dup_clusters",
+    "cluster_canonicals",
     "simhash_signatures",
     "simhash_dupes",
     "profiles_upsert",
     "embedding_near_dupes",
     "curation_pipeline",
     "cosine_topk",
+    "quantize_embeddings",
     "label_centroids",
     "multimodal_decode",
     "multimodal_features",

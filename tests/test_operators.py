@@ -551,3 +551,42 @@ def test_gapfill_locf_golden(spark):
     assert out[dt.datetime(2024, 1, 5, 10, 1)] == 3.0  # carried forward
     assert out[dt.datetime(2024, 1, 5, 10, 2)] == 3.0
     assert out[dt.datetime(2024, 1, 5, 10, 3)] == 5.0
+
+
+def test_quantize_embeddings_codes_and_error(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[0.0, 0.5, 1.0], label=0),
+            Row(vec_id=1, embedding=[2.0, 2.0, 2.0], label=0),  # flat
+        ]
+    )
+    out = {r.vec_id: r for r in similarity.quantize_embeddings(df).collect()}
+    # vec 0: exact grid points -> codes 0, 128 (floor(127.5+0.5)), 255
+    assert out[0].code_sum == 0 + 128 + 255
+    assert out[0].vmin == 0.0 and out[0].vmax == 1.0
+    # code 128 reconstructs 128/255 != 0.5 -> tiny but nonzero mse
+    assert 0 < out[0].mse < 1e-5
+    # flat vector: zero span -> all-zero codes, perfect reconstruction
+    assert out[1].code_sum == 0 and out[1].mse == 0.0
+
+
+def test_cluster_canonicals_picks_max_quality(docs):
+    canon = dedup.cluster_canonicals(docs).collect()
+    members = {
+        r.doc_id: r.cluster_id for r in dedup.near_dup_clusters(docs).collect()
+    }
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.text import (
+        quality_score,
+    )
+
+    quality = {
+        r.doc_id: r.q
+        for r in docs.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
+    }
+    assert canon  # the fixture's dup family forms >= 1 cluster
+    for row in canon:
+        cluster = [d for d, c in members.items() if c == row.cluster_id]
+        assert row.n_members == len(cluster)
+        best = max(cluster, key=lambda d: (quality[d], -d))
+        assert row.keeper_id == best
+        assert row.keeper_quality == quality[best]

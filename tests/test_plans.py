@@ -270,3 +270,16 @@ def test_sample_per_source_pushes_group_topk(spark, sf_dir):
     shuffle, so the exchange moves O(k·strata), not the corpus."""
     plan = _plan(spark, "docs_sample_per_source", sf_dir)
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_quantize_embeddings_is_narrow(spark, sf_dir):
+    plan = _plan(spark, "quantize_embeddings", sf_dir)
+    assert "Exchange" not in plan  # pure per-row array HOFs, no shuffle
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_cluster_canonicals_single_agg_no_window(spark, sf_dir):
+    # the keeper argmax is max(struct(quality, -doc_id)) — a partial-
+    # aggregable groupBy, never a per-cluster window sort
+    plan = _plan(spark, "cluster_canonicals", sf_dir)
+    assert "Window" not in plan
