@@ -88,6 +88,7 @@ HEADLINE = [
     # round-2 continuation: curation decision + ANN memory lever
     "cluster_canonicals",
     "quantize_embeddings",
+    "cosine_topk_batch",
 ]
 
 

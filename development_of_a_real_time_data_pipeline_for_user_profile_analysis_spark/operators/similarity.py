@@ -358,3 +358,37 @@ def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
         ).alias("code_sum"),
         (F.floor(sse / F.col("n_dims") * 1e8 + 0.5).cast("long") / 1e8).alias("mse"),
     )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """Batched exact top-k — the realistic serving shape: the first
+    ``n_queries`` vectors (by vec_id) form the query set and ONE
+    corpus scan serves all of them. The query matrix broadcasts
+    (tiny by construction); ranking is row_number over per-query
+    partitions, which Spark executes with WindowGroupLimit — a
+    map-side size-k heap per partition, so only ~(partitions x
+    n_queries x k) rows reach the final shuffle, never the corpus x
+    query cross product (plan contract in tests/test_plans.py)."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _to_double(F.col("embedding")).alias("q_emb"),
+    )
+    corpus = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("emb")
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "label", "cosine")
+    )

@@ -2561,6 +2561,26 @@ def q_quantize_embeddings(spark, sf_dir):
 
 
 @query(
+    "cosine_topk_batch",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT q.query_id, e.vec_id, e.label,
+                round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+         FROM e JOIN q ON e.vec_id != q.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rank
+         FROM scored)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, label, cosine
+       FROM ranked WHERE rank <= 10""",
+)
+def q_cosine_topk_batch(spark, sf_dir):
+    return similarity.cosine_topk_batch(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
     "cluster_canonicals",
     "WITH RECURSIVE "
     + dedup.DUPES_ORACLE_CTE

@@ -283,3 +283,10 @@ def test_cluster_canonicals_single_agg_no_window(spark, sf_dir):
     # aggregable groupBy, never a per-cluster window sort
     plan = _plan(spark, "cluster_canonicals", sf_dir)
     assert "Window" not in plan
+
+
+def test_cosine_topk_batch_group_limit_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, "cosine_topk_batch", sf_dir)
+    assert "WindowGroupLimit" in plan  # map-side size-k heap per query
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
