@@ -89,6 +89,7 @@ HEADLINE = [
     "cluster_canonicals",
     "quantize_embeddings",
     "cosine_topk_batch",
+    "etl_dead_letter",
 ]
 
 

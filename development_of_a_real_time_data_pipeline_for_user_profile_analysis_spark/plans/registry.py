@@ -2537,6 +2537,42 @@ def q_quality_deciles(spark, sf_dir):
 
 
 @query(
+    "etl_dead_letter",
+    """SELECT CASE WHEN c_custkey % 13 = 0 THEN 'dead_letter'
+                   ELSE 'parsed' END AS status,
+              count(*) AS n
+       FROM customer GROUP BY 1""",
+)
+def q_etl_dead_letter(spark, sf_dir):
+    """Corrupt-record audit through the real parse path: 1-in-13
+    envelopes are deterministically truncated mid-JSON, then routed
+    through from_json's columnNameOfCorruptRecord — the dead-letter
+    handling the reference *wanted* (its try/except around lazy
+    from_json is a no-op, .ipynb_checkpoints/consumer-checkpoint.py:
+    46-49). Every corrupted envelope must land in the dead-letter
+    bucket and every clean one must parse — the oracle counts the
+    partition from the seed keys."""
+    env = synthetic.envelopes_from_customers(
+        load_table(spark, sf_dir, "customer"), with_key=True
+    )
+    corrupted = env.select(
+        F.when(F.col("k") % 13 == 0, F.substring("value", 1, 40))
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+    audited = etl.parse_envelopes_audited(corrupted)
+    return (
+        audited.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("dead_letter"))
+            .otherwise(F.lit("parsed"))
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "quantize_embeddings",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings),
@@ -2632,9 +2668,9 @@ DRIVER_PRIORITY = [
     "total_users",
     "registrable_domains",
     "userfeed_profiles",
+    "etl_dead_letter",
     # joins / aggregates (TPC-H-style)
     "pricing_summary",
-    "shipping_priority",
     "nation_revenue",
     "mktsegment_rollup",
     "customer_order_rank",
@@ -2645,7 +2681,6 @@ DRIVER_PRIORITY = [
     # event analytics / windows
     "approx_distinct_users",
     "approx_quantiles_check",
-    "events_hourly",
     "events_rollup_multi",
     "events_sessionized",
     "event_type_pivot",
@@ -2663,6 +2698,7 @@ DRIVER_PRIORITY = [
     "split_contamination",
     # dedup / similarity / curation / multimodal
     "dedup_exact_groups",
+    "incremental_dedup_new_docs",
     "minhash_lsh_candidates",
     "near_dedup_minhash",
     "ngram_jaccard_dupes",

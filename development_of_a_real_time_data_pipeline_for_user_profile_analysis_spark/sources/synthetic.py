@@ -75,9 +75,13 @@ def seed_user_columns(k: Column) -> dict[str, Column]:
     }
 
 
-def envelopes_from_customers(customers: DataFrame) -> DataFrame:
+def envelopes_from_customers(
+    customers: DataFrame, with_key: bool = False
+) -> DataFrame:
     """customer table → one JSON envelope string per row, wire-format
-    identical to the reference producer's payload (producer.py:38)."""
+    identical to the reference producer's payload (producer.py:38).
+    ``with_key=True`` also emits the seed key ``k`` (for harnesses
+    that corrupt/partition deterministically by key)."""
     k = F.col("c_custkey")
     c = seed_user_columns(k)
     user = F.struct(
@@ -99,9 +103,10 @@ def envelopes_from_customers(customers: DataFrame) -> DataFrame:
         F.struct(c["uuid"].alias("uuid"), c["username"].alias("username")).alias("login"),
         F.struct(c["registered_str"].alias("date")).alias("registered"),
     )
-    return customers.select(
-        F.to_json(F.struct(F.array(user).alias("results"))).alias("value")
-    )
+    value = F.to_json(F.struct(F.array(user).alias("results"))).alias("value")
+    if with_key:
+        return customers.select(k.alias("k"), value)
+    return customers.select(value)
 
 
 # -- DuckDB mirror ---------------------------------------------------
