@@ -90,6 +90,7 @@ HEADLINE = [
     "quantize_embeddings",
     "cosine_topk_batch",
     "etl_dead_letter",
+    "cms_user_event_counts",
 ]
 
 

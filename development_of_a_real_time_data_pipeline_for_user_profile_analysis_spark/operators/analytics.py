@@ -1284,3 +1284,60 @@ def hll_mergeability_check(events: DataFrame, lg_k: int = 14) -> DataFrame:
             <= tol
         ).alias("within_tolerance"),
     )
+
+
+def cms_user_event_counts(
+    events: DataFrame, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch over user event counts, with the estimate
+    checked against the exact count per key. Rounds out the sketch
+    family (HLL distinct, GK quantiles, CMS frequencies) and, like
+    the MinHash family, uses a deterministic md5 hash family so even
+    the *approximate* structure is value-verifiable across engines.
+
+    Scale shape: the sketch build is one map-side explode (rows x
+    depth) into a (depth x width)-cell aggregate — a few thousand
+    cells regardless of corpus size — and the probe joins that tiny
+    table back broadcast. At 100 TB the cell table is the only thing
+    that moves, and partial aggregation collapses each partition to
+    <= depth*width rows before the shuffle. CMS guarantees
+    estimate >= exact; `lower_bounded` asserts it in-query.
+    """
+
+    def bucket(d: int) -> F.Column:
+        raw = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{d}:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (raw % width).alias("b")
+
+    probes_arr = F.array(
+        *[F.struct(F.lit(d).alias("d"), bucket(d)) for d in range(depth)]
+    )
+    rows = events.select("user_id")
+    cells = (
+        rows.select(F.explode(probes_arr).alias("c"))
+        .select(F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    keys = rows.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = keys.select(
+        "user_id", "exact_n", F.explode(probes_arr).alias("c")
+    ).select("user_id", "exact_n", F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+    return (
+        probes.join(F.broadcast(cells), ["d", "b"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_n")).alias("lower_bounded"),
+        )
+    )

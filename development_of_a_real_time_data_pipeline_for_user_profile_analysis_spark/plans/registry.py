@@ -2536,6 +2536,34 @@ def q_quality_deciles(spark, sf_dir):
     return text.quality_deciles(_t(spark, sf_dir, "documents"))
 
 
+_CMS_H = (
+    "CAST(CAST('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || "
+    "CAST(user_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 1024"
+)
+
+
+@query(
+    "cms_user_event_counts",
+    f"""WITH r AS (SELECT user_id FROM events),
+       cells AS (
+         SELECT d, b, count(*) AS n FROM (
+           SELECT t.d, {_CMS_H} AS b
+           FROM r CROSS JOIN (VALUES (0),(1),(2),(3)) t(d))
+         GROUP BY d, b),
+       keys AS (SELECT user_id, count(*) AS exact_n FROM r GROUP BY user_id),
+       probes AS (
+         SELECT user_id, exact_n, t.d, {_CMS_H} AS b
+         FROM keys CROSS JOIN (VALUES (0),(1),(2),(3)) t(d))
+       SELECT p.user_id, p.exact_n,
+              CAST(min(c.n) AS BIGINT) AS cms_estimate,
+              min(c.n) >= p.exact_n AS lower_bounded
+       FROM probes p JOIN cells c USING (d, b)
+       GROUP BY p.user_id, p.exact_n""",
+)
+def q_cms_user_event_counts(spark, sf_dir):
+    return analytics.cms_user_event_counts(_t(spark, sf_dir, "events"))
+
+
 @query(
     "etl_dead_letter",
     """SELECT CASE WHEN c_custkey % 13 = 0 THEN 'dead_letter'
