@@ -290,3 +290,11 @@ def test_cosine_topk_batch_group_limit_and_broadcast(spark, sf_dir):
     assert "WindowGroupLimit" in plan  # map-side size-k heap per query
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cms_probe_joins_broadcast(spark, sf_dir):
+    # the depth x width cell table is the only thing that moves — it
+    # must broadcast into the probe join, never sort-merge
+    plan = _plan(spark, "cms_user_event_counts", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
