@@ -1850,6 +1850,42 @@ def q_streaming_dedup_profiles(spark, sf_dir):
 
 
 @query(
+    "streaming_top_domains",
+    _with_profiles(
+        "SELECT regexp_extract(email, '@([A-Za-z0-9-]+)\\.', 1) AS domain, "
+        "COUNT(*) AS count FROM profiles GROUP BY domain "
+        "ORDER BY count DESC, domain ASC LIMIT 5"
+    ),
+)
+def q_streaming_top_domains(spark, sf_dir):
+    """The reference dashboard's top-5-domains poll
+    (dashbord/dashbord.py:99-104) as a LIVE streaming query instead
+    of a pandas batch over Mongo: sort+limit over a stream is legal
+    only in COMPLETE output mode, which is exactly the dashboard
+    contract (each trigger re-emits the whole top-k). availableNow
+    processes the feed as one batch, so the oracle is the batch
+    top-domains SQL."""
+    import tempfile
+
+    from ..functions.columns import email_domain
+    from ..streaming.pipeline import curated_stream, read_envelope_file_stream
+
+    d = tempfile.mkdtemp(prefix="domains_stream_")
+    envelopes_from_customers(load_table(spark, sf_dir, "customer")).write.mode(
+        "overwrite"
+    ).text(d)
+    curated = curated_stream(read_envelope_file_stream(spark, d))
+    top = (
+        curated.select(email_domain(F.col("email")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("domain"))
+        .limit(5)
+    )
+    return _run_to_memory(top, output_mode="complete")
+
+
+@query(
     "late_shipment_priority",
     """SELECT o_orderpriority, count(*) AS n_late_orders
        FROM orders
