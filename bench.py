@@ -91,6 +91,7 @@ HEADLINE = [
     "cosine_topk_batch",
     "etl_dead_letter",
     "cms_user_event_counts",
+    "quantized_recall",
 ]
 
 

@@ -392,3 +392,71 @@ def cosine_topk_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "label", "cosine")
     )
+
+
+def quantized_recall(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 10, bits: int = 8
+) -> DataFrame:
+    """Quantization-quality eval: recall@k of the int8-reconstructed
+    cosine ranking against the exact ranking, per query — the
+    measurement that decides whether quantize_embeddings' 4x memory
+    saving is safe to serve. Same midpoint code rule as
+    quantize_embeddings (floor(x + 0.5)), so the reconstruction is
+    engine-portable and the recall is a deterministic value, not a
+    statistic.
+
+    Scale shape: two corpus scans (exact + reconstructed), each
+    ranked via WindowGroupLimit map-side heaps like cosine_topk_batch;
+    the final recall join moves only n_queries x k rows.
+    """
+    levels = float((1 << bits) - 1)
+    v = _to_double(F.col("embedding"))
+    base = embeddings.select("vec_id", v.alias("v"))
+    mn, s = F.array_min("v"), F.array_max("v") - F.array_min("v")
+    recon_el = (
+        lambda x: F.col("mn")
+        + F.when(
+            F.col("s") > 0,
+            F.floor((x - F.col("mn")) / F.col("s") * levels + 0.5).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        / levels
+        * F.col("s")
+    )
+    recon = base.select(
+        "vec_id", "v", mn.alias("mn"), s.alias("s")
+    ).select("vec_id", F.transform("v", recon_el).alias("v"))
+
+    def topk(corpus: DataFrame) -> DataFrame:
+        q = corpus.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        scored = corpus.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    exact, quant = topk(base), topk(recon)
+    hits = exact.join(quant, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("nk"))
+        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("nh")), "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.floor(
+                    F.coalesce(F.col("nh"), F.lit(0)) / F.col("nk") * 10000 + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("recall_at_k"),
+        )
+    )

@@ -2681,6 +2681,42 @@ def q_cosine_topk_batch(spark, sf_dir):
 
 
 @query(
+    "quantized_recall",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       p AS (SELECT vec_id, v, list_min(v) AS mn,
+                    list_max(v) - list_min(v) AS s FROM e),
+       r AS (SELECT vec_id,
+               list_transform(v, x -> mn +
+                 (CASE WHEN s > 0
+                       THEN CAST(floor((x - mn) / s * 255 + 0.5) AS BIGINT)
+                       ELSE 0 END) / 255.0 * s) AS v
+             FROM p),
+       qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       qr AS (SELECT vec_id AS query_id, v AS qv FROM r WHERE vec_id < 8),
+       ex AS (SELECT query_id, vec_id FROM (
+          SELECT q.query_id, e.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                              e.vec_id) AS rn
+          FROM e JOIN qe q ON e.vec_id != q.query_id) WHERE rn <= 10),
+       qz AS (SELECT query_id, vec_id FROM (
+          SELECT q.query_id, r.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY round(list_cosine_similarity(r.v, q.qv), 6) DESC,
+                              r.vec_id) AS rn
+          FROM r JOIN qr q ON r.vec_id != q.query_id) WHERE rn <= 10)
+       SELECT ex.query_id,
+              floor(count(qz.vec_id) / 10.0 * 10000 + 0.5) / 10000.0
+                AS recall_at_k
+       FROM ex LEFT JOIN qz USING (query_id, vec_id)
+       GROUP BY ex.query_id""",
+)
+def q_quantized_recall(spark, sf_dir):
+    return similarity.quantized_recall(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
     "cluster_canonicals",
     "WITH RECURSIVE "
     + dedup.DUPES_ORACLE_CTE
