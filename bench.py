@@ -92,6 +92,7 @@ HEADLINE = [
     "etl_dead_letter",
     "cms_user_event_counts",
     "quantized_recall",
+    "source_overlap_matrix",
 ]
 
 

@@ -846,3 +846,35 @@ def incremental_new_docs(corpus: DataFrame, batch: DataFrame) -> DataFrame:
         .join(seen, "content_hash", "left_anti")
         .drop("content_hash")
     )
+
+
+def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+    """Cross-source shingle-overlap matrix — the corpus-level
+    contamination view (which sources share content with which):
+    distinct (source, shingle) pairs self-joined on the shingle key
+    across ordered source pairs.
+
+    Scale shape: after the per-source distinct, each shingle appears
+    at most |sources| times, so the self-join fan-out is bounded by
+    |sources|² per shingle — one uniform shuffle on the shingle key,
+    no doc x doc pairs anywhere. Output is |sources|² rows.
+    """
+    ss = (
+        shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    a, b = ss.alias("a"), ss.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )

@@ -2681,6 +2681,24 @@ def q_cosine_topk_batch(spark, sf_dir):
 
 
 @query(
+    "source_overlap_matrix",
+    f"""WITH {_shingles_cte("documents")},
+       ss AS (SELECT DISTINCT d.source, s.shingle
+              FROM sh s JOIN documents d USING (doc_id))
+       SELECT a.source AS source_a, b.source AS source_b,
+              count(*) AS shared_shingles
+       FROM ss a JOIN ss b
+         ON a.shingle = b.shingle AND a.source < b.source
+       GROUP BY 1, 2""",
+)
+def q_source_overlap_matrix(spark, sf_dir):
+    """Which sources share content with which — the corpus-level
+    contamination matrix. Bounded self-join: after the per-source
+    distinct each shingle appears <= |sources| times (see dedup.py)."""
+    return dedup.source_overlap_matrix(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "quantized_recall",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings),
