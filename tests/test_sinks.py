@@ -48,3 +48,37 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     assert joined.count() == lineitem.join(
         orders, lineitem["l_orderkey"] == orders["o_orderkey"]
     ).count()
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP — the runtime complement of static partition pruning: when
+    the fact is partitioned on the join key and the dim side carries a
+    selective filter, the fact scan must receive a runtime
+    dynamicpruning subquery instead of reading every partition."""
+    from pyspark.sql import functions as F
+
+    orders = readers.load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_prio")
+    sinks.write_partitioned(orders, path, ["o_orderpriority"])
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn("is_urgent", F.col("o_orderpriority").startswith("1"))
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        joined = fact.join(
+            dim.filter("is_urgent"), "o_orderpriority"
+        )
+        plan = _plan(joined).lower()
+        assert "dynamicpruning" in plan
+        assert (
+            joined.count()
+            == orders.filter("o_orderpriority LIKE '1%'").count()
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
