@@ -93,6 +93,7 @@ HEADLINE = [
     "cms_user_event_counts",
     "quantized_recall",
     "source_overlap_matrix",
+    "quantiles_by_priority",
 ]
 
 

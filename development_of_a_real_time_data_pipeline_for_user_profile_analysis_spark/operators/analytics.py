@@ -1341,3 +1341,50 @@ def cms_user_event_counts(
             (F.col("cms_estimate") >= F.col("exact_n")).alias("lower_bounded"),
         )
     )
+
+
+def quantiles_by_priority(
+    orders: DataFrame, accuracy: int = 10000, tol: float = 0.01
+) -> DataFrame:
+    """Grouped form of approx_quantiles_check — the per-segment
+    latency/spend-percentile shape. percentile_approx sketches are
+    mergeable PER GROUP (partial aggregation still applies), so at
+    100 TB each segment's percentile costs one pass with no global
+    sort; the exact interpolated percentile rides along in-query only
+    to assert the tolerance band."""
+    ps = [0.5, 0.9, 0.99]
+    # The sketch returns an actual data value, so a RELATIVE tolerance
+    # breaks on small groups where adjacent order statistics are far
+    # apart. The principled bound is GK's own: rank error <= 1/accuracy
+    # (1e-4 here). Assert each sketch value lies between the exact
+    # quantiles at p +/- `tol` rank — a band 50x wider than the
+    # guarantee, valid for any group size.
+    lo = [max(p - tol, 0.0) for p in ps]
+    hi = [min(p + tol, 1.0) for p in ps]
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", ps, accuracy).alias("approx"),
+        F.percentile("o_totalprice", ps).alias("exact"),
+        F.percentile("o_totalprice", lo).alias("exact_lo"),
+        F.percentile("o_totalprice", hi).alias("exact_hi"),
+    )
+    within_lo = F.aggregate(
+        F.zip_with(F.col("approx"), F.col("exact_lo"), lambda a, e: a >= e),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    within_hi = F.aggregate(
+        F.zip_with(F.col("approx"), F.col("exact_hi"), lambda a, e: a <= e),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    within = within_lo & within_hi
+    def r4(c):  # floor-based 4dp: engine-portable on knife edges
+        return F.floor(c * 10000 + 0.5).cast("long") / 10000.0
+
+    return agg.select(
+        "o_orderpriority",
+        r4(F.element_at("exact", 1)).alias("exact_p50"),
+        r4(F.element_at("exact", 2)).alias("exact_p90"),
+        r4(F.element_at("exact", 3)).alias("exact_p99"),
+        within.alias("within_tolerance"),
+    )

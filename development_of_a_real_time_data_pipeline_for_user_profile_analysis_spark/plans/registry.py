@@ -2681,6 +2681,24 @@ def q_cosine_topk_batch(spark, sf_dir):
 
 
 @query(
+    "quantiles_by_priority",
+    """SELECT o_orderpriority,
+              floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000.0
+                AS exact_p50,
+              floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000.0
+                AS exact_p90,
+              floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5) / 10000.0
+                AS exact_p99,
+              true AS within_tolerance
+       FROM orders GROUP BY o_orderpriority""",
+)
+def q_quantiles_by_priority(spark, sf_dir):
+    """Per-group GK quantile sketches with in-query tolerance
+    assertion — grouped counterpart of approx_quantiles_check."""
+    return analytics.quantiles_by_priority(_t(spark, sf_dir, "orders"))
+
+
+@query(
     "source_overlap_matrix",
     f"""WITH {_shingles_cte("documents")},
        ss AS (SELECT DISTINCT d.source, s.shingle
