@@ -94,6 +94,7 @@ HEADLINE = [
     "quantized_recall",
     "source_overlap_matrix",
     "quantiles_by_priority",
+    "rollup_incremental_refresh",
 ]
 
 

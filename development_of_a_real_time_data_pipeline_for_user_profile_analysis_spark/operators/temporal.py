@@ -157,3 +157,45 @@ def gapfill_locf(events: DataFrame) -> DataFrame:
             F.last("observed", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+def rollup_incremental_refresh(events: DataFrame, late_mod: int = 23) -> DataFrame:
+    """Incremental continuous-aggregate refresh — the production
+    maintenance path for hypertable_rollup: a late-arrivals batch
+    (every ``late_mod``-th event, deterministically) invalidates only
+    the minute buckets it touches; those buckets are recomputed from
+    raw and merged with the untouched standing aggregate.
+
+    Scale shape: the dirty-bucket set is tiny (bounded by the batch's
+    time spread, not corpus size) and broadcasts into BOTH the
+    anti-join (drop stale buckets) and the semi-join (recompute scan),
+    so the refresh cost tracks the late batch — never a full-table
+    re-aggregation. The result must equal the full recompute over all
+    events, which is the oracle.
+    """
+    late = events.filter(F.col("event_id") % late_mod == 0)
+    base = events.filter(F.col("event_id") % late_mod != 0)
+
+    def minute_rollup(src: DataFrame) -> DataFrame:
+        return src.groupBy(
+            F.date_trunc("minute", "ts").alias("bucket_start")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    standing = minute_rollup(base)
+    dirty = late.select(
+        F.date_trunc("minute", "ts").alias("bucket_start")
+    ).distinct()
+    untouched = standing.join(F.broadcast(dirty), "bucket_start", "left_anti")
+    recomputed = minute_rollup(
+        events.withColumn("bucket_start", F.date_trunc("minute", "ts")).join(
+            F.broadcast(dirty), "bucket_start", "left_semi"
+        )
+    )
+    return untouched.unionByName(recomputed).select(
+        "bucket_start",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )

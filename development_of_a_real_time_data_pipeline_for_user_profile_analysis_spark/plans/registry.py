@@ -2681,6 +2681,20 @@ def q_cosine_topk_batch(spark, sf_dir):
 
 
 @query(
+    "rollup_incremental_refresh",
+    """SELECT date_trunc('minute', ts) AS bucket_start,
+              count(*) AS n_events, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1""",
+)
+def q_rollup_incremental_refresh(spark, sf_dir):
+    """Incremental continuous-aggregate refresh: only the minute
+    buckets touched by a deterministic late-arrivals batch are
+    recomputed and merged with the standing aggregate. The oracle is
+    the full recompute — incremental must be indistinguishable."""
+    return temporal.rollup_incremental_refresh(_t(spark, sf_dir, "events"))
+
+
+@query(
     "quantiles_by_priority",
     """SELECT o_orderpriority,
               floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000.0

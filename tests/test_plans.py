@@ -298,3 +298,11 @@ def test_cms_probe_joins_broadcast(spark, sf_dir):
     plan = _plan(spark, "cms_user_event_counts", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rollup_refresh_broadcasts_dirty_buckets(spark, sf_dir):
+    # the dirty-bucket set must broadcast into both the anti-join
+    # (drop stale buckets) and the semi-join (recompute scan)
+    plan = _plan(spark, "rollup_incremental_refresh", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
