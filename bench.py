@@ -95,6 +95,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "quantiles_by_priority",
     "rollup_incremental_refresh",
+    "incremental_near_dups",
 ]
 
 

@@ -184,6 +184,29 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def banded_signatures(
+    docs: DataFrame,
+    n_hashes: int = MINHASH_FUNCS,
+    bands: int = LSH_BANDS,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, band_key) rows — each doc exploded into its LSH band
+    buckets. This is the maintained corpus artifact in incremental
+    ingest: computed once per corpus version, probed by each batch."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, sh=sh)
+    band_cols = [
+        F.concat_ws("|", F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id",
+        F.explode(F.array(*band_cols)).alias("band_key"),
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     n_hashes: int = MINHASH_FUNCS,
@@ -193,18 +216,7 @@ def lsh_candidate_pairs(
     """MinHash-LSH banding: docs agreeing on all rows of any band
     become a candidate pair. Shuffle key is (band_id, band_hash) —
     uniform, skew-free; the self-join only meets same-bucket rows."""
-    rows = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, sh=sh)
-    band_cols = [
-        F.concat_ws("|", F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        "doc_id",
-        F.explode(F.array(*band_cols)).alias("band_key"),
-    )
+    banded = banded_signatures(docs, n_hashes, bands, sh=sh)
     other = banded.select(
         F.col("doc_id").alias("doc_b"), F.col("band_key")
     )
@@ -878,3 +890,31 @@ def source_overlap_matrix(docs: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
     )
+
+
+def incremental_near_dups(
+    corpus: DataFrame, batch: DataFrame, jaccard_threshold: float = 0.6
+) -> DataFrame:
+    """New-batch near-dup probe against the standing corpus — the LSH
+    complement of incremental_new_docs' exact-digest anti-join: the
+    ingest batch is banded and probes the corpus's band table; only
+    same-bucket (corpus, batch) pairs are Jaccard-verified.
+
+    Scale shape: the corpus band table (banded_signatures) is a
+    maintained artifact at 100 TB — computed once per corpus version,
+    written bucketed on band_key — so per-batch cost is banding the
+    batch (tiny), one keyed join with the batch side broadcast, and
+    exact verify on the candidate set only. The corpus is never
+    re-banded, never self-joined.
+    """
+    corpus_bands = banded_signatures(corpus)
+    batch_bands = banded_signatures(batch).select(
+        F.col("doc_id").alias("doc_b"), "band_key"
+    )
+    cands = (
+        corpus_bands.join(F.broadcast(batch_bands), "band_key")
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(corpus.unionByName(batch), cands)
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)

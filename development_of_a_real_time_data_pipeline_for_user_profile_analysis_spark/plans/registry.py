@@ -2681,6 +2681,40 @@ def q_cosine_topk_batch(spark, sf_dir):
 
 
 @query(
+    "incremental_near_dups",
+    _with_dupes(
+        f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE},
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b ON a.band_key = b.band_key
+          WHERE a.doc_id < 100000 AND b.doc_id >= 100000),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0 >= 0.6"""
+    ),
+)
+def q_incremental_near_dups(spark, sf_dir):
+    """New-crawl batch LSH-probed against the standing corpus — the
+    near-dup complement of incremental_dedup_new_docs (see dedup.py:
+    the corpus band table is the maintained artifact; the batch side
+    broadcasts)."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = dedup.with_synthetic_dupes(docs).filter(F.col("doc_id") >= 100000)
+    return dedup.incremental_near_dups(docs, batch)
+
+
+@query(
     "rollup_incremental_refresh",
     """SELECT date_trunc('minute', ts) AS bucket_start,
               count(*) AS n_events, round(sum(value), 2) AS sum_value
