@@ -96,6 +96,7 @@ HEADLINE = [
     "quantiles_by_priority",
     "rollup_incremental_refresh",
     "incremental_near_dups",
+    "embedding_norm_outliers",
 ]
 
 

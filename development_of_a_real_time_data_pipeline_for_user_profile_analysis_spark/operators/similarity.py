@@ -460,3 +460,34 @@ def quantized_recall(
             ).alias("recall_at_k"),
         )
     )
+
+
+def embedding_norm_outliers(embeddings: DataFrame, z_cut: float = 3.0) -> DataFrame:
+    """Embedding-space data quality: per-vector L2 norm z-scored
+    against the corpus distribution — degenerate vectors (zeroed,
+    clipped, double-scaled) show up as norm outliers long before any
+    downstream eval does. Narrow scan + one tiny global aggregate
+    broadcast back; no shuffle of the corpus. The z-score is floored
+    to 4dp BEFORE the cut comparison so the flag is engine-portable
+    (both sides compare the identical rounded value)."""
+    v = _to_double(F.col("embedding"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    norms = embeddings.select("vec_id", nrm.alias("nrm"))
+    stats = norms.agg(
+        F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sg")
+    )
+
+    def f4(c):
+        return F.floor(c * 10000 + 0.5).cast("long") / 10000.0
+
+    z = f4(F.abs(F.col("nrm") - F.col("mu")) / F.col("sg"))
+    return norms.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        f4(F.col("nrm")).alias("norm"),
+        z.alias("z"),
+        (z > z_cut).alias("is_outlier"),
+    )

@@ -2681,6 +2681,25 @@ def q_cosine_topk_batch(spark, sf_dir):
 
 
 @query(
+    "embedding_norm_outliers",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       n AS (SELECT vec_id,
+                    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+             FROM e),
+       s AS (SELECT avg(nrm) AS mu, stddev_pop(nrm) AS sg FROM n)
+       SELECT vec_id,
+              floor(nrm * 10000 + 0.5) / 10000.0 AS norm,
+              floor(abs(nrm - mu) / sg * 10000 + 0.5) / 10000.0 AS z,
+              floor(abs(nrm - mu) / sg * 10000 + 0.5) / 10000.0 > 3.0
+                AS is_outlier
+       FROM n, s""",
+)
+def q_embedding_norm_outliers(spark, sf_dir):
+    return similarity.embedding_norm_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
     "incremental_near_dups",
     _with_dupes(
         f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE},

@@ -227,3 +227,92 @@ def test_streaming_dedup_within_watermark_bounds_state(spark, stream_dirs):
     q.awaitTermination(120)
     out = spark.sql("SELECT id FROM dedup_wm_out")
     assert out.count() == out.distinct().count() == 50
+
+
+def test_foreachbatch_incremental_rollup_maintenance(spark, tmp_path):
+    """The continuous-aggregate maintenance loop end to end: an event
+    stream arrives in micro-batches; foreachBatch recomputes ONLY the
+    minute buckets each batch touches and merges them into a standing
+    parquet rollup. After both batches the table must equal the full
+    recompute over all events — the same contract the batch
+    rollup_incremental_refresh query proves against its oracle."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    rollup_path = str(tmp_path / "rollup")
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        Row(
+            event_id=i,
+            ts=base + dt.timedelta(seconds=37 * i),
+            user_id=i % 5,
+            value=float(i),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    def land(subset, name):
+        # the file source lists plain files, not nested write dirs —
+        # land each arrival as a single part file
+        import shutil
+
+        tmp = str(tmp_path / ("stage_" + name))
+        subset.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, str(src / name))
+
+    # two arrivals that overlap in time → batch 2 must invalidate
+    # buckets batch 1 already aggregated
+    land(df.filter("event_id % 3 != 0"), "b1.parquet")
+
+    def refresh(batch_df, _batch_id):
+        dirty = batch_df.select(
+            F.date_trunc("minute", "ts").alias("bucket_start")
+        ).distinct()
+        try:
+            standing = spark.read.parquet(rollup_path)
+            keep = standing.join(F.broadcast(dirty), "bucket_start", "left_anti")
+        except Exception:
+            keep = None
+        seen_path = str(tmp_path / "seen")
+        batch_df.write.mode("append").parquet(seen_path)
+        recomputed = (
+            spark.read.parquet(seen_path)
+            .withColumn("bucket_start", F.date_trunc("minute", "ts"))
+            .join(F.broadcast(dirty), "bucket_start", "left_semi")
+            .groupBy("bucket_start")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        )
+        out = recomputed if keep is None else keep.unionByName(recomputed)
+        out.write.mode("overwrite").parquet(rollup_path + "_next")
+        spark.read.parquet(rollup_path + "_next").write.mode("overwrite").parquet(
+            rollup_path
+        )
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+            .parquet(str(src))
+            .writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    land(df.filter("event_id % 3 = 0"), "b2.parquet")
+    run_stream()
+
+    got = {
+        (r.bucket_start, r.n_events, round(r.sum_value, 2))
+        for r in spark.read.parquet(rollup_path).collect()
+    }
+    want = {
+        (r.bucket_start, r.n_events, round(r.sum_value, 2))
+        for r in df.groupBy(F.date_trunc("minute", "ts").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
