@@ -97,6 +97,7 @@ HEADLINE = [
     "rollup_incremental_refresh",
     "incremental_near_dups",
     "embedding_norm_outliers",
+    "event_transitions",
 ]
 
 

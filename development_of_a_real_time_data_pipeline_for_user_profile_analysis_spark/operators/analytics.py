@@ -1388,3 +1388,36 @@ def quantiles_by_priority(
         r4(F.element_at("exact", 3)).alias("exact_p99"),
         within.alias("within_tolerance"),
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-sequence transition matrix (the product-
+    analytics Markov view): consecutive event pairs via one lag
+    window, then a global pair count and a 4dp row-normalized
+    transition probability. One shuffle on user_id for the window,
+    one partial-aggregable groupBy on the (from, to) pair — both
+    uniform keys. Ordering ties on ts break by event_id so the
+    sequence is deterministic across engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.floor(F.col("n") / F.sum("n").over(w_from) * 10000 + 0.5).cast("long")
+            / 10000.0
+        ).alias("p"),
+    )

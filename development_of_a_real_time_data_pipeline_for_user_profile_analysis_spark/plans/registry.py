@@ -2681,6 +2681,26 @@ def q_cosine_topk_batch(spark, sf_dir):
 
 
 @query(
+    "event_transitions",
+    """WITH seq AS (
+         SELECT lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS from_type,
+                event_type AS to_type
+         FROM events),
+       pairs AS (
+         SELECT from_type, to_type, count(*) AS n
+         FROM seq WHERE from_type IS NOT NULL
+         GROUP BY from_type, to_type)
+       SELECT from_type, to_type, n,
+              floor(n / sum(n) OVER (PARTITION BY from_type) * 10000 + 0.5)
+                / 10000.0 AS p
+       FROM pairs""",
+)
+def q_event_transitions(spark, sf_dir):
+    return analytics.event_transitions(_t(spark, sf_dir, "events"))
+
+
+@query(
     "embedding_norm_outliers",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings),
