@@ -98,6 +98,7 @@ HEADLINE = [
     "incremental_near_dups",
     "embedding_norm_outliers",
     "event_transitions",
+    "distinct_users_salted",
 ]
 
 

@@ -1421,3 +1421,29 @@ def event_transitions(events: DataFrame) -> DataFrame:
             / 10000.0
         ).alias("p"),
     )
+
+
+def distinct_users_salted(events: DataFrame, buckets: int = 32) -> DataFrame:
+    """Exact COUNT(DISTINCT) under key skew — the two-phase salted
+    shape: salt derives from the DISTINCT column (md5(user_id), so
+    each user lands in exactly one bucket per key and bucket counts
+    add up exactly), phase 1 dedups within (key, salt) sub-buckets,
+    phase 2 sums the per-bucket counts. A hot event_type fans out
+    over `buckets` reducers instead of melting one; the result is
+    exact, not a sketch (the HLL check is the approximate sibling).
+    """
+    salt = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % buckets
+    )
+    per_bucket = (
+        events.select("event_type", "user_id")
+        .withColumn("_salt", salt)
+        .groupBy("event_type", "_salt")
+        .agg(F.count_distinct("user_id").alias("d"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("d").cast("long").alias("distinct_users")
+    )

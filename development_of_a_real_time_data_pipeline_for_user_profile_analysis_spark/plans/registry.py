@@ -2681,6 +2681,17 @@ def q_cosine_topk_batch(spark, sf_dir):
 
 
 @query(
+    "distinct_users_salted",
+    """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+       FROM events GROUP BY event_type""",
+)
+def q_distinct_users_salted(spark, sf_dir):
+    """Exact distinct under skew via user-salted two-phase
+    aggregation — must equal the direct COUNT(DISTINCT)."""
+    return analytics.distinct_users_salted(_t(spark, sf_dir, "events"))
+
+
+@query(
     "event_transitions",
     """WITH seq AS (
          SELECT lag(event_type) OVER (PARTITION BY user_id
