@@ -493,3 +493,31 @@ def quality_deciles(documents: DataFrame) -> DataFrame:
         F.min("q").alias("min_score"),
         F.max("q").alias("max_score"),
     )
+
+
+def chunk_documents_udtf(spark, documents: DataFrame) -> DataFrame:
+    """Python UDTF form of chunk_documents — the Spark 4 table-
+    function surface (one input row → N output rows from Python via
+    LATERAL). The JVM chunker (chunk_documents) remains the hot path;
+    this registers the capability end to end and is oracle-checked to
+    the identical chunk grid. Row-at-a-time Python: acceptable here
+    because the UDTF is the API artifact, never the scale path."""
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id bigint, chunk string")
+    class ChunkUDTF:
+        def eval(self, text_val: str):
+            words = text_val.split(" ")
+            starts = range(0, max(len(words) - 63, 1), 32)
+            for i, s in enumerate(starts):
+                yield i, " ".join(words[s : s + 64])
+
+    fn = f"chunk_udtf_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(fn, ChunkUDTF)
+    view = f"docs_udtf_{uuid.uuid4().hex[:8]}"
+    documents.select("doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT d.doc_id, c.chunk_id, c.chunk FROM {view} d, LATERAL {fn}(d.text) c"
+    )

@@ -2681,6 +2681,19 @@ def q_cosine_topk_batch(spark, sf_dir):
 
 
 @query(
+    "chunk_documents_udtf",
+    """SELECT doc_id,
+       CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
+       array_to_string(w[CAST(s AS INTEGER):CAST(s + 63 AS INTEGER)], ' ') AS chunk
+       FROM (SELECT doc_id, w,
+                    unnest(generate_series(1, greatest(len(w) - 63, 1), 32)) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""",
+)
+def q_chunk_documents_udtf(spark, sf_dir):
+    return text.chunk_documents_udtf(spark, _t(spark, sf_dir, "documents"))
+
+
+@query(
     "distinct_users_salted",
     """SELECT event_type, count(DISTINCT user_id) AS distinct_users
        FROM events GROUP BY event_type""",
