@@ -99,6 +99,8 @@ HEADLINE = [
     "embedding_norm_outliers",
     "event_transitions",
     "distinct_users_salted",
+    "price_quantity_stats",
+    "revenue_trend_fit",
 ]
 
 

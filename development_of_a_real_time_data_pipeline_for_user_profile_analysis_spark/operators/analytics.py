@@ -1447,3 +1447,42 @@ def distinct_users_salted(events: DataFrame, buckets: int = 32) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum("d").cast("long").alias("distinct_users")
     )
+
+
+def _floor_round(c, dp: int):
+    scale = 10 ** dp
+    return F.floor(c * scale + 0.5).cast("long") / float(scale)
+
+
+def price_quantity_stats(lineitem: DataFrame) -> DataFrame:
+    """Statistical-aggregate surface: per-ship-year Pearson
+    correlation and sample covariance of quantity vs extended price.
+    Single partial-aggregable groupBy (corr/covar merge their moment
+    partials exactly like sum/count); floor-rounded at widths chosen
+    per magnitude so both engines render identical values."""
+    return lineitem.groupBy(F.year("l_shipdate").alias("year")).agg(
+        _floor_round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        _floor_round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def revenue_trend_fit(orders: DataFrame) -> DataFrame:
+    """Least-squares trend of daily revenue vs day index (the
+    forecasting primitive: regr_slope/regr_intercept are one-pass
+    mergeable aggregates — no iterative fitting, no driver loop).
+    Day index anchors to 1992-01-01 so the intercept is stable."""
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    x = F.datediff("day", F.lit("1992-01-01")).cast("double")
+    fitted = daily.select(F.col("revenue").alias("y"), x.alias("x")).agg(
+        _floor_round(F.regr_slope("y", "x"), 4).alias("slope"),
+        _floor_round(F.regr_intercept("y", "x"), 2).alias("intercept"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return fitted

@@ -2681,6 +2681,39 @@ def q_cosine_topk_batch(spark, sf_dir):
 
 
 @query(
+    "price_quantity_stats",
+    """SELECT year(l_shipdate) AS year,
+              floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5)
+                / 1000000.0 AS qty_price_corr,
+              floor(covar_samp(l_quantity, l_extendedprice) * 100 + 0.5)
+                / 100.0 AS qty_price_covar,
+              count(*) AS n
+       FROM lineitem GROUP BY year(l_shipdate)""",
+)
+def q_price_quantity_stats(spark, sf_dir):
+    return analytics.price_quantity_stats(_t(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "revenue_trend_fit",
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                sum(o_totalprice) AS revenue
+         FROM orders GROUP BY 1)
+       SELECT floor(regr_slope(revenue,
+                CAST(day - DATE '1992-01-01' AS DOUBLE)) * 10000 + 0.5)
+                / 10000.0 AS slope,
+              floor(regr_intercept(revenue,
+                CAST(day - DATE '1992-01-01' AS DOUBLE)) * 100 + 0.5)
+                / 100.0 AS intercept,
+              count(*) AS n_days
+       FROM daily""",
+)
+def q_revenue_trend_fit(spark, sf_dir):
+    return analytics.revenue_trend_fit(_t(spark, sf_dir, "orders"))
+
+
+@query(
     "chunk_documents_udtf",
     """SELECT doc_id,
        CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
