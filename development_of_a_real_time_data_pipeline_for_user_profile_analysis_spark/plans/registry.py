@@ -2714,6 +2714,67 @@ def q_revenue_trend_fit(spark, sf_dir):
 
 
 @query(
+    "revenue_projection",
+    """WITH RECURSIVE monthly AS (
+         SELECT date_trunc('month', o_orderdate) AS m,
+                sum(o_totalprice) AS rev
+         FROM orders GROUP BY 1),
+       ratios AS (
+         SELECT rev / lag(rev) OVER (ORDER BY m) AS ratio FROM monthly),
+       params AS (
+         SELECT floor((SELECT avg(ratio) FROM ratios WHERE ratio IS NOT NULL)
+                      * 1000000 + 0.5) / 1000000.0 AS g,
+                floor((SELECT rev FROM monthly ORDER BY m DESC LIMIT 1)
+                      * 100 + 0.5) / 100.0 AS base),
+       proj(step, projected) AS (
+         SELECT 0, base FROM params
+         UNION ALL
+         SELECT step + 1,
+                floor(projected * (SELECT g FROM params) * 100 + 0.5) / 100.0
+         FROM proj WHERE step < 12)
+       SELECT step, projected FROM proj""",
+)
+def q_revenue_projection(spark, sf_dir):
+    """12-month compounding revenue projection via a RECURSIVE CTE
+    (Spark 4 SQL surface) — growth rate and base are floor-rounded
+    BEFORE the recursion and every compounding step floors again, so
+    the 13-row trajectory is bit-identical across engines. The
+    parameter aggregates run as DataFrame ops; only the 12-step
+    compounding recurses (a window over ~80 monthly rows, then O(1)
+    work per step — never corpus-sized recursion)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("m")  # ~80 monthly rows — single partition is fine
+    ratios = monthly.select(
+        "m", (F.col("rev") / F.lag("rev").over(w)).alias("ratio")
+    ).filter(F.col("ratio").isNotNull())
+    g_row = ratios.agg(
+        (F.floor(F.avg("ratio") * 1000000 + 0.5).cast("long") / 1000000.0).alias("g")
+    )
+    base_row = monthly.orderBy(F.desc("m")).limit(1).select(
+        (F.floor(F.col("rev") * 100 + 0.5).cast("long") / 100.0).alias("base")
+    )
+    params = g_row.crossJoin(base_row)
+    import uuid
+
+    view = f"proj_params_{uuid.uuid4().hex[:8]}"
+    params.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""WITH RECURSIVE proj(step, projected) AS (
+              SELECT 0, base FROM {view}
+              UNION ALL
+              SELECT step + 1,
+                     floor(projected * (SELECT g FROM {view}) * 100 + 0.5) / 100.0
+              FROM proj WHERE step < 12)
+            SELECT step, projected FROM proj"""
+    )
+
+
+@query(
     "chunk_documents_udtf",
     """SELECT doc_id,
        CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
