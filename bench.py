@@ -101,6 +101,7 @@ HEADLINE = [
     "distinct_users_salted",
     "price_quantity_stats",
     "revenue_trend_fit",
+    "fuzzy_part_matches",
 ]
 
 

@@ -918,3 +918,53 @@ def incremental_near_dups(
     )
     verified = ngram_jaccard_pairs(corpus.unionByName(batch), cands)
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def fuzzy_part_matches(part: DataFrame, max_distance: int = 2) -> DataFrame:
+    """Entity resolution by blocking + edit-distance verify: a
+    deterministically-corrupted name feed (1-in-11 parts, one char
+    dropped near the end of the name) is matched back to the master
+    catalog. Blocking key is the name's first 3 chars — untouched by
+    the corruption site by construction — so candidates form within
+    blocks and the quadratic verify never sees the full cross
+    product; best match per feed row (min distance, then min key) via
+    one WindowGroupLimit-pruned ranking.
+
+    At 100 TB block on a stronger key (first-word + soundex or a
+    q-gram LSH) exactly as the dedup family does; levenshtein is the
+    verify stage only, never the join condition.
+    """
+    hv = F.conv(
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    pos = "greatest(length(p_name) - hv % 4 - 1, 5)"
+    feed = (
+        part.filter(F.col("p_partkey") % 11 == 0)
+        .withColumn("hv", hv)
+        .select(
+            (F.col("p_partkey") + 500000).alias("feed_id"),
+            F.expr(
+                f"concat(substr(p_name, 1, {pos} - 1), substr(p_name, {pos} + 1))"
+            ).alias("q_name"),
+        )
+    )
+    cand = (
+        feed.join(
+            part.select("p_partkey", "p_name"),
+            F.substring("q_name", 1, 3) == F.substring("p_name", 1, 3),
+        )
+        .withColumn("dist", F.levenshtein("q_name", "p_name"))
+        .filter(F.col("dist") <= max_distance)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("feed_id").orderBy("dist", "p_partkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feed_id",
+            F.col("p_partkey").alias("matched_partkey"),
+            F.col("dist").cast("long").alias("distance"),
+        )
+    )

@@ -2714,6 +2714,36 @@ def q_revenue_trend_fit(spark, sf_dir):
 
 
 @query(
+    "fuzzy_part_matches",
+    """WITH h AS (
+         SELECT p_partkey, p_name,
+                CAST(CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8)
+                     AS UBIGINT) AS BIGINT) AS hv
+         FROM part),
+       feed AS (
+         SELECT p_partkey + 500000 AS feed_id,
+                substr(p_name, 1,
+                       greatest(length(p_name) - hv % 4 - 1, 5) - 1) ||
+                substr(p_name,
+                       greatest(length(p_name) - hv % 4 - 1, 5) + 1) AS q_name
+         FROM h WHERE p_partkey % 11 = 0),
+       cand AS (
+         SELECT f.feed_id, p.p_partkey,
+                levenshtein(f.q_name, p.p_name) AS dist
+         FROM feed f JOIN part p
+           ON substr(f.q_name, 1, 3) = substr(p.p_name, 1, 3)
+         WHERE levenshtein(f.q_name, p.p_name) <= 2)
+       SELECT feed_id, p_partkey AS matched_partkey,
+              CAST(dist AS BIGINT) AS distance
+       FROM (SELECT *, row_number() OVER (PARTITION BY feed_id
+                        ORDER BY dist, p_partkey) AS rn FROM cand)
+       WHERE rn = 1""",
+)
+def q_fuzzy_part_matches(spark, sf_dir):
+    return dedup.fuzzy_part_matches(_t(spark, sf_dir, "part"))
+
+
+@query(
     "revenue_projection",
     """WITH RECURSIVE monthly AS (
          SELECT date_trunc('month', o_orderdate) AS m,
