@@ -102,6 +102,7 @@ HEADLINE = [
     "price_quantity_stats",
     "revenue_trend_fit",
     "fuzzy_part_matches",
+    "weekday_seasonality",
 ]
 
 

@@ -1486,3 +1486,24 @@ def revenue_trend_fit(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
     )
     return fitted
+
+
+def weekday_seasonality(orders: DataFrame) -> DataFrame:
+    """Seasonality profile: average daily revenue per ISO weekday and
+    its index against the overall daily mean (the demand-shaping
+    view). Two tiny aggregates — daily partials then a 7-row weekday
+    rollup with the overall mean broadcast back; numbering is ISO
+    (1=Monday) on both engines (Spark weekday()+1 == DuckDB isodow)."""
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    overall = daily.agg(F.avg("rev").alias("m"))
+    wk = daily.groupBy((F.weekday("day") + 1).alias("iso_dow")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.avg("rev").alias("avg_rev")
+    )
+    return wk.crossJoin(F.broadcast(overall)).select(
+        "iso_dow",
+        "n_days",
+        _floor_round(F.col("avg_rev"), 2).alias("avg_revenue"),
+        _floor_round(F.col("avg_rev") / F.col("m"), 4).alias("rev_index"),
+    )

@@ -2714,6 +2714,24 @@ def q_revenue_trend_fit(spark, sf_dir):
 
 
 @query(
+    "weekday_seasonality",
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                sum(o_totalprice) AS rev
+         FROM orders GROUP BY 1),
+       o AS (SELECT avg(rev) AS m FROM daily)
+       SELECT isodow(day) AS iso_dow,
+              CAST(count(*) AS BIGINT) AS n_days,
+              floor(avg(rev) * 100 + 0.5) / 100.0 AS avg_revenue,
+              floor(avg(rev) / (SELECT m FROM o) * 10000 + 0.5) / 10000.0
+                AS rev_index
+       FROM daily GROUP BY 1""",
+)
+def q_weekday_seasonality(spark, sf_dir):
+    return analytics.weekday_seasonality(_t(spark, sf_dir, "orders"))
+
+
+@query(
     "fuzzy_part_matches",
     """WITH h AS (
          SELECT p_partkey, p_name,
