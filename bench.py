@@ -103,6 +103,7 @@ HEADLINE = [
     "revenue_trend_fit",
     "fuzzy_part_matches",
     "weekday_seasonality",
+    "rfm_segments",
 ]
 
 

@@ -1507,3 +1507,36 @@ def weekday_seasonality(orders: DataFrame) -> DataFrame:
         _floor_round(F.col("avg_rev"), 2).alias("avg_revenue"),
         _floor_round(F.col("avg_rev") / F.col("m"), 4).alias("rev_index"),
     )
+
+
+def rfm_segments(orders: DataFrame, asof: str = "1998-12-31") -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary per
+    customer, each quartile-scored (1=worst..4=best, deterministic
+    custkey tiebreaks) and composed into the classic 3-digit segment
+    code. The quartile windows are global like
+    customer_revenue_quartiles — at 100 TB replace ntile with
+    percentile_approx cut points (one pass, mergeable) and a
+    broadcast bucketize; the scoring semantics are identical."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(asof).cast("date"), F.max(F.to_date("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        _floor_round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("long").alias("r_score"),
+        F.ntile(4).over(f_w).cast("long").alias("f_score"),
+        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )

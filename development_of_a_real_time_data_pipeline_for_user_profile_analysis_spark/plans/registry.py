@@ -2714,6 +2714,32 @@ def q_revenue_trend_fit(spark, sf_dir):
 
 
 @query(
+    "rfm_segments",
+    """WITH per_cust AS (
+         SELECT o_custkey,
+                CAST(DATE '1998-12-31' - max(CAST(o_orderdate AS DATE)) AS BIGINT)
+                  AS recency_days,
+                count(*) AS frequency,
+                floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS monetary
+         FROM orders GROUP BY o_custkey)
+       SELECT o_custkey, recency_days, frequency, monetary,
+              CAST(ntile(4) OVER (ORDER BY recency_days DESC, o_custkey)
+                   AS BIGINT) AS r_score,
+              CAST(ntile(4) OVER (ORDER BY frequency ASC, o_custkey)
+                   AS BIGINT) AS f_score,
+              CAST(ntile(4) OVER (ORDER BY monetary ASC, o_custkey)
+                   AS BIGINT) AS m_score,
+              CAST(ntile(4) OVER (ORDER BY recency_days DESC, o_custkey) * 100
+                   + ntile(4) OVER (ORDER BY frequency ASC, o_custkey) * 10
+                   + ntile(4) OVER (ORDER BY monetary ASC, o_custkey)
+                   AS BIGINT) AS segment
+       FROM per_cust""",
+)
+def q_rfm_segments(spark, sf_dir):
+    return analytics.rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+@query(
     "weekday_seasonality",
     """WITH daily AS (
          SELECT CAST(o_orderdate AS DATE) AS day,
