@@ -104,6 +104,7 @@ HEADLINE = [
     "fuzzy_part_matches",
     "weekday_seasonality",
     "rfm_segments",
+    "basket_pairs",
 ]
 
 

@@ -1540,3 +1540,23 @@ def rfm_segments(orders: DataFrame, asof: str = "1998-12-31") -> DataFrame:
         "segment",
         F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
     )
+
+
+def basket_pairs(lineitem: DataFrame, top: int = 20) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in an order,
+    ranked by support. The pair join is keyed on l_orderkey with
+    fan-out bounded by basket size (<= 7 lineitems per TPC-H order),
+    so the 'self-join' is per-basket combinations, never parts x
+    parts; the top-k is TakeOrderedAndProject (per-partition heaps,
+    no global sort)."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.withColumnRenamed("l_partkey", "part_a")
+    b = items.withColumnRenamed("l_partkey", "part_b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(top)
+    )

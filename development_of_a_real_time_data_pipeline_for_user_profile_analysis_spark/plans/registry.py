@@ -2714,6 +2714,22 @@ def q_revenue_trend_fit(spark, sf_dir):
 
 
 @query(
+    "basket_pairs",
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              count(*) AS support
+       FROM items a JOIN items b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2
+       ORDER BY support DESC, part_a, part_b
+       LIMIT 20""",
+)
+def q_basket_pairs(spark, sf_dir):
+    return analytics.basket_pairs(_t(spark, sf_dir, "lineitem"))
+
+
+@query(
     "rfm_segments",
     """WITH per_cust AS (
          SELECT o_custkey,
