@@ -105,6 +105,7 @@ HEADLINE = [
     "weekday_seasonality",
     "rfm_segments",
     "basket_pairs",
+    "user_activity_gini",
 ]
 
 

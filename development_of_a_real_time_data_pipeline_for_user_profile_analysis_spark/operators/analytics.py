@@ -1560,3 +1560,30 @@ def basket_pairs(lineitem: DataFrame, top: int = 20) -> DataFrame:
         .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
         .limit(top)
     )
+
+
+def user_activity_gini(events: DataFrame) -> DataFrame:
+    """Concentration of activity across users as a Gini coefficient
+    (0 = uniform, →1 = one user does everything): per-user counts,
+    ranked ascending, then G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. The rank
+    window is global over |users| rows (already aggregated — tiny
+    relative to events); at extreme user cardinality swap in an
+    equi-depth histogram approximation. Floored to 6dp for
+    engine-portable rendering."""
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy(F.asc("x"), F.asc("user_id"))
+    ranked = per_user.select(
+        F.col("x").cast("double").alias("x"),
+        F.row_number().over(w).cast("double").alias("i"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("i") * F.col("x")).alias("ix"),
+        F.sum("x").alias("sx"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    gini = 2 * F.col("ix") / (F.col("n") * F.col("sx")) - (F.col("n") + 1) / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("sx").cast("long").alias("n_events"),
+        (F.floor(gini * 1000000 + 0.5).cast("long") / 1000000.0).alias("gini"),
+    )

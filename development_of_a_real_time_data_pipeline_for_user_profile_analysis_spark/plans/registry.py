@@ -2714,6 +2714,26 @@ def q_revenue_trend_fit(spark, sf_dir):
 
 
 @query(
+    "user_activity_gini",
+    """WITH per_user AS (
+         SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+       ranked AS (
+         SELECT CAST(x AS DOUBLE) AS x,
+                CAST(row_number() OVER (ORDER BY x ASC, user_id ASC) AS DOUBLE)
+                  AS i
+         FROM per_user)
+       SELECT CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(x) AS BIGINT) AS n_events,
+              floor((2 * sum(i * x) / (count(*) * sum(x))
+                     - (count(*) + 1.0) / count(*)) * 1000000 + 0.5)
+                / 1000000.0 AS gini
+       FROM ranked""",
+)
+def q_user_activity_gini(spark, sf_dir):
+    return analytics.user_activity_gini(_t(spark, sf_dir, "events"))
+
+
+@query(
     "basket_pairs",
     """WITH items AS (
          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
