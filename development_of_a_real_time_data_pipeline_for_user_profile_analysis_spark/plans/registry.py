@@ -2714,6 +2714,46 @@ def q_revenue_trend_fit(spark, sf_dir):
 
 
 @query(
+    "curation_report",
+    "WITH RECURSIVE "
+    + dedup.DUPES_ORACLE_CTE
+    + _CLUSTERS_CTES
+    + """
+       SELECT (SELECT count(*) FROM dupes) AS n_docs,
+              (SELECT count(DISTINCT md5(text)) FROM dupes)
+                AS n_distinct_contents,
+              (SELECT count(*) FROM dupes)
+                - (SELECT count(DISTINCT md5(text)) FROM dupes)
+                AS n_exact_dupes,
+              (SELECT count(*) FROM pairs) AS n_near_pairs,
+              (SELECT count(DISTINCT cluster_id) FROM clusters)
+                AS n_clusters,
+              (SELECT count(*) FROM clusters) AS n_clustered_docs""",
+)
+def q_curation_report(spark, sf_dir):
+    """Pipeline-observability summary: one row quantifying what the
+    curation stack would remove — exact-dup count, confirmed
+    near-dup pairs, cluster count and membership. Composes the
+    existing dedup operators; every constituent aggregate is a tiny
+    scalar over already-bounded intermediates."""
+    docs = _dupes_df(spark, sf_dir)
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    exact = dedup.exact_dedup_groups(docs).agg(
+        F.count(F.lit(1)).alias("n_distinct_contents"),
+        F.sum(F.col("n_copies") - 1).cast("long").alias("n_exact_dupes"),
+    )
+    pairs = dedup.near_dedup_minhash(docs).agg(
+        F.count(F.lit(1)).alias("n_near_pairs")
+    )
+    clusters = dedup.near_dup_clusters(docs)
+    cl = clusters.agg(
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_clustered_docs"),
+    )
+    return total.crossJoin(exact).crossJoin(pairs).crossJoin(cl)
+
+
+@query(
     "user_activity_gini",
     """WITH per_user AS (
          SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
