@@ -1587,3 +1587,24 @@ def user_activity_gini(events: DataFrame) -> DataFrame:
         F.col("sx").cast("long").alias("n_events"),
         (F.floor(gini * 1000000 + 0.5).cast("long") / 1000000.0).alias("gini"),
     )
+
+
+def events_anomaly_days(events: DataFrame, z_cut: float = 3.0) -> DataFrame:
+    """Volume-anomaly monitor: daily event counts z-scored against
+    the corpus-wide daily distribution (the ops-dashboard 'did
+    ingestion break today' view). Daily partials then one broadcast
+    stats row; the z is floored to 4dp before the cut so the flag is
+    engine-portable."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sg")
+    )
+    z = _floor_round(F.abs(F.col("n") - F.col("mu")) / F.col("sg"), 4)
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n",
+        z.alias("z"),
+        (z > z_cut).alias("is_anomaly"),
+    )

@@ -521,3 +521,17 @@ def chunk_documents_udtf(spark, documents: DataFrame) -> DataFrame:
     return spark.sql(
         f"SELECT d.doc_id, c.chunk_id, c.chunk FROM {view} d, LATERAL {fn}(d.text) c"
     )
+
+
+def lexical_diversity(documents: DataFrame) -> DataFrame:
+    """Type-token ratio per document — the lexical-diversity quality
+    signal (repetitive boilerplate scores low, natural prose high).
+    Pure JVM array HOFs on a narrow scan; 4dp floor for portability."""
+    toks = tokens(F.col("text"))
+    ttr = F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        round4(ttr).alias("ttr"),
+    )

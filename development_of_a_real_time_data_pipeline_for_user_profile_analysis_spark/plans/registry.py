@@ -2714,6 +2714,35 @@ def q_revenue_trend_fit(spark, sf_dir):
 
 
 @query(
+    "lexical_diversity",
+    f"""SELECT doc_id,
+        CAST(len({_SPLIT}) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct({_SPLIT})) AS BIGINT) AS n_types,
+        floor(len(list_distinct({_SPLIT}))
+              / greatest(len({_SPLIT}), 1) * 10000 + 0.5) / 10000.0 AS ttr
+        FROM documents""",
+)
+def q_lexical_diversity(spark, sf_dir):
+    return text.lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_anomaly_days",
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1),
+       s AS (SELECT avg(n) AS mu, stddev_pop(n) AS sg FROM daily)
+       SELECT day, n,
+              floor(abs(n - mu) / sg * 10000 + 0.5) / 10000.0 AS z,
+              floor(abs(n - mu) / sg * 10000 + 0.5) / 10000.0 > 3.0
+                AS is_anomaly
+       FROM daily, s""",
+)
+def q_events_anomaly_days(spark, sf_dir):
+    return analytics.events_anomaly_days(_t(spark, sf_dir, "events"))
+
+
+@query(
     "curation_report",
     "WITH RECURSIVE "
     + dedup.DUPES_ORACLE_CTE
