@@ -1608,3 +1608,28 @@ def events_anomaly_days(events: DataFrame, z_cut: float = 3.0) -> DataFrame:
         z.alias("z"),
         (z > z_cut).alias("is_anomaly"),
     )
+
+
+def stickiness_by_month(events: DataFrame) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement-quality product
+    metric: average daily active users divided by monthly active
+    users. Three aggregates, all partial-aggregable (distinct counts
+    keyed by (day|month, user)); ratios floored at 4dp."""
+    day_user = events.select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("month", "ts").alias("month"),
+        "user_id",
+    ).distinct()
+    dau = day_user.groupBy("month", "day").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    avg_dau = dau.groupBy("month").agg(F.avg("dau").alias("avg_dau"))
+    mau = day_user.select("month", "user_id").distinct().groupBy("month").agg(
+        F.count(F.lit(1)).alias("mau")
+    )
+    return avg_dau.join(mau, "month").select(
+        F.to_date("month").alias("month"),
+        _floor_round(F.col("avg_dau"), 2).alias("avg_dau"),
+        F.col("mau").cast("long").alias("mau"),
+        _floor_round(F.col("avg_dau") / F.col("mau"), 4).alias("stickiness"),
+    )

@@ -2714,6 +2714,27 @@ def q_revenue_trend_fit(spark, sf_dir):
 
 
 @query(
+    "stickiness_by_month",
+    """WITH day_user AS (
+         SELECT DISTINCT CAST(ts AS DATE) AS day,
+                date_trunc('month', ts) AS month, user_id
+         FROM events),
+       dau AS (SELECT month, day, count(*) AS dau
+               FROM day_user GROUP BY month, day),
+       a AS (SELECT month, avg(dau) AS avg_dau FROM dau GROUP BY month),
+       mau AS (SELECT month, count(DISTINCT user_id) AS mau
+               FROM day_user GROUP BY month)
+       SELECT CAST(a.month AS DATE) AS month,
+              floor(avg_dau * 100 + 0.5) / 100.0 AS avg_dau,
+              CAST(mau AS BIGINT) AS mau,
+              floor(avg_dau / mau * 10000 + 0.5) / 10000.0 AS stickiness
+       FROM a JOIN mau ON a.month = mau.month""",
+)
+def q_stickiness_by_month(spark, sf_dir):
+    return analytics.stickiness_by_month(_t(spark, sf_dir, "events"))
+
+
+@query(
     "lexical_diversity",
     f"""SELECT doc_id,
         CAST(len({_SPLIT}) AS BIGINT) AS n_tokens,
