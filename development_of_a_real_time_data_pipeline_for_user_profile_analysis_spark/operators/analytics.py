@@ -1633,3 +1633,72 @@ def stickiness_by_month(events: DataFrame) -> DataFrame:
         F.col("mau").cast("long").alias("mau"),
         _floor_round(F.col("avg_dau") / F.col("mau"), 4).alias("stickiness"),
     )
+
+
+def power_users_monthly(events: DataFrame, min_days: int = 20) -> DataFrame:
+    """Power-user counts per month: users active on >= ``min_days``
+    distinct days. Partial-aggregable throughout — the distinct-day
+    dedup keys on (month, user, day), then two cheap rollups."""
+    mud = events.select(
+        F.date_trunc("month", "ts").alias("month"),
+        "user_id",
+        F.to_date("ts").alias("day"),
+    ).distinct()
+    per_user = mud.groupBy("month", "user_id").agg(
+        F.count(F.lit(1)).alias("active_days")
+    )
+    return (
+        per_user.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum((F.col("active_days") >= min_days).cast("long")).alias(
+                "power_users"
+            ),
+        )
+        .select(
+            F.to_date("month").alias("month"),
+            "active_users",
+            "power_users",
+        )
+    )
+
+
+def revenue_pareto(orders: DataFrame, top_frac: float = 0.1) -> DataFrame:
+    """Pareto concentration: share of total revenue contributed by
+    the top ``top_frac`` of customers. The rank window runs over the
+    pre-aggregated customer totals (|customers| rows, tiny next to
+    orders); output is one row, floored at 4dp."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = per_cust.select("rev", F.row_number().over(w).alias("rn"))
+    n = per_cust.agg(F.count(F.lit(1)).alias("n_cust"))
+    agg = ranked.crossJoin(F.broadcast(n)).agg(
+        F.max("n_cust").alias("n_cust"),
+        F.sum("rev").alias("total"),
+        F.sum(
+            F.when(
+                F.col("rn") <= F.ceil(F.lit(top_frac) * F.col("n_cust")),
+                F.col("rev"),
+            ).otherwise(F.lit(0.0))
+        ).alias("top_rev"),
+    )
+    return agg.select(
+        F.col("n_cust").cast("long").alias("n_customers"),
+        _floor_round(F.col("top_rev") / F.col("total"), 4).alias(
+            "top_decile_share"
+        ),
+    )
+
+
+def events_heatmap(events: DataFrame) -> DataFrame:
+    """Hour-of-day x ISO-weekday activity heatmap — the ops-dashboard
+    load profile. One partial-aggregable groupBy on 168 cells."""
+    return events.groupBy(
+        (F.weekday("ts") + 1).alias("iso_dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _floor_round(F.avg("value"), 4).alias("avg_value"),
+    )

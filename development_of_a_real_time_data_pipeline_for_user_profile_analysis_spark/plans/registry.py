@@ -2714,6 +2714,57 @@ def q_revenue_trend_fit(spark, sf_dir):
 
 
 @query(
+    "power_users_monthly",
+    """WITH mud AS (
+         SELECT DISTINCT date_trunc('month', ts) AS month, user_id,
+                CAST(ts AS DATE) AS day
+         FROM events),
+       per_user AS (
+         SELECT month, user_id, count(*) AS active_days
+         FROM mud GROUP BY month, user_id)
+       SELECT CAST(month AS DATE) AS month,
+              count(*) AS active_users,
+              CAST(sum(CASE WHEN active_days >= 20 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS power_users
+       FROM per_user GROUP BY month""",
+)
+def q_power_users_monthly(spark, sf_dir):
+    return analytics.power_users_monthly(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "revenue_pareto",
+    """WITH per_cust AS (
+         SELECT o_custkey, sum(o_totalprice) AS rev
+         FROM orders GROUP BY o_custkey),
+       ranked AS (
+         SELECT rev, row_number() OVER (ORDER BY rev DESC, o_custkey)
+                  AS rn,
+                count(*) OVER () AS n_cust
+         FROM per_cust)
+       SELECT CAST(max(n_cust) AS BIGINT) AS n_customers,
+              floor(sum(CASE WHEN rn <= ceil(0.1 * n_cust)
+                             THEN rev ELSE 0.0 END)
+                    / sum(rev) * 10000 + 0.5) / 10000.0
+                AS top_decile_share
+       FROM ranked""",
+)
+def q_revenue_pareto(spark, sf_dir):
+    return analytics.revenue_pareto(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_heatmap",
+    """SELECT isodow(ts) AS iso_dow, hour(ts) AS hour,
+              count(*) AS n,
+              floor(avg(value) * 10000 + 0.5) / 10000.0 AS avg_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_events_heatmap(spark, sf_dir):
+    return analytics.events_heatmap(_t(spark, sf_dir, "events"))
+
+
+@query(
     "stickiness_by_month",
     """WITH day_user AS (
          SELECT DISTINCT CAST(ts AS DATE) AS day,

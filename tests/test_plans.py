@@ -306,3 +306,14 @@ def test_rollup_refresh_broadcasts_dirty_buckets(spark, sf_dir):
     plan = _plan(spark, "rollup_incremental_refresh", sf_dir)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_basket_pairs_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, "basket_pairs", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anomaly_days_broadcasts_stats(spark, sf_dir):
+    plan = _plan(spark, "events_anomaly_days", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
