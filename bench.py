@@ -1,112 +1,69 @@
-"""Benchmark harness: runs the engine's headline queries at
+"""Benchmark harness: runs the engine's full query registry at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line.
 
 Each query materializes through the `noop` sink so the full plan
 executes (a bare .count() would let Catalyst prune most of the work).
+
+Per-query timings are written to BENCH_DETAIL_r{N}.json in the repo
+root (the driver's stdout tail capture is ~2000 chars, so the final
+printed line carries only the headline numbers, the regression list,
+and the slowest queries — the full per-query map lives in the detail
+file and is committed with the round's work).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "etl_curate_profiles",
-    "gender_distribution",
-    "top_email_domains",
-    "age_ecdf",
-    "pricing_summary",
-    "shipping_priority",
-    "nation_revenue",
-    "customer_order_rank",
-    "events_hourly",
-    "events_sessionized",
-    "text_stats",
-    "dedup_exact_groups",
-    "minhash_lsh_candidates",
-    "near_dedup_minhash",
-    "simhash_signatures",
-    "embedding_near_dupes",
-    "cosine_topk",
-    "ann_ivf_topk",
-    "similar_profiles",
-    "zscore_by_source",
-    "top_ngrams",
-    "deterministic_split",
-    "multimodal_decode",
-    "curation_pipeline",
-    "clicks_before_errors",
-    "largest_order_per_customer",
-    "daily_revenue_range_ma",
-    "customer_revenue_quartiles",
-    "conversion_funnel",
-    "cohort_retention",
-    "promo_revenue_share",
-    "returned_items_report",
-    "top_suppliers_by_revenue",
-    "large_volume_orders",
-    "stratified_sample_counts",
-    "late_shipment_priority",
-    "daily_revenue_delta",
-    # promoted in round 2
-    "registrable_domains",
-    "label_centroids",
-    "ann_lsh_topk",
-    "pack_documents",
-    "chunk_documents",
-    "user_event_type_sets",
-    "ngram_jaccard_dupes",
-    "events_rollup_multi",
-    "near_dup_clusters",
-    "waiting_suppliers",
-    "profiles_quality_report",
-    "approx_quantiles_check",
-    "split_contamination",
-    "simhash_weighted_dupes",
-    "event_type_unpivot",
-    "multimodal_features",
-    # round-2 widening: TPC-H join/subquery shapes + hygiene ops
-    "volume_shipping",
-    "nation_market_share",
-    "product_profit",
-    "customer_order_distribution",
-    "min_price_supplier",
-    "forecast_revenue",
-    "supplier_part_breadth",
-    "small_qty_part_revenue",
-    "disjunctive_revenue",
-    "idle_rich_customers",
-    "duplicate_spans",
-    "doc_span_uniqueness",
-    "pii_redact_profiles",
-    "kmeans_assignments",
-    # round-2 continuation: curation decision + ANN memory lever
-    "cluster_canonicals",
-    "quantize_embeddings",
-    "cosine_topk_batch",
-    "etl_dead_letter",
-    "cms_user_event_counts",
-    "quantized_recall",
-    "source_overlap_matrix",
-    "quantiles_by_priority",
-    "rollup_incremental_refresh",
-    "incremental_near_dups",
-    "embedding_norm_outliers",
-    "event_transitions",
-    "distinct_users_salted",
-    "price_quantity_stats",
-    "revenue_trend_fit",
-    "fuzzy_part_matches",
-    "weekday_seasonality",
-    "rfm_segments",
-    "basket_pairs",
-    "user_activity_gini",
-]
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _round_number() -> int:
+    """Next round number = max recorded BENCH_r{N}.json + 1 (driver
+    writes BENCH_r{N}.json after this script runs in round N)."""
+    rounds = [0]
+    for f in os.listdir(HERE):
+        m = re.match(r"BENCH(?:_DETAIL)?_r(\d+)\.json$", f)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def _previous_timings(sf: float | str) -> dict[str, float]:
+    """Most recent per-query map: prefer BENCH_DETAIL_r*.json (full
+    coverage), fall back to the driver-recorded BENCH_r*.json whose
+    'parsed' payload carried the map before round 3."""
+    candidates: list[tuple[int, str]] = []
+    for f in os.listdir(HERE):
+        m = re.match(r"BENCH_DETAIL_r(\d+)\.json$", f)
+        if m:
+            candidates.append((int(m.group(1)), f))
+    if not candidates:
+        for f in os.listdir(HERE):
+            m = re.match(r"BENCH_r(\d+)\.json$", f)
+            if m:
+                candidates.append((int(m.group(1)), f))
+    if not candidates:
+        return {}
+    _, latest = max(candidates)
+    try:
+        with open(os.path.join(HERE, latest)) as fh:
+            doc = json.load(fh)
+        payload = doc.get("parsed") or doc
+        # never compare timings across scale factors (a local sf0.01
+        # iteration run must not flag vs the driver's sf0.1 round)
+        if "sf" in payload and payload["sf"] != sf:
+            return {}
+        return payload.get("queries", {}) or {}
+    except (OSError, ValueError):
+        return {}
 
 
 def main() -> None:
@@ -128,9 +85,13 @@ def main() -> None:
     # queries, not session startup
     QUERIES["total_users"](spark, sf_dir).collect()
 
+    # full-registry coverage: every queries() entry is benched, so
+    # regressions in the long tail are caught by the >1.3x gate below
+    names = list(QUERIES)
+
     per_query: dict[str, float] = {}
     t_all = time.time()
-    for name in HEADLINE:
+    for name in names:
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -153,46 +114,63 @@ def main() -> None:
     # jitter on a warm local JVM, so anything that flags on the first
     # pass is re-timed once and the min kept — surviving flags are
     # real regressions, not scheduler noise.
+    sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
+
     regressions: dict[str, dict] = {}
-    here = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(
-        f for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json")
-    )
-    if prior:
+    prev = _previous_timings(sf)
+    if prev:
+
+        def flagged(name: str, secs: float) -> bool:
+            return name in prev and prev[name] > 0.2 and secs > 1.3 * prev[name]
+
+        for name in [n for n, s in per_query.items() if flagged(n, s)]:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            per_query[name] = min(per_query[name], round(time.time() - t0, 3))
+        for name, secs in per_query.items():
+            if flagged(name, secs):
+                regressions[name] = {"prev": prev[name], "now": secs}
+
+    detail_file: str | None = f"BENCH_DETAIL_r{_round_number():02d}.json"
+    detail = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": per_query,
+        "etl_records_per_sec": etl_rec_s,
+        "baseline_etl_records_per_sec": 0.153,
+        "regressions_vs_prev": regressions,
+    }
+    if sf == 0.1:  # only the driver's per-round SF produces an artifact
         try:
-            with open(os.path.join(here, prior[-1])) as fh:
-                doc = json.load(fh)
-                # driver-recorded rounds nest the bench line under "parsed"
-                prev = doc.get("parsed", doc).get("queries", {}) or {}
+            with open(os.path.join(HERE, detail_file), "w") as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+        except OSError:
+            detail_file = None
+    else:
+        detail_file = None
 
-            def flagged(name: str, secs: float) -> bool:
-                return name in prev and prev[name] > 0.2 and secs > 1.3 * prev[name]
-
-            for name in [n for n, s in per_query.items() if flagged(n, s)]:
-                t0 = time.time()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                per_query[name] = min(per_query[name], round(time.time() - t0, 3))
-            for name, secs in per_query.items():
-                if flagged(name, secs):
-                    regressions[name] = {"prev": prev[name], "now": secs}
-        except (OSError, ValueError):
-            pass
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # the printed `queries` map carries only the slowest 10 — the full
+    # per-query map is in the detail file (driver tail capture ~2000ch)
+    slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf,
+                "n_queries": len(per_query),
                 "etl_records_per_sec": etl_rec_s,
                 "baseline_etl_records_per_sec": 0.153,
-                "regressions_vs_prev": regressions,
+                "queries": slowest,
+                "regressions_vs_prev": dict(list(regressions.items())[:8]),
+                "n_regressions": len(regressions),
+                "detail_file": detail_file,
             }
         )
     )

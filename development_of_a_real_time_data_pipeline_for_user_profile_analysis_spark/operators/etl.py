@@ -31,7 +31,9 @@ from ..schemas import ENVELOPE_SCHEMA, PROFILE_COLUMNS
 CORRUPT_COL = "_corrupt_record"
 
 
-def parse_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_envelopes(
+    df: DataFrame, value_col: str = "value", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Binary/string JSON envelope → one row per user struct.
 
     Mirrors reference Real_Time_Data.py:45,83 (CAST → from_json →
@@ -39,10 +41,15 @@ def parse_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
     dropped later by the id-not-null filter — same observable
     semantics as the reference, but see :func:`parse_envelopes_audited`
     for the dead-letter variant the reference lacked.
+
+    ``keep`` threads source metadata columns (e.g. the Kafka wire
+    columns topic/partition/offset/timestamp) through the parse
+    unchanged — lineage columns a real deployment carries to the sink.
     """
     return df.select(
-        F.from_json(F.col(value_col).cast("string"), ENVELOPE_SCHEMA).alias("values")
-    ).select(F.explode("values.results").alias("user"))
+        F.from_json(F.col(value_col).cast("string"), ENVELOPE_SCHEMA).alias("values"),
+        *keep,
+    ).select(F.explode("values.results").alias("user"), *keep)
 
 
 def parse_envelopes_audited(df: DataFrame, value_col: str = "value") -> DataFrame:
@@ -78,6 +85,7 @@ def curate_profiles(
     user_col: str = "user",
     adult_min_age: int = 18,
     compat_age: bool = True,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exploded user struct → the 9-column curated profile, with the
     GDPR adult filter and the non-null-id guard applied.
@@ -105,6 +113,7 @@ def curate_profiles(
             u["location"]["street"]["number"],
             u["location"]["postcode"],
         ).alias("full_address"),
+        *keep,
     )
     return out.filter(F.col("age") > adult_min_age).filter(F.col("id").isNotNull())
 

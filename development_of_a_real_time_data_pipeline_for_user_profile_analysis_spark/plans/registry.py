@@ -99,6 +99,53 @@ def q_userfeed_profiles(spark, sf_dir):
     return etl.curate_profiles(etl.parse_envelopes(envelopes))
 
 
+_KAFKA_WIRE_META = ("topic", "partition", "offset", "timestamp", "timestampType")
+
+
+@query(
+    "kafka_wire_profiles",
+    "WITH "
+    + synthetic.profiles_oracle_cte(
+        f"SELECT CAST(x AS BIGINT) AS k FROM generate_series(1, {_USERFEED_N}) t(x)"
+    )
+    + f"""
+SELECT {_PROFILE_COLS},
+       CAST(NULL AS VARCHAR)                           AS wire_key,
+       'user_data_topic'                               AS topic,
+       CAST((k - 1) % 3 AS INTEGER)                    AS kafka_partition,
+       CAST((k - 1) // 3 AS BIGINT)                    AS kafka_offset,
+       strftime(make_timestamp((1420070400 + (k - 1) * 5) * 1000000),
+                '%Y-%m-%dT%H:%M:%S.000Z')              AS produced_at,
+       CAST(0 AS INTEGER)                              AS ts_type
+FROM (SELECT *, CAST(substr(username, 5) AS BIGINT) AS k FROM profiles) p
+""",
+)
+def q_kafka_wire_profiles(spark, sf_dir):
+    """S1's column contract without the broker: the `userfeed_kafka`
+    source emits the exact Kafka source schema (binary key/value,
+    topic, partition, offset, timestamp, timestampType — what
+    reference Real_Time_Data.py:37-45 sees), and the unchanged ETL
+    chain runs over it with the wire metadata threaded through to the
+    curated output. Verifies binary→string casts on BOTH key and
+    value plus the deterministic partition/offset/timestamp model
+    value-for-value. The real spark-sql-kafka-0-10 read
+    (streaming/pipeline.py:51-68) is a `.format()` swap."""
+    wire = userfeed.read_kafka_wire(spark, _USERFEED_N)
+    users = etl.parse_envelopes(wire, keep=_KAFKA_WIRE_META + ("key",))
+    prof = etl.curate_profiles(users, keep=_KAFKA_WIRE_META + ("key",))
+    return prof.select(
+        *[c.strip() for c in _PROFILE_COLS.split(",")],
+        F.col("key").cast("string").alias("wire_key"),
+        F.col("topic"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("offset").alias("kafka_offset"),
+        F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss.000'Z'").alias(
+            "produced_at"
+        ),
+        F.col("timestampType").alias("ts_type"),
+    )
+
+
 @query(
     "profiles_na_drop",
     _with_profiles(
@@ -3252,7 +3299,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_PRIORITY = [
     # reference-parity ETL + dashboard core
     "etl_curate_profiles",
-    "profiles_na_drop",
+    "kafka_wire_profiles",  # r3: Kafka wire-contract ETL (S1 column contract)
     "profiles_pseudonymized",
     "latest_order_asof_events",
     "gender_distribution",

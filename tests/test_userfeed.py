@@ -70,3 +70,88 @@ def test_stream_microbatches_feed_curation(spark, tmp_path):
     assert n >= 90  # ≥2 micro-batches survived the curation filters
     row = spark.sql("select id, age from uf_test where username = 'user7'").first()
     assert row is not None and row.id is not None
+
+
+# -- Kafka wire contract (S1 without the broker) ---------------------
+
+KAFKA_WIRE_COLS = [
+    ("key", "binary"),
+    ("value", "binary"),
+    ("topic", "string"),
+    ("partition", "int"),
+    ("offset", "bigint"),
+    ("timestamp", "timestamp"),
+    ("timestampType", "int"),
+]
+
+
+def test_kafka_wire_schema_is_exact_kafka_contract(spark):
+    """The seven columns and types must match the real
+    spark-sql-kafka-0-10 source exactly — this is what lets
+    streaming/pipeline.py swap in `.format("kafka")` unchanged."""
+    df = userfeed.read_kafka_wire(spark, 10)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == (
+        KAFKA_WIRE_COLS
+    )
+
+
+def test_kafka_wire_values_and_offset_model(spark):
+    df = userfeed.read_kafka_wire(spark, 30, wire_partitions=3).orderBy(
+        "partition", "offset"
+    )
+    rows = df.collect()
+    assert len(rows) == 30
+    for r in rows:
+        k = json.loads(bytes(r.value))["results"][0]["login"]["username"]
+        k = int(k.removeprefix("user"))
+        assert r.key is None  # reference producer sends value-only
+        assert r.topic == "user_data_topic"
+        assert r.partition == (k - 1) % 3
+        assert r.offset == (k - 1) // 3
+        assert r.timestampType == 0
+    # offsets are dense per partition (0..n-1): the Kafka log model
+    per_part = {}
+    for r in rows:
+        per_part.setdefault(r.partition, []).append(r.offset)
+    for offs in per_part.values():
+        assert offs == list(range(len(offs)))
+
+
+def test_kafka_wire_keyed_variant(spark):
+    df = userfeed.read_kafka_wire(spark, 20, keyed=True)
+    r = df.filter("offset = 2 and partition = 0").first()
+    assert bytes(r.key).decode() == json.loads(bytes(r.value))["results"][0][
+        "login"
+    ]["username"].removeprefix("user")
+
+
+def test_kafka_wire_stream_replay_matches_batch():
+    r = userfeed.KafkaWireStreamReader({"rows_per_batch": "25"})
+    batch, nxt = r.read({"next_k": 1})
+    assert nxt == {"next_k": 26} and len(batch) == 25
+    a = list(r.readBetweenOffsets({"next_k": 5}, {"next_k": 15}))
+    b = list(r.readBetweenOffsets({"next_k": 5}, {"next_k": 15}))
+    assert a == b and len(a) == 10
+    key, value, topic, part, off, ts, ts_type = a[0]
+    assert key is None and topic == "user_data_topic" and ts_type == 0
+    assert part == 4 % 3 and off == 4 // 3
+    assert json.loads(value)["results"][0]["login"]["username"] == "user5"
+
+
+def test_kafka_wire_stream_through_etl(spark, tmp_path):
+    """The full reference chain (Real_Time_Data.py:37-109) over the
+    wire-exact stream: binary value -> cast -> from_json -> curate."""
+    stream = userfeed.read_kafka_wire_stream(spark, rows_per_batch=120)
+    curated = etl.curate_profiles(etl.parse_envelopes(stream.select("value")))
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("kw_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.username: r for r in spark.sql("select * from kw_test").collect()}
+    assert "user101" not in got  # null-id key filtered
+    assert got["user7"].id is not None and got["user7"].age > 18
