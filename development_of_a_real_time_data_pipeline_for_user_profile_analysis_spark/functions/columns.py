@@ -66,30 +66,10 @@ def email_domain(email: Column) -> Column:
     return F.regexp_extract(email, EMAIL_DOMAIN_RE, 1)
 
 
-# Minimal public-suffix list for exact tldextract-parity domain
-# extraction (X11). The regex form (email_domain) handles the common
-# case JVM-side; this covers multi-part suffixes exactly.
-PUBLIC_SUFFIXES = [
-    "co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br", "co.in",
-    "com", "org", "net", "edu", "gov", "io", "me", "uk", "de", "fr",
-]
-
-
-def email_domain_ps(email: Column) -> Column:
-    """Registrable domain with public-suffix awareness, still
-    JVM-side: strip the longest matching known suffix from the host,
-    then take the last remaining label ("x@a.b.foo.co.uk" → "foo").
-    Exact tldextract parity for suffixes in PUBLIC_SUFFIXES (swap in
-    the full PSL for production)."""
-    host = F.substring_index(email, "@", -1)
-    # default: second-to-last label (plain "foo.tld" and unknown TLDs)
-    out = F.substring_index(F.substring_index(host, ".", -2), ".", 1)
-    for suf in sorted(PUBLIC_SUFFIXES, key=len):  # longest wins (applied last)
-        prefix = F.substring_index(host, "." + suf, 1)
-        out = F.when(host.endswith("." + suf), F.substring_index(prefix, ".", -1)).otherwise(
-            out
-        )
-    return out
+# Public-suffix-aware extraction lives in functions/psl.py
+# (with_registrable_domain) — the full ICANN PSL as a broadcast rule
+# table. The regex form above remains the fast path for plain
+# single-suffix hosts.
 
 
 def pseudonymize_col(col: Column) -> Column:

@@ -4,7 +4,9 @@ from pyspark.sql import Row, functions as F
 
 from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.functions.columns import (
     email_domain,
-    email_domain_ps,
+)
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.functions.psl import (
+    with_registrable_domain,
 )
 from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.sinks import (
     create_curated_table,
@@ -12,6 +14,11 @@ from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.so
 
 
 def test_email_domain_public_suffix_parity(spark):
+    """tldextract-parity domain extraction via the full-PSL broadcast
+    table (functions/psl.py), including suffixes the pre-round-3
+    curated subset did NOT carry (co.bw, sch.uk wildcard parent,
+    gov.mw) — proves the snapshot is the complete ICANN section, not
+    the curated list."""
     cases = {
         "a@example.com": "example",
         "b@mail.example.com": "example",  # ps-aware picks registrable
@@ -19,11 +26,16 @@ def test_email_domain_public_suffix_parity(spark):
         "d@a.b.foo.co.uk": "foo",
         "e@proton.me": "proton",
         "f@x.org.uk": "x",
+        # beyond the old curated subset:
+        "g@shop.co.bw": "shop",        # Botswana — absent pre-round-3
+        "h@x.gov.mw": "x",             # Malawi — absent pre-round-3
+        "i@a.b.gouv.sn": "b",          # Senegal gouv.sn — absent
     }
     df = spark.createDataFrame([Row(email=e) for e in cases])
+    hosts = df.withColumn("host", F.substring_index("email", "@", -1))
     got = {
-        r.email: r.d
-        for r in df.select("email", email_domain_ps(F.col("email")).alias("d")).collect()
+        r.email: r.domain
+        for r in with_registrable_domain(hosts, "host").collect()
     }
     assert got == cases
     # the fast regex form agrees on single-suffix hosts
@@ -33,6 +45,32 @@ def test_email_domain_public_suffix_parity(spark):
     }
     assert regex_got["a@example.com"] == "example"
     assert regex_got["c@foo.co.uk"] == "foo"
+
+
+def test_full_psl_snapshot_loaded(spark):
+    """The rule data is the full ICANN section: thousands of rules,
+    depth-4 keys present, unicode rules intact."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.functions import (
+        psl,
+    )
+
+    assert len(psl.PSL_SNAPSHOT) > 7000
+    assert psl.MAX_RULE_DEPTH == 4
+    assert "co.bw" in psl.PSL_SNAPSHOT          # not in the old subset
+    assert any(not r.isascii() for r in psl.PSL_SNAPSHOT)  # IDN rules
+    # wildcard + exception semantics survive the full-list swap
+    df = spark.createDataFrame(
+        [Row(host=h) for h in [
+            "foo.bar.kawasaki.jp",   # *.kawasaki.jp wildcard
+            "city.kawasaki.jp",      # !city.kawasaki.jp exception
+            "a.b.unknowntld",        # default '*' rule
+        ]]
+    )
+    got = {r.host: (r.public_suffix, r.registrable_domain)
+           for r in with_registrable_domain(df, "host").collect()}
+    assert got["foo.bar.kawasaki.jp"] == ("bar.kawasaki.jp", "foo.bar.kawasaki.jp")
+    assert got["city.kawasaki.jp"] == ("kawasaki.jp", "city.kawasaki.jp")
+    assert got["a.b.unknowntld"] == ("unknowntld", "b.unknowntld")
 
 
 def test_create_curated_table_ddl(spark, tmp_path):
