@@ -501,9 +501,11 @@ def chunk_documents_udtf(spark, documents: DataFrame) -> DataFrame:
     LATERAL). The JVM chunker (chunk_documents) remains the hot path;
     this registers the capability end to end and is oracle-checked to
     the identical chunk grid. Row-at-a-time Python: acceptable here
-    because the UDTF is the API artifact, never the scale path."""
-    import uuid
+    because the UDTF is the API artifact, never the scale path.
 
+    Registration is idempotent (fixed function/view names, register
+    overwrites, createOrReplaceTempView) — repeated bench/gate calls
+    don't accumulate session-catalog entries."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="chunk_id bigint, chunk string")
@@ -514,9 +516,9 @@ def chunk_documents_udtf(spark, documents: DataFrame) -> DataFrame:
             for i, s in enumerate(starts):
                 yield i, " ".join(words[s : s + 64])
 
-    fn = f"chunk_udtf_{uuid.uuid4().hex[:8]}"
+    fn = "chunk_udtf"
     spark.udtf.register(fn, ChunkUDTF)
-    view = f"docs_udtf_{uuid.uuid4().hex[:8]}"
+    view = "docs_udtf_input"
     documents.select("doc_id", "text").createOrReplaceTempView(view)
     return spark.sql(
         f"SELECT d.doc_id, c.chunk_id, c.chunk FROM {view} d, LATERAL {fn}(d.text) c"

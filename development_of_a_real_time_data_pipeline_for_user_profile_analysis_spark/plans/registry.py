@@ -840,7 +840,7 @@ def _events_stream(spark, sf_dir):
         "event_type string, value double, props string"
     )
     if ts_type is not None and pa.types.is_timestamp(ts_type) and ts_type.unit == "ns":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong is session-level conf (session.py)
         stream = spark.readStream.schema(schema.format("long")).parquet(d)
         return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     naive = (
@@ -3057,9 +3057,9 @@ def q_revenue_projection(spark, sf_dir):
         (F.floor(F.col("rev") * 100 + 0.5).cast("long") / 100.0).alias("base")
     )
     params = g_row.crossJoin(base_row)
-    import uuid
-
-    view = f"proj_params_{uuid.uuid4().hex[:8]}"
+    # fixed name + createOrReplaceTempView: repeated calls replace
+    # rather than accumulate catalog entries
+    view = "proj_params"
     params.createOrReplaceTempView(view)
     return spark.sql(
         f"""WITH RECURSIVE proj(step, projected) AS (
@@ -3246,7 +3246,7 @@ def q_source_overlap_matrix(spark, sf_dir):
                               r.vec_id) AS rn
           FROM r JOIN qr q ON r.vec_id != q.query_id) WHERE rn <= 10)
        SELECT ex.query_id,
-              floor(count(qz.vec_id) / 10.0 * 10000 + 0.5) / 10000.0
+              floor(count(qz.vec_id) * 1.0 / count(*) * 10000 + 0.5) / 10000.0
                 AS recall_at_k
        FROM ex LEFT JOIN qz USING (query_id, vec_id)
        GROUP BY ex.query_id""",

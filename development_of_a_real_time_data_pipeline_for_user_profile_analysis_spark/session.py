@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata parquet has drifted between nanos-int64 and micros
+        # flavors across regenerations; nanos columns surface as long
+        # and readers.load_table converts them explicitly. Set once
+        # here — NOT toggled from per-table read paths.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
@@ -56,4 +61,5 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     session (the driver hands us one we didn't build)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -61,9 +61,9 @@ def _nano_ts_cols(path: str) -> list[str]:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # nanosAsLong is session-level conf (session.py) — no read-path
+    # toggling; here we only normalize whatever surfaced.
     nano_cols = _nano_ts_cols(path)
-    if nano_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:
         if dict(df.dtypes).get(c) == "bigint":

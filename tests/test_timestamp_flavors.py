@@ -111,7 +111,12 @@ def _flavor_of(path: str) -> str:
 def test_corpus_flavor_is_one_we_cover():
     """If the driver regenerates testdata with a new flavor, fail
     loudly here instead of silently inside 60 queries."""
-    for sf in ("sf0.001", "sf0.01"):
-        p = f"/root/testdata/{sf}/events.parquet"
-        if os.path.exists(p):
-            assert _flavor_of(p) in {"ns_naive", "us_naive", "us_utc"}
+    paths = [
+        p
+        for sf in ("sf0.001", "sf0.01")
+        if os.path.exists(p := f"/root/testdata/{sf}/events.parquet")
+    ]
+    if not paths:
+        pytest.skip("no testdata corpus on this machine — canary cannot run")
+    for p in paths:
+        assert _flavor_of(p) in {"ns_naive", "us_naive", "us_utc"}
