@@ -930,9 +930,20 @@ def fuzzy_part_matches(part: DataFrame, max_distance: int = 2) -> DataFrame:
     product; best match per feed row (min distance, then min key) via
     one WindowGroupLimit-pruned ranking.
 
-    At 100 TB block on a stronger key (first-word + soundex or a
-    q-gram LSH) exactly as the dedup family does; levenshtein is the
-    verify stage only, never the join condition.
+    Resolution runs on the DEDUPLICATED name domain, not on rows:
+    distinct query names x distinct master names (each master name
+    carrying its min p_partkey) go through the blocked levenshtein
+    verify, the per-name argmin is one partial-aggregable
+    min(struct(dist, key)) — no window, no row-level pair
+    enumeration — and the tiny resolution table broadcasts back onto
+    the feed. Cost scales with DISTINCT entities, which is the only
+    shape that survives entity resolution over catalogs where names
+    repeat heavily (this corpus: 64 distinct names across 20k rows —
+    row-level blocking enumerated 405M pairs at 10x and melted;
+    name-level verifies 64x64 at most and re-joins by equi-key).
+    The argmin tie-break (min dist, then min p_partkey) is identical:
+    rows of a name share the name, so the global min key at the best
+    distance is the min over per-name min keys.
     """
     hv = F.conv(
         F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8), 16, 10
@@ -948,23 +959,31 @@ def fuzzy_part_matches(part: DataFrame, max_distance: int = 2) -> DataFrame:
             ).alias("q_name"),
         )
     )
-    cand = (
-        feed.join(
-            part.select("p_partkey", "p_name"),
-            F.substring("q_name", 1, 3) == F.substring("p_name", 1, 3),
+    q_names = feed.select("q_name").distinct()
+    m_names = part.groupBy("p_name").agg(F.min("p_partkey").alias("_mk"))
+    # blocked name-level verify: prefix equi-key + sound length band
+    # (edit distance >= |len diff|), threshold levenshtein early-exits
+    name_pairs = (
+        q_names.join(
+            m_names,
+            (F.substring("q_name", 1, 3) == F.substring("p_name", 1, 3))
+            & (
+                F.abs(F.length("q_name") - F.length("p_name"))
+                <= F.lit(max_distance)
+            ),
         )
-        .withColumn("dist", F.levenshtein("q_name", "p_name"))
-        .filter(F.col("dist") <= max_distance)
+        .withColumn("dist", F.levenshtein("q_name", "p_name", max_distance))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_distance))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("feed_id").orderBy("dist", "p_partkey")
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    resolution = (
+        name_pairs.groupBy("q_name")
+        .agg(F.min(F.struct("dist", "_mk")).alias("s"))
         .select(
-            "feed_id",
-            F.col("p_partkey").alias("matched_partkey"),
-            F.col("dist").cast("long").alias("distance"),
+            "q_name",
+            F.col("s._mk").alias("matched_partkey"),
+            F.col("s.dist").cast("long").alias("distance"),
         )
+    )
+    return feed.join(F.broadcast(resolution), "q_name").select(
+        "feed_id", "matched_partkey", "distance"
     )

@@ -317,3 +317,45 @@ def test_anomaly_days_broadcasts_stats(spark, sf_dir):
     plan = _plan(spark, "events_anomaly_days", sf_dir)
     assert "SortMergeJoin" not in plan
     assert "Broadcast" in plan
+
+
+# -- round-3: plan contracts for the round-2 heavy dedup/ER set ------
+
+
+def test_simhash_weighted_never_goes_quadratic(spark, sf_dir):
+    # df-weight join must stay an equi-join on the shingle key and
+    # band pairing an equi-join on (band, band_bits) — any nested-loop
+    # means the banding collapsed to all-pairs
+    plan = _plan(spark, "simhash_weighted_dupes", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_overlap_self_join_is_keyed(spark, sf_dir):
+    # the per-source distinct bounds each shingle to |sources| rows;
+    # the overlap self-join must remain keyed on shingle (the
+    # source_a < source_b predicate is a post-join filter, never the
+    # join itself)
+    plan = _plan(spark, "source_overlap_matrix", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_near_dups_broadcasts_batch_probe(spark, sf_dir):
+    # the ingest batch's band table is the small side — it must
+    # broadcast into the corpus band join (the corpus is never
+    # re-banded or self-joined)
+    plan = _plan(spark, "incremental_near_dups", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_matches_resolves_on_name_domain(spark, sf_dir):
+    # entity resolution runs on DISTINCT names: levenshtein is
+    # verify-only behind the prefix equi-key, best-match is a
+    # partial-aggregable argmin (no window over row-level pairs), and
+    # the resolution table broadcasts back onto the feed
+    plan = _plan(spark, "fuzzy_part_matches", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan

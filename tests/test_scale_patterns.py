@@ -55,3 +55,170 @@ def test_rate_envelope_feeder_curates(spark, tmp_path):
             assert row[0].gender == "male" and row[0].title == "Mr"
     finally:
         q.stop()
+
+
+# -- round-3: pathological-skew robustness ---------------------------
+#
+# VERDICT r2 #7: one hot key must not melt a task. Three shapes:
+# a blocking key shared by 10% of documents (dedup candidate
+# generation), one user owning ~50% of events (salted distinct +
+# skewed shuffle join with AQE skew-split).
+
+import pyspark.sql.functions as F
+
+
+def _skewed_events(spark, sf_dir):
+    """~50% of events rewritten to user_id=1 — the hot-user corpus."""
+    ev = readers.load_table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.col("user_id")),
+    )
+
+
+def _skewed_docs(spark, sf_dir):
+    """10% of documents share an injected boilerplate phrase — one
+    pathological shingle whose document frequency is ~n/10."""
+    docs = readers.load_table(spark, sf_dir, "documents")
+    hot = "omega omega omega omega"  # one hot 3-gram window repeated
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat_ws(" ", "text", F.lit(hot))
+        ).otherwise(F.col("text")),
+    )
+
+
+def test_jaccard_blocking_df_cap_excludes_hot_shingle(spark, sf_dir):
+    """The rare-shingle df cap is what bounds candidate generation
+    linearly; a shingle carried by 10% of the corpus must fall out of
+    the blocking key set entirely (df > max_df), so the hot key
+    contributes zero pairs to the blocking self-join."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.dedup import (
+        ngram_jaccard_dupes,
+        shingles,
+    )
+
+    docs = _skewed_docs(spark, sf_dir)
+    n_docs = docs.count()
+    df_tab = shingles(docs).groupBy("shingle").agg(F.count("*").alias("df"))
+    hot_rows = df_tab.filter(F.col("shingle").contains("omega")).collect()
+    assert hot_rows and max(r.df for r in hot_rows) >= n_docs // 10 - 1
+    assert all(r.df > 20 for r in hot_rows if r.df >= n_docs // 10 - 1)
+
+    # end to end: candidate volume stays bounded by the cap — the
+    # blocked-pair count obeys sum_df<=20 C(df,2), hot shingle excluded
+    rare = df_tab.filter(F.col("df") <= 20)
+    bound = rare.agg(
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("b")
+    ).first().b
+    rsh = shingles(docs).join(rare.select("shingle"), "shingle")
+    blocked = (
+        rsh.alias("a")
+        .join(rsh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .count()
+    )
+    assert blocked <= bound
+    # and the full operator still completes with sane output
+    pairs = ngram_jaccard_dupes(docs).count()
+    base_pairs = ngram_jaccard_dupes(
+        readers.load_table(spark, sf_dir, "documents")
+    ).count()
+    # appending one shared phrase must not manufacture near-dups
+    assert pairs <= base_pairs + n_docs // 50
+
+
+def test_salted_distinct_exact_under_hot_user(spark, sf_dir):
+    ev = _skewed_events(spark, sf_dir)
+    got = {
+        r.event_type: r.distinct_users
+        for r in analytics.distinct_users_salted(ev).collect()
+    }
+    want = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert got == want
+    # salted shape: the wide shuffles are keyed on (event_type, _salt
+    # [, user_id]) — the hot user fans out over sub-buckets instead of
+    # landing on one reducer; only the final tiny merge keys on
+    # event_type alone
+    plan = (
+        analytics.distinct_users_salted(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 3
+    import re
+
+    # exactly one exchange keys on event_type alone (the final tiny
+    # merge); the two wide ones carry _salt in the key
+    solo = re.findall(r"hashpartitioning\(event_type#\d+, \d+\)", plan)
+    salted = re.findall(r"hashpartitioning\(event_type#\d+, _salt#", plan)
+    assert len(solo) == 1 and len(salted) == 2
+
+
+def test_aqe_splits_hot_user_join(spark, sf_dir):
+    """A shuffle join keyed on the hot user must show AQE's skew-split
+    in the final adaptive plan (skew=true / AQEShuffleRead skewed)
+    instead of one straggler task carrying 50% of the probe side.
+
+    Three conditions discovered while pinning this (each one absent
+    silently disables the split — documented in PERF.md):
+    - the skewed side's map stage needs >= 2 mappers (the split is at
+      map-output granularity; a single-file local parquet scan is one
+      mapper, so the probe repartitions upstream — production scans
+      have thousands of mappers);
+    - the join's shuffle stages must feed the SMJ directly (an
+      aggregate between shuffle and join breaks the pattern — hence
+      the independent dim side);
+    - forceOptimizeSkewedJoin, because the downstream aggregate
+      means splitting adds a shuffle, which AQE otherwise refuses.
+    """
+    payload = F.concat(
+        *[
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(str(i))))
+            for i in range(12)
+        ]
+    )
+    ev = (
+        _skewed_events(spark, sf_dir)
+        .repartition(8)  # multi-mapper upstream (see docstring)
+        .withColumn("payload", payload)
+    )
+    users = spark.range(0, 3_000_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).cast("int").alias("segment")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # small advisory chunk: the hot partition at sf0.001 is ~1 MB
+        # compressed — it must exceed the chunk size to yield >1 split
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = (
+            ev.join(users, "user_id")
+            .groupBy("segment")
+            .agg(F.count("*").alias("n"), F.max("payload").alias("mp"))
+        )
+        joined.collect()  # materialize so AQE finalizes the plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

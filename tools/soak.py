@@ -4,7 +4,11 @@
 This is the 'would the plan survive a 10x scale-up' probe — run
 manually, watch for spills, stragglers, or plan flips:
 
-    python tools/soak.py [replication]
+    python tools/soak.py [replication] [query ...]
+
+With query names given, only those run (the full default list
+otherwise). The replicated corpus lives at /tmp/soak_x{replication}
+and is reused if already built (delete the dir to force a rebuild).
 
 O(n²) brute-force ops (embedding_near_dupes) are excluded by design —
 at this scale only their LSH/IVF variants are legitimate.
@@ -22,7 +26,6 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/soak_sf1"
 
 QUERIES_TO_RUN = [
     "etl_curate_profiles",
@@ -56,6 +59,13 @@ QUERIES_TO_RUN = [
     "ngram_jaccard_dupes",
     "profiles_quality_report",
     "approx_quantiles_check",
+    # round-2 heavy dedup/similarity/entity-resolution set (soaked
+    # per VERDICT r2 #2)
+    "cluster_canonicals",
+    "simhash_weighted_dupes",
+    "source_overlap_matrix",
+    "fuzzy_part_matches",
+    "incremental_near_dups",
     # round-2 widening
     "volume_shipping",
     "nation_market_share",
@@ -94,16 +104,16 @@ SHIFTS = {
 }
 
 
-def build(spark, replication: int) -> None:
+def build(spark, replication: int, dst: str) -> None:
     from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
         load_table,
     )
 
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
     for table, shifts in SHIFTS.items():
         base = load_table(spark, SRC, table)
         if not shifts:  # tiny dims copied as-is
-            base.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
+            base.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
             continue
         reps = []
         for i in range(replication):
@@ -114,11 +124,14 @@ def build(spark, replication: int) -> None:
         out = reps[0]
         for r in reps[1:]:
             out = out.unionByName(r)
-        out.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
+        out.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
 
 
 def main() -> None:
-    replication = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = sys.argv[1:]
+    replication = int(args[0]) if args and args[0].isdigit() else 10
+    only = args[1:] if args and args[0].isdigit() else args
+    dst = f"/tmp/soak_x{replication}"
     from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.plans import (
         QUERIES,
     )
@@ -128,15 +141,21 @@ def main() -> None:
 
     spark = get_spark("soak")
     spark.sparkContext.setLogLevel("ERROR")
-    t0 = time.time()
-    build(spark, replication)
-    print(f"# built {replication}x corpus in {time.time()-t0:.1f}s", file=sys.stderr)
+    if os.path.exists(os.path.join(dst, "lineitem.parquet")):
+        print(f"# reusing {dst}", file=sys.stderr)
+    else:
+        t0 = time.time()
+        build(spark, replication, dst)
+        print(
+            f"# built {replication}x corpus in {time.time()-t0:.1f}s",
+            file=sys.stderr,
+        )
 
     per_query = {}
     t_all = time.time()
-    for name in QUERIES_TO_RUN:
+    for name in only or QUERIES_TO_RUN:
         t0 = time.time()
-        QUERIES[name](spark, DST).write.format("noop").mode("overwrite").save()
+        QUERIES[name](spark, dst).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 2)
         print(f"# {name}: {per_query[name]}s", file=sys.stderr)
     print(
