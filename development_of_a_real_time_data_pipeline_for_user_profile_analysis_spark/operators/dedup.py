@@ -987,3 +987,42 @@ def fuzzy_part_matches(part: DataFrame, max_distance: int = 2) -> DataFrame:
     return feed.join(F.broadcast(resolution), "q_name").select(
         "feed_id", "matched_partkey", "distance"
     )
+
+
+def cross_source_dupes(
+    docs: DataFrame, jaccard_threshold: float = 0.6
+) -> DataFrame:
+    """Cross-source near-duplicate pairs — the contamination DETAIL
+    view (which documents leaked between which sources), complementing
+    source_overlap_matrix's aggregate counts. Same MinHash-LSH
+    candidate generation as near_dedup_minhash, with the same-source
+    pairs dropped BEFORE the exact-Jaccard verify (the source tag
+    joins in on the doc key, so the filter costs two keyed lookups,
+    not a shuffle of the shingle table).
+
+    Scale shape: identical to near_dedup_minhash (banded buckets,
+    never all-pairs); the source filter only shrinks the verify input.
+    """
+    pairs = lsh_candidate_pairs(docs)
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "source", "source_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "source_b"
+            ),
+            "doc_b",
+        )
+        .filter(F.col("source_a") != F.col("source_b"))
+    )
+    verified = ngram_jaccard_pairs(docs, tagged.select("doc_a", "doc_b"))
+    return (
+        verified.filter(F.col("jaccard") >= jaccard_threshold)
+        .join(F.broadcast(tagged), ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
+    )

@@ -537,3 +537,106 @@ def lexical_diversity(documents: DataFrame) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
         round4(ttr).alias("ttr"),
     )
+
+
+def vocab_coverage(documents: DataFrame, top_k: int = 100) -> DataFrame:
+    """Vocabulary-coverage report: per source, the fraction of token
+    occurrences covered by the corpus-global top-`top_k` tokens — the
+    measurement behind vocab-size / OOV-rate decisions for tokenizer
+    training.
+
+    Scale shape: one token-count aggregate (uniform shuffle on the
+    token key), a top-k head (TakeOrderedAndProject, ties broken by
+    token so the set is deterministic), then the per-source scan
+    re-aggregates with the top-k set broadcast into a semi-join-like
+    membership sum. No doc x vocab pairs anywhere.
+    """
+    tok = documents.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    top = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(top_k)
+        .select("tok")
+    )
+    flagged = tok.join(
+        F.broadcast(top.withColumn("_in_top", F.lit(1))), "tok", "left"
+    )
+    cov = F.sum(F.coalesce(F.col("_in_top"), F.lit(0))) / F.count(F.lit(1))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        round4(cov).alias("top_token_coverage"),
+    )
+
+
+def token_zipf_fit(documents: DataFrame, min_count: int = 2) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency table: OLS slope and
+    intercept of ln(freq) ~ ln(rank) (rank by count desc, token asc —
+    deterministic), over tokens with count >= min_count. A healthy
+    natural-language corpus sits near slope -1; templated/synthetic
+    text flattens. One aggregate + one window rank + one regression
+    aggregate (regr_slope merges moment partials — partial-aggregable
+    like sum/count).
+    """
+    freq = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    lg = lambda c: F.log(c.cast("double"))  # noqa: E731
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_fit"),
+        round4(F.regr_slope(lg(F.col("n")), lg(F.col("rank")))).alias(
+            "zipf_slope"
+        ),
+        round4(F.regr_intercept(lg(F.col("n")), lg(F.col("rank")))).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
+    """Per-document top-`top_n` TF-IDF terms — the classic salient-
+    term extraction (dashboards, near-dup explanations, topic drift
+    monitors). tf = in-doc count, idf = ln(N / df). Scores are rounded
+    to 6 dp before ranking and ties break on the term string, so the
+    selection is engine-portable.
+
+    Scale shape: two uniform token-key shuffles (per-doc tf, global
+    df) joined on the token, then a per-doc group-limit rank (window
+    over doc_id — group-limit pruned, no global sort).
+    """
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tab, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs") / F.col("df"))
+                * 1000000
+                + 0.5
+            ).cast("long")
+            / 1000000.0,
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("doc_id", F.col("rn").cast("long").alias("rank"), F.col("tok").alias("term"), "score")
+    )

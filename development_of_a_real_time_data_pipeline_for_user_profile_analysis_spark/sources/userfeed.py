@@ -286,15 +286,22 @@ def read_kafka_wire(
 
 
 def read_kafka_wire_stream(
-    spark, rows_per_batch: int = 100, start: int = 1, keyed: bool = False
+    spark,
+    rows_per_batch: int = 100,
+    start: int = 1,
+    keyed: bool = False,
+    max_rows: int = 0,
 ):
-    """Streaming: the Kafka wire contract as an unbounded source."""
+    """Streaming: the Kafka wire contract as an unbounded source
+    (``max_rows`` > 0 bounds the feed for deterministic availableNow
+    runs)."""
     register_kafka_wire(spark)
     return (
         spark.readStream.format("userfeed_kafka")
         .option("rows_per_batch", rows_per_batch)
         .option("start", start)
         .option("keyed", str(keyed).lower())
+        .option("max_rows", max_rows)
         .load()
     )
 
