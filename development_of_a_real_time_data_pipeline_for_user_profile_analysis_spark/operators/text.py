@@ -587,8 +587,26 @@ def token_zipf_fit(documents: DataFrame, min_count: int = 2) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    ranked = freq.withColumn("rank", F.row_number().over(w))
+    # Global rank (by n desc, tok asc) WITHOUT a global-order window:
+    # rank = (#tokens with strictly higher n) + (row_number within
+    # this n, by tok). The cumulative offset runs over the distinct-
+    # frequency table — O(distinct counts) rows, histogram-CDF style —
+    # and joins back broadcast. The within-n window partitions by n;
+    # power-law corpora put ~half the vocab at n=min_count, so the
+    # largest partition is ~|vocab|/2 narrow rows — bounded, unlike a
+    # single global sort partition.
+    w_in = Window.partitionBy("n").orderBy(F.asc("tok"))
+    ranked_in = freq.withColumn("rn_in", F.row_number().over(w_in))
+    counts = freq.groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    )
+    ranked = ranked_in.join(
+        F.broadcast(offsets.select("n", "off")), "n"
+    ).withColumn("rank", F.col("off") + F.col("rn_in"))
     lg = lambda c: F.log(c.cast("double"))  # noqa: E731
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens_fit"),

@@ -3279,6 +3279,83 @@ def q_cluster_canonicals(spark, sf_dir):
     return dedup.cluster_canonicals(_dupes_df(spark, sf_dir))
 
 
+@query(
+    "vocab_coverage",
+    f"""WITH t2 AS (
+         SELECT source, unnest({_SPLIT}) AS tok FROM documents),
+       t3 AS (SELECT * FROM t2 WHERE tok <> ''),
+       top AS (
+         SELECT tok FROM (
+           SELECT tok, count(*) AS n FROM t3 GROUP BY tok
+           ORDER BY n DESC, tok ASC LIMIT 100))
+       SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+              floor(sum(CASE WHEN tok IN (SELECT tok FROM top)
+                        THEN 1 ELSE 0 END) * 1.0 / count(*)
+                    * 10000 + 0.5) / 10000.0 AS top_token_coverage
+       FROM t3 GROUP BY source""",
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Per-source coverage by the corpus-global top-100 tokens — the
+    OOV-rate measurement behind tokenizer vocab sizing. Top-k head is
+    TakeOrderedAndProject; membership via broadcast join."""
+    return text.vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_zipf_fit",
+    f"""WITH freq AS (
+         SELECT tok, count(*) AS n FROM (
+           SELECT unnest({_SPLIT}) AS tok FROM documents)
+         WHERE tok <> '' GROUP BY tok HAVING count(*) >= 2),
+       ranked AS (
+         SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank
+         FROM freq)
+       SELECT CAST(count(*) AS BIGINT) AS n_tokens_fit,
+              floor(regr_slope(ln(CAST(n AS DOUBLE)),
+                               ln(CAST(rank AS DOUBLE)))
+                    * 10000 + 0.5) / 10000.0 AS zipf_slope,
+              floor(regr_intercept(ln(CAST(n AS DOUBLE)),
+                                   ln(CAST(rank AS DOUBLE)))
+                    * 10000 + 0.5) / 10000.0 AS zipf_intercept
+       FROM ranked""",
+)
+def q_token_zipf_fit(spark, sf_dir):
+    """Zipf-law OLS fit of the corpus token-frequency table; healthy
+    natural text sits near slope -1. regr_slope merges moment
+    partials, so the fit is one partial-aggregable pass."""
+    return text.token_zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "tfidf_top_terms",
+    f"""WITH t3 AS (
+         SELECT doc_id, tok FROM (
+           SELECT doc_id, unnest({_SPLIT}) AS tok FROM documents)
+         WHERE tok <> ''),
+       tf AS (SELECT doc_id, tok, count(*) AS tf
+              FROM t3 GROUP BY doc_id, tok),
+       dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       nd AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT doc_id, tok,
+                CAST(floor(tf * ln(n_docs / df) * 1000000 + 0.5)
+                     AS BIGINT) / 1000000.0 AS score
+         FROM tf JOIN dfx USING (tok) CROSS JOIN nd),
+       ranked AS (
+         SELECT doc_id, tok, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok ASC) AS rn
+         FROM scored)
+       SELECT doc_id, CAST(rn AS BIGINT) AS rank, tok AS term, score
+       FROM ranked WHERE rn <= 3""",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF salient terms. Two uniform token-key
+    shuffles + a group-limit-pruned per-doc rank; scores floor-rounded
+    at 6 dp so the selection is engine-portable."""
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

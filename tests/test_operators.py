@@ -590,3 +590,68 @@ def test_cluster_canonicals_picks_max_quality(docs):
         best = max(cluster, key=lambda d: (quality[d], -d))
         assert row.keeper_id == best
         assert row.keeper_quality == quality[best]
+
+
+@pytest.fixture(scope="module")
+def mini_corpus(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s1", text="apple banana apple"),
+            Row(doc_id=2, source="s2", text="banana cherry"),
+            Row(doc_id=3, source="s1", text="apple banana cherry date"),
+        ]
+    )
+
+
+def test_tfidf_top_terms_golden(mini_corpus):
+    import math
+
+    got = {
+        (r.doc_id, r.rank): (r.term, r.score)
+        for r in text.tfidf_top_terms(mini_corpus).collect()
+    }
+
+    def s(tf, df, n=3):
+        return math.floor(tf * math.log(n / df) * 1e6 + 0.5) / 1e6
+
+    # doc 1: apple tf=2 df=2 beats banana (idf 0)
+    assert got[(1, 1)] == ("apple", s(2, 2))
+    assert got[(1, 2)] == ("banana", 0.0)
+    # doc 3: date (df=1) > apple = cherry (tie -> term asc) > banana
+    assert got[(3, 1)] == ("date", s(1, 1))
+    assert got[(3, 2)] == ("apple", s(1, 2))
+    assert got[(3, 3)] == ("cherry", s(1, 2))
+
+
+def test_vocab_coverage_golden(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s1", text="a a b c"),
+            Row(doc_id=2, source="s2", text="a b b d"),
+        ]
+    )
+    got = {
+        r.source: (r.n_tokens, r.top_token_coverage)
+        for r in text.vocab_coverage(df, top_k=2).collect()
+    }
+    # global top-2 tokens = {a, b}; each source covers 3 of 4
+    assert got == {"s1": (4, 0.75), "s2": (4, 0.75)}
+
+
+def test_token_zipf_fit_golden(spark):
+    import math
+
+    # counts: x=4 (rank 1), y=2 (rank 2), z=2 (rank 3); w dropped (<2)
+    txt = " ".join(["x"] * 4 + ["y"] * 2 + ["z"] * 2 + ["w"])
+    df = spark.createDataFrame([Row(doc_id=1, source="s", text=txt)])
+    row = text.token_zipf_fit(df).collect()[0]
+    assert row.n_tokens_fit == 3
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(n) for n in (4, 2, 2)]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    intercept = my - slope * mx
+    assert row.zipf_slope == math.floor(slope * 1e4 + 0.5) / 1e4
+    assert row.zipf_intercept == math.floor(intercept * 1e4 + 0.5) / 1e4
