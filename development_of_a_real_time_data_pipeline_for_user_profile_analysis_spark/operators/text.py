@@ -658,3 +658,64 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
         .filter(F.col("rn") <= top_n)
         .select("doc_id", F.col("rn").cast("long").alias("rank"), F.col("tok").alias("term"), "score")
     )
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-`top_k` documents for a bag of
+    query terms (Lucene idf form: ln(1 + (N - df + .5)/(df + .5))).
+    The retrieval story next to the embedding ANN operators — sparse
+    lexical search over the same corpus.
+
+    Scale shape: the token scan filters to the query terms BEFORE the
+    tf aggregate, so the shuffled table is |hits|, not |tokens|; df
+    and corpus stats (N, avgdl) are 1-row/tiny broadcasts; the head is
+    TakeOrderedAndProject (never a global sort). Per-term
+    contributions are floor-rounded to integer micro-units and summed
+    as longs, so the score is addition-order-free and engine-portable.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("tok").isin(query_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1)) / denom
+    scored = (
+        tf.join(F.broadcast(dfx), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c", F.floor(contrib * 1000000 + 0.5).cast("long")
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("c_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        )
+        .orderBy(F.desc("c_sum"), F.asc("doc_id"))
+        .limit(top_k)
+        .select(
+            "doc_id",
+            (F.col("c_sum") / 1000000.0).alias("score"),
+            "n_hit_terms",
+        )
+    )

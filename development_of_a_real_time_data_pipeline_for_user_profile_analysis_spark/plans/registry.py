@@ -3356,6 +3356,89 @@ def q_tfidf_top_terms(spark, sf_dir):
     return text.tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "containment_dupes",
+    _with_dupes(
+        f""", {_SHINGLES_CTE},
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20),
+        rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ),
+        sized AS (
+          SELECT doc_a, doc_b, n_inter,
+                 sa.n_sh AS n_a, sb.n_sh AS n_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+        ),
+        directed AS (
+          SELECT doc_a AS contained_id, doc_b AS container_id,
+                 floor(n_inter / n_a * 10000 + 0.5) / 10000.0 AS containment
+          FROM sized
+          UNION ALL
+          SELECT doc_b, doc_a,
+                 floor(n_inter / n_b * 10000 + 0.5) / 10000.0
+          FROM sized
+        )
+        SELECT contained_id, container_id, containment
+        FROM directed WHERE containment >= 0.8"""
+    ),
+)
+def q_containment_dupes(spark, sf_dir):
+    """Asymmetric containment dedup |A∩B|/|A| >= 0.8 — catches short-
+    doc-inside-long-doc inclusions that Jaccard resemblance misses.
+    Shares the rare-shingle blocked pipeline with ngram_jaccard_dupes
+    (dedup.py:_blocked_pair_intersections)."""
+    return dedup.containment_dupes(_dupes_df(spark, sf_dir))
+
+
+_BM25_TERMS = ["spark", "vector", "customer"]
+
+
+@query(
+    "bm25_search",
+    f"""WITH tok AS (
+         SELECT doc_id, tok FROM (
+           SELECT doc_id, unnest({_SPLIT}) AS tok FROM documents)
+         WHERE tok <> ''),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+              WHERE tok IN ({",".join(repr(t) for t in _BM25_TERMS)})
+              GROUP BY doc_id, tok),
+       dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       contrib AS (
+         SELECT doc_id,
+                CAST(floor(
+                  ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2)
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                  * 1000000 + 0.5) AS BIGINT) AS c
+         FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
+              CROSS JOIN stats)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) / 1000000.0 AS score,
+              CAST(count(*) AS BIGINT) AS n_hit_terms
+       FROM contrib GROUP BY doc_id
+       ORDER BY sum(c) DESC, doc_id ASC LIMIT 10""",
+)
+def q_bm25_search(spark, sf_dir):
+    """Sparse lexical retrieval next to the ANN operators: BM25
+    (k1=1.2, b=0.75, Lucene idf) top-10 for a fixed 3-term query.
+    Hits-only tf shuffle, broadcast df/stats, TakeOrderedAndProject
+    head, integer-microunit scores (addition-order-free)."""
+    return text.bm25_search(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -655,3 +655,49 @@ def test_token_zipf_fit_golden(spark):
     intercept = my - slope * mx
     assert row.zipf_slope == math.floor(slope * 1e4 + 0.5) / 1e4
     assert row.zipf_intercept == math.floor(intercept * 1e4 + 0.5) / 1e4
+
+
+def test_bm25_search_golden(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s", text="spark spark merge"),
+            Row(doc_id=2, source="s", text="merge sort sort sort"),
+            Row(doc_id=3, source="s", text="spark sort"),
+        ]
+    )
+    got = {r.doc_id: (r.score, r.n_hit_terms)
+           for r in text.bm25_search(df, ["spark", "merge"]).collect()}
+    n, avgdl = 3, 3.0
+
+    def c(tf, docf, dl, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - docf + 0.5) / (docf + 0.5))
+        v = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return math.floor(v * 1e6 + 0.5)
+
+    exp1 = (c(2, 2, 3) + c(1, 2, 3)) / 1e6     # spark x2, merge x1
+    exp2 = c(1, 2, 4) / 1e6                    # merge x1
+    exp3 = c(1, 2, 2) / 1e6                    # spark x1
+    assert got == {1: (exp1, 2), 2: (exp2, 1), 3: (exp3, 1)}
+
+
+def test_containment_catches_doc_in_doc(spark):
+    """A short doc pasted into a long one: containment ~1.0 while
+    Jaccard stays far below its threshold."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s", text=short, lang="en",
+                n_chars=len(short)),
+            Row(doc_id=2, source="s", text=long_, lang="en",
+                n_chars=len(long_)),
+        ]
+    )
+    got = [
+        (r.contained_id, r.container_id, r.containment)
+        for r in dedup.containment_dupes(df).collect()
+    ]
+    assert got == [(1, 2, 1.0)]  # only the short->long direction
+    assert dedup.ngram_jaccard_dupes(df).count() == 0

@@ -359,3 +359,14 @@ def test_fuzzy_matches_resolves_on_name_domain(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_topk_and_broadcast_stats(spark, sf_dir):
+    """BM25 head must be TakeOrderedAndProject (no global sort) and
+    the df/corpus-stats joins must broadcast — the hits-only tf table
+    is the only large shuffle input."""
+    plan = _plan(spark, "bm25_search", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
