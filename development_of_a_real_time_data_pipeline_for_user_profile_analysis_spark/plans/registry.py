@@ -3402,6 +3402,43 @@ def q_containment_dupes(spark, sf_dir):
     return dedup.containment_dupes(_dupes_df(spark, sf_dir))
 
 
+def _zorder_oracle(bits: int = 8, n_files: int = 16) -> str:
+    z = " + ".join(
+        f"((((b1 >> {i}) & 1) << {2 * i + 1}) + (((b2 >> {i}) & 1) << {2 * i}))"
+        for i in range(bits)
+    )
+    n = 1 << bits
+    shift = 2 * bits - (n_files.bit_length() - 1)
+    return f"""WITH stats AS (
+         SELECT min(o_custkey) AS mn_c, max(o_custkey) AS mx_c,
+                min(date_diff('day', DATE '1970-01-01', o_orderdate)) AS mn_d,
+                max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS mx_d
+         FROM orders),
+       bk AS (
+         SELECT o_custkey, o_orderdate,
+                CAST(floor((o_custkey - mn_c) * {n} / (mx_c - mn_c + 1))
+                     AS BIGINT) AS b1,
+                CAST(floor((date_diff('day', DATE '1970-01-01', o_orderdate)
+                            - mn_d) * {n} / (mx_d - mn_d + 1))
+                     AS BIGINT) AS b2
+         FROM orders CROSS JOIN stats),
+       zz AS (SELECT o_custkey, o_orderdate, ({z}) AS z FROM bk)
+       SELECT (z >> {shift}) AS file_id,
+              count(*) AS n_rows,
+              min(o_custkey) AS cust_lo, max(o_custkey) AS cust_hi,
+              min(o_orderdate) AS date_lo, max(o_orderdate) AS date_hi
+       FROM zz GROUP BY 1"""
+
+
+@query("zorder_files", _zorder_oracle())
+def q_zorder_files(spark, sf_dir):
+    """Z-order (Morton) file-layout manifest for orders over
+    (o_custkey, o_orderdate): per-file row counts + min/max footer
+    stats in BOTH dimensions — the write-side clustering pass that
+    makes two-dimensional scan pruning work at 100 TB."""
+    return maintenance.zorder_files(_t(spark, sf_dir, "orders"))
+
+
 _BM25_TERMS = ["spark", "vector", "customer"]
 
 

@@ -222,3 +222,67 @@ def test_aqe_splits_hot_user_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir):
+    """The point of the Morton layout: every file's min/max range is
+    narrow in BOTH custkey and orderdate, so either predicate prunes
+    files. A linear custkey sort (the naive layout) leaves each file
+    spanning ~the full date range — assert z-order beats it decisively
+    on the date dimension while staying useful on custkey."""
+    from pyspark.sql import Window
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        maintenance,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    n_files = 16
+    manifest = maintenance.zorder_files(orders, n_files=n_files).collect()
+    assert len(manifest) == n_files
+
+    glob = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderdate"), F.max("o_orderdate"),
+    ).collect()[0]
+    cust_range = glob[1] - glob[0] + 1
+    date_range = (glob[3] - glob[2]).days + 1
+
+    def avg_span(rows, lo, hi, to_units, full):
+        return sum(to_units(r[hi], r[lo]) / full for r in rows) / len(rows)
+
+    z_cust = avg_span(
+        manifest, "cust_lo", "cust_hi", lambda a, b: a - b + 1, cust_range
+    )
+    z_date = avg_span(
+        manifest, "date_lo", "date_hi", lambda a, b: (a - b).days + 1,
+        date_range,
+    )
+    # linear custkey sort baseline: files = custkey quantile ranges
+    linear = (
+        orders.select(
+            F.ntile(n_files)
+            .over(Window.orderBy("o_custkey"))
+            .alias("file_id"),
+            "o_custkey",
+            "o_orderdate",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.min("o_orderdate").alias("date_lo"),
+            F.max("o_orderdate").alias("date_hi"),
+        )
+        .collect()
+    )
+    lin_date = avg_span(
+        linear, "date_lo", "date_hi", lambda a, b: (a - b).days + 1, date_range
+    )
+    # each z-file covers ~1/4 of each dimension (4 bits apiece of the
+    # 4 file-id bits); the linear layout's date span stays ~full-range
+    assert z_cust <= 0.35
+    assert z_date <= 0.35
+    assert lin_date >= 0.9
+    assert z_date < lin_date / 2
