@@ -719,3 +719,69 @@ def bm25_search(
             "n_hit_terms",
         )
     )
+
+
+def mixture_rates(
+    documents: DataFrame, budget_share: float = 0.5
+) -> DataFrame:
+    """Data-mixing plan: per-source sampling rates that rebalance the
+    corpus toward UNIFORM source shares within a token budget of
+    `budget_share` * total tokens (the mixture-rebalancing step of
+    training-data assembly — downweight over-represented sources).
+
+    rate_s = min(1, budget/|sources| / tokens_s), published in
+    integer parts-per-million so the downstream hash-accept sampler
+    is engine-portable. One per-source aggregate (tiny output) plus a
+    1-row total joined broadcast — no second scan of the corpus.
+    """
+    per_source = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    per_target = (
+        F.col("total_tokens") * budget_share / F.col("n_sources")
+    )
+    rate_ppm = F.least(
+        F.lit(1000000).cast("long"),
+        F.floor(per_target / F.col("n_tokens") * 1000000).cast("long"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            rate_ppm.alias("rate_ppm"),
+        )
+    )
+
+
+def mixture_sampled_counts(
+    documents: DataFrame, budget_share: float = 0.5
+) -> DataFrame:
+    """Apply the mixture plan with a content-independent deterministic
+    sampler: keep a doc iff md5(doc_id) % 1e6 < its source's
+    rate_ppm. Per-source sampled doc/token counts come back as the
+    audit (and show the realized mixture is ~uniform).
+
+    The rates table is tiny (|sources| rows) and broadcast onto the
+    scan; acceptance is a pure map — the whole operator is one
+    corpus scan + one small aggregate. Deterministic: same corpus,
+    same sample, any cluster size or partitioning.
+    """
+    rates = mixture_rates(documents, budget_share)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1000000
+    kept = (
+        documents.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .filter(h < F.col("rate_ppm"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled_docs"),
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("n_sampled_tokens"),
+    )

@@ -3476,6 +3476,51 @@ def q_bm25_search(spark, sf_dir):
     return text.bm25_search(_t(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
+_BPE_SQL = (
+    f"CAST(list_sum(list_transform({_SPLIT}, "
+    "w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)"
+)
+
+_MIXTURE_RATES_SQL = f"""WITH per_source AS (
+     SELECT source, count(*) AS n_docs, sum({_BPE_SQL}) AS n_tokens
+     FROM documents GROUP BY source),
+   totals AS (SELECT sum(n_tokens) AS total_tokens,
+                     count(*) AS n_sources FROM per_source)
+   SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+          least(1000000,
+                CAST(floor(total_tokens * 0.5 / n_sources
+                           / n_tokens * 1000000) AS BIGINT)) AS rate_ppm
+   FROM per_source CROSS JOIN totals"""
+
+
+@query("mixture_rates", _MIXTURE_RATES_SQL)
+def q_mixture_rates(spark, sf_dir):
+    """Data-mixing plan: per-source ppm sampling rates rebalancing
+    the corpus to uniform source shares within a 50% token budget.
+    One tiny per-source aggregate + 1-row broadcast totals."""
+    return text.mixture_rates(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "mixture_sampled_counts",
+    f"""WITH rates AS ({_MIXTURE_RATES_SQL}),
+       kept AS (
+         SELECT d.source, {_BPE_SQL} AS n_bpe
+         FROM documents d JOIN rates r USING (source)
+         WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS UBIGINT) AS BIGINT) % 1000000 < r.rate_ppm)
+       SELECT source, count(*) AS n_sampled_docs,
+              CAST(sum(n_bpe) AS BIGINT) AS n_sampled_tokens
+       FROM kept GROUP BY source""",
+)
+def q_mixture_sampled_counts(spark, sf_dir):
+    """The mixture plan applied with the content-independent
+    md5(doc_id) hash sampler — per-source realized doc/token counts.
+    Broadcast rates onto one corpus scan; deterministic under any
+    partitioning."""
+    return text.mixture_sampled_counts(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

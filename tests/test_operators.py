@@ -701,3 +701,31 @@ def test_containment_catches_doc_in_doc(spark):
     ]
     assert got == [(1, 2, 1.0)]  # only the short->long direction
     assert dedup.ngram_jaccard_dupes(df).count() == 0
+
+
+def test_mixture_rebalances_to_uniform(spark):
+    """A source with 10x the tokens of the others must get ~1/10th
+    the sampling rate; under-budget sources keep rate 1.0 (ppm 1e6)."""
+    rows = [
+        Row(doc_id=i, source="big", text=" ".join(["tok"] * 40))
+        for i in range(100)
+    ] + [
+        Row(doc_id=100 + i, source=f"small{i}", text=" ".join(["tok"] * 40))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    rates = {r.source: r.rate_ppm for r in text.mixture_rates(df).collect()}
+    # total tokens = 104 docs * 40 words * 1 bpe-token each = 4160;
+    # budget/source = 4160*0.5/5 = 416 tokens.
+    # big has 4000 -> rate = floor(416/4000*1e6) = 104000 ppm
+    assert rates["big"] == 104000
+    for i in range(4):
+        assert rates[f"small{i}"] == 1000000  # 40 tokens < 416 budget
+    sampled = {
+        r.source: r.n_sampled_docs
+        for r in text.mixture_sampled_counts(df).collect()
+    }
+    # every small doc survives; big is cut roughly to rate (hash
+    # sampler is content-independent, so exact count is deterministic)
+    assert all(sampled[f"small{i}"] == 1 for i in range(4))
+    assert 0 < sampled["big"] < 30
