@@ -491,3 +491,46 @@ def embedding_norm_outliers(embeddings: DataFrame, z_cut: float = 3.0) -> DataFr
         z.alias("z"),
         (z > z_cut).alias("is_outlier"),
     )
+
+
+def semantic_dupes(
+    embeddings: DataFrame, k: int = 8, threshold: float = 0.45
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    corpus (deterministic k-means, 2 rounded Lloyd iterations), then
+    find cosine-near pairs ONLY within each cluster — the scalable
+    middle tier between exact O(n²) `embedding_near_dupes` and pure
+    ANN recall tiers.
+
+    Scale shape: the self-join is keyed on the cluster id, so pair
+    work is sum over cells of |cell|² — with k sized ~sqrt(n) (or a
+    hierarchical coarse quantizer at 100 TB) cells stay bounded and
+    the all-pairs explosion never happens. Centroids remain a tiny
+    broadcast; assignment is one narrow scan per Lloyd round.
+    Pairs that land in different cells are missed by design — the
+    recall/cost dial (raise by multi-probe assignment), same contract
+    as the published SemDeDup recipe.
+    """
+    assigned = kmeans_assign(embeddings, k=k, iterations=2).select(
+        "vec_id", "cluster"
+    )
+    emb = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    )
+    tagged = assigned.join(emb, "vec_id")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cos = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -2412,10 +2412,16 @@ def q_format_roundtrip_counts(spark, sf_dir):
 _KMEANS_K = 8
 
 
-def _kmeans_oracle(k: int = _KMEANS_K) -> str:
+def _kmeans_oracle(
+    k: int = _KMEANS_K,
+    final_select: str = """
+SELECT vec_id, cid AS cluster, dist FROM a2 ORDER BY vec_id""",
+) -> str:
     """Replays the same two rounded Lloyd iterations as
     similarity.kmeans_assign: init = k lowest vec_ids, distances and
-    centroid coordinates rounded to 6 dp, argmin ties break on cid."""
+    centroid coordinates rounded to 6 dp, argmin ties break on cid.
+    `final_select` consumes the a2 assignment CTE (vec_id, e, cid,
+    dist)."""
     assign = """
 {out} AS (
   SELECT vec_id, e, cid, dist FROM (
@@ -2443,8 +2449,7 @@ c0 AS (
         + recompute.format(out="c1", src="a1")
         + ","
         + assign.format(out="a2", cents="c1")
-        + """
-SELECT vec_id, cid AS cluster, dist FROM a2 ORDER BY vec_id"""
+        + final_select
     )
 
 
@@ -3519,6 +3524,25 @@ def q_mixture_sampled_counts(spark, sf_dir):
     Broadcast rates onto one corpus scan; deterministic under any
     partitioning."""
     return text.mixture_sampled_counts(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "semantic_dupes",
+    _kmeans_oracle(
+        final_select="""
+SELECT a.cid AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.45"""
+    ),
+)
+def q_semantic_dupes(spark, sf_dir):
+    """SemDeDup: k-means-cell-bounded cosine near-dup pairs — the
+    scalable tier between exact O(n²) embedding_near_dupes and the
+    ANN recall tiers. Pair work is per-cell, never corpus²."""
+    return similarity.semantic_dupes(
+        _t(spark, sf_dir, "embeddings"), k=_KMEANS_K
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

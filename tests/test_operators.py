@@ -729,3 +729,24 @@ def test_mixture_rebalances_to_uniform(spark):
     # sampler is content-independent, so exact count is deterministic)
     assert all(sampled[f"small{i}"] == 1 for i in range(4))
     assert 0 < sampled["big"] < 30
+
+
+def test_semantic_dupes_subset_of_exact(spark, sf_dir):
+    """Soundness: every cell-bounded SemDeDup pair must also be an
+    exact all-pairs near-dup (same threshold); recall < 1 by design
+    (cross-cell pairs are the documented miss)."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.semantic_dupes(emb, k=8, threshold=0.45).collect()
+    }
+    exact = {
+        tuple(sorted((r.vec_a, r.vec_b)))
+        for r in dedup.embedding_near_dupes(emb, threshold=0.45).collect()
+    }
+    assert sem  # fixture corpus has in-cell near dups
+    assert sem <= exact
