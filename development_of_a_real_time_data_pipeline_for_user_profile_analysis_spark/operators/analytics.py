@@ -1702,3 +1702,70 @@ def events_heatmap(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _floor_round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+def event_pagerank(
+    events: DataFrame, damping: float = 0.85, iterations: int = 3
+) -> DataFrame:
+    """PageRank over the event-type transition graph (bounded
+    iteration count) — the iterative-graph-algorithm family member
+    next to the connected-components rounds in dedup.py: which event
+    states concentrate user flow once damping discounts long chains.
+
+    Scale shape: each iteration is one edge join keyed on the source
+    node + one groupBy on the destination — never an adjacency
+    matrix; ranks and the node table stay in dataframes end to end.
+    Here nodes are event types (tiny); the same loop runs unchanged
+    when nodes are users or documents at 100 TB because every step is
+    a keyed shuffle, not a collect.
+
+    Engine-portable determinism: edge weights are the 4dp transition
+    probabilities; per-edge contributions are floored onto a 1e-9
+    integer grid and summed as longs (addition-order-free), and each
+    new rank rounds to 6dp — the oracle replays the identical
+    trajectory.
+    """
+    # edges/nodes feed every iteration — persist once so the upstream
+    # window + groupBy lineage is not replayed per round (the same
+    # round-persist discipline as the connected-components loop)
+    edges = (
+        event_transitions(events).select("from_type", "to_type", "p").persist()
+    )
+    nodes = events.select(F.col("event_type").alias("node")).distinct().persist()
+    counts = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+    r6 = lambda c: F.floor(c * 1000000 + 0.5).cast("long") / 1000000.0  # noqa: E731
+    pr = nodes.crossJoin(counts).select(
+        "node", r6(F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    prev = None
+    for _ in range(iterations):
+        contribs = (
+            pr.join(edges, pr["node"] == edges["from_type"])
+            .select(
+                F.col("to_type").alias("node"),
+                F.floor(F.col("pr") * F.col("p") * 1e9 + 0.5)
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c_sum"))
+        )
+        pr = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(counts)
+            .select(
+                "node",
+                r6(
+                    (1 - damping) / F.col("n_nodes")
+                    + damping * (F.coalesce(F.col("c_sum"), F.lit(0)) / 1e9)
+                ).alias("pr"),
+            )
+            .persist()
+        )
+        pr.count()  # one action per round; pins this round's ranks
+        if prev is not None:
+            prev.unpersist()
+        prev = pr
+    edges.unpersist()
+    nodes.unpersist()
+    return pr.select("node", F.col("pr").alias("pagerank"))

@@ -3545,6 +3545,57 @@ def q_semantic_dupes(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(damping: float = 0.85, iterations: int = 3) -> str:
+    base = """WITH seq AS (
+         SELECT lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS from_type,
+                event_type AS to_type
+         FROM events),
+       pairs AS (
+         SELECT from_type, to_type, count(*) AS n
+         FROM seq WHERE from_type IS NOT NULL
+         GROUP BY from_type, to_type),
+       edges AS (
+         SELECT from_type, to_type,
+                floor(n / sum(n) OVER (PARTITION BY from_type)
+                      * 10000 + 0.5) / 10000.0 AS p
+         FROM pairs),
+       nodes AS (SELECT DISTINCT event_type AS node FROM events),
+       cnt AS (SELECT count(*) AS n_nodes FROM nodes),
+       pr0 AS (
+         SELECT node, floor(1.0 / n_nodes * 1000000 + 0.5) / 1000000.0
+                  AS pr
+         FROM nodes CROSS JOIN cnt)"""
+    step = """,
+       c{k} AS (
+         SELECT e.to_type AS node,
+                sum(CAST(floor(p.pr * e.p * 1e9 + 0.5) AS BIGINT)) AS c_sum
+         FROM pr{j} p JOIN edges e ON p.node = e.from_type
+         GROUP BY e.to_type),
+       pr{k} AS (
+         SELECT n.node,
+                floor(({one_minus_d} / n_nodes
+                       + {d} * (COALESCE(c_sum, 0) / 1e9))
+                      * 1000000 + 0.5) / 1000000.0 AS pr
+         FROM nodes n LEFT JOIN c{k} ON n.node = c{k}.node
+              CROSS JOIN cnt)"""
+    sql = base
+    for k in range(1, iterations + 1):
+        sql += step.format(
+            k=k, j=k - 1, d=damping, one_minus_d=round(1 - damping, 10)
+        )
+    return sql + f"\n       SELECT node, pr AS pagerank FROM pr{iterations}"
+
+
+@query("event_pagerank", _pagerank_oracle())
+def q_event_pagerank(spark, sf_dir):
+    """Bounded-iteration PageRank over the event-type transition
+    graph — each iteration one keyed edge join + one destination
+    groupBy, no adjacency matrix, no collect; contributions summed on
+    an integer grid so the trajectory is engine-portable."""
+    return analytics.event_pagerank(_t(spark, sf_dir, "events"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

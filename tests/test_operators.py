@@ -750,3 +750,26 @@ def test_semantic_dupes_subset_of_exact(spark, sf_dir):
     }
     assert sem  # fixture corpus has in-cell near dups
     assert sem <= exact
+
+
+def test_event_pagerank_golden(spark):
+    """Two-state chain a->b, b->a plus a self-loop-ish hub: the state
+    receiving more transition mass must rank higher; ranks stay a
+    probability-ish vector (sum ~1 up to rounding/dangling loss)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: a b a b a  (symmetric);  users 2,3: a -> c  (c is a sink
+    # that transitions back to a only once via user 4)
+    for u, seq in [(1, "ababa"), (2, "ac"), (3, "ac"), (4, "ca")]:
+        for i, s in enumerate(seq):
+            rows.append(Row(event_id=eid, user_id=u,
+                            ts=t0 + dt.timedelta(minutes=i), event_type=s))
+            eid += 1
+    df = spark.createDataFrame(rows)
+    got = {r.node: r.pagerank for r in analytics.event_pagerank(df).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert abs(sum(got.values()) - 1.0) < 0.2
+    # a receives from b (always) and c; b receives half of a's mass,
+    # c the other half -> a must dominate
+    assert got["a"] > got["b"] >= got["c"] - 1e-9
