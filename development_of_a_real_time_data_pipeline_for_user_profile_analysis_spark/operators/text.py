@@ -785,3 +785,52 @@ def mixture_sampled_counts(
         F.count(F.lit(1)).alias("n_sampled_docs"),
         F.sum(bpe_ish_token_count(F.col("text"))).alias("n_sampled_tokens"),
     )
+
+
+def balanced_shards(documents: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Training-shard export audit: assign every document to one of
+    `n_shards` shards with the content-independent md5(doc_id) hash
+    and report the shard × quality-decile stratification matrix —
+    the check that every shard carries the same quality mixture
+    before shards ship to trainers (a skewed shard biases a whole
+    training epoch).
+
+    Scale shape: deciles come from the histogram-CDF of rounded
+    quality scores (window over |distinct scores| rows only, same as
+    quality_deciles), broadcast back onto the scan by score value;
+    shard assignment is a pure map. One corpus scan + one small
+    (shard, decile) aggregate — no global sort, no ntile.
+    """
+    scored = documents.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
+    hist = scored.groupBy("q").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    total = Window.partitionBy()
+    dec_map = hist.select(
+        "q",
+        F.least(
+            F.lit(9),
+            F.floor(
+                10
+                * F.coalesce(F.sum("n").over(w), F.lit(0))
+                / F.sum("n").over(total)
+            ),
+        ).alias("decile"),
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    )
+    return (
+        scored.join(F.broadcast(dec_map), "q")
+        .select(shard.alias("shard"), "decile", "n_bpe")
+        .groupBy("shard", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("n_tokens"),
+        )
+    )

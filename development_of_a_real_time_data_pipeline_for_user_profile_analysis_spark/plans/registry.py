@@ -3596,6 +3596,34 @@ def q_event_pagerank(spark, sf_dir):
     return analytics.event_pagerank(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "balanced_shards",
+    f"""WITH scored AS (
+         SELECT doc_id, {_SQL_QUALITY} AS q, {_BPE_SQL} AS n_bpe
+         FROM documents),
+       hist AS (SELECT q, count(*) AS n FROM scored GROUP BY q),
+       dec_map AS (
+         SELECT q,
+           least(9, CAST(floor(10 * coalesce(
+             sum(n) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0)
+             / sum(n) OVER ()) AS BIGINT)) AS decile
+         FROM hist)
+       SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS UBIGINT) AS BIGINT) % 8 AS shard,
+              decile, count(*) AS n_docs,
+              CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+       FROM scored JOIN dec_map USING (q)
+       GROUP BY 1, 2""",
+)
+def q_balanced_shards(spark, sf_dir):
+    """Shard × quality-decile stratification audit for training-data
+    export: md5(doc_id) shard assignment, histogram-CDF deciles
+    broadcast onto the scan — every shard should carry the same
+    quality mixture."""
+    return text.balanced_shards(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

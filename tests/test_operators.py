@@ -773,3 +773,26 @@ def test_event_pagerank_golden(spark):
     # a receives from b (always) and c; b receives half of a's mass,
     # c the other half -> a must dominate
     assert got["a"] > got["b"] >= got["c"] - 1e-9
+
+
+def test_balanced_shards_stratification(spark, sf_dir):
+    """Every shard must hold every decile that exists corpus-wide,
+    with per-(shard,decile) counts near n_d/8 — the mixture audit the
+    operator exists for. Token totals must tie out to the corpus."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = text.balanced_shards(docs).collect()
+    total_docs = docs.count()
+    assert sum(r.n_docs for r in rows) == total_docs
+    by_decile: dict[int, list[int]] = {}
+    for r in rows:
+        by_decile.setdefault(r.decile, []).append(r.n_docs)
+    for d, counts in by_decile.items():
+        if sum(counts) < 40:  # tiny deciles can't assert balance
+            continue
+        assert len(counts) == 8, f"decile {d} missing from some shard"
+        mean = sum(counts) / 8
+        assert max(counts) < 2.5 * mean
