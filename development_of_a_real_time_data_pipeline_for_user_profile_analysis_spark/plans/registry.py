@@ -3683,12 +3683,10 @@ DRIVER_PRIORITY = [
     # dedup / similarity / curation / multimodal
     "dedup_exact_groups",
     "incremental_dedup_new_docs",
-    "minhash_lsh_candidates",
     "near_dedup_minhash",
     "ngram_jaccard_dupes",
     "near_dup_clusters",
     "cluster_canonicals",
-    "simhash_signatures",
     "simhash_dupes",
     "profiles_upsert",
     "embedding_near_dupes",
@@ -3696,8 +3694,11 @@ DRIVER_PRIORITY = [
     "cosine_topk",
     "quantize_embeddings",
     "label_centroids",
-    "multimodal_decode",
     "multimodal_features",
+    # r3 additions: retrieval, data-layout, data-mixing families
+    "bm25_search",
+    "zorder_files",
+    "mixture_sampled_counts",
 ]
 
 

@@ -125,14 +125,16 @@ def test_driver_window_covers_component_families():
         "streaming_events_hourly", "streaming_user_totals",
         "streaming_session_windows", "streaming_dedup_profiles",
         "text_stats", "deterministic_split", "dedup_exact_groups",
-        "minhash_lsh_candidates", "near_dedup_minhash",
+        "near_dedup_minhash",
         "ngram_jaccard_dupes", "near_dup_clusters",
-        "simhash_signatures", "embedding_near_dupes",
+        "embedding_near_dupes",
         "curation_pipeline", "cosine_topk", "label_centroids",
-        "multimodal_decode", "multimodal_features",
+        "multimodal_features",
         "split_contamination", "simhash_dupes", "profiles_upsert",
         "profiles_quality_report", "approx_quantiles_check",
         "events_rollup_multi",
+        # r3 second wave: retrieval / data-layout / data-mixing
+        "bm25_search", "zorder_files", "mixture_sampled_counts",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
