@@ -1769,3 +1769,130 @@ def event_pagerank(
     edges.unpersist()
     nodes.unpersist()
     return pr.select("node", F.col("pr").alias("pagerank"))
+
+
+def timed_funnel(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "click",
+    window_minutes: int = 60,
+) -> DataFrame:
+    """Time-bounded conversion funnel: for each `from_type` event, did
+    the same user emit a `to_type` event within `window_minutes`?
+    Reported per day of the source event — the product-analytics
+    "view→click within the hour" question the untimed
+    conversion_funnel can't answer.
+
+    Scale shape: both sides filter to their event type AT THE SCAN
+    (predicate pushdown cuts the join inputs to the two slices), then
+    one equi-join on user_id with the time window as a residual range
+    predicate — a shuffle keyed on the user, never a cross join.
+    Conversion is EXISTS semantics via a left semi join keyed on the
+    source event_id, so multiple clicks never double-count a view.
+    """
+    src = events.filter(F.col("event_type") == from_type).select(
+        F.col("event_id").alias("src_id"),
+        F.col("user_id").alias("src_user"),
+        F.col("ts").alias("src_ts"),
+    )
+    dst = events.filter(F.col("event_type") == to_type).select(
+        F.col("user_id").alias("dst_user"), F.col("ts").alias("dst_ts")
+    )
+    converted = (
+        src.join(
+            dst,
+            (F.col("src_user") == F.col("dst_user"))
+            & (F.col("dst_ts") > F.col("src_ts"))
+            & (
+                F.col("dst_ts")
+                <= F.col("src_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+            ),
+            "left_semi",
+        )
+        .select("src_id")
+        .withColumn("conv", F.lit(1))
+    )
+    per_day = (
+        src.join(converted, "src_id", "left")
+        .groupBy(F.to_date("src_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_src"),
+            F.sum(F.coalesce(F.col("conv"), F.lit(0)))
+            .cast("long")
+            .alias("n_converted"),
+        )
+    )
+    return per_day.select(
+        "day",
+        "n_src",
+        "n_converted",
+        (
+            F.floor(F.col("n_converted") / F.col("n_src") * 10000 + 0.5).cast(
+                "long"
+            )
+            / 10000.0
+        ).alias("cvr"),
+    )
+
+
+def session_paths(
+    events: DataFrame, gap_minutes: int = 30, k: int = 20
+) -> DataFrame:
+    """Top-k session event-type paths ("view>click>purchase") — the
+    journey-shape summary over gap-sessionized activity.
+
+    One user-keyed window pass assigns session ids (same lag/cumsum
+    shape as sessionize), the path is an ORDER-DETERMINISTIC in-group
+    concat (sort by ts, event_id), and the head is
+    TakeOrderedAndProject. Path strings are bounded by session
+    length, counts shuffle on the path key — uniform unless one
+    journey dominates, which is exactly what the query surfaces.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > gap_us
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )

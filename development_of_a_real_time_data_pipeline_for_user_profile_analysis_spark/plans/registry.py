@@ -3624,6 +3624,66 @@ def q_balanced_shards(spark, sf_dir):
     return text.balanced_shards(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "timed_funnel",
+    """WITH src AS (
+         SELECT event_id AS src_id, user_id, ts AS src_ts
+         FROM events WHERE event_type = 'view'),
+       dst AS (
+         SELECT user_id, ts AS dst_ts
+         FROM events WHERE event_type = 'click'),
+       conv AS (
+         SELECT DISTINCT s.src_id
+         FROM src s JOIN dst d
+           ON s.user_id = d.user_id
+          AND d.dst_ts > s.src_ts
+          AND d.dst_ts <= s.src_ts + INTERVAL 60 MINUTE),
+       per_day AS (
+         SELECT CAST(src_ts AS DATE) AS day, count(*) AS n_src,
+                sum(CASE WHEN src_id IN (SELECT src_id FROM conv)
+                    THEN 1 ELSE 0 END) AS n_converted
+         FROM src GROUP BY 1)
+       SELECT day, n_src, CAST(n_converted AS BIGINT) AS n_converted,
+              floor(n_converted / n_src * 10000 + 0.5) / 10000.0 AS cvr
+       FROM per_day""",
+)
+def q_timed_funnel(spark, sf_dir):
+    """view→click-within-1h conversion per day. Both sides are
+    scan-filtered slices, one user-keyed equi-join with the window as
+    a residual predicate, EXISTS via left-semi so repeat clicks never
+    double-count."""
+    return analytics.timed_funnel(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "session_paths",
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), numbered AS (
+         SELECT user_id, ts, event_id, event_type,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged
+       ), paths AS (
+         SELECT user_id, session_id,
+                string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         FROM numbered GROUP BY user_id, session_id)
+       SELECT path, count(*) AS n_sessions
+       FROM paths GROUP BY path
+       ORDER BY n_sessions DESC, path ASC LIMIT 20""",
+)
+def q_session_paths(spark, sf_dir):
+    """Top-20 gap-sessionized event-type journeys; deterministic
+    in-session ordering by (ts, event_id), TakeOrderedAndProject
+    head."""
+    return analytics.session_paths(_t(spark, sf_dir, "events"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -796,3 +796,48 @@ def test_balanced_shards_stratification(spark, sf_dir):
         assert len(counts) == 8, f"decile {d} missing from some shard"
         mean = sum(counts) / 8
         assert max(counts) < 2.5 * mean
+
+
+def test_timed_funnel_golden(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        # u1: view then click at +30m -> converts
+        Row(event_id=1, user_id=1, ts=t0, event_type="view"),
+        Row(event_id=2, user_id=1, ts=t0 + dt.timedelta(minutes=30),
+            event_type="click"),
+        # u2: click comes at +90m -> outside the hour
+        Row(event_id=3, user_id=2, ts=t0, event_type="view"),
+        Row(event_id=4, user_id=2, ts=t0 + dt.timedelta(minutes=90),
+            event_type="click"),
+        # u3: click BEFORE the view -> no conversion
+        Row(event_id=5, user_id=3, ts=t0 - dt.timedelta(minutes=5),
+            event_type="click"),
+        Row(event_id=6, user_id=3, ts=t0, event_type="view"),
+        # u1 second click inside window must not double-count
+        Row(event_id=7, user_id=1, ts=t0 + dt.timedelta(minutes=40),
+            event_type="click"),
+    ]
+    got = analytics.timed_funnel(spark.createDataFrame(rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_src, r.n_converted, r.cvr) == (3, 1, 0.3333)
+
+
+def test_session_paths_golden(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i, et in enumerate(["view", "click"]):
+            rows.append(Row(event_id=eid, user_id=u,
+                            ts=t0 + dt.timedelta(minutes=i), event_type=et))
+            eid += 1
+    # u3: same events but a 40-minute gap splits the session
+    rows.append(Row(event_id=eid, user_id=3, ts=t0, event_type="view"))
+    rows.append(Row(event_id=eid + 1, user_id=3,
+                    ts=t0 + dt.timedelta(minutes=40), event_type="click"))
+    got = [
+        (r.path, r.n_sessions)
+        for r in analytics.session_paths(spark.createDataFrame(rows)).collect()
+    ]
+    assert got == [("view>click", 2), ("click", 1), ("view", 1)]
