@@ -164,3 +164,42 @@ def zorder_files(
             F.max("o_orderdate").alias("date_hi"),
         )
     )
+
+
+def compaction_plan(
+    events: DataFrame, target_rows: int = 500
+) -> DataFrame:
+    """Partition-compaction planning — the small-file maintenance op:
+    given day-partitioned event data, pack adjacent daily partitions
+    into rewrite groups of ~`target_rows` rows each, so a year of
+    dribble-sized partitions becomes a handful of well-sized files.
+
+    The plan runs on the partition MANIFEST (one row per day — tiny),
+    not the data: daily counts aggregate map-side, the exclusive
+    cumulative sum runs a window over |days| rows, and group id =
+    cum_before // target (first-fit by date order, each group
+    overflows by at most one partition — the standard bin contract).
+    The expensive part, the rewrite itself, stays a partition-pruned
+    scan of only the days in each group.
+
+    Returns one row per rewrite group: partition span, row total, and
+    how many source partitions collapse into it (n_partitions > 1 =
+    compaction win; = 1 means the day is already target-sized).
+    """
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    grouped = daily.select(
+        "day",
+        "n",
+        (F.coalesce(F.sum("n").over(w), F.lit(0)) / target_rows)
+        .cast("long")
+        .alias("group_id"),
+    )
+    return grouped.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("day").alias("day_lo"),
+        F.max("day").alias("day_hi"),
+    )

@@ -3684,6 +3684,29 @@ def q_session_paths(spark, sf_dir):
     return analytics.session_paths(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "compaction_plan",
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1),
+       grouped AS (
+         SELECT day, n,
+                CAST(coalesce(sum(n) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) // 500 AS BIGINT) AS group_id
+         FROM daily)
+       SELECT group_id, count(*) AS n_partitions,
+              CAST(sum(n) AS BIGINT) AS n_rows,
+              min(day) AS day_lo, max(day) AS day_hi
+       FROM grouped GROUP BY group_id""",
+)
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction plan over the daily partition manifest:
+    first-fit date-ordered packing into ~500-row rewrite groups; the
+    plan runs on |days| rows, the rewrite stays partition-pruned."""
+    return maintenance.compaction_plan(_t(spark, sf_dir, "events"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -841,3 +841,31 @@ def test_session_paths_golden(spark):
         for r in analytics.session_paths(spark.createDataFrame(rows)).collect()
     ]
     assert got == [("view>click", 2), ("click", 1), ("view", 1)]
+
+
+def test_compaction_plan_bins_and_ties_out(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 10 days x 100 events -> target 250 gives first-fit groups of
+    # 3,3,3,1 days (cum_before//250 = 0,0,0,1,1,1,2,2,2,3... wait:
+    # cum_before 0,100,200,300.. //250 -> 0,0,0,1,1,2,2,2,3,3)
+    for d in range(10):
+        for _ in range(100):
+            rows.append(Row(event_id=eid, user_id=1,
+                            ts=t0 + dt.timedelta(days=d), event_type="view"))
+            eid += 1
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        maintenance,
+    )
+
+    plan = {r.group_id: r for r in maintenance.compaction_plan(
+        spark.createDataFrame(rows), target_rows=250).collect()}
+    assert sum(r.n_rows for r in plan.values()) == 1000
+    assert sum(r.n_partitions for r in plan.values()) == 10
+    # group spans are contiguous, non-overlapping, date-ordered
+    spans = [ (plan[g].day_lo, plan[g].day_hi) for g in sorted(plan) ]
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # cum_before//250 over 100-a-day: groups of 3,2,3,2 days
+    assert [plan[g].n_partitions for g in sorted(plan)] == [3, 2, 3, 2]
