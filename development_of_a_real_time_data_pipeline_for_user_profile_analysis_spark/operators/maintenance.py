@@ -203,3 +203,68 @@ def compaction_plan(
         F.min("day").alias("day_lo"),
         F.max("day").alias("day_hi"),
     )
+
+
+def referential_integrity_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Warehouse expectations audit (dbt-test style): FK orphan
+    counts, key uniqueness, and null-key checks across the core
+    tables, one row per check. The data-quality gate a pipeline runs
+    before publishing a snapshot — the reference trusts Mongo
+    implicitly (Real_Time_Data.py writes unvalidated); an engine that
+    owns its tables must verify them.
+
+    Scale shape: each FK check is one left-anti join on the key (AQE
+    picks broadcast when the parent side fits, shuffle otherwise)
+    feeding a partial-aggregable count; uniqueness and null checks
+    are single aggregates over one scan. The report is |checks| rows;
+    nothing is collected until the final tiny union.
+    """
+
+    def fk(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str):
+        viol = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        rows = child.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        return viol.crossJoin(F.broadcast(rows)).select(
+            F.lit(name).alias("check_name"), "n_rows", "n_violations"
+        )
+
+    def unique(name: str, df: DataFrame, key: str):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(key) - F.countDistinct(key)).cast("long").alias("n_violations"),
+        ).select(F.lit(name).alias("check_name"), "n_rows", "n_violations")
+
+    def notnull(name: str, df: DataFrame, key: str):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col(key).isNull(), 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_violations"),
+        ).select(F.lit(name).alias("check_name"), "n_rows", "n_violations")
+
+    checks = [
+        fk("fk_orders_custkey", orders, "o_custkey", customer, "c_custkey"),
+        fk("fk_lineitem_orderkey", lineitem, "l_orderkey", orders, "o_orderkey"),
+        fk("fk_lineitem_partkey", lineitem, "l_partkey", part, "p_partkey"),
+        fk("fk_lineitem_suppkey", lineitem, "l_suppkey", supplier, "s_suppkey"),
+        unique("unique_customer_custkey", customer, "c_custkey"),
+        unique("unique_orders_orderkey", orders, "o_orderkey"),
+        notnull("notnull_orders_custkey", orders, "o_custkey"),
+        notnull("notnull_lineitem_orderkey", lineitem, "l_orderkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("ok"),
+    )

@@ -834,3 +834,91 @@ def balanced_shards(documents: DataFrame, n_shards: int = 8) -> DataFrame:
             F.sum("n_bpe").alias("n_tokens"),
         )
     )
+
+
+def unigram_logprob_quality(documents: DataFrame) -> DataFrame:
+    """Model-based quality scoring: a unigram language model trained
+    on the corpus itself (add-one smoothing over the observed vocab)
+    scores every document by its mean token log-probability — the
+    cheap perplexity proxy that ranks documents before an expensive
+    LM-filter stage of a training-data pipeline (no reference analog;
+    brief's text-analysis north star).
+
+    Per-token log-probs are floor-quantized to integer micro-nats and
+    combined as long sums, so per-doc scores are addition-order-free
+    and engine-portable. Scale shape: two uniform token-key shuffles
+    (per-doc tf, then global unigram counts — the TF-IDF shape), a
+    1-row broadcast stats join, one per-doc aggregate. No Python in
+    the path, no global sort; at 100 TB the cost is the token scan
+    plus |vocab|-key shuffles.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("total_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    lp_micro = F.floor(
+        F.log((F.col("c") + 1) / (F.col("total_tokens") + F.col("vocab")))
+        * 1000000
+    ).cast("long")
+    scored = (
+        tf.join(counts, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tf", lp_micro.alias("lp_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("lp_micro")).alias("lp_sum"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.floor(F.col("lp_sum") / F.col("n_tokens")) / 1000000.0).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def weighted_sample_docs(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): each document draws a uniform u from the
+    content-independent md5(doc_id) hash and keys on ln(u)/w with
+    w = quality_score + 0.05; the k largest keys win. This is
+    quality-importance downsampling with no RNG state — the same
+    corpus yields the same sample on any cluster size, partitioning,
+    or retry (the property rand(seed) does NOT have, since Spark
+    seeds rand per-partition).
+
+    Scale shape: key assignment is a pure map over the corpus scan;
+    the head is TakeOrderedAndProject (per-partition top-k heaps, no
+    global sort). Keys are floor-quantized to integer micro-units so
+    the selection boundary is engine-portable; ties break on doc_id.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + 0.5) / F.lit(4294967296.0)
+    w = quality_score(F.col("text")) + F.lit(0.05)
+    key_micro = F.floor(F.log(u) / w * 1000000).cast("long")
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            w.alias("weight"),
+            key_micro.alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            (F.col("key_micro") / 1000000.0).alias("sample_key"),
+        )
+    )

@@ -3707,6 +3707,117 @@ def q_compaction_plan(spark, sf_dir):
     return maintenance.compaction_plan(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "unigram_logprob_quality",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+       counts AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY 1),
+       stats AS (SELECT sum(c) AS total_tokens, count(*) AS vocab
+                 FROM counts),
+       scored AS (
+         SELECT tf.doc_id, tf.tf,
+                CAST(floor(ln((c + 1) / (total_tokens + vocab)) * 1000000)
+                     AS BIGINT) AS lp_micro
+         FROM tf JOIN counts USING (tok) CROSS JOIN stats)
+       SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+              floor(sum(tf * lp_micro) / sum(tf)) / 1000000.0 AS avg_logprob
+       FROM scored GROUP BY doc_id""",
+)
+def q_unigram_logprob_quality(spark, sf_dir):
+    """Corpus-self-trained unigram LM perplexity proxy: mean token
+    log-prob per document in micro-nats (order-free long sums)."""
+    return text.unigram_logprob_quality(_t(spark, sf_dir, "documents"))
+
+
+_ES_U_SQL = (
+    "((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS UBIGINT) AS BIGINT) + 0.5) / 4294967296.0)"
+)
+
+
+@query(
+    "weighted_sample_docs",
+    f"""WITH keyed AS (
+         SELECT doc_id, source,
+                ({_SQL_QUALITY}) + 0.05 AS weight,
+                CAST(floor(ln({_ES_U_SQL})
+                     / (({_SQL_QUALITY}) + 0.05) * 1000000) AS BIGINT)
+                  AS key_micro
+         FROM documents)
+       SELECT doc_id, source, weight, key_micro / 1000000.0 AS sample_key
+       FROM keyed
+       ORDER BY key_micro DESC, doc_id ASC LIMIT 100""",
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    """Efraimidis–Spirakis deterministic weighted sampling (quality-
+    importance downsampling), md5-derived uniforms, top-k head."""
+    return text.weighted_sample_docs(_t(spark, sf_dir, "documents"))
+
+
+_RI_CHECKS_SQL = """
+    SELECT 'fk_orders_custkey' AS check_name,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             AS n_violations
+    UNION ALL
+    SELECT 'fk_lineitem_orderkey',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'fk_lineitem_partkey',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'fk_lineitem_suppkey',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'unique_customer_custkey',
+           (SELECT count(*) FROM customer),
+           (SELECT count(c_custkey) - count(DISTINCT c_custkey)
+            FROM customer)
+    UNION ALL
+    SELECT 'unique_orders_orderkey',
+           (SELECT count(*) FROM orders),
+           (SELECT count(o_orderkey) - count(DISTINCT o_orderkey)
+            FROM orders)
+    UNION ALL
+    SELECT 'notnull_orders_custkey',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'notnull_lineitem_orderkey',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+"""
+
+
+@query(
+    "referential_integrity_report",
+    f"""SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_violations AS BIGINT) AS n_violations,
+              n_violations = 0 AS ok
+       FROM ({_RI_CHECKS_SQL})""",
+)
+def q_referential_integrity_report(spark, sf_dir):
+    """dbt-style expectations audit: FK orphans via anti-joins, key
+    uniqueness, null keys — one row per check."""
+    return maintenance.referential_integrity_report(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
@@ -3749,7 +3860,6 @@ DRIVER_PRIORITY = [
     "approx_distinct_users",
     "approx_quantiles_check",
     "events_rollup_multi",
-    "events_sessionized",
     "event_type_pivot",
     "user_event_type_sets",
     "conversion_funnel",
@@ -3765,7 +3875,6 @@ DRIVER_PRIORITY = [
     "split_contamination",
     # dedup / similarity / curation / multimodal
     "dedup_exact_groups",
-    "incremental_dedup_new_docs",
     "near_dedup_minhash",
     "ngram_jaccard_dupes",
     "near_dup_clusters",
@@ -3782,6 +3891,9 @@ DRIVER_PRIORITY = [
     "bm25_search",
     "zorder_files",
     "mixture_sampled_counts",
+    # r3 third wave: model-based quality scoring, data-quality audit
+    "unigram_logprob_quality",
+    "referential_integrity_report",
 ]
 
 

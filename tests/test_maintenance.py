@@ -118,3 +118,98 @@ def test_quality_deciles_partition_the_corpus(spark, sf_dir):
     ordered = sorted(rows, key=lambda r: r["decile"])
     for lo, hi in zip(ordered, ordered[1:]):
         assert lo["max_score"] <= hi["min_score"]
+
+
+# ---------------------------------------------------------------
+# Round-3 third wave: unigram LM quality, weighted sampling, RI audit
+# ---------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    # doc 0 repeats the corpus-common token; doc 1 is all hapaxes.
+    docs = _docs(
+        spark,
+        ["the the the the", "zq xv wk jm", "the of and is", "the to in of"],
+    )
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in text.unigram_logprob_quality(docs).collect()
+    }
+    assert len(got) == 4
+    assert all(v < 0 for v in got.values())
+    assert got[0] > got[1]  # common-token doc beats hapax doc
+
+
+def test_unigram_logprob_token_counts(spark):
+    docs = _docs(spark, ["a b c", "a a"])
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in text.unigram_logprob_quality(docs).collect()
+    }
+    assert got == {0: 3, 1: 2}
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    # 100 low-quality (punctuation soup) + 100 high-quality (English
+    # with stopwords) docs; sample 50.
+    low = [".,;:!? .,;:!? .,;:!?" for _ in range(100)]
+    high = [
+        "the quick brown fox is of the essence and runs to the den in peace"
+        for _ in range(100)
+    ]
+    docs = _docs(spark, low + high)
+    s1 = text.weighted_sample_docs(docs, k=50).collect()
+    s2 = text.weighted_sample_docs(docs, k=50).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+    assert len(s1) == 50
+    n_high = sum(1 for r in s1 if r["doc_id"] >= 100)
+    assert n_high > 30  # importance-weighted toward high quality
+
+
+def test_referential_integrity_clean_and_violations(spark):
+    customer = spark.createDataFrame([(1,), (2,)], "c_custkey long")
+    part = spark.createDataFrame([(10,)], "p_partkey long")
+    supplier = spark.createDataFrame([(20,)], "s_suppkey long")
+    orders_clean = spark.createDataFrame(
+        [(100, 1), (101, 2)], "o_orderkey long, o_custkey long"
+    )
+    li_clean = spark.createDataFrame(
+        [(100, 10, 20)], "l_orderkey long, l_partkey long, l_suppkey long"
+    )
+    rep = {
+        r["check_name"]: r
+        for r in maintenance.referential_integrity_report(
+            customer, orders_clean, li_clean, part, supplier
+        ).collect()
+    }
+    assert len(rep) == 8
+    assert all(r["ok"] for r in rep.values())
+
+    orders_bad = spark.createDataFrame(
+        [(100, 1), (100, 99), (102, None)],
+        "o_orderkey long, o_custkey long",
+    )
+    li_bad = spark.createDataFrame(
+        [(999, 11, 21)], "l_orderkey long, l_partkey long, l_suppkey long"
+    )
+    rep = {
+        r["check_name"]: r
+        for r in maintenance.referential_integrity_report(
+            customer, orders_bad, li_bad, part, supplier
+        ).collect()
+    }
+    # orphan o_custkey=99; NULL o_custkey kept by anti-join too
+    assert rep["fk_orders_custkey"]["n_violations"] == 2
+    assert rep["fk_lineitem_orderkey"]["n_violations"] == 1
+    assert rep["fk_lineitem_partkey"]["n_violations"] == 1
+    assert rep["fk_lineitem_suppkey"]["n_violations"] == 1
+    assert rep["unique_orders_orderkey"]["n_violations"] == 1
+    assert rep["notnull_orders_custkey"]["n_violations"] == 1
+    assert not rep["fk_orders_custkey"]["ok"]

@@ -119,7 +119,7 @@ def test_driver_window_covers_component_families():
     musts = [
         "etl_curate_profiles", "gender_distribution",
         "registrable_domains", "userfeed_profiles", "pricing_summary",
-        "nation_revenue", "events_sessionized", "events_rollup_multi",
+        "nation_revenue", "events_rollup_multi",
         "user_event_type_sets", "approx_distinct_users",
         "conversion_funnel",
         "streaming_events_hourly", "streaming_user_totals",
@@ -135,6 +135,10 @@ def test_driver_window_covers_component_families():
         "events_rollup_multi",
         # r3 second wave: retrieval / data-layout / data-mixing
         "bm25_search", "zorder_files", "mixture_sampled_counts",
+        # r3 third wave: model-based quality + data-quality audit
+        # (events_sessionized rotated out — streaming_session_windows
+        # carries the sessionization family in-window)
+        "unigram_logprob_quality", "referential_integrity_report",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
