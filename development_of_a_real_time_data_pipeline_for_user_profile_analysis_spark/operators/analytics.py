@@ -1896,3 +1896,109 @@ def session_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(k)
     )
+
+
+def sliding_distinct_users(
+    events: DataFrame, window_days: int = 7, tol: float = 0.05
+) -> DataFrame:
+    """Sliding-window distinct users per day (7-day rolling reach)
+    computed the 100 TB way: one mergeable HLL sketch per day, then a
+    windowed `hll_union_agg` over the trailing frame — per-day state
+    is one sketch, never the raw user set, so a year of rolling reach
+    re-aggregates 365 sketches instead of re-scanning 100 TB of
+    events per frame.
+
+    This is a *check query*: it also computes the exact trailing
+    distinct count (via a bounded explode to the next `window_days`
+    target days — test-SF only; the production form returns the
+    estimate alone) and emits `within_tolerance` so the oracle can
+    verify the sketch path end to end. The frame is range-based on
+    the day number, so calendar gaps shrink the window on both the
+    sketch and exact sides identically.
+    """
+    daily_users = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    sketches = (
+        daily_users.groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .withColumn("day_num", day_num)
+    )
+    w = Window.orderBy("day_num").rangeBetween(-(window_days - 1), 0)
+    est = sketches.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est_users"),
+    )
+    target = daily_users.select(
+        F.explode(
+            F.sequence(day_num, day_num + F.lit(window_days - 1))
+        ).alias("t_num"),
+        "user_id",
+    )
+    exact = (
+        target.groupBy("t_num")
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+        .join(
+            sketches.select(F.col("day_num").alias("t_num"), "day"), "t_num"
+        )
+        .select("day", "n_users_exact")
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            F.col("n_users_exact").cast("long").alias("n_users_exact"),
+            (
+                F.abs(F.col("est_users") - F.col("n_users_exact"))
+                / F.col("n_users_exact")
+                <= tol
+            ).alias("within_tolerance"),
+        )
+    )
+
+
+def winsorized_event_values(events: DataFrame) -> DataFrame:
+    """Robust-stats cleaning: clamp event values to the per-type
+    [p05, p95] band and report per-type row counts and means before /
+    after — the outlier-resistant normalization step ahead of any
+    value-weighted aggregate. Quantiles come from a histogram-CDF
+    over cent-rounded values (window over |distinct (type, cent)|
+    rows only — never a global sort of the fact table); all sums are
+    integer cents, so means are addition-order-free.
+    """
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    vals = events.select("event_type", cents.alias("v"))
+    hist = vals.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    cdf = hist.select(
+        "event_type",
+        "v",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    # quantile ranks via integer ceil-division — 0.05 * total in
+    # binary floating point differs between engines (DuckDB parses
+    # 0.05 as DECIMAL); (total*k + 99) // 100 is exact everywhere
+    rank_lo = F.floor((F.col("total") * 5 + 99) / 100)
+    rank_hi = F.floor((F.col("total") * 95 + 99) / 100)
+    bounds = cdf.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= rank_lo, F.col("v"))).alias("p05"),
+        F.min(F.when(F.col("cum") >= rank_hi, F.col("v"))).alias("p95"),
+    )
+    clamped = vals.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "v",
+        F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("v"))).alias("vw"),
+    )
+    mean6 = lambda s: F.floor(F.sum(s) * 10000.0 / F.count(F.lit(1))) / 1000000.0
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        mean6(F.col("v")).alias("mean_raw"),
+        mean6(F.col("vw")).alias("mean_winsorized"),
+    )

@@ -922,3 +922,32 @@ def weighted_sample_docs(documents: DataFrame, k: int = 100) -> DataFrame:
             (F.col("key_micro") / 1000000.0).alias("sample_key"),
         )
     )
+
+
+def bpe_pair_counts(documents: DataFrame, top_k: int = 20) -> DataFrame:
+    """One iteration of BPE tokenizer training: count adjacent
+    character pairs inside words across the corpus and return the
+    `top_k` most frequent (the pair a real BPE trainer would merge
+    next). Ties break on the pair string so the head is
+    engine-portable.
+
+    Scale shape: a pure JVM map (transform over a length sequence —
+    no Python, no explode-per-char blowup beyond the 2-gram fan-out),
+    one token-key shuffle on the pair, TakeOrderedAndProject head.
+    Linear in corpus characters — the same cost class as the token
+    scan itself.
+    """
+    word = documents.select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pair = word.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pair.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_k)
+    )

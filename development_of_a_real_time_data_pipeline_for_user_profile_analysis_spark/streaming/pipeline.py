@@ -285,6 +285,42 @@ def clicks_errors_stream_join(
     )
 
 
+def clicks_errors_stream_outer_join(
+    events: DataFrame, window_minutes: int = 5, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every error row is emitted —
+    paired with preceding same-user clicks when they exist, with NULL
+    click columns once the watermark proves no match can still
+    arrive. The outer-emission side of the inner join above: Spark
+    holds an unmatched left row in state until the watermark passes
+    the join bound, then emits it null-extended — so 'errors with no
+    recent click' becomes a streaming query instead of a batch
+    anti-join."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark_delay)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark_delay)
+    )
+    return errors.join(
+        clicks,
+        F.expr(
+            f"""c_user = e_user
+            AND click_ts >= err_ts - INTERVAL {window_minutes} MINUTES
+            AND click_ts < err_ts"""
+        ),
+        "leftOuter",
+    )
+
+
 def sessionized_stream(
     events: DataFrame, gap: str = DEFAULT_GAP, watermark_delay: str = "1 hour"
 ) -> DataFrame:

@@ -125,3 +125,59 @@ def test_update_mode_aggregate_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM gender_stream").collect()
     }
     assert streamed == batch
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an error with a preceding click
+    joins it; an error with none is emitted null-extended once the
+    watermark passes the join bound (never before, never dropped)."""
+    t = lambda h, m=0: dt.datetime(2024, 3, 1, h, m)  # noqa: E731
+    src = str(tmp_path / "ev")
+    mk = lambda eid, uid, ts, et: Row(  # noqa: E731
+        event_id=eid, user_id=uid, ts=ts, event_type=et
+    )
+    # batch 1: user 1 clicks 10:00, errors 10:03 (matched);
+    #          user 2 errors 10:03 with no click (unmatched)
+    _write(
+        spark,
+        [mk(1, 1, t(10), "click"), mk(2, 1, t(10, 3), "error"),
+         mk(3, 2, t(10, 3), "error")],
+        src + "/f1",
+    )
+    # batch 2: far-future rows push both watermarks past the bound
+    _write(
+        spark,
+        [mk(4, 1, t(12), "click"), mk(5, 2, t(12), "error")],
+        src + "/f2",
+    )
+    # batch 3: further advance so batch-2's unmatched error also closes
+    _write(
+        spark,
+        [mk(6, 3, t(15), "click"), mk(7, 3, t(15, 1), "error")],
+        src + "/f3",
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = pipeline.clicks_errors_stream_outer_join(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("oj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_oj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM oj_out").collect()
+    by_err = {r.error_id: r for r in rows}
+    # matched: user-1 error carries its click
+    assert by_err[2].click_ts == t(10)
+    # unmatched: user-2 error emitted with NULL click side
+    assert by_err[3].click_ts is None
+    # every error emitted exactly once per match (no dup, no loss)
+    assert sorted(r.error_id for r in rows).count(3) == 1
