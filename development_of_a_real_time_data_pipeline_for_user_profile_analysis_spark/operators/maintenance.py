@@ -268,3 +268,28 @@ def referential_integrity_report(
         "n_violations",
         (F.col("n_violations") == 0).alias("ok"),
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Change-data feed between two table snapshots: full-outer join
+    on the key, per-row classification into added / removed /
+    updated / unchanged (Delta-style CDF computed from immutable
+    parquet snapshots — the audit trail for a published-table swap).
+
+    Scale shape: ONE key-partitioned full-outer join (sort-merge on
+    the snapshot key, or broadcast for a small delta); the payload
+    comparison is a null-safe struct equality — no per-column join
+    conditions, no second shuffle.
+    """
+    pay_old = [c for c in old.columns if c not in keys]
+    pay_new = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*pay_old).alias("_o"))
+    n = new.select(*keys, F.struct(*pay_new).alias("_n"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_o").isNull(), "added")
+        .when(F.col("_n").isNull(), "removed")
+        .when(F.col("_o").eqNullSafe(F.col("_n")), "unchanged")
+        .otherwise("updated")
+    )
+    return j.select(*keys, change.alias("change_type"))

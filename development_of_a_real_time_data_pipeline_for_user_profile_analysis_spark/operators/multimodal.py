@@ -176,3 +176,85 @@ def similar_payloads(media: DataFrame, query_doc_id: int = 0, k: int = 10) -> Da
         .orderBy(F.desc("cosine"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def ahash_payloads(media: DataFrame, bits: int = 32) -> DataFrame:
+    """Perceptual average-hash over the payload bytes: stride-sample
+    `bits` bytes, threshold each against the sample mean, pack into a
+    `bits`-bit signature. The image-near-dup primitive (for real
+    images this runs on decoded, downscaled pixels; the byte-domain
+    version here has the identical Arrow batch shape and signature
+    contract). Integer-only thresholding (bits*sample > sum) keeps
+    the signature engine-exact.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n = max(b.size, 1)
+                s = max(1, n // bits)
+                samp = b[(np.arange(bits) * s) % n].astype(np.int64)
+                total = int(samp.sum())
+                h = 0
+                for i, v in enumerate(samp):
+                    if bits * int(v) > total:
+                        h |= 1 << i
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+
+    return media.mapInPandas(batches, schema="doc_id long, ahash long")
+
+
+def ahash_payload_dupes(
+    media: DataFrame, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Payload near-duplicate pairs by perceptual hash: 32-bit aHash,
+    banded into `bands` 8-bit chunks — a candidate pair must agree
+    exactly on at least one band (Hamming ≤ 3 over 32 bits guarantees
+    one clean band by pigeonhole, so banding loses nothing) — then
+    exact Hamming verify on the XOR popcount.
+
+    Scale shape: the same banded-signature discipline as SimHash/LSH
+    text dedup — candidates come from |band-bucket|² joins, never an
+    all-pairs product; verify is a pure integer map over candidate
+    rows.
+    """
+    hashed = ahash_payloads(media)
+    banded = hashed.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                "b -> named_struct('b', b, "
+                "'v', shiftright(ahash, 8 * b) & 255))"
+            )
+        ).alias("bd"),
+    ).select(
+        "doc_id", "ahash", F.col("bd.b").alias("b"), F.col("bd.v").alias("v")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.ahash").alias("ha"),
+            F.col("r.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -534,3 +534,34 @@ def semantic_dupes(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def filtered_cosine_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Metadata-filtered vector search: exact top-k by cosine among
+    rows sharing the query vector's OWN label — the filtered-ANN
+    pattern (attribute predicate first, distance math only on the
+    survivors). At 100 TB the label predicate prunes the scan (or the
+    label-partitioned layout) BEFORE any arithmetic; here the filter
+    lands in the scan node and the candidate set shrinks ~|labels|-
+    fold. Head is TakeOrderedAndProject.
+    """
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        _to_double(F.col("embedding")).alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    return (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("label") == F.col("q_label"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine(_to_double(F.col("embedding")), F.col("q_emb")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

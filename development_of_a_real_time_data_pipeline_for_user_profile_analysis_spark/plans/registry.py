@@ -3818,6 +3818,180 @@ def q_referential_integrity_report(spark, sf_dir):
     )
 
 
+@query(
+    "sliding_distinct_users_check",
+    """WITH daily AS (
+         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       tgt AS (
+         SELECT (day - DATE '1970-01-01') + i AS t_num, user_id
+         FROM daily, unnest(generate_series(0, 6)) t(i)),
+       ex AS (SELECT t_num, count(DISTINCT user_id) AS n_users_exact
+              FROM tgt GROUP BY 1),
+       days AS (SELECT DISTINCT day, (day - DATE '1970-01-01') AS day_num
+                FROM daily)
+       SELECT day, CAST(n_users_exact AS BIGINT) AS n_users_exact,
+              true AS within_tolerance
+       FROM ex JOIN days ON day_num = t_num""",
+)
+def q_sliding_distinct_users_check(spark, sf_dir):
+    """7-day rolling distinct users from windowed HLL-sketch unions,
+    tolerance-checked against the exact trailing count (the mergeable
+    100 TB rolling-reach pattern)."""
+    return analytics.sliding_distinct_users(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "winsorized_event_values",
+    """WITH vals AS (
+         SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+         FROM events),
+       hist AS (SELECT event_type, v, count(*) AS n
+                FROM vals GROUP BY 1, 2),
+       cdf AS (
+         SELECT event_type, v,
+                sum(n) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+                sum(n) OVER (PARTITION BY event_type) AS total
+         FROM hist),
+       bounds AS (
+         SELECT event_type,
+                min(CASE WHEN cum >= floor((total * 5 + 99) / 100)
+                    THEN v END) AS p05,
+                min(CASE WHEN cum >= floor((total * 95 + 99) / 100)
+                    THEN v END) AS p95
+         FROM cdf GROUP BY 1),
+       clamped AS (
+         SELECT vals.event_type, v, greatest(p05, least(p95, v)) AS vw
+         FROM vals JOIN bounds USING (event_type))
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              floor(sum(v) * 10000.0 / count(*)) / 1000000.0 AS mean_raw,
+              floor(sum(vw) * 10000.0 / count(*)) / 1000000.0
+                AS mean_winsorized
+       FROM clamped GROUP BY event_type""",
+)
+def q_winsorized_event_values(spark, sf_dir):
+    """Per-type [p05, p95] winsorization via histogram-CDF quantiles;
+    integer-cent sums so means are addition-order-free."""
+    return analytics.winsorized_event_values(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "bpe_pair_counts",
+    """WITH word AS (
+         SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       w2 AS (SELECT tok FROM word WHERE length(tok) >= 2),
+       pairs AS (
+         SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                                      i -> substr(tok, i, 2))) AS pair
+         FROM w2)
+       SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+       ORDER BY n DESC, pair ASC LIMIT 20""",
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """One BPE-trainer iteration: top-20 adjacent character pairs
+    inside words (the pair a tokenizer would merge next)."""
+    return text.bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "filtered_cosine_topk",
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb,
+                         label AS q_label
+                  FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id, label,
+              round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                    q.q_emb), 6) AS cosine
+       FROM embeddings, q
+       WHERE vec_id != 0 AND label = q.q_label
+       ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+)
+def q_filtered_cosine_topk(spark, sf_dir):
+    """Metadata-filtered vector search: cosine top-k within the query
+    vector's label slice (attribute predicate before distance math)."""
+    return similarity.filtered_cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "ahash_payload_dupes",
+    """WITH base AS (
+         SELECT doc_id, length(text) AS n,
+                greatest(1, length(text) // 32) AS s, text
+         FROM documents),
+       samp AS (
+         SELECT doc_id,
+           list_transform(generate_series(0, 31),
+             i -> unicode(substr(text,
+                  CAST(1 + ((i * s) % n) AS INTEGER), 1))) AS sm
+         FROM base),
+       hashed AS (
+         SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 32),
+             i -> CASE WHEN 32 * sm[CAST(i AS INTEGER)] > list_sum(sm)
+                  THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER)
+                  ELSE 0 END)) AS ahash
+         FROM samp),
+       banded AS (
+         SELECT doc_id, ahash, b, (ahash >> CAST(8 * b AS INTEGER)) & 255 AS v
+         FROM hashed, unnest(generate_series(0, 3)) t(b)),
+       pairs AS (
+         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                l.ahash AS ha, r.ahash AS hb
+         FROM banded l JOIN banded r
+           ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id)
+       SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       FROM pairs WHERE bit_count(xor(ha, hb)) <= 3""",
+)
+def q_ahash_payload_dupes(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over binary payloads (32-bit
+    aHash via Arrow, 8-bit bands, exact Hamming verify) — the image
+    near-dup primitive on the multimodal plumbing."""
+    return multimodal.ahash_payload_dupes(
+        multimodal.attach_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+@query(
+    "profiles_snapshot_cdf",
+    _with_profiles(
+        _UPSERT_BASE
+        + """,
+       merged AS (
+         SELECT id, username, age, _version FROM (
+           SELECT u.*, row_number() OVER (PARTITION BY id
+               ORDER BY _version DESC, _src DESC) AS rn
+           FROM (SELECT id, username, age, _version, 0 AS _src FROM base
+                 UNION ALL SELECT *, 1 AS _src FROM upd) u)
+         WHERE rn = 1),
+       d AS (
+         SELECT coalesce(b.id, m.id) AS id,
+           CASE WHEN b.id IS NULL THEN 'added'
+                WHEN m.id IS NULL THEN 'removed'
+                WHEN b.username IS NOT DISTINCT FROM m.username
+                 AND b.age IS NOT DISTINCT FROM m.age
+                 AND b._version IS NOT DISTINCT FROM m._version
+                  THEN 'unchanged'
+                ELSE 'updated' END AS change_type
+         FROM base b FULL OUTER JOIN merged m ON b.id = m.id)
+       SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(CAST('0x' || substr(md5(id), 1, 8)
+                   AS UBIGINT) AS BIGINT)) AS BIGINT) AS id_checksum
+       FROM d GROUP BY 1"""
+    ),
+)
+def q_profiles_snapshot_cdf(spark, sf_dir):
+    """Change-data feed between the base profile snapshot and its
+    upserted successor: per-class counts + md5-derived id checksum
+    (one full-outer join, null-safe struct payload compare)."""
+    base, upd = _upsert_frames(spark, sf_dir)
+    merged = maintenance.merge_upsert(base, upd, ["id"], "_version")
+    d = maintenance.snapshot_diff(base, merged, ["id"])
+    chk = F.conv(F.substring(F.md5("id"), 1, 8), 16, 10).cast("long")
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(chk).cast("long").alias("id_checksum"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

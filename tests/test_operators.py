@@ -869,3 +869,116 @@ def test_compaction_plan_bins_and_ties_out(spark):
         assert hi1 < lo2
     # cum_before//250 over 100-a-day: groups of 3,2,3,2 days
     assert [plan[g].n_partitions for g in sorted(plan)] == [3, 2, 3, 2]
+
+
+# ---------------------------------------------------------------
+# Round-3 fourth wave: sliding HLL reach, winsorization, BPE pairs
+# ---------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, ts, uid, et, v, "{}")
+            for i, (ts, uid, et, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_sliding_distinct_users_exact_and_tolerant(spark):
+    d = lambda day, h=0: dt.datetime(2024, 5, day, h)  # noqa: E731
+    # day1: users 1,2; day2: user 2; day9: user 3 (outside the 7-day
+    # window of days 1-2)
+    ev = _ev(
+        spark,
+        [
+            (d(1), 1, "view", 1.0),
+            (d(1), 2, "view", 1.0),
+            (d(2), 2, "click", 1.0),
+            (d(9), 3, "view", 1.0),
+        ],
+    )
+    got = {
+        r["day"].isoformat(): r
+        for r in analytics.sliding_distinct_users(ev).collect()
+    }
+    assert got["2024-05-01"]["n_users_exact"] == 2
+    assert got["2024-05-02"]["n_users_exact"] == 2  # {1,2} within 7d
+    assert got["2024-05-09"]["n_users_exact"] == 1  # window slid past
+    assert all(r["within_tolerance"] for r in got.values())
+
+
+def test_winsorized_means_clamp_outliers(spark):
+    rows = [(dt.datetime(2024, 5, 1, 0, i), 1, "view", float(v))
+            for i, v in enumerate([1] * 10 + [2] * 30 + [3] * 10 + [1000])]
+    got = analytics.winsorized_event_values(_ev(spark, rows)).collect()
+    [r] = got
+    assert r["n"] == 51
+    # the 1000 outlier is clamped to p95 (=3), so the winsorized mean
+    # drops far below the raw mean but stays above the clean mean
+    assert r["mean_winsorized"] < r["mean_raw"]
+    assert r["mean_winsorized"] < 3.0
+    assert r["mean_raw"] > 20.0
+
+
+def test_bpe_pair_counts_basic(spark):
+    docs = spark.createDataFrame(
+        [(0, "aaab bc a", "en", "web", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["pair"]: r["n"] for r in text.bpe_pair_counts(docs).collect()}
+    # 'aaab' -> aa, aa, ab ; 'bc' -> bc ; 'a' skipped (len < 2)
+    assert got == {"aa": 2, "ab": 1, "bc": 1}
+
+
+def test_filtered_cosine_topk_stays_in_label(spark):
+    rows = [
+        (0, [1.0, 0.0], 5),
+        (1, [0.9, 0.1], 5),
+        (2, [1.0, 0.0], 7),  # perfect match but wrong label
+        (3, [0.0, 1.0], 5),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = similarity.filtered_cosine_topk(emb, query_vec_id=0, k=10).collect()
+    assert [r["vec_id"] for r in got] == [1, 3]
+    assert all(r["label"] == 5 for r in got)
+
+
+def test_ahash_dupes_find_identical_payloads(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again", "en", "web", 60),
+            (1, "the quick brown fox jumps over the lazy dog again and again", "en", "web", 60),
+            (2, "zzzz qqqq xxxx wwww kkkk jjjj vvvv bbbb nnnn mmmm pppp ffff", "en", "web", 59),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.attach_payload(docs)
+    hashes = {r["doc_id"]: r["ahash"] for r in multimodal.ahash_payloads(media).collect()}
+    assert hashes[0] == hashes[1]
+    pairs = multimodal.ahash_payload_dupes(media).collect()
+    assert any(p["doc_a"] == 0 and p["doc_b"] == 1 and p["hamming"] == 0 for p in pairs)
+    # every emitted pair honors the Hamming contract
+    assert all(p["hamming"] <= 3 for p in pairs)
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        maintenance,
+    )
+
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, v int"
+    )
+    new = spark.createDataFrame(
+        [("a", 1), ("b", 99), ("d", 4)], "id string, v int"
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in maintenance.snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert got == {"a": "unchanged", "b": "updated", "c": "removed", "d": "added"}

@@ -82,6 +82,26 @@ QUERIES_TO_RUN = [
     "kmeans_assignments",
     "streaming_stream_join",
     "format_roundtrip_counts",
+    # round-3 second wave (retrieval / layout / mixing / graph)
+    "bm25_search",
+    "containment_dupes",
+    "semantic_dupes",
+    "event_pagerank",
+    "zorder_files",
+    "mixture_sampled_counts",
+    "balanced_shards",
+    "tfidf_top_terms",
+    "timed_funnel",
+    "session_paths",
+    "compaction_plan",
+    # round-3 third/fourth wave (LM quality / RI audit / sampling /
+    # rolling sketches / winsorize / BPE)
+    "unigram_logprob_quality",
+    "referential_integrity_report",
+    "weighted_sample_docs",
+    "sliding_distinct_users_check",
+    "winsorized_event_values",
+    "bpe_pair_counts",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
