@@ -2002,3 +2002,144 @@ def winsorized_event_values(events: DataFrame) -> DataFrame:
         mean6(F.col("v")).alias("mean_raw"),
         mean6(F.col("vw")).alias("mean_winsorized"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: X² = Σ_cells (observed − expected)²/expected with
+    expected = row_total · col_total / N, summed over the FULL
+    cross-product of observed categories (zero-observed cells still
+    contribute their expected mass). Returns one row: the statistic,
+    degrees of freedom, cell count, and N — the screening test a
+    curation pipeline runs to detect, e.g., language×source
+    imbalance before fixing mixture rates.
+
+    Per-cell contributions are floor-quantized to integer 1e-4 units
+    and summed as longs (addition-order-free, engine-portable); the
+    zero-observed cells' aggregate mass uses the identity
+    Σ_all e = N, so it equals N − Σ_observed e without materializing
+    the empty cells (quantized to the same 1e-4 grid).
+    Scale shape: ONE scan of the two columns, one shuffle on the
+    (a, b) pair key with partial aggregation, then window marginals
+    over the metadata-scale cell relation (|A|·|B| rows at most —
+    the unpartitioned window is over that tiny set, not the data).
+    No re-scan per marginal, no sort, no Python.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = cells.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("n_a"),
+        F.sum("o").over(Window.partitionBy("b")).alias("n_b"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("n_a") * F.col("n_b") / F.col("n")
+    c_q = F.floor(
+        (F.col("o") - e) * (F.col("o") - e) / e * 10000 + 0.5
+    ).cast("long")
+    e_q = F.floor(e * 10000 + 0.5).cast("long")
+    counts = m.agg(
+        F.sum(c_q).alias("c_sum"),
+        F.sum(e_q).alias("e_sum"),
+        F.max("n").alias("n"),
+        F.count_distinct("a").alias("n_rows"),
+        F.count_distinct("b").alias("n_cols"),
+        F.sum("o").alias("n_obs"),
+    )
+    return counts.select(
+        (
+            (F.col("c_sum") + F.col("n") * 10000 - F.col("e_sum")) / 10000.0
+        ).alias("chi2"),
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        (F.col("n_rows") * F.col("n_cols")).alias("n_cells"),
+        "n_obs",
+    )
+
+
+def nation_revenue_trend(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation least-squares trend of monthly revenue vs month
+    index (grouped regression — regr_slope/regr_intercept are
+    one-pass mergeable aggregates, so 25 independent fits cost one
+    grouped aggregation, not 25 passes; the cluster-scale form of
+    revenue_trend_fit). Month index anchors to 1992-01.
+
+    Scale shape: orders⋈customer shuffles on custkey (the fact⋈fact
+    edge), nation broadcasts; then monthly partials roll up per
+    (nation, month) before the tiny per-nation regression aggregate.
+    """
+    mon_idx = (
+        (F.year(F.to_date("o_orderdate")) - 1992) * 12
+        + F.month(F.to_date("o_orderdate"))
+        - 1
+    ).alias("mi")
+    monthly = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), mon_idx)
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    return (
+        monthly.groupBy("nation")
+        .agg(
+            _floor_round(F.regr_slope("rev", "mi"), 4).alias("slope"),
+            _floor_round(F.regr_intercept("rev", "mi"), 2).alias("intercept"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .orderBy("nation")
+    )
+
+
+def monthly_revenue_ewma(orders: DataFrame, alpha_tenths: int = 2) -> DataFrame:
+    """Exponentially-weighted moving average of monthly revenue
+    (α = alpha_tenths/10): ewma_t = α·x_t + (1−α)·ewma_{t−1}, the
+    classic smoothing/anomaly-baseline primitive. The recurrence is
+    inherently sequential, so the engine reduces FIRST (distributed
+    monthly partials — the only part that scales with data volume)
+    and then folds the tiny ordered series in one JVM higher-order
+    `aggregate` over a sorted array — no Python, no driver loop, no
+    recursive-CTE iteration count tied to series length.
+
+    The fold runs in integer cents with the recurrence quantized per
+    step ((2·x + 8·prev + 5) div 10 for α=0.2) — bit-exact on any
+    engine, no floating accumulation drift. The single-row fold is
+    O(#months) — bounded by the calendar, not the data.
+    """
+    a, b = alpha_tenths, 10 - alpha_tenths
+    monthly = orders.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("mon")
+    ).agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rev_cents")
+    )
+    series = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("mon", "rev_cents"))).alias("s")
+    )
+    folded = series.select(
+        F.expr(
+            f"""
+            aggregate(
+              s,
+              cast(array() as array<struct<mon:string, rev_cents:bigint, ewma_cents:bigint>>),
+              (acc, x) -> array_append(acc, named_struct(
+                'mon', x.mon,
+                'rev_cents', x.rev_cents,
+                'ewma_cents', case when size(acc) = 0 then x.rev_cents
+                  else ({a} * x.rev_cents + {b} * element_at(acc, -1).ewma_cents + 5) div 10 end))
+            ) AS ew
+            """
+        )
+    )
+    return folded.select(F.explode("ew").alias("r")).select(
+        F.col("r.mon").alias("mon"),
+        (F.col("r.rev_cents") / 100.0).alias("revenue"),
+        (F.col("r.ewma_cents") / 100.0).alias("ewma"),
+    )

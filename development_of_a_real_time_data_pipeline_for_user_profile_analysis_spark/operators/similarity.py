@@ -565,3 +565,45 @@ def filtered_cosine_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    lex: DataFrame, sem: DataFrame, k_const: int = 60, top_k: int = 10
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic ranked list
+    (Cormack et al. 2009): score(d) = Σ 1/(k + rank_i(d)) over the
+    lists that retrieved d. The standard hybrid-retrieval combiner —
+    BM25 and embedding ANN disagree on different failure modes, and
+    RRF needs no score calibration between them, only ranks.
+
+    Inputs are the two candidate lists, each with a ``doc_id`` and a
+    dense 1-based ``rank`` column (missing docs simply contribute 0).
+    Per-list contributions are floor-quantized to integer micro-units
+    and summed as longs, so fusion is addition-order-free and
+    engine-portable; ties break on doc_id.
+
+    Scale shape: both inputs are already top-k lists (bounded by
+    construction — TakeOrderedAndProject upstream), so the fusion is
+    a tiny full-outer join + head regardless of corpus size. The
+    expensive parts (BM25 scan, ANN probe) stay in their own
+    bounded-output operators.
+    """
+    contrib = lambda r: F.floor(1000000.0 / (k_const + r) + 0.5).cast("long")  # noqa: E731
+    l = lex.select("doc_id", contrib(F.col("rank")).alias("c_lex"), F.col("rank").alias("lex_rank"))
+    s = sem.select("doc_id", contrib(F.col("rank")).alias("c_sem"), F.col("rank").alias("sem_rank"))
+    fused = l.join(s, "doc_id", "full_outer").select(
+        "doc_id",
+        (F.coalesce(F.col("c_lex"), F.lit(0)) + F.coalesce(F.col("c_sem"), F.lit(0))).alias("rrf_micro"),
+        "lex_rank",
+        "sem_rank",
+    )
+    return (
+        fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+        .limit(top_k)
+        .select(
+            "doc_id",
+            (F.col("rrf_micro") / 1000000.0).alias("rrf_score"),
+            "lex_rank",
+            "sem_rank",
+        )
+    )

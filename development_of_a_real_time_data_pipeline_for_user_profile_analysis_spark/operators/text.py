@@ -951,3 +951,126 @@ def bpe_pair_counts(documents: DataFrame, top_k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def gopher_quality_report(documents: DataFrame) -> DataFrame:
+    """Rule-based quality gating in the style of the published Gopher
+    corpus-filtering rules (Rae et al. 2021, arXiv:2112.11446 §A1.1):
+    per-document structural checks — token-count bounds, mean word
+    length bounds, single-token domination (repetition), and
+    type-token ratio — rolled up to a per-source audit of how many
+    documents each rule rejects. This is the cheap first gate of a
+    training-data pipeline, before any model-based scoring
+    (unigram_logprob_quality is the next tier).
+
+    Rule thresholds are evaluated on floor-rounded 4-dp ratios so the
+    pass/fail boundary is engine-portable. Scale shape: one token-key
+    shuffle (per-doc term frequencies — the TF-IDF shape), one per-doc
+    aggregate, one per-source rollup; all counts are mergeable
+    partials and nothing global sorts. No Python in the path.
+    """
+    tok = documents.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = tok.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.length(F.first("tok")).alias("toklen")
+    )
+    per_doc = tf.groupBy("doc_id", "source").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.max("tf").alias("max_tf"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("tf") * F.col("toklen")).alias("char_sum"),
+    )
+    mean_len = round4(F.col("char_sum") / F.col("n_tokens"))
+    top_share = round4(F.col("max_tf") / F.col("n_tokens"))
+    ttr = round4(F.col("n_types") / F.col("n_tokens"))
+    flagged = per_doc.select(
+        "source",
+        (F.col("n_tokens") < 10).cast("int").alias("f_short"),
+        (F.col("n_tokens") > 1000).cast("int").alias("f_long"),
+        ((mean_len < 2.0) | (mean_len > 8.0)).cast("int").alias("f_wordlen"),
+        (top_share > 0.25).cast("int").alias("f_repetitive"),
+        (ttr < 0.3).cast("int").alias("f_low_ttr"),
+    )
+    fail_any = (
+        F.col("f_short")
+        + F.col("f_long")
+        + F.col("f_wordlen")
+        + F.col("f_repetitive")
+        + F.col("f_low_ttr")
+        > 0
+    ).cast("int")
+    return (
+        flagged.withColumn("f_any", fail_any)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(1 - F.col("f_any")).alias("n_pass"),
+            F.sum("f_short").alias("n_short"),
+            F.sum("f_long").alias("n_long"),
+            F.sum("f_wordlen").alias("n_wordlen"),
+            F.sum("f_repetitive").alias("n_repetitive"),
+            F.sum("f_low_ttr").alias("n_low_ttr"),
+        )
+    )
+
+
+def bigram_logprob_quality(documents: DataFrame) -> DataFrame:
+    """Second-tier model-based quality scoring: a bigram language
+    model with add-one smoothing trained on the corpus itself scores
+    each document by its mean conditional log-probability
+    ln p(w_i | w_{i-1}). Documents full of locally-improbable token
+    transitions (shuffled text, boilerplate splices) score below
+    fluent ones even when their unigram mix looks normal — the reason
+    real pipelines escalate from unigram to n-gram LMs before paying
+    for a neural filter.
+
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) over the observed unigram
+    vocabulary V. Per-transition log-probs are floor-quantized to
+    integer micro-nats and summed as longs (order-free, portable).
+    Scale shape: the bigram fan-out is one element per adjacent token
+    pair — the same cardinality as the token scan; two uniform
+    bigram/unigram-key shuffles, a 1-row broadcast, one per-doc
+    aggregate. No Python, no global sort.
+    """
+    toks = tokens(F.col("text"))
+    pairs = documents.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    bg_tf = pairs.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    bg_counts = bg_tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
+    uni = documents.select(
+        F.explode(toks).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    lp_micro = F.floor(
+        F.log((F.col("c_bg") + 1) / (F.col("c_uni") + F.col("v"))) * 1000000
+    ).cast("long")
+    scored = (
+        bg_tf.join(bg_counts, "bg")
+        .join(uni.withColumnRenamed("tok", "w1_tok"), w1 == F.col("w1_tok"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "tf", lp_micro.alias("lp_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("lp_micro")).alias("lp_sum"),
+            F.sum("tf").cast("long").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.floor(F.col("lp_sum") / F.col("n_bigrams")) / 1000000.0).alias(
+                "avg_logprob"
+            ),
+        )
+    )

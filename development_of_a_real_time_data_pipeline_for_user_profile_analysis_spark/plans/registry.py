@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import (
@@ -3992,6 +3992,254 @@ def q_profiles_snapshot_cdf(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# Round-3 fourth wave: rule-based quality gating, n-gram LM scoring,
+# hybrid retrieval fusion, categorical independence testing,
+# grouped regression, sequential smoothing
+# ------------------------------------------------------------------
+
+
+@query(
+    "gopher_quality_report",
+    """WITH tok AS (
+         SELECT doc_id, source, tok FROM (
+           SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+           FROM documents)
+         WHERE tok <> ''),
+       tf AS (SELECT doc_id, source, tok, count(*) AS tf,
+                     length(tok) AS toklen
+              FROM tok GROUP BY doc_id, source, tok),
+       per_doc AS (
+         SELECT doc_id, source, sum(tf) AS n_tokens, max(tf) AS max_tf,
+                count(*) AS n_types, sum(tf * toklen) AS char_sum
+         FROM tf GROUP BY doc_id, source),
+       r AS (
+         SELECT source,
+           CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END AS f_short,
+           CASE WHEN n_tokens > 1000 THEN 1 ELSE 0 END AS f_long,
+           CASE WHEN floor(char_sum / n_tokens * 10000 + 0.5) / 10000.0 < 2.0
+                  OR floor(char_sum / n_tokens * 10000 + 0.5) / 10000.0 > 8.0
+                THEN 1 ELSE 0 END AS f_wordlen,
+           CASE WHEN floor(max_tf / n_tokens * 10000 + 0.5) / 10000.0 > 0.25
+                THEN 1 ELSE 0 END AS f_repetitive,
+           CASE WHEN floor(n_types / n_tokens * 10000 + 0.5) / 10000.0 < 0.3
+                THEN 1 ELSE 0 END AS f_low_ttr
+         FROM per_doc)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN f_short + f_long + f_wordlen
+                              + f_repetitive + f_low_ttr > 0
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_pass,
+              CAST(sum(f_short) AS BIGINT) AS n_short,
+              CAST(sum(f_long) AS BIGINT) AS n_long,
+              CAST(sum(f_wordlen) AS BIGINT) AS n_wordlen,
+              CAST(sum(f_repetitive) AS BIGINT) AS n_repetitive,
+              CAST(sum(f_low_ttr) AS BIGINT) AS n_low_ttr
+       FROM r GROUP BY source""",
+)
+def q_gopher_quality_report(spark, sf_dir):
+    """Gopher-rule structural quality gate, audited per source (the
+    cheap pre-model filter tier; no reference analog — brief's
+    text-analysis north star)."""
+    return text.gopher_quality_report(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "bigram_logprob_quality",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       pairs AS (
+         SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+         FROM toks, unnest(generate_series(1, len(w) - 1)) t(i)),
+       bg_tf AS (SELECT doc_id, bg, count(*) AS tf
+                 FROM pairs GROUP BY doc_id, bg),
+       bg_c AS (SELECT bg, sum(tf) AS c_bg FROM bg_tf GROUP BY bg),
+       uni AS (SELECT tok, count(*) AS c_uni FROM (
+                 SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+               GROUP BY tok),
+       v AS (SELECT count(*) AS v FROM uni),
+       scored AS (
+         SELECT doc_id, tf,
+                CAST(floor(ln((c_bg + 1) / (c_uni + v)) * 1000000)
+                     AS BIGINT) AS lp
+         FROM bg_tf JOIN bg_c USING (bg)
+              JOIN uni ON string_split(bg, ' ')[1] = uni.tok
+              CROSS JOIN v)
+       SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+              CAST(floor(sum(tf * lp) / sum(tf)) AS BIGINT) / 1000000.0
+                AS avg_logprob
+       FROM scored GROUP BY doc_id""",
+)
+def q_bigram_logprob_quality(spark, sf_dir):
+    """Bigram-LM mean conditional log-probability per document — the
+    model-based quality tier above unigram_logprob_quality."""
+    return text.bigram_logprob_quality(_t(spark, sf_dir, "documents"))
+
+
+_RRF_TERMS = ["spark", "vector", "customer"]
+
+
+@query(
+    "hybrid_rrf_search",
+    """WITH tok AS (
+         SELECT doc_id, tok FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         WHERE tok <> ''),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+              WHERE tok IN ('spark', 'vector', 'customer')
+              GROUP BY doc_id, tok),
+       dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       contrib AS (
+         SELECT doc_id,
+                CAST(floor(
+                  ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2)
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                  * 1000000 + 0.5) AS BIGINT) AS c
+         FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
+              CROSS JOIN stats),
+       bm AS (
+         SELECT doc_id, sum(c) AS c_sum FROM contrib GROUP BY doc_id
+         ORDER BY sum(c) DESC, doc_id ASC LIMIT 20),
+       lexr AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY c_sum DESC, doc_id ASC)
+                         AS rank
+                FROM bm),
+       cos AS (
+         SELECT vec_id AS doc_id,
+                round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                   WHERE vec_id = 0)), 6) AS cosine
+         FROM embeddings WHERE vec_id != 0
+         ORDER BY cosine DESC, vec_id ASC LIMIT 20),
+       semr AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY cosine DESC, doc_id ASC)
+                         AS rank
+                FROM cos),
+       fused AS (
+         SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                coalesce(CAST(floor(1000000.0 / (60 + l.rank) + 0.5)
+                              AS BIGINT), 0)
+                + coalesce(CAST(floor(1000000.0 / (60 + s.rank) + 0.5)
+                                AS BIGINT), 0) AS rrf_micro,
+                l.rank AS lex_rank, s.rank AS sem_rank
+         FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+       SELECT doc_id, rrf_micro / 1000000.0 AS rrf_score,
+              lex_rank, sem_rank
+       FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""",
+)
+def q_hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 and embedding-cosine top-20
+    fused by reciprocal-rank fusion (doc_id and vec_id share the id
+    domain in the corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = text.bm25_search(docs, _RRF_TERMS, top_k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    sem = similarity.cosine_topk(emb, query_vec_id=0, k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("rank"),
+    )
+    return similarity.rrf_fuse(lex, sem, k_const=60, top_k=10)
+
+
+@query(
+    "chi2_lang_source",
+    """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+                      FROM documents GROUP BY 1, 2),
+       m AS (
+         SELECT a, b, o,
+                sum(o) OVER (PARTITION BY a) AS n_a,
+                sum(o) OVER (PARTITION BY b) AS n_b,
+                sum(o) OVER () AS n
+         FROM cells),
+       q AS (
+         SELECT a, b, o, n,
+                CAST(floor((o - n_a * n_b / n) * (o - n_a * n_b / n)
+                           / (n_a * n_b / n) * 10000 + 0.5)
+                     AS BIGINT) AS c_q,
+                CAST(floor(n_a * n_b / n * 10000 + 0.5) AS BIGINT) AS e_q
+         FROM m)
+       SELECT (CAST(sum(c_q) AS BIGINT) + max(n) * 10000
+               - CAST(sum(e_q) AS BIGINT)) / 10000.0 AS chi2,
+              CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+                   AS BIGINT) AS dof,
+              CAST(count(DISTINCT a) * count(DISTINCT b) AS BIGINT)
+                AS n_cells,
+              CAST(sum(o) AS BIGINT) AS n_obs
+       FROM q""",
+)
+def q_chi2_lang_source(spark, sf_dir):
+    """Pearson chi-square independence screen for language × source
+    imbalance over the documents corpus."""
+    return analytics.chi_square_independence(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+@query(
+    "nation_revenue_trend",
+    """WITH monthly AS (
+         SELECT n_name AS nation,
+                (year(CAST(o_orderdate AS DATE)) - 1992) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+                sum(o_totalprice) AS rev
+         FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2)
+       SELECT nation,
+              floor(regr_slope(rev, CAST(mi AS DOUBLE)) * 10000 + 0.5)
+                / 10000.0 AS slope,
+              floor(regr_intercept(rev, CAST(mi AS DOUBLE)) * 100 + 0.5)
+                / 100.0 AS intercept,
+              count(*) AS n_months
+       FROM monthly GROUP BY nation ORDER BY nation""",
+)
+def q_nation_revenue_trend(spark, sf_dir):
+    """Per-nation monthly-revenue regression slope (grouped
+    regr_slope — 25 independent fits in one mergeable aggregate)."""
+    return analytics.nation_revenue_trend(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "monthly_revenue_ewma",
+    """WITH RECURSIVE monthly AS (
+         SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+                CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                  AS rev_cents
+         FROM orders GROUP BY 1),
+       idx AS (SELECT mon, rev_cents,
+                      row_number() OVER (ORDER BY mon) AS i
+               FROM monthly),
+       ew(i, mon, rev_cents, ewma_cents) AS (
+         SELECT i, mon, rev_cents, rev_cents FROM idx WHERE i = 1
+         UNION ALL
+         SELECT idx.i, idx.mon, idx.rev_cents,
+                (2 * idx.rev_cents + 8 * ew.ewma_cents + 5) // 10
+         FROM ew JOIN idx ON idx.i = ew.i + 1)
+       SELECT mon, rev_cents / 100.0 AS revenue,
+              ewma_cents / 100.0 AS ewma
+       FROM ew""",
+)
+def q_monthly_revenue_ewma(spark, sf_dir):
+    """EWMA-smoothed monthly revenue (α=0.2): distributed monthly
+    partials, then one integer-quantized JVM array fold — the
+    sequential recurrence runs over the calendar-bounded series, not
+    the data."""
+    return analytics.monthly_revenue_ewma(_t(spark, sf_dir, "orders"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
@@ -4032,10 +4280,10 @@ DRIVER_PRIORITY = [
     "profiles_quality_report",
     # event analytics / windows
     "approx_distinct_users",
-    "approx_quantiles_check",
+    "chi2_lang_source",  # r3w6: stats-test family (evicts approx_quantiles_check; sketches keep approx_distinct_users)
     "events_rollup_multi",
     "event_type_pivot",
-    "user_event_type_sets",
+    "monthly_revenue_ewma",  # r3w6: sequential-smoothing family (evicts user_event_type_sets)
     "conversion_funnel",
     # streaming
     "streaming_events_hourly",
@@ -4044,7 +4292,7 @@ DRIVER_PRIORITY = [
     "streaming_dedup_profiles",
     # text analysis / training-data ops
     "text_stats",
-    "top_ngrams",
+    "gopher_quality_report",  # r3w6: rule-based quality gate (evicts top_ngrams)
     "deterministic_split",
     "split_contamination",
     # dedup / similarity / curation / multimodal
@@ -4059,7 +4307,7 @@ DRIVER_PRIORITY = [
     "curation_pipeline",
     "cosine_topk",
     "quantize_embeddings",
-    "label_centroids",
+    "hybrid_rrf_search",  # r3w6: retrieval fusion (evicts label_centroids)
     "multimodal_features",
     # r3 additions: retrieval, data-layout, data-mixing families
     "bm25_search",

@@ -982,3 +982,94 @@ def test_snapshot_diff_classifies_all_cases(spark):
         for r in maintenance.snapshot_diff(old, new, ["id"]).collect()
     }
     assert got == {"a": "unchanged", "b": "updated", "c": "removed", "d": "added"}
+
+
+def test_gopher_rules_flag_structural_defects(spark):
+    docs = spark.createDataFrame(
+        [
+            # healthy: 12 varied tokens
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu", "en", "web", 60),
+            # too short: 3 tokens
+            (1, "tiny doc here", "en", "web", 13),
+            # repetitive: one token dominates (and low TTR)
+            (2, "spam spam spam spam spam spam spam spam spam spam ok done", "en", "web", 57),
+            # word-length violation: mean token length > 8
+            (3, "Pneumonoultramicroscopic silicovolcanoconiosis honorificabilitudinitatibus antidisestablishmentarianism floccinaucinihilipilification supercalifragilistic expialidocious incomprehensibilities uncharacteristically institutionalization", "en", "books", 200),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["source"]: r.asDict() for r in text.gopher_quality_report(docs).collect()}
+    web = got["web"]
+    assert web["n_docs"] == 3 and web["n_pass"] == 1
+    # the 3-token doc trips BOTH the short rule and top-share (1/3 > .25)
+    assert web["n_short"] == 1 and web["n_repetitive"] == 2
+    assert web["n_low_ttr"] == 1  # the spam doc: 3 types / 12 tokens
+    books = got["books"]
+    assert books["n_wordlen"] == 1 and books["n_pass"] == 0
+
+
+def test_bigram_logprob_ranks_shuffled_below_fluent(spark):
+    # 'a b' repeated is a high-probability transition; the shuffled doc
+    # pairs the same unigrams into transitions never seen elsewhere.
+    fluent = "a b a b a b a b a b a b"
+    shuffled = "b b a a b b a a b b a a"
+    docs = spark.createDataFrame(
+        [(0, fluent, "en", "web", len(fluent)), (1, shuffled, "en", "web", len(shuffled))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in text.bigram_logprob_quality(docs).collect()}
+    assert got[0]["n_bigrams"] == 11 and got[1]["n_bigrams"] == 11
+    assert got[0]["avg_logprob"] > got[1]["avg_logprob"]
+
+
+def test_rrf_fuse_blends_both_lists(spark):
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank int")
+    sem = spark.createDataFrame([(20, 1), (40, 2), (10, 3)], "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in similarity.rrf_fuse(lex, sem, top_k=10).collect()}
+    # doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/63 — 20 wins
+    order = sorted(got.values(), key=lambda r: (-r["rrf_score"], r["doc_id"]))
+    assert [r["doc_id"] for r in order][:2] == [20, 10]
+    # single-list docs carry a null rank on the missing side
+    assert got[30]["sem_rank"] is None and got[40]["lex_rank"] is None
+    assert abs(got[20]["rrf_score"] - (0.016129 + 0.016393)) < 1e-5
+
+
+def test_chi2_independent_uniform_is_zero(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    # perfectly independent 2x2 grid: chi2 == 0, dof == 1
+    rows = [("en", "web")] * 4 + [("en", "books")] * 4 + [("fr", "web")] * 4 + [("fr", "books")] * 4
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = analytics.chi_square_independence(df, "lang", "source").collect()[0]
+    assert got["chi2"] == 0.0 and got["dof"] == 1
+    assert got["n_cells"] == 4 and got["n_obs"] == 16
+    # fully dependent: lang determines source -> chi2 == N
+    rows2 = [("en", "web")] * 8 + [("fr", "books")] * 8
+    df2 = spark.createDataFrame(rows2, "lang string, source string")
+    got2 = analytics.chi_square_independence(df2, "lang", "source").collect()[0]
+    assert got2["chi2"] == 16.0 and got2["n_cells"] == 4
+
+
+def test_ewma_integer_recurrence_golden(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            ("1992-01-15", 100.0),
+            ("1992-01-20", 100.0),
+            ("1992-02-10", 100.0),
+            ("1992-03-05", 400.0),
+        ],
+        "o_orderdate string, o_totalprice double",
+    )
+    got = {r["mon"]: r for r in analytics.monthly_revenue_ewma(orders).collect()}
+    assert got["1992-01"]["ewma"] == 200.0  # seeded with first value
+    # 0.2*100 + 0.8*200 = 180
+    assert got["1992-02"]["ewma"] == 180.0
+    # 0.2*400 + 0.8*180 = 224
+    assert got["1992-03"]["ewma"] == 224.0
+    assert got["1992-03"]["revenue"] == 400.0
