@@ -2143,3 +2143,165 @@ def monthly_revenue_ewma(orders: DataFrame, alpha_tenths: int = 2) -> DataFrame:
         (F.col("r.rev_cents") / 100.0).alias("revenue"),
         (F.col("r.ewma_cents") / 100.0).alias("ewma"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame, key_col: str, epsilon: float = 1.0
+) -> DataFrame:
+    """Differentially-private count release: per-category counts with
+    Laplace(1/ε) noise via the inverse-CDF transform
+    noise = −(1/ε)·sign(u)·ln(1−2|u|), u ∈ (−½, ½) — the standard
+    ε-DP mechanism for a histogram query (sensitivity 1: one user
+    changes one count by one). The privacy tier next to PII
+    redaction in the curation surface.
+
+    TEST-MODE DETERMINISM: u derives from md5(category), so releases
+    are reproducible and oracle-checkable; a production release MUST
+    swap in fresh randomness per release (documented contract — the
+    mechanism's math and the plan are unchanged by that swap).
+    Noise is floor-quantized to 4 dp at the boundary.
+
+    Scale shape: one shuffle on the category key with partial
+    aggregation; the noise transform is a pure JVM map over the
+    (tiny) aggregated result. No Python, no sort.
+    """
+    counts = df.groupBy(F.col(key_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("category").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + 0.5) / F.lit(4294967296.0) - 0.5
+    lap = (
+        -(1.0 / epsilon)
+        * F.signum(u)
+        * F.log(1 - 2 * F.abs(u))
+    )
+    noise = F.floor(lap * 10000 + 0.5).cast("long") / 10000.0
+    return counts.select(
+        "category",
+        "true_count",
+        noise.alias("noise"),
+        (F.col("true_count") + noise).alias("released_count"),
+    )
+
+
+def join_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: the per-key frequency distribution
+    of a prospective join/groupBy key, summarized as exact p50/p90/p99
+    per-key counts, the hottest key, and the max/median skew ratio —
+    the report that decides whether a 100 TB join needs salting or
+    AQE skew-split BEFORE it runs (distinct_users_salted is the
+    engine's mitigation; this is the detector).
+
+    Exact percentiles WITHOUT a global row sort and WITHOUT re-scanning
+    the input per summary branch: EVERYTHING (totals, percentiles, the
+    hottest key) derives from the count-of-counts histogram in one
+    lineage — per-key counts collapse to (cnt → n_keys_with_cnt,
+    max-key-string-with-cnt), which is metadata-scale (distinct count
+    values ≤ max key frequency), then a window cumulates it and one
+    aggregate reads the answers off. percentile q = smallest count
+    with cum ≥ ⌈q·n_keys⌉; hottest key = argmax (cnt, key-string).
+    Scale shape: one scan, one key shuffle, one tiny histogram
+    shuffle; the single-partition window runs over the histogram, not
+    the keys.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hist = per_key.groupBy("cnt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col("k").cast("string")).alias("top_k"),
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "cnt",
+        "n",
+        "top_k",
+        F.sum("n").over(
+            Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("n").over(w_all).alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("n")).over(w_all).alias("n_rows"),
+    )
+
+    def pctl(q: float):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n_keys") * q), F.col("cnt")
+            )
+        )
+
+    return (
+        cum.agg(
+            F.max("n_keys").alias("n_keys"),
+            F.max("n_rows").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.max_by("top_k", F.struct("cnt", "top_k")).alias("hottest_key"),
+            pctl(0.5).alias("p50_cnt"),
+            pctl(0.9).alias("p90_cnt"),
+            pctl(0.99).alias("p99_cnt"),
+        )
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            "hottest_key",
+            "p50_cnt",
+            "p90_cnt",
+            "p99_cnt",
+            F.floor(F.col("max_cnt") / F.col("p50_cnt") * 10000 + 0.5)
+            .cast("long")
+            .alias("skew_ratio_x10k"),
+        )
+    )
+
+
+def holt_linear_smoothing(orders: DataFrame) -> DataFrame:
+    """Holt double-exponential smoothing of monthly revenue — the
+    trend-aware sibling of monthly_revenue_ewma: level
+    l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}) and trend
+    b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1} with α=0.2, β=0.3,
+    l_1 = x_1, b_1 = 0. Same engineering as the EWMA: the data-scale
+    work is the distributed monthly reduction; the calendar-bounded
+    recurrence folds once in a JVM higher-order aggregate with every
+    step quantized to integer cents (div) — bit-exact on any engine.
+    """
+    monthly = orders.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("mon")
+    ).agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rev_cents")
+    )
+    series = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("mon", "rev_cents"))).alias("s")
+    )
+    folded = series.select(
+        F.expr(
+            """
+            aggregate(
+              s,
+              cast(array() as array<struct<mon:string, rev_cents:bigint,
+                                           l:bigint, b:bigint>>),
+              (acc, x) -> array_append(acc, named_struct(
+                'mon', x.mon,
+                'rev_cents', x.rev_cents,
+                'l', case when size(acc) = 0 then x.rev_cents
+                  else (2 * x.rev_cents
+                        + 8 * (element_at(acc, -1).l + element_at(acc, -1).b)
+                        + 5) div 10 end,
+                'b', case when size(acc) = 0 then cast(0 as bigint)
+                  else (3 * (((2 * x.rev_cents
+                               + 8 * (element_at(acc, -1).l
+                                      + element_at(acc, -1).b)
+                               + 5) div 10) - element_at(acc, -1).l)
+                        + 7 * element_at(acc, -1).b + 5) div 10 end))
+            ) AS hw
+            """
+        )
+    )
+    return folded.select(F.explode("hw").alias("r")).select(
+        F.col("r.mon").alias("mon"),
+        (F.col("r.rev_cents") / 100.0).alias("revenue"),
+        (F.col("r.l") / 100.0).alias("level"),
+        (F.col("r.b") / 100.0).alias("trend"),
+    )

@@ -1074,3 +1074,32 @@ def bigram_logprob_quality(documents: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def inverted_postings(documents: DataFrame, cap: int = 32) -> DataFrame:
+    """Inverted-index construction: term → document frequency +
+    (capped) sorted posting list — the materialization step that
+    turns the corpus into the index BM25 serves from. Posting lists
+    are capped at `cap` entries here (the canonical head); at 100 TB
+    full lists are written as term-bucketed parquet segments and this
+    operator's per-term aggregate IS the segment writer's shape.
+
+    Scale shape: explode → per-(term, doc) distinct (one uniform
+    token-key shuffle with partial aggregation), then a per-term
+    collect of the already-deduplicated postings. sort_array makes
+    the list canonical so downstream diffs/oracles are order-free;
+    doc_freq counts the FULL list, independent of the display cap.
+    """
+    td = (
+        documents.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).alias(
+            "postings"
+        ),
+    )

@@ -4240,6 +4240,118 @@ def q_monthly_revenue_ewma(spark, sf_dir):
     return analytics.monthly_revenue_ewma(_t(spark, sf_dir, "orders"))
 
 
+@query(
+    "dp_event_type_counts",
+    """WITH counts AS (
+         SELECT event_type AS category, count(*) AS true_count
+         FROM events GROUP BY 1),
+       noised AS (
+         SELECT category, true_count,
+                (CAST(CAST('0x' || substr(md5(category), 1, 8) AS UBIGINT)
+                      AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS u
+         FROM counts),
+       lap AS (
+         SELECT category, true_count,
+                CAST(floor(-1.0 * sign(u) * ln(1 - 2 * abs(u)) * 10000 + 0.5)
+                     AS BIGINT) / 10000.0 AS noise
+         FROM noised)
+       SELECT category, CAST(true_count AS BIGINT) AS true_count, noise,
+              true_count + noise AS released_count
+       FROM lap""",
+)
+def q_dp_event_type_counts(spark, sf_dir):
+    """ε-DP Laplace-noised event-type histogram (deterministic
+    test-mode noise — see operator contract)."""
+    return analytics.dp_noisy_counts(
+        _t(spark, sf_dir, "events"), "event_type", epsilon=1.0
+    )
+
+
+@query(
+    "events_user_skew_report",
+    """WITH per_key AS (
+         SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+       stats AS (
+         SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_cnt
+         FROM per_key),
+       hot AS (
+         SELECT max(CAST(k AS VARCHAR)) AS hottest_key FROM per_key
+         WHERE cnt = (SELECT max(cnt) FROM per_key)),
+       hist AS (SELECT cnt, count(*) AS n FROM per_key GROUP BY cnt),
+       cum AS (
+         SELECT cnt, sum(n) OVER (ORDER BY cnt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM hist)
+       SELECT CAST(n_keys AS BIGINT) AS n_keys,
+              CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(max_cnt AS BIGINT) AS max_cnt,
+              hottest_key,
+              CAST(min(CASE WHEN cum >= ceil(n_keys * 0.5) THEN cnt END)
+                   AS BIGINT) AS p50_cnt,
+              CAST(min(CASE WHEN cum >= ceil(n_keys * 0.9) THEN cnt END)
+                   AS BIGINT) AS p90_cnt,
+              CAST(min(CASE WHEN cum >= ceil(n_keys * 0.99) THEN cnt END)
+                   AS BIGINT) AS p99_cnt,
+              CAST(floor(max_cnt /
+                     min(CASE WHEN cum >= ceil(n_keys * 0.5) THEN cnt END)
+                     * 10000 + 0.5) AS BIGINT) AS skew_ratio_x10k
+       FROM cum CROSS JOIN stats CROSS JOIN hot
+       GROUP BY n_keys, n_rows, max_cnt, hottest_key""",
+)
+def q_events_user_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostic over events.user_id: exact
+    percentile-of-key-frequency summary via a count-of-counts
+    histogram — the pre-join salting decision input."""
+    return analytics.join_skew_report(_t(spark, sf_dir, "events"), "user_id")
+
+
+@query(
+    "monthly_revenue_holt",
+    """WITH RECURSIVE monthly AS (
+         SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+                CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                  AS rev_cents
+         FROM orders GROUP BY 1),
+       idx AS (SELECT mon, rev_cents,
+                      row_number() OVER (ORDER BY mon) AS i
+               FROM monthly),
+       hw(i, mon, rev_cents, l, b) AS (
+         SELECT i, mon, rev_cents, rev_cents, CAST(0 AS BIGINT)
+         FROM idx WHERE i = 1
+         UNION ALL
+         SELECT idx.i, idx.mon, idx.rev_cents,
+                (2 * idx.rev_cents + 8 * (hw.l + hw.b) + 5) // 10,
+                (3 * (((2 * idx.rev_cents + 8 * (hw.l + hw.b) + 5) // 10)
+                      - hw.l)
+                 + 7 * hw.b + 5) // 10
+         FROM hw JOIN idx ON idx.i = hw.i + 1)
+       SELECT mon, rev_cents / 100.0 AS revenue,
+              l / 100.0 AS level, b / 100.0 AS trend
+       FROM hw""",
+)
+def q_monthly_revenue_holt(spark, sf_dir):
+    """Holt double-exponential level+trend smoothing of monthly
+    revenue (integer-quantized recurrence, JVM array fold)."""
+    return analytics.holt_linear_smoothing(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "inverted_postings",
+    """WITH td AS (
+         SELECT DISTINCT doc_id, tok AS term FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents)
+         WHERE tok <> '')
+       SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+              (list_sort(list(doc_id)))[1:32] AS postings
+       FROM td GROUP BY term""",
+)
+def q_inverted_postings(spark, sf_dir):
+    """Inverted-index postings (term → doc_freq + capped sorted
+    posting list) over the documents corpus."""
+    return text.inverted_postings(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

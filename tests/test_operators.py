@@ -1073,3 +1073,66 @@ def test_ewma_integer_recurrence_golden(spark):
     # 0.2*400 + 0.8*180 = 224
     assert got["1992-03"]["ewma"] == 224.0
     assert got["1992-03"]["revenue"] == 400.0
+
+
+def test_dp_noise_is_deterministic_and_scales_with_epsilon(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    df = spark.createDataFrame(
+        [("click",)] * 5 + [("view",)] * 3, "event_type string"
+    )
+    r1 = {r["category"]: r for r in analytics.dp_noisy_counts(df, "event_type", 1.0).collect()}
+    r2 = {r["category"]: r for r in analytics.dp_noisy_counts(df, "event_type", 1.0).collect()}
+    assert r1["click"]["noise"] == r2["click"]["noise"]  # test-mode determinism
+    assert r1["click"]["true_count"] == 5
+    assert r1["click"]["released_count"] == 5 + r1["click"]["noise"]
+    # doubling epsilon halves the Laplace scale (same u draw)
+    r_eps2 = {r["category"]: r for r in analytics.dp_noisy_counts(df, "event_type", 2.0).collect()}
+    assert abs(r_eps2["view"]["noise"] - r1["view"]["noise"] / 2) < 2e-4
+
+
+def test_join_skew_report_exact_percentiles(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    rows = [("a",)] * 1 + [("b",)] * 2 + [("c",)] * 2 + [("d",)] * 10
+    df = spark.createDataFrame(rows, "user_id string")
+    got = analytics.join_skew_report(df, "user_id").collect()[0]
+    assert got["n_keys"] == 4 and got["n_rows"] == 15 and got["max_cnt"] == 10
+    assert got["hottest_key"] == "d"
+    assert got["p50_cnt"] == 2 and got["p90_cnt"] == 10 and got["p99_cnt"] == 10
+    assert got["skew_ratio_x10k"] == 50000  # 10 / 2
+
+
+def test_holt_golden_recurrence(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    orders = spark.createDataFrame(
+        [("1992-01-10", 100.0), ("1992-02-10", 200.0), ("1992-03-10", 300.0)],
+        "o_orderdate string, o_totalprice double",
+    )
+    got = {r["mon"]: r for r in analytics.holt_linear_smoothing(orders).collect()}
+    assert got["1992-01"]["level"] == 100.0 and got["1992-01"]["trend"] == 0.0
+    assert got["1992-02"]["level"] == 120.0 and got["1992-02"]["trend"] == 6.0
+    assert got["1992-03"]["level"] == 160.80 and got["1992-03"]["trend"] == 16.44
+
+
+def test_inverted_postings_sorted_and_capped(spark):
+    docs = spark.createDataFrame(
+        [
+            (3, "apple banana apple", "en", "web", 18),
+            (1, "banana cherry", "en", "web", 13),
+            (2, "banana", "en", "web", 6),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["term"]: r for r in text.inverted_postings(docs, cap=2).collect()}
+    assert got["apple"]["doc_freq"] == 1 and got["apple"]["postings"] == [3]
+    # df counts the full list even when the display cap truncates it
+    assert got["banana"]["doc_freq"] == 3 and got["banana"]["postings"] == [1, 2]
+    assert got["cherry"]["postings"] == [1]

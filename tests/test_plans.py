@@ -376,3 +376,47 @@ def test_bm25_topk_and_broadcast_stats(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
+
+
+def test_chi2_scans_documents_once(spark, sf_dir):
+    # the single-scan rewrite: marginals come from window functions
+    # over the tiny cell relation, not from re-executing the scan
+    plan = _plan(spark, "chi2_lang_source", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert "ReadSchema: struct<lang:string,source:string>" in plan
+
+
+def test_gopher_report_single_token_shuffle(spark, sf_dir):
+    plan = _plan(spark, "gopher_quality_report", sf_dir)
+    # explode → tf agg → per-doc agg → per-source agg: 3 exchanges max
+    # (token key, doc key, source key) — no join, no sort
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 4
+
+
+def test_nation_trend_broadcasts_nation_dim(spark, sf_dir):
+    plan = _plan(spark, "nation_revenue_trend", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ewma_reduces_before_single_row_fold(spark, sf_dir):
+    # the sequential fold must sit on TOP of a distributed monthly
+    # aggregate — the scan side keeps its partial aggregation
+    plan = _plan(spark, "monthly_revenue_ewma", sf_dir)
+    assert "partial_sum" in plan  # distributed monthly partials
+    assert "Exchange SinglePartition" in plan  # then the tiny fold
+    assert plan.count("Scan parquet") == 1
+
+
+def test_hybrid_rrf_inputs_are_topk(spark, sf_dir):
+    plan = _plan(spark, "hybrid_rrf_search", sf_dir)
+    # both retrieval arms end in bounded heads before the fusion join
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_skew_report_histogram_not_sort(spark, sf_dir):
+    plan = _plan(spark, "events_user_skew_report", sf_dir)
+    # exact percentiles via count-of-counts — no global row sort of
+    # the per-key counts
+    assert "TakeOrderedAndProject" not in plan
+    assert plan.count("Scan parquet") == 1
