@@ -607,3 +607,56 @@ def rrf_fuse(
             "sem_rank",
         )
     )
+
+
+def centroid_shift(embeddings: DataFrame) -> DataFrame:
+    """Embedding drift monitor: per-label centroid L2 shift between
+    the two halves of a deterministic md5 split of the corpus — the
+    eval that detects when a new ingest batch moved a class's
+    embedding distribution (retrain / re-index trigger). A real
+    deployment compares snapshot t vs t−1; the content-independent
+    hash split here exercises the identical plan on one table.
+
+    Scale shape: posexplode fans each vector to (label, dim) terms —
+    64× the row count but tiny rows; ONE uniform shuffle on
+    (label, dim, half) with mergeable avg partials; the per-label
+    distance rollup is |labels|·dims rows. Shift is computed on
+    4-dp-floored per-dimension centroid deltas so the result is
+    engine-portable. No Python, no sort, no driver collect.
+    """
+    half = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 2
+    ).alias("half")
+    per_dim = (
+        embeddings.select(
+            "label", half, F.posexplode(F.col("embedding")).alias("dim", "x")
+        )
+        .groupBy("label", "half", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+    )
+    a = per_dim.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("c_a")
+    )
+    b = per_dim.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("c_b")
+    )
+    # integer 1e-4-unit deltas: the squared-sum is exact long math
+    # (order-free), and IEEE sqrt of the same integer is bit-identical
+    # on any engine — no accumulation drift in the distance rollup
+    d_int = F.floor((F.col("c_a") - F.col("c_b")) * 10000 + 0.5).cast("long")
+    return (
+        a.join(b, ["label", "dim"])
+        .select("label", d_int.alias("d"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            (
+                F.floor(F.sqrt(F.sum(F.col("d") * F.col("d"))) + 0.5).cast(
+                    "long"
+                )
+                / 10000.0
+            ).alias("l2_shift"),
+        )
+        .orderBy("label")
+    )

@@ -1103,3 +1103,66 @@ def inverted_postings(documents: DataFrame, cap: int = 32) -> DataFrame:
             "postings"
         ),
     )
+
+
+def pmi_collocations(
+    documents: DataFrame, min_count: int = 5, top_k: int = 20
+) -> DataFrame:
+    """Collocation mining: top-`top_k` adjacent token pairs by
+    pointwise mutual information PMI = ln(N·c(w1,w2) / (c(w1)·c(w2)))
+    over corpus-wide adjacent-pair counts — the phrase-detection
+    signal a tokenizer/vocab pipeline uses to decide merges the raw
+    pair frequency (bpe_pair_counts) would miss because frequent
+    unigrams dominate it. `min_count` filters unstable rare pairs.
+
+    PMI is floor-quantized to micro-nats so ordering is
+    engine-portable; ties break on the pair string. Scale shape: the
+    pair fan-out equals the token-scan cardinality (shifted-slice
+    zip, no quadratic blowup); one pair-key and one unigram-key
+    shuffle, both with partial aggregation; a 1-row N broadcast;
+    TakeOrderedAndProject head. No Python in the path.
+    """
+    toks = tokens(F.col("text"))
+    pairs = documents.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg")
+    )
+    bg_c = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    uni = (
+        documents.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    n_tok = uni.agg(F.sum("c_uni").alias("n"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    scored = (
+        bg_c.filter(F.col("c_bg") >= min_count)
+        .join(uni.select(F.col("tok").alias("t1"), F.col("c_uni").alias("c1")), w1 == F.col("t1"))
+        .join(uni.select(F.col("tok").alias("t2"), F.col("c_uni").alias("c2")), w2 == F.col("t2"))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "bg",
+            "c_bg",
+            F.floor(
+                F.log(
+                    F.col("n") * F.col("c_bg") / (F.col("c1") * F.col("c2"))
+                )
+                * 1000000
+            ).cast("long").alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_micro"), F.asc("bg"))
+        .limit(top_k)
+        .select(
+            "bg",
+            "c_bg",
+            (F.col("pmi_micro") / 1000000.0).alias("pmi"),
+        )
+    )

@@ -4352,6 +4352,66 @@ def q_inverted_postings(spark, sf_dir):
     return text.inverted_postings(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "pmi_collocations",
+    """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+       pairs AS (
+         SELECT w[i] || ' ' || w[i + 1] AS bg
+         FROM toks, unnest(generate_series(1, len(w) - 1)) t(i)),
+       bg_c AS (SELECT bg, count(*) AS c_bg FROM pairs GROUP BY bg),
+       uni AS (SELECT tok, count(*) AS c_uni FROM (
+                 SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+               GROUP BY tok),
+       n_tok AS (SELECT sum(c_uni) AS n FROM uni),
+       scored AS (
+         SELECT bg, c_bg,
+                CAST(floor(ln(n * c_bg / (u1.c_uni * u2.c_uni)) * 1000000)
+                     AS BIGINT) AS pmi_micro
+         FROM bg_c
+              JOIN uni u1 ON string_split(bg, ' ')[1] = u1.tok
+              JOIN uni u2 ON string_split(bg, ' ')[2] = u2.tok
+              CROSS JOIN n_tok
+         WHERE c_bg >= 5)
+       SELECT bg, CAST(c_bg AS BIGINT) AS c_bg,
+              pmi_micro / 1000000.0 AS pmi
+       FROM scored ORDER BY pmi_micro DESC, bg ASC LIMIT 20""",
+)
+def q_pmi_collocations(spark, sf_dir):
+    """Top adjacent-pair collocations by PMI over the documents
+    corpus (min pair count 5)."""
+    return text.pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "embedding_centroid_shift",
+    """WITH halves AS (
+         SELECT label,
+                CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)
+                          AS UBIGINT) AS BIGINT) % 2 AS half,
+                embedding
+         FROM embeddings),
+       per_dim AS (
+         SELECT label, half, i - 1 AS dim,
+                avg(CAST(embedding[i] AS DOUBLE)) AS c
+         FROM halves, unnest(generate_series(1, len(embedding))) t(i)
+         GROUP BY label, half, i),
+       d AS (
+         SELECT a.label, a.dim,
+                CAST(floor((a.c - b.c) * 10000 + 0.5) AS BIGINT) AS d
+         FROM (SELECT * FROM per_dim WHERE half = 0) a
+              JOIN (SELECT * FROM per_dim WHERE half = 1) b
+                ON a.label = b.label AND a.dim = b.dim)
+       SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+              CAST(floor(sqrt(CAST(sum(d * d) AS DOUBLE)) + 0.5) AS BIGINT)
+                / 10000.0 AS l2_shift
+       FROM d GROUP BY label ORDER BY label""",
+)
+def q_embedding_centroid_shift(spark, sf_dir):
+    """Per-label centroid L2 drift between deterministic md5 halves
+    of the embeddings corpus — the retrain/re-index trigger metric."""
+    return similarity.centroid_shift(_t(spark, sf_dir, "embeddings"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

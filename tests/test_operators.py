@@ -1136,3 +1136,44 @@ def test_inverted_postings_sorted_and_capped(spark):
     # df counts the full list even when the display cap truncates it
     assert got["banana"]["doc_freq"] == 3 and got["banana"]["postings"] == [1, 2]
     assert got["cherry"]["postings"] == [1]
+
+
+def test_pmi_prefers_exclusive_pairs_over_frequent(spark):
+    # 'x y' always co-occur exclusively (high PMI); 'a b' are frequent
+    # unigrams that pair only sometimes (lower PMI despite higher count)
+    rows = []
+    for i in range(10):
+        rows.append((i, "x y a c a d a e a f", "en", "web", 20))
+    for i in range(10, 16):
+        rows.append((i, "a b a b a b a b a b", "en", "web", 20))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["bg"]: r for r in text.pmi_collocations(docs, min_count=5, top_k=50).collect()}
+    assert "x y" in got and "a b" in got
+    assert got["x y"]["pmi"] > got["a b"]["pmi"]
+    assert got["x y"]["c_bg"] == 10
+
+
+def test_centroid_shift_zero_for_identical_halves(spark):
+    # every vector identical -> both halves share the centroid exactly
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0], 7) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = similarity.centroid_shift(emb).collect()
+    assert len(got) == 1
+    assert got[0]["label"] == 7 and got[0]["n_dims"] == 3
+    assert got[0]["l2_shift"] == 0.0
+
+
+def test_centroid_shift_detects_moved_label(spark):
+    # label 1: half-dependent values -> nonzero shift
+    rows = [(i, [0.0, 0.0], 0) for i in range(40)]
+    rows += [(i + 100, [float(i % 2 * 10), 0.0], 1) for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in similarity.centroid_shift(emb).collect()}
+    assert got[0]["l2_shift"] == 0.0
+    assert got[1]["l2_shift"] > 0.0
