@@ -2305,3 +2305,57 @@ def holt_linear_smoothing(orders: DataFrame) -> DataFrame:
         (F.col("r.l") / 100.0).alias("level"),
         (F.col("r.b") / 100.0).alias("trend"),
     )
+
+
+def incremental_join_view(
+    base_orders: DataFrame,
+    delta_orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Incremental maintenance of a join-aggregate view
+    V = Σ revenue over orders⋈customer⋈nation grouped by nation:
+    with the dimension side unchanged, Δ(A⋈B) = ΔA⋈B, so the refresh
+    joins ONLY the delta batch against the dimensions and merges its
+    partial aggregates into the stored view by key — the classic
+    materialized-view delta algebra (refresh cost tracks the batch,
+    never the fact corpus; the sibling of rollup_incremental_refresh
+    on the join-view side).
+
+    Here `base_view` is computed inline as the stand-in for the
+    stored MV table; in production it is a parquet/Delta read. Sum
+    merge is exact because both sides keep raw double partials and
+    round once at the boundary.
+    """
+
+    def view(o: DataFrame) -> DataFrame:
+        return (
+            o.join(
+                customer.select("c_custkey", "c_nationkey"),
+                o["o_custkey"] == customer["c_custkey"],
+            )
+            .join(
+                F.broadcast(nation),
+                customer["c_nationkey"] == nation["n_nationkey"],
+            )
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.sum("o_totalprice").alias("rev"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    merged = (
+        view(base_orders)
+        .unionByName(view(delta_orders))
+        .groupBy("nation")
+        .agg(
+            F.sum("rev").alias("rev"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
+    return merged.select(
+        "nation",
+        _floor_round(F.col("rev"), 2).alias("total_revenue"),
+        "n_orders",
+    ).orderBy("nation")

@@ -64,6 +64,7 @@ def scd2_history(
     ts_col: str,
     tracked: str,
     tiebreak: str,
+    keep_tiebreak: bool = False,
 ) -> DataFrame:
     """Type-2 history from a change feed: collapse consecutive rows
     with the same ``tracked`` value per ``key`` (ordered by
@@ -87,7 +88,14 @@ def scd2_history(
         runs.withColumn("valid_from", F.col(ts_col))
         .withColumn("valid_to", F.lead(ts_col).over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
-        .select(key, tracked, "valid_from", "valid_to", "is_current")
+        .select(
+            key,
+            tracked,
+            "valid_from",
+            "valid_to",
+            "is_current",
+            *([tiebreak] if keep_tiebreak else []),
+        )
     )
 
 
@@ -293,3 +301,129 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
         .otherwise("updated")
     )
     return j.select(*keys, change.alias("change_type"))
+
+
+def pit_join_strict(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    fact_ts: str,
+    hist_ts: str,
+    payload: str,
+    tiebreak: str,
+    out_col: str = "pit_value",
+) -> DataFrame:
+    """Point-in-time join of a fact table against a versioned (SCD2)
+    dimension: each fact row picks the dimension ``payload`` from the
+    history row with the greatest (``hist_ts``, ``tiebreak``)
+    STRICTLY before the fact's ``fact_ts`` — the bitemporal lookup
+    that answers "what did we believe about this entity before this
+    transaction happened" without leaking same-instant knowledge
+    (the train-data-leakage guard in feature pipelines).
+    ``tiebreak`` must exist on both sides (facts: the row id;
+    history: the run-starting row id).
+
+    Implemented as the union-asof pattern, NOT a range join: facts
+    and history rows interleave in one (key, ts, side) sort where a
+    fact at time t sorts BEFORE history rows at the same t, and a
+    last_value(ignorenulls) window over the strict-preceding frame
+    carries the most recent strictly-earlier payload forward. ONE
+    shuffle on the key, no range-predicate pair explosion, no
+    broadcast of the history side.
+    """
+    extra = [c for c in facts.columns if c not in (key, fact_ts, tiebreak)]
+    f = facts.select(
+        F.col(key),
+        F.col(fact_ts).alias("_ts"),
+        F.col(tiebreak).alias("_tb"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(history.schema[payload].dataType).alias("_p"),
+        *[F.col(c) for c in extra],
+    )
+    h = history.select(
+        F.col(key),
+        F.col(hist_ts).alias("_ts"),
+        F.col(tiebreak).alias("_tb"),
+        F.lit(1).alias("_side"),
+        F.col(payload).alias("_p"),
+        *[
+            F.lit(None).cast(facts.schema[c].dataType).alias(c)
+            for c in extra
+        ],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = F.last(
+        F.when(F.col("_side") == 1, F.col("_p")), ignorenulls=True
+    )
+    return (
+        f.unionByName(h)
+        .withColumn(out_col, carried.over(w))
+        .filter(F.col("_side") == 0)
+        .select(
+            F.col(key),
+            F.col("_ts").alias(fact_ts),
+            F.col("_tb").alias(tiebreak),
+            *[F.col(c) for c in extra],
+            F.col(out_col),
+        )
+    )
+
+
+def scan_pruning_estimate(
+    orders: DataFrame, bits: int = 8, n_files: int = 16, n_probes: int = 8
+) -> DataFrame:
+    """File-skipping effectiveness of the z-order layout: probe the
+    zorder_files manifest with `n_probes` equality predicates spread
+    across the custkey range and report how many files each probe
+    must scan vs can prune on footer min/max — the measurement that
+    justifies (or rejects) the layout before a 100 TB rewrite.
+
+    Probes are deterministic octile points of the key range (no
+    sampling RNG). Scale shape: the manifest is n_files rows and the
+    probe set is n_probes rows — the estimate is a metadata-only
+    crossJoin after the manifest aggregate; cost is the one
+    zorder_files pass.
+    """
+    manifest = zorder_files(orders, bits=bits, n_files=n_files)
+    rng = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("mx")
+    )
+    probes = rng.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_probes - 1))).alias("k"),
+        "mn",
+        "mx",
+    ).select(
+        "k",
+        (
+            F.col("mn")
+            + F.floor((F.col("mx") - F.col("mn")) * F.col("k") / n_probes)
+        ).cast("long").alias("probe_custkey"),
+    )
+    hit = (
+        (F.col("probe_custkey") >= F.col("cust_lo"))
+        & (F.col("probe_custkey") <= F.col("cust_hi"))
+    ).cast("int")
+    return (
+        manifest.crossJoin(F.broadcast(probes))
+        .groupBy("k", "probe_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(hit).alias("n_scanned"),
+        )
+        .select(
+            "k",
+            "probe_custkey",
+            "n_files",
+            "n_scanned",
+            (
+                F.floor(
+                    (1 - F.col("n_scanned") / F.col("n_files")) * 10000 + 0.5
+                ).cast("long")
+                / 100.0
+            ).alias("prune_pct"),
+        )
+    )

@@ -4412,6 +4412,117 @@ def q_embedding_centroid_shift(spark, sf_dir):
     return similarity.centroid_shift(_t(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "pit_status_enrichment",
+    """WITH runs AS (
+         SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+                o_orderkey
+         FROM (SELECT *, lag(o_orderstatus) OVER w AS prev
+               FROM orders
+               WINDOW w AS (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey))
+         WHERE prev IS NULL OR o_orderstatus <> prev),
+       cand AS (
+         SELECT o.o_custkey, o.o_orderkey,
+                r.o_orderstatus AS prev_status,
+                row_number() OVER (PARTITION BY o.o_custkey, o.o_orderkey
+                                   ORDER BY r.valid_from DESC,
+                                            r.o_orderkey DESC) AS rn
+         FROM orders o JOIN runs r
+           ON o.o_custkey = r.o_custkey
+          AND r.valid_from < o.o_orderdate)
+       SELECT o.o_custkey, o.o_orderdate, o.o_orderkey, o.o_orderstatus,
+              c.prev_status
+       FROM orders o LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+         ON o.o_custkey = c.o_custkey AND o.o_orderkey = c.o_orderkey""",
+)
+def q_pit_status_enrichment(spark, sf_dir):
+    """Point-in-time enrichment: each order picks the customer's
+    status run valid STRICTLY before its date from the SCD2 history
+    — the leakage-safe bitemporal lookup, via the union-asof pattern
+    (one key shuffle, no range join)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"
+    )
+    runs = maintenance.scd2_history(
+        _t(spark, sf_dir, "orders"),
+        key="o_custkey",
+        ts_col="o_orderdate",
+        tracked="o_orderstatus",
+        tiebreak="o_orderkey",
+        keep_tiebreak=True,
+    )
+    return maintenance.pit_join_strict(
+        orders,
+        runs,
+        key="o_custkey",
+        fact_ts="o_orderdate",
+        hist_ts="valid_from",
+        payload="o_orderstatus",
+        tiebreak="o_orderkey",
+        out_col="prev_status",
+    )
+
+
+@query(
+    "scan_pruning_report",
+    "WITH manifest AS ("
+    + _zorder_oracle()
+    + """),
+       rng AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx
+               FROM orders),
+       probes AS (
+         SELECT k, CAST(mn + floor((mx - mn) * k / 8) AS BIGINT)
+                  AS probe_custkey
+         FROM rng, unnest(generate_series(0, 7)) t(k)),
+       hits AS (
+         SELECT k, probe_custkey,
+                count(*) AS n_files,
+                sum(CASE WHEN probe_custkey BETWEEN cust_lo AND cust_hi
+                         THEN 1 ELSE 0 END) AS n_scanned
+         FROM manifest CROSS JOIN probes
+         GROUP BY k, probe_custkey)
+       SELECT k, probe_custkey,
+              CAST(n_files AS BIGINT) AS n_files,
+              CAST(n_scanned AS BIGINT) AS n_scanned,
+              CAST(floor((1 - n_scanned / n_files) * 10000 + 0.5) AS BIGINT)
+                / 100.0 AS prune_pct
+       FROM hits""",
+)
+def q_scan_pruning_report(spark, sf_dir):
+    """File-skipping effectiveness of the z-order layout under
+    deterministic octile custkey probes — metadata-only estimate
+    over the zorder_files manifest."""
+    return maintenance.scan_pruning_estimate(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "incremental_nation_view",
+    """SELECT n_name AS nation,
+              floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS total_revenue,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+)
+def q_incremental_nation_view(spark, sf_dir):
+    """Join-aggregate view maintained incrementally: the stored base
+    view (computed inline here) merges with the delta batch's
+    partial aggregates (orders with o_orderkey % 50 == 0 play the
+    late-arriving batch). Oracle = the full recompute — proving the
+    delta algebra exact."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 50 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 50 == 0)
+    return analytics.incremental_join_view(
+        base,
+        delta,
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

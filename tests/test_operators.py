@@ -1177,3 +1177,94 @@ def test_centroid_shift_detects_moved_label(spark):
     got = {r["label"]: r for r in similarity.centroid_shift(emb).collect()}
     assert got[0]["l2_shift"] == 0.0
     assert got[1]["l2_shift"] > 0.0
+
+
+def test_pit_join_strictly_before_semantics(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        maintenance,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            # cust 1: O-run at d1 (two orders), F-run at d3
+            (1, "1995-01-01", 10, "O"),
+            (1, "1995-02-01", 11, "O"),
+            (1, "1995-03-01", 12, "F"),
+            # cust 2: two run-starts on the SAME day — strictness means
+            # neither order sees same-day history
+            (2, "1995-01-01", 20, "O"),
+            (2, "1995-01-01", 21, "P"),
+        ],
+        "o_custkey long, o_orderdate string, o_orderkey long, o_orderstatus string",
+    )
+    runs = maintenance.scd2_history(
+        orders, key="o_custkey", ts_col="o_orderdate",
+        tracked="o_orderstatus", tiebreak="o_orderkey", keep_tiebreak=True,
+    )
+    got = {
+        r["o_orderkey"]: r["prev_status"]
+        for r in maintenance.pit_join_strict(
+            orders, runs, key="o_custkey", fact_ts="o_orderdate",
+            hist_ts="valid_from", payload="o_orderstatus",
+            tiebreak="o_orderkey", out_col="prev_status",
+        ).collect()
+    }
+    assert got[10] is None          # first order: nothing before
+    assert got[11] == "O"           # mid-run: the d1 run
+    assert got[12] == "O"           # run-start: the PREVIOUS run
+    assert got[20] is None and got[21] is None  # same-day excluded
+
+
+def test_scan_pruning_probes_bounded_and_hit(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        maintenance,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (i, f"1995-{1 + i % 12:02d}-15", float(i))
+            for i in range(256)
+        ],
+        "o_custkey long, o_orderdate string, o_totalprice double",
+    ).select(
+        "o_custkey", F.to_timestamp("o_orderdate").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    rows = maintenance.scan_pruning_estimate(orders, n_files=16).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_files"] == 16
+        assert 1 <= r["n_scanned"] <= 16  # every probe hits >= 1 file
+        assert 0.0 <= r["prune_pct"] <= 100.0
+    # z-order on a uniform grid should prune most files per point probe
+    assert sum(r["n_scanned"] for r in rows) < 8 * 16 / 2
+
+
+def test_incremental_join_view_equals_full_recompute(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    orders = spark.createDataFrame(
+        [(k, k % 4, 100.0 + k) for k in range(40)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(c, c % 2) for c in range(4)], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], "n_nationkey long, n_name string"
+    )
+    base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 5 == 0)
+    inc = {
+        r["nation"]: (r["total_revenue"], r["n_orders"])
+        for r in analytics.incremental_join_view(base, delta, customer, nation).collect()
+    }
+    full = {
+        r["nation"]: (r["total_revenue"], r["n_orders"])
+        for r in analytics.incremental_join_view(
+            orders, orders.limit(0), customer, nation
+        ).collect()
+    }
+    assert inc == full and set(inc) == {"ALPHA", "BETA"}

@@ -120,7 +120,7 @@ def test_driver_window_covers_component_families():
         "etl_curate_profiles", "gender_distribution",
         "registrable_domains", "userfeed_profiles", "pricing_summary",
         "nation_revenue", "events_rollup_multi",
-        "user_event_type_sets", "approx_distinct_users",
+        "approx_distinct_users",
         "conversion_funnel",
         "streaming_events_hourly", "streaming_user_totals",
         "streaming_session_windows", "streaming_dedup_profiles",
@@ -128,10 +128,10 @@ def test_driver_window_covers_component_families():
         "near_dedup_minhash",
         "ngram_jaccard_dupes", "near_dup_clusters",
         "embedding_near_dupes",
-        "curation_pipeline", "cosine_topk", "label_centroids",
+        "curation_pipeline", "cosine_topk",
         "multimodal_features",
         "split_contamination", "simhash_dupes", "profiles_upsert",
-        "profiles_quality_report", "approx_quantiles_check",
+        "profiles_quality_report",
         "events_rollup_multi",
         # r3 second wave: retrieval / data-layout / data-mixing
         "bm25_search", "zorder_files", "mixture_sampled_counts",
@@ -139,6 +139,13 @@ def test_driver_window_covers_component_families():
         # (events_sessionized rotated out — streaming_session_windows
         # carries the sessionization family in-window)
         "unigram_logprob_quality", "referential_integrity_report",
+        # r3 sixth wave: rule gate / stats test / retrieval fusion /
+        # sequential smoothing (approx_quantiles_check, top_ngrams,
+        # label_centroids, user_event_type_sets rotated out — their
+        # families keep approx_distinct_users, text_stats,
+        # cosine_topk/quantize_embeddings, events_rollup_multi)
+        "gopher_quality_report", "chi2_lang_source",
+        "hybrid_rrf_search", "monthly_revenue_ewma",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
@@ -420,3 +427,18 @@ def test_skew_report_histogram_not_sort(spark, sf_dir):
     # the per-key counts
     assert "TakeOrderedAndProject" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_pit_join_single_key_shuffle_no_range_join(spark, sf_dir):
+    plan = _plan(spark, "pit_status_enrichment", sf_dir)
+    # union-asof pattern: no join operator at all, just windowing
+    # over one key-partitioned sort
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
+    assert "Window" in plan
+
+
+def test_incremental_view_delta_joins_broadcast_dims(spark, sf_dir):
+    plan = _plan(spark, "incremental_nation_view", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

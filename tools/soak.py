@@ -102,6 +102,23 @@ QUERIES_TO_RUN = [
     "sliding_distinct_users_check",
     "winsorized_event_values",
     "bpe_pair_counts",
+    # round-3 sixth-eighth wave (rule gate / n-gram LMs / fusion /
+    # stats / smoothing / privacy / index build / drift)
+    "gopher_quality_report",
+    "bigram_logprob_quality",
+    "hybrid_rrf_search",
+    "chi2_lang_source",
+    "nation_revenue_trend",
+    "monthly_revenue_ewma",
+    "dp_event_type_counts",
+    "events_user_skew_report",
+    "inverted_postings",
+    "pmi_collocations",
+    "embedding_centroid_shift",
+    # round-3 ninth wave (bitemporal / layout eval / MV delta)
+    "pit_status_enrichment",
+    "scan_pruning_report",
+    "incremental_nation_view",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
