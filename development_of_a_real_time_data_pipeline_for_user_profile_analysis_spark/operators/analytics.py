@@ -2359,3 +2359,40 @@ def incremental_join_view(
         _floor_round(F.col("rev"), 2).alias("total_revenue"),
         "n_orders",
     ).orderBy("nation")
+
+
+def column_stats(lineitem: DataFrame) -> DataFrame:
+    """ANALYZE-TABLE-style statistics collection: per-column row
+    count, null count, exact NDV and 4-dp min/max for the lineitem
+    measure columns, in ONE scan — the stats a cost-based optimizer
+    (and this engine's own broadcast/skew decisions) feed on. At
+    100 TB the exact count_distinct becomes the HLL sketch
+    (approx_count_distinct / hll_union_agg, already in the sketch
+    family); the collection plan — one pass, all columns, partial
+    aggregation — is identical.
+    """
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            _floor_round(F.min(c), 4).alias(f"{c}__min"),
+            _floor_round(F.max(c), 4).alias(f"{c}__max"),
+        ]
+    one = lineitem.agg(*aggs)
+    stacked = one.select(
+        "n_rows",
+        F.expr(
+            "stack({}, {}) as (column_name, n_nulls, ndv, min_value, max_value)".format(
+                len(cols),
+                ", ".join(
+                    f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max"
+                    for c in cols
+                ),
+            )
+        ),
+    )
+    return stacked.select(
+        "column_name", "n_rows", "n_nulls", "ndv", "min_value", "max_value"
+    ).orderBy("column_name")

@@ -660,3 +660,86 @@ def centroid_shift(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def ann_lsh_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact scan, per
+    probe query — the measurement that decides how many hyperplanes
+    (bucket granularity) a corpus can afford before recall drops: the
+    index-tuning eval next to quantized_recall's storage eval.
+
+    Probes are the first `n_queries` vec_ids (deterministic, no RNG).
+    Scale shape: signatures are computed once per corpus row (pure
+    JVM map); the probe set broadcasts into both arms; the exact arm
+    ranks per query with a WindowGroupLimit-prunable row_number; the
+    LSH arm only ranks within matching buckets. Ranking uses the
+    6-dp-rounded cosine with vec_id tiebreaks so the top-k boundary
+    is engine-portable; recall is floor-quantized at 4 dp.
+    """
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    with_bucket = base.withColumn("bucket", lsh_bucket(F.col("emb"), planes))
+    queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = F.round(cosine(F.col("emb"), F.col("q_emb")), 6)
+    rn = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+    exact_k = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id")
+    )
+    lsh_k = (
+        with_bucket.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select("q_id", F.col("vec_id").alias("l_vec_id"))
+    )
+    ex_n = exact_k.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    ls_n = lsh_k.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_lsh"))
+    ov_n = (
+        exact_k.join(
+            lsh_k,
+            (exact_k["q_id"] == lsh_k["q_id"])
+            & (exact_k["vec_id"] == lsh_k["l_vec_id"]),
+        )
+        .groupBy(exact_k["q_id"].alias("q_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        ex_n.join(ls_n, "q_id", "left")
+        .join(ov_n, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce(F.col("n_lsh"), F.lit(0)).alias("n_lsh"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_overlap"), F.lit(0))
+                    / F.col("n_exact")
+                    * 10000
+                    + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )

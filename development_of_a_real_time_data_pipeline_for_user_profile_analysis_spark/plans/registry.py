@@ -4523,6 +4523,71 @@ def q_incremental_nation_view(spark, sf_dir):
     )
 
 
+def _ann_recall_oracle(n_queries: int = 8, k: int = 10) -> str:
+    return f"""WITH e AS (SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       b AS (SELECT vec_id, emb, {_lsh_bucket_sql()} AS bucket FROM e),
+       q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
+             FROM b WHERE vec_id < {n_queries}),
+       ex AS (SELECT q_id, b.vec_id,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY round(list_cosine_similarity(b.emb, q.q_emb), 6)
+                             DESC, b.vec_id ASC) AS rn
+              FROM b, q WHERE b.vec_id != q.q_id),
+       exk AS (SELECT q_id, vec_id FROM ex WHERE rn <= {k}),
+       ls AS (SELECT q_id, b.vec_id,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY round(list_cosine_similarity(b.emb, q.q_emb), 6)
+                             DESC, b.vec_id ASC) AS rn
+              FROM b JOIN q ON b.bucket = q.q_bucket
+                           AND b.vec_id != q.q_id),
+       lsk AS (SELECT q_id, vec_id FROM ls WHERE rn <= {k}),
+       exn AS (SELECT q_id, count(*) AS n_exact FROM exk GROUP BY q_id),
+       lsn AS (SELECT q_id, count(*) AS n_lsh FROM lsk GROUP BY q_id),
+       ovn AS (SELECT exk.q_id, count(*) AS n_overlap
+               FROM exk JOIN lsk ON exk.q_id = lsk.q_id
+                                AND exk.vec_id = lsk.vec_id
+               GROUP BY exk.q_id)
+       SELECT q_id, CAST(n_exact AS BIGINT) AS n_exact,
+              CAST(coalesce(n_lsh, 0) AS BIGINT) AS n_lsh,
+              CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+              CAST(floor(coalesce(n_overlap, 0) / n_exact * 10000 + 0.5)
+                   AS BIGINT) / 10000.0 AS recall
+       FROM exn LEFT JOIN lsn USING (q_id) LEFT JOIN ovn USING (q_id)
+       ORDER BY q_id"""
+
+
+@query("ann_lsh_recall", _ann_recall_oracle())
+def q_ann_lsh_recall(spark, sf_dir):
+    """Recall@10 of the LSH-bucketed ANN vs the exact scan over the
+    first 8 probe queries — the hyperplane-count tuning eval."""
+    return similarity.ann_lsh_recall(_t(spark, sf_dir, "embeddings"))
+
+
+_COLSTATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "lineitem_column_stats",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_nulls,
+              CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+              floor(min({c}) * 10000 + 0.5) / 10000.0 AS min_value,
+              floor(max({c}) * 10000 + 0.5) / 10000.0 AS max_value
+       FROM lineitem"""
+        for c in _COLSTATS_COLS
+    )
+    + "\nORDER BY column_name",
+)
+def q_lineitem_column_stats(spark, sf_dir):
+    """ANALYZE-style one-pass column statistics (rows, nulls, exact
+    NDV, min/max) over the lineitem measures — the CBO stats feed."""
+    return analytics.column_stats(_t(spark, sf_dir, "lineitem"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -1268,3 +1268,39 @@ def test_incremental_join_view_equals_full_recompute(spark):
         ).collect()
     }
     assert inc == full and set(inc) == {"ALPHA", "BETA"}
+
+
+def test_ann_lsh_recall_bounds_and_identical_bucket(spark):
+    # two clusters far apart: LSH separates them, so recall is high;
+    # recall is always in [0, 1] and overlap <= min(n_exact, n_lsh)
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(6)]
+    rows += [(i + 6, [-1.0, 0.1, 0.0, 0.0], 1) for i in range(6)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = similarity.ann_lsh_recall(emb, n_queries=2, k=3).collect()
+    assert [r["q_id"] for r in got] == [0, 1]
+    for r in got:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_overlap"] <= min(r["n_exact"], r["n_lsh"])
+    # identical vectors share a bucket: query 0's top-3 exact are the
+    # co-located identical vectors, all retrievable via its bucket
+    assert got[0]["recall"] == 1.0
+
+
+def test_column_stats_golden(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    li = spark.createDataFrame(
+        [(1.0, 10.0, 0.05, 0.01), (2.0, 20.0, 0.05, None), (2.0, 30.0, 0.10, 0.02)],
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double",
+    )
+    got = {r["column_name"]: r for r in analytics.column_stats(li).collect()}
+    assert set(got) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    assert got["l_quantity"]["n_rows"] == 3
+    assert got["l_quantity"]["ndv"] == 2
+    assert got["l_quantity"]["min_value"] == 1.0 and got["l_quantity"]["max_value"] == 2.0
+    assert got["l_tax"]["n_nulls"] == 1 and got["l_tax"]["ndv"] == 2
+    assert got["l_discount"]["min_value"] == 0.05
