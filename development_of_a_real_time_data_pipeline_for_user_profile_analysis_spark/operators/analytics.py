@@ -2396,3 +2396,88 @@ def column_stats(lineitem: DataFrame) -> DataFrame:
     return stacked.select(
         "column_name", "n_rows", "n_nulls", "ndv", "min_value", "max_value"
     ).orderBy("column_name")
+
+
+def mad_outliers(events: DataFrame, k_mad: float = 3.0) -> DataFrame:
+    """Robust outlier detection on event values via the median
+    absolute deviation: med = exact median, MAD = exact median of
+    |x − med|, outliers = |x − med| > k·1.4826·MAD (1.4826 scales
+    MAD to σ under normality). The heavy-tail-safe sibling of the
+    z-score filter — one wild value cannot move the threshold, which
+    is why curation pipelines gate on MAD, not stddev.
+
+    Both medians are exact WITHOUT a global sort: values quantize to
+    a 4-dp grid, collapse to a value histogram (one shuffle with
+    partial aggregation), and the median reads off the cumulated
+    histogram (median = smallest grid value with cum ≥ ⌈n/2⌉ — the
+    same histogram-CDF machinery as quality_deciles /
+    winsorized_event_values). Output is one row: median, MAD,
+    threshold, outlier count, total.
+    """
+    vq = (F.floor(F.col("value") * 10000 + 0.5).cast("long")).alias("v")
+    hist = events.select(vq).groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "v",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(w_all).alias("n_tot"),
+    )
+    med = cum.agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n_tot") / 2), F.col("v"))
+        ).alias("med_q"),
+        F.max("n_tot").alias("n_tot"),
+    )
+    dev = (
+        events.select(vq)
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.abs(F.col("v") - F.col("med_q")).alias("d"),
+            "med_q",
+            "n_tot",
+        )
+    )
+    dhist = dev.groupBy("d", "med_q", "n_tot").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dcum = dhist.select(
+        "d",
+        "med_q",
+        "n_tot",
+        F.sum("n").over(
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    mad = dcum.agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n_tot") / 2), F.col("d"))
+        ).alias("mad_q"),
+        F.max("med_q").alias("med_q"),
+        F.max("n_tot").alias("n_tot"),
+    )
+    # threshold on the SAME integer grid: floor-quantized so the
+    # outlier boundary is engine-portable
+    thr_q = F.floor(F.lit(k_mad * 1.4826) * F.col("mad_q") + 0.5).cast("long")
+    counted = (
+        events.select(vq)
+        .crossJoin(F.broadcast(mad))
+        .select(
+            (F.abs(F.col("v") - F.col("med_q")) > thr_q).cast("long").alias(
+                "is_out"
+            ),
+            "med_q",
+            "mad_q",
+            "n_tot",
+            thr_q.alias("thr_q"),
+        )
+        .groupBy("med_q", "mad_q", "n_tot", "thr_q")
+        .agg(F.sum("is_out").alias("n_outliers"))
+    )
+    return counted.select(
+        (F.col("med_q") / 10000.0).alias("median"),
+        (F.col("mad_q") / 10000.0).alias("mad"),
+        (F.col("thr_q") / 10000.0).alias("threshold"),
+        "n_outliers",
+        F.col("n_tot").alias("n_rows"),
+    )

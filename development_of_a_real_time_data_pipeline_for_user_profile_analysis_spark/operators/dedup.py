@@ -1104,3 +1104,60 @@ def cross_source_dupes(
         .join(F.broadcast(tagged), ["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
     )
+
+
+def minhash_accuracy_report(
+    docs: DataFrame, n_hashes: int = MINHASH_FUNCS
+) -> DataFrame:
+    """Sketch-accuracy eval for the MinHash estimator: over the LSH
+    candidate pairs, compare the signature-agreement Jaccard estimate
+    (fraction of equal min-hashes) against the exact shingle-set
+    Jaccard, reporting mean/max absolute error — the measurement that
+    justifies the number of hash functions before a corpus-wide
+    dedup, exactly as quantized_recall justifies int8 serving and
+    ann_lsh_recall justifies the plane count.
+
+    Per-pair estimates and errors are floor-quantized to 1e-4 units
+    and summed as longs (order-free, engine-portable). Scale shape:
+    reuses the shared shingle plan; the signature join is driven by
+    the (bounded) candidate set; one final 1-row aggregate.
+    """
+    sh = shingles(docs)
+    cands = lsh_candidate_pairs(docs, sh=sh)
+    sigs = minhash_signatures(docs, n_hashes, sh=sh)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(n_hashes)
+    )
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(agree / float(n_hashes) * 10000 + 0.5)
+            .cast("long")
+            .alias("est_q"),
+        )
+    )
+    exact = ngram_jaccard_pairs(docs, cands, sh=sh).select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.col("jaccard") * 10000 + 0.5).cast("long").alias("ex_q"),
+    )
+    j = est.join(exact, ["doc_a", "doc_b"])
+    err = F.abs(F.col("est_q") - F.col("ex_q"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.floor(F.sum("est_q") / F.count(F.lit(1)) + 0.5).cast("long") / 10000.0).alias("mean_est"),
+        (F.floor(F.sum("ex_q") / F.count(F.lit(1)) + 0.5).cast("long") / 10000.0).alias("mean_exact"),
+        (F.floor(F.sum(err) / F.count(F.lit(1)) + 0.5).cast("long") / 10000.0).alias("mean_abs_err"),
+        (F.max(err) / 10000.0).alias("max_abs_err"),
+    )

@@ -4588,6 +4588,104 @@ def q_lineitem_column_stats(spark, sf_dir):
     return analytics.column_stats(_t(spark, sf_dir, "lineitem"))
 
 
+@query(
+    "events_mad_outliers",
+    """WITH q AS (SELECT CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+                  FROM events WHERE value IS NOT NULL),
+       hist AS (SELECT v, count(*) AS n FROM q GROUP BY v),
+       cum AS (SELECT v,
+                      sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cum,
+                      sum(n) OVER () AS n_tot
+               FROM hist),
+       med AS (SELECT min(CASE WHEN cum >= ceil(n_tot / 2) THEN v END)
+                        AS med_q,
+                      max(n_tot) AS n_tot
+               FROM cum),
+       dev AS (SELECT abs(v - med_q) AS d, med_q, n_tot
+               FROM q CROSS JOIN med),
+       dhist AS (SELECT d, med_q, n_tot, count(*) AS n
+                 FROM dev GROUP BY d, med_q, n_tot),
+       dcum AS (SELECT d, med_q, n_tot,
+                       sum(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND CURRENT ROW) AS cum
+                FROM dhist),
+       mad AS (SELECT min(CASE WHEN cum >= ceil(n_tot / 2) THEN d END)
+                        AS mad_q,
+                      max(med_q) AS med_q, max(n_tot) AS n_tot
+               FROM dcum),
+       thr AS (SELECT med_q, mad_q, n_tot,
+                      CAST(floor((3 * 1.4826) * mad_q + 0.5) AS BIGINT)
+                        AS thr_q
+               FROM mad)
+       SELECT med_q / 10000.0 AS median,
+              mad_q / 10000.0 AS mad,
+              thr_q / 10000.0 AS threshold,
+              CAST(sum(CASE WHEN abs(v - med_q) > thr_q THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers,
+              CAST(max(n_tot) AS BIGINT) AS n_rows
+       FROM q CROSS JOIN thr
+       GROUP BY med_q, mad_q, thr_q""",
+)
+def q_events_mad_outliers(spark, sf_dir):
+    """MAD-based robust outlier report over event values — exact
+    medians via the histogram-CDF machinery, no global sort."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return analytics.mad_outliers(ev)
+
+
+_MH_EST_CASES = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+
+@query(
+    "minhash_accuracy_report",
+    _with_dupes(
+        f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+        ex AS (
+          SELECT doc_a, doc_b,
+                 CAST(floor(n_inter / (sa.n_sh + sb.n_sh - n_inter)
+                            * 10000 + 0.5) AS BIGINT) AS ex_q
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(floor(({_MH_EST_CASES}) / 8.0 * 10000 + 0.5)
+                      AS BIGINT) AS est_q
+          FROM cands c
+          JOIN sig a ON a.doc_id = c.doc_a
+          JOIN sig b ON b.doc_id = c.doc_b),
+        j AS (SELECT est.doc_a, est.doc_b, est_q, ex_q
+              FROM est JOIN ex ON est.doc_a = ex.doc_a
+                              AND est.doc_b = ex.doc_b)
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(floor(sum(est_q) / count(*) + 0.5) AS BIGINT) / 10000.0
+                 AS mean_est,
+               CAST(floor(sum(ex_q) / count(*) + 0.5) AS BIGINT) / 10000.0
+                 AS mean_exact,
+               CAST(floor(sum(abs(est_q - ex_q)) / count(*) + 0.5) AS BIGINT)
+                 / 10000.0 AS mean_abs_err,
+               CAST(max(abs(est_q - ex_q)) AS BIGINT) / 10000.0
+                 AS max_abs_err
+        FROM j"""
+    ),
+)
+def q_minhash_accuracy_report(spark, sf_dir):
+    """MinHash sketch-accuracy eval: signature-agreement Jaccard
+    estimate vs exact shingle Jaccard over the LSH candidate pairs
+    (mean/max absolute error — the n_hashes tuning measurement)."""
+    return dedup.minhash_accuracy_report(_dupes_df(spark, sf_dir))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -1304,3 +1304,34 @@ def test_column_stats_golden(spark):
     assert got["l_quantity"]["min_value"] == 1.0 and got["l_quantity"]["max_value"] == 2.0
     assert got["l_tax"]["n_nulls"] == 1 and got["l_tax"]["ndv"] == 2
     assert got["l_discount"]["min_value"] == 0.05
+
+
+def test_mad_outliers_resists_single_wild_value(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    # 99 values near 10, one wild 10000: median/MAD unmoved, exactly
+    # the wild point flagged (stddev-based z would inflate sigma)
+    vals = [(10.0 + (i % 5) * 0.1,) for i in range(99)] + [(10000.0,)]
+    ev = spark.createDataFrame(vals, "value double")
+    got = analytics.mad_outliers(ev).collect()[0]
+    assert 10.0 <= got["median"] <= 10.5
+    assert got["mad"] <= 0.3
+    assert got["n_outliers"] == 1 and got["n_rows"] == 100
+
+
+def test_minhash_accuracy_exact_for_identical_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, base, "en", "s", len(base)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = dedup.minhash_accuracy_report(docs).collect()[0]
+    # identical docs: estimate and exact are both 1.0, error 0
+    assert got["n_pairs"] == 1
+    assert got["mean_est"] == 1.0 and got["mean_exact"] == 1.0
+    assert got["mean_abs_err"] == 0.0 and got["max_abs_err"] == 0.0
