@@ -1335,3 +1335,17 @@ def test_minhash_accuracy_exact_for_identical_docs(spark):
     assert got["n_pairs"] == 1
     assert got["mean_est"] == 1.0 and got["mean_exact"] == 1.0
     assert got["mean_abs_err"] == 0.0 and got["max_abs_err"] == 0.0
+
+
+def test_asof_cogroup_equals_jvm_plan(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    jvm = {
+        (r["event_id"], r["user_id"]): r["latest_orderkey"]
+        for r in analytics.latest_order_asof_events(ev, orders).collect()
+    }
+    cg = {
+        (r["event_id"], r["user_id"]): r["latest_orderkey"]
+        for r in analytics.latest_order_asof_events_cogroup(ev, orders).collect()
+    }
+    assert len(jvm) > 0 and jvm == cg
