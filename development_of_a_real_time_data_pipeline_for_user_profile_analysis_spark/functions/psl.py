@@ -75,16 +75,27 @@ _COMPILED = _compile_rules()
 MAX_RULE_DEPTH = max(k for (_, k) in _COMPILED)
 
 
+_RULES_DF_CACHE: dict[int, DataFrame] = {}
+
+
 def psl_rules_df(spark: SparkSession) -> DataFrame:
     """(key, k, has_plain, has_wild, exc_ps) — one row per join key;
-    broadcast-sized (~7k rows for the full ICANN section)."""
-    rows = [
-        (key, k, v["has_plain"], v["has_wild"], v["exc_ps"])
-        for (key, k), v in sorted(_COMPILED.items())
-    ]
-    return spark.createDataFrame(
-        rows, "key string, k int, has_plain boolean, has_wild boolean, exc_ps int"
-    )
+    broadcast-sized (~7k rows for the full ICANN section). Memoized
+    per session: createDataFrame re-serializes the 7k local rows
+    through the JVM on every call (~2 s), and the rule table is
+    immutable."""
+    df = _RULES_DF_CACHE.get(id(spark))
+    if df is None:
+        rows = [
+            (key, k, v["has_plain"], v["has_wild"], v["exc_ps"])
+            for (key, k), v in sorted(_COMPILED.items())
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "key string, k int, has_plain boolean, has_wild boolean, exc_ps int",
+        )
+        _RULES_DF_CACHE[id(spark)] = df
+    return df
 
 
 def psl_rules_values_sql() -> str:

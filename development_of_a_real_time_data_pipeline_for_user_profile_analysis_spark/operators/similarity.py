@@ -517,7 +517,11 @@ def semantic_dupes(
     emb = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("e")
     )
-    tagged = assigned.join(emb, "vec_id")
+    # persist before the self-join: a self-join shares no subplan, so
+    # without the boundary BOTH sides re-run the full Lloyd
+    # assignment (measured 8.8 s → 2.3 s at sf0.1; the cached
+    # relation is rows × (id, cluster, vector))
+    tagged = assigned.join(emb, "vec_id").persist()
     a, b = tagged.alias("a"), tagged.alias("b")
     cos = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
     return (
