@@ -2507,3 +2507,38 @@ def mad_outliers(events: DataFrame, k_mad: float = 3.0) -> DataFrame:
         "n_outliers",
         F.col("n_tot").alias("n_rows"),
     )
+
+def user_cadence_stats(events: DataFrame) -> DataFrame:
+    """Per-user behavioral cadence: event count plus exact median and
+    p90 inter-event gap (whole seconds) — the engagement-rhythm
+    features a churn/robot-detection model consumes. Gaps quantize to
+    integer seconds BEFORE the percentile so the linear interpolation
+    (SQL-standard percentile_cont, identical on any engine) runs on
+    exact integers and halves — engine-portable without rounding
+    tricks.
+
+    Scale shape: one shuffle on user_id shared by the lag window and
+    the grouped exact-percentile aggregate (group size = one user's
+    events — bounded); no global sort, no driver loop.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+            ).alias("gap_s"),
+        )
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_events"),
+            F.expr("percentile(gap_s, 0.5)").alias("median_gap_s"),
+            F.expr("percentile(gap_s, 0.9)").alias("p90_gap_s"),
+        )
+        .orderBy("user_id")
+    )

@@ -4686,6 +4686,29 @@ def q_minhash_accuracy_report(spark, sf_dir):
     return dedup.minhash_accuracy_report(_dupes_df(spark, sf_dir))
 
 
+@query(
+    "user_cadence_stats",
+    """WITH gaps AS (
+         SELECT user_id,
+                CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                  - CAST(floor(date_part('epoch', prev_ts)) AS BIGINT)
+                  AS gap_s
+         FROM (SELECT user_id, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_ts
+               FROM events)
+         WHERE prev_ts IS NOT NULL)
+       SELECT user_id, CAST(count(*) + 1 AS BIGINT) AS n_events,
+              quantile_cont(gap_s, 0.5) AS median_gap_s,
+              quantile_cont(gap_s, 0.9) AS p90_gap_s
+       FROM gaps GROUP BY user_id ORDER BY user_id""",
+)
+def q_user_cadence_stats(spark, sf_dir):
+    """Per-user engagement cadence: exact interpolated median/p90
+    inter-event gap in whole seconds (one user-key shuffle)."""
+    return analytics.user_cadence_stats(_t(spark, sf_dir, "events"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

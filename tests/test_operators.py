@@ -1349,3 +1349,23 @@ def test_asof_cogroup_equals_jvm_plan(spark, sf_dir):
         for r in analytics.latest_order_asof_events_cogroup(ev, orders).collect()
     }
     assert len(jvm) > 0 and jvm == cg
+
+
+def test_user_cadence_interpolated_percentiles(spark):
+    import datetime as _dt
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    # user 1 gaps: 10, 20, 30, 40 s -> median 25.0 (interpolated), p90 37.0
+    offs = [0, 10, 30, 60, 100]
+    rows = [(1, t0 + _dt.timedelta(seconds=o), i) for i, o in enumerate(offs)]
+    rows += [(2, t0, 10), (2, t0 + _dt.timedelta(seconds=5), 11)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {r["user_id"]: r for r in analytics.user_cadence_stats(ev).collect()}
+    assert got[1]["n_events"] == 5
+    assert got[1]["median_gap_s"] == 25.0
+    assert abs(got[1]["p90_gap_s"] - 37.0) < 1e-9
+    assert got[2]["median_gap_s"] == 5.0

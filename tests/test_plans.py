@@ -442,3 +442,15 @@ def test_incremental_view_delta_joins_broadcast_dims(spark, sf_dir):
     plan = _plan(spark, "incremental_nation_view", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_banded_self_join_reads_cache(spark, sf_dir):
+    # the persist boundary must hold: both join sides read the
+    # materialized banded table instead of re-deriving signatures
+    plan = _plan(spark, "simhash_dupes", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_semantic_dupes_self_join_reads_cache(spark, sf_dir):
+    plan = _plan(spark, "semantic_dupes", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 2
