@@ -308,6 +308,15 @@ def _blocked_pair_intersections(
     must be SOUND for the caller's metric (never drop a pair the
     final threshold would keep): I <= I_rare + min(n_freq_a,
     n_freq_b) bounds any intersection-monotone score from above.
+
+    NB: persisting the shingle table here was A/B-measured and is
+    ~2x SLOWER (16.4/8.6 s vs 8.9/5.3 s cold/warm at sf0.1 for
+    containment_dupes) — unlike near_dedup_minhash, every branch of
+    this pipeline consumes a DIFFERENT projection/filter of the
+    shingles (df-filtered rare subset, per-doc counts, pair join),
+    so the shared cache materializes strictly more data than any
+    branch needs while the uncached plan lets Catalyst prune each
+    branch independently. Share the plan, not a cache, here.
     """
     sh = shingles(docs)
     rare = (

@@ -427,3 +427,34 @@ def scan_pruning_estimate(
             ).alias("prune_pct"),
         )
     )
+
+
+def merge_apply_cdc(
+    base: DataFrame,
+    feed: DataFrame,
+    keys: list[str],
+    order_col: str = "_version",
+    op_col: str = "_op",
+) -> DataFrame:
+    """Full MERGE semantics over a CDC feed: apply inserts ('I'),
+    updates ('U') and deletes ('D') from ``feed`` to ``base`` —
+    the missing third of the maintenance surface next to
+    merge_upsert (no deletes) and snapshot_diff (derives the feed).
+    Per key, the highest (``order_col``, feed-beats-base) row wins;
+    if that winner is a delete, the key is dropped from the result.
+
+    One shuffle on ``keys`` (the same single-window plan as
+    merge_upsert — WindowGroupLimit prunes to one row per key before
+    the delete filter); no join, no driver logic.
+    """
+    tagged = base.withColumn("_src", F.lit(0)).withColumn(
+        op_col, F.lit("I")
+    ).unionByName(feed.withColumn("_src", F.lit(1)))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .drop("_rn", "_src", op_col)
+    )

@@ -1166,3 +1166,40 @@ def pmi_collocations(
             (F.col("pmi_micro") / 1000000.0).alias("pmi"),
         )
     )
+
+
+def grouped_split_counts(
+    events: DataFrame, group_col: str = "user_id"
+) -> DataFrame:
+    """Group-aware train/val/test assignment: the md5 split hash keys
+    on the GROUP (user), not the row, so every row of a user lands in
+    one split — the leakage guard ML evaluation needs when rows from
+    one entity correlate (deterministic_split's per-doc hashing would
+    leak user behavior across splits). Returns per-split row/group
+    counts plus a purity proof: n_groups summed across splits equals
+    the distinct group count (each group in exactly one split).
+
+    Scale shape: pure map for the assignment (content-independent
+    md5 of the group key), one (split) rollup with a distinct-group
+    partial — no join, no sort.
+    """
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col(group_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        events.select(split.alias("split"), F.col(group_col).alias("g"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("g").alias("n_groups"),
+        )
+        .orderBy("split")
+    )

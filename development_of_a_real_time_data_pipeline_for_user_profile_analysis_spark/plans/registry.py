@@ -4709,6 +4709,66 @@ def q_user_cadence_stats(spark, sf_dir):
     return analytics.user_cadence_stats(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "profiles_apply_cdc",
+    _with_profiles(
+        _UPSERT_BASE
+        + """,
+       feed AS (
+         SELECT id, username, age, _version, 'U' AS _op FROM upd
+         UNION ALL
+         SELECT id, username, age, 2 AS _version, 'D' AS _op
+         FROM base WHERE _b = 3),
+       applied AS (
+         SELECT id, username, age, _version, _op FROM (
+           SELECT u.*, row_number() OVER (PARTITION BY id
+               ORDER BY _version DESC, _src DESC) AS rn
+           FROM (SELECT id, username, age, _version, 'I' AS _op,
+                        0 AS _src
+                 FROM base
+                 UNION ALL
+                 SELECT id, username, age, _version, _op, 1 AS _src
+                 FROM feed) u)
+         WHERE rn = 1 AND _op <> 'D')
+       SELECT id, username, age, _version FROM applied"""
+    ),
+)
+def q_profiles_apply_cdc(spark, sf_dir):
+    """Full MERGE over a CDC feed (inserts + updates + DELETES — the
+    delete path merge_upsert lacks): one window shuffle on the key,
+    the delete winner drops its key from the snapshot."""
+    base, upd = _upsert_frames(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5("id"), 1, 8), 16, 10).cast("long") % 10
+    feed = upd.withColumn("_op", F.lit("U")).unionByName(
+        base.filter(bucket == 3)
+        .withColumn("_version", F.lit(2))
+        .withColumn("_op", F.lit("D"))
+    )
+    return maintenance.merge_apply_cdc(base, feed, ["id"])
+
+
+@query(
+    "grouped_split_counts",
+    """WITH tagged AS (
+         SELECT CASE
+             WHEN CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) AS BIGINT) % 100 < 80 THEN 'train'
+             WHEN CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split,
+           user_id AS g
+         FROM events)
+       SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT g) AS BIGINT) AS n_groups
+       FROM tagged GROUP BY split ORDER BY split""",
+)
+def q_grouped_split_counts(spark, sf_dir):
+    """Group-aware (user-level) split assignment over events — the
+    entity-leakage guard deterministic_split's per-row hashing would
+    miss."""
+    return text.grouped_split_counts(_t(spark, sf_dir, "events"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -1369,3 +1369,30 @@ def test_user_cadence_interpolated_percentiles(spark):
     assert got[1]["median_gap_s"] == 25.0
     assert abs(got[1]["p90_gap_s"] - 37.0) < 1e-9
     assert got[2]["median_gap_s"] == 5.0
+
+
+def test_merge_apply_cdc_deletes_updates_inserts(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        maintenance,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 1), ("c", 3, 1)], "id string, v int, _version int"
+    )
+    feed = spark.createDataFrame(
+        [("b", 99, 2, "U"), ("c", 3, 2, "D"), ("d", 4, 2, "I")],
+        "id string, v int, _version int, _op string",
+    )
+    got = {r["id"]: r["v"] for r in maintenance.merge_apply_cdc(base, feed, ["id"]).collect()}
+    assert got == {"a": 1, "b": 99, "d": 4}  # c deleted
+
+
+def test_grouped_split_is_pure_per_group(spark):
+    rows = [(u, i) for u in range(50) for i in range(4)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long")
+    got = text.grouped_split_counts(ev).collect()
+    # purity: every group in exactly one split, all rows follow it
+    assert sum(r["n_groups"] for r in got) == 50
+    assert sum(r["n_rows"] for r in got) == 200
+    for r in got:
+        assert r["n_rows"] == 4 * r["n_groups"]
