@@ -2542,3 +2542,158 @@ def user_cadence_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def user_active_islands(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands over per-user activity: consecutive active
+    days collapse into streaks via the classic day − dense-rank
+    constant-group trick; reports active days, streak count and the
+    longest streak per user — the retention/habit features built
+    without any iterative logic.
+
+    Scale shape: distinct (user, day) then ONE shuffle on user_id
+    shared by the ranking window and both rollups. No join.
+    """
+    days = (
+        events.select(
+            "user_id", F.to_date("ts").alias("d")
+        ).distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "grp",
+        F.datediff("d", F.lit("1970-01-01")) - F.row_number().over(w),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def join_cardinality_estimate(
+    orders: DataFrame, lineitem: DataFrame, sample_mod: int = 10
+) -> DataFrame:
+    """CBO-style join-cardinality estimation: |A⋈B| = Σ_k c_A(k)·c_B(k)
+    estimated from a deterministic 1/`sample_mod` KEY sample
+    (md5(key) % mod == 0 — content-independent, no RNG) and compared
+    against the exact count — the estimator a cost-based optimizer
+    runs on histogram samples before picking a join strategy, with
+    its observed error as the output.
+
+    Scale shape: two per-key count aggregates (uniform key shuffles
+    with partials), a key-sample equi-join over ~1/mod of the keys,
+    one exact check join for the report (in production the exact side
+    is absent — it is what's being predicted). No sort, no Python.
+    """
+    ko = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    kl = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    in_sample = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % sample_mod
+        == 0
+    )
+    est = (
+        ko.filter(in_sample)
+        .join(kl, "k")
+        .agg((F.sum(F.col("ca") * F.col("cb")) * sample_mod).alias("est_rows"))
+    )
+    actual = ko.join(kl, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("actual_rows")
+    )
+    return est.crossJoin(F.broadcast(actual)).select(
+        "est_rows",
+        "actual_rows",
+        F.floor(
+            F.abs(F.col("est_rows") - F.col("actual_rows"))
+            / F.col("actual_rows")
+            * 10000
+            + 0.5
+        )
+        .cast("long")
+        .alias("rel_err_x10k"),
+    )
+
+
+def audience_overlap_hll(
+    events: DataFrame, tol_pct: float = 5.0
+) -> DataFrame:
+    """Audience-overlap matrix via mergeable HLL sketches and
+    inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    the union estimate comes from hll_union_agg over the per-segment
+    sketches — the 100 TB way to answer "how many users do campaigns
+    A and B share" without a user-level join. The exact overlap (a
+    distinct-pair count) rides along and the sketch estimate is
+    asserted within `tol_pct` (or a small absolute floor) in-query —
+    the same estimate-vs-exact contract as hll_distinct_users_check.
+
+    Scale shape: one sketch per event_type (mergeable partials), a
+    |types|² sketch cross (metadata-scale), one exact
+    (user, type-pair) distinct for the report.
+    """
+    sk = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("nd"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("nd").alias("nd_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("nd").alias("nd_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("type_a") < F.col("type_b"))
+    est_union = F.hll_sketch_estimate(
+        F.hll_union(F.col("sk_a"), F.col("sk_b"))
+    )
+    est_inter = F.col("nd_a") + F.col("nd_b") - est_union
+    ut = events.select("user_id", "event_type").distinct()
+    exact = (
+        ut.alias("x")
+        .join(
+            ut.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    tol = F.greatest(
+        F.lit(8.0), F.col("exact_overlap") * F.lit(tol_pct / 100.0)
+    )
+    return (
+        pairs.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce(F.col("exact_overlap"), F.lit(0)).alias(
+                "exact_overlap"
+            ),
+            (
+                F.abs(
+                    est_inter
+                    - F.coalesce(F.col("exact_overlap"), F.lit(0))
+                )
+                <= tol
+            ).alias("within_tol"),
+        )
+        .orderBy("type_a", "type_b")
+    )

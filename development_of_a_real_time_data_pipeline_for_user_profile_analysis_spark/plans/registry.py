@@ -4769,6 +4769,78 @@ def q_grouped_split_counts(spark, sf_dir):
     return text.grouped_split_counts(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "user_active_islands",
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+       g AS (SELECT user_id, d,
+                    CAST(d - DATE '1970-01-01' AS BIGINT)
+                      - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY d) AS grp
+             FROM days),
+       s AS (SELECT user_id, grp, count(*) AS len
+             FROM g GROUP BY user_id, grp)
+       SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+              CAST(count(*) AS BIGINT) AS n_streaks,
+              CAST(max(len) AS BIGINT) AS longest_streak
+       FROM s GROUP BY user_id ORDER BY user_id""",
+)
+def q_user_active_islands(spark, sf_dir):
+    """Per-user activity streaks via the gaps-and-islands constant-
+    group trick — one user-key shuffle, no iteration."""
+    return analytics.user_active_islands(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "join_cardinality_estimate",
+    """WITH ko AS (SELECT o_orderkey AS k, count(*) AS ca
+                   FROM orders GROUP BY 1),
+       kl AS (SELECT l_orderkey AS k, count(*) AS cb
+              FROM lineitem GROUP BY 1),
+       est AS (SELECT sum(ca * cb) * 10 AS est_rows
+               FROM ko JOIN kl USING (k)
+               WHERE CAST(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)
+                          AS UBIGINT) AS BIGINT) % 10 = 0),
+       act AS (SELECT sum(ca * cb) AS actual_rows FROM ko JOIN kl USING (k))
+       SELECT CAST(est_rows AS BIGINT) AS est_rows,
+              CAST(actual_rows AS BIGINT) AS actual_rows,
+              CAST(floor(abs(est_rows - actual_rows) / actual_rows
+                         * 10000 + 0.5) AS BIGINT) AS rel_err_x10k
+       FROM est CROSS JOIN act""",
+)
+def q_join_cardinality_estimate(spark, sf_dir):
+    """CBO join-cardinality estimator from a deterministic 10% key
+    sample vs the exact |orders⋈lineitem| — the estimator's observed
+    error as the output."""
+    return analytics.join_cardinality_estimate(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@query(
+    "audience_overlap_hll",
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                     count(*) AS exact_overlap
+              FROM ut x JOIN ut y ON x.user_id = y.user_id
+                                 AND x.event_type < y.event_type
+              GROUP BY 1, 2),
+       tp AS (SELECT DISTINCT event_type FROM events),
+       pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+              FROM tp a CROSS JOIN tp b WHERE a.event_type < b.event_type)
+       SELECT type_a, type_b,
+              CAST(coalesce(exact_overlap, 0) AS BIGINT) AS exact_overlap,
+              TRUE AS within_tol
+       FROM pr LEFT JOIN ex USING (type_a, type_b)
+       ORDER BY type_a, type_b""",
+)
+def q_audience_overlap_hll(spark, sf_dir):
+    """Audience-overlap matrix via HLL inclusion–exclusion
+    (mergeable sketches, no user-level join at scale) with the
+    estimate asserted within tolerance of the exact overlap."""
+    return analytics.audience_overlap_hll(_t(spark, sf_dir, "events"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

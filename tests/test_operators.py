@@ -1396,3 +1396,49 @@ def test_grouped_split_is_pure_per_group(spark):
     assert sum(r["n_rows"] for r in got) == 200
     for r in got:
         assert r["n_rows"] == 4 * r["n_groups"]
+
+
+def test_active_islands_streak_golden(spark):
+    import datetime as _dt
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    def ev(u, day):
+        return (u, _dt.datetime(2024, 1, day, 12, 0))
+
+    # user 1: days 1,2,3 then 5,6 -> 2 streaks, longest 3
+    rows = [ev(1, 1), ev(1, 2), ev(1, 2), ev(1, 3), ev(1, 5), ev(1, 6)]
+    rows += [ev(2, 10)]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["user_id"]: r for r in analytics.user_active_islands(e).collect()}
+    assert got[1]["n_active_days"] == 5
+    assert got[1]["n_streaks"] == 2 and got[1]["longest_streak"] == 3
+    assert got[2]["n_streaks"] == 1 and got[2]["longest_streak"] == 1
+
+
+def test_join_cardinality_estimator_reasonable(spark, sf_dir):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = analytics.join_cardinality_estimate(orders, li).collect()[0]
+    # actual == |orders join lineitem| by the sum-of-products identity
+    actual_join = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).count()
+    assert got["actual_rows"] == actual_join
+    # a 10% uniform key sample stays within 2x on this key distribution
+    assert 0.5 * actual_join <= got["est_rows"] <= 2.0 * actual_join
+
+
+def test_audience_overlap_sketch_within_tolerance(spark, sf_dir):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = analytics.audience_overlap_hll(ev).collect()
+    assert len(rows) > 0
+    assert all(r["within_tol"] for r in rows)
