@@ -747,3 +747,66 @@ def ann_lsh_recall(
         )
         .orderBy("q_id")
     )
+
+
+def top_component_power(
+    embeddings: DataFrame, iters: int = 3, dims_out: int = 8
+) -> DataFrame:
+    """First principal direction of the embedding Gram matrix by
+    distributed power iteration: x ← normalize(Σ_rows v·(v·x)),
+    starting from the exact-representable uniform unit vector
+    (1/8 per dim at d=64). Three fixed iterations — the iterative
+    linear-algebra pattern (eigenvector centrality, PCA whitening,
+    spectral hashing) executed as a lazy chain of Spark aggregates:
+    per iteration ONE row-wise dot (broadcast x), one micro-quantized
+    per-dimension sum (a 64-key shuffle with partials), and a
+    JVM-fold normalization — no driver loop, no collect, no Python.
+
+    Determinism: per-row contributions floor-quantize to integer
+    micro-units before the dimension sum (addition-order-free); the
+    64-term norm fold runs over the dimension-sorted array
+    (sequential, engine-portable). Returns the first `dims_out`
+    loadings plus the eigenvalue estimate ‖y‖ of the final iterate.
+    """
+    spark = embeddings.sparkSession
+    emb = embeddings.select(_to_double(F.col("embedding")).alias("v"))
+    n_dim = 64
+    x_df = spark.range(1).select(
+        F.array(*[F.lit(0.125)] * n_dim).alias("x")
+    )
+    norm_expr = """
+        sqrt(aggregate(
+          ys, cast(0.0 as double),
+          (acc, s) -> acc + (s.yq / 1000000.0) * (s.yq / 1000000.0)))
+    """
+    for _ in range(iters):
+        dotted = emb.crossJoin(F.broadcast(x_df)).select(
+            "v", _dot(F.col("v"), F.col("x")).alias("d")
+        )
+        contrib = dotted.select(
+            F.posexplode("v").alias("j", "vj"), F.col("d")
+        ).select(
+            "j",
+            F.floor(F.col("vj") * F.col("d") * 1000000).cast("long").alias("c"),
+        )
+        y = contrib.groupBy("j").agg(F.sum("c").alias("yq"))
+        packed = y.agg(
+            F.sort_array(F.collect_list(F.struct("j", "yq"))).alias("ys")
+        )
+        x_df = packed.select(
+            F.expr(
+                f"""
+                transform(ys, s -> cast(floor(s.yq / ({norm_expr}) + 0.5)
+                                        as bigint) / cast(1000000 as double))
+                """
+            ).alias("x"),
+            F.expr(
+                f"cast(floor(({norm_expr}) * 100 + 0.5) as bigint) / cast(100 as double)"
+            ).alias("eigen_est"),
+        )
+    return (
+        x_df.select(F.posexplode("x").alias("dim", "loading"), "eigen_est")
+        .filter(F.col("dim") < dims_out)
+        .select("dim", "loading", "eigen_est")
+        .orderBy("dim")
+    )

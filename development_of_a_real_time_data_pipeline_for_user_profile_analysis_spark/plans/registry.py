@@ -4841,6 +4841,49 @@ def q_audience_overlap_hll(spark, sf_dir):
     return analytics.audience_overlap_hll(_t(spark, sf_dir, "events"))
 
 
+def _power_iteration_oracle(iters: int = 3, dims_out: int = 8) -> str:
+    parts = [
+        """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings),
+       xt0 AS (SELECT list_transform(generate_series(1, 64), k -> 0.125)
+                 AS x)"""
+    ]
+    for t in range(iters):
+        parts.append(f""",
+       d{t} AS (SELECT emb,
+                list_sum(list_transform(generate_series(1, 64),
+                  k -> emb[CAST(k AS INTEGER)] * x[CAST(k AS INTEGER)]))
+                  AS d
+                FROM e CROSS JOIN xt{t}),
+       c{t} AS (SELECT j,
+                CAST(sum(CAST(floor(emb[CAST(j AS INTEGER)] * d * 1000000)
+                              AS BIGINT)) AS BIGINT) AS yq
+                FROM d{t}, unnest(generate_series(1, 64)) u{t}(j)
+                GROUP BY j),
+       n{t} AS (SELECT sqrt(list_sum(list_transform(
+                    list(yq / 1000000.0 ORDER BY j), z -> z * z))) AS nrm,
+                       list(yq ORDER BY j) AS ys
+                FROM c{t}),
+       xt{t + 1} AS (SELECT list_transform(ys,
+                    q -> CAST(floor(q / nrm + 0.5) AS BIGINT) / 1000000.0)
+                  AS x,
+                CAST(floor(nrm * 100 + 0.5) AS BIGINT) / 100.0 AS eigen_est
+                FROM n{t})""")
+    parts.append(f"""
+       SELECT j - 1 AS dim, x[CAST(j AS INTEGER)] AS loading, eigen_est
+       FROM xt{iters}, unnest(generate_series(1, {dims_out})) f(j)
+       ORDER BY dim""")
+    return "".join(parts)
+
+
+@query("top_component_power", _power_iteration_oracle())
+def q_top_component_power(spark, sf_dir):
+    """First principal direction of the embeddings by distributed
+    power iteration (3 lazy-chained micro-quantized iterations; see
+    operators/similarity.py)."""
+    return similarity.top_component_power(_t(spark, sf_dir, "embeddings"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -1442,3 +1442,24 @@ def test_audience_overlap_sketch_within_tolerance(spark, sf_dir):
     rows = analytics.audience_overlap_hll(ev).collect()
     assert len(rows) > 0
     assert all(r["within_tol"] for r in rows)
+
+
+def test_power_iteration_finds_dominant_direction(spark):
+    # corpus dominated by one axis: the top component aligns with it
+    rows = [(i, [10.0, 0.1 * (i % 3), 0.0, 0.0], 0) for i in range(30)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    # pad to 64 dims like the operator expects? operator assumes 64 dims
+    from pyspark.sql import functions as F
+    emb64 = emb.select(
+        "vec_id",
+        F.expr("concat(transform(embedding, x -> cast(x as float)), "
+               "array_repeat(cast(0.0 as float), 60))").alias("embedding"),
+        "label",
+    )
+    got = similarity.top_component_power(emb64).collect()
+    loadings = {r["dim"]: float(r["loading"]) for r in got}
+    assert abs(loadings[0]) > 0.99  # dominant axis
+    assert all(abs(loadings[d]) < 0.1 for d in range(2, 8))
+    assert got[0]["eigen_est"] > 0
