@@ -119,6 +119,18 @@ QUERIES_TO_RUN = [
     "pit_status_enrichment",
     "scan_pruning_report",
     "incremental_nation_view",
+    # round-3 tenth-fifteenth waves
+    "ann_lsh_recall",
+    "lineitem_column_stats",
+    "events_mad_outliers",
+    "minhash_accuracy_report",
+    "user_cadence_stats",
+    "profiles_apply_cdc",
+    "grouped_split_counts",
+    "user_active_islands",
+    "join_cardinality_estimate",
+    "audience_overlap_hll",
+    "top_component_power",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
