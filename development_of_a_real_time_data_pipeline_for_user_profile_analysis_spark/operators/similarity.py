@@ -810,3 +810,117 @@ def top_component_power(
         .select("dim", "loading", "eigen_est")
         .orderBy("dim")
     )
+
+
+def ann_multiprobe_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Multi-probe LSH eval: recall@k when each query probes its own
+    bucket PLUS the `planes` buckets at Hamming distance 1 (one sign
+    bit flipped) — the classic recall/cost dial that buys back the
+    vectors a single hyperplane miscut, without adding tables. Probes
+    are materialized as an exploded (query, probe_bucket) list so the
+    candidate fetch stays an EQUI-join on the bucket key (per-probe
+    partition reads at scale), never a theta-join bucket comparison.
+
+    Output per query: single-probe and multi-probe recall plus both
+    candidate counts — the before/after a tuning decision reads.
+    """
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    with_bucket = base.withColumn("bucket", lsh_bucket(F.col("emb"), planes))
+    flips = [F.col("q_bucket")] + [
+        F.concat(
+            F.substring(F.col("q_bucket"), 1, i),
+            F.when(
+                F.substring(F.col("q_bucket"), i + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1")),
+            F.substring(F.col("q_bucket"), i + 2, planes - i - 1),
+        )
+        for i in range(planes)
+    ]
+    queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    probes = queries.select(
+        "q_id", "q_emb", "q_bucket", F.explode(F.array(*flips)).alias("pb")
+    )
+    cos = F.round(cosine(F.col("emb"), F.col("q_emb")), 6)
+    rn = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+
+    def topk(cand):
+        return cand.withColumn("rn", rn).filter(F.col("rn") <= k)
+
+    exact_k = topk(
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
+            "q_id", "vec_id", cos.alias("cosine")
+        )
+    ).select("q_id", "vec_id")
+    single_cand = (
+        with_bucket.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", cos.alias("cosine"))
+    )
+    multi_cand = (
+        with_bucket.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pb"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", cos.alias("cosine"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+
+    def recall_of(cand, tag):
+        ck = topk(cand).select("q_id", F.col("vec_id").alias("c_vec"))
+        n_c = cand.groupBy("q_id").agg(
+            F.count(F.lit(1)).alias(f"n_cand_{tag}")
+        )
+        ov = (
+            exact_k.join(
+                ck,
+                (exact_k["q_id"] == ck["q_id"])
+                & (exact_k["vec_id"] == ck["c_vec"]),
+            )
+            .groupBy(exact_k["q_id"].alias("q_id"))
+            .agg(F.count(F.lit(1)).alias(f"ov_{tag}"))
+        )
+        return n_c, ov
+
+    ex_n = exact_k.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    sc_n, sc_ov = recall_of(single_cand, "single")
+    mc_n, mc_ov = recall_of(multi_cand, "multi")
+    rec = lambda tag: (  # noqa: E731
+        F.floor(
+            F.coalesce(F.col(f"ov_{tag}"), F.lit(0)) / F.col("n_exact") * 10000
+            + 0.5
+        ).cast("long")
+        / 10000.0
+    )
+    return (
+        ex_n.join(sc_n, "q_id", "left")
+        .join(sc_ov, "q_id", "left")
+        .join(mc_n, "q_id", "left")
+        .join(mc_ov, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce(F.col("n_cand_single"), F.lit(0)).alias("n_cand_single"),
+            rec("single").alias("recall_single"),
+            F.coalesce(F.col("n_cand_multi"), F.lit(0)).alias("n_cand_multi"),
+            rec("multi").alias("recall_multi"),
+        )
+        .orderBy("q_id")
+    )

@@ -4884,6 +4884,78 @@ def q_top_component_power(spark, sf_dir):
     return similarity.top_component_power(_t(spark, sf_dir, "embeddings"))
 
 
+def _multiprobe_oracle(n_queries: int = 8, k: int = 10, planes: int = 8) -> str:
+    flips = ["q_bucket"] + [
+        f"substr(q_bucket, 1, {i}) || "
+        f"(CASE WHEN substr(q_bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(q_bucket, {i + 2}, {planes - i - 1})"
+        for i in range(planes)
+    ]
+    return f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                          FROM embeddings),
+       b AS (SELECT vec_id, emb, {_lsh_bucket_sql()} AS bucket FROM e),
+       q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
+             FROM b WHERE vec_id < {n_queries}),
+       probes AS (SELECT q_id, q_emb,
+                         unnest(ARRAY[{", ".join(flips)}]) AS pb
+                  FROM q),
+       ex AS (SELECT q_id, b.vec_id,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY round(list_cosine_similarity(b.emb, q.q_emb), 6)
+                             DESC, b.vec_id ASC) AS rn
+              FROM b, q WHERE b.vec_id != q.q_id),
+       exk AS (SELECT q_id, vec_id FROM ex WHERE rn <= {k}),
+       exn AS (SELECT q_id, count(*) AS n_exact FROM exk GROUP BY q_id),
+       sc AS (SELECT q_id, b.vec_id,
+                     round(list_cosine_similarity(b.emb, q.q_emb), 6)
+                       AS cosine
+              FROM b JOIN q ON b.bucket = q.q_bucket
+                           AND b.vec_id != q.q_id),
+       scn AS (SELECT q_id, count(*) AS n_cand_single FROM sc GROUP BY q_id),
+       sck AS (SELECT q_id, vec_id FROM (
+                 SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY cosine DESC, vec_id ASC) AS rn
+                 FROM sc) WHERE rn <= {k}),
+       sov AS (SELECT exk.q_id, count(*) AS ov_single
+               FROM exk JOIN sck ON exk.q_id = sck.q_id
+                                AND exk.vec_id = sck.vec_id
+               GROUP BY exk.q_id),
+       mc AS (SELECT p.q_id, b.vec_id,
+                     max(round(list_cosine_similarity(b.emb, p.q_emb), 6))
+                       AS cosine
+              FROM b JOIN probes p ON b.bucket = p.pb
+                                  AND b.vec_id != p.q_id
+              GROUP BY p.q_id, b.vec_id),
+       mcn AS (SELECT q_id, count(*) AS n_cand_multi FROM mc GROUP BY q_id),
+       mck AS (SELECT q_id, vec_id FROM (
+                 SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY cosine DESC, vec_id ASC) AS rn
+                 FROM mc) WHERE rn <= {k}),
+       mov AS (SELECT exk.q_id, count(*) AS ov_multi
+               FROM exk JOIN mck ON exk.q_id = mck.q_id
+                                AND exk.vec_id = mck.vec_id
+               GROUP BY exk.q_id)
+       SELECT q_id, CAST(n_exact AS BIGINT) AS n_exact,
+              CAST(coalesce(n_cand_single, 0) AS BIGINT) AS n_cand_single,
+              CAST(floor(coalesce(ov_single, 0) / n_exact * 10000 + 0.5)
+                   AS BIGINT) / 10000.0 AS recall_single,
+              CAST(coalesce(n_cand_multi, 0) AS BIGINT) AS n_cand_multi,
+              CAST(floor(coalesce(ov_multi, 0) / n_exact * 10000 + 0.5)
+                   AS BIGINT) / 10000.0 AS recall_multi
+       FROM exn LEFT JOIN scn USING (q_id) LEFT JOIN sov USING (q_id)
+                LEFT JOIN mcn USING (q_id) LEFT JOIN mov USING (q_id)
+       ORDER BY q_id"""
+
+
+@query("ann_multiprobe_recall", _multiprobe_oracle())
+def q_ann_multiprobe_recall(spark, sf_dir):
+    """Multi-probe LSH recall eval: single-bucket vs 1-bit-flip
+    probe set, per query — the recall/cost dial measurement."""
+    return similarity.ann_multiprobe_recall(_t(spark, sf_dir, "embeddings"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -1463,3 +1463,14 @@ def test_power_iteration_finds_dominant_direction(spark):
     assert abs(loadings[0]) > 0.99  # dominant axis
     assert all(abs(loadings[d]) < 0.1 for d in range(2, 8))
     assert got[0]["eigen_est"] > 0
+
+
+def test_multiprobe_recall_dominates_single(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.ann_multiprobe_recall(emb, n_queries=4).collect()
+    assert len(rows) == 4
+    for r in rows:
+        # probing 9 buckets can only add candidates, never lose them
+        assert r["n_cand_multi"] >= r["n_cand_single"]
+        assert r["recall_multi"] >= r["recall_single"]
+        assert 0.0 <= r["recall_multi"] <= 1.0
