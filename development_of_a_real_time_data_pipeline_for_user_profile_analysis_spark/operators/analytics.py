@@ -2697,3 +2697,60 @@ def audience_overlap_hll(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def ab_test_report(events: DataFrame) -> DataFrame:
+    """A/B experiment readout: users hash deterministically into
+    variants A/B (content-independent md5 — the assignment IS the
+    experiment bucketing), conversion = the user emitted a 'purchase'
+    event; reports per-variant users / conversions / rate plus the
+    chi-square independence statistic of variant × converted riding
+    along on every row — the launch/no-launch screen built from
+    operators the engine already has (chi_square_independence).
+
+    Scale shape: one user-key aggregate (conversion flag), a 2-row
+    variant rollup, and the single-scan chi-square over the tiny
+    per-user frame; the statistic broadcasts back onto the report.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        )
+    )
+    variant = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    pu = per_user.select(
+        variant.alias("variant"),
+        F.col("converted"),
+        F.col("converted").cast("string").alias("conv_cat"),
+    )
+    stats = pu.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    chi = chi_square_independence(pu, "variant", "conv_cat").select(
+        "chi2", "dof"
+    )
+    return (
+        stats.crossJoin(F.broadcast(chi))
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            (
+                F.floor(
+                    F.col("n_converted") / F.col("n_users") * 10000 + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("conv_rate"),
+            "chi2",
+            "dof",
+        )
+        .orderBy("variant")
+    )

@@ -1183,3 +1183,26 @@ def minhash_accuracy_report(
         (F.floor(F.sum(err) / F.count(F.lit(1)) + 0.5).cast("long") / 10000.0).alias("mean_abs_err"),
         (F.max(err) / 10000.0).alias("max_abs_err"),
     )
+
+
+def dup_cluster_size_histogram(docs: DataFrame) -> DataFrame:
+    """Near-dup cluster-size distribution: how many clusters of each
+    size the corpus contains — the shape report that sizes the dedup
+    payoff (many big clusters → heavy duplication; all singletons in
+    the pair graph → LSH thresholds too loose or tight). Built as a
+    count-of-counts over the connected components; singleton docs
+    (no near-dup edges) are not in the pair graph and are excluded
+    by construction — the histogram describes the DUPLICATED mass.
+
+    Scale shape: inherits near_dup_clusters' bounded label
+    propagation; the rollup is two tiny aggregates.
+    """
+    clusters = near_dup_clusters(docs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

@@ -1203,3 +1203,43 @@ def grouped_split_counts(
         )
         .orderBy("split")
     )
+
+
+def temperature_mixture_weights(
+    documents: DataFrame, budget_tokens: int = 100000
+) -> DataFrame:
+    """Temperature-scaled data mixing (α = 0.5): per-source sampling
+    weight ∝ n_tokens^α — the standard multilingual/multi-source
+    rebalancing that upsamples small sources without flattening to
+    uniform (α=0 is uniform, α=1 is proportional; 0.5 is the common
+    compromise). Returns each source's token count, its normalized
+    weight and its token allocation under `budget_tokens`.
+
+    sqrt(n) floor-quantizes to integer micro-units before the share
+    division, so the normalization is addition-order-free and
+    engine-portable. One token-count aggregate per source (uniform
+    shuffle with partials) + a 1-row total broadcast. No Python.
+    """
+    per_source = documents.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("n_tokens")
+    )
+    w_micro = F.floor(F.sqrt(F.col("n_tokens")) * 1000000).cast("long")
+    weighted = per_source.select("source", "n_tokens", w_micro.alias("w"))
+    tot = weighted.agg(F.sum("w").alias("w_tot"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.floor(F.col("w") / F.col("w_tot") * 1000000 + 0.5).cast(
+                    "long"
+                )
+                / 1000000.0
+            ).alias("weight"),
+            F.floor(
+                F.lit(budget_tokens) * F.col("w") / F.col("w_tot") + 0.5
+            ).cast("long").alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -4956,6 +4956,94 @@ def q_ann_multiprobe_recall(spark, sf_dir):
     return similarity.ann_multiprobe_recall(_t(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "ab_test_report",
+    """WITH pu AS (
+         SELECT user_id,
+                CASE WHEN CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                          1, 8) AS UBIGINT) AS BIGINT) % 2 = 0
+                     THEN 'A' ELSE 'B' END AS variant,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS converted
+         FROM events GROUP BY user_id),
+       cells AS (SELECT variant AS a, CAST(converted AS VARCHAR) AS b,
+                        count(*) AS o
+                 FROM pu GROUP BY 1, 2),
+       m AS (SELECT a, b, o,
+                    sum(o) OVER (PARTITION BY a) AS n_a,
+                    sum(o) OVER (PARTITION BY b) AS n_b,
+                    sum(o) OVER () AS n
+             FROM cells),
+       q AS (SELECT a, b, o, n,
+                    CAST(floor((o - n_a * n_b / n) * (o - n_a * n_b / n)
+                               / (n_a * n_b / n) * 10000 + 0.5)
+                         AS BIGINT) AS c_q,
+                    CAST(floor(n_a * n_b / n * 10000 + 0.5) AS BIGINT)
+                      AS e_q
+             FROM m),
+       chi AS (SELECT (CAST(sum(c_q) AS BIGINT) + max(n) * 10000
+                       - CAST(sum(e_q) AS BIGINT)) / 10000.0 AS chi2,
+                      CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+                           AS BIGINT) AS dof
+               FROM q),
+       stats AS (SELECT variant, count(*) AS n_users,
+                        sum(converted) AS n_converted
+                 FROM pu GROUP BY variant)
+       SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+              CAST(n_converted AS BIGINT) AS n_converted,
+              CAST(floor(n_converted / n_users * 10000 + 0.5) AS BIGINT)
+                / 10000.0 AS conv_rate,
+              chi2, dof
+       FROM stats CROSS JOIN chi ORDER BY variant""",
+)
+def q_ab_test_report(spark, sf_dir):
+    """A/B experiment readout (md5 user bucketing, purchase
+    conversion) with the variant×converted chi-square statistic."""
+    return analytics.ab_test_report(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "temperature_mixture_weights",
+    """WITH per_source AS (
+         SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS n_tokens
+         FROM documents GROUP BY source),
+       w AS (SELECT source, n_tokens,
+                    CAST(floor(sqrt(n_tokens) * 1000000) AS BIGINT) AS wm
+             FROM per_source),
+       tot AS (SELECT sum(wm) AS w_tot FROM w)
+       SELECT source, n_tokens,
+              CAST(floor(wm / w_tot * 1000000 + 0.5) AS BIGINT)
+                / 1000000.0 AS weight,
+              CAST(floor(100000 * wm / w_tot + 0.5) AS BIGINT)
+                AS alloc_tokens
+       FROM w CROSS JOIN tot ORDER BY source""",
+)
+def q_temperature_mixture_weights(spark, sf_dir):
+    """Temperature-scaled (α=0.5) per-source mixing weights and token
+    allocations — the multilingual-style rebalancing tier between
+    uniform and proportional sampling."""
+    return text.temperature_mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dup_cluster_size_histogram",
+    "WITH RECURSIVE "
+    + dedup.DUPES_ORACLE_CTE
+    + _CLUSTERS_CTES
+    + """,
+       csizes AS (SELECT cluster_id, count(*) AS cluster_size
+                  FROM clusters GROUP BY cluster_id)
+       SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       FROM csizes GROUP BY cluster_size ORDER BY cluster_size""",
+)
+def q_dup_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster-size distribution — the dedup-payoff shape
+    report over the connected components."""
+    return dedup.dup_cluster_size_histogram(_dupes_df(spark, sf_dir))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -1474,3 +1474,47 @@ def test_multiprobe_recall_dominates_single(spark, sf_dir):
         assert r["n_cand_multi"] >= r["n_cand_single"]
         assert r["recall_multi"] >= r["recall_single"]
         assert 0.0 <= r["recall_multi"] <= 1.0
+
+
+def test_ab_report_buckets_and_chi2(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    rows = []
+    for u in range(40):
+        rows.append((u, "click"))
+        if u % 4 == 0:
+            rows.append((u, "purchase"))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = analytics.ab_test_report(ev).collect()
+    assert [r["variant"] for r in got] == ["A", "B"]
+    assert sum(r["n_users"] for r in got) == 40
+    assert sum(r["n_converted"] for r in got) == 10
+    for r in got:
+        assert 0.0 <= r["conv_rate"] <= 1.0
+        assert r["chi2"] >= 0.0 and r["dof"] == 1
+
+
+def test_temperature_weights_upsample_small_sources(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, "en", "big", 20) for i in range(90)]
+        + [(100 + i, "w " * 10, "en", "small", 20) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["source"]: r for r in text.temperature_mixture_weights(docs).collect()}
+    # sqrt scaling: big/small weight ratio is 3 (sqrt(9)), not 9
+    ratio = got["big"]["weight"] / got["small"]["weight"]
+    assert 2.8 < ratio < 3.2
+    assert abs(got["big"]["weight"] + got["small"]["weight"] - 1.0) < 1e-4
+    assert got["big"]["alloc_tokens"] + got["small"]["alloc_tokens"] == 100000
+
+
+def test_cluster_histogram_counts_synthetic_dupes(spark, sf_dir):
+    docs = dedup.with_synthetic_dupes(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    got = {r["cluster_size"]: r["n_clusters"] for r in dedup.dup_cluster_size_histogram(docs).collect()}
+    # synthetic corpus: pair clusters dominate (exact copy or near copy)
+    assert 2 in got and got[2] > 0
+    assert all(size >= 2 for size in got)  # no singleton clusters
