@@ -2754,3 +2754,206 @@ def ab_test_report(events: DataFrame) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ------------------------------------------------------------------
+# Market-basket rules, co-purchase graph, attribution, decay features
+# (round-3 extension wave: no reference analog — the reference's only
+# analytics are five pandas aggregates, dashbord/dashbord.py:98-108)
+# ------------------------------------------------------------------
+
+
+def basket_rules(
+    lineitem: DataFrame, min_support: int = 3, top: int = 50
+) -> DataFrame:
+    """Association rules (antecedent → consequent) over co-purchased
+    parts: support, confidence = sup(a,b)/sup(a), and lift =
+    sup(a,b)·N / (sup(a)·sup(b)). Top rules by lift.
+
+    Scale shape: the pair join is keyed on l_orderkey with fan-out
+    bounded by basket size (≤7 items per TPC-H order) — per-basket
+    combinations, never parts × parts. The min_support HAVING prunes
+    the rule set before the two item-count joins, which stay plain
+    shuffle joins on the part key (item counts grow with |parts|, so
+    no broadcast hint — AQE downgrades to broadcast when small). The
+    basket total is a 1-row aggregate crossJoined in. Top-k is
+    TakeOrderedAndProject. All integer products stay < 2^53 so the
+    double math is engine-portable bit-for-bit.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = items.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    item_cnt = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("antecedent")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("consequent")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    ca = item_cnt.select(
+        F.col("l_partkey").alias("antecedent"), F.col("cnt").alias("cnt_a")
+    )
+    cb = item_cnt.select(
+        F.col("l_partkey").alias("consequent"), F.col("cnt").alias("cnt_b")
+    )
+    conf = F.col("support").cast("double") / F.col("cnt_a")
+    lift = (F.col("support") * F.col("n_baskets")).cast("double") / (
+        F.col("cnt_a") * F.col("cnt_b")
+    )
+    return (
+        pairs.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            _floor_round(conf, 4).alias("confidence"),
+            _floor_round(lift, 4).alias("lift"),
+        )
+        .orderBy(
+            F.desc("lift"), F.desc("support"), "antecedent", "consequent"
+        )
+        .limit(top)
+    )
+
+
+def part_triangle_stats(
+    lineitem: DataFrame, min_cooccur: int = 2
+) -> DataFrame:
+    """Triangle census of the part co-purchase graph: nodes = parts,
+    edges = part pairs co-occurring in ≥ min_cooccur distinct orders.
+    Emits one row: nodes, edges, wedges (Σ deg·(deg−1)/2), triangles,
+    and the global clustering coefficient 3·T/W.
+
+    Scale shape: edge generation is the bounded per-basket pair join
+    (see basket_rules); the support threshold prunes hairball edges
+    before any graph step. Triangles are counted once each via the
+    canonical a<b<c two-hop join — E(a,b) ⋈ E(b,c) builds wedges
+    anchored at the middle vertex, then a semi join against E(a,c)
+    closes them. Work is Σ deg(b)² over canonical edges; for skewed
+    degree distributions switch to degree-ordered orientation (orient
+    each edge toward the higher-degree endpoint) which bounds it by
+    arboricity — same count, same plan shape, one extra degree join.
+    The edge table is persisted: degrees, both wedge sides, and the
+    closing probe all consume the SAME projection (the cache-sharing
+    rule measured in the dedup family A/B).
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    ap = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    bp = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        ap.join(bp, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_cooccur)
+        .select("pa", "pb")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    gcc = F.when(
+        F.col("n_wedges") > 0,
+        3.0 * F.col("n_triangles") / F.col("n_wedges"),
+    ).otherwise(F.lit(0.0))
+    return (
+        node_stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            _floor_round(gcc, 6).alias("gcc"),
+        )
+    )
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch revenue attribution: each purchase event is credited
+    to the user's most recent preceding non-purchase event type (the
+    'channel'); purchases with no preceding touch are 'direct'. Emits
+    per-channel purchase counts and attributed value.
+
+    Scale shape: one shuffle on user_id, then a per-key ordered window
+    (ts, event_id tiebreak) with last(..., ignorenulls) over rows
+    UNBOUNDED PRECEDING → 1 PRECEDING — no global sort, no self-join.
+    The final channel rollup is a partial-aggregable groupBy over ≤5
+    channel values.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("channel", F.coalesce(touch, F.lit("direct")))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _floor_round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+def user_decay_scores(events: DataFrame, half_life_days: float = 7.0) -> DataFrame:
+    """Time-decayed engagement score per user — the feature-store
+    staple: Σ value · 0.5^(age_days / half_life), age measured back
+    from the corpus max timestamp so the score is deterministic.
+
+    Scale shape: the anchor is a 1-row max aggregate crossJoined in
+    (broadcast); the score is one partial-aggregable groupBy on
+    user_id — a single uniform shuffle, no window, no sort. Age is
+    derived from integer microseconds so both engines divide the
+    exact same numbers.
+    """
+    anchor = events.agg(F.max("ts").alias("anchor_ts"))
+    age_days = (
+        F.unix_micros(F.col("anchor_ts")) - F.unix_micros(F.col("ts"))
+    ) / F.lit(86400.0 * 1e6)
+    term = F.col("value") * F.pow(F.lit(0.5), age_days / F.lit(half_life_days))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _floor_round(F.sum(term), 4).alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )

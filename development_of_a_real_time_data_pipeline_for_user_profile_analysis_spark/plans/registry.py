@@ -5044,6 +5044,103 @@ def q_dup_cluster_size_histogram(spark, sf_dir):
     return dedup.dup_cluster_size_histogram(_dupes_df(spark, sf_dir))
 
 
+@query(
+    "basket_rules",
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+       icnt AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+       pairs AS (
+         SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+                count(*) AS support
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 3)
+       SELECT antecedent, consequent, support,
+              floor(CAST(support AS DOUBLE) / ca.cnt * 10000 + 0.5)
+                / 10000.0 AS confidence,
+              floor(CAST(support * n_baskets AS DOUBLE)
+                    / (ca.cnt * cb.cnt) * 10000 + 0.5) / 10000.0 AS lift
+       FROM pairs
+       JOIN icnt ca ON pairs.antecedent = ca.l_partkey
+       JOIN icnt cb ON pairs.consequent = cb.l_partkey
+       CROSS JOIN nb
+       ORDER BY lift DESC, support DESC, antecedent, consequent
+       LIMIT 50""",
+)
+def q_basket_rules(spark, sf_dir):
+    """Association rules (support/confidence/lift) over co-purchased
+    parts — the rule-mining tier above basket_pairs."""
+    return analytics.basket_rules(_t(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "part_triangle_stats",
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       edges AS (
+         SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       deg AS (SELECT node, count(*) AS deg FROM
+                 (SELECT pa AS node FROM edges
+                  UNION ALL SELECT pb FROM edges) GROUP BY 1),
+       ns AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+              FROM deg),
+       ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges),
+       tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+               FROM edges e1 JOIN edges e2 ON e1.pb = e2.pa
+               WHERE EXISTS (SELECT 1 FROM edges e3
+                             WHERE e3.pa = e1.pa AND e3.pb = e2.pb))
+       SELECT n_nodes, n_edges, n_wedges, n_triangles,
+              floor((CASE WHEN n_wedges > 0
+                          THEN 3.0 * n_triangles / n_wedges
+                          ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0 AS gcc
+       FROM ns CROSS JOIN ne CROSS JOIN tri""",
+)
+def q_part_triangle_stats(spark, sf_dir):
+    """Triangle census + global clustering coefficient of the part
+    co-purchase graph (canonical a<b<c two-hop join)."""
+    return analytics.part_triangle_stats(_t(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "last_touch_attribution",
+    """WITH tagged AS (
+         SELECT event_type, value,
+                coalesce(last_value(CASE WHEN event_type <> 'purchase'
+                                         THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  'direct') AS channel
+         FROM events)
+       SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+              floor(sum(value) * 100 + 0.5) / 100.0 AS attributed_value
+       FROM tagged WHERE event_type = 'purchase'
+       GROUP BY channel ORDER BY channel""",
+)
+def q_last_touch_attribution(spark, sf_dir):
+    """Last-touch revenue attribution: purchases credited to the most
+    recent preceding non-purchase event type per user."""
+    return analytics.last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "user_decay_scores",
+    """WITH anchor AS (SELECT max(ts) AS anchor_ts FROM events)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              floor(sum(value * pow(0.5,
+                    ((epoch_us(anchor_ts) - epoch_us(ts)) / 86400000000.0)
+                    / 7.0)) * 10000 + 0.5) / 10000.0 AS decay_score
+       FROM events CROSS JOIN anchor
+       GROUP BY user_id ORDER BY user_id""",
+)
+def q_user_decay_scores(spark, sf_dir):
+    """Half-life-decayed per-user engagement score (feature-store
+    style), anchored at the corpus max timestamp."""
+    return analytics.user_decay_scores(_t(spark, sf_dir, "events"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -1518,3 +1518,74 @@ def test_cluster_histogram_counts_synthetic_dupes(spark, sf_dir):
     # synthetic corpus: pair clusters dominate (exact copy or near copy)
     assert 2 in got and got[2] > 0
     assert all(size >= 2 for size in got)  # no singleton clusters
+
+
+# ------------------------------------------------------------------
+# Round-3 wave: basket rules, triangle census, attribution, decay
+# ------------------------------------------------------------------
+
+
+def test_part_triangle_stats_hand_graph(spark):
+    # Orders forming a known co-purchase graph (each pair twice so the
+    # min_cooccur=2 threshold keeps them): triangle 1-2-3 plus a
+    # pendant edge 3-4. Wedges: deg(1)=2,deg(2)=2,deg(3)=3,deg(4)=1
+    # -> 1+1+3+0 = 5; triangles = 1; gcc = 3*1/5 = 0.6.
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    rows = []
+    oid = 0
+    for _rep in range(2):
+        for a, b in pairs:
+            rows.append(Row(l_orderkey=oid, l_partkey=a))
+            rows.append(Row(l_orderkey=oid, l_partkey=b))
+            oid += 1
+    li = spark.createDataFrame(rows)
+    got = analytics.part_triangle_stats(li).collect()[0]
+    assert (got.n_nodes, got.n_edges, got.n_wedges, got.n_triangles) == (4, 4, 5, 1)
+    assert got.gcc == 0.6
+
+
+def test_basket_rules_hand_values(spark):
+    # 4 baskets: {1,2} x3, {1} alone x1 => sup(1)=4, sup(2)=3,
+    # pair (1,2) support 3. conf(1->2)=3/4, conf(2->1)=1,
+    # lift = 3*4/(4*3) = 1.0 both directions.
+    rows = []
+    for oid in range(3):
+        rows += [Row(l_orderkey=oid, l_partkey=1), Row(l_orderkey=oid, l_partkey=2)]
+    rows.append(Row(l_orderkey=3, l_partkey=1))
+    got = {
+        (r.antecedent, r.consequent): (r.support, r.confidence, r.lift)
+        for r in analytics.basket_rules(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {(1, 2): (3, 0.75, 1.0), (2, 1): (3, 1.0, 1.0)}
+
+
+def test_last_touch_attribution_hand_values(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: click -> purchase(10) -> purchase(5): both credit click
+        Row(event_id=1, user_id=1, ts=t0, event_type="click", value=0.0),
+        Row(event_id=2, user_id=1, ts=t0 + dt.timedelta(minutes=1), event_type="purchase", value=10.0),
+        Row(event_id=3, user_id=1, ts=t0 + dt.timedelta(minutes=2), event_type="purchase", value=5.0),
+        # user 2: purchase with no preceding touch -> direct
+        Row(event_id=4, user_id=2, ts=t0, event_type="purchase", value=7.0),
+        # user 2: view after the purchase must NOT attribute backwards
+        Row(event_id=5, user_id=2, ts=t0 + dt.timedelta(minutes=1), event_type="view", value=0.0),
+    ]
+    got = {
+        r.channel: (r.n_purchases, r.attributed_value)
+        for r in analytics.last_touch_attribution(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {"click": (2, 15.0), "direct": (1, 7.0)}
+
+
+def test_user_decay_scores_half_life(spark):
+    t0 = dt.datetime(2024, 1, 8)
+    rows = [
+        # anchor event (value 1 at age 0) + one event exactly one
+        # half-life (7 days) older: score = 1 + 0.5*4 = 3.0
+        Row(event_id=1, user_id=1, ts=t0, event_type="view", value=1.0),
+        Row(event_id=2, user_id=1, ts=t0 - dt.timedelta(days=7), event_type="view", value=4.0),
+    ]
+    got = analytics.user_decay_scores(spark.createDataFrame(rows)).collect()[0]
+    assert got.n_events == 2
+    assert got.decay_score == 3.0
