@@ -924,3 +924,55 @@ def ann_multiprobe_recall(
         )
         .orderBy("q_id")
     )
+
+
+def contrastive_negatives(
+    embeddings: DataFrame, pool_size: int = 32, k: int = 4
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor gets `k` pseudo-random negatives with a DIFFERENT label,
+    drawn from a fixed md5-ranked pool and ranked per anchor by
+    md5(anchor|candidate) — fully reproducible, no RNG state.
+
+    Scale shape: the pool is a TakeOrderedAndProject head of
+    `pool_size` rows, broadcast; the anchor × pool fan-out is bounded
+    at pool_size per anchor (never corpus × corpus). Per-anchor
+    ranking is an aggregate — sort_array over a ≤pool_size collected
+    list, sliced to k — so there is exactly one uniform shuffle on
+    the anchor key and no window sort. Negatives are label-aware
+    (anti-label filter); for in-batch hard negatives swap the md5
+    rank key for an ANN distance from ann_lsh_topk.
+    """
+    pool = (
+        embeddings.select(
+            F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+        )
+        .orderBy(F.md5(F.col("neg_id").cast("string")), F.asc("neg_id"))
+        .limit(pool_size)
+    )
+    h = F.md5(
+        F.concat_ws(
+            "|", F.col("vec_id").cast("string"), F.col("neg_id").cast("string")
+        )
+    )
+    cand = (
+        embeddings.select("vec_id", "label")
+        .crossJoin(F.broadcast(pool))
+        .filter(F.col("neg_label") != F.col("label"))
+        .select("vec_id", "neg_id", h.alias("h"))
+    )
+    picked = cand.groupBy("vec_id").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("h", "neg_id"))), 1, k
+        ).alias("top")
+    )
+    pos = F.posexplode(F.col("top"))
+    return (
+        picked.select("vec_id", pos)
+        .select(
+            "vec_id",
+            F.col("col.neg_id").alias("neg_id"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+        )
+        .orderBy("vec_id", "rank")
+    )

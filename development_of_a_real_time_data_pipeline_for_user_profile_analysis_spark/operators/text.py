@@ -1243,3 +1243,64 @@ def temperature_mixture_weights(
         )
         .orderBy("source")
     )
+
+
+def heaps_law_fit(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth, V(N) ≈ K·N^β: the corpus
+    is cut into `n_buckets` doc_id-range prefixes, cumulative token
+    and distinct-vocab counts are evaluated at each prefix boundary,
+    and β / ln K come from a least-squares regression of ln V on
+    ln N. β well below 1 is the expected sublinear vocab growth;
+    β ≈ 1 flags an unbounded-vocab corpus (serial numbers, hashes)
+    before tokenizer training.
+
+    Scale shape: NO global sort and NO per-doc window — the prefix
+    bucket is computed from broadcast min/max doc_id bounds, vocab
+    novelty collapses to min(bucket) per token (one uniform shuffle
+    on the token key), and the cumulative sums + regression run over
+    exactly `n_buckets` rows. The same plan holds at any corpus size;
+    only the token-key aggregate grows.
+    """
+    bounds = documents.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    bucket = F.floor(
+        F.lit(n_buckets) * (F.col("doc_id") - F.col("lo"))
+        / (F.col("hi") - F.col("lo") + 1)
+    ).cast("int")
+    tok = (
+        documents.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    per_bucket = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tok"))
+    first_seen = (
+        tok.groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_bucket.join(first_seen, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_tok"), F.lit(0)).alias("n_tok"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "bucket",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum("n_new").over(w).alias("cum_vocab"),
+        )
+        .filter((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0))
+    )
+    return curve.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        round4(F.regr_slope(F.log("cum_vocab"), F.log("cum_tokens"))).alias(
+            "beta"
+        ),
+        round4(
+            F.regr_intercept(F.log("cum_vocab"), F.log("cum_tokens"))
+        ).alias("log_k"),
+    )

@@ -5141,6 +5141,72 @@ def q_user_decay_scores(spark, sf_dir):
     return analytics.user_decay_scores(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "contrastive_negatives",
+    """WITH pool AS (
+         SELECT vec_id AS neg_id, label AS neg_label
+         FROM embeddings
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), neg_id LIMIT 32),
+       cand AS (
+         SELECT e.vec_id, p.neg_id,
+                md5(CAST(e.vec_id AS VARCHAR) || '|'
+                    || CAST(p.neg_id AS VARCHAR)) AS h
+         FROM embeddings e CROSS JOIN pool p
+         WHERE p.neg_label <> e.label),
+       ranked AS (
+         SELECT vec_id, neg_id,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY h, neg_id) AS rank
+         FROM cand)
+       SELECT vec_id, neg_id, CAST(rank AS BIGINT) AS rank
+       FROM ranked WHERE rank <= 4 ORDER BY vec_id, rank""",
+)
+def q_contrastive_negatives(spark, sf_dir):
+    """Deterministic label-aware negative sampling for contrastive
+    training (md5-ranked broadcast pool, bounded fan-out)."""
+    return similarity.contrastive_negatives(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "heaps_law_fit",
+    """WITH bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+                       FROM documents),
+       tok AS (
+         SELECT CAST(floor(10 * (doc_id - lo) / (hi - lo + 1)) AS INT)
+                  AS bucket,
+                unnest(string_split(text, ' ')) AS tok
+         FROM documents CROSS JOIN bounds),
+       tok2 AS (SELECT * FROM tok WHERE tok <> ''),
+       per_bucket AS (SELECT bucket, count(*) AS n_tok
+                      FROM tok2 GROUP BY bucket),
+       first_seen AS (
+         SELECT bucket, count(*) AS n_new FROM
+           (SELECT tok, min(bucket) AS bucket FROM tok2 GROUP BY tok)
+         GROUP BY bucket),
+       curve AS (
+         SELECT coalesce(pb.bucket, fs.bucket) AS bucket,
+                sum(coalesce(n_tok, 0))
+                  OVER (ORDER BY coalesce(pb.bucket, fs.bucket)
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum_tokens,
+                sum(coalesce(n_new, 0))
+                  OVER (ORDER BY coalesce(pb.bucket, fs.bucket)
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum_vocab
+         FROM per_bucket pb FULL JOIN first_seen fs USING (bucket))
+       SELECT CAST(count(*) AS BIGINT) AS n_points,
+              floor(regr_slope(ln(cum_vocab), ln(cum_tokens))
+                    * 10000 + 0.5) / 10000.0 AS beta,
+              floor(regr_intercept(ln(cum_vocab), ln(cum_tokens))
+                    * 10000 + 0.5) / 10000.0 AS log_k
+       FROM curve WHERE cum_tokens > 0 AND cum_vocab > 0""",
+)
+def q_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over doc_id-prefix buckets —
+    sublinear-vocab sanity check before tokenizer training."""
+    return text.heaps_law_fit(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -1589,3 +1589,34 @@ def test_user_decay_scores_half_life(spark):
     got = analytics.user_decay_scores(spark.createDataFrame(rows)).collect()[0]
     assert got.n_events == 2
     assert got.decay_score == 3.0
+
+
+def test_contrastive_negatives_label_aware(spark):
+    rows = [Row(vec_id=i, embedding=[float(i)], label=i % 2) for i in range(6)]
+    df = spark.createDataFrame(rows)
+    got = similarity.contrastive_negatives(df, pool_size=32, k=2).collect()
+    by_anchor = {}
+    label = {r.vec_id: r.label for r in rows}
+    for r in got:
+        by_anchor.setdefault(r.vec_id, []).append(r)
+        # negatives always carry the opposite label
+        assert label[r.neg_id] != label[r.vec_id]
+    assert set(by_anchor) == set(range(6))
+    for anchor, rs in by_anchor.items():
+        assert sorted(r.rank for r in rs) == [1, 2]
+    # deterministic: a second run yields the identical sample
+    again = similarity.contrastive_negatives(df, pool_size=32, k=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_heaps_law_fit_all_unique_tokens_is_linear(spark):
+    # every token unique -> V(N) = N exactly -> beta = 1, ln K = 0
+    rows = [
+        Row(doc_id=i, text=" ".join(f"tok{i}_{j}" for j in range(i + 1)),
+            lang="en", source="s", n_chars=10)
+        for i in range(10)
+    ]
+    got = text.heaps_law_fit(spark.createDataFrame(rows)).collect()[0]
+    assert got.n_points == 10
+    assert got.beta == 1.0
+    assert got.log_k == 0.0
