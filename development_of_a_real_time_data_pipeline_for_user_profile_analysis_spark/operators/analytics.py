@@ -2957,3 +2957,125 @@ def user_decay_scores(events: DataFrame, half_life_days: float = 7.0) -> DataFra
         )
         .orderBy("user_id")
     )
+
+
+def user_behavior_entropy(events: DataFrame) -> DataFrame:
+    """Behavioral-diversity score per user: Shannon entropy (nats) of
+    the user's event-type distribution. Near-zero entropy on a
+    high-volume account is the classic single-action-bot signature;
+    the uniform-over-5-types ceiling is ln 5 ≈ 1.609.
+
+    Scale shape: two stacked partial-aggregable groupBys — (user,
+    type) counts, then per-user entropy from the count vector — both
+    shuffle on the user key; no window, no sort. Type cardinality is
+    tiny so the second aggregate is ~|users| rows.
+    """
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+    )
+    # H = ln n − (Σ c·ln c)/n  (algebraic form: one pass, no p=c/n col)
+    ent = F.log(F.col("n_events")) - F.col("clogc") / F.col("n_events")
+    return per_user.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+        _floor_round(ent, 4).alias("entropy"),
+    ).orderBy("user_id")
+
+
+def benford_price_audit(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    forensic-accounting screen for fabricated amounts: observed
+    first-significant-digit shares vs the Benford expectation
+    log10(1 + 1/d).
+
+    Scale shape: the digit is derived by string-slicing the integer
+    part (no log10/pow on doubles — their 1-ulp engine differences
+    flip floor() at power-of-ten boundaries); then one 9-group
+    aggregate with a broadcast 1-row total. Pure scan + tiny agg.
+    """
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    per_digit = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = per_digit.agg(F.sum("n_orders").alias("n_total"))
+    expected = F.log10(1 + 1 / F.col("digit").cast("double"))
+    return (
+        per_digit.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            _floor_round(
+                F.col("n_orders").cast("double") / F.col("n_total"), 4
+            ).alias("observed_share"),
+            _floor_round(expected, 4).alias("benford_share"),
+        )
+        .orderBy("digit")
+    )
+
+
+def feature_woe_iv(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Weight-of-evidence / information-value table for one behavioral
+    feature: users are binned into activity deciles (total event
+    count), the binary target is 'total purchase value above the
+    user-population median', and each bin gets WOE =
+    ln(p(bin|pos)/p(bin|neg)) with Laplace 0.5 smoothing plus its IV
+    contribution — the standard credit-scoring feature screen.
+
+    Scale shape: everything downstream of the per-user rollup runs on
+    |users| rows (one uniform shuffle); the decile ntile and the
+    median are computed on that aggregated table — documented
+    aggregate-then-window pattern, same as rfm_segments. Smoothing
+    keeps WOE finite on empty cells, so the report never NaNs.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("purchase_value"),
+    )
+    med = per_user.agg(
+        F.expr("percentile(purchase_value, 0.5)").alias("median_pv")
+    )
+    binned = per_user.crossJoin(F.broadcast(med)).select(
+        F.ntile(n_bins)
+        .over(Window.orderBy(F.asc("n_events"), F.asc("user_id")))
+        .alias("bin"),
+        F.when(F.col("purchase_value") > F.col("median_pv"), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(1 - F.col("pos")).alias("n_neg"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_pos").alias("tot_pos"), F.sum("n_neg").alias("tot_neg")
+    )
+    p_pos = (F.col("n_pos") + 0.5) / (F.col("tot_pos") + 0.5 * n_bins)
+    p_neg = (F.col("n_neg") + 0.5) / (F.col("tot_neg") + 0.5 * n_bins)
+    woe = F.log(p_pos / p_neg)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_users",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            _floor_round(woe, 4).alias("woe"),
+            _floor_round((p_pos - p_neg) * woe, 6).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )

@@ -5207,6 +5207,85 @@ def q_heaps_law_fit(spark, sf_dir):
     return text.heaps_law_fit(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "user_behavior_entropy",
+    """WITH per_type AS (
+         SELECT user_id, event_type, count(*) AS c
+         FROM events GROUP BY 1, 2),
+       per_user AS (
+         SELECT user_id, sum(c) AS n_events,
+                CAST(count(*) AS BIGINT) AS n_types,
+                sum(c * ln(c)) AS clogc
+         FROM per_type GROUP BY 1)
+       SELECT user_id, CAST(n_events AS BIGINT) AS n_events, n_types,
+              floor((ln(n_events) - clogc / n_events) * 10000 + 0.5)
+                / 10000.0 AS entropy
+       FROM per_user ORDER BY user_id""",
+)
+def q_user_behavior_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type mix — the
+    single-action-bot screen."""
+    return analytics.user_behavior_entropy(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "benford_price_audit",
+    """WITH per_digit AS (
+         SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS digit,
+                count(*) AS n_orders
+         FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+       tot AS (SELECT sum(n_orders) AS n_total FROM per_digit)
+       SELECT digit, CAST(n_orders AS BIGINT) AS n_orders,
+              floor(CAST(n_orders AS DOUBLE) / n_total * 10000 + 0.5)
+                / 10000.0 AS observed_share,
+              floor(log10(1 + 1.0 / digit) * 10000 + 0.5)
+                / 10000.0 AS benford_share
+       FROM per_digit CROSS JOIN tot ORDER BY digit""",
+)
+def q_benford_price_audit(spark, sf_dir):
+    """Benford first-digit distribution of order totals vs the
+    log10(1+1/d) expectation — fabricated-amount screen."""
+    return analytics.benford_price_audit(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "feature_woe_iv",
+    """WITH per_user AS (
+         SELECT user_id, count(*) AS n_events,
+                sum(CASE WHEN event_type = 'purchase' THEN value
+                         ELSE 0.0 END) AS purchase_value
+         FROM events GROUP BY 1),
+       med AS (SELECT quantile_cont(purchase_value, 0.5) AS median_pv
+               FROM per_user),
+       binned AS (
+         SELECT ntile(10) OVER (ORDER BY n_events ASC, user_id ASC) AS bin,
+                CASE WHEN purchase_value > median_pv THEN 1 ELSE 0 END AS pos
+         FROM per_user CROSS JOIN med),
+       per_bin AS (
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(pos) AS BIGINT) AS n_pos,
+                CAST(sum(1 - pos) AS BIGINT) AS n_neg
+         FROM binned GROUP BY 1),
+       tot AS (SELECT sum(n_pos) AS tot_pos, sum(n_neg) AS tot_neg
+               FROM per_bin)
+       SELECT bin, n_users, n_pos, n_neg,
+              floor(ln(((n_pos + 0.5) / (tot_pos + 5.0))
+                       / ((n_neg + 0.5) / (tot_neg + 5.0)))
+                    * 10000 + 0.5) / 10000.0 AS woe,
+              floor((((n_pos + 0.5) / (tot_pos + 5.0))
+                     - ((n_neg + 0.5) / (tot_neg + 5.0)))
+                    * ln(((n_pos + 0.5) / (tot_pos + 5.0))
+                         / ((n_neg + 0.5) / (tot_neg + 5.0)))
+                    * 1000000 + 0.5) / 1000000.0 AS iv_contrib
+       FROM per_bin CROSS JOIN tot ORDER BY bin""",
+)
+def q_feature_woe_iv(spark, sf_dir):
+    """Weight-of-evidence / information-value screen for the activity-
+    decile feature against an above-median-purchase target."""
+    return analytics.feature_woe_iv(_t(spark, sf_dir, "events"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -1620,3 +1620,53 @@ def test_heaps_law_fit_all_unique_tokens_is_linear(spark):
     assert got.n_points == 10
     assert got.beta == 1.0
     assert got.log_k == 0.0
+
+
+def test_user_behavior_entropy_hand_values(spark):
+    import math
+    t0 = dt.datetime(2024, 1, 1)
+    rows = (
+        # user 1: all same type -> entropy 0
+        [Row(event_id=i, user_id=1, ts=t0, event_type="click", value=0.0)
+         for i in range(4)]
+        # user 2: 2+2 uniform over two types -> ln 2
+        + [Row(event_id=10 + i, user_id=2, ts=t0,
+               event_type="click" if i < 2 else "view", value=0.0)
+           for i in range(4)]
+    )
+    got = {r.user_id: r for r in
+           analytics.user_behavior_entropy(spark.createDataFrame(rows)).collect()}
+    assert got[1].entropy == 0.0 and got[1].n_types == 1
+    assert got[2].entropy == round(math.log(2), 4) and got[2].n_types == 2
+
+
+def test_benford_price_audit_digits(spark):
+    rows = [Row(o_orderkey=i, o_custkey=1, o_orderstatus="F",
+                o_totalprice=p, o_orderdate=dt.datetime(1995, 1, 1),
+                o_orderpriority="1-URGENT")
+            for i, p in enumerate([123.4, 19.9, 1.0, 987.1, 0.5, 555.5])]
+    got = {r.digit: r for r in
+           analytics.benford_price_audit(spark.createDataFrame(rows)).collect()}
+    # 0.5 filtered out; digits: 1 (x3: 123.4, 19.9, 1.0), 9, 5
+    assert got[1].n_orders == 3 and got[9].n_orders == 1 and got[5].n_orders == 1
+    assert got[1].benford_share == 0.301  # log10(2)
+    assert got[1].observed_share == 0.6
+
+
+def test_feature_woe_iv_shape(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(20):
+        # activity grows with user id; high-activity users also purchase more
+        for i in range(1 + u):
+            rows.append(Row(event_id=eid, user_id=u, ts=t0,
+                            event_type="purchase" if i % 2 else "view",
+                            value=float(u)))
+            eid += 1
+    got = analytics.feature_woe_iv(spark.createDataFrame(rows), n_bins=4).collect()
+    assert [r.bin for r in got] == [1, 2, 3, 4]
+    assert sum(r.n_users for r in got) == 20
+    # monotone feature/target link: top activity bin has higher WOE than bottom
+    assert got[-1].woe > got[0].woe
+    assert all(r.iv_contrib >= 0 for r in got)  # smoothed IV terms are >= 0
