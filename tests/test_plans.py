@@ -454,3 +454,44 @@ def test_simhash_banded_self_join_reads_cache(spark, sf_dir):
 def test_semantic_dupes_self_join_reads_cache(spark, sf_dir):
     plan = _plan(spark, "semantic_dupes", sf_dir)
     assert plan.count("InMemoryTableScan") >= 2
+
+
+# -- round-3 wave: rules/graph/attribution/sampling plan contracts --
+
+
+def test_basket_rules_topk_and_keyed_joins(spark, sf_dir):
+    plan = _plan(spark, "basket_rules", sf_dir)
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+    # pair generation + count joins stay equi-joins; the only
+    # nested-loop is the broadcast 1-row basket total
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_triangle_census_equi_joins_only(spark, sf_dir):
+    plan = _plan(spark, "part_triangle_stats", sf_dir)
+    # wedge build + closing probe are equi-joins on node keys; only
+    # the two 1-row stat combines are nested-loop broadcasts
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_contrastive_negatives_no_window_no_smj(spark, sf_dir):
+    plan = _plan(spark, "contrastive_negatives", sf_dir)
+    # pool is broadcast (bounded fan-out) and per-anchor ranking is an
+    # aggregate slice, not a window sort
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_last_touch_attribution_single_user_shuffle(spark, sf_dir):
+    plan = _plan(spark, "last_touch_attribution", sf_dir)
+    # exactly one hashpartitioning on user_id feeds the window; the
+    # channel rollup re-shuffles <=6 rows
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_decay_scores_single_agg_no_window(spark, sf_dir):
+    plan = _plan(spark, "user_decay_scores", sf_dir)
+    assert "Window" not in plan  # pure partial-aggregable groupBy
+    assert "SortMergeJoin" not in plan  # anchor is broadcast

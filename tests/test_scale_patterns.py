@@ -286,3 +286,50 @@ def test_zorder_bounds_both_dimensions(spark, sf_dir):
     assert z_date <= 0.35
     assert lin_date >= 0.9
     assert z_date < lin_date / 2
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
+    """At 100 TB a selective dim-side filter should inject a runtime
+    bloom filter into the fact-scan side of a shuffle join (Spark's
+    row-level runtime filtering). Local thresholds gate it off by
+    default (the probe scan must look >10 GB), so pin the contract
+    with the thresholds neutralized and restore them after."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        # force the shuffle-join shape the filter exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        j = (
+            li.join(
+                od.filter(F.col("o_orderpriority") == "1-URGENT"),
+                li.l_orderkey == od.o_orderkey,
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan  # probe-side scan filtered
+        assert "bloom_filter_agg" in plan  # built from the dim side
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

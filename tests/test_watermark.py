@@ -181,3 +181,42 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     assert by_err[3].click_ts is None
     # every error emitted exactly once per match (no dup, no loss)
     assert sorted(r.error_id for r in rows).count(3) == 1
+
+
+def test_watermark_drop_is_observable_in_progress(spark, tmp_path):
+    """Late-data drops must be visible to operators: the streaming
+    progress metric numRowsDroppedByWatermark is the production
+    monitoring hook for 'the pipeline is silently losing late rows'."""
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    src = str(tmp_path / "ev")
+    _write(spark, [Row(user_id=1, ts=t(10)), Row(user_id=1, ts=t(11))], src + "/f1")
+    _write(spark, [Row(user_id=1, ts=t(9, 30)), Row(user_id=1, ts=t(11, 30))], src + "/f2")
+    _write(spark, [Row(user_id=1, ts=t(20))], src + "/f3")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_metrics_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3  # one micro-batch per file — real multi-batch run
+    assert dropped == 1  # exactly the 09:30 straggler
