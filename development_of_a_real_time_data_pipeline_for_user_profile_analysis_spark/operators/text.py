@@ -1304,3 +1304,52 @@ def heaps_law_fit(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
             F.regr_intercept(F.log("cum_vocab"), F.log("cum_tokens"))
         ).alias("log_k"),
     )
+
+
+def heavy_hitter_tokens(
+    documents: DataFrame, k: int = 20, summary_size: int = 200
+) -> DataFrame:
+    """Exact corpus top-k tokens via the two-pass heavy-hitter
+    pattern: pass 1 runs a Misra-Gries/SpaceSaving summary of
+    `summary_size` counters per partition (bounded memory, NO
+    full-vocabulary shuffle — mapInPandas, Arrow-batched), pass 2
+    recounts ONLY the unioned candidates exactly and takes the top-k.
+    Any token with global frequency > N/summary_size must survive
+    some partition's summary (pigeonhole over partition totals), so
+    with k ≪ summary_size the result equals the brute-force top-k —
+    which is exactly what the DuckDB oracle checks.
+
+    Scale shape: this is how you top-k a 100 TB token stream whose
+    vocabulary itself doesn't fit a shuffle — the only keyed shuffle
+    is over candidate tokens (≤ summary_size × partitions keys) after
+    a broadcast semi-join prefilter. The candidate recount is
+    partial-aggregable; the final head is TakeOrderedAndProject.
+    """
+    import pandas as pd
+
+    tok = documents.select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+
+    def mg_summary(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["tok"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > summary_size:
+                # batch-decrement: subtract the (summary_size+1)-th
+                # largest count from everyone, drop the non-positive
+                cut = sorted(counters.values(), reverse=True)[summary_size]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = tok.mapInPandas(mg_summary, "tok string").distinct()
+    return (
+        tok.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(k)
+    )

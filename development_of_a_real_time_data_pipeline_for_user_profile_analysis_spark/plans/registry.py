@@ -5286,6 +5286,19 @@ def q_feature_woe_iv(spark, sf_dir):
     return analytics.feature_woe_iv(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "heavy_hitter_tokens",
+    """SELECT tok, CAST(count(*) AS BIGINT) AS n FROM
+         (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       WHERE tok <> ''
+       GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""",
+)
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """Exact top-20 tokens via bounded-memory Misra-Gries candidates
+    + exact recount — the no-vocabulary-shuffle heavy-hitter path."""
+    return text.heavy_hitter_tokens(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -1670,3 +1670,19 @@ def test_feature_woe_iv_shape(spark):
     # monotone feature/target link: top activity bin has higher WOE than bottom
     assert got[-1].woe > got[0].woe
     assert all(r.iv_contrib >= 0 for r in got)  # smoothed IV terms are >= 0
+
+
+def test_heavy_hitters_exact_despite_tiny_summary(spark):
+    # 200 singleton noise tokens + two heavy tokens, summary of 5
+    # counters: heavies exceed N/summary_size so the two-pass result
+    # must equal the exact top-k even though the summary evicts hard.
+    noise = " ".join(f"n{i}" for i in range(200))
+    rows = [
+        Row(doc_id=1, text=" ".join(["aa"] * 150), lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text=" ".join(["bb"] * 120), lang="en", source="s", n_chars=1),
+        Row(doc_id=3, text=noise, lang="en", source="s", n_chars=1),
+    ]
+    got = text.heavy_hitter_tokens(
+        spark.createDataFrame(rows), k=2, summary_size=5
+    ).collect()
+    assert [(r.tok, r.n) for r in got] == [("aa", 150), ("bb", 120)]

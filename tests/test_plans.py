@@ -495,3 +495,23 @@ def test_decay_scores_single_agg_no_window(spark, sf_dir):
     plan = _plan(spark, "user_decay_scores", sf_dir)
     assert "Window" not in plan  # pure partial-aggregable groupBy
     assert "SortMergeJoin" not in plan  # anchor is broadcast
+
+
+def test_registry_wide_no_cartesian_products(spark, sf_dir):
+    """Repo-wide guard: NO query in the registry may plan a
+    CartesianProduct — the all-pairs shape that cannot survive scale.
+    Scalar 1-row combines must come through as broadcast nested-loop
+    joins (bounded), never unkeyed partition-pair products. Planning
+    all ~210 queries takes ~100 s and catches an accidental crossJoin
+    regression anywhere in the surface."""
+    offenders, errors = [], []
+    for name, fn in QUERIES.items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001 - collect, report all
+            errors.append((name, str(ex)[:120]))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not errors, errors
+    assert not offenders, offenders
