@@ -5299,6 +5299,45 @@ def q_heavy_hitter_tokens(spark, sf_dir):
     return text.heavy_hitter_tokens(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "streaming_attribution",
+    """WITH tagged AS (
+         SELECT event_type, value,
+                coalesce(last_value(CASE WHEN event_type <> 'purchase'
+                                         THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  'direct') AS channel
+         FROM events)
+       SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+              floor(sum(value) * 100 + 0.5) / 100.0 AS attributed_value
+       FROM tagged WHERE event_type = 'purchase'
+       GROUP BY channel ORDER BY channel""",
+)
+def q_streaming_attribution(spark, sf_dir):
+    """Stateful streaming twin of last_touch_attribution: per-user
+    last-touch state via applyInPandasWithState, purchases emitted
+    once each, then a batch rollup over the memory sink. One
+    availableNow batch == the batch window result (the oracle);
+    cross-batch state merge is pinned in tests/test_stateful.py."""
+    from ..streaming.stateful import streaming_last_touch
+
+    per_purchase = _run_to_memory(
+        streaming_last_touch(_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    return (
+        per_purchase.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.floor(F.sum("value") * 100 + 0.5).cast("long") / 100.0
+            ).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -97,3 +97,61 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+ATTR_OUTPUT_SCHEMA = "event_id long, user_id long, channel string, value double"
+ATTR_STATE_SCHEMA = "touch string"
+
+
+def _attribute(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    touch = state.get[0] if state.exists else None
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"])
+    t = batch["event_type"]
+    # last non-purchase type at-or-before each row (purchases are NaN
+    # in the source series, so 'at-or-before' == 'strictly before'),
+    # seeded with the carried-over touch from previous batches
+    seen = t.where(t != "purchase").ffill()
+    if touch is not None:
+        seen = seen.fillna(touch)
+    is_purchase = (t == "purchase").to_numpy()
+    purchases = batch[is_purchase]
+    non_purchase = seen[~is_purchase]
+    new_touch = str(non_purchase.iloc[-1]) if len(non_purchase) else touch
+    state.update((new_touch,))
+    yield pd.DataFrame(
+        {
+            "event_id": purchases["event_id"].astype("int64"),
+            "user_id": key[0],
+            "channel": seen[is_purchase].fillna("direct"),
+            "value": purchases["value"].astype("float64"),
+        }
+    )
+
+
+def streaming_last_touch(events: DataFrame) -> DataFrame:
+    """Streaming twin of analytics.last_touch_attribution: per-user
+    last-touch state carried across micro-batches via
+    applyInPandasWithState; each purchase is emitted exactly once,
+    attributed to the most recent preceding non-purchase event type
+    ('direct' when none). Assumes per-user event-time-ordered arrival
+    across batches (the file source delivers files in order; a
+    watermark-buffered variant would reorder stragglers first — same
+    caveat as any order-sensitive state machine).
+
+    Scale shape: one shuffle per batch on user_id; state is ONE
+    string per user, so the state store scales with |users|, not
+    event volume. Emission is append-like (each purchase once), so
+    downstream aggregation re-groups only new rows per batch.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attribute,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -333,3 +333,30 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout (the 100 TB events table is
+    date-partitioned) must turn a date predicate into partition
+    pruning — the scan lists only matching directories, it never
+    touches the other partitions' files."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "events_by_day")
+    (
+        events.withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .parquet(out)
+    )
+    pruned = spark.read.parquet(out).filter(
+        F.col("day") == "2024-01-05"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    # physical proof: only one partition directory is actually read
+    n_parts = (
+        pruned.select(F.input_file_name().alias("f"))
+        .select(F.regexp_extract("f", r"day=([0-9-]+)", 1).alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert [r.d for r in n_parts] == ["2024-01-05"]

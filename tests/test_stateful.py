@@ -108,3 +108,52 @@ def test_vectorized_cosine_matches_jvm(spark):
         ).collect()
     }
     assert jvm == vec
+
+
+def test_streaming_last_touch_state_across_batches(spark, tmp_path):
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    import time
+
+    src = str(tmp_path / "attr")
+    # batch 1: user1 click -> purchase(10) attributed to click
+    spark.createDataFrame(
+        [Row(event_id=1, user_id=1, ts=t(0), event_type="click", value=0.0),
+         Row(event_id=2, user_id=1, ts=t(1), event_type="purchase", value=10.0)]
+    ).coalesce(1).write.parquet(src + "/f1")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    # batch 2: user1 purchase(5) must use the CARRIED click state;
+    # then a signup replaces the touch. user2 purchase -> direct.
+    spark.createDataFrame(
+        [Row(event_id=3, user_id=1, ts=t(2), event_type="purchase", value=5.0),
+         Row(event_id=4, user_id=1, ts=t(3), event_type="signup", value=0.0),
+         Row(event_id=5, user_id=2, ts=t(2), event_type="purchase", value=7.0)]
+    ).coalesce(1).write.parquet(src + "/f2")
+    time.sleep(1.1)
+    # batch 3: user1 purchase(2) sees the batch-2 signup state
+    spark.createDataFrame(
+        [Row(event_id=6, user_id=1, ts=t(4), event_type="purchase", value=2.0)]
+    ).coalesce(1).write.parquet(src + "/f3")
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stateful.streaming_last_touch(stream)
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: (r.channel, r.value)
+           for r in spark.sql("SELECT * FROM attr_out").collect()}
+    assert got == {
+        2: ("click", 10.0),
+        3: ("click", 5.0),   # state carried across the batch boundary
+        5: ("direct", 7.0),
+        6: ("signup", 2.0),  # state updated by batch 2, read in batch 3
+    }
