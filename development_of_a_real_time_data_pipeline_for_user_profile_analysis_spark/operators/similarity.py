@@ -976,3 +976,68 @@ def contrastive_negatives(
         )
         .orderBy("vec_id", "rank")
     )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    dims: tuple[int, ...] = (16, 32),
+    n_queries: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka-truncation eval: recall@k of cosine rankings using
+    only the first `d` embedding dimensions against the full-dim exact
+    ranking — the measurement behind 'can we serve the 16-dim prefix
+    and cut the ANN index 4x'. Recall is pooled as Σhits/Σpossible
+    (integer sums, one division) so the number is engine-portable.
+
+    Scale shape: same WindowGroupLimit map-side-heap ranking as
+    cosine_topk_batch, once per tier; queries broadcast; the recall
+    join moves only n_queries × k rows per tier. Tiers are
+    independent — on a cluster they pipeline.
+    """
+    base = embeddings.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+
+    def topk(corpus: DataFrame) -> DataFrame:
+        q = corpus.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        scored = corpus.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    exact = topk(base)
+    tiers = []
+    for d in dims:
+        trunc = base.select("vec_id", F.slice("v", 1, d).alias("v"))
+        hits = exact.join(topk(trunc), ["query_id", "vec_id"], "left_semi")
+        tiers.append(
+            exact.agg(F.count(F.lit(1)).alias("nk"))
+            .crossJoin(
+                F.broadcast(hits.agg(F.count(F.lit(1)).alias("nh")))
+            )
+            .select(
+                F.lit(d).alias("dim"),
+                (
+                    F.floor(F.col("nh") / F.col("nk") * 10000 + 0.5).cast(
+                        "long"
+                    )
+                    / 10000.0
+                ).alias("recall_at_k"),
+            )
+        )
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("dim")

@@ -1353,3 +1353,66 @@ def heavy_hitter_tokens(
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(k)
     )
+
+
+def per_lang_quality_cutoffs(documents: DataFrame) -> DataFrame:
+    """Per-language quality thresholds vs the one-size-fits-all global
+    cutoff: each language's own p10 quality score next to the share of
+    its docs a GLOBAL p10 cutoff would remove. Languages whose
+    cut share sits far from 10% are being over/under-filtered by the
+    global threshold — the CCNet-style argument for per-language
+    cutoffs in multilingual curation.
+
+    Scale shape: one narrow scan computes scores; the global p10 is a
+    1-row aggregate broadcast back; per-language stats are one
+    partial-aggregable groupBy on the language key. No windows, no
+    sorts. (Exact percentile is fine at |langs| group cardinality;
+    swap approx_percentile in if score cardinality ever explodes.)
+    """
+    scored = documents.select("lang", quality_score(F.col("text")).alias("q"))
+    glob = scored.agg(F.expr("percentile(q, 0.1)").alias("global_p10"))
+    return (
+        scored.crossJoin(F.broadcast(glob))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round4(F.expr("percentile(q, 0.1)")).alias("lang_p10"),
+            round4(
+                F.sum(F.when(F.col("q") < F.col("global_p10"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("cut_by_global"),
+        )
+        .orderBy("lang")
+    )
+
+
+def quality_dup_correlation(documents: DataFrame, n_bins: int = 4) -> DataFrame:
+    """Curation cross-check: exact-duplicate rate per quality band —
+    low-quality boilerplate usually duplicates far more often, and a
+    FLAT profile here says the dedup and quality signals are
+    independent (both filters earn their keep). Bands are fixed-width
+    on the score (q ∈ [0,1] → ⌊q·n⌋ capped), so NO window and no
+    global sort anywhere; the dup flag is one digest groupBy.
+
+    Scale shape: one md5-key shuffle for group sizes, one map-side
+    band assignment, one tiny band aggregate.
+    """
+    scored = documents.select(
+        F.md5(F.col("text")).alias("digest"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    sizes = scored.groupBy("digest").agg(F.count(F.lit(1)).alias("n"))
+    band = F.least(F.floor(F.col("q") * n_bins).cast("int"), F.lit(n_bins - 1))
+    return (
+        scored.join(sizes, "digest")
+        .select(band.alias("quality_band"), (F.col("n") > 1).alias("is_dup"))
+        .groupBy("quality_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_docs"),
+            round4(
+                F.sum(F.col("is_dup").cast("long")) / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+        .orderBy("quality_band")
+    )

@@ -5338,6 +5338,81 @@ def q_streaming_attribution(spark, sf_dir):
     )
 
 
+def _mat_topk_sql(src: str, d: int | None) -> str:
+    v = f"array_slice(e.v, 1, {d})" if d else "e.v"
+    qv = f"array_slice(q.qv, 1, {d})" if d else "q.qv"
+    return f"""(SELECT query_id, vec_id FROM (
+         SELECT q.query_id, e.vec_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity({v}, {qv}), 6) DESC,
+                           e.vec_id) AS rn
+         FROM {src} e JOIN qe q ON e.vec_id != q.query_id) WHERE rn <= 10)"""
+
+
+@query(
+    "matryoshka_recall",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+       qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       ex AS {_mat_topk_sql('e', None)},
+       t16 AS {_mat_topk_sql('e', 16)},
+       t32 AS {_mat_topk_sql('e', 32)},
+       r16 AS (SELECT 16 AS dim,
+                 floor((SELECT count(*) FROM ex SEMI JOIN t16
+                        USING (query_id, vec_id)) * 1.0
+                       / (SELECT count(*) FROM ex) * 10000 + 0.5)
+                   / 10000.0 AS recall_at_k),
+       r32 AS (SELECT 32 AS dim,
+                 floor((SELECT count(*) FROM ex SEMI JOIN t32
+                        USING (query_id, vec_id)) * 1.0
+                       / (SELECT count(*) FROM ex) * 10000 + 0.5)
+                   / 10000.0 AS recall_at_k)
+       SELECT * FROM r16 UNION ALL SELECT * FROM r32 ORDER BY dim""",
+)
+def q_matryoshka_recall(spark, sf_dir):
+    """Recall@10 of dimension-truncated (matryoshka) cosine rankings
+    vs the full-dim exact ranking, per prefix tier."""
+    return similarity.matryoshka_recall(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "per_lang_quality_cutoffs",
+    f"""WITH scored AS (SELECT lang, {_SQL_QUALITY} AS q FROM documents),
+       g10 AS (SELECT quantile_cont(q, 0.1) AS global_p10 FROM scored)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              floor(quantile_cont(q, 0.1) * 10000 + 0.5) / 10000.0
+                AS lang_p10,
+              floor(sum(CASE WHEN q < global_p10 THEN 1 ELSE 0 END) * 1.0
+                    / count(*) * 10000 + 0.5) / 10000.0 AS cut_by_global
+       FROM scored CROSS JOIN g10
+       GROUP BY lang ORDER BY lang""",
+)
+def q_per_lang_quality_cutoffs(spark, sf_dir):
+    """Per-language p10 quality thresholds vs the share each language
+    loses to the global p10 cutoff (multilingual curation screen)."""
+    return text.per_lang_quality_cutoffs(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_dup_correlation",
+    f"""WITH scored AS (SELECT md5(text) AS digest, {_SQL_QUALITY} AS q
+                        FROM documents),
+       sizes AS (SELECT digest, count(*) AS n FROM scored GROUP BY 1)
+       SELECT CAST(least(floor(q * 4), 3) AS INT) AS quality_band,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_docs,
+              floor(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1.0
+                    / count(*) * 10000 + 0.5) / 10000.0 AS dup_rate
+       FROM scored JOIN sizes USING (digest)
+       GROUP BY 1 ORDER BY 1""",
+)
+def q_quality_dup_correlation(spark, sf_dir):
+    """Exact-duplicate rate per fixed-width quality band — the
+    dedup-vs-quality independence cross-check."""
+    return text.quality_dup_correlation(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -1686,3 +1686,32 @@ def test_heavy_hitters_exact_despite_tiny_summary(spark):
         spark.createDataFrame(rows), k=2, summary_size=5
     ).collect()
     assert [(r.tok, r.n) for r in got] == [("aa", 150), ("bb", 120)]
+
+
+def test_matryoshka_full_dim_tier_is_perfect(spark):
+    # a 'truncation' to the full dimensionality must reproduce the
+    # exact ranking -> recall 1.0; a 1-dim prefix generally won't
+    import random
+    rng = random.Random(7)
+    rows = [Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)],
+                label=0) for i in range(30)]
+    df = spark.createDataFrame(rows)
+    got = {r.dim: r.recall_at_k
+           for r in similarity.matryoshka_recall(df, dims=(1, 8), n_queries=4,
+                                                 k=5).collect()}
+    assert got[8] == 1.0
+    assert 0.0 <= got[1] <= 1.0
+
+
+def test_quality_dup_correlation_counts(spark):
+    rows = [
+        # band computed from quality_score; exact text dups share bands
+        Row(doc_id=1, text="the and is of to", lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text="the and is of to", lang="en", source="s", n_chars=1),
+        Row(doc_id=3, text="zz qq ww", lang="en", source="s", n_chars=1),
+    ]
+    got = text.quality_dup_correlation(spark.createDataFrame(rows)).collect()
+    assert sum(r.n_docs for r in got) == 3
+    assert sum(r.n_dup_docs for r in got) == 2  # the two identical docs
+    for r in got:
+        assert r.dup_rate == round(r.n_dup_docs / r.n_docs, 4)
