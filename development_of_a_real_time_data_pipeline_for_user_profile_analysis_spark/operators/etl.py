@@ -140,3 +140,48 @@ def enforce_profile_schema(df: DataFrame) -> DataFrame:
     (select chain + Cassandra DDL); here the contract is enforced
     once, at the boundary."""
     return df.select(*PROFILE_COLUMNS)
+
+
+def k_anonymity_report(profiles: DataFrame, k: int = 5) -> DataFrame:
+    """Privacy-risk summary over the curated profile table — the
+    quantitative extension of the reference's GDPR age filter
+    (Real_Time_Data.py:137): treat (gender, age decade) as the
+    quasi-identifier, the email domain as the sensitive attribute,
+    and report k-anonymity / l-diversity in one row: equivalence-class
+    count, the smallest class, the share of rows in classes below
+    `k`, and the minimum number of distinct sensitive values in any
+    class (l-diversity floor). min_l = 1 means some class leaks its
+    members' domain outright.
+
+    Scale shape: one groupBy on the QI pair (tiny key space), then a
+    1-row rollup — no windows, no joins. At 100 TB the QI aggregate is
+    the only shuffle and it collapses map-side.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.columns import email_domain
+
+    qi = profiles.select(
+        F.col("gender"),
+        (F.floor(F.col("age") / 10) * 10).cast("int").alias("age_band"),
+        email_domain(F.col("email")).alias("domain"),
+    )
+    classes = qi.groupBy("gender", "age_band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("domain").alias("l"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").cast("long").alias("min_class_size"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+                / F.sum("n")
+                * 10000
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("pct_rows_below_k"),
+        F.min("l").cast("long").alias("min_l_diversity"),
+    )

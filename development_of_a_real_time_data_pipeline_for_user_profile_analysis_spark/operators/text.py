@@ -1416,3 +1416,40 @@ def quality_dup_correlation(documents: DataFrame, n_bins: int = 4) -> DataFrame:
         )
         .orderBy("quality_band")
     )
+
+
+def token_counts_arrow(documents: DataFrame) -> DataFrame:
+    """Per-document split-segment counts via mapInArrow — the
+    Arrow-native UDF surface (zero pandas materialization: columns
+    stay Arrow buffers end to end). Functionally tiny on purpose; it
+    completes the engine's Python-boundary inventory (pandas_udf,
+    mapInPandas, applyInPandas, cogroup, UDTF, applyInPandasWithState,
+    transformWithState, mapInArrow) with the cheapest possible
+    transport for batch-shaped byte work like tokenizer pre-passes.
+
+    Counts SPLIT SEGMENTS (consecutive delimiters yield empty
+    segments, exactly like SQL string_split length) so the contract is
+    well-defined on any input. Scale shape: narrow scan, no shuffle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count_tokens(batches):
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            n = pc.list_value_length(
+                pc.split_pattern(tbl.column("text"), " ")
+            )
+            out = pa.table(
+                {
+                    "doc_id": tbl.column("doc_id"),
+                    "n_segments": pc.cast(n, pa.int64()),
+                }
+            )
+            yield from out.to_batches()
+
+    return (
+        documents.select("doc_id", "text")
+        .mapInArrow(count_tokens, "doc_id long, n_segments long")
+        .orderBy("doc_id")
+    )

@@ -5413,6 +5413,46 @@ def q_quality_dup_correlation(spark, sf_dir):
     return text.quality_dup_correlation(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "k_anonymity_report",
+    _with_profiles(
+        """, qi AS (
+         SELECT gender,
+                CAST(floor(age / 10) * 10 AS INT) AS age_band,
+                regexp_extract(email, '@([A-Za-z0-9-]+)\\.', 1) AS domain
+         FROM profiles),
+       classes AS (
+         SELECT gender, age_band, count(*) AS n,
+                count(DISTINCT domain) AS l
+         FROM qi GROUP BY 1, 2)
+       SELECT CAST(count(*) AS BIGINT) AS n_classes,
+              CAST(sum(n) AS BIGINT) AS n_rows,
+              CAST(min(n) AS BIGINT) AS min_class_size,
+              floor(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0
+                    / sum(n) * 10000 + 0.5) / 10000.0 AS pct_rows_below_k,
+              CAST(min(l) AS BIGINT) AS min_l_diversity
+       FROM classes"""
+    ),
+)
+def q_k_anonymity_report(spark, sf_dir):
+    """k-anonymity / l-diversity summary over (gender, age decade) vs
+    the email-domain sensitive attribute — the quantitative tier of
+    the reference's GDPR filtering."""
+    return etl.k_anonymity_report(profiles_df(spark, sf_dir))
+
+
+@query(
+    "token_counts_arrow",
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+              AS n_segments
+       FROM documents ORDER BY doc_id""",
+)
+def q_token_counts_arrow(spark, sf_dir):
+    """Arrow-native (mapInArrow) per-doc split-segment counts —
+    completes the Python-boundary surface inventory."""
+    return text.token_counts_arrow(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -515,3 +515,22 @@ def test_registry_wide_no_cartesian_products(spark, sf_dir):
             offenders.append(name)
     assert not errors, errors
     assert not offenders, offenders
+
+
+def test_sampling_and_ann_queries_are_deterministic(spark, sf_dir):
+    """Every sampling/clustering/ANN query must be RNG-free: two
+    invocations in the same session return byte-identical results
+    (the property the md5-hash sampling design buys — resumable,
+    auditable corpus construction)."""
+    names = [
+        "weighted_sample_docs",
+        "docs_sample_per_source",
+        "kmeans_assignments",
+        "contrastive_negatives",
+        "mixture_sampled_counts",
+        "balanced_shards",
+    ]
+    for name in names:
+        a = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        assert a == b, f"{name} is not deterministic"
