@@ -3079,3 +3079,83 @@ def feature_woe_iv(events: DataFrame, n_bins: int = 10) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def revenue_reconciliation(
+    orders: DataFrame, lineitem: DataFrame, rel_tol: float = 0.01
+) -> DataFrame:
+    """Cross-table financial reconciliation: per order, compare the
+    header total (o_totalprice) against the recomputed line-level
+    gross Σ extendedprice·(1−discount)·(1+tax); report order counts,
+    headers without lines, and how many diverge beyond `rel_tol`
+    relative difference — the closing-the-books audit every warehouse
+    runs after ingest.
+
+    Scale shape: one partial-aggregable groupBy on l_orderkey, one
+    key join to headers (both sides shuffle on the same key — with
+    both tables bucketed on orderkey this is exchange-free), one
+    1-row rollup. Relative diff is floored to 6 dp before the
+    tolerance compare so the flag is engine-portable.
+    """
+    line_gross = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("line_total")
+    )
+    joined = orders.select("o_orderkey", "o_totalprice").join(
+        line_gross,
+        orders.o_orderkey == line_gross.l_orderkey,
+        "left",
+    )
+    rel = F.floor(
+        F.abs(F.col("line_total") - F.col("o_totalprice"))
+        / F.greatest(F.col("o_totalprice"), F.lit(1e-9))
+        * 1000000
+        + 0.5
+    ).cast("long") / 1000000.0
+    return joined.select(
+        F.col("o_orderkey"),
+        F.col("line_total").isNull().alias("no_lines"),
+        rel.alias("rel_diff"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("no_lines").cast("long")).alias("n_headers_without_lines"),
+        F.sum(
+            F.when(
+                ~F.col("no_lines") & (F.col("rel_diff") > rel_tol), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatched"),
+        _floor_round(
+            F.max(F.when(~F.col("no_lines"), F.col("rel_diff"))), 6
+        ).alias("max_rel_diff"),
+    )
+
+
+def surrogate_key_audit(customer: DataFrame) -> DataFrame:
+    """Deterministic surrogate-key minting audit: dimension keys are
+    the first 16 hex chars of md5(natural key) — stable across runs
+    and engines (unlike monotonically_increasing_id, which is
+    partition-layout-dependent) — and this report certifies the mint:
+    distinct natural keys, distinct surrogates, and hash collisions
+    (surrogates claimed by >1 natural key). 64 bits ≈ birthday-bound
+    safe to ~10⁹ keys; the audit is the tripwire, not the hope.
+
+    Scale shape: one groupBy on the surrogate (uniform by
+    construction — it IS a hash), then a 1-row rollup.
+    """
+    sk = customer.select(
+        F.col("c_name").alias("nk"),
+        F.substring(F.md5(F.col("c_name")), 1, 16).alias("sk"),
+    ).distinct()
+    per_sk = sk.groupBy("sk").agg(F.count(F.lit(1)).alias("n_nk"))
+    return per_sk.agg(
+        F.sum("n_nk").cast("long").alias("n_natural_keys"),
+        F.count(F.lit(1)).alias("n_surrogates"),
+        F.sum(F.when(F.col("n_nk") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_collisions"),
+    )

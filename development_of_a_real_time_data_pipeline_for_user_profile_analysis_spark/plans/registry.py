@@ -5453,6 +5453,55 @@ def q_token_counts_arrow(spark, sf_dir):
     return text.token_counts_arrow(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "revenue_reconciliation",
+    """WITH lg AS (
+         SELECT l_orderkey,
+                sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                  AS line_total
+         FROM lineitem GROUP BY 1),
+       j AS (
+         SELECT o.o_orderkey, o.o_totalprice, lg.line_total,
+                lg.line_total IS NULL AS no_lines,
+                floor(abs(lg.line_total - o.o_totalprice)
+                      / greatest(o.o_totalprice, 1e-9) * 1000000 + 0.5)
+                  / 1000000.0 AS rel_diff
+         FROM orders o LEFT JOIN lg ON o.o_orderkey = lg.l_orderkey)
+       SELECT CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_headers_without_lines,
+              CAST(sum(CASE WHEN NOT no_lines AND rel_diff > 0.01
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+              floor(max(CASE WHEN NOT no_lines THEN rel_diff END)
+                    * 1000000 + 0.5) / 1000000.0 AS max_rel_diff
+       FROM j""",
+)
+def q_revenue_reconciliation(spark, sf_dir):
+    """Header-vs-lines financial reconciliation with a relative
+    tolerance — the post-ingest closing audit."""
+    return analytics.revenue_reconciliation(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@query(
+    "surrogate_key_audit",
+    """WITH sk AS (SELECT DISTINCT c_name AS nk,
+                          substring(md5(c_name), 1, 16) AS sk
+                   FROM customer),
+       per_sk AS (SELECT sk, count(*) AS n_nk FROM sk GROUP BY 1)
+       SELECT CAST(sum(n_nk) AS BIGINT) AS n_natural_keys,
+              CAST(count(*) AS BIGINT) AS n_surrogates,
+              CAST(sum(CASE WHEN n_nk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_collisions
+       FROM per_sk""",
+)
+def q_surrogate_key_audit(spark, sf_dir):
+    """Hash-minted surrogate-key collision audit (stable md5 keys,
+    not partition-dependent ids)."""
+    return analytics.surrogate_key_audit(_t(spark, sf_dir, "customer"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -360,3 +360,39 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
         .collect()
     )
     assert [r.d for r in n_parts] == ["2024-01-05"]
+
+
+def test_bucketed_table_prunes_buckets_on_point_lookup(spark, sf_dir, tmp_path):
+    """A table bucketed on its key must serve a point lookup by
+    scanning ONE bucket (SelectedBucketsCount 1/N in the scan) — the
+    index-free point-read path for a 100 TB dimension. The planner's
+    autoBucketedScan heuristic drops bucketing for exchange-free
+    scans, so it is disabled (and restored) around the probe."""
+    import contextlib
+    import io
+
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    saved = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.sql("DROP TABLE IF EXISTS cust_bucketed_probe")
+    try:
+        (
+            customers.write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable("cust_bucketed_probe")
+        )
+        got = spark.table("cust_bucketed_probe").filter(
+            F.col("c_custkey") == 42
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            got.explain("formatted")
+        plan = buf.getvalue()
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+        assert [r.c_custkey for r in got.collect()] == [42]
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", saved
+        )
+        spark.sql("DROP TABLE IF EXISTS cust_bucketed_probe")
