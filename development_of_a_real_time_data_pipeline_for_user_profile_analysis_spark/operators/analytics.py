@@ -3159,3 +3159,40 @@ def surrogate_key_audit(customer: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_collisions"),
     )
+
+
+def revenue_cusum_alerts(orders: DataFrame) -> DataFrame:
+    """CUSUM control chart over daily revenue — the classic
+    sequential drift detector (catches slow upward creep that
+    z-score-per-day monitors miss). Uses the closed form
+    S_t = P_t − min_{s≤t} P_s with P = prefix sum of (x − target),
+    target = global mean; alert when S_t exceeds 2σ.
+
+    Scale shape: the per-day rollup is the only big shuffle; both
+    windows (prefix sum, prefix min) run over |days| rows and reuse
+    one ordering. Mean/σ are a 1-row broadcast. The closed form is
+    what makes CUSUM expressible as windows at all — the textbook
+    max(0, S+x−k) recurrence is not a parallel scan.
+    """
+    # every input into the prefix sums is rounded first (daily rev to
+    # cents, the target to whole units) so both engines accumulate the
+    # IDENTICAL double sequence — without this, summation-order ulps
+    # amplified over |days| prefix additions flip the output floor
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        _floor_round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    stats = daily.agg(
+        _floor_round(F.avg("rev"), 0).alias("mu"),
+        _floor_round(F.stddev_samp("rev"), 0).alias("sigma"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = F.sum(F.col("rev") - F.col("mu")).over(w)
+    prefixed = daily.crossJoin(F.broadcast(stats)).select(
+        "day", "sigma", p.alias("p")
+    )
+    cusum = F.col("p") - F.min("p").over(w)
+    return prefixed.select(
+        "day",
+        _floor_round(cusum, 2).alias("cusum"),
+        (_floor_round(cusum, 2) > 2 * F.col("sigma")).alias("alert"),
+    ).orderBy("day")

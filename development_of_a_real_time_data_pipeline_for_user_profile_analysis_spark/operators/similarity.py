@@ -1041,3 +1041,86 @@ def matryoshka_recall(
     for t in tiers[1:]:
         out = out.unionAll(t)
     return out.orderBy("dim")
+
+
+def ann_ndcg_eval(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """Ranking-quality eval with graded position discounts: nDCG@k of
+    the exact cosine ranking, using label agreement as the relevance
+    judgment (candidate relevant iff it shares the query's label) —
+    the IR-standard complement to the recall@k evals, sensitive to
+    WHERE in the top-k the relevant items land.
+
+    Scale shape: identical WindowGroupLimit ranking as
+    cosine_topk_batch (queries broadcast, map-side heaps); the ideal
+    DCG comes from per-label counts (a tiny broadcast), so no second
+    ranking pass. All discount sums are over k rows per query.
+    """
+    base = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("v")
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = base.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "q_label",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    dcg = topk.groupBy("query_id", "q_label").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("q_label"), 1.0).otherwise(0.0)
+            / F.log2(F.col("rn") + 1)
+        ).alias("dcg")
+    )
+    # ideal: all relevant items first; m = same-label candidates
+    label_counts = base.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    ideal = (
+        q.join(
+            F.broadcast(label_counts),
+            q.q_label == label_counts.label,
+        )
+        # the query itself is excluded from its candidate pool
+        .select("query_id", (F.col("n_l") - 1).alias("m"))
+        .select(
+            "query_id",
+            F.aggregate(
+                F.sequence(
+                    F.lit(1), F.least(F.col("m"), F.lit(k)).cast("int")
+                ),
+                F.lit(0.0),
+                lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1),
+            ).alias("idcg"),
+        )
+    )
+    return (
+        dcg.join(ideal, "query_id")
+        .select(
+            "query_id",
+            (F.floor(F.col("dcg") * 10000 + 0.5).cast("long") / 10000.0).alias(
+                "dcg"
+            ),
+            (
+                F.floor(
+                    F.when(
+                        F.col("idcg") > 0, F.col("dcg") / F.col("idcg")
+                    ).otherwise(0.0)
+                    * 10000
+                    + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

@@ -5502,6 +5502,73 @@ def q_surrogate_key_audit(spark, sf_dir):
     return analytics.surrogate_key_audit(_t(spark, sf_dir, "customer"))
 
 
+@query(
+    "revenue_cusum_alerts",
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS rev
+         FROM orders GROUP BY 1),
+       st AS (SELECT floor(avg(rev) + 0.5) AS mu,
+                     floor(stddev_samp(rev) + 0.5) AS sigma
+              FROM daily),
+       pre AS (
+         SELECT day, sigma,
+                sum(rev - mu) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+         FROM daily CROSS JOIN st),
+       cu AS (
+         SELECT day, sigma,
+                p - min(p) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         FROM pre)
+       SELECT day,
+              floor(c * 100 + 0.5) / 100.0 AS cusum,
+              floor(c * 100 + 0.5) / 100.0 > 2 * sigma AS alert
+       FROM cu ORDER BY day""",
+)
+def q_revenue_cusum_alerts(spark, sf_dir):
+    """CUSUM sequential drift detection over daily revenue (prefix-sum
+    closed form, no recurrence)."""
+    return analytics.revenue_cusum_alerts(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "ann_ndcg_eval",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+             FROM e WHERE vec_id < 8),
+       ranked AS (
+         SELECT q.query_id, q.q_label, e.label,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                           e.vec_id) AS rn
+         FROM e JOIN q ON e.vec_id != q.query_id),
+       dcg AS (
+         SELECT query_id, q_label,
+                sum(CASE WHEN label = q_label THEN 1.0 ELSE 0.0 END
+                    / log2(rn + 1)) AS dcg
+         FROM ranked WHERE rn <= 10 GROUP BY 1, 2),
+       lc AS (SELECT label, count(*) AS n_l FROM e GROUP BY 1),
+       ranks AS (SELECT unnest(generate_series(1, 10)) AS i),
+       ideal AS (
+         SELECT q.query_id, sum(1.0 / log2(t.i + 1)) AS idcg
+         FROM q JOIN lc ON q.q_label = lc.label
+         JOIN ranks t ON t.i <= least(lc.n_l - 1, 10)
+         GROUP BY 1)
+       SELECT d.query_id,
+              floor(d.dcg * 10000 + 0.5) / 10000.0 AS dcg,
+              floor((CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg
+                          ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS ndcg
+       FROM dcg d JOIN ideal i USING (query_id)
+       ORDER BY d.query_id""",
+)
+def q_ann_ndcg_eval(spark, sf_dir):
+    """nDCG@10 of the exact cosine ranking with label-agreement
+    relevance — position-sensitive retrieval quality."""
+    return similarity.ann_ndcg_eval(_t(spark, sf_dir, "embeddings"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

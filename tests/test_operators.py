@@ -1715,3 +1715,33 @@ def test_quality_dup_correlation_counts(spark):
     assert sum(r.n_dup_docs for r in got) == 2  # the two identical docs
     for r in got:
         assert r.dup_rate == round(r.n_dup_docs / r.n_docs, 4)
+
+
+def test_cusum_detects_step_change(spark):
+    # 30 flat days then 10 elevated days: CUSUM must stay quiet in the
+    # flat regime and alert inside the elevated tail
+    rows = []
+    oid = 0
+    for d in range(40):
+        rev = 100.0 if d < 30 else 200.0
+        rows.append(Row(o_orderkey=oid, o_custkey=1, o_orderstatus="F",
+                        o_totalprice=rev,
+                        o_orderdate=dt.datetime(1995, 1, 1) + dt.timedelta(days=d),
+                        o_orderpriority="1-URGENT"))
+        oid += 1
+    got = analytics.revenue_cusum_alerts(spark.createDataFrame(rows)).collect()
+    assert not any(r.alert for r in got[:30])
+    assert any(r.alert for r in got[30:])
+    # closed form keeps cusum non-negative everywhere
+    assert all(r.cusum >= 0 for r in got)
+
+
+def test_ndcg_perfect_when_all_same_label(spark):
+    import random
+    rng = random.Random(3)
+    rows = [Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(4)],
+                label=0) for i in range(20)]
+    got = similarity.ann_ndcg_eval(spark.createDataFrame(rows),
+                                   n_queries=3, k=5).collect()
+    # every candidate shares the query label -> every ranking is ideal
+    assert [r.ndcg for r in got] == [1.0, 1.0, 1.0]
