@@ -1453,3 +1453,45 @@ def token_counts_arrow(documents: DataFrame) -> DataFrame:
         .mapInArrow(count_tokens, "doc_id long, n_segments long")
         .orderBy("doc_id")
     )
+
+
+def hashed_doc_vectors(documents: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors: tokens hash
+    into `n_buckets` md5 buckets, per-doc bucket counts form a dense
+    vector, L2-normalized — the embedding-free path from raw text into
+    every vector operator (cosine top-k, ANN, centroid drift) when no
+    model-produced embeddings exist yet.
+
+    Scale shape: ONE groupBy on doc_id with n_buckets conditional
+    sums — no pivot, no (doc × bucket) shuffle, no vocabulary state
+    (that is the point of the hashing trick: the vectorizer has no
+    fitted dictionary to broadcast or version). Normalization is
+    arithmetic on the aggregated row. Components are rounded to 6 dp
+    after the divide so vectors are engine-portable.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 2), 16, 10).cast("int")
+        % n_buckets
+    )
+    tok = (
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", bucket.alias("b"))
+    )
+    counts = tok.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("b") == i, 1).otherwise(0)).cast("double")
+                for i in range(n_buckets)
+            ]
+        ).alias("raw")
+    )
+    norm = F.sqrt(
+        F.aggregate("raw", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return counts.select(
+        "doc_id",
+        F.transform(
+            "raw", lambda x: F.round(x / norm, 6)
+        ).alias("vec"),
+    ).orderBy("doc_id")

@@ -5569,6 +5569,37 @@ def q_ann_ndcg_eval(spark, sf_dir):
     return similarity.ann_ndcg_eval(_t(spark, sf_dir, "embeddings"))
 
 
+_HASHVEC_CASES = ", ".join(
+    f"sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) * 1.0" for i in range(16)
+)
+
+
+@query(
+    "hashed_doc_vectors",
+    f"""WITH tok AS (
+         SELECT doc_id,
+                CAST(CAST('0x' || substr(md5(tok), 1, 2) AS UBIGINT) % 16
+                     AS INT) AS b
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         WHERE tok <> ''),
+       counts AS (
+         SELECT doc_id, list_value({_HASHVEC_CASES}) AS raw
+         FROM tok GROUP BY doc_id),
+       normed AS (
+         SELECT doc_id, raw,
+                sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+         FROM counts)
+       SELECT doc_id,
+              list_transform(raw, x -> round(x / nrm, 6)) AS vec
+       FROM normed ORDER BY doc_id""",
+)
+def q_hashed_doc_vectors(spark, sf_dir):
+    """Feature-hashing document vectors (16 md5 buckets, L2-normed) —
+    the dictionary-free text→vector bridge."""
+    return text.hashed_doc_vectors(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

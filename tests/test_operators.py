@@ -1745,3 +1745,19 @@ def test_ndcg_perfect_when_all_same_label(spark):
                                    n_queries=3, k=5).collect()
     # every candidate shares the query label -> every ranking is ideal
     assert [r.ndcg for r in got] == [1.0, 1.0, 1.0]
+
+
+def test_hashed_doc_vectors_unit_norm_and_locality(spark):
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma", lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text="alpha beta gamma", lang="en", source="s", n_chars=1),
+        Row(doc_id=3, text="zeta eta theta iota kappa", lang="en", source="s", n_chars=1),
+    ]
+    got = {r.doc_id: r.vec for r in
+           text.hashed_doc_vectors(spark.createDataFrame(rows)).collect()}
+    for v in got.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-4  # unit norm
+    assert got[1] == got[2]  # identical text -> identical vector
+    dot_dup = sum(a * b for a, b in zip(got[1], got[2]))
+    dot_diff = sum(a * b for a, b in zip(got[1], got[3]))
+    assert dot_dup > dot_diff  # hashing preserves similarity ordering
