@@ -155,3 +155,53 @@ def streaming_last_touch(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CHURN_OUTPUT_SCHEMA = "user_id long, last_seen timestamp, n_events long"
+CHURN_STATE_SCHEMA = "n long, last_us long"
+
+
+def churn_detector(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Event-time timeout eviction: a user with no events for
+    `gap_minutes` of EVENT time (watermark clock, not wall clock) is
+    emitted as churned and their state removed — the inactivity-alert
+    / session-expiry primitive that needs timeout callbacks, which no
+    built-in windowed aggregate can express.
+
+    Scale shape: state is (count, last_seen) per user; the timeout
+    registry is per-partition in the state store, so eviction scales
+    with |users|, not event volume. Requires a watermark on ts — the
+    timeout fires when the watermark passes last_seen + gap.
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, last_us = state.get
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_seen": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            state.remove()
+            return
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_last = int(pdf["ts"].max().value // 1000)  # ns -> us
+            last_us = max(last_us, batch_last)
+        state.update((n, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        yield pd.DataFrame({"user_id": [], "last_seen": [], "n_events": []})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CHURN_OUTPUT_SCHEMA,
+        stateStructType=CHURN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -157,3 +157,49 @@ def test_streaming_last_touch_state_across_batches(spark, tmp_path):
         5: ("direct", 7.0),
         6: ("signup", 2.0),  # state updated by batch 2, read in batch 3
     }
+
+
+def test_event_time_timeout_emits_churn(spark, tmp_path):
+    """EventTimeTimeout eviction: a user silent for longer than the
+    gap (on the WATERMARK clock) must be emitted as churned exactly
+    once, with their accumulated state, and removed."""
+    import time
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    src = str(tmp_path / "churn")
+    # batch 1: user 1 active at 10:00 and 10:05
+    spark.createDataFrame(
+        [Row(user_id=1, ts=t(10)), Row(user_id=1, ts=t(10, 5))]
+    ).coalesce(1).write.parquet(src + "/f1")
+    time.sleep(1.1)
+    # batch 2: user 2 at 12:00 -> watermark (10 min delay) -> 11:50,
+    # past user 1's 10:05 + 30 min timeout
+    spark.createDataFrame([Row(user_id=2, ts=t(12))]).coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    time.sleep(1.1)
+    # batch 3: advance again so the timeout callback actually fires
+    spark.createDataFrame([Row(user_id=2, ts=t(14))]).coalesce(1).write.parquet(
+        src + "/f3"
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        stateful.churn_detector(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("churn_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM churn_out").collect()
+    churned = {r.user_id: r for r in rows}
+    assert 1 in churned, f"user 1 never churned: {rows}"
+    assert churned[1].n_events == 2
+    assert churned[1].last_seen == t(10, 5)
