@@ -3196,3 +3196,266 @@ def revenue_cusum_alerts(orders: DataFrame) -> DataFrame:
         _floor_round(cusum, 2).alias("cusum"),
         (_floor_round(cusum, 2) > 2 * F.col("sigma")).alias("alert"),
     ).orderBy("day")
+
+
+def bootstrap_order_mean_ci(orders: DataFrame, n_reps: int = 100) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean order value — the
+    distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012): instead of resampling n
+    rows with replacement (impossible without a global pass), each row
+    draws an independent Poisson(1) replicate weight, which converges
+    to the multinomial bootstrap for large n. Weights are NOT random
+    here: md5(orderkey:replicate) → uniform in [0,1) → Poisson(1)
+    inverse CDF, so both engines draw the identical resample.
+
+    Scale shape: the ×R row fan-out happens map-side (explode feeding
+    a partial hash-agg on replicate id), so the shuffle carries only
+    R rows per upstream partition — at 100 TB the cost is one scan
+    plus R×partitions partial rows, never R× the data over the wire.
+    The percentile step runs over R rows (driver-trivial but kept
+    distributed: one window over a 100-row frame).
+    """
+    # Poisson(1) inverse CDF at 1e-6 resolution: cumulative
+    # probabilities e^{-1}·Σ 1/k! quantized to the same integer grid
+    # both engines compare against. One md5 per (row, block-of-4)
+    # feeds four replicates via its four disjoint 8-hex chunks — 4×
+    # fewer digests than hashing per replicate (measured 23.8 s →
+    # ~4 s at sf0.1), with identical per-chunk 32-bit uniformity.
+    assert n_reps % 4 == 0
+    thresholds = [367879, 735758, 919698, 981011, 996340, 999405, 999916]
+    x = _floor_round(F.col("o_totalprice"), 2)
+    # spread the ×R/4 fan-out across the cluster BEFORE exploding: a
+    # small parquet reads as few input splits, and an explode inherits
+    # its parent's partitioning — without this the 15M generated rows
+    # land in one task (measured 13.7 s → 3.4 s at sf0.1)
+    spark = orders.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rows = (
+        orders.select(
+            F.col("o_orderkey").cast("string").alias("k"), x.alias("x")
+        )
+        .repartition(n_parts, "k")
+        .withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(n_reps // 4 - 1)))
+        )
+        .withColumn("digest", F.md5(F.concat_ws(":", F.col("k"), F.col("b"))))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("r", F.col("b") * 4 + F.col("j"))
+    )
+    u6 = (
+        F.conv(F.expr("substring(digest, 1 + 8*j, 8)"), 16, 10).cast("long")
+        % 1000000
+    )
+    w = F.lit(len(thresholds))
+    for i in range(len(thresholds) - 1, -1, -1):
+        w = F.when(u6 < thresholds[i], i).otherwise(w)
+    per_rep = (
+        rows.withColumn("w", w.cast("long"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("wx"),
+            F.sum("w").alias("ws"),
+        )
+        .select(
+            "r", _floor_round(F.col("wx") / F.col("ws"), 4).alias("mean_r")
+        )
+    )
+    ranked = per_rep.select(
+        "mean_r",
+        F.row_number().over(Window.orderBy("mean_r", "r")).alias(
+            "rank"
+        ),
+    )
+    lo_rank = max(1, int(n_reps * 0.025))
+    hi_rank = min(n_reps, int(n_reps * 0.975) + 1)
+    ci = ranked.agg(
+        F.max(F.when(F.col("rank") == lo_rank, F.col("mean_r"))).alias("ci_lo"),
+        F.max(F.when(F.col("rank") == hi_rank, F.col("mean_r"))).alias("ci_hi"),
+    )
+    point = orders.agg(
+        _floor_round(F.avg(x), 4).alias("point_mean"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "point_mean", "ci_lo", "ci_hi", "n_orders",
+        F.lit(n_reps).cast("long").alias("n_replicates"),
+    )
+
+
+def customer_churn_hazard(orders: DataFrame, horizon_days: int = 90) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve for customer churn —
+    survival analysis with right-censoring done exactly: a customer's
+    observed lifetime is first→last order; customers still active in
+    the final `horizon_days` of the corpus are CENSORED (they inform
+    the at-risk denominator up to their lifetime but are not churn
+    events). H(t) = Σ_{event times ≤ t} d_i / n_i. Reported in hazard
+    space (not the Kaplan–Meier product) because the cumulative sum of
+    exact IEEE quotients is bit-reproducible across engines, while
+    Π(1−d/n) via exp/ln is not.
+
+    Scale shape: one custkey shuffle builds lifetimes; everything
+    after runs over |distinct lifetimes| rows (≤ corpus span in days)
+    — the same small-series window pattern as the revenue monitors.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_day"),
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+    )
+    bounds = orders.agg(F.max(F.to_date("o_orderdate")).alias("corpus_max"))
+    life = per_cust.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("last_day", "first_day").alias("t"),
+        (
+            F.datediff("corpus_max", "last_day") > F.lit(horizon_days)
+        ).cast("long").alias("event"),
+    )
+    per_t = life.groupBy("t").agg(
+        F.sum("event").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    at_risk = F.sum("c").over(
+        Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    )
+    curve = per_t.select(
+        "t", "d", at_risk.alias("n_at_risk")
+    ).filter(F.col("d") > 0)
+    h = F.sum(F.col("d").cast("double") / F.col("n_at_risk")).over(
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return curve.select(
+        F.col("t").cast("long").alias("lifetime_days"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        _floor_round(h, 6).alias("cum_hazard"),
+    ).orderBy("lifetime_days")
+
+
+def daily_revenue_acf(orders: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at row
+    lags 1..max_lag — the diagnostic that says whether the smoothing
+    monitors (EWMA/Holt/CUSUM) have any signal to exploit and at what
+    period (weekly seasonality shows as a lag-7 spike). Standard ACF
+    estimator: r_k = Σ(x_t−μ)(x_{t−k}−μ) / Σ(x_t−μ)², both sums over
+    the full series, μ the (rounded) series mean.
+
+    Scale shape: the per-day rollup is the only data-sized shuffle;
+    the k lag columns come from ONE window ordering shared by all
+    lags, then one unpivot → a (lag, products) partial agg. No
+    self-join — lag() is the co-located form of the shifted series.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        _floor_round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    mu = daily.agg(_floor_round(F.avg("rev"), 2).alias("mu"))
+    w = Window.orderBy("day")
+    devs = daily.crossJoin(F.broadcast(mu)).select(
+        "day",
+        (F.col("rev") - F.col("mu")).alias("dev"),
+        *[
+            (F.lag("rev", k).over(w) - F.col("mu")).alias(f"dev_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stacked = devs.select(
+        "dev",
+        F.expr(
+            "stack({n}, {args}) AS (lag, dev_k)".format(
+                n=max_lag,
+                args=", ".join(f"{k}, dev_{k}" for k in range(1, max_lag + 1)),
+            )
+        ),
+    )
+    denom = devs.agg(F.sum(F.col("dev") * F.col("dev")).alias("ss"))
+    return (
+        stacked.filter(F.col("dev_k").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("dev") * F.col("dev_k")).alias("num"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .crossJoin(F.broadcast(denom))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            _floor_round(F.col("num") / F.col("ss"), 6).alias("acf"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+        )
+        .orderBy("lag")
+    )
+
+
+def logistic_churn_gd(orders: DataFrame, n_steps: int = 3) -> DataFrame:
+    """Distributed logistic regression by full-batch gradient descent
+    — churn (no order in the last 90 days) on two standardized
+    behavioral features (order count, total spend). Each step is one
+    partial-aggregable pass: gradient g = Σ(y−σ(w·x))x / n, then
+    w ← w + η·g with the weights FLOOR-QUANTIZED to 1e-6 before the
+    next pass, so both engines walk the identical integer-grid
+    trajectory (the same device as top_component_power / Holt).
+
+    Scale shape: one custkey shuffle builds the feature table; each
+    GD step is a map + 1-row aggregate with the current weights
+    broadcast back — n_steps chained aggregates, no driver loop, no
+    collect. At 100 TB each step is a single scan of the cached
+    feature table.
+    """
+    eta = 0.5
+    bounds = orders.agg(F.max(F.to_date("o_orderdate")).alias("corpus_max"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _floor_round(F.sum("o_totalprice"), 2).alias("spend"),
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+    )
+    labeled = per_cust.crossJoin(F.broadcast(bounds)).select(
+        F.col("n_orders").cast("double").alias("f1"),
+        F.col("spend").alias("f2"),
+        (F.datediff("corpus_max", "last_day") > 90).cast("double").alias("y"),
+    )
+    st = labeled.agg(
+        _floor_round(F.avg("f1"), 6).alias("m1"),
+        _floor_round(F.stddev_samp("f1"), 6).alias("s1"),
+        _floor_round(F.avg("f2"), 6).alias("m2"),
+        _floor_round(F.stddev_samp("f2"), 6).alias("s2"),
+    )
+    feats = labeled.crossJoin(F.broadcast(st)).select(
+        "y",
+        ((F.col("f1") - F.col("m1")) / F.col("s1")).alias("x1"),
+        ((F.col("f2") - F.col("m2")) / F.col("s2")).alias("x2"),
+    )
+    # no driver loop: each step's 1-row gradient aggregate is folded
+    # back in with crossJoin(broadcast(...)) so the whole trajectory
+    # is one lazy plan — per-step weight columns carry the step index
+    # to keep the chained self-referencing joins unambiguous.
+    w0, w1, w2 = F.lit(0.0), F.lit(0.0), F.lit(0.0)
+    wcols: list[str] = []
+    for i in range(1, n_steps + 1):
+        z = w0 + w1 * F.col("x1") + w2 * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        resid = F.col("y") - p
+        # carry the (row-constant) previous weights through the 1-row
+        # aggregate so the weight-update select can reference them
+        carry = [F.max(c).alias(c) for c in wcols]
+        g = feats.agg(
+            _floor_round(F.avg(resid), 6).alias("g0"),
+            _floor_round(F.avg(resid * F.col("x1")), 6).alias("g1"),
+            _floor_round(F.avg(resid * F.col("x2")), 6).alias("g2"),
+            *carry,
+        )
+        wcols = [f"w0_{i}", f"w1_{i}", f"w2_{i}"]
+        step = g.select(
+            _floor_round(w0 + eta * F.col("g0"), 6).alias(wcols[0]),
+            _floor_round(w1 + eta * F.col("g1"), 6).alias(wcols[1]),
+            _floor_round(w2 + eta * F.col("g2"), 6).alias(wcols[2]),
+        )
+        feats = feats.crossJoin(F.broadcast(step)).select(
+            "y", "x1", "x2", *wcols
+        )
+        w0, w1, w2 = (F.col(c) for c in wcols)
+    z = w0 + w1 * F.col("x1") + w2 * F.col("x2")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.agg(
+        F.max(wcols[0]).alias("w_intercept"),
+        F.max(wcols[1]).alias("w_orders"),
+        F.max(wcols[2]).alias("w_spend"),
+        _floor_round(
+            F.avg(((p >= 0.5).cast("double") == F.col("y")).cast("double")), 4
+        ).alias("train_accuracy"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )

@@ -5600,6 +5600,200 @@ def q_hashed_doc_vectors(spark, sf_dir):
     return text.hashed_doc_vectors(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "bootstrap_order_mean_ci",
+    """WITH rr AS (
+         SELECT CAST(o_orderkey AS VARCHAR) AS k,
+                floor(o_totalprice * 100 + 0.5) / 100.0 AS x, b, j
+         FROM orders, range(25) tb(b), range(4) tj(j)),
+       wts AS (
+         SELECT b * 4 + j AS r, x,
+                CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+                     WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                     WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+                     WHEN u < 999916 THEN 6 ELSE 7 END AS w
+         FROM (SELECT b, j, x,
+                 CAST(CAST('0x' || substr(md5(k || ':' || CAST(b AS VARCHAR)),
+                                          CAST(1 + 8 * j AS INTEGER), 8)
+                           AS UBIGINT) AS BIGINT)
+                   % 1000000 AS u
+               FROM rr)),
+       per_rep AS (
+         SELECT r, floor(sum(w * x) / sum(w) * 10000 + 0.5) / 10000.0
+                     AS mean_r
+         FROM wts GROUP BY r),
+       ranked AS (
+         SELECT mean_r, row_number() OVER (ORDER BY mean_r, r) AS rk
+         FROM per_rep),
+       ci AS (
+         SELECT max(CASE WHEN rk = 2 THEN mean_r END) AS ci_lo,
+                max(CASE WHEN rk = 98 THEN mean_r END) AS ci_hi
+         FROM ranked),
+       pt AS (SELECT floor(avg(floor(o_totalprice * 100 + 0.5) / 100.0)
+                           * 10000 + 0.5) / 10000.0 AS point_mean,
+                     count(*) AS n_orders
+              FROM orders)
+       SELECT point_mean, ci_lo, ci_hi, n_orders,
+              CAST(100 AS BIGINT) AS n_replicates
+       FROM pt CROSS JOIN ci""",
+)
+def q_bootstrap_order_mean_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for mean order value — deterministic
+    md5-driven Poisson(1) weights, map-side ×R fan-out."""
+    return analytics.bootstrap_order_mean_ci(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "customer_churn_hazard",
+    """WITH pc AS (
+         SELECT o_custkey,
+                min(CAST(o_orderdate AS DATE)) AS first_day,
+                max(CAST(o_orderdate AS DATE)) AS last_day
+         FROM orders GROUP BY 1),
+       b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
+             FROM orders),
+       life AS (
+         SELECT date_diff('day', first_day, last_day) AS t,
+                CASE WHEN date_diff('day', last_day, corpus_max) > 90
+                     THEN 1 ELSE 0 END AS event
+         FROM pc CROSS JOIN b),
+       per_t AS (SELECT t, sum(event) AS d, count(*) AS c
+                 FROM life GROUP BY t),
+       ar AS (
+         SELECT t, d,
+                sum(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS n_at_risk
+         FROM per_t),
+       ev AS (
+         SELECT t, d, n_at_risk,
+                sum(CAST(d AS DOUBLE) / n_at_risk) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+         FROM ar WHERE d > 0)
+       SELECT CAST(t AS BIGINT) AS lifetime_days,
+              CAST(d AS BIGINT) AS n_churned,
+              CAST(n_at_risk AS BIGINT) AS n_at_risk,
+              floor(h * 1000000 + 0.5) / 1000000.0 AS cum_hazard
+       FROM ev ORDER BY lifetime_days""",
+)
+def q_customer_churn_hazard(spark, sf_dir):
+    """Nelson–Aalen cumulative churn hazard with right-censoring —
+    bit-reproducible (sum of exact IEEE quotients, no exp/ln)."""
+    return analytics.customer_churn_hazard(_t(spark, sf_dir, "orders"))
+
+
+_ACF_STACK = " UNION ALL ".join(
+    f"SELECT {k} AS lag, dev, dev_{k} AS dev_k FROM dv" for k in range(1, 8)
+)
+
+_ACF_LAGS = ",\n                ".join(
+    f"lag(rev, {k}) OVER (ORDER BY day) - mu AS dev_{k}" for k in range(1, 8)
+)
+
+
+@query(
+    "daily_revenue_acf",
+    f"""WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS rev
+         FROM orders GROUP BY 1),
+       m AS (SELECT floor(avg(rev) * 100 + 0.5) / 100.0 AS mu FROM daily),
+       dv AS (
+         SELECT day, rev - mu AS dev,
+                {_ACF_LAGS}
+         FROM daily CROSS JOIN m),
+       den AS (SELECT sum(dev * dev) AS ss FROM dv),
+       stacked AS ({_ACF_STACK})
+       SELECT CAST(lag AS BIGINT) AS lag,
+              floor(sum(dev * dev_k) / ss * 1000000 + 0.5) / 1000000.0
+                AS acf,
+              count(*) AS n_pairs
+       FROM stacked CROSS JOIN den
+       WHERE dev_k IS NOT NULL
+       GROUP BY lag, ss ORDER BY lag""",
+)
+def q_daily_revenue_acf(spark, sf_dir):
+    """ACF of daily revenue at lags 1..7 — one shared window ordering
+    for all lags, no self-join."""
+    return analytics.daily_revenue_acf(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "logistic_churn_model",
+    """WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
+                  FROM orders),
+       pc AS (SELECT o_custkey, count(*) AS n_orders,
+                     floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS spend,
+                     max(CAST(o_orderdate AS DATE)) AS last_day
+              FROM orders GROUP BY 1),
+       lab AS (SELECT CAST(n_orders AS DOUBLE) AS f1, spend AS f2,
+                      CASE WHEN date_diff('day', last_day, corpus_max) > 90
+                           THEN 1.0 ELSE 0.0 END AS y
+               FROM pc CROSS JOIN b),
+       st AS (SELECT
+                floor(avg(f1) * 1000000 + 0.5) / 1000000.0 AS m1,
+                floor(stddev_samp(f1) * 1000000 + 0.5) / 1000000.0 AS s1,
+                floor(avg(f2) * 1000000 + 0.5) / 1000000.0 AS m2,
+                floor(stddev_samp(f2) * 1000000 + 0.5) / 1000000.0 AS s2
+              FROM lab),
+       feats AS (SELECT y, (f1 - m1) / s1 AS x1, (f2 - m2) / s2 AS x2
+                 FROM lab CROSS JOIN st),
+       p1 AS (SELECT y, x1, x2,
+                     1.0 / (1.0 + exp(-(0.0 + 0.0 * x1 + 0.0 * x2))) AS p
+              FROM feats),
+       ga AS (SELECT
+                floor(avg(y - p) * 1000000 + 0.5) / 1000000.0 AS g0,
+                floor(avg((y - p) * x1) * 1000000 + 0.5) / 1000000.0 AS g1,
+                floor(avg((y - p) * x2) * 1000000 + 0.5) / 1000000.0 AS g2
+              FROM p1),
+       wa AS (SELECT
+                floor((0.0 + 0.5 * g0) * 1000000 + 0.5) / 1000000.0 AS w0,
+                floor((0.0 + 0.5 * g1) * 1000000 + 0.5) / 1000000.0 AS w1,
+                floor((0.0 + 0.5 * g2) * 1000000 + 0.5) / 1000000.0 AS w2
+              FROM ga),
+       p2 AS (SELECT y, x1, x2,
+                     1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+              FROM feats CROSS JOIN wa),
+       gb AS (SELECT
+                floor(avg(y - p) * 1000000 + 0.5) / 1000000.0 AS g0,
+                floor(avg((y - p) * x1) * 1000000 + 0.5) / 1000000.0 AS g1,
+                floor(avg((y - p) * x2) * 1000000 + 0.5) / 1000000.0 AS g2
+              FROM p2),
+       wb AS (SELECT
+                floor((w0 + 0.5 * g0) * 1000000 + 0.5) / 1000000.0 AS w0,
+                floor((w1 + 0.5 * g1) * 1000000 + 0.5) / 1000000.0 AS w1,
+                floor((w2 + 0.5 * g2) * 1000000 + 0.5) / 1000000.0 AS w2
+              FROM gb CROSS JOIN wa),
+       p3 AS (SELECT y, x1, x2,
+                     1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+              FROM feats CROSS JOIN wb),
+       gc AS (SELECT
+                floor(avg(y - p) * 1000000 + 0.5) / 1000000.0 AS g0,
+                floor(avg((y - p) * x1) * 1000000 + 0.5) / 1000000.0 AS g1,
+                floor(avg((y - p) * x2) * 1000000 + 0.5) / 1000000.0 AS g2
+              FROM p3),
+       wc AS (SELECT
+                floor((w0 + 0.5 * g0) * 1000000 + 0.5) / 1000000.0 AS w0,
+                floor((w1 + 0.5 * g1) * 1000000 + 0.5) / 1000000.0 AS w1,
+                floor((w2 + 0.5 * g2) * 1000000 + 0.5) / 1000000.0 AS w2
+              FROM gc CROSS JOIN wb),
+       pf AS (SELECT y,
+                     1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+              FROM feats CROSS JOIN wc)
+       SELECT w0 AS w_intercept, w1 AS w_orders, w2 AS w_spend,
+              (SELECT floor(avg(CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0
+                                           ELSE 0.0 END) = y
+                                     THEN 1.0 ELSE 0.0 END)
+                            * 10000 + 0.5) / 10000.0
+               FROM pf) AS train_accuracy,
+              (SELECT count(*) FROM pf) AS n_customers
+       FROM wc""",
+)
+def q_logistic_churn_model(spark, sf_dir):
+    """Full-batch logistic-regression GD (3 steps) on churn — the
+    chained-aggregate training loop, weights quantized per step."""
+    return analytics.logistic_churn_gd(_t(spark, sf_dir, "orders"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

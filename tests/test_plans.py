@@ -603,3 +603,48 @@ def test_cbo_reorders_star_join_from_analyzed_stats(spark, sf_dir):
             spark.conf.set(k, v)
         for t in ("nation", "customer", "orders"):
             spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+
+
+# -- round-3 session-5 wave: inference/survival/ACF/GD contracts --
+
+
+def test_bootstrap_fanout_partially_aggregates_before_shuffle(spark, sf_dir):
+    """The ×R/4 Poisson fan-out must reduce map-side: each task
+    partial-aggregates its generated rows per replicate id, so the
+    replicate shuffle carries ≤ R rows per task, never the ×R data."""
+    plan = _plan(spark, "bootstrap_order_mean_ci", sf_dir)
+    assert "partial_sum" in plan  # map-side combine under the explode
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # CI + point are 1-row combines
+
+
+def test_churn_hazard_single_custkey_shuffle_then_small_series(spark, sf_dir):
+    """Lifetimes come from ONE custkey aggregation; everything after
+    (at-risk suffix sum, hazard prefix sum) runs over |lifetimes|
+    rows — no join operator other than the broadcast corpus-max."""
+    plan = _plan(spark, "customer_churn_hazard", sf_dir)
+    assert plan.count("hashpartitioning(o_custkey") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_acf_shares_one_window_ordering_for_all_lags(spark, sf_dir):
+    """All 7 lag columns must collapse into a single Window node over
+    one day-ordering — a per-lag self-join (or per-lag window) would
+    multiply the series scan by max_lag."""
+    plan = _plan(spark, "daily_revenue_acf", sf_dir)
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_logistic_gd_all_joins_broadcast(spark, sf_dir):
+    """The GD chain folds each 1-row gradient back with broadcast
+    nested-loop combines; the feature build joins broadcast stats.
+    Nothing in the loop may shuffle-join or sort."""
+    plan = _plan(spark, "logistic_churn_model", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
