@@ -3459,3 +3459,110 @@ def logistic_churn_gd(orders: DataFrame, n_steps: int = 3) -> DataFrame:
         ).alias("train_accuracy"),
         F.count(F.lit(1)).alias("n_customers"),
     )
+
+
+def churn_score_auc(orders: DataFrame, horizon_days: int = 90) -> DataFrame:
+    """Exact ROC AUC of order count as a churn score — the
+    Mann–Whitney rank-sum form with average ranks for ties:
+    AUC = (R⁺ − P(P+1)/2) / (P·N) where R⁺ is the sum of the
+    positive class's tie-averaged ranks. Every intermediate is an
+    exact binary fraction (half-integers), so the result is
+    bit-identical across engines with no quantization tricks until
+    the final display floor.
+
+    Scale shape: one custkey shuffle builds (score, label); the rank
+    arithmetic runs over |distinct scores| rows — order counts are a
+    small discrete domain, so the single-partition window holds at
+    any corpus size (the same bounded-series argument as the revenue
+    monitors; contrast age_ecdf's documented global-order caveat).
+    """
+    bounds = orders.agg(F.max(F.to_date("o_orderdate")).alias("corpus_max"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("s"),
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+    )
+    labeled = per_cust.crossJoin(F.broadcast(bounds)).select(
+        "s",
+        (F.datediff("corpus_max", "last_day") > F.lit(horizon_days))
+        .cast("long")
+        .alias("y"),
+    )
+    per_s = labeled.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_s.select(
+        "n",
+        "npos",
+        (
+            F.coalesce(F.sum("n").over(w), F.lit(0))
+            + (F.col("n") + 1) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    tot = ranked.agg(
+        F.sum(F.col("npos") * F.col("avg_rank")).alias("r_pos"),
+        F.sum("npos").alias("p"),
+        F.sum("n").alias("t"),
+        F.count(F.lit(1)).alias("n_scores"),
+    )
+    auc = (F.col("r_pos") - F.col("p") * (F.col("p") + 1) / F.lit(2.0)) / (
+        F.col("p") * (F.col("t") - F.col("p"))
+    )
+    return tot.select(
+        _floor_round(auc, 6).alias("auc"),
+        _floor_round(2 * auc - 1, 6).alias("gini"),
+        F.col("p").cast("long").alias("n_pos"),
+        (F.col("t") - F.col("p")).cast("long").alias("n_neg"),
+        F.col("n_scores").cast("long").alias("n_distinct_scores"),
+    )
+
+
+def kfold_churn_baseline(orders: DataFrame, k: int = 5) -> DataFrame:
+    """K-fold cross-validated Brier score of the mean-rate baseline
+    churn predictor — the evaluation-protocol floor every real model
+    must beat. Folds are deterministic (md5(custkey) mod k, the same
+    portable device as the train/val/test split); each fold's train
+    rate comes from the OTHER folds by inclusion–exclusion on the
+    global aggregate, and the held-out Brier expands algebraically
+    (Σ(r−y)² = c·r² − 2r·s + s since y² = y), so the whole protocol
+    is ONE custkey shuffle + one k-row aggregate — no per-fold scan,
+    no second pass.
+    """
+    bounds = orders.agg(F.max(F.to_date("o_orderdate")).alias("corpus_max"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day")
+    )
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % k
+    )
+    labeled = per_cust.crossJoin(F.broadcast(bounds)).select(
+        fold.alias("fold"),
+        (F.datediff("corpus_max", "last_day") > 90).cast("long").alias("y"),
+    )
+    per_fold = labeled.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("s")
+    )
+    # global totals as a window over the k-row fold table — a second
+    # aggregate would recompute the whole custkey pass on the
+    # broadcast side; the window reuses the k rows already in hand
+    wall = Window.partitionBy()
+    r = _floor_round(
+        (F.sum("s").over(wall) - F.col("s"))
+        / (F.sum("c").over(wall) - F.col("c")),
+        6,
+    )
+    joined = per_fold.select("fold", "c", "s", r.alias("r"))
+    brier = (
+        F.col("r") * F.col("r")
+        - 2 * F.col("r") * F.col("s") / F.col("c")
+        + F.col("s") / F.col("c")
+    )
+    return joined.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("c").cast("long").alias("n_test"),
+        F.col("r").alias("train_rate"),
+        _floor_round(brier, 6).alias("brier"),
+    ).orderBy("fold")

@@ -1495,3 +1495,71 @@ def hashed_doc_vectors(documents: DataFrame, n_buckets: int = 16) -> DataFrame:
             "raw", lambda x: F.round(x / norm, 6)
         ).alias("vec"),
     ).orderBy("doc_id")
+
+
+def quality_quantile_norm(documents: DataFrame) -> DataFrame:
+    """Cross-source quantile normalization of the quality score — the
+    preprocessing step that makes per-source quality cutoffs
+    comparable when sources have systematically different score
+    distributions (a web crawl vs a curated corpus): each (source,
+    score) cell gets its within-source midpoint percentile, which is
+    then mapped to the GLOBAL score at the same percentile via a
+    per-mille lookup table. Output is the normalization map itself
+    (one row per source×score cell) — applying it to documents is a
+    broadcast equi-join.
+
+    Scale shape: the corpus is touched by exactly two groupBys
+    (source×score cells, global score histogram); scores are 4-dp
+    quantized so both relations are bounded by |distinct scores| ≤
+    10⁴ rows regardless of corpus size. The per-mille lookup build is
+    a 1000×|bins| broadcast range probe; the final map join is a
+    1000-row broadcast equi-join. No global sort anywhere.
+    """
+    scored = documents.select(
+        "source", quality_score(F.col("text")).alias("q")
+    )
+    cells = scored.groupBy("source", "q").agg(F.count(F.lit(1)).alias("n"))
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_src_tot = Window.partitionBy("source")
+    pct = (
+        F.coalesce(F.sum("n").over(w_src), F.lit(0)) + F.col("n") / F.lit(2.0)
+    ) / F.sum("n").over(w_src_tot)
+    cells2 = cells.select("source", "q", "n", pct.alias("pct"))
+
+    ghist = scored.groupBy("q").agg(F.count(F.lit(1)).alias("gn"))
+    w_g = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    w_g_tot = Window.partitionBy()
+    gcdf = ghist.select(
+        F.col("q").alias("gq"),
+        (
+            (F.sum("gn").over(w_g) - F.col("gn"))
+            / F.sum("gn").over(w_g_tot)
+        ).alias("cdf_lo"),
+        (F.sum("gn").over(w_g) / F.sum("gn").over(w_g_tot)).alias("cdf_hi"),
+    )
+    spark = documents.sparkSession
+    milles = spark.range(1000).select(
+        F.col("id").alias("m"), ((F.col("id") + 0.5) / 1000.0).alias("t")
+    )
+    lookup = milles.join(
+        F.broadcast(gcdf),
+        (F.col("cdf_hi") >= F.col("t")) & (F.col("cdf_lo") < F.col("t")),
+    ).select("m", F.col("gq").alias("q_norm"))
+
+    m = F.least(F.lit(999), F.floor(F.col("pct") * 1000).cast("long"))
+    return (
+        cells2.withColumn("m", m)
+        .join(F.broadcast(lookup), "m")
+        .select(
+            "source",
+            "q",
+            F.col("n").cast("long").alias("n_docs"),
+            round4(F.col("pct") * 100).alias("pct_in_source"),
+            F.col("q_norm"),
+        )
+        .orderBy("source", "q")
+    )

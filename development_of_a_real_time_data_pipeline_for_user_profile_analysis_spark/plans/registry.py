@@ -5794,6 +5794,114 @@ def q_logistic_churn_model(spark, sf_dir):
     return analytics.logistic_churn_gd(_t(spark, sf_dir, "orders"))
 
 
+@query(
+    "churn_score_auc",
+    """WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
+                  FROM orders),
+       pc AS (SELECT o_custkey, count(*) AS s,
+                     max(CAST(o_orderdate AS DATE)) AS last_day
+              FROM orders GROUP BY 1),
+       lab AS (SELECT s,
+                      CASE WHEN date_diff('day', last_day, corpus_max) > 90
+                           THEN 1 ELSE 0 END AS y
+               FROM pc CROSS JOIN b),
+       per_s AS (SELECT s, count(*) AS n, sum(y) AS npos
+                 FROM lab GROUP BY s),
+       rk AS (SELECT n, npos,
+                coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (n + 1) / 2.0 AS avg_rank
+              FROM per_s),
+       tot AS (SELECT sum(npos * avg_rank) AS r_pos, sum(npos) AS p,
+                      sum(n) AS t, count(*) AS n_scores
+               FROM rk)
+       SELECT floor(((r_pos - p * (p + 1) / 2.0) / (p * (t - p)))
+                    * 1000000 + 0.5) / 1000000.0 AS auc,
+              floor((2 * ((r_pos - p * (p + 1) / 2.0) / (p * (t - p))) - 1)
+                    * 1000000 + 0.5) / 1000000.0 AS gini,
+              CAST(p AS BIGINT) AS n_pos,
+              CAST(t - p AS BIGINT) AS n_neg,
+              CAST(n_scores AS BIGINT) AS n_distinct_scores
+       FROM tot""",
+)
+def q_churn_score_auc(spark, sf_dir):
+    """Exact tie-averaged Mann–Whitney ROC AUC of order count as a
+    churn score — bit-exact rank arithmetic, no quantization."""
+    return analytics.churn_score_auc(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "kfold_churn_baseline",
+    """WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
+                  FROM orders),
+       pc AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day
+              FROM orders GROUP BY 1),
+       lab AS (SELECT
+                 CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                          1, 8) AS UBIGINT) AS BIGINT)
+                   % 5 AS fold,
+                 CASE WHEN date_diff('day', last_day, corpus_max) > 90
+                      THEN 1 ELSE 0 END AS y
+               FROM pc CROSS JOIN b),
+       pf AS (SELECT fold, count(*) AS c, sum(y) AS s
+              FROM lab GROUP BY fold),
+       g AS (SELECT sum(c) AS ct, sum(s) AS st FROM pf),
+       j AS (SELECT fold, c, s,
+                    floor((st - s) / (ct - c) * 1000000 + 0.5) / 1000000.0
+                      AS r
+             FROM pf CROSS JOIN g)
+       SELECT CAST(fold AS BIGINT) AS fold,
+              CAST(c AS BIGINT) AS n_test,
+              r AS train_rate,
+              floor((r * r - 2 * r * s / c + s / c) * 1000000 + 0.5)
+                / 1000000.0 AS brier
+       FROM j ORDER BY fold""",
+)
+def q_kfold_churn_baseline(spark, sf_dir):
+    """5-fold CV Brier score of the mean-rate baseline — per-fold
+    metrics by inclusion–exclusion, one shuffle, no second pass."""
+    return analytics.kfold_churn_baseline(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "quality_quantile_norm",
+    f"""WITH scored AS (SELECT source, {_SQL_QUALITY} AS q FROM documents),
+       cells AS (SELECT source, q, count(*) AS n
+                 FROM scored GROUP BY 1, 2),
+       c2 AS (SELECT source, q, n,
+                (coalesce(sum(n) OVER (PARTITION BY source ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + n / 2.0)
+                  / sum(n) OVER (PARTITION BY source) AS pct
+              FROM cells),
+       gh AS (SELECT q, count(*) AS gn FROM scored GROUP BY q),
+       gc AS (SELECT q AS gq,
+                (sum(gn) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - gn)
+                  / sum(gn) OVER () AS cdf_lo,
+                sum(gn) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+                  / sum(gn) OVER () AS cdf_hi
+              FROM gh),
+       milles AS (SELECT m, (m + 0.5) / 1000.0 AS t
+                  FROM range(1000) tm(m)),
+       lkp AS (SELECT m, gq AS q_norm
+               FROM milles JOIN gc ON cdf_hi >= t AND cdf_lo < t),
+       mm AS (SELECT source, q, n, pct,
+                     least(999, CAST(floor(pct * 1000) AS BIGINT)) AS m
+              FROM c2)
+       SELECT source, q, CAST(n AS BIGINT) AS n_docs,
+              floor(pct * 100 * 10000 + 0.5) / 10000.0 AS pct_in_source,
+              q_norm
+       FROM mm JOIN lkp USING (m) ORDER BY source, q""",
+)
+def q_quality_quantile_norm(spark, sf_dir):
+    """Cross-source quantile normalization map for the quality score
+    — bounded histogram relations, per-mille lookup, no global
+    sort."""
+    return text.quality_quantile_norm(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

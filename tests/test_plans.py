@@ -648,3 +648,37 @@ def test_logistic_gd_all_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_auc_rank_arithmetic_on_bounded_series(spark, sf_dir):
+    """AUC = one custkey shuffle → per-score groups → rank window
+    over |distinct scores| rows. No sort-merge join, no cartesian."""
+    plan = _plan(spark, "churn_score_auc", sf_dir)
+    assert plan.count("hashpartitioning(o_custkey") == 1
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kfold_protocol_is_one_custkey_pass(spark, sf_dir):
+    """Per-fold train rates come from inclusion–exclusion via a
+    window over the k-row fold table and the Brier expands
+    algebraically — the protocol must NOT re-run the custkey pass
+    for the global totals (exactly one custkey exchange; the only
+    scans are the label build and the corpus-max bound)."""
+    plan = _plan(spark, "kfold_churn_baseline", sf_dir)
+    assert plan.count("hashpartitioning(o_custkey") == 1
+    assert plan.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantile_norm_histogram_relations_and_broadcast_probe(spark, sf_dir):
+    """The corpus is scanned exactly twice (source×score cells,
+    global histogram); the per-mille range probe is a broadcast
+    nested-loop over bounded relations and the final map join is a
+    broadcast equi-join — never a shuffle join."""
+    plan = _plan(spark, "quality_quantile_norm", sf_dir)
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
