@@ -3566,3 +3566,191 @@ def kfold_churn_baseline(orders: DataFrame, k: int = 5) -> DataFrame:
         F.col("r").alias("train_rate"),
         _floor_round(brier, 6).alias("brier"),
     ).orderBy("fold")
+
+
+def feature_psi_drift(orders: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Population Stability Index of the order-value distribution
+    between two deterministic corpus halves (md5(orderkey) parity) —
+    the industry-standard feature-drift tripwire (PSI < 0.1 stable,
+    0.1–0.2 watch, > 0.2 action). Bins are fixed-width over the
+    global max; bin shares are add-one smoothed so empty bins keep
+    every ln finite and the statistic engine-portable.
+
+    Scale shape: one scan builds (half, bin) cells — 2·n_bins rows —
+    then all PSI arithmetic happens on that tiny relation. The global
+    max is a broadcast 1-row aggregate; nothing shuffles more than
+    the cell table.
+    """
+    mx = orders.agg(
+        F.ceil(F.max("o_totalprice")).cast("long").alias("mx")
+    )
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    binned = orders.crossJoin(F.broadcast(mx)).select(
+        half.alias("half"),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                F.col("o_totalprice") * n_bins / (F.col("mx") + 1)
+            ).cast("long"),
+        ).alias("bin"),
+    )
+    # conditional-sum pivot (not an outer join of the two halves):
+    # a bin absent from one half still gets its add-one smoothing
+    # floor because n defaults to 0, never NULL
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    wall = Window.partitionBy()
+    p_a = (F.col("n_a") + 1) / (F.sum("n_a").over(wall) + n_bins)
+    p_b = (F.col("n_b") + 1) / (F.sum("n_b").over(wall) + n_bins)
+    contrib = (p_a - p_b) * (F.log(p_a) - F.log(p_b))
+    return per_bin.select(
+        "n_a", "n_b", contrib.alias("contrib")
+    ).agg(
+        _floor_round(F.sum("contrib"), 6).alias("psi"),
+        F.sum("n_a").cast("long").alias("n_first_half"),
+        F.sum("n_b").cast("long").alias("n_second_half"),
+        F.count(F.lit(1)).alias("n_bins_present"),
+    )
+
+
+def conformal_order_intervals(orders: DataFrame) -> DataFrame:
+    """Split-conformal 90% prediction interval for order value: the
+    per-priority mean trained on the md5-even half predicts the odd
+    (calibration) half; the interval half-width is the
+    ⌈0.9(n_cal+1)⌉-th smallest absolute residual, computed exactly
+    over $100-binned residuals (finite-sample-valid conformal
+    quantile, reported at the bin's upper edge so coverage is
+    conservative). Empirical calibration coverage is reported
+    alongside — by construction it must be ≥ 0.9.
+
+    Scale shape: training is a 5-row broadcast aggregate; the
+    conformal quantile runs over |distinct residual bins| rows via
+    the histogram-CDF pattern — no global sort of residuals.
+    """
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    tagged = orders.select(
+        half.alias("half"), "o_orderpriority", "o_totalprice"
+    )
+    train = tagged.filter(F.col("half") == 0)
+    cal = tagged.filter(F.col("half") == 1)
+    model = train.groupBy("o_orderpriority").agg(
+        _floor_round(F.avg("o_totalprice"), 2).alias("pred")
+    )
+    resid = cal.join(F.broadcast(model), "o_orderpriority").select(
+        F.floor(F.abs(F.col("o_totalprice") - F.col("pred")) / 100)
+        .cast("long")
+        .alias("rb")
+    )
+    hist = resid.groupBy("rb").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cdf = hist.select(
+        "rb",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wall).alias("n_cal"),
+    )
+    # conformal rank: ceil(0.9 * (n_cal + 1)), exact in integers
+    rank = F.ceil((F.col("n_cal") + 1) * 9 / 10).cast("long")
+    qbin = cdf.filter(F.col("cum") >= rank).agg(
+        F.min("rb").alias("qrb"), F.max("n_cal").alias("n_cal")
+    )
+    covered = cdf.crossJoin(
+        F.broadcast(qbin.select(F.col("qrb").alias("q2")))
+    ).filter(F.col("rb") <= F.col("q2")).agg(
+        F.max("cum").alias("n_within")
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    return (
+        qbin.crossJoin(F.broadcast(covered))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            ((F.col("qrb") + 1) * 100).cast("long").alias("halfwidth_usd"),
+            _floor_round(F.col("n_within") / F.col("n_cal"), 4).alias(
+                "empirical_coverage"
+            ),
+        )
+    )
+
+
+def score_calibration_report(orders: DataFrame) -> DataFrame:
+    """Reliability audit of the order-count churn score: the md5-even
+    customer half trains a per-score churn rate (Laplace-smoothed),
+    the odd half evaluates it, and the report is the expected
+    calibration error (ECE = Σ wᵢ·|pred−obs|) plus the worst bin —
+    the go/no-go check before a score is used as a probability.
+
+    Scale shape: one custkey shuffle; train and eval rates are
+    per-score aggregates over the bounded score domain; ECE folds
+    |scores| rows. The eval join is broadcast (score domain tiny).
+    """
+    bounds = orders.agg(F.max(F.to_date("o_orderdate")).alias("corpus_max"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("s"),
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+    )
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("o_custkey").cast("string")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    labeled = per_cust.crossJoin(F.broadcast(bounds)).select(
+        half.alias("half"),
+        "s",
+        (F.datediff("corpus_max", "last_day") > 90).cast("long").alias("y"),
+    )
+    # train/eval pivot as conditional sums in ONE per-score aggregate
+    # — filtering `labeled` twice and joining back would recompute
+    # the whole custkey pass on each branch
+    per_s = labeled.groupBy("s").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("y"))).alias("y_tr"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_tr"),
+        F.sum(F.when(F.col("half") == 1, F.col("y"))).alias("y_ev"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_eval"),
+    ).filter((F.col("n_tr") > 0) & (F.col("n_eval") > 0))
+    p_pred = _floor_round((F.col("y_tr") + 1) / (F.col("n_tr") + 2), 6)
+    p_obs = _floor_round(F.col("y_ev") / F.col("n_eval"), 6)
+    cells = per_s.select(
+        "s",
+        "n_eval",
+        p_pred.alias("p_pred"),
+        p_obs.alias("p_obs"),
+        F.abs(p_pred - p_obs).alias("gap"),
+    )
+    return cells.agg(
+        _floor_round(
+            F.sum(F.col("gap") * F.col("n_eval")) / F.sum("n_eval"), 6
+        ).alias("ece"),
+        _floor_round(F.max("gap"), 6).alias("worst_gap"),
+        F.max_by("s", F.struct(F.col("gap"), -F.col("s")))
+        .cast("long")
+        .alias("worst_score"),
+        F.count(F.lit(1)).alias("n_scores_eval"),
+        F.sum("n_eval").cast("long").alias("n_eval_customers"),
+    )

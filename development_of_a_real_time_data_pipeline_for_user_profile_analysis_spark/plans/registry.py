@@ -5902,6 +5902,117 @@ def q_quality_quantile_norm(spark, sf_dir):
     return text.quality_quantile_norm(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "feature_psi_drift",
+    """WITH mx AS (SELECT CAST(ceil(max(o_totalprice)) AS BIGINT) AS mx
+                   FROM orders),
+       binned AS (
+         SELECT CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                         1, 8) AS UBIGINT) AS BIGINT)
+                  % 2 AS half,
+                least(9, CAST(floor(o_totalprice * 10 / (mx + 1))
+                              AS BIGINT)) AS bin
+         FROM orders CROSS JOIN mx),
+       pb AS (SELECT bin,
+                     sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_a,
+                     sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_b
+              FROM binned GROUP BY bin),
+       sh AS (SELECT n_a, n_b,
+                     (n_a + 1) / (sum(n_a) OVER () + 10) AS p_a,
+                     (n_b + 1) / (sum(n_b) OVER () + 10) AS p_b
+              FROM pb)
+       SELECT floor(sum((p_a - p_b) * (ln(p_a) - ln(p_b)))
+                    * 1000000 + 0.5) / 1000000.0 AS psi,
+              CAST(sum(n_a) AS BIGINT) AS n_first_half,
+              CAST(sum(n_b) AS BIGINT) AS n_second_half,
+              count(*) AS n_bins_present
+       FROM sh""",
+)
+def q_feature_psi_drift(spark, sf_dir):
+    """Population Stability Index between deterministic corpus halves
+    — the standard feature-drift tripwire, add-one smoothed."""
+    return analytics.feature_psi_drift(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "conformal_order_intervals",
+    """WITH t AS (
+         SELECT CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                         1, 8) AS UBIGINT) AS BIGINT)
+                  % 2 AS half,
+                o_orderpriority, o_totalprice
+         FROM orders),
+       model AS (SELECT o_orderpriority,
+                        floor(avg(o_totalprice) * 100 + 0.5) / 100.0 AS pred
+                 FROM t WHERE half = 0 GROUP BY 1),
+       resid AS (SELECT CAST(floor(abs(o_totalprice - pred) / 100)
+                             AS BIGINT) AS rb
+                 FROM t JOIN model USING (o_orderpriority)
+                 WHERE half = 1),
+       hist AS (SELECT rb, count(*) AS n FROM resid GROUP BY rb),
+       cdf AS (SELECT rb,
+                      sum(n) OVER (ORDER BY rb ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cum,
+                      sum(n) OVER () AS n_cal
+               FROM hist),
+       qb AS (SELECT min(rb) AS qrb, max(n_cal) AS n_cal FROM cdf
+              WHERE cum >= CAST(ceil((n_cal + 1) * 9 / 10) AS BIGINT)),
+       cov AS (SELECT max(cum) AS n_within
+               FROM cdf CROSS JOIN qb WHERE rb <= qrb),
+       nt AS (SELECT count(*) AS n_train FROM t WHERE half = 0)
+       SELECT CAST(n_train AS BIGINT) AS n_train,
+              CAST(n_cal AS BIGINT) AS n_cal,
+              CAST((qrb + 1) * 100 AS BIGINT) AS halfwidth_usd,
+              floor(n_within / n_cal * 10000 + 0.5) / 10000.0
+                AS empirical_coverage
+       FROM qb CROSS JOIN cov CROSS JOIN nt""",
+)
+def q_conformal_order_intervals(spark, sf_dir):
+    """Split-conformal 90% prediction interval for order value —
+    finite-sample-valid quantile over binned residuals, no global
+    sort."""
+    return analytics.conformal_order_intervals(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "score_calibration_report",
+    """WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
+                  FROM orders),
+       pc AS (SELECT o_custkey, count(*) AS s,
+                     max(CAST(o_orderdate AS DATE)) AS last_day
+              FROM orders GROUP BY 1),
+       lab AS (SELECT
+                 CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                          1, 8) AS UBIGINT) AS BIGINT)
+                   % 2 AS half,
+                 s,
+                 CASE WHEN date_diff('day', last_day, corpus_max) > 90
+                      THEN 1 ELSE 0 END AS y
+               FROM pc CROSS JOIN b),
+       tr AS (SELECT s, floor((sum(y) + 1) / (count(*) + 2)
+                              * 1000000 + 0.5) / 1000000.0 AS p_pred
+              FROM lab WHERE half = 0 GROUP BY s),
+       ev AS (SELECT s, count(*) AS n_eval,
+                     floor(avg(y) * 1000000 + 0.5) / 1000000.0 AS p_obs
+              FROM lab WHERE half = 1 GROUP BY s),
+       cells AS (SELECT ev.s AS s, n_eval, p_pred, p_obs,
+                        abs(p_pred - p_obs) AS gap
+                 FROM ev JOIN tr ON ev.s = tr.s)
+       SELECT floor(sum(gap * n_eval) / sum(n_eval) * 1000000 + 0.5)
+                / 1000000.0 AS ece,
+              floor(max(gap) * 1000000 + 0.5) / 1000000.0 AS worst_gap,
+              CAST((SELECT s FROM cells ORDER BY gap DESC, s ASC LIMIT 1)
+                   AS BIGINT) AS worst_score,
+              count(*) AS n_scores_eval,
+              CAST(sum(n_eval) AS BIGINT) AS n_eval_customers
+       FROM cells""",
+)
+def q_score_calibration_report(spark, sf_dir):
+    """Reliability/ECE audit of the order-count churn score — train
+    on the md5-even customer half, evaluate on the odd half."""
+    return analytics.score_calibration_report(_t(spark, sf_dir, "orders"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

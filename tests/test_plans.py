@@ -682,3 +682,34 @@ def test_quantile_norm_histogram_relations_and_broadcast_probe(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_psi_pivot_not_outer_join(spark, sf_dir):
+    """The half×bin pivot must be conditional sums in ONE aggregate —
+    an outer join of per-half relations would both double the scan
+    and drop the smoothing floor on absent bins."""
+    plan = _plan(spark, "feature_psi_drift", sf_dir)
+    assert plan.count("Scan parquet") == 2  # binning + the max bound
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_conformal_quantile_is_histogram_cdf(spark, sf_dir):
+    """The conformal quantile must come from the binned-residual
+    histogram CDF — no global sort of residuals, model join
+    broadcast."""
+    plan = _plan(spark, "conformal_order_intervals", sf_dir)
+    assert "BroadcastHashJoin" in plan  # 5-row model join
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_calibration_train_eval_pivot_is_one_pass(spark, sf_dir):
+    """Train and eval rates come from conditional sums in ONE
+    per-score aggregate — a filter-twice-and-join shape would run
+    the custkey pass once per branch."""
+    plan = _plan(spark, "score_calibration_report", sf_dir)
+    assert plan.count("hashpartitioning(o_custkey") == 1
+    assert plan.count("hashpartitioning(s#") == 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # no join anywhere
