@@ -1761,3 +1761,142 @@ def test_hashed_doc_vectors_unit_norm_and_locality(spark):
     dot_dup = sum(a * b for a, b in zip(got[1], got[2]))
     dot_diff = sum(a * b for a, b in zip(got[1], got[3]))
     assert dot_dup > dot_diff  # hashing preserves similarity ordering
+
+
+# -- round-3 session-5: inference / survival / eval-protocol semantics --
+
+
+def _orders_rows(n=40, churn_every=4):
+    """Synthetic orders: customer i has i%3+1 orders; every
+    churn_every-th customer stops ordering early (churned)."""
+    rows = []
+    key = 0
+    for c in range(1, n + 1):
+        churned = c % churn_every == 0
+        for j in range(c % 3 + 1):
+            key += 1
+            day = dt.datetime(2000, 1, 1) + dt.timedelta(
+                days=(30 if churned else 300) + j
+            )
+            rows.append(
+                Row(
+                    o_orderkey=key,
+                    o_custkey=c,
+                    o_orderstatus="F",
+                    o_totalprice=100.0 * (c % 7 + 1),
+                    o_orderdate=day,
+                    o_orderpriority="1-URGENT",
+                )
+            )
+    # one late anchor order pins corpus_max far from the churned group
+    rows.append(
+        Row(
+            o_orderkey=key + 1,
+            o_custkey=9999,
+            o_orderstatus="F",
+            o_totalprice=100.0,
+            o_orderdate=dt.datetime(2001, 6, 1),
+            o_orderpriority="1-URGENT",
+        )
+    )
+    return rows
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    df = spark.createDataFrame(_orders_rows())
+    got = analytics.bootstrap_order_mean_ci(df).collect()[0]
+    assert got.ci_lo <= got.point_mean <= got.ci_hi
+    assert got.ci_lo < got.ci_hi  # a real interval, not a point
+    assert got.n_replicates == 100
+
+
+def test_churn_hazard_monotone_and_censoring_respected(spark):
+    df = spark.createDataFrame(_orders_rows())
+    rows = analytics.customer_churn_hazard(df).collect()
+    hazards = [r.cum_hazard for r in rows]
+    assert hazards == sorted(hazards)  # cumulative => nondecreasing
+    assert all(r.n_churned <= r.n_at_risk for r in rows)
+    # at-risk counts shrink as lifetime grows
+    at_risk = [r.n_at_risk for r in rows]
+    assert at_risk == sorted(at_risk, reverse=True)
+
+
+def test_acf_of_constant_series_is_one(spark):
+    # identical revenue every day -> dev=0 … degenerate; use an
+    # alternating series instead: ACF(2) must exceed ACF(1)
+    rows = []
+    for d in range(30):
+        rows.append(
+            Row(
+                o_orderkey=d + 1,
+                o_custkey=1,
+                o_orderstatus="F",
+                o_totalprice=100.0 if d % 2 == 0 else 900.0,
+                o_orderdate=dt.datetime(2000, 1, 1) + dt.timedelta(days=d),
+                o_orderpriority="1-URGENT",
+            )
+        )
+    got = {r.lag: r.acf for r in
+           analytics.daily_revenue_acf(spark.createDataFrame(rows)).collect()}
+    assert got[2] > 0.9  # period-2 series: strong positive at lag 2
+    assert got[1] < -0.9  # and strong negative at lag 1
+
+
+def test_auc_of_perfectly_separating_score(spark):
+    # churned customers all have fewer orders than retained ones ->
+    # (negated) order count separates perfectly; AUC of raw count ~ 0
+    rows = []
+    key = 0
+    for c in range(1, 21):
+        churned = c <= 10
+        n_ord = 1 if churned else 5
+        for j in range(n_ord):
+            key += 1
+            rows.append(
+                Row(
+                    o_orderkey=key,
+                    o_custkey=c,
+                    o_orderstatus="F",
+                    o_totalprice=100.0,
+                    # retained customers order right up to corpus_max
+                    o_orderdate=dt.datetime(2000, 1, 1 + j)
+                    if churned
+                    else dt.datetime(2001, 5, 20 + j),
+                    o_orderpriority="1-URGENT",
+                )
+            )
+    # corpus-max anchor gets 5 orders so its score ties the retained
+    # group, keeping the separation perfect
+    for j in range(5):
+        rows.append(
+            Row(o_orderkey=key + 1 + j, o_custkey=999, o_orderstatus="F",
+                o_totalprice=100.0,
+                o_orderdate=dt.datetime(2001, 5, 28 + (j % 3)),
+                o_orderpriority="1-URGENT"))
+    got = analytics.churn_score_auc(spark.createDataFrame(rows)).collect()[0]
+    # high order count => retained, so as a CHURN score it inverts
+    assert got.auc == 0.0
+    assert got.gini == -1.0
+    assert got.n_pos == 10
+
+
+def test_conformal_coverage_at_least_nominal(spark):
+    df = spark.createDataFrame(_orders_rows(n=80))
+    got = analytics.conformal_order_intervals(df).collect()[0]
+    assert got.empirical_coverage >= 0.9
+    assert got.halfwidth_usd > 0
+    assert got.n_train + got.n_cal <= 80 * 3 + 1
+
+
+def test_psi_zero_for_identical_halves_shape(spark):
+    # md5 halves of one homogeneous distribution: PSI must be tiny
+    rows = [
+        Row(o_orderkey=i, o_custkey=1, o_orderstatus="F",
+            o_totalprice=float(100 + (i * 37) % 500),
+            o_orderdate=dt.datetime(2000, 1, 1),
+            o_orderpriority="1-URGENT")
+        for i in range(1, 2001)
+    ]
+    got = analytics.feature_psi_drift(spark.createDataFrame(rows)).collect()[0]
+    assert got.psi < 0.05  # same-distribution halves: no drift signal
+    assert got.n_first_half + got.n_second_half == 2000
