@@ -3754,3 +3754,70 @@ def score_calibration_report(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_scores_eval"),
         F.sum("n_eval").cast("long").alias("n_eval_customers"),
     )
+
+
+def copurchase_hitrate(lineitem: DataFrame) -> DataFrame:
+    """Hit-rate@1 of the co-occurrence recommender — the end-to-end
+    eval protocol for "customers who bought X also bought Y": train
+    pair counts on the md5-even half of orders, recommend each item's
+    top co-item (argmax count, ties → lowest part key), then score on
+    the held-out odd half: a recommendation hits when the recommended
+    part appears in the same held-out basket. This is the
+    leakage-free measurement loop a recommender ships with.
+
+    Scale shape: the pair 'self-join' is keyed on l_orderkey with
+    fan-out bounded by basket size (≤ 7 TPC-H lineitems), never
+    parts×parts; the recommendation table is one argmax groupBy; the
+    eval is two keyed equi-joins (item→rec on part, hit probe on
+    orderkey+part). Nothing nested-loop, nothing global-sorted.
+    """
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("l_orderkey").cast("string")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    items = lineitem.select(
+        "l_orderkey", "l_partkey", half.alias("half")
+    ).distinct()
+    train = items.filter(F.col("half") == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    ev = items.filter(F.col("half") == 1).select("l_orderkey", "l_partkey")
+    a = train.withColumnRenamed("l_partkey", "pa")
+    b = train.withColumnRenamed("l_partkey", "pb")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    recs = pairs.groupBy("pa").agg(
+        F.max_by("pb", F.struct(F.col("n"), -F.col("pb"))).alias("rec")
+    )
+    scored = ev.join(recs, ev.l_partkey == recs.pa, "inner").select(
+        "l_orderkey", "l_partkey", "rec"
+    )
+    basket = ev.select(
+        F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("bp")
+    )
+    hits = scored.join(
+        basket,
+        (F.col("l_orderkey") == F.col("bo")) & (F.col("rec") == F.col("bp")),
+        "left",
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_evaluable"),
+        F.sum(F.when(F.col("bp").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        _floor_round(
+            F.sum(F.when(F.col("bp").isNotNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hit_rate"),
+    )

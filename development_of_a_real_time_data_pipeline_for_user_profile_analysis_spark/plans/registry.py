@@ -6013,6 +6013,47 @@ def q_score_calibration_report(spark, sf_dir):
     return analytics.score_calibration_report(_t(spark, sf_dir, "orders"))
 
 
+@query(
+    "copurchase_hitrate",
+    """WITH it AS (
+         SELECT DISTINCT l_orderkey, l_partkey,
+                CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                         1, 8) AS UBIGINT) AS BIGINT)
+                  % 2 AS half
+         FROM lineitem),
+       tr AS (SELECT l_orderkey, l_partkey FROM it WHERE half = 0),
+       ev AS (SELECT l_orderkey, l_partkey FROM it WHERE half = 1),
+       pairs AS (
+         SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+         FROM tr a JOIN tr b USING (l_orderkey)
+         WHERE a.l_partkey != b.l_partkey
+         GROUP BY 1, 2),
+       recs AS (
+         SELECT pa, pb AS rec FROM (
+           SELECT pa, pb,
+                  row_number() OVER (PARTITION BY pa
+                      ORDER BY n DESC, pb ASC) AS rk
+           FROM pairs) WHERE rk = 1),
+       scored AS (
+         SELECT ev.l_orderkey, ev.l_partkey, recs.rec
+         FROM ev JOIN recs ON ev.l_partkey = recs.pa),
+       hits AS (
+         SELECT s.l_orderkey, s.rec, b.l_partkey AS bp
+         FROM scored s LEFT JOIN ev b
+           ON s.l_orderkey = b.l_orderkey AND s.rec = b.l_partkey)
+       SELECT count(*) AS n_evaluable,
+              CAST(sum(CASE WHEN bp IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits,
+              floor(sum(CASE WHEN bp IS NOT NULL THEN 1 ELSE 0 END)
+                    / count(*) * 1000000 + 0.5) / 1000000.0 AS hit_rate
+       FROM hits""",
+)
+def q_copurchase_hitrate(spark, sf_dir):
+    """Hit-rate@1 of the co-occurrence recommender on held-out
+    baskets — train on md5-even orders, score on the odd half."""
+    return analytics.copurchase_hitrate(_t(spark, sf_dir, "lineitem"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -713,3 +713,13 @@ def test_calibration_train_eval_pivot_is_one_pass(spark, sf_dir):
     assert plan.count("hashpartitioning(s#") == 1
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" not in plan  # no join anywhere
+
+
+def test_copurchase_eval_keyed_joins_only(spark, sf_dir):
+    """Pair generation rides the l_orderkey key (basket-bounded
+    fan-out), recommendations are an argmax groupBy, and both eval
+    joins are equi-joins — nothing nested-loop, no global sort."""
+    plan = _plan(spark, "copurchase_hitrate", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" not in plan
