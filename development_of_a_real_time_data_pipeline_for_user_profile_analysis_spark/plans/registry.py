@@ -6054,6 +6054,36 @@ def q_copurchase_hitrate(spark, sf_dir):
     return analytics.copurchase_hitrate(_t(spark, sf_dir, "lineitem"))
 
 
+@query(
+    "streaming_drift_monitor",
+    """WITH base AS (
+         SELECT event_type,
+                floor(avg(value) * 100 + 0.5) / 100.0 AS mu,
+                floor(stddev_samp(value) * 100 + 0.5) / 100.0 AS sigma
+         FROM events GROUP BY 1),
+       w AS (
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+                event_type,
+                count(*) AS n_events,
+                floor(avg(value) * 100 + 0.5) / 100.0 AS mean_value
+         FROM events GROUP BY 1, 2)
+       SELECT w.day_start, w.event_type, w.n_events, w.mean_value,
+              abs(w.mean_value - b.mu) > 2 * b.sigma AS alert
+       FROM w JOIN base b USING (event_type)""",
+)
+def q_streaming_drift_monitor(spark, sf_dir):
+    """Streaming windowed drift monitor against a static baseline —
+    stream-static broadcast join riding through the day-window
+    aggregate (streaming/pipeline.py:drift_monitor_stream)."""
+    from ..streaming.pipeline import drift_monitor_stream
+
+    return _run_to_memory(
+        drift_monitor_stream(
+            _events_stream(spark, sf_dir), load_table(spark, sf_dir, "events")
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

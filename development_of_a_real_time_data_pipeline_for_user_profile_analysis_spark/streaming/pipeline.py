@@ -337,3 +337,48 @@ def sessionized_stream(
             "n_events",
         )
     )
+
+
+def drift_monitor_stream(
+    events: DataFrame, baseline_events: DataFrame
+) -> DataFrame:
+    """Streaming distribution-drift monitor: per (day, event_type)
+    tumbling-window mean of `value` flagged against a STATIC training
+    baseline (per-type mean/σ from the batch table) — the streaming
+    twin of the batch CUSUM/PSI monitors, catching a feed whose value
+    distribution shifts mid-stream.
+
+    The baseline joins the stream BEFORE aggregation (stream-static
+    broadcast join — joining after a streaming aggregation is not
+    allowed in complete mode), then rides through the window
+    aggregate as max() of a per-type constant. All compared values
+    are 2-dp quantized so the alert flag is engine-portable.
+    """
+    base = baseline_events.groupBy("event_type").agg(
+        (F.floor(F.avg("value") * 100 + 0.5).cast("long") / 100.0).alias(
+            "mu"
+        ),
+        (
+            F.floor(F.stddev_samp("value") * 100 + 0.5).cast("long") / 100.0
+        ).alias("sigma"),
+    )
+    joined = events.join(F.broadcast(base), "event_type")
+    win = joined.groupBy(
+        F.window("ts", "1 day").alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.floor(F.avg("value") * 100 + 0.5).cast("long") / 100.0).alias(
+            "mean_value"
+        ),
+        F.max("mu").alias("mu"),
+        F.max("sigma").alias("sigma"),
+    )
+    return win.select(
+        F.col("w.start").alias("day_start"),
+        "event_type",
+        "n_events",
+        "mean_value",
+        (F.abs(F.col("mean_value") - F.col("mu")) > 2 * F.col("sigma")).alias(
+            "alert"
+        ),
+    )
