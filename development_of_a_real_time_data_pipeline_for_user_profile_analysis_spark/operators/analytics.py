@@ -311,6 +311,26 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
+# Shared defaults for the churn/bootstrap statistical family. The SQL
+# oracles in plans/registry.py interpolate THESE values (f-strings),
+# so changing a default here keeps operator and oracle in lockstep —
+# a hand-edited literal on one side can no longer desync the parity
+# gate (ADVICE r3).
+CHURN_HORIZON_DAYS = 90
+BOOTSTRAP_REPS = 100
+
+
+def bootstrap_ci_ranks(n_reps: int) -> tuple[int, int]:
+    """Percentile-bootstrap 95% CI ranks, standard convention:
+    lo = ceil((R+1)·0.025), hi = floor((R+1)·0.975) — symmetric
+    (drops the same replicate mass on both tails; for R=100 that is
+    ranks 3 and 98). Shared by the operator and its SQL oracle."""
+    import math
+
+    lo = max(1, math.ceil((n_reps + 1) * 0.025))
+    hi = min(n_reps, math.floor((n_reps + 1) * 0.975))
+    return lo, hi
+
 
 def event_type_pivot(events: DataFrame) -> DataFrame:
     """PIVOT with an explicit value list (no extra distinct-scan job);
@@ -3198,7 +3218,9 @@ def revenue_cusum_alerts(orders: DataFrame) -> DataFrame:
     ).orderBy("day")
 
 
-def bootstrap_order_mean_ci(orders: DataFrame, n_reps: int = 100) -> DataFrame:
+def bootstrap_order_mean_ci(
+    orders: DataFrame, n_reps: int = BOOTSTRAP_REPS
+) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean order value — the
     distributed bootstrap (Chamandy et al., "Estimating Uncertainty
     for Massive Data Streams", Google 2012): instead of resampling n
@@ -3266,8 +3288,9 @@ def bootstrap_order_mean_ci(orders: DataFrame, n_reps: int = 100) -> DataFrame:
             "rank"
         ),
     )
-    lo_rank = max(1, int(n_reps * 0.025))
-    hi_rank = min(n_reps, int(n_reps * 0.975) + 1)
+    # standard percentile-bootstrap ranks: ceil((R+1)·α/2) /
+    # floor((R+1)·(1−α/2)) — symmetric tails (3/98 for R=100)
+    lo_rank, hi_rank = bootstrap_ci_ranks(n_reps)
     ci = ranked.agg(
         F.max(F.when(F.col("rank") == lo_rank, F.col("mean_r"))).alias("ci_lo"),
         F.max(F.when(F.col("rank") == hi_rank, F.col("mean_r"))).alias("ci_hi"),
@@ -3282,7 +3305,9 @@ def bootstrap_order_mean_ci(orders: DataFrame, n_reps: int = 100) -> DataFrame:
     )
 
 
-def customer_churn_hazard(orders: DataFrame, horizon_days: int = 90) -> DataFrame:
+def customer_churn_hazard(
+    orders: DataFrame, horizon_days: int = CHURN_HORIZON_DAYS
+) -> DataFrame:
     """Nelson–Aalen cumulative-hazard curve for customer churn —
     survival analysis with right-censoring done exactly: a customer's
     observed lifetime is first→last order; customers still active in
@@ -3381,7 +3406,11 @@ def daily_revenue_acf(orders: DataFrame, max_lag: int = 7) -> DataFrame:
     )
 
 
-def logistic_churn_gd(orders: DataFrame, n_steps: int = 3) -> DataFrame:
+def logistic_churn_gd(
+    orders: DataFrame,
+    n_steps: int = 3,
+    horizon_days: int = CHURN_HORIZON_DAYS,
+) -> DataFrame:
     """Distributed logistic regression by full-batch gradient descent
     — churn (no order in the last 90 days) on two standardized
     behavioral features (order count, total spend). Each step is one
@@ -3406,7 +3435,7 @@ def logistic_churn_gd(orders: DataFrame, n_steps: int = 3) -> DataFrame:
     labeled = per_cust.crossJoin(F.broadcast(bounds)).select(
         F.col("n_orders").cast("double").alias("f1"),
         F.col("spend").alias("f2"),
-        (F.datediff("corpus_max", "last_day") > 90).cast("double").alias("y"),
+        (F.datediff("corpus_max", "last_day") > F.lit(horizon_days)).cast("double").alias("y"),
     )
     st = labeled.agg(
         _floor_round(F.avg("f1"), 6).alias("m1"),
@@ -3461,7 +3490,9 @@ def logistic_churn_gd(orders: DataFrame, n_steps: int = 3) -> DataFrame:
     )
 
 
-def churn_score_auc(orders: DataFrame, horizon_days: int = 90) -> DataFrame:
+def churn_score_auc(
+    orders: DataFrame, horizon_days: int = CHURN_HORIZON_DAYS
+) -> DataFrame:
     """Exact ROC AUC of order count as a churn score — the
     Mann–Whitney rank-sum form with average ranks for ties:
     AUC = (R⁺ − P(P+1)/2) / (P·N) where R⁺ is the sum of the
@@ -3505,8 +3536,14 @@ def churn_score_auc(orders: DataFrame, horizon_days: int = 90) -> DataFrame:
         F.sum("n").alias("t"),
         F.count(F.lit(1)).alias("n_scores"),
     )
-    auc = (F.col("r_pos") - F.col("p") * (F.col("p") + 1) / F.lit(2.0)) / (
-        F.col("p") * (F.col("t") - F.col("p"))
+    # AUC is undefined on a single-class corpus (no churned, or no
+    # retained, customers): return an INTENTIONAL NULL rather than
+    # the incidental NULL a 0-denominator would produce — callers see
+    # n_pos/n_neg alongside and can tell why (ADVICE r3).
+    auc = F.when(
+        (F.col("p") > 0) & (F.col("t") > F.col("p")),
+        (F.col("r_pos") - F.col("p") * (F.col("p") + 1) / F.lit(2.0))
+        / (F.col("p") * (F.col("t") - F.col("p"))),
     )
     return tot.select(
         _floor_round(auc, 6).alias("auc"),
@@ -3517,7 +3554,9 @@ def churn_score_auc(orders: DataFrame, horizon_days: int = 90) -> DataFrame:
     )
 
 
-def kfold_churn_baseline(orders: DataFrame, k: int = 5) -> DataFrame:
+def kfold_churn_baseline(
+    orders: DataFrame, k: int = 5, horizon_days: int = CHURN_HORIZON_DAYS
+) -> DataFrame:
     """K-fold cross-validated Brier score of the mean-rate baseline
     churn predictor — the evaluation-protocol floor every real model
     must beat. Folds are deterministic (md5(custkey) mod k, the same
@@ -3540,7 +3579,7 @@ def kfold_churn_baseline(orders: DataFrame, k: int = 5) -> DataFrame:
     )
     labeled = per_cust.crossJoin(F.broadcast(bounds)).select(
         fold.alias("fold"),
-        (F.datediff("corpus_max", "last_day") > 90).cast("long").alias("y"),
+        (F.datediff("corpus_max", "last_day") > F.lit(horizon_days)).cast("long").alias("y"),
     )
     per_fold = labeled.groupBy("fold").agg(
         F.count(F.lit(1)).alias("c"), F.sum("y").alias("s")
@@ -3694,7 +3733,9 @@ def conformal_order_intervals(orders: DataFrame) -> DataFrame:
     )
 
 
-def score_calibration_report(orders: DataFrame) -> DataFrame:
+def score_calibration_report(
+    orders: DataFrame, horizon_days: int = CHURN_HORIZON_DAYS
+) -> DataFrame:
     """Reliability audit of the order-count churn score: the md5-even
     customer half trains a per-score churn rate (Laplace-smoothed),
     the odd half evaluates it, and the report is the expected
@@ -3723,7 +3764,7 @@ def score_calibration_report(orders: DataFrame) -> DataFrame:
     labeled = per_cust.crossJoin(F.broadcast(bounds)).select(
         half.alias("half"),
         "s",
-        (F.datediff("corpus_max", "last_day") > 90).cast("long").alias("y"),
+        (F.datediff("corpus_max", "last_day") > F.lit(horizon_days)).cast("long").alias("y"),
     )
     # train/eval pivot as conditional sums in ONE per-score aggregate
     # — filtering `labeled` twice and joining back would recompute

@@ -147,6 +147,45 @@ def q_kafka_wire_profiles(spark, sf_dir):
 
 
 @query(
+    "kafka_wire_roundtrip",
+    "WITH "
+    + synthetic.profiles_oracle_cte(
+        f"SELECT CAST(x AS BIGINT) AS k FROM generate_series(1, {_USERFEED_N}) t(x)"
+    )
+    + f" SELECT {_PROFILE_COLS} FROM profiles",
+)
+def q_kafka_wire_roundtrip(spark, sf_dir):
+    """K4's producer-sink wire contract closed offline the way S1's
+    was (VERDICT r3 #1): the unchanged ETL curates the Kafka wire
+    feed, `producer_wire_records` serializes every row to the exact
+    producer record shape (key = id bytes, value = canonical JSON
+    bytes — reference producer.py:40-42's role, but keyed), the
+    records land in a parquet wire log (the offline broker stand-in),
+    and `reingest_wire_log` consumes them back with a BYTE-FOR-BYTE
+    verify: a row survives only if re-serializing the parsed struct
+    reproduces the wire value bytes and the wire key equals the id.
+    The oracle expects ALL curated profiles, so any producer/consumer
+    serialization drift drops rows and turns this entry red. The real
+    broker write is `.format("kafka")` (streaming/pipeline.py:71-91).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from ..streaming import pipeline as _pipe
+
+    wire = userfeed.read_kafka_wire(spark, _USERFEED_N)
+    curated = etl.curate_profiles(etl.parse_envelopes(wire))
+    records = _pipe.producer_wire_records(curated)
+    tag = hashlib.md5(f"{sf_dir}:{_USERFEED_N}".encode()).hexdigest()[:12]
+    log_dir = os.path.join(
+        tempfile.gettempdir(), f"kafka_wire_log_{tag}"
+    )
+    records.write.mode("overwrite").parquet(log_dir)
+    return _pipe.reingest_wire_log(spark, log_dir, curated.schema)
+
+
+@query(
     "profiles_na_drop",
     _with_profiles(
         f"SELECT {_PROFILE_COLS} FROM profiles WHERE "
@@ -5600,12 +5639,16 @@ def q_hashed_doc_vectors(spark, sf_dir):
     return text.hashed_doc_vectors(_t(spark, sf_dir, "documents"))
 
 
+# percentile-bootstrap CI ranks shared with the operator (ADVICE r3)
+_BS_LO, _BS_HI = analytics.bootstrap_ci_ranks(analytics.BOOTSTRAP_REPS)
+
+
 @query(
     "bootstrap_order_mean_ci",
-    """WITH rr AS (
+    f"""WITH rr AS (
          SELECT CAST(o_orderkey AS VARCHAR) AS k,
                 floor(o_totalprice * 100 + 0.5) / 100.0 AS x, b, j
-         FROM orders, range(25) tb(b), range(4) tj(j)),
+         FROM orders, range({analytics.BOOTSTRAP_REPS // 4}) tb(b), range(4) tj(j)),
        wts AS (
          SELECT b * 4 + j AS r, x,
                 CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
@@ -5626,15 +5669,15 @@ def q_hashed_doc_vectors(spark, sf_dir):
          SELECT mean_r, row_number() OVER (ORDER BY mean_r, r) AS rk
          FROM per_rep),
        ci AS (
-         SELECT max(CASE WHEN rk = 2 THEN mean_r END) AS ci_lo,
-                max(CASE WHEN rk = 98 THEN mean_r END) AS ci_hi
+         SELECT max(CASE WHEN rk = {_BS_LO} THEN mean_r END) AS ci_lo,
+                max(CASE WHEN rk = {_BS_HI} THEN mean_r END) AS ci_hi
          FROM ranked),
        pt AS (SELECT floor(avg(floor(o_totalprice * 100 + 0.5) / 100.0)
                            * 10000 + 0.5) / 10000.0 AS point_mean,
                      count(*) AS n_orders
               FROM orders)
        SELECT point_mean, ci_lo, ci_hi, n_orders,
-              CAST(100 AS BIGINT) AS n_replicates
+              CAST({analytics.BOOTSTRAP_REPS} AS BIGINT) AS n_replicates
        FROM pt CROSS JOIN ci""",
 )
 def q_bootstrap_order_mean_ci(spark, sf_dir):
@@ -5645,7 +5688,7 @@ def q_bootstrap_order_mean_ci(spark, sf_dir):
 
 @query(
     "customer_churn_hazard",
-    """WITH pc AS (
+    f"""WITH pc AS (
          SELECT o_custkey,
                 min(CAST(o_orderdate AS DATE)) AS first_day,
                 max(CAST(o_orderdate AS DATE)) AS last_day
@@ -5654,7 +5697,7 @@ def q_bootstrap_order_mean_ci(spark, sf_dir):
              FROM orders),
        life AS (
          SELECT date_diff('day', first_day, last_day) AS t,
-                CASE WHEN date_diff('day', last_day, corpus_max) > 90
+                CASE WHEN date_diff('day', last_day, corpus_max) > {analytics.CHURN_HORIZON_DAYS}
                      THEN 1 ELSE 0 END AS event
          FROM pc CROSS JOIN b),
        per_t AS (SELECT t, sum(event) AS d, count(*) AS c
@@ -5719,14 +5762,14 @@ def q_daily_revenue_acf(spark, sf_dir):
 
 @query(
     "logistic_churn_model",
-    """WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
+    f"""WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
                   FROM orders),
        pc AS (SELECT o_custkey, count(*) AS n_orders,
                      floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS spend,
                      max(CAST(o_orderdate AS DATE)) AS last_day
               FROM orders GROUP BY 1),
        lab AS (SELECT CAST(n_orders AS DOUBLE) AS f1, spend AS f2,
-                      CASE WHEN date_diff('day', last_day, corpus_max) > 90
+                      CASE WHEN date_diff('day', last_day, corpus_max) > {analytics.CHURN_HORIZON_DAYS}
                            THEN 1.0 ELSE 0.0 END AS y
                FROM pc CROSS JOIN b),
        st AS (SELECT
@@ -5796,13 +5839,13 @@ def q_logistic_churn_model(spark, sf_dir):
 
 @query(
     "churn_score_auc",
-    """WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
+    f"""WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
                   FROM orders),
        pc AS (SELECT o_custkey, count(*) AS s,
                      max(CAST(o_orderdate AS DATE)) AS last_day
               FROM orders GROUP BY 1),
        lab AS (SELECT s,
-                      CASE WHEN date_diff('day', last_day, corpus_max) > 90
+                      CASE WHEN date_diff('day', last_day, corpus_max) > {analytics.CHURN_HORIZON_DAYS}
                            THEN 1 ELSE 0 END AS y
                FROM pc CROSS JOIN b),
        per_s AS (SELECT s, count(*) AS n, sum(y) AS npos
@@ -5815,10 +5858,12 @@ def q_logistic_churn_model(spark, sf_dir):
        tot AS (SELECT sum(npos * avg_rank) AS r_pos, sum(npos) AS p,
                       sum(n) AS t, count(*) AS n_scores
                FROM rk)
-       SELECT floor(((r_pos - p * (p + 1) / 2.0) / (p * (t - p)))
+       SELECT floor(CASE WHEN p > 0 AND t > p THEN
+                      (r_pos - p * (p + 1) / 2.0) / (p * (t - p)) END
                     * 1000000 + 0.5) / 1000000.0 AS auc,
-              floor((2 * ((r_pos - p * (p + 1) / 2.0) / (p * (t - p))) - 1)
-                    * 1000000 + 0.5) / 1000000.0 AS gini,
+              floor(CASE WHEN p > 0 AND t > p THEN
+                      2 * ((r_pos - p * (p + 1) / 2.0) / (p * (t - p))) - 1
+                    END * 1000000 + 0.5) / 1000000.0 AS gini,
               CAST(p AS BIGINT) AS n_pos,
               CAST(t - p AS BIGINT) AS n_neg,
               CAST(n_scores AS BIGINT) AS n_distinct_scores
@@ -5832,7 +5877,7 @@ def q_churn_score_auc(spark, sf_dir):
 
 @query(
     "kfold_churn_baseline",
-    """WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
+    f"""WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
                   FROM orders),
        pc AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day
               FROM orders GROUP BY 1),
@@ -5840,7 +5885,7 @@ def q_churn_score_auc(spark, sf_dir):
                  CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
                                           1, 8) AS UBIGINT) AS BIGINT)
                    % 5 AS fold,
-                 CASE WHEN date_diff('day', last_day, corpus_max) > 90
+                 CASE WHEN date_diff('day', last_day, corpus_max) > {analytics.CHURN_HORIZON_DAYS}
                       THEN 1 ELSE 0 END AS y
                FROM pc CROSS JOIN b),
        pf AS (SELECT fold, count(*) AS c, sum(y) AS s
@@ -5976,7 +6021,7 @@ def q_conformal_order_intervals(spark, sf_dir):
 
 @query(
     "score_calibration_report",
-    """WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
+    f"""WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS corpus_max
                   FROM orders),
        pc AS (SELECT o_custkey, count(*) AS s,
                      max(CAST(o_orderdate AS DATE)) AS last_day
@@ -5986,7 +6031,7 @@ def q_conformal_order_intervals(spark, sf_dir):
                                           1, 8) AS UBIGINT) AS BIGINT)
                    % 2 AS half,
                  s,
-                 CASE WHEN date_diff('day', last_day, corpus_max) > 90
+                 CASE WHEN date_diff('day', last_day, corpus_max) > {analytics.CHURN_HORIZON_DAYS}
                       THEN 1 ELSE 0 END AS y
                FROM pc CROSS JOIN b),
        tr AS (SELECT s, floor((sum(y) + 1) / (count(*) + 2)
@@ -6068,8 +6113,9 @@ def q_copurchase_hitrate(spark, sf_dir):
                 floor(avg(value) * 100 + 0.5) / 100.0 AS mean_value
          FROM events GROUP BY 1, 2)
        SELECT w.day_start, w.event_type, w.n_events, w.mean_value,
-              abs(w.mean_value - b.mu) > 2 * b.sigma AS alert
-       FROM w JOIN base b USING (event_type)""",
+              b.mu IS NULL AS baseline_missing,
+              coalesce(abs(w.mean_value - b.mu) > 2 * b.sigma, TRUE) AS alert
+       FROM w LEFT JOIN base b USING (event_type)""",
 )
 def q_streaming_drift_monitor(spark, sf_dir):
     """Streaming windowed drift monitor against a static baseline —
@@ -6105,6 +6151,7 @@ DRIVER_PRIORITY = [
     # reference-parity ETL + dashboard core
     "etl_curate_profiles",
     "kafka_wire_profiles",  # r3: Kafka wire-contract ETL (S1 column contract)
+    "kafka_wire_roundtrip",  # r4: K4 producer-sink wire twin (byte-for-byte)
     "profiles_pseudonymized",
     "latest_order_asof_events",
     "gender_distribution",
@@ -6144,7 +6191,6 @@ DRIVER_PRIORITY = [
     "near_dedup_minhash",
     "ngram_jaccard_dupes",
     "near_dup_clusters",
-    "cluster_canonicals",
     "simhash_dupes",
     "profiles_upsert",
     "embedding_near_dupes",
@@ -6160,6 +6206,7 @@ DRIVER_PRIORITY = [
     # r3 third wave: model-based quality scoring, data-quality audit
     "unigram_logprob_quality",
     "referential_integrity_report",
+    "cluster_canonicals",  # r4: rotated out of the 50-window (family rep stays: near_dup_clusters); QUERIES.md
 ]
 
 

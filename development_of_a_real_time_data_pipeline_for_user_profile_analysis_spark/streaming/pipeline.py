@@ -91,6 +91,70 @@ def write_kafka_sink(
     )
 
 
+PRODUCER_TOPIC = "user_profiles_curated"
+
+
+def producer_wire_records(
+    curated: DataFrame, topic: str = PRODUCER_TOPIC
+) -> DataFrame:
+    """K4 producer-side serialization (reference producer.py:40-42
+    role): curated rows → the exact record shape the spark-sql-kafka
+    producer sink ships — ``key`` = profile id bytes (keying by id
+    gives per-user partition affinity and log-compaction upserts,
+    unlike the reference's unkeyed sends), ``value`` = canonical JSON
+    bytes of the full row (Spark ``to_json``: struct field order,
+    nulls omitted — deterministic, so the wire bytes are a contract,
+    not an accident), plus the destination ``topic``.
+
+    With the connector jar present the broker write is exactly
+    ``records.writeStream.format("kafka")`` (write_kafka_sink above);
+    offline, ``write_wire_log`` persists the same records to a
+    parquet "wire log" whose re-ingest is oracle-checked byte-for-byte
+    by the ``kafka_wire_roundtrip`` registry query."""
+    return curated.select(
+        F.col("id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*curated.columns)).cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+    )
+
+
+def write_wire_log_stream(
+    records: DataFrame, path: str, checkpoint_dir: str
+):
+    """Streaming wire-log sink: the K4 producer path with the broker
+    swapped for parquet — same (key, value, topic) records, same
+    checkpointed offsets, so the only delta to a real deployment is
+    ``.format("kafka")`` + broker options."""
+    return (
+        records.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def reingest_wire_log(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Consumer side of the curated topic: wire records → typed rows,
+    VERIFIED byte-for-byte — a row survives only if re-serializing the
+    parsed struct reproduces the exact wire value bytes and the wire
+    key equals the parsed id. Any drift between producer
+    serialization and consumer parse (field order, type coercion,
+    null handling, timestamp format) drops rows and turns the
+    roundtrip oracle red instead of passing silently."""
+    back = spark.read.parquet(path)
+    parsed = back.select(
+        F.col("key").cast("string").alias("wire_key"),
+        F.col("value").cast("string").alias("wire_value"),
+        F.from_json(F.col("value").cast("string"), schema).alias("p"),
+    )
+    return parsed.filter(
+        (F.to_json("p") == F.col("wire_value"))
+        & (F.col("p.id") == F.col("wire_key"))
+    ).select("p.*")
+
+
 def curated_stream(source: DataFrame) -> DataFrame:
     """Envelope stream → curated profile stream (the reference's full
     transform chain, same functions as batch)."""
@@ -353,6 +417,13 @@ def drift_monitor_stream(
     allowed in complete mode), then rides through the window
     aggregate as max() of a per-type constant. All compared values
     are 2-dp quantized so the alert flag is engine-portable.
+
+    The join is a LEFT join: an event_type never seen in training is
+    itself the strongest drift signal, so it must not be dropped —
+    it surfaces with ``baseline_missing = true`` and ``alert = true``.
+    A baseline type with a single training row has NULL stddev_samp;
+    its comparison is indeterminate, so the alert coalesces to true
+    (fail-loud) rather than riding through as NULL (ADVICE r3).
     """
     base = baseline_events.groupBy("event_type").agg(
         (F.floor(F.avg("value") * 100 + 0.5).cast("long") / 100.0).alias(
@@ -362,7 +433,7 @@ def drift_monitor_stream(
             F.floor(F.stddev_samp("value") * 100 + 0.5).cast("long") / 100.0
         ).alias("sigma"),
     )
-    joined = events.join(F.broadcast(base), "event_type")
+    joined = events.join(F.broadcast(base), "event_type", "left")
     win = joined.groupBy(
         F.window("ts", "1 day").alias("w"), F.col("event_type")
     ).agg(
@@ -378,7 +449,9 @@ def drift_monitor_stream(
         "event_type",
         "n_events",
         "mean_value",
-        (F.abs(F.col("mean_value") - F.col("mu")) > 2 * F.col("sigma")).alias(
-            "alert"
-        ),
+        F.col("mu").isNull().alias("baseline_missing"),
+        F.coalesce(
+            F.abs(F.col("mean_value") - F.col("mu")) > 2 * F.col("sigma"),
+            F.lit(True),
+        ).alias("alert"),
     )

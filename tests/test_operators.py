@@ -1900,3 +1900,25 @@ def test_psi_zero_for_identical_halves_shape(spark):
     got = analytics.feature_psi_drift(spark.createDataFrame(rows)).collect()[0]
     assert got.psi < 0.05  # same-distribution halves: no drift signal
     assert got.n_first_half + got.n_second_half == 2000
+
+
+def test_bootstrap_ci_ranks_standard_convention():
+    # percentile bootstrap: ceil((R+1)*0.025) / floor((R+1)*0.975) —
+    # symmetric tails (ADVICE r3: 2/98 dropped unequal mass)
+    assert analytics.bootstrap_ci_ranks(100) == (3, 98)
+    assert analytics.bootstrap_ci_ranks(1000) == (26, 975)
+
+
+def test_churn_auc_single_class_is_intentional_null(spark):
+    # every customer orders right at corpus_max -> zero churned ->
+    # AUC undefined; the guard returns an explicit NULL, with
+    # n_pos/n_neg telling the caller why (ADVICE r3)
+    rows = [
+        Row(o_orderkey=i, o_custkey=i, o_orderstatus="F",
+            o_totalprice=100.0, o_orderdate=dt.datetime(2001, 6, 1),
+            o_orderpriority="1-URGENT")
+        for i in range(1, 6)
+    ]
+    got = analytics.churn_score_auc(spark.createDataFrame(rows)).collect()[0]
+    assert got.auc is None and got.gini is None
+    assert got.n_pos == 0 and got.n_neg == 5

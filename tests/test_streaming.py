@@ -316,3 +316,79 @@ def test_foreachbatch_incremental_rollup_maintenance(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_drift_monitor_flags_unseen_type_and_null_sigma_baseline(
+    spark, tmp_path
+):
+    """An event_type absent from the training baseline is the
+    strongest drift signal: it must SURVIVE the baseline join
+    (left join) with baseline_missing=true and alert=true; a
+    baseline type with one training row (NULL stddev_samp) must
+    alert loudly, not emit a NULL flag (ADVICE r3)."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    baseline = spark.createDataFrame(
+        [Row(event_type="view", value=float(v), ts=t0) for v in (1, 2, 3)]
+        + [Row(event_type="solo", value=5.0, ts=t0)]  # 1 row -> NULL sigma
+    )
+    stream_rows = [
+        Row(event_id=1, ts=t0, user_id=1, event_type="view", value=2.0),
+        Row(event_id=2, ts=t0, user_id=1, event_type="solo", value=5.0),
+        Row(event_id=3, ts=t0, user_id=1, event_type="brand_new", value=9.0),
+    ]
+    src = str(tmp_path / "drift_src")
+    spark.createDataFrame(stream_rows).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    ).parquet(src)
+    out = pipeline.drift_monitor_stream(stream, baseline)
+    name = "drift_mon_test"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_type: r for r in spark.table(name).collect()}
+    assert set(got) == {"view", "solo", "brand_new"}
+    assert got["brand_new"].baseline_missing and got["brand_new"].alert
+    assert not got["solo"].baseline_missing
+    assert got["solo"].alert  # NULL sigma coalesces to fail-loud
+    assert not got["view"].baseline_missing
+    assert got["view"].alert is False  # in-band type stays quiet
+
+
+def test_producer_wire_log_roundtrip_stream_matches_batch(
+    spark, stream_dirs, tmp_path
+):
+    """K4 producer sink, streaming path: curated profile stream →
+    producer_wire_records (key=id bytes, value=JSON bytes) → parquet
+    wire log with checkpointed offsets → reingest_wire_log byte-for-
+    byte verify. Every curated row must survive the roundtrip — a
+    serialization drift between producer and consumer drops rows."""
+    _feed(stream_dirs["src"], 120)
+    source = pipeline.read_envelope_file_stream(spark, stream_dirs["src"])
+    curated = pipeline.curated_stream(source)
+    records = pipeline.producer_wire_records(curated)
+    log_dir = str(tmp_path / "wire_log")
+    q = pipeline.write_wire_log_stream(
+        records, log_dir, str(tmp_path / "wire_ckpt")
+    )
+    q.awaitTermination(120)
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        etl,
+    )
+
+    batch = etl.curate_profiles(
+        etl.parse_envelopes(spark.read.text(stream_dirs["src"]))
+    )
+    back = pipeline.reingest_wire_log(spark, log_dir, batch.schema)
+    assert back.count() == batch.count() > 0
+    assert back.select("id").subtract(batch.select("id")).count() == 0
+    # wire records carry the topic + binary key contract
+    raw = spark.read.parquet(log_dir)
+    row = raw.limit(1).collect()[0]
+    assert row.topic == pipeline.PRODUCER_TOPIC
+    assert isinstance(row.key, (bytes, bytearray))
+    assert isinstance(row.value, (bytes, bytearray))
