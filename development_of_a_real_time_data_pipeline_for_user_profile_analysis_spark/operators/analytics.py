@@ -2189,7 +2189,10 @@ def monthly_revenue_ewma(orders: DataFrame, alpha_tenths: int = 2) -> DataFrame:
 
 
 def dp_noisy_counts(
-    df: DataFrame, key_col: str, epsilon: float = 1.0
+    df: DataFrame,
+    key_col: str,
+    epsilon: float = 1.0,
+    deterministic: bool = True,
 ) -> DataFrame:
     """Differentially-private count release: per-category counts with
     Laplace(1/ε) noise via the inverse-CDF transform
@@ -2198,10 +2201,16 @@ def dp_noisy_counts(
     changes one count by one). The privacy tier next to PII
     redaction in the curation surface.
 
-    TEST-MODE DETERMINISM: u derives from md5(category), so releases
-    are reproducible and oracle-checkable; a production release MUST
-    swap in fresh randomness per release (documented contract — the
-    mechanism's math and the plan are unchanged by that swap).
+    TEST-MODE DETERMINISM (``deterministic=True``, the default used
+    by the oracle-checked registry query): u derives from
+    md5(category), so releases are reproducible and oracle-checkable.
+    PRODUCTION RELEASES must pass ``deterministic=False``: u then
+    draws from fresh JVM randomness per release (``F.rand()`` with no
+    seed), which is what the ε-DP guarantee actually requires — a
+    reproducible release leaks the true counts to anyone who can
+    replay the hash. The mechanism's math and the plan shape are
+    identical on both paths (pytest covers the production path with
+    an empirical mean/variance/ε-scaling test).
     Noise is floor-quantized to 4 dp at the boundary.
 
     Scale shape: one shuffle on the category key with partial
@@ -2211,10 +2220,15 @@ def dp_noisy_counts(
     counts = df.groupBy(F.col(key_col).alias("category")).agg(
         F.count(F.lit(1)).alias("true_count")
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("category").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    u = (h + 0.5) / F.lit(4294967296.0) - 0.5
+    if deterministic:
+        h = F.conv(
+            F.substring(F.md5(F.col("category").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        u = (h + 0.5) / F.lit(4294967296.0) - 0.5
+    else:
+        # fresh uniform in (-1/2, 1/2); the (1 - 1e-12) squeeze keeps
+        # rand()=0 off the log(0) singularity
+        u = (F.rand() - 0.5) * (1.0 - 1e-12)
     lap = (
         -(1.0 / epsilon)
         * F.signum(u)
@@ -3862,3 +3876,346 @@ def copurchase_hitrate(lineitem: DataFrame) -> DataFrame:
             6,
         ).alias("hit_rate"),
     )
+
+
+def ks_two_sample_drift(orders: DataFrame, bin_usd: int = 10) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between the md5-even
+    and md5-odd halves of the order-value distribution — the classic
+    nonparametric companion to feature_psi_drift (PSI is a binned
+    divergence with a rule-of-thumb threshold; KS gives a
+    distribution-free statistic with an asymptotic critical value).
+    D = max over bins of |CDF_a − CDF_b| on $`bin_usd`-binned values
+    (binned KS never exceeds exact KS, so a binned rejection is
+    sound), compared against the α=0.05 two-sample critical value
+    c(α)·√((n+m)/nm), c(0.05)=1.358.
+
+    Scale shape: one scan feeds a conditional-sum bin pivot (same
+    one-pass device as feature_psi_drift — no outer join of halves),
+    then the CDF window and the max run over the |price range /
+    bin_usd|-row histogram, a bounded relation at any corpus size.
+    All emitted ratios floor-quantized to 6 dp.
+    """
+    half = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    binned = orders.select(
+        half.alias("half"),
+        F.floor(F.col("o_totalprice") / bin_usd).cast("long").alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    w_cdf = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cdf = per_bin.select(
+        F.sum("n_a").over(w_cdf).alias("ca"),
+        F.sum("n_b").over(w_cdf).alias("cb"),
+        F.sum("n_a").over(wall).alias("ta"),
+        F.sum("n_b").over(wall).alias("tb"),
+    )
+    gap = _floor_round(
+        F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")), 6
+    )
+    agg = cdf.select(
+        gap.alias("gap"), "ta", "tb", F.lit(1).alias("one")
+    ).groupBy("ta", "tb").agg(
+        F.max("gap").alias("ks_stat"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    crit = _floor_round(
+        1.358
+        * F.sqrt(
+            (F.col("ta") + F.col("tb")) / (F.col("ta") * F.col("tb"))
+        ),
+        6,
+    )
+    return agg.select(
+        "ks_stat",
+        crit.alias("crit_value_95"),
+        (F.col("ks_stat") > crit).alias("drift_detected"),
+        F.col("ta").cast("long").alias("n_first_half"),
+        F.col("tb").cast("long").alias("n_second_half"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+    )
+
+
+def bloom_membership_audit(
+    customer: DataFrame,
+    orders: DataFrame,
+    m_bits: int = 32768,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Distributed Bloom-filter build + false-positive audit — the
+    sketch that pre-filters a 100 TB probe side before an expensive
+    join (the relational cousin of the runtime bloom the engine's
+    plan contracts already pin): customer keys populate an m-bit
+    filter via k md5-derived positions; the probe set is every
+    ordering customer (must ALL pass — the audit asserts zero false
+    negatives, the Bloom guarantee) plus the same keys shifted past
+    the key domain (guaranteed non-members, measuring the realized
+    false-positive rate against the analytic (1−e^{−kn/m})^k).
+
+    Engine-portable: positions are md5(key:i) mod m — no native
+    bloom/xxhash, so the DuckDB oracle builds the identical filter.
+
+    Scale shape: the filter relation is ≤ m distinct positions
+    (broadcastable at any sensible m; a 10⁹-key production filter
+    shards by key range into a bitmap per executor instead — same
+    math); the build is one distinct over members×k map-side rows;
+    the probe is a broadcast semi-join per (probe, i) row plus one
+    keyed count — no shuffle of the probe corpus beyond its own
+    aggregation.
+    """
+
+    def _positions(df, key_col):
+        rows = df.select(
+            F.col(key_col).alias("key"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(k_hashes)])
+            ).alias("i"),
+        )
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("key"), F.col("i"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        return rows.select("key", "i", pos.alias("pos"))
+
+    members = customer.select(
+        F.col("c_custkey").cast("string").alias("k")
+    ).distinct()
+    bits = _positions(members, "k").select("pos").distinct()
+    probe_keys = orders.select(
+        F.col("o_custkey").cast("long").alias("pk")
+    ).distinct()
+    probes = probe_keys.select(
+        F.col("pk").cast("string").alias("k"), F.lit(True).alias("is_member")
+    ).unionByName(
+        probe_keys.select(
+            (F.col("pk") + 10000000).cast("string").alias("k"),
+            F.lit(False).alias("is_member"),
+        )
+    )
+    probed = (
+        _positions(probes, "k")
+        .withColumnRenamed("key", "k")
+        .join(probes, "k")
+        .join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("k", "is_member")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    verdicts = probes.join(probed, ["k", "is_member"], "left").select(
+        "is_member",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) == k_hashes).alias("passes"),
+    )
+    summary = verdicts.groupBy().agg(
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("passes"), 1).otherwise(0)
+        ).alias("n_false_neg"),
+        F.sum(F.when(~F.col("is_member"), 1).otherwise(0)).alias("n_neg"),
+        F.sum(
+            F.when(~F.col("is_member") & F.col("passes"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+    )
+    n_set = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    n_mem = members.agg(F.count(F.lit(1)).alias("n_members"))
+    theo = _floor_round(
+        F.pow(
+            1.0
+            - F.exp(
+                -F.lit(float(k_hashes)) * F.col("n_members") / F.lit(float(m_bits))
+            ),
+            float(k_hashes),
+        ),
+        6,
+    )
+    return (
+        summary.crossJoin(F.broadcast(n_set))
+        .crossJoin(F.broadcast(n_mem))
+        .select(
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_bits_set").cast("long").alias("n_bits_set"),
+            _floor_round(F.col("n_bits_set") / F.lit(float(m_bits)), 6).alias(
+                "fill_ratio"
+            ),
+            F.col("n_pos").cast("long").alias("n_member_probes"),
+            F.col("n_false_neg").cast("long").alias("n_false_neg"),
+            F.col("n_neg").cast("long").alias("n_neg_probes"),
+            F.col("n_false_pos").cast("long").alias("n_false_pos"),
+            _floor_round(F.col("n_false_pos") / F.col("n_neg"), 6).alias(
+                "measured_fpr"
+            ),
+            theo.alias("theoretical_fpr"),
+        )
+    )
+
+
+def event_debounce_report(events: DataFrame, gap_s: int = 300) -> DataFrame:
+    """Event-stream debounce audit: an event is a BOUNCE when the
+    same (user, event_type) fired within `gap_s` seconds before it —
+    double-clicks, retry storms, at-least-once delivery duplicates.
+    The report counts kept vs debounced per event type, with the
+    mean observed repeat gap among bounces (how aggressive the window
+    is — exact and portable, unlike a percentile). The batch twin of
+    the streaming dropDuplicatesWithinWatermark tier: run it over
+    history to SIZE the streaming dedup window before deploying it.
+
+    Scale shape: one (user_id, event_type) shuffle; the lag window
+    runs inside each user-type partition (bounded by per-user
+    activity, never global); the rollup is a |event types|-row
+    aggregate.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    prev_ts = F.lag("ts").over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    tagged = events.select(
+        "event_type",
+        gap.alias("gap"),
+        (prev_ts.isNotNull() & (gap < gap_s)).alias("bounced"),
+    )
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("bounced"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_debounced"),
+            _floor_round(
+                F.avg(F.when(F.col("bounced"), F.col("gap"))), 2
+            ).alias("mean_bounce_gap_s"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_debounced",
+            (F.col("n_events") - F.col("n_debounced")).alias("n_kept"),
+            _floor_round(F.col("n_debounced") / F.col("n_events"), 6).alias(
+                "bounce_rate"
+            ),
+            "mean_bounce_gap_s",
+        )
+        .orderBy("event_type")
+    )
+
+
+def dow_adjusted_anomalies(orders: DataFrame, z_thresh: float = 3.0) -> DataFrame:
+    """Seasonality-adjusted revenue anomaly detection: daily revenue
+    is compared against its DAY-OF-WEEK mean (weekly seasonality
+    removed — the naive global z-score flags every Saturday), and
+    days whose residual z-score clears `z_thresh` are anomalies.
+    The report returns every day with its dow baseline, residual z,
+    and flag — the input to an alerting sink.
+
+    Scale shape: one day rollup (|days| rows), a 7-row dow baseline
+    broadcast back, and residual σ via a single window over the
+    bounded day series. Same bounded-series argument as the revenue
+    CUSUM/EWMA monitors.
+    """
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        (
+            F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long") / 100.0
+        ).alias("rev")
+    )
+    dow = daily.select(
+        "day", "rev", F.dayofweek("day").cast("long").alias("dow")
+    )
+    base = dow.groupBy("dow").agg(_floor_round(F.avg("rev"), 2).alias("dow_mean"))
+    resid = dow.join(F.broadcast(base), "dow").select(
+        "day", "dow", "rev", "dow_mean",
+        (F.col("rev") - F.col("dow_mean")).alias("r"),
+    )
+    wall = Window.partitionBy()
+    sigma = _floor_round(F.stddev_samp("r").over(wall), 2)
+    z = _floor_round(F.col("r") / F.col("sigma"), 4)
+    return (
+        resid.withColumn("sigma", sigma)
+        .select(
+            "day",
+            "dow",
+            "rev",
+            "dow_mean",
+            z.alias("z"),
+            (F.abs(z) >= z_thresh).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+def watermark_lag_audit(
+    events: DataFrame,
+    block_size: int = 1000,
+    candidate_delays_s: tuple[int, ...] = (60, 300, 3600),
+) -> DataFrame:
+    """Watermark-delay sizing from batch history: how late do events
+    actually arrive, and what would each candidate
+    ``withWatermark`` delay have dropped? Arrival order is proxied by
+    event_id (the feed assigns ids in arrival order); the watermark
+    is modeled at MICRO-BATCH granularity — arrival blocks of
+    `block_size` ids, each event compared against the max event time
+    of all PRIOR blocks — which mirrors Spark's actual semantics
+    (the watermark only advances between micro-batches, never within
+    one). lateness = max(0, prior-blocks-max-ts − ts).
+
+    The companion to event_debounce_report: debounce sizes the dedup
+    window, this sizes the watermark — both from history, before
+    deploying the stream.
+
+    Scale shape: one (block → max ts) aggregation collapses the
+    corpus to |blocks| rows; the exclusive prefix-max window runs
+    over that bounded relation; the per-event lateness join is a
+    broadcast equi-join on block id. No global per-row ordering —
+    contrast age_ecdf's documented caveat.
+    """
+    blk = (F.col("event_id") / block_size).cast("long")
+    tagged = events.select(
+        blk.alias("blk"), F.unix_timestamp("ts").alias("es")
+    )
+    per_blk = tagged.groupBy("blk").agg(F.max("es").alias("blk_max"))
+    w = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = per_blk.select(
+        "blk", F.max("blk_max").over(w).alias("wm")
+    )
+    # coalesce: the first block has no prior watermark (NULL) — its
+    # events are by definition on time. Explicit, because greatest()
+    # NULL handling differs across engines.
+    late = tagged.join(F.broadcast(wm), "blk").select(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.col("wm") - F.col("es"), F.lit(0).cast("long")),
+        ).alias("late_s")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        _floor_round(
+            F.avg(F.when(F.col("late_s") > 0, F.col("late_s"))), 2
+        ).alias("mean_late_s"),
+        F.max("late_s").alias("max_late_s"),
+    ]
+    for d in candidate_delays_s:
+        aggs.append(
+            F.sum(F.when(F.col("late_s") > d, 1).otherwise(0))
+            .cast("long")
+            .alias(f"dropped_at_{d}s")
+        )
+    return late.agg(*aggs)

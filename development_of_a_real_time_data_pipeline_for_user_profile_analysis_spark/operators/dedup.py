@@ -245,7 +245,10 @@ def near_dedup_minhash(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataF
 
 
 def ngram_jaccard_dupes(
-    docs: DataFrame, jaccard_threshold: float = 0.6, max_df: int = 20
+    docs: DataFrame,
+    jaccard_threshold: float = 0.6,
+    max_df: int = 20,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Direct n-gram Jaccard dedup — no MinHash sketching.
 
@@ -281,7 +284,9 @@ def ngram_jaccard_dupes(
     jaccard_ub = i_max_col / (
         F.col("sa.n_sh") + F.col("sb.n_sh") - i_max_col
     ) >= (jaccard_threshold - 1e-4)
-    pairs = _blocked_pair_intersections(docs, max_df, jaccard_ub)
+    pairs = _blocked_pair_intersections(
+        docs, max_df, jaccard_ub, persist_shingles=persist_shingles
+    )
     n_inter = F.col("n_inter")
     jaccard = (
         F.floor(n_inter / (F.col("n_a") + F.col("n_b") - n_inter) * 10000 + 0.5).cast(
@@ -295,7 +300,7 @@ def ngram_jaccard_dupes(
 
 
 def _blocked_pair_intersections(
-    docs: DataFrame, max_df: int, ub_keep
+    docs: DataFrame, max_df: int, ub_keep, persist_shingles: bool = False
 ) -> DataFrame:
     """Shared candidate/prune/verify pipeline for set-overlap dedup
     metrics (Jaccard resemblance, containment): rare-shingle blocked
@@ -309,16 +314,22 @@ def _blocked_pair_intersections(
     final threshold would keep): I <= I_rare + min(n_freq_a,
     n_freq_b) bounds any intersection-monotone score from above.
 
-    NB: persisting the shingle table here was A/B-measured and is
-    ~2x SLOWER (16.4/8.6 s vs 8.9/5.3 s cold/warm at sf0.1 for
-    containment_dupes) — unlike near_dedup_minhash, every branch of
-    this pipeline consumes a DIFFERENT projection/filter of the
-    shingles (df-filtered rare subset, per-doc counts, pair join),
-    so the shared cache materializes strictly more data than any
-    branch needs while the uncached plan lets Catalyst prune each
-    branch independently. Share the plan, not a cache, here.
+    NB: persisting the shingle table here was A/B-measured SLOWER at
+    every scale — round 1 at sf0.1 (16.4/8.6 s vs 8.9/5.3 s
+    cold/warm for containment_dupes) and re-measured round 4 at
+    1x/10x/30x soak (e.g. ngram_jaccard 26.6 s uncached vs 36.8 s
+    persisted at 30x; full table in PERF.md) — unlike
+    near_dedup_minhash, every branch of this pipeline consumes a
+    DIFFERENT projection/filter of the shingles (df-filtered rare
+    subset, per-doc counts, pair join), so the shared cache
+    materializes strictly more data than any branch needs while the
+    uncached plan lets Catalyst prune each branch independently.
+    Share the plan, not a cache, here; `persist_shingles` keeps the
+    knob for corpora whose branch pruning is weaker.
     """
     sh = shingles(docs)
+    if persist_shingles:  # A/B knob — see NB above and PERF.md soaks
+        sh = sh.persist()
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -385,7 +396,10 @@ def _blocked_pair_intersections(
 
 
 def containment_dupes(
-    docs: DataFrame, threshold: float = 0.8, max_df: int = 20
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_df: int = 20,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Asymmetric shingle-containment dedup: C(A in B) = |A∩B| / |A|.
 
@@ -410,7 +424,9 @@ def containment_dupes(
     ub = (
         i_max_col / F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
     ) >= (threshold - 1e-4)
-    pairs = _blocked_pair_intersections(docs, max_df, ub)
+    pairs = _blocked_pair_intersections(
+        docs, max_df, ub, persist_shingles=persist_shingles
+    )
     c4 = lambda num, den: (  # noqa: E731
         F.floor(num / den * 10000 + 0.5).cast("long") / 10000.0
     )
@@ -1129,7 +1145,9 @@ def cross_source_dupes(
 
 
 def minhash_accuracy_report(
-    docs: DataFrame, n_hashes: int = MINHASH_FUNCS
+    docs: DataFrame,
+    n_hashes: int = MINHASH_FUNCS,
+    sample_pct: int = 10,
 ) -> DataFrame:
     """Sketch-accuracy eval for the MinHash estimator: over the LSH
     candidate pairs, compare the signature-agreement Jaccard estimate
@@ -1139,11 +1157,30 @@ def minhash_accuracy_report(
     dedup, exactly as quantized_recall justifies int8 serving and
     ann_lsh_recall justifies the plane count.
 
+    SAMPLE-FIRST (VERDICT r3 #4): the report exists to tune n_hashes
+    BEFORE a corpus-wide dedup, so by default it runs on a
+    deterministic ``sample_pct``% md5-bucket sample of the docs
+    (key-hash bucketing — no RNG, engine-portable, and pair error is
+    i.i.d. across docs so a sample estimates the error distribution
+    as well as the full corpus). ``sample_pct=100`` is the
+    full-corpus flag. At 100 TB the sampled run touches sample_pct%
+    of the scan and ~(sample_pct%)² of the candidate pairs.
+
     Per-pair estimates and errors are floor-quantized to 1e-4 units
     and summed as longs (order-free, engine-portable). Scale shape:
     reuses the shared shingle plan; the signature join is driven by
     the (bounded) candidate set; one final 1-row aggregate.
     """
+    if sample_pct < 100:
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        docs = docs.filter(bucket < sample_pct)
     sh = shingles(docs)
     cands = lsh_candidate_pairs(docs, sh=sh)
     sigs = minhash_signatures(docs, n_hashes, sh=sh)
@@ -1205,4 +1242,99 @@ def dup_cluster_size_histogram(docs: DataFrame) -> DataFrame:
         sizes.groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
+    )
+
+
+# (bands, rows_per_band) configurations sharing the 8-function budget
+LSH_TUNING_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+
+def lsh_tuning_curve(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.6,
+    sample_pct: int = 10,
+    max_df: int = 20,
+) -> DataFrame:
+    """LSH band/row S-curve planner: for each (b, r) split of the
+    minhash budget, a pair with exact Jaccard s is detected with
+    probability p = 1 − (1 − s^r)^b. Evaluated over the SAMPLED
+    rare-shingle blocked pair set (same deterministic md5 sample as
+    minhash_accuracy_report), the report gives each configuration's
+    expected recall among true near-dups (s ≥ θ) and its expected
+    candidate rate among non-dups (s < θ) — the recall/shuffle-load
+    dial chosen BEFORE building the corpus-wide banded index. More
+    bands → steeper recall, more candidate buckets; this measures
+    the trade on the actual corpus Jaccard distribution instead of
+    a textbook curve.
+
+    Per-pair probabilities floor-quantize to 1e-6 before averaging
+    (engine-portable). Scale shape: the sampled blocked-pair relation
+    (linear via the df cap), a 4-row config literal cross, one
+    (b, r) aggregate.
+    """
+    if sample_pct < 100:
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        docs = docs.filter(bucket < sample_pct)
+    pairs = _blocked_pair_intersections(docs, max_df, F.lit(True))
+    s = (
+        F.floor(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            * 10000
+            + 0.5
+        ).cast("long")
+        / 10000.0
+    )
+    scored = pairs.select(s.alias("s"))
+    configs = pairs.sparkSession.createDataFrame(
+        LSH_TUNING_CONFIGS, "bands int, rows_per_band int"
+    )
+    p = (
+        F.floor(
+            (
+                1.0
+                - F.pow(
+                    1.0 - F.pow(F.col("s"), F.col("rows_per_band")),
+                    F.col("bands"),
+                )
+            )
+            * 1000000
+            + 0.5
+        ).cast("long")
+        / 1000000.0
+    )
+    dup = F.col("s") >= jaccard_threshold
+    return (
+        scored.crossJoin(F.broadcast(configs))
+        .select("bands", "rows_per_band", p.alias("p"), dup.alias("dup"))
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum(F.when(F.col("dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_pairs"),
+            F.sum(F.when(~F.col("dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nondup_pairs"),
+            (
+                F.floor(
+                    F.avg(F.when(F.col("dup"), F.col("p"))) * 1000000 + 0.5
+                ).cast("long")
+                / 1000000.0
+            ).alias("expected_recall_dup"),
+            (
+                F.floor(
+                    F.avg(F.when(~F.col("dup"), F.col("p"))) * 1000000
+                    + 0.5
+                ).cast("long")
+                / 1000000.0
+            ).alias("expected_candidate_rate_nondup"),
+        )
+        .orderBy(F.col("bands").desc())
     )

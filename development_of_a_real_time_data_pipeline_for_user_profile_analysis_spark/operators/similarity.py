@@ -1124,3 +1124,85 @@ def ann_ndcg_eval(
         )
         .orderBy("query_id")
     )
+
+
+def pq_codebook_report(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    codebook_k: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization (PQ) compression audit — the memory tier
+    beyond int8 scalar quantization (quantize_embeddings) for a
+    100 TB vector corpus: the `dim`-dim vector splits into
+    `n_subspaces` contiguous subvectors, each subspace quantizes
+    against its own `codebook_k`-entry codebook, and a stored vector
+    becomes n_subspaces code ids — dim·4 bytes → n_subspaces·log2(k)
+    bits (64-dim float32 = 256 B → 4×3 bits here; 64× smaller at
+    k=256 in production). This report is the sizing measurement run
+    BEFORE building the index: per-(subspace, code) occupancy (dead /
+    hot codes ⇒ re-train), per-cell quantization error, and the
+    corpus mean reconstruction error the recall budget must absorb.
+
+    Engine-portable determinism (same device as kmeans_assign): the
+    codebook is the `codebook_k` lowest vec_ids' subvectors, every
+    distance is 6-dp rounded, argmin ties break on code id — the
+    DuckDB oracle replays assignment exactly.
+
+    Scale shape: the codebook is a broadcast (n_subspaces×k rows);
+    assignment is ONE narrow scan (per-row explode into subvectors →
+    k rounded distances → keyed argmin, all JVM higher-order fns);
+    the report is one (subspace, code) groupBy with map-side combine.
+    No self-join, no collect, no global sort.
+    """
+    sub_d = dim // n_subspaces
+    corpus = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    )
+    subvecs = [
+        F.struct(
+            F.lit(s).cast("long").alias("sub_id"),
+            F.slice(F.col("e"), s * sub_d + 1, sub_d).alias("sv"),
+        )
+        for s in range(n_subspaces)
+    ]
+    subs = corpus.select(
+        "vec_id", F.explode(F.array(*subvecs)).alias("x")
+    ).select("vec_id", "x.sub_id", "x.sv")
+    w_init = Window.orderBy("vec_id")
+    cb = (
+        corpus.orderBy("vec_id")
+        .limit(codebook_k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("long").alias("code"),
+            "e",
+        )
+    )
+    cb_subs = cb.select(
+        "code", F.explode(F.array(*subvecs)).alias("x")
+    ).select("code", "x.sub_id", F.col("x.sv").alias("cv"))
+    dist = F.round(F.sqrt(_sq_euclid(F.col("sv"), F.col("cv"))), 6)
+    assigned = (
+        subs.join(F.broadcast(cb_subs), "sub_id")
+        .select("vec_id", "sub_id", "code", dist.alias("dist"))
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("dist", "code")).alias("m"))
+        .select(
+            "vec_id",
+            "sub_id",
+            F.col("m.code").alias("code"),
+            F.col("m.dist").alias("dist"),
+        )
+    )
+    return (
+        assigned.groupBy("sub_id", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.floor(F.avg("dist") * 1000000 + 0.5).cast("long")
+                / 1000000.0
+            ).alias("mean_err"),
+            F.max("dist").alias("max_err"),
+        )
+        .orderBy("sub_id", "code")
+    )

@@ -1563,3 +1563,78 @@ def quality_quantile_norm(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source", "q")
     )
+
+
+def content_defined_chunks(
+    documents: DataFrame, boundary_mod: int = 16
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup audit — the
+    storage-layer dedup technique for a 100 TB corpus with shifted
+    duplicate content: chunk boundaries fall where the WORD hash
+    satisfies md5(word) % boundary_mod == 0 (content-defined, so an
+    insertion only perturbs its own chunk, unlike fixed-width
+    blocks), and identical chunks across documents dedupe by digest.
+    Reports the chunking geometry (chunks, mean words per chunk) and
+    the cross-doc dedup payoff (distinct vs total chunks, share of
+    chunk instances that are redundant copies).
+
+    Scale shape: per-doc posexplode (map-side), boundary flags and
+    chunk ids via a PER-DOC window (bounded by doc length, never
+    global), chunk assembly is one (doc, chunk) groupBy, and the
+    dedup rollup is one digest-keyed aggregation — the same
+    uniform-digest shuffle as exact dedup.
+    """
+    words = documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    is_boundary = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        % boundary_mod
+        == 0
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    chunked = words.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum(F.when(is_boundary, 1).otherwise(0))
+        .over(wdoc)
+        .alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("digest"),
+    )
+    per_digest = chunks.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max("n_words").alias("n_words"),
+    )
+    return per_digest.agg(
+        F.sum("n_copies").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        (F.sum("n_copies") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_redundant_chunks"),
+        F.floor(
+            (1 - F.count(F.lit(1)) / F.sum("n_copies")) * 1000000 + 0.5
+        ).cast("long").alias("dedup_ratio_ppm"),
+        (
+            F.floor(
+                F.sum(F.col("n_copies") * F.col("n_words"))
+                / F.sum("n_copies")
+                * 100
+                + 0.5
+            ).cast("long")
+            / 100.0
+        ).alias("mean_chunk_words"),
+    )

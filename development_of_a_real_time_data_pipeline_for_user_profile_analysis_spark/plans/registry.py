@@ -863,12 +863,21 @@ def _events_stream(spark, sf_dir):
     from ..sources.readers import parquet_schema
 
     path = os.path.join(sf_dir, "events.parquet")
-    # the file streaming source wants a directory; expose the single
-    # parquet file through a temp dir symlink
-    d = tempfile.mkdtemp(prefix="events_stream_")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    # The file streaming source wants a directory of data files.
+    # testdata ships events.parquet as a SINGLE file → expose it
+    # through a temp-dir symlink; Spark-written corpora (the soak
+    # harness) ship it as a DIRECTORY of part files → stream straight
+    # from it (the file index already skips _SUCCESS/._* markers).
+    # The directory case previously symlinked the whole dir as one
+    # node, which the source listed as an empty nested dir — that gap
+    # kept the streaming queries out of soak coverage (VERDICT r3 #2).
+    if os.path.isdir(path):
+        d = path
+    else:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
     # The readStream schema must match the file's physical ts flavor
     # (the batch reader's adaptive logic — readers.load_table — has no
     # streaming twin, so probe the footer here the same way).
@@ -878,12 +887,26 @@ def _events_stream(spark, sf_dir):
         "event_id long, ts {}, user_id long, "
         "event_type string, value double, props string"
     )
-    if ts_type is not None and pa.types.is_timestamp(ts_type) and ts_type.unit == "ns":
+    # INT96 physical timestamps surface as ns in the arrow footer but
+    # Spark reads them as plain TIMESTAMP — only int64-ns takes the
+    # nanosAsLong path.
+    from ..sources.readers import parquet_physical_type
+
+    is_int96 = parquet_physical_type(path, "ts") == "INT96"
+    if (
+        not is_int96
+        and ts_type is not None
+        and pa.types.is_timestamp(ts_type)
+        and ts_type.unit == "ns"
+    ):
         # nanosAsLong is session-level conf (session.py)
         stream = spark.readStream.schema(schema.format("long")).parquet(d)
         return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     naive = (
-        ts_type is not None and pa.types.is_timestamp(ts_type) and ts_type.tz is None
+        not is_int96  # INT96 is tz-less in arrow but reads as LTZ
+        and ts_type is not None
+        and pa.types.is_timestamp(ts_type)
+        and ts_type.tz is None
     )
     stream = spark.readStream.schema(
         schema.format("timestamp_ntz" if naive else "timestamp")
@@ -4678,10 +4701,17 @@ _MH_EST_CASES = " + ".join(
 )
 
 
+_MH_SAMPLE_PCT = 10  # shared with dedup.minhash_accuracy_report
+
+
 @query(
     "minhash_accuracy_report",
     _with_dupes(
-        f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+        f""", mh_samp AS (
+          SELECT * FROM dupes
+          WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS UBIGINT) AS BIGINT) % 100 < {_MH_SAMPLE_PCT}),
+        {_shingles_cte("mh_samp")}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
           SELECT c.doc_a, c.doc_b, count(*) AS n_inter
@@ -4721,8 +4751,12 @@ _MH_EST_CASES = " + ".join(
 def q_minhash_accuracy_report(spark, sf_dir):
     """MinHash sketch-accuracy eval: signature-agreement Jaccard
     estimate vs exact shingle Jaccard over the LSH candidate pairs
-    (mean/max absolute error — the n_hashes tuning measurement)."""
-    return dedup.minhash_accuracy_report(_dupes_df(spark, sf_dir))
+    (mean/max absolute error — the n_hashes tuning measurement).
+    Sample-first: deterministic md5-bucket sample (default 10%),
+    full corpus behind sample_pct=100 (VERDICT r3 #4)."""
+    return dedup.minhash_accuracy_report(
+        _dupes_df(spark, sf_dir), sample_pct=_MH_SAMPLE_PCT
+    )
 
 
 @query(
@@ -6130,6 +6164,342 @@ def q_streaming_drift_monitor(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# Round-4 wave: nonparametric drift / sketch audit / PQ compression
+# ------------------------------------------------------------------
+
+
+@query(
+    "ks_two_sample_drift",
+    """WITH b AS (
+         SELECT CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                         1, 8) AS UBIGINT) AS BIGINT)
+                  % 2 AS half,
+                CAST(floor(o_totalprice / 10) AS BIGINT) AS bin
+         FROM orders),
+       pb AS (SELECT bin,
+                     sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_a,
+                     sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_b
+              FROM b GROUP BY bin),
+       cdf AS (SELECT
+                 sum(n_a) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS ca,
+                 sum(n_b) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cb,
+                 sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
+               FROM pb),
+       g AS (SELECT floor(abs(ca * 1.0 / ta - cb * 1.0 / tb)
+                          * 1000000 + 0.5) / 1000000.0 AS gap, ta, tb
+             FROM cdf),
+       a AS (SELECT max(gap) AS ks_stat, count(*) AS n_bins, ta, tb
+             FROM g GROUP BY ta, tb)
+       SELECT ks_stat,
+              floor(1.358 * sqrt((ta + tb) * 1.0 / (ta * tb))
+                    * 1000000 + 0.5) / 1000000.0 AS crit_value_95,
+              ks_stat > floor(1.358 * sqrt((ta + tb) * 1.0 / (ta * tb))
+                    * 1000000 + 0.5) / 1000000.0 AS drift_detected,
+              CAST(ta AS BIGINT) AS n_first_half,
+              CAST(tb AS BIGINT) AS n_second_half,
+              CAST(n_bins AS BIGINT) AS n_bins
+       FROM a""",
+)
+def q_ks_two_sample_drift(spark, sf_dir):
+    """Two-sample KS drift test between md5 halves of the order-value
+    distribution — binned-CDF max gap vs the asymptotic 95% critical
+    value; bounded-histogram window, no global sort."""
+    return analytics.ks_two_sample_drift(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "bloom_membership_audit",
+    """WITH members AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+                        FROM customer),
+       hi AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS i),
+       bits AS (SELECT DISTINCT
+                  CAST(CAST('0x' || substr(md5(k || ':' ||
+                       CAST(i AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
+                    % 32768 AS pos
+                FROM members CROSS JOIN hi),
+       pk AS (SELECT DISTINCT o_custkey AS pkey FROM orders),
+       probes AS (
+         SELECT CAST(pkey AS VARCHAR) AS k, TRUE AS is_member FROM pk
+         UNION ALL
+         SELECT CAST(pkey + 10000000 AS VARCHAR), FALSE FROM pk),
+       ph AS (SELECT k, is_member,
+                CAST(CAST('0x' || substr(md5(k || ':' ||
+                     CAST(i AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
+                  % 32768 AS pos
+              FROM probes CROSS JOIN hi),
+       verd AS (SELECT k, is_member,
+                  sum(CASE WHEN pos IN (SELECT pos FROM bits)
+                      THEN 1 ELSE 0 END) = 4 AS passes
+                FROM ph GROUP BY k, is_member),
+       s AS (SELECT
+               sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_pos,
+               sum(CASE WHEN is_member AND NOT passes THEN 1 ELSE 0 END)
+                 AS n_fn,
+               sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS n_neg,
+               sum(CASE WHEN NOT is_member AND passes THEN 1 ELSE 0 END)
+                 AS n_fp
+             FROM verd),
+       c AS (SELECT count(*) AS n_bits_set FROM bits),
+       m AS (SELECT count(*) AS n_members FROM members)
+       SELECT CAST(n_members AS BIGINT) AS n_members,
+              CAST(n_bits_set AS BIGINT) AS n_bits_set,
+              floor(n_bits_set * 1.0 / 32768 * 1000000 + 0.5)
+                / 1000000.0 AS fill_ratio,
+              CAST(n_pos AS BIGINT) AS n_member_probes,
+              CAST(n_fn AS BIGINT) AS n_false_neg,
+              CAST(n_neg AS BIGINT) AS n_neg_probes,
+              CAST(n_fp AS BIGINT) AS n_false_pos,
+              floor(n_fp * 1.0 / n_neg * 1000000 + 0.5) / 1000000.0
+                AS measured_fpr,
+              floor(pow(1 - exp(-4.0 * n_members / 32768), 4)
+                    * 1000000 + 0.5) / 1000000.0 AS theoretical_fpr
+       FROM s CROSS JOIN c CROSS JOIN m""",
+)
+def q_bloom_membership_audit(spark, sf_dir):
+    """Distributed Bloom build + FPR audit: md5 k-position filter over
+    customer keys, probed by members (zero false negatives asserted)
+    and shifted non-members (measured vs analytic FPR)."""
+    return analytics.bloom_membership_audit(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "pq_codebook_report",
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+       cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                          AS BIGINT) AS code, e
+              FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)),
+       sp AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS sub_id),
+       subs AS (SELECT vec_id, sub_id,
+                       array_slice(e, sub_id * 16 + 1, sub_id * 16 + 16)
+                         AS sv
+                FROM emb CROSS JOIN sp),
+       cbs AS (SELECT code, sub_id,
+                      array_slice(e, sub_id * 16 + 1, sub_id * 16 + 16)
+                        AS cv
+               FROM cb CROSS JOIN sp),
+       a AS (SELECT vec_id, sub_id, code, dist FROM (
+               SELECT subs.vec_id, subs.sub_id, cbs.code,
+                      round(list_distance(subs.sv, cbs.cv), 6) AS dist,
+                      row_number() OVER (PARTITION BY subs.vec_id,
+                          subs.sub_id
+                          ORDER BY round(list_distance(subs.sv, cbs.cv),
+                                         6), cbs.code) AS rn
+               FROM subs JOIN cbs USING (sub_id)) WHERE rn = 1)
+       SELECT sub_id, code, count(*) AS n_vectors,
+              floor(avg(dist) * 1000000 + 0.5) / 1000000.0 AS mean_err,
+              max(dist) AS max_err
+       FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q_pq_codebook_report(spark, sf_dir):
+    """Product-quantization sizing audit: 4 subspaces x 8-entry
+    deterministic codebooks over the 64-dim corpus — per-cell
+    occupancy + quantization error (the pre-build measurement for a
+    PQ-compressed 100 TB vector index)."""
+    return similarity.pq_codebook_report(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "event_debounce_report",
+    """WITH g AS (
+         SELECT event_type,
+                CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                  - lag(CAST(floor(date_part('epoch', ts)) AS BIGINT))
+                    OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS gap
+         FROM events),
+       t AS (SELECT event_type, gap,
+                    gap IS NOT NULL AND gap < 300 AS bounced
+             FROM g)
+       SELECT event_type,
+              count(*) AS n_events,
+              CAST(sum(CASE WHEN bounced THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_debounced,
+              CAST(count(*) - sum(CASE WHEN bounced THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+              floor(sum(CASE WHEN bounced THEN 1 ELSE 0 END) * 1.0
+                    / count(*) * 1000000 + 0.5) / 1000000.0
+                AS bounce_rate,
+              floor(avg(CASE WHEN bounced THEN gap END) * 100 + 0.5)
+                / 100.0 AS mean_bounce_gap_s
+       FROM t GROUP BY event_type ORDER BY event_type""",
+)
+def q_event_debounce_report(spark, sf_dir):
+    """Debounce audit over event history — per-type kept/bounced
+    counts for a 300 s same-(user, type) repeat window; sizes the
+    streaming dropDuplicatesWithinWatermark tier from batch data."""
+    return analytics.event_debounce_report(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "dow_adjusted_anomalies",
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS rev
+         FROM orders GROUP BY 1),
+       dw AS (SELECT day, rev,
+                     CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+              FROM daily),
+       base AS (SELECT dow,
+                       floor(avg(rev) * 100 + 0.5) / 100.0 AS dow_mean
+                FROM dw GROUP BY dow),
+       r AS (SELECT day, dw.dow, rev, dow_mean, rev - dow_mean AS res
+             FROM dw JOIN base USING (dow)),
+       s AS (SELECT floor(stddev_samp(res) * 100 + 0.5) / 100.0 AS sigma
+             FROM r)
+       SELECT day, dow, rev, dow_mean,
+              floor(res / sigma * 10000 + 0.5) / 10000.0 AS z,
+              abs(floor(res / sigma * 10000 + 0.5) / 10000.0) >= 3.0
+                AS is_anomaly
+       FROM r CROSS JOIN s ORDER BY day""",
+)
+def q_dow_adjusted_anomalies(spark, sf_dir):
+    """Weekly-seasonality-adjusted revenue anomalies: per-day z-score
+    against the day-of-week baseline — bounded day series, 7-row
+    broadcast baseline, one window for sigma."""
+    return analytics.dow_adjusted_anomalies(_t(spark, sf_dir, "orders"))
+
+
+_LSH_CFG_VALUES = ", ".join(f"({b}, {r})" for b, r in dedup.LSH_TUNING_CONFIGS)
+
+
+@query(
+    "lsh_tuning_curve",
+    _with_dupes(
+        f""", mh_samp AS (
+          SELECT * FROM dupes
+          WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS UBIGINT) AS BIGINT) % 100 < {_MH_SAMPLE_PCT}),
+        {_shingles_cte("mh_samp")},
+        rare AS (SELECT shingle FROM sh GROUP BY shingle
+                 HAVING count(*) <= 20),
+        rsh AS (SELECT sh.doc_id, sh.shingle
+                FROM sh JOIN rare USING (shingle)),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rsh a JOIN rsh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                  GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+        scored AS (
+          SELECT floor(n_inter / (sa.n_sh + sb.n_sh - n_inter)
+                       * 10000 + 0.5) / 10000.0 AS s
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b),
+        cfg AS (SELECT CAST(bands AS INTEGER) AS bands,
+                       CAST(rows_per_band AS INTEGER) AS rows_per_band
+                FROM (VALUES {_LSH_CFG_VALUES}) v(bands, rows_per_band)),
+        pp AS (
+          SELECT bands, rows_per_band, s >= 0.6 AS dup,
+                 floor((1.0 - pow(1.0 - pow(s, rows_per_band), bands))
+                       * 1000000 + 0.5) / 1000000.0 AS p
+          FROM scored CROSS JOIN cfg)
+        SELECT bands, rows_per_band,
+               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_pairs,
+               CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nondup_pairs,
+               floor(avg(CASE WHEN dup THEN p END) * 1000000 + 0.5)
+                 / 1000000.0 AS expected_recall_dup,
+               floor(avg(CASE WHEN NOT dup THEN p END) * 1000000 + 0.5)
+                 / 1000000.0 AS expected_candidate_rate_nondup
+        FROM pp GROUP BY bands, rows_per_band
+        ORDER BY bands DESC"""
+    ),
+)
+def q_lsh_tuning_curve(spark, sf_dir):
+    """LSH band/row S-curve planner over the sampled blocked-pair
+    Jaccard distribution — expected recall vs candidate load per
+    (bands, rows) split of the minhash budget."""
+    return dedup.lsh_tuning_curve(_dupes_df(spark, sf_dir))
+
+
+@query(
+    "watermark_lag_audit",
+    """WITH t AS (SELECT CAST(event_id // 1000 AS BIGINT) AS blk,
+                         CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                           AS es
+                  FROM events),
+       pb AS (SELECT blk, max(es) AS blk_max FROM t GROUP BY blk),
+       wm AS (SELECT blk,
+                     max(blk_max) OVER (ORDER BY blk ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+              FROM pb),
+       l AS (SELECT greatest(CAST(0 AS BIGINT),
+                             coalesce(wm - es, CAST(0 AS BIGINT)))
+                      AS late_s
+             FROM t JOIN wm USING (blk))
+       SELECT count(*) AS n_events,
+              CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_late,
+              floor(avg(CASE WHEN late_s > 0 THEN late_s END)
+                    * 100 + 0.5) / 100.0 AS mean_late_s,
+              max(late_s) AS max_late_s,
+              CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dropped_at_60s,
+              CAST(sum(CASE WHEN late_s > 300 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dropped_at_300s,
+              CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dropped_at_3600s
+       FROM l""",
+)
+def q_watermark_lag_audit(spark, sf_dir):
+    """Watermark-delay sizing from batch history: micro-batch-granular
+    lateness distribution + what each candidate withWatermark delay
+    would drop — companion to event_debounce_report."""
+    return analytics.watermark_lag_audit(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "content_defined_chunks",
+    """WITH w AS (SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS word
+          FROM documents),
+       b AS (SELECT doc_id, pos, word,
+                    CASE WHEN CAST(CAST('0x' || substr(md5(word), 1, 8)
+                              AS UBIGINT) AS BIGINT) % 16 = 0
+                         THEN 1 ELSE 0 END AS isb
+             FROM w),
+       c AS (SELECT doc_id, pos, word,
+                    sum(isb) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS chunk_id
+             FROM b),
+       ch AS (SELECT doc_id, chunk_id, count(*) AS n_words,
+                     md5(string_agg(word, ' ' ORDER BY pos)) AS digest
+              FROM c GROUP BY doc_id, chunk_id),
+       pd AS (SELECT digest, count(*) AS n_copies,
+                     max(n_words) AS n_words
+              FROM ch GROUP BY digest)
+       SELECT CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+              count(*) AS n_distinct_chunks,
+              CAST(sum(n_copies) - count(*) AS BIGINT)
+                AS n_redundant_chunks,
+              CAST(floor((1 - count(*) * 1.0 / sum(n_copies))
+                         * 1000000 + 0.5) AS BIGINT) AS dedup_ratio_ppm,
+              floor(sum(n_copies * n_words) * 1.0 / sum(n_copies)
+                    * 100 + 0.5) / 100.0 AS mean_chunk_words
+       FROM pd""",
+)
+def q_content_defined_chunks(spark, sf_dir):
+    """Content-defined chunking dedup audit: md5-boundary word chunks,
+    digest-deduped across docs — the storage-layer dedup payoff
+    measurement (shift-tolerant, unlike fixed-width blocks)."""
+    return text.content_defined_chunks(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
@@ -6171,7 +6541,7 @@ DRIVER_PRIORITY = [
     "profiles_quality_report",
     # event analytics / windows
     "approx_distinct_users",
-    "chi2_lang_source",  # r3w6: stats-test family (evicts approx_quantiles_check; sketches keep approx_distinct_users)
+    "ks_two_sample_drift",  # r4: nonparametric two-sample drift (stats-test family rep; evicts chi2_lang_source -> past window)
     "events_rollup_multi",
     "event_type_pivot",
     "monthly_revenue_ewma",  # r3w6: sequential-smoothing family (evicts user_event_type_sets)
@@ -6185,7 +6555,7 @@ DRIVER_PRIORITY = [
     "text_stats",
     "gopher_quality_report",  # r3w6: rule-based quality gate (evicts top_ngrams)
     "deterministic_split",
-    "split_contamination",
+    "bloom_membership_audit",  # r4: Bloom build+FPR audit (sketch-audit family; evicts split_contamination -> past window)
     # dedup / similarity / curation / multimodal
     "dedup_exact_groups",
     "near_dedup_minhash",
@@ -6196,7 +6566,7 @@ DRIVER_PRIORITY = [
     "embedding_near_dupes",
     "curation_pipeline",
     "cosine_topk",
-    "quantize_embeddings",
+    "pq_codebook_report",  # r4: PQ compression audit (quantization family rep; evicts quantize_embeddings -> past window)
     "hybrid_rrf_search",  # r3w6: retrieval fusion (evicts label_centroids)
     "multimodal_features",
     # r3 additions: retrieval, data-layout, data-mixing families
@@ -6207,6 +6577,9 @@ DRIVER_PRIORITY = [
     "unigram_logprob_quality",
     "referential_integrity_report",
     "cluster_canonicals",  # r4: rotated out of the 50-window (family rep stays: near_dup_clusters); QUERIES.md
+    "quantize_embeddings",  # r4 evicted: int8 tier stays oracle-covered past window
+    "chi2_lang_source",  # r4 evicted: chi-square stays oracle-covered past window
+    "split_contamination",  # r4 evicted: decontamination stays oracle-covered past window
 ]
 
 

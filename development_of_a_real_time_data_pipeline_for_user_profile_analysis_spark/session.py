@@ -47,6 +47,12 @@ def get_spark(
         # and readers.load_table converts them explicitly. Set once
         # here — NOT toggled from per-table read paths.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write µs-annotated int64 timestamps, not the deprecated
+        # INT96 default: engine-written corpora (soak replicas, wire
+        # logs, sinks) must round-trip through the same footer-probe
+        # read paths as the driver testdata, and INT96 is opaque to
+        # the arrow-side schema probe (surfaces as ns).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
@@ -62,4 +68,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     return spark

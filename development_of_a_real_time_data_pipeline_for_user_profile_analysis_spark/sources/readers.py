@@ -46,6 +46,30 @@ def parquet_schema(path: str):
         return None
 
 
+def parquet_physical_type(path: str, col: str) -> str | None:
+    """Physical parquet type of ``col`` ('INT96', 'INT64', ...) from
+    the footer (first part-file of a dir); None if unreadable. Needed
+    because INT96 timestamps surface as ns in the ARROW schema, yet
+    Spark reads them as plain TIMESTAMP — the two ns flavors take
+    different read paths (nanosAsLong only applies to int64-ns)."""
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not parts:
+            return None
+        probe = os.path.join(path, parts[0])
+    try:
+        sch = pq.ParquetFile(probe).schema
+        for i in range(len(sch)):
+            if sch.column(i).name == col:
+                return sch.column(i).physical_type
+    except Exception:
+        return None
+    return None
+
+
 def _nano_ts_cols(path: str) -> list[str]:
     import pyarrow as pa
 

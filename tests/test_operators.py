@@ -1330,7 +1330,9 @@ def test_minhash_accuracy_exact_for_identical_docs(spark):
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    got = dedup.minhash_accuracy_report(docs).collect()[0]
+    # sample_pct=100: the full-corpus flag (default is a 10% md5
+    # sample, which could drop either doc)
+    got = dedup.minhash_accuracy_report(docs, sample_pct=100).collect()[0]
     # identical docs: estimate and exact are both 1.0, error 0
     assert got["n_pairs"] == 1
     assert got["mean_est"] == 1.0 and got["mean_exact"] == 1.0
@@ -1922,3 +1924,220 @@ def test_churn_auc_single_class_is_intentional_null(spark):
     got = analytics.churn_score_auc(spark.createDataFrame(rows)).collect()[0]
     assert got.auc is None and got.gini is None
     assert got.n_pos == 0 and got.n_neg == 5
+
+
+def test_dp_production_noise_is_calibrated_laplace(spark):
+    """Production DP path (deterministic=False): empirical noise over
+    many categories must match Laplace(1/eps) — mean ~ 0, variance
+    ~ 2/eps^2 — and variance must scale as 1/eps^2 (ADVICE r3 /
+    VERDICT r3 #6). Tolerances sized ~6 sigma of the estimators at
+    n=20000 so the test is deterministic-in-practice."""
+    import math
+
+    n = 20000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    noise1 = [
+        r.noise
+        for r in analytics.dp_noisy_counts(
+            df, "k", epsilon=1.0, deterministic=False
+        ).collect()
+    ]
+    assert len(noise1) == n
+    m1 = sum(noise1) / n
+    v1 = sum((x - m1) ** 2 for x in noise1) / n
+    # Laplace(b=1): mean 0 (se ~ b*sqrt(2/n) ~ 0.01), var 2b^2 = 2
+    # (se ~ b^2*sqrt(20/n) ~ 0.032)
+    assert abs(m1) < 0.08, m1
+    assert abs(v1 - 2.0) < 0.25, v1
+    # epsilon scaling: eps=2 -> b=0.5 -> var 0.5
+    noise2 = [
+        r.noise
+        for r in analytics.dp_noisy_counts(
+            df, "k", epsilon=2.0, deterministic=False
+        ).collect()
+    ]
+    m2 = sum(noise2) / n
+    v2 = sum((x - m2) ** 2 for x in noise2) / n
+    assert abs(v2 - 0.5) < 0.1, v2
+    ratio = v1 / v2
+    assert 3.0 < ratio < 5.5, ratio
+    # two production releases differ (fresh randomness), while the
+    # deterministic test path is replay-stable
+    det_a = analytics.dp_noisy_counts(df, "k", deterministic=True).collect()
+    det_b = analytics.dp_noisy_counts(df, "k", deterministic=True).collect()
+    assert sorted(r.noise for r in det_a) == sorted(r.noise for r in det_b)
+    assert sorted(noise1) != sorted(
+        [r.noise for r in analytics.dp_noisy_counts(
+            df, "k", epsilon=1.0, deterministic=False).collect()]
+    )
+    # the guard keeps every draw finite
+    assert all(math.isfinite(x) for x in noise1 + noise2)
+
+
+def test_ks_two_sample_identical_halves_no_drift(spark):
+    # md5 halves of one homogeneous distribution: D must sit under
+    # the 95% critical value
+    rows = [
+        Row(o_orderkey=i, o_custkey=1, o_orderstatus="F",
+            o_totalprice=float(100 + (i * 37) % 500),
+            o_orderdate=dt.datetime(2000, 1, 1),
+            o_orderpriority="1-URGENT")
+        for i in range(1, 4001)
+    ]
+    got = analytics.ks_two_sample_drift(spark.createDataFrame(rows)).collect()[0]
+    assert not got.drift_detected
+    assert 0.0 <= got.ks_stat < got.crit_value_95
+    assert got.n_first_half + got.n_second_half == 4000
+
+
+def test_ks_two_sample_shifted_halves_detected(spark):
+    # order keys chosen so the md5-even half is cheap and the odd
+    # half expensive -> D ~ 1 >> critical value
+    keys = list(range(1, 2001))
+    import hashlib
+    rows = []
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 2
+        rows.append(
+            Row(o_orderkey=k, o_custkey=1, o_orderstatus="F",
+                o_totalprice=100.0 if h == 0 else 9000.0,
+                o_orderdate=dt.datetime(2000, 1, 1),
+                o_orderpriority="1-URGENT"))
+    got = analytics.ks_two_sample_drift(spark.createDataFrame(rows)).collect()[0]
+    assert got.drift_detected and got.ks_stat == 1.0
+
+
+def test_bloom_audit_no_false_negatives_and_sane_fpr(spark):
+    cust = spark.range(1, 501).select(F.col("id").alias("c_custkey"))
+    orders = spark.range(1, 501).select(F.col("id").alias("o_custkey"))
+    got = analytics.bloom_membership_audit(cust, orders).collect()[0]
+    assert got.n_false_neg == 0  # the Bloom guarantee
+    assert got.n_members == 500 and got.n_member_probes == 500
+    assert 0 < got.n_bits_set <= 4 * 500
+    assert got.measured_fpr <= 0.05  # m=32768, k=4, n=500 -> ~0
+    assert got.theoretical_fpr < 0.001
+
+
+def test_pq_codebook_partitions_all_vectors(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: (F.col("id") * 7 + d) % 13 / 13.0,
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    rows = similarity.pq_codebook_report(emb).collect()
+    # every (vector, subspace) assigned exactly once -> counts sum to
+    # 40 vectors x 4 subspaces
+    assert sum(r.n_vectors for r in rows) == 160
+    assert {r.sub_id for r in rows} == {0, 1, 2, 3}
+    assert all(0 <= r.code < 8 for r in rows)
+    assert all(r.mean_err <= r.max_err + 1e-9 for r in rows)
+
+
+def test_event_debounce_flags_rapid_repeats_only(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two clicks 10s apart (second bounces), one 400s later (kept)
+        Row(event_id=1, ts=t0, user_id=1, event_type="click", value=1.0),
+        Row(event_id=2, ts=t0 + dt.timedelta(seconds=10), user_id=1,
+            event_type="click", value=1.0),
+        Row(event_id=3, ts=t0 + dt.timedelta(seconds=410), user_id=1,
+            event_type="click", value=1.0),
+        # different type within 10s: NOT a bounce
+        Row(event_id=4, ts=t0 + dt.timedelta(seconds=5), user_id=1,
+            event_type="view", value=1.0),
+        # different user same type within 10s: NOT a bounce
+        Row(event_id=5, ts=t0 + dt.timedelta(seconds=12), user_id=2,
+            event_type="click", value=1.0),
+    ]
+    got = {r.event_type: r for r in
+           analytics.event_debounce_report(spark.createDataFrame(rows)).collect()}
+    assert got["click"].n_events == 4 and got["click"].n_debounced == 1
+    assert got["click"].n_kept == 3
+    assert got["click"].mean_bounce_gap_s == 10.0
+    assert got["view"].n_debounced == 0
+
+
+def test_dow_anomaly_flags_injected_spike_not_weekends(spark):
+    # 8 weeks of flat revenue with a weekend uplift + one huge spike
+    rows = []
+    key = 0
+    for d in range(56):
+        day = dt.datetime(2000, 1, 3) + dt.timedelta(days=d)  # Monday start
+        base = 1000.0 if day.weekday() < 5 else 5000.0  # weekend seasonality
+        if d == 30:
+            base = 50000.0  # the true anomaly
+        key += 1
+        rows.append(Row(o_orderkey=key, o_custkey=1, o_orderstatus="F",
+                        o_totalprice=base, o_orderdate=day,
+                        o_orderpriority="1-URGENT"))
+    out = analytics.dow_adjusted_anomalies(spark.createDataFrame(rows)).collect()
+    flagged = [r for r in out if r.is_anomaly]
+    # the naive global z-score would flag every weekend; dow-adjusted
+    # flags only the injected spike
+    assert len(flagged) == 1
+    assert flagged[0].rev == 50000.0
+
+
+def test_lsh_tuning_curve_monotone_in_bands(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    # 16 docs so the shared base shingles stay under the rare-df cap
+    # (df <= 20) and blocking produces candidate pairs
+    for i in range(1, 17):
+        text = base + f" tail{i}" if i % 3 else base
+        rows.append((i, text, "en", "s", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r.bands, r.rows_per_band): r
+           for r in dedup.lsh_tuning_curve(df, sample_pct=100).collect()}
+    assert set(out) == {(8, 1), (4, 2), (2, 4), (1, 8)}
+    # at fixed budget, more bands -> higher detection probability for
+    # any s in (0,1): recall must be nonincreasing as bands shrink
+    recalls = [out[c].expected_recall_dup for c in [(8, 1), (4, 2), (2, 4), (1, 8)]]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    assert recalls[0] > 0.9  # 8 bands of 1 row catches near-identical pairs
+
+
+def test_watermark_lag_audit_counts_late_arrivals(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # block 0 (ids < 1000): on time by definition
+    for i in range(1, 999):
+        rows.append(Row(event_id=i, ts=t0 + dt.timedelta(seconds=i),
+                        user_id=1, event_type="view", value=1.0))
+    # block 1: one event 2h older than block 0's max -> late by ~7200s
+    rows.append(Row(event_id=1500, ts=t0 - dt.timedelta(seconds=6202),
+                    user_id=1, event_type="view", value=1.0))
+    rows.append(Row(event_id=1501, ts=t0 + dt.timedelta(seconds=2000),
+                    user_id=1, event_type="view", value=1.0))
+    got = analytics.watermark_lag_audit(spark.createDataFrame(rows)).collect()[0]
+    assert got.n_events == 1000
+    assert got.n_late == 1
+    assert got.max_late_s == 6202 + 998  # vs block-0 max ts
+    assert got.dropped_at_60s == 1 and got.dropped_at_3600s == 1
+    # a 2h+ watermark would have kept it
+    assert got.max_late_s < 7201
+
+
+def test_content_defined_chunks_dedups_shifted_copy(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    shifted = "prefix " + base  # insertion shifts all fixed blocks
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)), (2, shifted, "en", "s", len(shifted))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = text.content_defined_chunks(docs).collect()[0]
+    # content-defined boundaries realign after the insertion, so the
+    # two docs share most chunks
+    assert got.n_redundant_chunks > 0
+    assert got.n_chunks == got.n_distinct_chunks + got.n_redundant_chunks
+    assert got.dedup_ratio_ppm > 200000  # >20% of chunk instances dedupe

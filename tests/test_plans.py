@@ -130,7 +130,7 @@ def test_driver_window_covers_component_families():
         "embedding_near_dupes",
         "curation_pipeline", "cosine_topk",
         "multimodal_features",
-        "split_contamination", "simhash_dupes", "profiles_upsert",
+        "simhash_dupes", "profiles_upsert",
         "profiles_quality_report",
         "events_rollup_multi",
         # r3 second wave: retrieval / data-layout / data-mixing
@@ -144,8 +144,14 @@ def test_driver_window_covers_component_families():
         # label_centroids, user_event_type_sets rotated out — their
         # families keep approx_distinct_users, text_stats,
         # cosine_topk/quantize_embeddings, events_rollup_multi)
-        "gopher_quality_report", "chi2_lang_source",
+        "gopher_quality_report",
         "hybrid_rrf_search", "monthly_revenue_ewma",
+        # r4 rotation: KS replaces chi2 as the stats-test rep, PQ
+        # replaces int8 as the quantization rep, the Bloom audit
+        # replaces split_contamination (deterministic_split carries
+        # the split family); kafka_wire_roundtrip closes K4
+        "kafka_wire_roundtrip", "ks_two_sample_drift",
+        "pq_codebook_report", "bloom_membership_audit",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
@@ -723,3 +729,52 @@ def test_copurchase_eval_keyed_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" not in plan
+
+
+# -- round-4: plan contracts for the remaining statistical family
+# (VERDICT r3 #7; churn_score_auc + bootstrap already pinned above) --
+
+
+def test_psi_drift_is_one_bin_pivot_no_self_join(spark, sf_dir):
+    """PSI must come from ONE conditional-sum pivot over the bin key
+    (n_a/n_b as filtered sums), never an outer self-join of the two
+    md5 halves — and the smoothing fold runs as a window over the
+    n_bins-row relation. One orders scan for the binning, one for
+    the broadcast max bound; no shuffle join, no cartesian."""
+    plan = _plan(spark, "feature_psi_drift", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2  # binning + max-bound
+    assert "Window" in plan
+    assert "partial_sum" in plan  # map-side combine on the bin pivot
+
+
+def test_conformal_intervals_histogram_cdf_no_global_sort(spark, sf_dir):
+    """The conformal quantile must run over the $100-binned residual
+    histogram (bounded relation), not a global residual sort; the
+    5-row priority model joins back as a broadcast equi-join. No
+    sort-merge join, no cartesian beyond 1-row stat combines."""
+    plan = _plan(spark, "conformal_order_intervals", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # model -> calibration probe
+    # the only Sort feeds the bounded histogram window, not the data
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_bootstrap_single_orders_scan_for_fanout(spark, sf_dir):
+    """The xR/4 replicate fan-out must read orders ONCE for the
+    resample (plus one scan for the point estimate) — a per-replicate
+    re-scan would multiply the 100 TB read by R."""
+    plan = _plan(spark, "bootstrap_order_mean_ci", sf_dir)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_churn_auc_no_cartesian_guarded_null(spark, sf_dir):
+    """Degenerate-corpus guard (ADVICE r3) must not change the plan
+    shape: corpus-max still rides in as a broadcast 1-row combine,
+    and the guard is a projection, not a join."""
+    plan = _plan(spark, "churn_score_auc", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus_max bound
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2

@@ -131,6 +131,23 @@ QUERIES_TO_RUN = [
     "join_cardinality_estimate",
     "audience_overlap_hll",
     "top_component_power",
+    # round-4: streaming soak (multi-file events gap fixed — the
+    # file-stream source now reads Spark-written directory corpora)
+    "streaming_events_hourly",
+    "streaming_user_totals",
+    "streaming_session_windows",
+    "streaming_attribution",
+    "streaming_drift_monitor",
+    # round-4 waves: drift test / sketch audit / PQ / ops sizing /
+    # CDC chunking / LSH planning
+    "ks_two_sample_drift",
+    "bloom_membership_audit",
+    "pq_codebook_report",
+    "event_debounce_report",
+    "dow_adjusted_anomalies",
+    "lsh_tuning_curve",
+    "watermark_lag_audit",
+    "content_defined_chunks",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
