@@ -1338,3 +1338,37 @@ def lsh_tuning_curve(
         )
         .orderBy(F.col("bands").desc())
     )
+
+
+def split_near_dup_leakage(
+    docs: DataFrame, jaccard_threshold: float = 0.6
+) -> DataFrame:
+    """Cross-split NEAR-duplicate leakage audit — the contamination
+    check exact n-gram overlap (split_contamination) cannot see: a
+    validation doc that is a near-copy (not verbatim) of a training
+    doc still leaks the answer. Verified near-dup pairs (LSH
+    candidates → exact Jaccard ≥ θ, the same pipeline as
+    near_dedup_minhash) are classified by the split assignment of
+    each side; any pair crossing a split boundary is leakage the
+    curation pipeline must break (drop one side or co-assign the
+    cluster).
+
+    Scale shape: inherits near_dedup_minhash's banded-bucket shape;
+    the split tag is a free projection (md5 of the key already in
+    hand); the rollup is a ≤9-row (split_a, split_b) aggregate.
+    """
+    from .text import split_col
+
+    pairs = near_dedup_minhash(docs, jaccard_threshold)
+    tagged = pairs.select(
+        split_col(F.col("doc_a")).alias("split_a"),
+        split_col(F.col("doc_b")).alias("split_b"),
+    )
+    return (
+        tagged.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "is_leakage", F.col("split_a") != F.col("split_b")
+        )
+        .orderBy("split_a", "split_b")
+    )

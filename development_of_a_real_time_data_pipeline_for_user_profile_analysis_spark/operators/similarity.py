@@ -1206,3 +1206,56 @@ def pq_codebook_report(
         )
         .orderBy("sub_id", "code")
     )
+
+
+def ivf_shard_plan(
+    embeddings: DataFrame, n_shards: int = 4, k: int = 8
+) -> DataFrame:
+    """IVF serving-shard plan: after the coarse quantizer clusters the
+    corpus (deterministic k-means, the engine's IVF build step), the
+    cells must be packed onto serving shards with BALANCED vector
+    counts — a skewed shard becomes the fleet's latency tail. Cells
+    rank by occupancy and fold onto shards in a deterministic snake
+    (rank 1..2n→shards 0..n-1,n-1..0, repeating): the classic greedy
+    bound without iterative state, so it stays one window + one
+    projection in any engine. The report gives each shard's cell
+    count, vector load, and share — the balance check run before
+    rolling the index out.
+
+    Scale shape: inherits kmeans_assign (broadcast centroids, narrow
+    scans); everything after runs on the |cells|-row relation. The
+    rank window orders k rows, not the corpus.
+    """
+    assigned = kmeans_assign(embeddings, k=k, iterations=2)
+    cells = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    w = Window.orderBy(F.col("n_vectors").desc(), F.col("cluster"))
+    ranked = cells.select(
+        "cluster", "n_vectors", (F.row_number().over(w) - 1).alias("r")
+    )
+    pos = F.col("r") % (2 * n_shards)
+    shard = F.when(pos < n_shards, pos).otherwise(2 * n_shards - 1 - pos)
+    per_shard = (
+        ranked.select(shard.cast("long").alias("shard"), "n_vectors")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_vectors").cast("long").alias("n_vectors"),
+        )
+    )
+    wall = Window.partitionBy()
+    return per_shard.select(
+        "shard",
+        "n_cells",
+        "n_vectors",
+        (
+            F.floor(
+                F.col("n_vectors")
+                / F.sum("n_vectors").over(wall)
+                * 1000000
+                + 0.5
+            ).cast("long")
+            / 1000000.0
+        ).alias("load_share"),
+    ).orderBy("shard")

@@ -6500,6 +6500,75 @@ def q_content_defined_chunks(spark, sf_dir):
     return text.content_defined_chunks(_t(spark, sf_dir, "documents"))
 
 
+_SPLIT_CASE = (
+    "CASE WHEN CAST(CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8) "
+    "AS UBIGINT) AS BIGINT) % 100 < 80 THEN 'train' "
+    "WHEN CAST(CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8) "
+    "AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "split_near_dup_leakage",
+    _with_dupes(
+        f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+        nd AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter)
+                      * 10000 + 0.5) / 10000.0 >= 0.6),
+        tg AS (SELECT {_SPLIT_CASE.format(col='doc_a')} AS split_a,
+                      {_SPLIT_CASE.format(col='doc_b')} AS split_b
+               FROM nd)
+        SELECT split_a, split_b, count(*) AS n_pairs,
+               split_a <> split_b AS is_leakage
+        FROM tg GROUP BY split_a, split_b
+        ORDER BY split_a, split_b"""
+    ),
+)
+def q_split_near_dup_leakage(spark, sf_dir):
+    """Cross-split NEAR-dup leakage: verified near-dup pairs
+    classified by train/val/test assignment — the contamination the
+    exact n-gram check misses."""
+    return dedup.split_near_dup_leakage(_dupes_df(spark, sf_dir))
+
+
+@query(
+    "ivf_shard_plan",
+    _kmeans_oracle(
+        final_select="""
+, cells AS (SELECT cid, count(*) AS n_vectors FROM a2 GROUP BY cid),
+rk AS (SELECT cid, n_vectors,
+              row_number() OVER (ORDER BY n_vectors DESC, cid) - 1 AS r
+       FROM cells),
+sh AS (SELECT CASE WHEN r % 8 < 4 THEN r % 8
+              ELSE 7 - (r % 8) END AS shard, n_vectors
+       FROM rk),
+ps AS (SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_cells,
+              CAST(sum(n_vectors) AS BIGINT) AS n_vectors
+       FROM sh GROUP BY shard),
+tot AS (SELECT sum(n_vectors) AS t FROM ps)
+SELECT shard, n_cells, n_vectors,
+       floor(n_vectors * 1.0 / t * 1000000 + 0.5) / 1000000.0
+         AS load_share
+FROM ps CROSS JOIN tot ORDER BY shard"""
+    ),
+)
+def q_ivf_shard_plan(spark, sf_dir):
+    """IVF serving-shard plan: k-means cells snake-folded onto 4
+    shards by occupancy rank — balanced vector load without
+    iterative state."""
+    return similarity.ivf_shard_plan(_t(spark, sf_dir, "embeddings"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
