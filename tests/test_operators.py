@@ -2141,3 +2141,53 @@ def test_content_defined_chunks_dedups_shifted_copy(spark):
     assert got.n_redundant_chunks > 0
     assert got.n_chunks == got.n_distinct_chunks + got.n_redundant_chunks
     assert got.dedup_ratio_ppm > 200000  # >20% of chunk instances dedupe
+
+
+def test_split_leakage_detects_cross_split_near_dup(spark):
+    import hashlib
+
+    def split_of(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    # find a train id and a val id, give them near-identical text
+    train_id = next(i for i in range(1, 200) if split_of(i) == "train")
+    val_id = next(i for i in range(1, 200) if split_of(i) == "val")
+    unrelated = "totally different words nothing shared here at all " * 3
+    docs = spark.createDataFrame(
+        [
+            (train_id, base, "en", "s", len(base)),
+            (val_id, base + " tail", "en", "s", len(base) + 5),
+            (1000, unrelated, "en", "s", len(unrelated)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = dedup.split_near_dup_leakage(docs).collect()
+    leak = [r for r in rows if r.is_leakage]
+    assert len(leak) == 1
+    assert {leak[0].split_a, leak[0].split_b} == {"train", "val"}
+    assert leak[0].n_pairs == 1
+
+
+def test_ivf_shard_plan_balances_load(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: ((F.col("id") % 10) * 63 + d) % 29 / 29.0,
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    rows = similarity.ivf_shard_plan(emb).collect()
+    assert [r.shard for r in rows] == [0, 1, 2, 3]
+    assert sum(r.n_vectors for r in rows) == 200
+    assert abs(sum(r.load_share for r in rows) - 1.0) < 1e-3
+    # snake folding: no shard may carry more than twice the mean load
+    loads = [r.n_vectors for r in rows]
+    assert max(loads) <= 2 * (sum(loads) / len(loads))
