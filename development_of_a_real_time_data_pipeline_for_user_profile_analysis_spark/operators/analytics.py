@@ -3975,7 +3975,7 @@ def bloom_membership_audit(
 
     def _positions(df, key_col):
         rows = df.select(
-            F.col(key_col).alias("key"),
+            "*",
             F.explode(
                 F.array(*[F.lit(i) for i in range(k_hashes)])
             ).alias("i"),
@@ -3983,14 +3983,18 @@ def bloom_membership_audit(
         pos = (
             F.conv(
                 F.substring(
-                    F.md5(F.concat_ws(":", F.col("key"), F.col("i"))), 1, 8
+                    F.md5(
+                        F.concat_ws(":", F.col(key_col), F.col("i"))
+                    ),
+                    1,
+                    8,
                 ),
                 16,
                 10,
             ).cast("long")
             % m_bits
         )
-        return rows.select("key", "i", pos.alias("pos"))
+        return rows.withColumn("pos", pos)
 
     members = customer.select(
         F.col("c_custkey").cast("string").alias("k")
@@ -4007,17 +4011,22 @@ def bloom_membership_audit(
             F.lit(False).alias("is_member"),
         )
     )
-    probed = (
+    # Single pass: every (probe, i) row marks whether its position is
+    # set (broadcast left join against the ≤m-row filter relation),
+    # then ONE probe-keyed aggregation decides pass/fail — no second
+    # join back to the probe corpus (a shuffle join that grew with it).
+    bits_hit = bits.withColumn("hit", F.lit(1))
+    verdicts = (
         _positions(probes, "k")
-        .withColumnRenamed("key", "k")
-        .join(probes, "k")
-        .join(F.broadcast(bits), "pos", "left_semi")
+        .join(F.broadcast(bits_hit), "pos", "left")
         .groupBy("k", "is_member")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    verdicts = probes.join(probed, ["k", "is_member"], "left").select(
-        "is_member",
-        (F.coalesce(F.col("n_hit"), F.lit(0)) == k_hashes).alias("passes"),
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit")
+        )
+        .select(
+            "is_member",
+            (F.col("n_hit") == k_hashes).alias("passes"),
+        )
     )
     summary = verdicts.groupBy().agg(
         F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_pos"),

@@ -778,3 +778,63 @@ def test_churn_auc_no_cartesian_guarded_null(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus_max bound
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 2
+
+
+# -- round-4 waves: plan contracts --
+
+
+def test_ks_drift_one_scan_bounded_windows(spark, sf_dir):
+    """KS: ONE orders scan feeds the bin pivot; both windows (CDF +
+    totals) run over the bounded bin histogram. No join at all."""
+    plan = _plan(spark, "ks_two_sample_drift", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan  # map-side combine on the pivot
+
+
+def test_bloom_probe_is_broadcast_single_pass(spark, sf_dir):
+    """The ≤m-row filter relation must broadcast into the probe scan
+    (never shuffle-join the probe corpus), and pass/fail must come
+    from ONE probe-keyed aggregation — no join back to the probes."""
+    plan = _plan(spark, "bloom_membership_audit", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_codebook_broadcast_no_selfjoin(spark, sf_dir):
+    """PQ assignment: codebook broadcasts into one narrow corpus
+    scan; the corpus is never self-joined or globally sorted beyond
+    the k-row codebook init."""
+    plan = _plan(spark, "pq_codebook_report", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 2  # corpus + codebook init
+
+
+def test_debounce_single_keyed_window(spark, sf_dir):
+    plan = _plan(spark, "event_debounce_report", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_watermark_audit_block_relation_broadcasts(spark, sf_dir):
+    """Lateness joins the bounded block-watermark relation back as a
+    broadcast equi-join; the prefix-max window runs over |blocks|
+    rows, never the event corpus."""
+    plan = _plan(spark, "watermark_lag_audit", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 2
+
+
+def test_cdc_chunking_per_doc_windows_digest_rollup(spark, sf_dir):
+    """CDC chunk ids come from PER-DOC windows (partitionBy doc_id —
+    bounded by doc length); the dedup rollup shuffles on the uniform
+    digest key. No join."""
+    plan = _plan(spark, "content_defined_chunks", sf_dir)
+    assert "Join" not in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "Window" in plan
