@@ -4228,3 +4228,87 @@ def watermark_lag_audit(
             .alias(f"dropped_at_{d}s")
         )
     return late.agg(*aggs)
+
+
+def customer_rfm_scores(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary) —
+    the classic warehouse scoring grid, built scale-safe: each
+    dimension's quintile comes from the histogram-CDF of the metric
+    VALUE (ties share a quintile — deterministic and engine-portable,
+    unlike ntile), so the only single-partition windows run over
+    bounded histograms (|distinct recency days|, |distinct order
+    counts|, |$100 spend bins|), never the customer corpus. Scores:
+    5 = best (most recent / most frequent / biggest spend). Output is
+    the ≤125-row segment grid with customer counts and mean spend —
+    the marketing-activation artifact.
+
+    Scale shape: ONE custkey shuffle builds the metrics; three tiny
+    histogram aggregates + broadcast score maps; one ≤125-cell
+    rollup.
+    """
+    bounds = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("cmax")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            # exact integer cents: keeps every downstream mean a
+            # division of exact longs (no double-sum order effects at
+            # the floor boundary)
+            F.floor(F.sum("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff("cmax", "last_day").cast("long").alias("recency"),
+            "freq",
+            "cents",
+            F.floor(F.col("cents") / 10000).cast("long").alias("mbin"),
+        )
+    )
+
+    def _quintile_map(metric: str):
+        hist = per_cust.groupBy(metric).agg(F.count(F.lit(1)).alias("n"))
+        w = Window.orderBy(metric).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        total = Window.partitionBy()
+        return hist.select(
+            metric,
+            F.least(
+                F.lit(4),
+                F.floor(
+                    5
+                    * F.coalesce(F.sum("n").over(w), F.lit(0))
+                    / F.sum("n").over(total)
+                ),
+            ).cast("long").alias(f"qi_{metric}"),
+        )
+
+    scored = (
+        per_cust.join(F.broadcast(_quintile_map("recency")), "recency")
+        .join(F.broadcast(_quintile_map("freq")), "freq")
+        .join(F.broadcast(_quintile_map("mbin")), "mbin")
+        .select(
+            (5 - F.col("qi_recency")).alias("r_score"),
+            (F.col("qi_freq") + 1).alias("f_score"),
+            (F.col("qi_mbin") + 1).alias("m_score"),
+            "cents",
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.floor(
+                    F.sum("cents") / F.count(F.lit(1)) + 0.5
+                ).cast("long")
+                / 100.0
+            ).alias("mean_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -1638,3 +1638,93 @@ def content_defined_chunks(
             / 100.0
         ).alias("mean_chunk_words"),
     )
+
+
+def tokenizer_fertility_report(documents: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility: BPE-ish subword count per
+    whitespace word — the inflation factor that converts a word
+    budget into the token budget a context window actually pays.
+    High-fertility languages eat context; the mixing sampler weights
+    by tokens, so this report is its calibration input.
+
+    Scale shape: one scan, all counting in JVM higher-order
+    functions, one |langs|-row aggregate.
+    """
+    counted = documents.select(
+        "lang",
+        token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    )
+    return (
+        counted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            round4(F.sum("bpe") / F.sum("ws")).alias("fertility"),
+            (
+                F.floor(F.avg("ws") * 100 + 0.5).cast("long") / 100.0
+            ).alias("mean_doc_words"),
+        )
+        .orderBy("lang")
+    )
+
+
+def dataset_card_report(documents: DataFrame) -> DataFrame:
+    """One-row dataset card: the headline numbers a published corpus
+    card carries (docs, sources, languages, token/char volume, mean
+    quality, exact-duplication mass, dominant source and language) —
+    assembled from independent small aggregates over one logical
+    scan, combined by 1-row broadcast joins.
+
+    Scale shape: three corpus-shaped aggregates (global, digest,
+    per-source/lang argmax via max(struct)); no window over the
+    corpus, no collect.
+    """
+    base = documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        token_count(F.col("text")).alias("ws"),
+        quality_score(F.col("text")).alias("q"),
+        F.md5("text").alias("digest"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("ws").cast("long").alias("total_ws_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        round4(F.avg("q")).alias("mean_quality"),
+        F.countDistinct("digest").alias("n_distinct_texts"),
+    )
+    top_src = (
+        base.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max(F.struct("n", "source")).alias("m"))
+        .select(F.col("m.source").alias("top_source"))
+    )
+    top_lang = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max(F.struct("n", "lang")).alias("m"))
+        .select(F.col("m.lang").alias("top_lang"))
+    )
+    return (
+        g.crossJoin(F.broadcast(top_src))
+        .crossJoin(F.broadcast(top_lang))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_ws_tokens",
+            "total_chars",
+            "mean_quality",
+            (F.col("n_docs") - F.col("n_distinct_texts"))
+            .cast("long")
+            .alias("n_exact_dup_docs"),
+            "top_source",
+            "top_lang",
+        )
+    )

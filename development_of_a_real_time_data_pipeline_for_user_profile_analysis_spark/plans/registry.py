@@ -6569,6 +6569,110 @@ def q_ivf_shard_plan(spark, sf_dir):
     return similarity.ivf_shard_plan(_t(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "customer_rfm_scores",
+    """WITH b AS (SELECT max(CAST(o_orderdate AS DATE)) AS cmax FROM orders),
+       pc AS (SELECT o_custkey,
+                     max(CAST(o_orderdate AS DATE)) AS last_day,
+                     count(*) AS freq,
+                     CAST(floor(sum(o_totalprice) * 100 + 0.5)
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+       m AS (SELECT date_diff('day', last_day, cmax) AS recency,
+                    freq, cents,
+                    CAST(floor(cents / 10000) AS BIGINT) AS mbin
+             FROM pc CROSS JOIN b),
+       hr AS (SELECT recency AS v, count(*) AS n FROM m GROUP BY 1),
+       qr AS (SELECT v,
+                 least(4, CAST(floor(5.0 * coalesce(sum(n) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / sum(n) OVER ()) AS BIGINT)) AS qi
+               FROM hr),
+       hf AS (SELECT freq AS v, count(*) AS n FROM m GROUP BY 1),
+       qf AS (SELECT v,
+                 least(4, CAST(floor(5.0 * coalesce(sum(n) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / sum(n) OVER ()) AS BIGINT)) AS qi
+               FROM hf),
+       hm AS (SELECT mbin AS v, count(*) AS n FROM m GROUP BY 1),
+       qm AS (SELECT v,
+                 least(4, CAST(floor(5.0 * coalesce(sum(n) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / sum(n) OVER ()) AS BIGINT)) AS qi
+               FROM hm),
+       sc AS (SELECT 5 - qr.qi AS r_score, qf.qi + 1 AS f_score,
+                     qm.qi + 1 AS m_score, cents
+              FROM m JOIN qr ON m.recency = qr.v
+                     JOIN qf ON m.freq = qf.v
+                     JOIN qm ON m.mbin = qm.v)
+       SELECT r_score, f_score, m_score, count(*) AS n_customers,
+              floor(sum(cents) * 1.0 / count(*) + 0.5) / 100.0
+                AS mean_monetary
+       FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+)
+def q_customer_rfm_scores(spark, sf_dir):
+    """RFM segmentation grid — histogram-CDF quintiles per dimension
+    (ties share a quintile; no corpus-wide ntile sort), broadcast
+    score maps, one custkey shuffle."""
+    return analytics.customer_rfm_scores(_t(spark, sf_dir, "orders"))
+
+
+@query(
+    "tokenizer_fertility_report",
+    """WITH t AS (SELECT lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+                  CAST(list_sum(list_transform(string_split(text, ' '),
+                       w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+                       AS BIGINT) AS bpe
+           FROM documents)
+       SELECT lang, count(*) AS n_docs,
+              CAST(sum(ws) AS BIGINT) AS ws_tokens,
+              CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+              floor(sum(bpe) * 1.0 / sum(ws) * 10000 + 0.5) / 10000.0
+                AS fertility,
+              floor(avg(ws) * 100 + 0.5) / 100.0 AS mean_doc_words
+       FROM t GROUP BY lang ORDER BY lang""",
+)
+def q_tokenizer_fertility_report(spark, sf_dir):
+    """Per-language BPE-ish fertility (subword inflation per word) —
+    the token-budget calibration for the mixing sampler."""
+    return text.tokenizer_fertility_report(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dataset_card_report",
+    f"""WITH base AS (SELECT doc_id, source, lang,
+                     CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+                     {_SQL_QUALITY} AS q,
+                     md5(text) AS digest
+              FROM documents),
+       g AS (SELECT count(*) AS n_docs,
+                    count(DISTINCT source) AS n_sources,
+                    count(DISTINCT lang) AS n_langs,
+                    CAST(sum(ws) AS BIGINT) AS total_ws_tokens,
+                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                    floor(avg(q) * 10000 + 0.5) / 10000.0 AS mean_quality,
+                    count(DISTINCT digest) AS n_distinct
+             FROM base),
+       ts AS (SELECT source AS top_source FROM (
+                SELECT source, count(*) AS n FROM base GROUP BY 1)
+              ORDER BY n DESC, source DESC LIMIT 1),
+       tl AS (SELECT lang AS top_lang FROM (
+                SELECT lang, count(*) AS n FROM base GROUP BY 1)
+              ORDER BY n DESC, lang DESC LIMIT 1)
+       SELECT n_docs, n_sources, n_langs, total_ws_tokens, total_chars,
+              mean_quality,
+              CAST(n_docs - n_distinct AS BIGINT) AS n_exact_dup_docs,
+              top_source, top_lang
+       FROM g CROSS JOIN ts CROSS JOIN tl""",
+)
+def q_dataset_card_report(spark, sf_dir):
+    """One-row dataset card: volume, diversity, quality, duplication
+    and dominant source/language — the published-corpus headline."""
+    return text.dataset_card_report(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

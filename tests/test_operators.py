@@ -2191,3 +2191,58 @@ def test_ivf_shard_plan_balances_load(spark):
     # snake folding: no shard may carry more than twice the mean load
     loads = [r.n_vectors for r in rows]
     assert max(loads) <= 2 * (sum(loads) / len(loads))
+
+
+def test_rfm_scores_order_by_value(spark):
+    # 50 customers: recent big spenders vs stale one-timers
+    rows = []
+    key = 0
+    for c in range(1, 51):
+        whale = c <= 10
+        n_ord = 10 if whale else 1
+        for j in range(n_ord):
+            key += 1
+            rows.append(
+                Row(o_orderkey=key, o_custkey=c, o_orderstatus="F",
+                    o_totalprice=5000.0 if whale else 50.0,
+                    o_orderdate=dt.datetime(2001, 5, 1 + (j % 20))
+                    if whale else dt.datetime(2000, 1, 1 + (c % 20)),
+                    o_orderpriority="1-URGENT"))
+    out = analytics.customer_rfm_scores(spark.createDataFrame(rows)).collect()
+    assert sum(r.n_customers for r in out) == 50
+    # whales: max recency/frequency/monetary quintiles
+    whales = [r for r in out if r.n_customers == 10 and r.f_score == 5]
+    assert whales and all(r.r_score == 5 and r.m_score == 5 for r in whales)
+    # every score within the 1..5 grid
+    assert all(1 <= r.r_score <= 5 and 1 <= r.f_score <= 5
+               and 1 <= r.m_score <= 5 for r in out)
+
+
+def test_fertility_reflects_word_length(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "ab cd ef gh", "short", "s", 11),
+            (2, "abcdefgh ijklmnop qrstuvwx yzabcdef", "long", "s", 35),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.lang: r for r in text.tokenizer_fertility_report(docs).collect()}
+    assert got["short"].fertility == 1.0  # <=4-char words: 1 piece each
+    assert got["long"].fertility == 2.0  # 8-char words: 2 pieces each
+    assert got["long"].ws_tokens == 4 and got["long"].bpe_tokens == 8
+
+
+def test_dataset_card_counts_and_argmax(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the a quick fox", "en", "web", 15),
+            (2, "the a quick fox", "en", "web", 15),  # exact dup
+            (3, "other words here", "fr", "books", 16),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = text.dataset_card_report(docs).collect()[0]
+    assert got.n_docs == 3 and got.n_sources == 2 and got.n_langs == 2
+    assert got.n_exact_dup_docs == 1
+    assert got.top_source == "web" and got.top_lang == "en"
+    assert got.total_chars == 46
