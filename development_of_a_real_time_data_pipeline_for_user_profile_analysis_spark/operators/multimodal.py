@@ -258,3 +258,64 @@ def ahash_payload_dupes(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# magic-byte prefixes the sniffer recognizes (hex → format label)
+MAGIC_FORMATS = [
+    ("89504E47", "png"),
+    ("FFD8FFE0", "jpeg"),
+    ("52494646", "riff"),
+]
+
+
+def attach_mixed_payloads(documents: DataFrame) -> DataFrame:
+    """Multimodal ingest fixture: each doc's utf-8 bytes get a
+    deterministic magic-byte header (md5(doc_id) mod 4 chooses
+    png/jpeg/riff/none) — modeling a mixed-format media column as it
+    lands from an object store, before any format metadata exists."""
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 4
+    )
+    header = F.when(h == 0, F.unhex(F.lit(MAGIC_FORMATS[0][0])))
+    for i, (magic, _) in enumerate(MAGIC_FORMATS[1:], start=1):
+        header = header.when(h == i, F.unhex(F.lit(magic)))
+    header = header.otherwise(F.lit(b""))
+    return documents.select(
+        "doc_id",
+        F.concat(header, F.encode(F.col("text"), "utf-8")).alias("payload"),
+    )
+
+
+def payload_format_audit(documents: DataFrame) -> DataFrame:
+    """Magic-byte format sniffing over an untyped binary media column
+    — the first pass a 100 TB multimodal ingest runs so later stages
+    can route payloads to the right decoder (and quarantine the
+    unknowns). Reads ONLY the first 4 bytes per payload (at scale:
+    a range-read per object, never the full bytes) and rolls up per
+    detected format: count, total/mean payload bytes.
+
+    Pure JVM (substring/hex on binary) — no Python in the scan.
+    """
+    media = attach_mixed_payloads(documents)
+    sig = F.hex(F.substring(F.col("payload"), 1, 4))
+    fmt = F.lit("unknown")
+    for magic, label in reversed(MAGIC_FORMATS):
+        fmt = F.when(sig == magic, label).otherwise(fmt)
+    return (
+        media.select(
+            fmt.alias("format"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        )
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            (
+                F.floor(F.avg("n_bytes") * 100 + 0.5).cast("long") / 100.0
+            ).alias("mean_bytes"),
+        )
+        .orderBy("format")
+    )

@@ -230,8 +230,11 @@ def _sq_euclid(a, b) -> Column:
 
 
 def kmeans_assign(
-    embeddings: DataFrame, k: int = 8, iterations: int = 2
-) -> DataFrame:
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    return_centroids: bool = False,
+):
     """Distributed Lloyd's k-means over the embedding corpus —
     the classic scalable shape: the k centroids are always a tiny
     broadcast table, each iteration is one narrow scan (k candidate
@@ -259,7 +262,9 @@ def kmeans_assign(
         )
     )
     assigned = None
+    cents_used = centroids
     for _ in range(iterations):
+        cents_used = centroids
         dist = F.round(F.sqrt(_sq_euclid(F.col("emb"), F.col("c"))), 6)
         assigned = (
             corpus.crossJoin(F.broadcast(centroids))
@@ -284,9 +289,12 @@ def kmeans_assign(
                 ).alias("c")
             )
         )
-    return assigned.select(
+    out = assigned.select(
         "vec_id", F.col("cid").alias("cluster"), "dist"
     ).orderBy("vec_id")
+    if return_centroids:
+        return out, cents_used
+    return out
 
 
 def label_centroids(embeddings: DataFrame) -> DataFrame:
@@ -1126,6 +1134,77 @@ def ann_ndcg_eval(
     )
 
 
+def _subvector_structs(vec_col: str, n_subspaces: int, sub_d: int):
+    return [
+        F.struct(
+            F.lit(s).cast("long").alias("sub_id"),
+            F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("sv"),
+        )
+        for s in range(n_subspaces)
+    ]
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    codebook_k: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic per-subspace PQ codebooks (code, sub_id, cv):
+    the codebook_k lowest vec_ids' subvectors — same init device as
+    kmeans_assign, shared by the report and the IVF-PQ search."""
+    sub_d = dim // n_subspaces
+    corpus = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    )
+    w_init = Window.orderBy("vec_id")
+    cb = (
+        corpus.orderBy("vec_id")
+        .limit(codebook_k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("long").alias("code"),
+            "e",
+        )
+    )
+    return cb.select(
+        "code", F.explode(F.array(*_subvector_structs("e", n_subspaces, sub_d))).alias("x")
+    ).select("code", "x.sub_id", F.col("x.sv").alias("cv"))
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    codebook_k: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-vector PQ code assignment (vec_id, sub_id, code, dist):
+    broadcast codebooks into one narrow scan, 6-dp rounded distances,
+    argmin ties on code id."""
+    sub_d = dim // n_subspaces
+    corpus = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    )
+    subs = corpus.select(
+        "vec_id",
+        F.explode(F.array(*_subvector_structs("e", n_subspaces, sub_d))).alias("x"),
+    ).select("vec_id", "x.sub_id", "x.sv")
+    cb_subs = pq_codebooks(embeddings, n_subspaces, codebook_k, dim)
+    dist = F.round(F.sqrt(_sq_euclid(F.col("sv"), F.col("cv"))), 6)
+    return (
+        subs.join(F.broadcast(cb_subs), "sub_id")
+        .select("vec_id", "sub_id", "code", dist.alias("dist"))
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("dist", "code")).alias("m"))
+        .select(
+            "vec_id",
+            "sub_id",
+            F.col("m.code").alias("code"),
+            F.col("m.dist").alias("dist"),
+        )
+    )
+
+
+
 def pq_codebook_report(
     embeddings: DataFrame,
     n_subspaces: int = 4,
@@ -1155,45 +1234,7 @@ def pq_codebook_report(
     the report is one (subspace, code) groupBy with map-side combine.
     No self-join, no collect, no global sort.
     """
-    sub_d = dim // n_subspaces
-    corpus = embeddings.select(
-        "vec_id", _to_double(F.col("embedding")).alias("e")
-    )
-    subvecs = [
-        F.struct(
-            F.lit(s).cast("long").alias("sub_id"),
-            F.slice(F.col("e"), s * sub_d + 1, sub_d).alias("sv"),
-        )
-        for s in range(n_subspaces)
-    ]
-    subs = corpus.select(
-        "vec_id", F.explode(F.array(*subvecs)).alias("x")
-    ).select("vec_id", "x.sub_id", "x.sv")
-    w_init = Window.orderBy("vec_id")
-    cb = (
-        corpus.orderBy("vec_id")
-        .limit(codebook_k)
-        .select(
-            (F.row_number().over(w_init) - 1).cast("long").alias("code"),
-            "e",
-        )
-    )
-    cb_subs = cb.select(
-        "code", F.explode(F.array(*subvecs)).alias("x")
-    ).select("code", "x.sub_id", F.col("x.sv").alias("cv"))
-    dist = F.round(F.sqrt(_sq_euclid(F.col("sv"), F.col("cv"))), 6)
-    assigned = (
-        subs.join(F.broadcast(cb_subs), "sub_id")
-        .select("vec_id", "sub_id", "code", dist.alias("dist"))
-        .groupBy("vec_id", "sub_id")
-        .agg(F.min(F.struct("dist", "code")).alias("m"))
-        .select(
-            "vec_id",
-            "sub_id",
-            F.col("m.code").alias("code"),
-            F.col("m.dist").alias("dist"),
-        )
-    )
+    assigned = pq_codes(embeddings, n_subspaces, codebook_k, dim)
     return (
         assigned.groupBy("sub_id", "code")
         .agg(
@@ -1259,3 +1300,119 @@ def ivf_shard_plan(
             / 1000000.0
         ).alias("load_share"),
     ).orderBy("shard")
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    n_cells: int = 8,
+    n_subspaces: int = 4,
+    codebook_k: int = 8,
+    dim: int = 64,
+    shortlist: int = 30,
+) -> DataFrame:
+    """Full FAISS-style IVF-PQ serving pipeline — the 100 TB ANN
+    architecture assembled end-to-end from the engine's own tiers:
+    (1) coarse quantizer (deterministic k-means cells) prunes the
+    corpus to the query's `n_probe` nearest cells; (2) PQ codes +
+    an ADC lookup table (per-(subspace, code) distances to the
+    query's subvectors — n_subspaces×codebook_k rows, broadcast)
+    score every candidate WITHOUT touching its full vector:
+    approx_d² = Σ_sub d²(q_sub, codebook[sub, code_v]); (3) the
+    `shortlist` best approximate candidates re-rank against their
+    exact vectors. Returns the exact-ranked top k with both
+    distances — the recall/IO dial (n_probe, shortlist) made
+    visible.
+
+    At 100 TB: the corpus stores cells (partition key) + 4-byte PQ
+    codes; step 2 reads codes only (≈64× less IO than vectors), step
+    3 fetches `shortlist` full vectors. Every relation that crosses
+    the plan is a broadcast (centroids, codebooks, ADC table, probe
+    cells, query); the only corpus-shaped work is the probed-cell
+    scan. The ranking windows run over |candidates-in-probed-cells|
+    and |shortlist| rows.
+
+    Determinism: same devices as kmeans_assign / pq_codes (6-dp
+    rounded distances, ties on id), so the DuckDB oracle replays the
+    full pipeline value-for-value.
+    """
+    sub_d = dim // n_subspaces
+    corpus = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    )
+    assigned, cents = kmeans_assign(
+        embeddings, k=n_cells, iterations=2, return_centroids=True
+    )
+    codes = pq_codes(embeddings, n_subspaces, codebook_k, dim)
+    cb = pq_codebooks(embeddings, n_subspaces, codebook_k, dim)
+    q = corpus.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("e").alias("qe")
+    )
+    qcells = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            F.round(F.sqrt(_sq_euclid(F.col("c"), F.col("qe"))), 6).alias(
+                "qd"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("qd", "cid")),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("cid")
+    )
+    qsubs = q.select(
+        F.explode(
+            F.array(*_subvector_structs("qe", n_subspaces, sub_d))
+        ).alias("x")
+    ).select("x.sub_id", F.col("x.sv").alias("qv"))
+    dsub = F.round(F.sqrt(_sq_euclid(F.col("cv"), F.col("qv"))), 6)
+    adc = (
+        cb.join(F.broadcast(qsubs), "sub_id")
+        .select("sub_id", "code", (dsub * dsub).alias("d2sub"))
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(qcells), F.col("cluster") == F.col("cid"), "left_semi"
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+    )
+    approx = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(adc), ["sub_id", "code"])
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.floor(F.sum("d2sub") * 1000000 + 0.5).cast("long")
+                / 1000000.0
+            ).alias("approx_d2")
+        )
+    )
+    short = approx.withColumn(
+        "rn", F.row_number().over(Window.orderBy("approx_d2", "vec_id"))
+    ).filter(F.col("rn") <= shortlist)
+    exact = (
+        short.join(corpus, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "approx_d2",
+            F.round(F.sqrt(_sq_euclid(F.col("e"), F.col("qe"))), 6).alias(
+                "exact_dist"
+            ),
+        )
+    )
+    return (
+        exact.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("exact_dist", "vec_id")),
+        )
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", "approx_d2", "exact_dist")
+        .orderBy("rank")
+    )

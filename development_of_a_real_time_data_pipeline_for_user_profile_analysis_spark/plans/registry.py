@@ -6673,6 +6673,100 @@ def q_dataset_card_report(spark, sf_dir):
     return text.dataset_card_report(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "ann_ivfpq_topk",
+    _kmeans_oracle(final_select="""
+, cbv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                 AS code, e
+          FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)),
+sp AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS sub_id),
+cbs AS (SELECT code, sub_id,
+               array_slice(e, sub_id * 16 + 1, sub_id * 16 + 16) AS cv
+        FROM cbv CROSS JOIN sp),
+subs AS (SELECT vec_id, sub_id,
+                array_slice(e, sub_id * 16 + 1, sub_id * 16 + 16) AS sv
+         FROM emb CROSS JOIN sp),
+codes AS (SELECT vec_id, sub_id, code FROM (
+            SELECT subs.vec_id, subs.sub_id, cbs.code,
+                   row_number() OVER (PARTITION BY subs.vec_id,
+                       subs.sub_id
+                       ORDER BY round(list_distance(subs.sv, cbs.cv), 6),
+                                cbs.code) AS rn
+            FROM subs JOIN cbs USING (sub_id)) WHERE rn = 1),
+qv AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+qcells AS (SELECT cid FROM (
+             SELECT c1.cid,
+                    row_number() OVER (ORDER BY
+                        round(list_distance(qv.qe, c1.c), 6), c1.cid)
+                      AS rn
+             FROM c1 CROSS JOIN qv) WHERE rn <= 2),
+qsubs AS (SELECT sub_id,
+                 array_slice(qe, sub_id * 16 + 1, sub_id * 16 + 16) AS qsv
+          FROM qv CROSS JOIN sp),
+adc AS (SELECT cbs.sub_id, cbs.code,
+               round(list_distance(cbs.cv, qsubs.qsv), 6)
+                 * round(list_distance(cbs.cv, qsubs.qsv), 6) AS d2sub
+        FROM cbs JOIN qsubs USING (sub_id)),
+cand AS (SELECT a2.vec_id FROM a2 JOIN qcells USING (cid)
+         WHERE a2.vec_id <> 0),
+approx AS (SELECT c.vec_id,
+                  floor(sum(adc.d2sub) * 1000000 + 0.5) / 1000000.0
+                    AS approx_d2
+           FROM cand c
+           JOIN codes ON codes.vec_id = c.vec_id
+           JOIN adc ON adc.sub_id = codes.sub_id
+                   AND adc.code = codes.code
+           GROUP BY c.vec_id),
+short AS (SELECT vec_id, approx_d2 FROM (
+            SELECT vec_id, approx_d2,
+                   row_number() OVER (ORDER BY approx_d2, vec_id) AS rn
+            FROM approx) WHERE rn <= 30),
+ex AS (SELECT s.vec_id, s.approx_d2,
+              round(list_distance(emb.e, qv.qe), 6) AS exact_dist
+       FROM short s JOIN emb ON emb.vec_id = s.vec_id CROSS JOIN qv)
+SELECT rank, vec_id, approx_d2, exact_dist FROM (
+  SELECT CAST(row_number() OVER (ORDER BY exact_dist, vec_id) AS BIGINT)
+           AS rank, vec_id, approx_d2, exact_dist
+  FROM ex) WHERE rank <= 10 ORDER BY rank"""),
+)
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """FAISS-style IVF-PQ search end-to-end: coarse cell probe →
+    ADC-scored PQ codes → exact re-rank of the shortlist. Every
+    cross-plan relation broadcasts; codes-only IO on the probe
+    path."""
+    return similarity.ann_ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "payload_format_audit",
+    """WITH media AS (
+         SELECT doc_id,
+                CASE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                               1, 8) AS UBIGINT) AS BIGINT) % 4
+                  WHEN 0 THEN unhex('89504E47') || encode(text)
+                  WHEN 1 THEN unhex('FFD8FFE0') || encode(text)
+                  WHEN 2 THEN unhex('52494646') || encode(text)
+                  ELSE encode(text) END AS payload
+         FROM documents),
+       sniffed AS (
+         SELECT CASE substr(hex(payload), 1, 8)
+                  WHEN '89504E47' THEN 'png'
+                  WHEN 'FFD8FFE0' THEN 'jpeg'
+                  WHEN '52494646' THEN 'riff'
+                  ELSE 'unknown' END AS format,
+                CAST(octet_length(payload) AS BIGINT) AS n_bytes
+         FROM media)
+       SELECT format, count(*) AS n_payloads,
+              CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+              floor(avg(n_bytes) * 100 + 0.5) / 100.0 AS mean_bytes
+       FROM sniffed GROUP BY format ORDER BY format""",
+)
+def q_payload_format_audit(spark, sf_dir):
+    """Magic-byte sniffing over a mixed binary media column — 4-byte
+    range reads, per-format routing counts; pure JVM binary ops."""
+    return multimodal.payload_format_audit(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
@@ -6739,7 +6833,7 @@ DRIVER_PRIORITY = [
     "embedding_near_dupes",
     "curation_pipeline",
     "cosine_topk",
-    "pq_codebook_report",  # r4: PQ compression audit (quantization family rep; evicts quantize_embeddings -> past window)
+    "ann_ivfpq_topk",  # r4w7: full IVF-PQ serving pipeline (quantization/ANN family rep; pq_codebook_report -> past window)
     "hybrid_rrf_search",  # r3w6: retrieval fusion (evicts label_centroids)
     "multimodal_features",
     # r3 additions: retrieval, data-layout, data-mixing families
@@ -6750,6 +6844,7 @@ DRIVER_PRIORITY = [
     "unigram_logprob_quality",
     "referential_integrity_report",
     "cluster_canonicals",  # r4: rotated out of the 50-window (family rep stays: near_dup_clusters); QUERIES.md
+    "pq_codebook_report",  # r4w7 evicted: sizing report stays oracle-covered past window
     "quantize_embeddings",  # r4 evicted: int8 tier stays oracle-covered past window
     "chi2_lang_source",  # r4 evicted: chi-square stays oracle-covered past window
     "split_contamination",  # r4 evicted: decontamination stays oracle-covered past window

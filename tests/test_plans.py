@@ -151,7 +151,7 @@ def test_driver_window_covers_component_families():
         # replaces split_contamination (deterministic_split carries
         # the split family); kafka_wire_roundtrip closes K4
         "kafka_wire_roundtrip", "ks_two_sample_drift",
-        "pq_codebook_report", "bloom_membership_audit",
+        "ann_ivfpq_topk", "bloom_membership_audit",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
