@@ -6767,6 +6767,51 @@ def q_payload_format_audit(spark, sf_dir):
     return multimodal.payload_format_audit(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "schema_evolution_counts",
+    """SELECT * FROM (
+         SELECT 'new' AS batch, count(*) AS n_rows,
+                CAST(count(*) AS BIGINT) AS null_source,
+                CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS null_lang
+         FROM documents WHERE doc_id % 2 = 1
+         UNION ALL
+         SELECT 'old', count(*),
+                CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT),
+                CAST(count(*) AS BIGINT)
+         FROM documents WHERE doc_id % 2 = 0)
+       ORDER BY batch""",
+)
+def q_schema_evolution_counts(spark, sf_dir):
+    """Schema evolution on read: two writer generations with
+    different column sets merge under mergeSchema; absent columns
+    surface as NULLs, counted per batch."""
+    from ..sources.sinks import schema_evolution_counts
+
+    return schema_evolution_counts(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "csv_malformed_audit",
+    """SELECT count(*) AS n_lines,
+              CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_corrupt,
+              CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_good,
+              CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars END)
+                   AS BIGINT) AS good_chars
+       FROM documents""",
+)
+def q_csv_malformed_audit(spark, sf_dir):
+    """PERMISSIVE CSV ingest with dead-lettering — the CSV twin of
+    etl_dead_letter: every 10th landing line malformed, captured via
+    columnNameOfCorruptRecord instead of vanishing."""
+    from ..sources.sinks import csv_malformed_audit
+
+    return csv_malformed_audit(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -82,3 +82,30 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+def test_schema_evolution_merge_nulls(spark, sf_dir):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.sinks import (
+        schema_evolution_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = {r.batch: r for r in schema_evolution_counts(docs).collect()}
+    assert set(rows) == {"old", "new"}
+    # old writer lacked lang -> every old row NULL there; new writer
+    # lacked source symmetrically
+    assert rows["old"].null_lang == rows["old"].n_rows
+    assert rows["new"].null_source == rows["new"].n_rows
+    assert rows["old"].n_rows + rows["new"].n_rows == docs.count()
+
+
+def test_csv_malformed_lines_are_dead_lettered(spark, sf_dir):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.sinks import (
+        csv_malformed_audit,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = csv_malformed_audit(docs).collect()[0]
+    expected_bad = docs.filter("doc_id % 10 = 0").count()
+    assert got.n_corrupt == expected_bad > 0
+    assert got.n_good + got.n_corrupt == got.n_lines == docs.count()

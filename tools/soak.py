@@ -148,6 +148,15 @@ QUERIES_TO_RUN = [
     "lsh_tuning_curve",
     "watermark_lag_audit",
     "content_defined_chunks",
+    "split_near_dup_leakage",
+    "ivf_shard_plan",
+    "customer_rfm_scores",
+    "tokenizer_fertility_report",
+    "dataset_card_report",
+    "ann_ivfpq_topk",
+    "payload_format_audit",
+    "schema_evolution_counts",
+    "csv_malformed_audit",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
