@@ -319,6 +319,16 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 CHURN_HORIZON_DAYS = 90
 BOOTSTRAP_REPS = 100
 
+# Round-4 family defaults — interpolated into the SQL oracles in
+# plans/registry.py (f-strings), same lockstep contract as above.
+KS_BIN_USD = 10
+BLOOM_M_BITS = 32768
+BLOOM_K_HASHES = 4
+DEBOUNCE_GAP_S = 300
+WATERMARK_BLOCK = 1000
+WATERMARK_DELAYS_S = (60, 300, 3600)
+DOW_Z_THRESH = 3.0
+
 
 def bootstrap_ci_ranks(n_reps: int) -> tuple[int, int]:
     """Percentile-bootstrap 95% CI ranks, standard convention:
@@ -3878,7 +3888,9 @@ def copurchase_hitrate(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def ks_two_sample_drift(orders: DataFrame, bin_usd: int = 10) -> DataFrame:
+def ks_two_sample_drift(
+    orders: DataFrame, bin_usd: int = KS_BIN_USD
+) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift test between the md5-even
     and md5-odd halves of the order-value distribution — the classic
     nonparametric companion to feature_psi_drift (PSI is a binned
@@ -3948,8 +3960,8 @@ def ks_two_sample_drift(orders: DataFrame, bin_usd: int = 10) -> DataFrame:
 def bloom_membership_audit(
     customer: DataFrame,
     orders: DataFrame,
-    m_bits: int = 32768,
-    k_hashes: int = 4,
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K_HASHES,
 ) -> DataFrame:
     """Distributed Bloom-filter build + false-positive audit — the
     sketch that pre-filters a 100 TB probe side before an expensive
@@ -4071,7 +4083,9 @@ def bloom_membership_audit(
     )
 
 
-def event_debounce_report(events: DataFrame, gap_s: int = 300) -> DataFrame:
+def event_debounce_report(
+    events: DataFrame, gap_s: int = DEBOUNCE_GAP_S
+) -> DataFrame:
     """Event-stream debounce audit: an event is a BOUNCE when the
     same (user, event_type) fired within `gap_s` seconds before it —
     double-clicks, retry storms, at-least-once delivery duplicates.
@@ -4121,7 +4135,9 @@ def event_debounce_report(events: DataFrame, gap_s: int = 300) -> DataFrame:
     )
 
 
-def dow_adjusted_anomalies(orders: DataFrame, z_thresh: float = 3.0) -> DataFrame:
+def dow_adjusted_anomalies(
+    orders: DataFrame, z_thresh: float = DOW_Z_THRESH
+) -> DataFrame:
     """Seasonality-adjusted revenue anomaly detection: daily revenue
     is compared against its DAY-OF-WEEK mean (weekly seasonality
     removed — the naive global z-score flags every Saturday), and
@@ -4168,8 +4184,8 @@ def dow_adjusted_anomalies(orders: DataFrame, z_thresh: float = 3.0) -> DataFram
 
 def watermark_lag_audit(
     events: DataFrame,
-    block_size: int = 1000,
-    candidate_delays_s: tuple[int, ...] = (60, 300, 3600),
+    block_size: int = WATERMARK_BLOCK,
+    candidate_delays_s: tuple[int, ...] = WATERMARK_DELAYS_S,
 ) -> DataFrame:
     """Watermark-delay sizing from batch history: how late do events
     actually arrive, and what would each candidate

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SHINGLE_WORDS = 3  # word-level 3-gram shingles
+JACCARD_THRESHOLD = 0.6  # near-dup verify cut, mirrored in oracles
+MH_SAMPLE_PCT = 10  # default md5-bucket doc sample for eval tools
 MINHASH_FUNCS = 8
 LSH_BANDS = 4  # 4 bands x 2 rows
 
@@ -1147,7 +1149,7 @@ def cross_source_dupes(
 def minhash_accuracy_report(
     docs: DataFrame,
     n_hashes: int = MINHASH_FUNCS,
-    sample_pct: int = 10,
+    sample_pct: int = MH_SAMPLE_PCT,
 ) -> DataFrame:
     """Sketch-accuracy eval for the MinHash estimator: over the LSH
     candidate pairs, compare the signature-agreement Jaccard estimate
@@ -1251,8 +1253,8 @@ LSH_TUNING_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
 
 def lsh_tuning_curve(
     docs: DataFrame,
-    jaccard_threshold: float = 0.6,
-    sample_pct: int = 10,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    sample_pct: int = MH_SAMPLE_PCT,
     max_df: int = 20,
 ) -> DataFrame:
     """LSH band/row S-curve planner: for each (b, r) split of the
@@ -1341,7 +1343,7 @@ def lsh_tuning_curve(
 
 
 def split_near_dup_leakage(
-    docs: DataFrame, jaccard_threshold: float = 0.6
+    docs: DataFrame, jaccard_threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
     """Cross-split NEAR-duplicate leakage audit — the contamination
     check exact n-gram overlap (split_contamination) cannot see: a

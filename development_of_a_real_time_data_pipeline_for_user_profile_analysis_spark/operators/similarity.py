@@ -1134,6 +1134,16 @@ def ann_ndcg_eval(
     )
 
 
+# PQ defaults — interpolated into the registry SQL oracles.
+PQ_SUBSPACES = 4
+PQ_CODEBOOK_K = 8
+EMB_DIM = 64
+IVFPQ_QUERY = 0
+IVFPQ_K = 10
+IVFPQ_NPROBE = 2
+IVFPQ_SHORTLIST = 30
+
+
 def _subvector_structs(vec_col: str, n_subspaces: int, sub_d: int):
     return [
         F.struct(
@@ -1146,9 +1156,9 @@ def _subvector_structs(vec_col: str, n_subspaces: int, sub_d: int):
 
 def pq_codebooks(
     embeddings: DataFrame,
-    n_subspaces: int = 4,
-    codebook_k: int = 8,
-    dim: int = 64,
+    n_subspaces: int = PQ_SUBSPACES,
+    codebook_k: int = PQ_CODEBOOK_K,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """Deterministic per-subspace PQ codebooks (code, sub_id, cv):
     the codebook_k lowest vec_ids' subvectors — same init device as
@@ -1173,9 +1183,9 @@ def pq_codebooks(
 
 def pq_codes(
     embeddings: DataFrame,
-    n_subspaces: int = 4,
-    codebook_k: int = 8,
-    dim: int = 64,
+    n_subspaces: int = PQ_SUBSPACES,
+    codebook_k: int = PQ_CODEBOOK_K,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """Per-vector PQ code assignment (vec_id, sub_id, code, dist):
     broadcast codebooks into one narrow scan, 6-dp rounded distances,
@@ -1207,9 +1217,9 @@ def pq_codes(
 
 def pq_codebook_report(
     embeddings: DataFrame,
-    n_subspaces: int = 4,
-    codebook_k: int = 8,
-    dim: int = 64,
+    n_subspaces: int = PQ_SUBSPACES,
+    codebook_k: int = PQ_CODEBOOK_K,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """Product-quantization (PQ) compression audit — the memory tier
     beyond int8 scalar quantization (quantize_embeddings) for a
@@ -1304,14 +1314,14 @@ def ivf_shard_plan(
 
 def ann_ivfpq_topk(
     embeddings: DataFrame,
-    query_vec_id: int = 0,
-    k: int = 10,
-    n_probe: int = 2,
+    query_vec_id: int = IVFPQ_QUERY,
+    k: int = IVFPQ_K,
+    n_probe: int = IVFPQ_NPROBE,
     n_cells: int = 8,
-    n_subspaces: int = 4,
-    codebook_k: int = 8,
-    dim: int = 64,
-    shortlist: int = 30,
+    n_subspaces: int = PQ_SUBSPACES,
+    codebook_k: int = PQ_CODEBOOK_K,
+    dim: int = EMB_DIM,
+    shortlist: int = IVFPQ_SHORTLIST,
 ) -> DataFrame:
     """Full FAISS-style IVF-PQ serving pipeline — the 100 TB ANN
     architecture assembled end-to-end from the engine's own tiers:

@@ -1565,8 +1565,11 @@ def quality_quantile_norm(documents: DataFrame) -> DataFrame:
     )
 
 
+CDC_BOUNDARY_MOD = 16  # interpolated into the registry oracle
+
+
 def content_defined_chunks(
-    documents: DataFrame, boundary_mod: int = 16
+    documents: DataFrame, boundary_mod: int = CDC_BOUNDARY_MOD
 ) -> DataFrame:
     """Content-defined chunking (CDC) dedup audit — the
     storage-layer dedup technique for a 100 TB corpus with shifted

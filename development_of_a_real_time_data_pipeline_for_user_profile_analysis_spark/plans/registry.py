@@ -30,6 +30,7 @@ from ..session import ensure_engine_conf
 from ..sources import synthetic, userfeed
 from ..sources.readers import load_table
 from ..sources.synthetic import PROFILES_ORACLE_CTE, envelopes_from_customers
+from ..sources.sinks import CSV_CORRUPT_EVERY
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -4701,7 +4702,7 @@ _MH_EST_CASES = " + ".join(
 )
 
 
-_MH_SAMPLE_PCT = 10  # shared with dedup.minhash_accuracy_report
+_MH_SAMPLE_PCT = dedup.MH_SAMPLE_PCT  # single source of truth
 
 
 @query(
@@ -6171,11 +6172,11 @@ def q_streaming_drift_monitor(spark, sf_dir):
 
 @query(
     "ks_two_sample_drift",
-    """WITH b AS (
+    f"""WITH b AS (
          SELECT CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
                                          1, 8) AS UBIGINT) AS BIGINT)
                   % 2 AS half,
-                CAST(floor(o_totalprice / 10) AS BIGINT) AS bin
+                CAST(floor(o_totalprice / {analytics.KS_BIN_USD}) AS BIGINT) AS bin
          FROM orders),
        pb AS (SELECT bin,
                      sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_a,
@@ -6212,13 +6213,13 @@ def q_ks_two_sample_drift(spark, sf_dir):
 
 @query(
     "bloom_membership_audit",
-    """WITH members AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+    f"""WITH members AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
                         FROM customer),
-       hi AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS i),
+       hi AS (SELECT CAST(unnest(range({analytics.BLOOM_K_HASHES})) AS BIGINT) AS i),
        bits AS (SELECT DISTINCT
                   CAST(CAST('0x' || substr(md5(k || ':' ||
                        CAST(i AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
-                    % 32768 AS pos
+                    % {analytics.BLOOM_M_BITS} AS pos
                 FROM members CROSS JOIN hi),
        pk AS (SELECT DISTINCT o_custkey AS pkey FROM orders),
        probes AS (
@@ -6228,11 +6229,11 @@ def q_ks_two_sample_drift(spark, sf_dir):
        ph AS (SELECT k, is_member,
                 CAST(CAST('0x' || substr(md5(k || ':' ||
                      CAST(i AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
-                  % 32768 AS pos
+                  % {analytics.BLOOM_M_BITS} AS pos
               FROM probes CROSS JOIN hi),
        verd AS (SELECT k, is_member,
                   sum(CASE WHEN pos IN (SELECT pos FROM bits)
-                      THEN 1 ELSE 0 END) = 4 AS passes
+                      THEN 1 ELSE 0 END) = {analytics.BLOOM_K_HASHES} AS passes
                 FROM ph GROUP BY k, is_member),
        s AS (SELECT
                sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_pos,
@@ -6246,7 +6247,7 @@ def q_ks_two_sample_drift(spark, sf_dir):
        m AS (SELECT count(*) AS n_members FROM members)
        SELECT CAST(n_members AS BIGINT) AS n_members,
               CAST(n_bits_set AS BIGINT) AS n_bits_set,
-              floor(n_bits_set * 1.0 / 32768 * 1000000 + 0.5)
+              floor(n_bits_set * 1.0 / {analytics.BLOOM_M_BITS} * 1000000 + 0.5)
                 / 1000000.0 AS fill_ratio,
               CAST(n_pos AS BIGINT) AS n_member_probes,
               CAST(n_fn AS BIGINT) AS n_false_neg,
@@ -6254,7 +6255,7 @@ def q_ks_two_sample_drift(spark, sf_dir):
               CAST(n_fp AS BIGINT) AS n_false_pos,
               floor(n_fp * 1.0 / n_neg * 1000000 + 0.5) / 1000000.0
                 AS measured_fpr,
-              floor(pow(1 - exp(-4.0 * n_members / 32768), 4)
+              floor(pow(1 - exp(-{analytics.BLOOM_K_HASHES}.0 * n_members / {analytics.BLOOM_M_BITS}), {analytics.BLOOM_K_HASHES})
                     * 1000000 + 0.5) / 1000000.0 AS theoretical_fpr
        FROM s CROSS JOIN c CROSS JOIN m""",
 )
@@ -6267,20 +6268,23 @@ def q_bloom_membership_audit(spark, sf_dir):
     )
 
 
+_PQ_SUBD = similarity.EMB_DIM // similarity.PQ_SUBSPACES
+
+
 @query(
     "pq_codebook_report",
-    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+    f"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings),
        cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
                           AS BIGINT) AS code, e
-              FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)),
-       sp AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS sub_id),
+              FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {similarity.PQ_CODEBOOK_K})),
+       sp AS (SELECT CAST(unnest(range({similarity.PQ_SUBSPACES})) AS BIGINT) AS sub_id),
        subs AS (SELECT vec_id, sub_id,
-                       array_slice(e, sub_id * 16 + 1, sub_id * 16 + 16)
+                       array_slice(e, sub_id * {_PQ_SUBD} + 1, sub_id * {_PQ_SUBD} + {_PQ_SUBD})
                          AS sv
                 FROM emb CROSS JOIN sp),
        cbs AS (SELECT code, sub_id,
-                      array_slice(e, sub_id * 16 + 1, sub_id * 16 + 16)
+                      array_slice(e, sub_id * {_PQ_SUBD} + 1, sub_id * {_PQ_SUBD} + {_PQ_SUBD})
                         AS cv
                FROM cb CROSS JOIN sp),
        a AS (SELECT vec_id, sub_id, code, dist FROM (
@@ -6306,7 +6310,7 @@ def q_pq_codebook_report(spark, sf_dir):
 
 @query(
     "event_debounce_report",
-    """WITH g AS (
+    f"""WITH g AS (
          SELECT event_type,
                 CAST(floor(date_part('epoch', ts)) AS BIGINT)
                   - lag(CAST(floor(date_part('epoch', ts)) AS BIGINT))
@@ -6314,7 +6318,7 @@ def q_pq_codebook_report(spark, sf_dir):
                           ORDER BY ts, event_id) AS gap
          FROM events),
        t AS (SELECT event_type, gap,
-                    gap IS NOT NULL AND gap < 300 AS bounced
+                    gap IS NOT NULL AND gap < {analytics.DEBOUNCE_GAP_S} AS bounced
              FROM g)
        SELECT event_type,
               count(*) AS n_events,
@@ -6338,7 +6342,7 @@ def q_event_debounce_report(spark, sf_dir):
 
 @query(
     "dow_adjusted_anomalies",
-    """WITH daily AS (
+    f"""WITH daily AS (
          SELECT CAST(o_orderdate AS DATE) AS day,
                 floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS rev
          FROM orders GROUP BY 1),
@@ -6354,7 +6358,7 @@ def q_event_debounce_report(spark, sf_dir):
              FROM r)
        SELECT day, dow, rev, dow_mean,
               floor(res / sigma * 10000 + 0.5) / 10000.0 AS z,
-              abs(floor(res / sigma * 10000 + 0.5) / 10000.0) >= 3.0
+              abs(floor(res / sigma * 10000 + 0.5) / 10000.0) >= {analytics.DOW_Z_THRESH}
                 AS is_anomaly
        FROM r CROSS JOIN s ORDER BY day""",
 )
@@ -6402,7 +6406,7 @@ _LSH_CFG_VALUES = ", ".join(f"({b}, {r})" for b, r in dedup.LSH_TUNING_CONFIGS)
                        CAST(rows_per_band AS INTEGER) AS rows_per_band
                 FROM (VALUES {_LSH_CFG_VALUES}) v(bands, rows_per_band)),
         pp AS (
-          SELECT bands, rows_per_band, s >= 0.6 AS dup,
+          SELECT bands, rows_per_band, s >= {dedup.JACCARD_THRESHOLD} AS dup,
                  floor((1.0 - pow(1.0 - pow(s, rows_per_band), bands))
                        * 1000000 + 0.5) / 1000000.0 AS p
           FROM scored CROSS JOIN cfg)
@@ -6428,7 +6432,7 @@ def q_lsh_tuning_curve(spark, sf_dir):
 
 @query(
     "watermark_lag_audit",
-    """WITH t AS (SELECT CAST(event_id // 1000 AS BIGINT) AS blk,
+    f"""WITH t AS (SELECT CAST(event_id // {analytics.WATERMARK_BLOCK} AS BIGINT) AS blk,
                          CAST(floor(date_part('epoch', ts)) AS BIGINT)
                            AS es
                   FROM events),
@@ -6447,12 +6451,12 @@ def q_lsh_tuning_curve(spark, sf_dir):
               floor(avg(CASE WHEN late_s > 0 THEN late_s END)
                     * 100 + 0.5) / 100.0 AS mean_late_s,
               max(late_s) AS max_late_s,
-              CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS dropped_at_60s,
-              CAST(sum(CASE WHEN late_s > 300 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS dropped_at_300s,
-              CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS dropped_at_3600s
+              CAST(sum(CASE WHEN late_s > {analytics.WATERMARK_DELAYS_S[0]} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dropped_at_{analytics.WATERMARK_DELAYS_S[0]}s,
+              CAST(sum(CASE WHEN late_s > {analytics.WATERMARK_DELAYS_S[1]} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dropped_at_{analytics.WATERMARK_DELAYS_S[1]}s,
+              CAST(sum(CASE WHEN late_s > {analytics.WATERMARK_DELAYS_S[2]} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dropped_at_{analytics.WATERMARK_DELAYS_S[2]}s
        FROM l""",
 )
 def q_watermark_lag_audit(spark, sf_dir):
@@ -6464,13 +6468,13 @@ def q_watermark_lag_audit(spark, sf_dir):
 
 @query(
     "content_defined_chunks",
-    """WITH w AS (SELECT doc_id,
+    f"""WITH w AS (SELECT doc_id,
                  generate_subscripts(string_split(text, ' '), 1) AS pos,
                  unnest(string_split(text, ' ')) AS word
           FROM documents),
        b AS (SELECT doc_id, pos, word,
                     CASE WHEN CAST(CAST('0x' || substr(md5(word), 1, 8)
-                              AS UBIGINT) AS BIGINT) % 16 = 0
+                              AS UBIGINT) AS BIGINT) % {text.CDC_BOUNDARY_MOD} = 0
                          THEN 1 ELSE 0 END AS isb
              FROM w),
        c AS (SELECT doc_id, pos, word,
@@ -6524,7 +6528,7 @@ _SPLIT_CASE = (
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
           WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter)
-                      * 10000 + 0.5) / 10000.0 >= 0.6),
+                      * 10000 + 0.5) / 10000.0 >= {dedup.JACCARD_THRESHOLD}),
         tg AS (SELECT {_SPLIT_CASE.format(col='doc_a')} AS split_a,
                       {_SPLIT_CASE.format(col='doc_b')} AS split_b
                FROM nd)
@@ -6675,16 +6679,16 @@ def q_dataset_card_report(spark, sf_dir):
 
 @query(
     "ann_ivfpq_topk",
-    _kmeans_oracle(final_select="""
+    _kmeans_oracle(final_select=f"""
 , cbv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                  AS code, e
-          FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)),
-sp AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS sub_id),
+          FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {similarity.PQ_CODEBOOK_K})),
+sp AS (SELECT CAST(unnest(range({similarity.PQ_SUBSPACES})) AS BIGINT) AS sub_id),
 cbs AS (SELECT code, sub_id,
-               array_slice(e, sub_id * 16 + 1, sub_id * 16 + 16) AS cv
+               array_slice(e, sub_id * {_PQ_SUBD} + 1, sub_id * {_PQ_SUBD} + {_PQ_SUBD}) AS cv
         FROM cbv CROSS JOIN sp),
 subs AS (SELECT vec_id, sub_id,
-                array_slice(e, sub_id * 16 + 1, sub_id * 16 + 16) AS sv
+                array_slice(e, sub_id * {_PQ_SUBD} + 1, sub_id * {_PQ_SUBD} + {_PQ_SUBD}) AS sv
          FROM emb CROSS JOIN sp),
 codes AS (SELECT vec_id, sub_id, code FROM (
             SELECT subs.vec_id, subs.sub_id, cbs.code,
@@ -6693,22 +6697,22 @@ codes AS (SELECT vec_id, sub_id, code FROM (
                        ORDER BY round(list_distance(subs.sv, cbs.cv), 6),
                                 cbs.code) AS rn
             FROM subs JOIN cbs USING (sub_id)) WHERE rn = 1),
-qv AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+qv AS (SELECT e AS qe FROM emb WHERE vec_id = {similarity.IVFPQ_QUERY}),
 qcells AS (SELECT cid FROM (
              SELECT c1.cid,
                     row_number() OVER (ORDER BY
                         round(list_distance(qv.qe, c1.c), 6), c1.cid)
                       AS rn
-             FROM c1 CROSS JOIN qv) WHERE rn <= 2),
+             FROM c1 CROSS JOIN qv) WHERE rn <= {similarity.IVFPQ_NPROBE}),
 qsubs AS (SELECT sub_id,
-                 array_slice(qe, sub_id * 16 + 1, sub_id * 16 + 16) AS qsv
+                 array_slice(qe, sub_id * {_PQ_SUBD} + 1, sub_id * {_PQ_SUBD} + {_PQ_SUBD}) AS qsv
           FROM qv CROSS JOIN sp),
 adc AS (SELECT cbs.sub_id, cbs.code,
                round(list_distance(cbs.cv, qsubs.qsv), 6)
                  * round(list_distance(cbs.cv, qsubs.qsv), 6) AS d2sub
         FROM cbs JOIN qsubs USING (sub_id)),
 cand AS (SELECT a2.vec_id FROM a2 JOIN qcells USING (cid)
-         WHERE a2.vec_id <> 0),
+         WHERE a2.vec_id <> {similarity.IVFPQ_QUERY}),
 approx AS (SELECT c.vec_id,
                   floor(sum(adc.d2sub) * 1000000 + 0.5) / 1000000.0
                     AS approx_d2
@@ -6720,14 +6724,14 @@ approx AS (SELECT c.vec_id,
 short AS (SELECT vec_id, approx_d2 FROM (
             SELECT vec_id, approx_d2,
                    row_number() OVER (ORDER BY approx_d2, vec_id) AS rn
-            FROM approx) WHERE rn <= 30),
+            FROM approx) WHERE rn <= {similarity.IVFPQ_SHORTLIST}),
 ex AS (SELECT s.vec_id, s.approx_d2,
               round(list_distance(emb.e, qv.qe), 6) AS exact_dist
        FROM short s JOIN emb ON emb.vec_id = s.vec_id CROSS JOIN qv)
 SELECT rank, vec_id, approx_d2, exact_dist FROM (
   SELECT CAST(row_number() OVER (ORDER BY exact_dist, vec_id) AS BIGINT)
            AS rank, vec_id, approx_d2, exact_dist
-  FROM ex) WHERE rank <= 10 ORDER BY rank"""),
+  FROM ex) WHERE rank <= {similarity.IVFPQ_K} ORDER BY rank"""),
 )
 def q_ann_ivfpq_topk(spark, sf_dir):
     """FAISS-style IVF-PQ search end-to-end: coarse cell probe →
@@ -6794,18 +6798,18 @@ def q_schema_evolution_counts(spark, sf_dir):
 
 @query(
     "csv_malformed_audit",
-    """SELECT count(*) AS n_lines,
-              CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+    f"""SELECT count(*) AS n_lines,
+              CAST(sum(CASE WHEN doc_id % {CSV_CORRUPT_EVERY} = 0 THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_corrupt,
-              CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)
+              CAST(sum(CASE WHEN doc_id % {CSV_CORRUPT_EVERY} <> 0 THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_good,
-              CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars END)
+              CAST(sum(CASE WHEN doc_id % {CSV_CORRUPT_EVERY} <> 0 THEN n_chars END)
                    AS BIGINT) AS good_chars
        FROM documents""",
 )
 def q_csv_malformed_audit(spark, sf_dir):
     """PERMISSIVE CSV ingest with dead-lettering — the CSV twin of
-    etl_dead_letter: every 10th landing line malformed, captured via
+    etl_dead_letter: every Nth landing line malformed, captured via
     columnNameOfCorruptRecord instead of vanishing."""
     from ..sources.sinks import csv_malformed_audit
 

@@ -146,7 +146,12 @@ def schema_evolution_counts(documents: DataFrame) -> DataFrame:
     )
 
 
-def csv_malformed_audit(documents: DataFrame, corrupt_every: int = 10) -> DataFrame:
+CSV_CORRUPT_EVERY = 10  # interpolated into the registry oracle
+
+
+def csv_malformed_audit(
+    documents: DataFrame, corrupt_every: int = CSV_CORRUPT_EVERY
+) -> DataFrame:
     """PERMISSIVE CSV ingest with dead-lettering — the CSV twin of the
     JSON `etl_dead_letter` path: a CSV landing file with every Nth
     line corrupted (too few columns / non-numeric id) parses with an
