@@ -4328,3 +4328,127 @@ def customer_rfm_scores(orders: DataFrame) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+ERASURE_SAMPLE_PCT = 5  # md5-bucket share of customers in the demo plan
+RETENTION_DAYS = 1825  # 5-year default retention horizon
+
+
+def gdpr_erasure_plan(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    events: DataFrame,
+    subject_pct: int = ERASURE_SAMPLE_PCT,
+) -> DataFrame:
+    """Right-to-be-forgotten impact plan — the other half of the
+    reference's GDPR posture (its age gate filters minors at ingest;
+    erasure removes a subject EVERYWHERE): for a deterministic
+    md5-bucket subject set (`subject_pct`% of customers, standing in
+    for an actual request queue), count the rows each table must
+    delete, including the transitive fan-out (lineitem rows hang off
+    the subject's orders; events key by user id). The plan sizes the
+    rewrite before any data moves — at 100 TB you schedule erasure
+    compactions by these counts.
+
+    Scale shape: the subject set broadcasts (it is request-queue
+    sized); every count is a broadcast semi-join + aggregate; the
+    lineitem hop reuses the subject orders' keys, also broadcast.
+    One final union of 1-row summaries.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    subjects = customer.filter(bucket < subject_pct).select(
+        F.col("c_custkey").alias("sk")
+    )
+    sub_orders = orders.join(
+        F.broadcast(subjects), F.col("o_custkey") == F.col("sk"), "left_semi"
+    )
+    sub_orderkeys = sub_orders.select(F.col("o_orderkey").alias("ok"))
+    counts = []
+    for name, df in [
+        ("customer", customer.join(
+            F.broadcast(subjects), F.col("c_custkey") == F.col("sk"),
+            "left_semi")),
+        ("orders", sub_orders),
+        ("lineitem", lineitem.join(
+            F.broadcast(sub_orderkeys),
+            F.col("l_orderkey") == F.col("ok"), "left_semi")),
+        ("events", events.join(
+            F.broadcast(subjects), F.col("user_id") == F.col("sk"),
+            "left_semi")),
+    ]:
+        counts.append(
+            df.agg(F.count(F.lit(1)).alias("rows_to_erase")).select(
+                F.lit(name).alias("table"), "rows_to_erase"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    n_subj = subjects.agg(F.count(F.lit(1)).alias("n_subjects"))
+    return (
+        out.crossJoin(F.broadcast(n_subj))
+        .select("table", "rows_to_erase", "n_subjects")
+        .orderBy("table")
+    )
+
+
+def retention_policy_audit(
+    orders: DataFrame, events: DataFrame, retention_days: int = RETENTION_DAYS
+) -> DataFrame:
+    """Retention-horizon audit: per table, how many rows (and what
+    share) sit past the policy cutoff measured from each table's own
+    max timestamp — the input that schedules expiration compactions
+    and proves the policy is enforceable before legal asks.
+
+    Scale shape: per table one max-bound aggregate (broadcast back)
+    and one conditional-count scan; 2-row output.
+    """
+    o_bound = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("mx")
+    )
+    o = (
+        orders.crossJoin(F.broadcast(o_bound))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    F.datediff("mx", F.to_date("o_orderdate"))
+                    > retention_days
+                ).cast("long")
+            ).alias("n_expired"),
+        )
+        .select(F.lit("orders").alias("table"), "n_rows", "n_expired")
+    )
+    e_bound = events.agg(F.max(F.to_date("ts")).alias("mx"))
+    e = (
+        events.crossJoin(F.broadcast(e_bound))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.datediff("mx", F.to_date("ts")) > retention_days).cast(
+                    "long"
+                )
+            ).alias("n_expired"),
+        )
+        .select(F.lit("events").alias("table"), "n_rows", "n_expired")
+    )
+    return (
+        o.unionByName(e)
+        .select(
+            "table",
+            "n_rows",
+            "n_expired",
+            _floor_round(F.col("n_expired") / F.col("n_rows"), 6).alias(
+                "expired_share"
+            ),
+        )
+        .orderBy("table")
+    )

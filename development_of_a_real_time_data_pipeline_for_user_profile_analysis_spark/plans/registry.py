@@ -6816,6 +6816,82 @@ def q_csv_malformed_audit(spark, sf_dir):
     return csv_malformed_audit(_t(spark, sf_dir, "documents"))
 
 
+_SUBJ = (
+    "CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) "
+    "AS UBIGINT) AS BIGINT) % 100"
+)
+
+
+@query(
+    "gdpr_erasure_plan",
+    f"""WITH subjects AS (
+         SELECT c_custkey AS sk FROM customer
+         WHERE {_SUBJ} < {analytics.ERASURE_SAMPLE_PCT}),
+       so AS (SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_custkey IN (SELECT sk FROM subjects)),
+       plan AS (
+         SELECT 'customer' AS "table",
+                (SELECT count(*) FROM customer
+                 WHERE c_custkey IN (SELECT sk FROM subjects))
+                  AS rows_to_erase
+         UNION ALL
+         SELECT 'orders', (SELECT count(*) FROM so)
+         UNION ALL
+         SELECT 'lineitem',
+                (SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM so))
+         UNION ALL
+         SELECT 'events',
+                (SELECT count(*) FROM events
+                 WHERE user_id IN (SELECT sk FROM subjects)))
+       SELECT "table", CAST(rows_to_erase AS BIGINT) AS rows_to_erase,
+              (SELECT count(*) FROM subjects) AS n_subjects
+       FROM plan ORDER BY "table" """,
+)
+def q_gdpr_erasure_plan(spark, sf_dir):
+    """Right-to-be-forgotten impact plan: transitive per-table delete
+    counts for a deterministic subject set — broadcast semi-joins,
+    no corpus shuffle."""
+    return analytics.gdpr_erasure_plan(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "events"),
+    )
+
+
+@query(
+    "retention_policy_audit",
+    f"""WITH ob AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx
+                    FROM orders),
+       eb AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+       o AS (SELECT 'orders' AS "table", count(*) AS n_rows,
+                    CAST(sum(CASE WHEN date_diff('day',
+                         CAST(o_orderdate AS DATE), ob.mx)
+                         > {analytics.RETENTION_DAYS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_expired
+             FROM orders CROSS JOIN ob GROUP BY ob.mx),
+       e AS (SELECT 'events', count(*),
+                    CAST(sum(CASE WHEN date_diff('day',
+                         CAST(ts AS DATE), eb.mx)
+                         > {analytics.RETENTION_DAYS}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             FROM events CROSS JOIN eb GROUP BY eb.mx),
+       u AS (SELECT * FROM o UNION ALL SELECT * FROM e)
+       SELECT "table", n_rows, n_expired,
+              floor(n_expired * 1.0 / n_rows * 1000000 + 0.5)
+                / 1000000.0 AS expired_share
+       FROM u ORDER BY "table" """,
+)
+def q_retention_policy_audit(spark, sf_dir):
+    """Retention-horizon audit per table (rows past the policy cutoff
+    from each table's own max timestamp) — schedules expiration
+    compactions."""
+    return analytics.retention_policy_audit(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "events")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -2285,3 +2285,53 @@ def test_payload_format_audit_routes_all_docs(spark, sf_dir):
     # headered formats carry exactly 4 extra bytes per payload
     by = {r.format: r for r in rows}
     assert by["png"].total_bytes > 0
+
+
+def test_gdpr_erasure_plan_transitive_counts(spark):
+    import hashlib
+
+    cust = spark.createDataFrame(
+        [(i,) for i in range(1, 101)], "c_custkey long"
+    )
+    subjects = {
+        i for i in range(1, 101)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 5
+    }
+    orders = spark.createDataFrame(
+        [(i * 10, i) for i in range(1, 101)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(i * 10, j) for i in range(1, 101) for j in (1, 2)],
+        "l_orderkey long, l_linenumber long",
+    )
+    events = spark.createDataFrame(
+        [(i, i) for i in range(1, 101)], "event_id long, user_id long"
+    )
+    got = {r.table: r for r in analytics.gdpr_erasure_plan(
+        cust, orders, lineitem, events).collect()}
+    n = len(subjects)
+    assert got["customer"].rows_to_erase == n == got["customer"].n_subjects
+    assert got["orders"].rows_to_erase == n
+    assert got["lineitem"].rows_to_erase == 2 * n  # transitive via orders
+    assert got["events"].rows_to_erase == n
+
+
+def test_retention_audit_counts_past_cutoff(spark):
+    rows_o = [
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="F", o_totalprice=1.0,
+            o_orderdate=dt.datetime(2000, 1, 1), o_orderpriority="1"),
+        Row(o_orderkey=2, o_custkey=1, o_orderstatus="F", o_totalprice=1.0,
+            o_orderdate=dt.datetime(2006, 1, 1), o_orderpriority="1"),
+    ]
+    rows_e = [
+        Row(event_id=1, ts=dt.datetime(2006, 1, 1), user_id=1,
+            event_type="view", value=1.0),
+        Row(event_id=2, ts=dt.datetime(2006, 1, 2), user_id=1,
+            event_type="view", value=1.0),
+    ]
+    got = {r.table: r for r in analytics.retention_policy_audit(
+        spark.createDataFrame(rows_o), spark.createDataFrame(rows_e)).collect()}
+    # 2000-01-01 is >5y before the 2006 max -> expired
+    assert got["orders"].n_expired == 1 and got["orders"].n_rows == 2
+    assert got["events"].n_expired == 0
+    assert got["orders"].expired_share == 0.5

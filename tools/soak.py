@@ -157,6 +157,8 @@ QUERIES_TO_RUN = [
     "payload_format_audit",
     "schema_evolution_counts",
     "csv_malformed_audit",
+    "gdpr_erasure_plan",
+    "retention_policy_audit",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
