@@ -4285,6 +4285,12 @@ def customer_rfm_scores(orders: DataFrame) -> DataFrame:
             F.floor(F.col("cents") / 10000).cast("long").alias("mbin"),
         )
     )
+    # persist: the three quintile histograms and the final score join
+    # each consume this relation — uncached, every branch re-runs the
+    # full custkey shuffle (4 o_custkey exchanges measured in the plan
+    # audit). Cached it is |customers| × 4 small columns; the
+    # "one custkey shuffle" contract then holds.
+    per_cust = per_cust.persist()
 
     def _quintile_map(metric: str):
         hist = per_cust.groupBy(metric).agg(F.count(F.lit(1)).alias("n"))

@@ -838,3 +838,49 @@ def test_cdc_chunking_per_doc_windows_digest_rollup(spark, sf_dir):
     assert "Join" not in plan
     assert "hashpartitioning(doc_id" in plan
     assert "Window" in plan
+
+
+# -- round-4 later waves: plan contracts --
+
+
+def test_rfm_single_custkey_shuffle_with_cached_metrics(spark, sf_dir):
+    """The per-customer metric relation is persisted, so the three
+    quintile histograms and the score join reuse ONE custkey
+    exchange instead of re-running the corpus pass per branch."""
+    plan = _plan(spark, "customer_rfm_scores", sf_dir)
+    # all four consumers (3 histograms + score join) read the cache;
+    # the plan printer inlines the cached child under each
+    # InMemoryTableScan, so the custkey-exchange STRING appears per
+    # consumer while the shuffle itself runs once (same caveat the
+    # rollup test documents).
+    assert plan.count("InMemoryTableScan") == 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gdpr_plan_broadcast_semi_joins_only(spark, sf_dir):
+    """Every erasure count is a broadcast semi-join driven by the
+    request-queue-sized subject set — no shuffle join of any fact
+    table."""
+    plan = _plan(spark, "gdpr_erasure_plan", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_all_cross_plan_relations_broadcast(spark, sf_dir):
+    """Centroids, codebooks, ADC table, probe cells and the query
+    vector all broadcast; nothing corpus-shaped shuffle-joins."""
+    plan = _plan(spark, "ann_ivfpq_topk", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dataset_card_no_corpus_window(spark, sf_dir):
+    """The card is independent small aggregates combined by 1-row
+    broadcast combines — no window over the corpus, no shuffle
+    join."""
+    plan = _plan(spark, "dataset_card_report", sf_dir)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
