@@ -94,3 +94,84 @@ def _is_json(s: str) -> bool:
         return True
     except Exception:
         return False
+
+
+@given(
+    keys=st.lists(st.integers(1, 10**9), min_size=5, max_size=60, unique=True)
+)
+@settings(max_examples=8, deadline=None)
+def test_bloom_never_false_negative(spark, keys):
+    """Bloom invariant: every inserted member MUST pass — for any key
+    set. (FPs are allowed; FNs never.)"""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    cust = spark.createDataFrame([(k,) for k in keys], "c_custkey long")
+    orders = spark.createDataFrame([(k,) for k in keys], "o_custkey long")
+    got = analytics.bloom_membership_audit(cust, orders).collect()[0]
+    assert got.n_false_neg == 0
+    assert got.n_member_probes == len(keys)
+
+
+@given(
+    prices=st.lists(
+        st.floats(1.0, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=20,
+        max_size=120,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_ks_statistic_bounded_and_self_consistent(spark, prices):
+    """KS invariants on arbitrary price distributions: D ∈ [0, 1],
+    halves partition the corpus, critical value positive."""
+    from pyspark.sql import Row
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        analytics,
+    )
+
+    rows = [
+        Row(o_orderkey=i + 1, o_custkey=1, o_orderstatus="F",
+            o_totalprice=float(p), o_orderdate=dt.datetime(2000, 1, 1),
+            o_orderpriority="1")
+        for i, p in enumerate(prices)
+    ]
+    got = analytics.ks_two_sample_drift(spark.createDataFrame(rows)).collect()
+    if not got or got[0].n_first_half == 0 or got[0].n_second_half == 0:
+        return  # degenerate split: no statistic defined
+    r = got[0]
+    assert 0.0 <= r.ks_stat <= 1.0
+    assert r.crit_value_95 > 0
+    assert r.n_first_half + r.n_second_half == len(prices)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=3, max_size=30,
+        ).map(" ".join),
+        min_size=2, max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_cdc_chunks_partition_every_word(spark, texts):
+    """CDC invariant: chunk instances partition the corpus exactly —
+    total == distinct + redundant, and the weighted mean chunk size
+    times total chunks reproduces the word count."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        text as text_ops,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = text_ops.content_defined_chunks(docs).collect()[0]
+    assert got.n_chunks == got.n_distinct_chunks + got.n_redundant_chunks
+    total_words = sum(len(t.split(" ")) for t in texts)
+    # mean is 2dp-floored, so reconstruct within rounding slack
+    assert abs(got.mean_chunk_words * got.n_chunks - total_words) <= (
+        0.005 * got.n_chunks * 2 + 1
+    )
