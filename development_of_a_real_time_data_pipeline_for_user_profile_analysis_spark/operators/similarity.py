@@ -1426,3 +1426,139 @@ def ann_ivfpq_topk(
         .select("rank", "vec_id", "approx_d2", "exact_dist")
         .orderBy("rank")
     )
+
+
+def ann_ivfpq_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_probe: int = IVFPQ_NPROBE,
+    n_cells: int = 8,
+    n_subspaces: int = PQ_SUBSPACES,
+    codebook_k: int = PQ_CODEBOOK_K,
+    dim: int = EMB_DIM,
+    shortlist: int = IVFPQ_SHORTLIST,
+) -> DataFrame:
+    """Recall@k of the IVF-PQ pipeline against the exact full-corpus
+    L2 ranking, per probe query — the measurement that sets n_probe
+    and shortlist before the index ships (completes the eval symmetry:
+    LSH has ann_lsh_recall, int8 has quantized_recall, IVF-PQ has
+    this). Loss decomposes into cell misses (true neighbor in an
+    unprobed cell) and ADC misses (quantized distance mis-ranks the
+    shortlist) — raise n_probe for the former, shortlist or
+    codebook_k for the latter.
+
+    Scale shape: identical tiers to ann_ivfpq_topk, batched over the
+    query set: probe cells / ADC tables / queries all broadcast
+    (n_queries-bounded); candidate scoring is keyed per (query, cell);
+    rankings are per-query windows (WindowGroupLimit map-side heaps).
+    The exact-truth scan is the eval's own cost, not the serving
+    path's.
+    """
+    sub_d = dim // n_subspaces
+    corpus = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    )
+    assigned, cents = kmeans_assign(
+        embeddings, k=n_cells, iterations=2, return_centroids=True
+    )
+    codes = pq_codes(embeddings, n_subspaces, codebook_k, dim)
+    cb = pq_codebooks(embeddings, n_subspaces, codebook_k, dim)
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    wq = Window.partitionBy("query_id")
+    qcells = (
+        cents.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "cid",
+            F.round(F.sqrt(_sq_euclid(F.col("c"), F.col("qe"))), 6).alias(
+                "qd"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wq.orderBy("qd", "cid")))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cid")
+    )
+    qsubs = queries.select(
+        "query_id",
+        F.explode(
+            F.array(*_subvector_structs("qe", n_subspaces, sub_d))
+        ).alias("x"),
+    ).select("query_id", "x.sub_id", F.col("x.sv").alias("qv"))
+    dsub = F.round(F.sqrt(_sq_euclid(F.col("cv"), F.col("qv"))), 6)
+    adc = cb.join(F.broadcast(qsubs), "sub_id").select(
+        "query_id", "sub_id", "code", (dsub * dsub).alias("d2sub")
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(qcells), F.col("cluster") == F.col("cid")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    approx = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(adc), ["query_id", "sub_id", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            (
+                F.floor(F.sum("d2sub") * 1000000 + 0.5).cast("long")
+                / 1000000.0
+            ).alias("approx_d2")
+        )
+    )
+    short = approx.withColumn(
+        "rn", F.row_number().over(wq.orderBy("approx_d2", "vec_id"))
+    ).filter(F.col("rn") <= shortlist)
+    served = (
+        short.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.sqrt(_sq_euclid(F.col("e"), F.col("qe"))), 6).alias(
+                "d"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wq.orderBy("d", "vec_id")))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    truth = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.sqrt(_sq_euclid(F.col("e"), F.col("qe"))), 6).alias(
+                "d"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wq.orderBy("d", "vec_id")))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    hits = served.join(truth, ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k))
+                    * 10000
+                    + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -6892,6 +6892,94 @@ def q_retention_policy_audit(spark, sf_dir):
     )
 
 
+_IVFPQ_NQ = 8
+_IVFPQ_RK = 10
+
+
+@query(
+    "ann_ivfpq_recall",
+    _kmeans_oracle(final_select=f"""
+, cbv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                 AS code, e
+          FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {similarity.PQ_CODEBOOK_K})),
+sp AS (SELECT CAST(unnest(range({similarity.PQ_SUBSPACES})) AS BIGINT) AS sub_id),
+cbs AS (SELECT code, sub_id,
+               array_slice(e, sub_id * {_PQ_SUBD} + 1, sub_id * {_PQ_SUBD} + {_PQ_SUBD}) AS cv
+        FROM cbv CROSS JOIN sp),
+subs AS (SELECT vec_id, sub_id,
+                array_slice(e, sub_id * {_PQ_SUBD} + 1, sub_id * {_PQ_SUBD} + {_PQ_SUBD}) AS sv
+         FROM emb CROSS JOIN sp),
+codes AS (SELECT vec_id, sub_id, code FROM (
+            SELECT subs.vec_id, subs.sub_id, cbs.code,
+                   row_number() OVER (PARTITION BY subs.vec_id, subs.sub_id
+                       ORDER BY round(list_distance(subs.sv, cbs.cv), 6),
+                                cbs.code) AS rn
+            FROM subs JOIN cbs USING (sub_id)) WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, e AS qe FROM emb
+       WHERE vec_id < {_IVFPQ_NQ}),
+qcells AS (SELECT query_id, cid FROM (
+             SELECT qs.query_id, c1.cid,
+                    row_number() OVER (PARTITION BY qs.query_id
+                        ORDER BY round(list_distance(qs.qe, c1.c), 6),
+                                 c1.cid) AS rn
+             FROM c1 CROSS JOIN qs) WHERE rn <= {similarity.IVFPQ_NPROBE}),
+qsubs AS (SELECT query_id, sub_id,
+                 array_slice(qe, sub_id * {_PQ_SUBD} + 1, sub_id * {_PQ_SUBD} + {_PQ_SUBD}) AS qsv
+          FROM qs CROSS JOIN sp),
+adc AS (SELECT qsubs.query_id, cbs.sub_id, cbs.code,
+               round(list_distance(cbs.cv, qsubs.qsv), 6)
+                 * round(list_distance(cbs.cv, qsubs.qsv), 6) AS d2sub
+        FROM cbs JOIN qsubs USING (sub_id)),
+cand AS (SELECT qcells.query_id, a2.vec_id
+         FROM a2 JOIN qcells USING (cid)
+         WHERE a2.vec_id <> qcells.query_id),
+approx AS (SELECT c.query_id, c.vec_id,
+                  floor(sum(adc.d2sub) * 1000000 + 0.5) / 1000000.0
+                    AS approx_d2
+           FROM cand c
+           JOIN codes ON codes.vec_id = c.vec_id
+           JOIN adc ON adc.query_id = c.query_id
+                   AND adc.sub_id = codes.sub_id
+                   AND adc.code = codes.code
+           GROUP BY c.query_id, c.vec_id),
+short AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY approx_d2, vec_id) AS rn
+            FROM approx) WHERE rn <= {similarity.IVFPQ_SHORTLIST}),
+served AS (SELECT query_id, vec_id FROM (
+             SELECT s.query_id, s.vec_id,
+                    row_number() OVER (PARTITION BY s.query_id
+                        ORDER BY round(list_distance(emb.e, qs.qe), 6),
+                                 s.vec_id) AS rn
+             FROM short s
+             JOIN emb ON emb.vec_id = s.vec_id
+             JOIN qs ON qs.query_id = s.query_id)
+           WHERE rn <= {_IVFPQ_RK}),
+truth AS (SELECT query_id, vec_id FROM (
+            SELECT qs.query_id, emb.vec_id,
+                   row_number() OVER (PARTITION BY qs.query_id
+                       ORDER BY round(list_distance(emb.e, qs.qe), 6),
+                                emb.vec_id) AS rn
+            FROM emb CROSS JOIN qs WHERE emb.vec_id <> qs.query_id)
+          WHERE rn <= {_IVFPQ_RK}),
+hits AS (SELECT served.query_id, count(*) AS n_hits
+         FROM served JOIN truth USING (query_id, vec_id)
+         GROUP BY served.query_id)
+SELECT qs.query_id,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       floor(coalesce(hits.n_hits, 0) * 1.0 / {_IVFPQ_RK} * 10000 + 0.5)
+         / 10000.0 AS recall_at_k
+FROM qs LEFT JOIN hits USING (query_id) ORDER BY qs.query_id"""),
+)
+def q_ann_ivfpq_recall(spark, sf_dir):
+    """Recall@k of IVF-PQ vs the exact full-corpus L2 ranking, per
+    probe query — sets n_probe/shortlist before the index ships."""
+    return similarity.ann_ivfpq_recall(
+        _t(spark, sf_dir, "embeddings"), n_queries=_IVFPQ_NQ, k=_IVFPQ_RK
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -2335,3 +2335,17 @@ def test_retention_audit_counts_past_cutoff(spark):
     assert got["orders"].n_expired == 1 and got["orders"].n_rows == 2
     assert got["events"].n_expired == 0
     assert got["orders"].expired_share == 0.5
+
+
+def test_ivfpq_recall_improves_with_wider_probe(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    narrow = {r.query_id: r.recall_at_k for r in
+              similarity.ann_ivfpq_recall(emb, n_queries=4, n_probe=1).collect()}
+    wide = {r.query_id: r.recall_at_k for r in
+            similarity.ann_ivfpq_recall(
+                emb, n_queries=4, n_probe=8, shortlist=10000).collect()}
+    assert set(narrow) == set(wide) == {0, 1, 2, 3}
+    # probing every cell with an unbounded shortlist = exact search
+    assert all(v == 1.0 for v in wide.values())
+    # and the narrow probe can never beat it
+    assert all(narrow[q] <= wide[q] for q in narrow)

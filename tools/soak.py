@@ -159,6 +159,7 @@ QUERIES_TO_RUN = [
     "csv_malformed_audit",
     "gdpr_erasure_plan",
     "retention_policy_audit",
+    "ann_ivfpq_recall",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
