@@ -192,6 +192,18 @@ def test_watermark_drop_is_observable_in_progress(spark, tmp_path):
     _write(spark, [Row(user_id=1, ts=t(10)), Row(user_id=1, ts=t(11))], src + "/f1")
     _write(spark, [Row(user_id=1, ts=t(9, 30)), Row(user_id=1, ts=t(11, 30))], src + "/f2")
     _write(spark, [Row(user_id=1, ts=t(20))], src + "/f3")
+    # FileStreamSource orders pending files by MODIFICATION TIME; on a
+    # fast write the three dirs can land in the same ms and the order
+    # (hence whether the 09:30 straggler meets an advanced watermark)
+    # becomes nondeterministic. Pin strictly increasing mtimes.
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    base = _time.time()
+    for i, d in enumerate(("f1", "f2", "f3")):
+        for f in _glob.glob(f"{src}/{d}/*.parquet"):
+            _os.utime(f, (base + 10 * i, base + 10 * i))
 
     stream = (
         spark.readStream.schema("user_id long, ts timestamp")
