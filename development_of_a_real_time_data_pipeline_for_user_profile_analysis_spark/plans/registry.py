@@ -6980,6 +6980,54 @@ def q_ann_ivfpq_recall(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_outer_join_errors",
+    """WITH clicks AS (SELECT user_id AS c_user, ts AS click_ts
+                       FROM events WHERE event_type = 'click'),
+       errors AS (SELECT event_id AS error_id, user_id AS e_user,
+                         ts AS err_ts
+                  FROM events WHERE event_type = 'error'),
+       mx AS (SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                (SELECT max(ts) FROM events WHERE event_type = 'error'))
+                  AS m),
+       matched AS (
+         SELECT e.error_id, e.e_user, e.err_ts, c.c_user, c.click_ts
+         FROM errors e JOIN clicks c ON c.c_user = e.e_user
+          AND epoch_us(c.click_ts) >= epoch_us(e.err_ts) - 300000000
+          AND epoch_us(c.click_ts) < epoch_us(e.err_ts)),
+       unmatched AS (
+         SELECT e.error_id, e.e_user, e.err_ts,
+                CAST(NULL AS BIGINT) AS c_user,
+                CAST(NULL AS TIMESTAMP) AS click_ts
+         FROM errors e CROSS JOIN mx
+         WHERE NOT EXISTS (
+                 SELECT 1 FROM clicks c WHERE c.c_user = e.e_user
+                   AND epoch_us(c.click_ts)
+                         >= epoch_us(e.err_ts) - 300000000
+                   AND epoch_us(c.click_ts) < epoch_us(e.err_ts))
+           AND epoch_us(e.err_ts) < epoch_us(m) - 600000000)
+       SELECT * FROM matched UNION ALL SELECT * FROM unmatched""",
+)
+def q_streaming_outer_join_errors(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: matched errors emit
+    with their preceding click; unmatched errors emit NULL-extended
+    once the GLOBAL watermark (min over both sides' max event time,
+    minus the 10-minute delay) proves no qualifying click can still
+    arrive — errors younger than the final watermark stay withheld,
+    exactly as a restarted production query would hold them. The
+    oracle replicates both the join and the watermark-cutoff
+    emission rule (streaming/pipeline.py:
+    clicks_errors_stream_outer_join; the append-only outer-emission
+    semantics Spark documents for stream-stream outer joins)."""
+    from ..streaming.pipeline import clicks_errors_stream_outer_join
+
+    return _run_to_memory(
+        clicks_errors_stream_outer_join(_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -160,6 +160,7 @@ QUERIES_TO_RUN = [
     "gdpr_erasure_plan",
     "retention_policy_audit",
     "ann_ivfpq_recall",
+    "streaming_outer_join_errors",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
