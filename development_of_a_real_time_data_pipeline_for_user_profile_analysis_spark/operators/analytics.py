@@ -4458,3 +4458,56 @@ def retention_policy_audit(
         )
         .orderBy("table")
     )
+
+
+def offpolicy_value_eval(events: DataFrame) -> DataFrame:
+    """Off-policy value evaluation on logged feedback (IPS + SNIPS):
+    treat the event log as bandit data — event_type is the logged
+    action, `value` its observed reward — and estimate what each
+    deterministic target policy "always play action a" would have
+    earned, WITHOUT running it. The DECLARED logging policy is
+    uniform over the observed action set (propensity 1/|A| — the
+    exploration assumption an A/B logger ships with);
+    IPS(a) = mean(r·1{a_log=a}/p) is unbiased under that assumption,
+    SNIPS(a) = Σr·w/Σw self-normalizes and is immune to propensity
+    misspecification. The two are reported side by side because
+    their GAP is the diagnostic: when the realized log deviates from
+    the declared uniform policy, IPS drifts while SNIPS holds — a
+    large gap says fix the logging propensities before trusting any
+    off-policy number. (With empirical propensities the two collapse
+    algebraically, which is why a declared policy is the honest
+    form.)
+
+    Scale shape: one scan → per-action conditional sums + a 1-row
+    action-count broadcast; no window, no join beyond 1-row
+    combines.
+    """
+    meta = events.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("event_type").alias("n_actions"),
+    )
+    shares = (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_logged"),
+            F.sum("value").alias("sum_r"),
+        )
+        .crossJoin(F.broadcast(meta))
+    )
+    # declared uniform propensity p = 1/n_actions:
+    # IPS(a)  = Σ_{a_log=a} r / (n_total · p) = sum_r·n_actions/n_total
+    # SNIPS(a)= Σ_{a_log=a} r·(1/p) / Σ_{a_log=a} (1/p) = sum_r/n_logged
+    ips = F.col("sum_r") * F.col("n_actions") / F.col("n_total")
+    snips = F.col("sum_r") / F.col("n_logged")
+    return shares.select(
+        "event_type",
+        F.col("n_logged").cast("long").alias("n_logged"),
+        _floor_round(1.0 / F.col("n_actions"), 6).alias(
+            "declared_propensity"
+        ),
+        _floor_round(F.col("n_logged") / F.col("n_total"), 6).alias(
+            "realized_share"
+        ),
+        _floor_round(ips, 4).alias("ips_value"),
+        _floor_round(snips, 4).alias("snips_value"),
+    ).orderBy("event_type")

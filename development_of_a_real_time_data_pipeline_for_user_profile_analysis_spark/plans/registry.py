@@ -7028,6 +7028,34 @@ def q_streaming_outer_join_errors(spark, sf_dir):
     )
 
 
+@query(
+    "offpolicy_value_eval",
+    """WITH meta AS (SELECT count(*) AS n_total,
+                            count(DISTINCT event_type) AS n_actions
+                     FROM events),
+       sh AS (SELECT event_type, count(*) AS n_logged,
+                     sum(value) AS sum_r
+              FROM events GROUP BY event_type)
+       SELECT event_type,
+              CAST(n_logged AS BIGINT) AS n_logged,
+              floor(1.0 / n_actions * 1000000 + 0.5) / 1000000.0
+                AS declared_propensity,
+              floor(n_logged * 1.0 / n_total * 1000000 + 0.5)
+                / 1000000.0 AS realized_share,
+              floor(sum_r * n_actions / n_total * 10000 + 0.5)
+                / 10000.0 AS ips_value,
+              floor(sum_r / n_logged * 10000 + 0.5) / 10000.0
+                AS snips_value
+       FROM sh CROSS JOIN meta ORDER BY event_type""",
+)
+def q_offpolicy_value_eval(spark, sf_dir):
+    """IPS + SNIPS off-policy value of each "always play action a"
+    target policy over the logged event feed — empirical behavior
+    propensities, exact one-pass estimators."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return analytics.offpolicy_value_eval(ev)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -2349,3 +2349,34 @@ def test_ivfpq_recall_improves_with_wider_probe(spark, sf_dir):
     assert all(v == 1.0 for v in wide.values())
     # and the narrow probe can never beat it
     assert all(narrow[q] <= wide[q] for q in narrow)
+
+
+def test_offpolicy_ips_snips_gap_diagnoses_nonuniform_log(spark):
+    # a log skewed toward 'click' with uniform declared propensities:
+    # SNIPS holds the per-action mean; IPS scales by the uniformity
+    # violation (n_actions * share)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for _ in range(30):
+        eid += 1
+        rows.append(Row(event_id=eid, ts=t0, user_id=1,
+                        event_type="click", value=2.0))
+    for _ in range(10):
+        eid += 1
+        rows.append(Row(event_id=eid, ts=t0, user_id=1,
+                        event_type="purchase", value=8.0))
+    got = {r.event_type: r for r in
+           analytics.offpolicy_value_eval(spark.createDataFrame(rows)).collect()}
+    assert got["click"].declared_propensity == 0.5  # 2 actions
+    assert got["click"].realized_share == 0.75
+    # SNIPS = per-action mean reward
+    assert got["click"].snips_value == 2.0
+    assert got["purchase"].snips_value == 8.0
+    # IPS = sum_r * n_actions / n_total: 60*2/40=3 ; 80*2/40=4
+    assert got["click"].ips_value == 3.0
+    assert got["purchase"].ips_value == 4.0
+    # the over-logged action's IPS exceeds SNIPS; the under-logged
+    # action's falls below — the misspecification signature
+    assert got["click"].ips_value > got["click"].snips_value
+    assert got["purchase"].ips_value < got["purchase"].snips_value

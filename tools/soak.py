@@ -161,6 +161,7 @@ QUERIES_TO_RUN = [
     "retention_policy_audit",
     "ann_ivfpq_recall",
     "streaming_outer_join_errors",
+    "offpolicy_value_eval",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
