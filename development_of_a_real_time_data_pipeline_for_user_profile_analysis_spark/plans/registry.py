@@ -7089,7 +7089,7 @@ DRIVER_PRIORITY = [
     # joins / aggregates (TPC-H-style)
     "pricing_summary",
     "nation_revenue",
-    "mktsegment_rollup",
+    "gdpr_erasure_plan",  # r4w9: governance family rep (evicts mktsegment_rollup; ROLLUP semantics stay evidenced by segment_priority_grouping_sets, its GROUPING SETS superset)
     "customer_order_rank",
     "purchasing_customers",
     "open_not_pending_customers",
@@ -7133,6 +7133,7 @@ DRIVER_PRIORITY = [
     "unigram_logprob_quality",
     "referential_integrity_report",
     "cluster_canonicals",  # r4: rotated out of the 50-window (family rep stays: near_dup_clusters); QUERIES.md
+    "mktsegment_rollup",  # r4w9 evicted: stays oracle-covered past window
     "pq_codebook_report",  # r4w7 evicted: sizing report stays oracle-covered past window
     "quantize_embeddings",  # r4 evicted: int8 tier stays oracle-covered past window
     "chi2_lang_source",  # r4 evicted: chi-square stays oracle-covered past window

@@ -151,6 +151,7 @@ def test_driver_window_covers_component_families():
         # replaces split_contamination (deterministic_split carries
         # the split family); kafka_wire_roundtrip closes K4
         "kafka_wire_roundtrip", "ks_two_sample_drift",
+        "gdpr_erasure_plan",
         "ann_ivfpq_topk", "bloom_membership_audit",
     ]
     assert [m for m in musts if m not in first50] == []
