@@ -1731,3 +1731,50 @@ def dataset_card_report(documents: DataFrame) -> DataFrame:
             "top_lang",
         )
     )
+
+
+TRAIN_TOKEN_BUDGET = 10_000_000  # demo training-run token target
+EPOCH_REPEAT_CAP = 4.0  # data-constrained repeat ceiling per source
+
+
+def epoch_budget_report(
+    documents: DataFrame,
+    budget_tokens: int = TRAIN_TOKEN_BUDGET,
+    repeat_cap: float = EPOCH_REPEAT_CAP,
+) -> DataFrame:
+    """Data-constrained epoch planning: under a training-run token
+    target and the α=0.5 temperature mixture (same integer-micro
+    weight device as temperature_mixture_weights), how many EPOCHS of
+    each source does its allocation imply — and which sources blow
+    past the repeat cap (published scaling results show value decays
+    fast beyond ~4 repetitions, so an over-cap source means either
+    shrink its weight or go get more data). The planning table a
+    pretraining run signs off on before tokenization starts.
+
+    Scale shape: one per-source token aggregate + 1-row total
+    broadcast; pure arithmetic on the |sources|-row relation.
+    """
+    per_source = documents.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("n_tokens")
+    )
+    w_micro = F.floor(F.sqrt(F.col("n_tokens")) * 1000000).cast("long")
+    weighted = per_source.select("source", "n_tokens", w_micro.alias("w"))
+    tot = weighted.agg(F.sum("w").alias("w_tot"))
+    alloc = F.floor(
+        F.lit(budget_tokens) * F.col("w") / F.col("w_tot") + 0.5
+    ).cast("long")
+    epochs = (
+        F.floor(alloc / F.col("n_tokens") * 10000 + 0.5).cast("long")
+        / 10000.0
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            alloc.alias("alloc_tokens"),
+            epochs.alias("epochs"),
+            (epochs > repeat_cap).alias("over_repeat_cap"),
+        )
+        .orderBy("source")
+    )

@@ -7056,6 +7056,34 @@ def q_offpolicy_value_eval(spark, sf_dir):
     return analytics.offpolicy_value_eval(ev)
 
 
+@query(
+    "epoch_budget_report",
+    f"""WITH ps AS (SELECT source,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                      AS n_tokens
+             FROM documents GROUP BY source),
+       w AS (SELECT source, n_tokens,
+                    CAST(floor(sqrt(n_tokens) * 1000000) AS BIGINT) AS wm
+             FROM ps),
+       t AS (SELECT sum(wm) AS w_tot FROM w)
+       SELECT source, n_tokens,
+              CAST(floor({text.TRAIN_TOKEN_BUDGET} * wm * 1.0 / w_tot
+                         + 0.5) AS BIGINT) AS alloc_tokens,
+              floor(floor({text.TRAIN_TOKEN_BUDGET} * wm * 1.0 / w_tot
+                          + 0.5) / n_tokens * 10000 + 0.5) / 10000.0
+                AS epochs,
+              floor(floor({text.TRAIN_TOKEN_BUDGET} * wm * 1.0 / w_tot
+                          + 0.5) / n_tokens * 10000 + 0.5) / 10000.0
+                > {text.EPOCH_REPEAT_CAP} AS over_repeat_cap
+       FROM w CROSS JOIN t ORDER BY source""",
+)
+def q_epoch_budget_report(spark, sf_dir):
+    """Data-constrained epoch planning: per-source epochs implied by
+    the temperature-mixture allocation of a training token budget,
+    with the >4-repeat flag."""
+    return text.epoch_budget_report(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))

@@ -2380,3 +2380,20 @@ def test_offpolicy_ips_snips_gap_diagnoses_nonuniform_log(spark):
     # action's falls below — the misspecification signature
     assert got["click"].ips_value > got["click"].snips_value
     assert got["purchase"].ips_value < got["purchase"].snips_value
+
+
+def test_epoch_budget_flags_small_sources(spark):
+    # one big source, one tiny: sqrt weighting upsamples the tiny one
+    # and its implied epochs blow the repeat cap
+    big = [(i, "word " * 50, "en", "big", 250) for i in range(1, 200)]
+    small = [(1000 + i, "word " * 50, "en", "small", 250) for i in range(3)]
+    docs = spark.createDataFrame(
+        big + small,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.source: r for r in text.epoch_budget_report(
+        docs, budget_tokens=20000).collect()}
+    assert got["big"].alloc_tokens + got["small"].alloc_tokens in (19999, 20000, 20001)
+    assert got["small"].over_repeat_cap  # tiny source over-repeats
+    assert not got["big"].over_repeat_cap
+    assert got["small"].epochs > got["big"].epochs

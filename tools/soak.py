@@ -162,6 +162,7 @@ QUERIES_TO_RUN = [
     "ann_ivfpq_recall",
     "streaming_outer_join_errors",
     "offpolicy_value_eval",
+    "epoch_budget_report",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
