@@ -4285,12 +4285,14 @@ def customer_rfm_scores(orders: DataFrame) -> DataFrame:
             F.floor(F.col("cents") / 10000).cast("long").alias("mbin"),
         )
     )
-    # persist: the three quintile histograms and the final score join
-    # each consume this relation — uncached, every branch re-runs the
-    # full custkey shuffle (4 o_custkey exchanges measured in the plan
-    # audit). Cached it is |customers| × 4 small columns; the
-    # "one custkey shuffle" contract then holds.
-    per_cust = per_cust.persist()
+    # NO persist: A/B'd at sf0.1 / 10x / 30x (PERF.md round-5 table) —
+    # re-running the custkey shuffle per branch ties or beats caching
+    # at every scale (the orders groupBy is cheap; materializing the
+    # cache costs more than the 3 extra re-runs), and the cache's
+    # first-touch spike (6.4 s at 10x vs 2.5 s uncached) is exactly
+    # the round-4 `customer_rfm_scores` bench regression. Same lesson
+    # as the shingle cache: only persist what every branch fully
+    # consumes more times than the materialization costs.
 
     def _quintile_map(metric: str):
         hist = per_cust.groupBy(metric).agg(F.count(F.lit(1)).alias("n"))
