@@ -1562,3 +1562,270 @@ def ann_ivfpq_recall(
         )
         .orderBy("query_id")
     )
+
+
+# ------------------------------------------------------------------
+# Maintained IVF-PQ index artifact — build once / add incrementally /
+# serve probe-only (VERDICT r4 ask #1).
+#
+# Lifecycle (the FAISS deployment shape, re-expressed as Spark
+# tables):
+#   1. TRAIN  — the coarse quantizer (k-means cells) and the PQ
+#      codebooks train ONCE, on a deterministic hash-slice sample of
+#      the corpus (vec_id % IVFPQ_BATCH_MOD != IVFPQ_BATCH_RESIDUE).
+#      After training they are FROZEN — adding data never retrains,
+#      exactly like faiss.IndexIVFPQ.add after .train.
+#   2. BUILD  — every corpus vector encodes against the frozen
+#      quantizers into a 3-table artifact: centroids (n_cells rows),
+#      codebooks (n_subspaces x k rows), codes (one row per vector x
+#      subspace, PARTITIONED BY cell on disk).
+#   3. ADD    — a new ingest batch encodes against the same frozen
+#      quantizers and APPENDS to the codes table. Because the
+#      trainer never sees the held-out residue slice, incremental
+#      add == full rebuild VECTOR FOR VECTOR — the driver oracle for
+#      `ann_ivfpq_add_serve` exploits exactly this: Spark serves from
+#      base-index + appended batch, DuckDB replays a full rebuild.
+#   4. SERVE  — probe-only: pick n_probe cells from the broadcast
+#      centroid table (a k-row planner step), read ONLY those cell
+#      partitions of the codes table (literal partition pruning on
+#      the artifact), ADC-score 4-byte codes, exact re-rank the
+#      shortlist against fetched vectors.
+#
+# At 100 TB: step 2/3 are scheduled pipeline jobs, step 4 is the
+# only per-query cost — centroid broadcast + n_probe partition scans
+# + |shortlist| vector fetches. The corpus-linear kmeans/PQ passes
+# that ann_ivfpq_topk paid per query are gone from the serving path.
+# ------------------------------------------------------------------
+
+IVFPQ_BATCH_MOD = 10
+IVFPQ_BATCH_RESIDUE = 7  # held-out ingest slice: vec_id % 10 == 7
+IVFPQ_N_CELLS = 8
+IVFPQ_SERVE_QUERY = 1  # probe query for the maintained-index serve
+IVFPQ_ADD_QUERY = 2  # probe query for the post-add serve
+
+
+def ivfpq_train(
+    embeddings: DataFrame,
+    n_cells: int = IVFPQ_N_CELLS,
+    n_subspaces: int = PQ_SUBSPACES,
+    codebook_k: int = PQ_CODEBOOK_K,
+    dim: int = EMB_DIM,
+):
+    """Train the FROZEN quantizer pair (coarse centroids + PQ
+    codebooks) on the deterministic train slice
+    (vec_id % IVFPQ_BATCH_MOD != IVFPQ_BATCH_RESIDUE). The slice
+    filter is applied HERE, unconditionally, so training on the base
+    corpus and training on corpus+batch yield byte-identical
+    quantizers — the property that makes incremental add equal a
+    full rebuild. Returns (centroids(cid, c), codebooks(code,
+    sub_id, cv)); both are broadcast-sized."""
+    train = embeddings.filter(
+        F.col("vec_id") % IVFPQ_BATCH_MOD != IVFPQ_BATCH_RESIDUE
+    )
+    _, cents = kmeans_assign(
+        train, k=n_cells, iterations=2, return_centroids=True
+    )
+    cb = pq_codebooks(train, n_subspaces, codebook_k, dim)
+    return cents, cb
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int = PQ_SUBSPACES,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Encode vectors against FROZEN quantizers → index rows
+    (vec_id, cell, sub_id, code). One narrow scan: broadcast
+    centroids give the cell (rounded-6dp argmin, ties on cid —
+    kmeans_assign's device), broadcast codebooks give the per-
+    subspace code (same device on code id). Used by both the initial
+    build and every incremental add — there is exactly one encoding
+    path, so add-vs-rebuild equivalence is structural."""
+    sub_d = dim // n_subspaces
+    corpus = vectors.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    )
+    dist = F.round(F.sqrt(_sq_euclid(F.col("e"), F.col("c"))), 6)
+    cells = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "e", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"), F.first("e").alias("e"))
+        .select("vec_id", "e", F.col("m.cid").alias("cell"))
+    )
+    subs = cells.select(
+        "vec_id",
+        "cell",
+        F.explode(
+            F.array(*_subvector_structs("e", n_subspaces, sub_d))
+        ).alias("x"),
+    ).select("vec_id", "cell", "x.sub_id", "x.sv")
+    dsub = F.round(F.sqrt(_sq_euclid(F.col("sv"), F.col("cv"))), 6)
+    return (
+        subs.join(F.broadcast(codebooks), "sub_id")
+        .select("vec_id", "cell", "sub_id", dsub.alias("d"), "code")
+        .groupBy("vec_id", "cell", "sub_id")
+        .agg(F.min(F.struct("d", "code")).alias("m"))
+        .select("vec_id", "cell", "sub_id", F.col("m.code").alias("code"))
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    n_cells: int = IVFPQ_N_CELLS,
+    n_subspaces: int = PQ_SUBSPACES,
+    codebook_k: int = PQ_CODEBOOK_K,
+    dim: int = EMB_DIM,
+) -> dict:
+    """Full index build: train the frozen quantizers, encode the
+    corpus. Returns {"centroids", "codebooks", "codes"} DataFrames —
+    the 3-table artifact write_ivfpq_index persists."""
+    cents, cb = ivfpq_train(corpus, n_cells, n_subspaces, codebook_k, dim)
+    codes = ivfpq_encode(corpus, cents, cb, n_subspaces, dim)
+    return {"centroids": cents, "codebooks": cb, "codes": codes}
+
+
+def write_ivfpq_index(index: dict, path: str) -> None:
+    """Persist the artifact: centroids + codebooks as single small
+    parquet tables, codes PARTITIONED BY cell — the physical layout
+    that turns a serve-time cell probe into a partition-pruned read
+    (only n_probe of n_cells directories are touched)."""
+    index["centroids"].write.mode("overwrite").parquet(f"{path}/centroids")
+    index["codebooks"].write.mode("overwrite").parquet(f"{path}/codebooks")
+    (
+        index["codes"]
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def read_ivfpq_index(spark, path: str) -> dict:
+    """Load the maintained artifact. The codes' partition column
+    comes back via directory inference — cast to long so appended
+    in-memory batches union cleanly."""
+    return {
+        "centroids": spark.read.parquet(f"{path}/centroids"),
+        "codebooks": spark.read.parquet(f"{path}/codebooks"),
+        "codes": spark.read.parquet(f"{path}/codes").select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            "sub_id",
+            "code",
+        ),
+    }
+
+
+def ivfpq_add_batch(index: dict, batch: DataFrame) -> DataFrame:
+    """Incremental add: encode the ingest batch against the FROZEN
+    quantizers — no retrain, no rebuild, no touch of existing codes.
+    Returns the new index rows (append them to the codes table /
+    union them at serve time). Cost is one narrow scan of the batch:
+    O(|batch|), independent of corpus size."""
+    return ivfpq_encode(batch, index["centroids"], index["codebooks"])
+
+
+def ann_ivfpq_serve(
+    index: dict,
+    vectors: DataFrame,
+    query_vec_id: int,
+    k: int = IVFPQ_K,
+    n_probe: int = IVFPQ_NPROBE,
+    shortlist: int = IVFPQ_SHORTLIST,
+    n_subspaces: int = PQ_SUBSPACES,
+    dim: int = EMB_DIM,
+    extra_codes: DataFrame | None = None,
+) -> DataFrame:
+    """Probe-only IVF-PQ serve against a maintained index: NO
+    training, NO encoding of the corpus — the per-query work is
+    (a) a planner step ranking the n_cells-row centroid table against
+    the query (collected: n_probe ints, the same bounded-scalar
+    device as dedup's block-grid count), (b) a partition-pruned read
+    of the probed cells' codes, (c) broadcast-ADC scoring of 4-byte
+    codes, (d) exact re-rank of the `shortlist` fetched vectors.
+    `vectors` is the vector store used only for the query row and the
+    shortlist fetch; `extra_codes` unions an un-compacted incremental
+    batch into the probe (the serve-while-adding path).
+
+    Determinism devices identical to ann_ivfpq_topk (6-dp rounds,
+    floor-1e6 ADC sums, ties on id) so a DuckDB full-rebuild replay
+    matches value-for-value."""
+    sub_d = dim // n_subspaces
+    codes = index["codes"]
+    if extra_codes is not None:
+        codes = codes.unionByName(extra_codes)
+    q = (
+        vectors.filter(F.col("vec_id") == query_vec_id)
+        .select(_to_double(F.col("embedding")).alias("qe"))
+    )
+    # planner step: rank n_cells centroids against the query, keep
+    # n_probe cell ids. Bounded collect (<= n_cells rows) — this is
+    # what makes the codes read a LITERAL IN-filter the parquet
+    # source prunes partitions with.
+    probe_rows = (
+        index["centroids"]
+        .crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            F.round(F.sqrt(_sq_euclid(F.col("c"), F.col("qe"))), 6).alias("qd"),
+        )
+        .collect()
+    )
+    probe_cells = [
+        r["cid"] for r in sorted(probe_rows, key=lambda r: (r["qd"], r["cid"]))
+    ][:n_probe]
+    qsubs = q.select(
+        F.explode(
+            F.array(*_subvector_structs("qe", n_subspaces, sub_d))
+        ).alias("x")
+    ).select("x.sub_id", F.col("x.sv").alias("qv"))
+    dsub = F.round(F.sqrt(_sq_euclid(F.col("cv"), F.col("qv"))), 6)
+    adc = (
+        index["codebooks"]
+        .join(F.broadcast(qsubs), "sub_id")
+        .select("sub_id", "code", (dsub * dsub).alias("d2sub"))
+    )
+    approx = (
+        codes.filter(
+            F.col("cell").isin([int(c) for c in probe_cells])
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .join(F.broadcast(adc), ["sub_id", "code"])
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.floor(F.sum("d2sub") * 1000000 + 0.5).cast("long")
+                / 1000000.0
+            ).alias("approx_d2")
+        )
+    )
+    short = approx.withColumn(
+        "rn", F.row_number().over(Window.orderBy("approx_d2", "vec_id"))
+    ).filter(F.col("rn") <= shortlist)
+    exact = (
+        short.join(
+            vectors.select(
+                "vec_id", _to_double(F.col("embedding")).alias("e")
+            ),
+            "vec_id",
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "approx_d2",
+            F.round(F.sqrt(_sq_euclid(F.col("e"), F.col("qe"))), 6).alias(
+                "exact_dist"
+            ),
+        )
+    )
+    return (
+        exact.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("exact_dist", "vec_id")),
+        )
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", "approx_d2", "exact_dist")
+        .orderBy("rank")
+    )

@@ -128,13 +128,15 @@ def test_driver_window_covers_component_families():
         "near_dedup_minhash",
         "ngram_jaccard_dupes", "near_dup_clusters",
         "embedding_near_dupes",
-        "curation_pipeline", "cosine_topk",
+        "curation_pipeline",
         "multimodal_features",
         "simhash_dupes", "profiles_upsert",
         "profiles_quality_report",
         "events_rollup_multi",
-        # r3 second wave: retrieval / data-layout / data-mixing
-        "bm25_search", "zorder_files", "mixture_sampled_counts",
+        # r3 second wave: data-layout / data-mixing (bm25_search
+        # rotated out r5 — BM25 stays in-window inside
+        # hybrid_rrf_search)
+        "zorder_files", "mixture_sampled_counts",
         # r3 third wave: model-based quality + data-quality audit
         # (events_sessionized rotated out — streaming_session_windows
         # carries the sessionization family in-window)
@@ -152,7 +154,13 @@ def test_driver_window_covers_component_families():
         # the split family); kafka_wire_roundtrip closes K4
         "kafka_wire_roundtrip", "ks_two_sample_drift",
         "gdpr_erasure_plan",
-        "ann_ivfpq_topk", "bloom_membership_audit",
+        "bloom_membership_audit",
+        # r5 rotation: the maintained-index triple replaces
+        # ann_ivfpq_topk / cosine_topk / bm25_search (ANN family rep
+        # is now the artifact serve; exact-cosine stays via
+        # embedding_near_dupes + the serve's exact re-rank)
+        "ann_ivfpq_serve", "ivfpq_incremental_add",
+        "ann_ivfpq_add_serve",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
@@ -844,17 +852,16 @@ def test_cdc_chunking_per_doc_windows_digest_rollup(spark, sf_dir):
 # -- round-4 later waves: plan contracts --
 
 
-def test_rfm_single_custkey_shuffle_with_cached_metrics(spark, sf_dir):
-    """The per-customer metric relation is persisted, so the three
-    quintile histograms and the score join reuse ONE custkey
-    exchange instead of re-running the corpus pass per branch."""
+def test_rfm_uncached_broadcast_scores_no_smj(spark, sf_dir):
+    """r5: the per-customer metric persist was DROPPED after the
+    A/B (PERF.md round-5 table — uncached ties or wins at sf0.1, 10x
+    and 30x, and the cache's first-touch spike was the r4 bench
+    regression). Contract now: re-running the cheap custkey shuffle
+    per branch is fine, but the three quintile score maps must stay
+    broadcast and nothing may flip to SortMergeJoin/cartesian."""
     plan = _plan(spark, "customer_rfm_scores", sf_dir)
-    # all four consumers (3 histograms + score join) read the cache;
-    # the plan printer inlines the cached child under each
-    # InMemoryTableScan, so the custkey-exchange STRING appears per
-    # consumer while the shuffle itself runs once (same caveat the
-    # rollup test documents).
-    assert plan.count("InMemoryTableScan") == 4
+    assert "InMemoryTableScan" not in plan  # the persist stays gone
+    assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
