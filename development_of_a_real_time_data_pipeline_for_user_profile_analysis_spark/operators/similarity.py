@@ -1829,3 +1829,264 @@ def ann_ivfpq_serve(
         .select("rank", "vec_id", "approx_d2", "exact_dist")
         .orderBy("rank")
     )
+
+
+IVFPQ_TUNE_QUERIES = 8
+IVFPQ_TUNE_PROBES = (1, 2, 4, 8)
+IVFPQ_TUNE_SHORTLISTS = (10, 30, 60, 120, 500)
+IVFPQ_RECALL_TARGET = 0.95
+
+
+def ivfpq_tuning_curve(
+    index: dict,
+    vectors: DataFrame,
+    n_queries: int = IVFPQ_TUNE_QUERIES,
+    k: int = IVFPQ_K,
+    probes: tuple = IVFPQ_TUNE_PROBES,
+    shortlists: tuple = IVFPQ_TUNE_SHORTLISTS,
+    target: float = IVFPQ_RECALL_TARGET,
+    n_subspaces: int = PQ_SUBSPACES,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """The (n_probe, shortlist) tuning step VERDICT r4 ask #2 calls
+    for — the IVF-PQ twin of dedup's `lsh_tuning_curve`: evaluate the
+    full config grid against the exact top-k ground truth over
+    `n_queries` probe queries, decompose each config's recall loss
+    into CELL misses (true neighbor in an unprobed cell — raise
+    n_probe) and ADC misses (in a probed cell but shortlisted out by
+    quantized distance — raise shortlist/codebook_k), and CHOOSE the
+    cheapest config meeting recall >= `target` (probe cost =
+    mean candidates ADC-scanned + shortlist vectors fetched; if no
+    config reaches target, the max-recall config is chosen).
+
+    One plan evaluates every config: the per-(query, vector) ADC
+    distance is config-INDEPENDENT, so it computes once; n_probe only
+    filters by the vector's cell rank and shortlist only cuts the
+    approx ranking — both applied as tiny dimension-table joins over
+    the n_queries-bounded scored relation. No per-config re-scan of
+    the corpus, no rebuild: the index is the maintained artifact.
+
+    Output: one row per config + the chosen flag — the table a
+    serving rollout reads to set its probe parameters."""
+    sub_d = dim // n_subspaces
+    nq = n_queries
+    corpus = vectors.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    )
+    qs = corpus.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    # per-query cell ranking: n_cells x n_queries rows — a bounded
+    # planner step (same device as ann_ivfpq_serve's probe-cell
+    # collect). Materializing it as a literal table keeps the
+    # centroid-ranking subtree out of every downstream branch of the
+    # big eval plan.
+    spark = vectors.sparkSession
+    crank_rows = (
+        index["centroids"]
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "cid",
+            F.round(F.sqrt(_sq_euclid(F.col("c"), F.col("qe"))), 6).alias(
+                "qd"
+            ),
+        )
+        .collect()
+    )
+    ranked = {}
+    for r in sorted(crank_rows, key=lambda r: (r["qid"], r["qd"], r["cid"])):
+        ranked.setdefault(r["qid"], []).append(r["cid"])
+    crank = spark.createDataFrame(
+        [
+            (qid, cid, rank + 1)
+            for qid, cids in ranked.items()
+            for rank, cid in enumerate(cids)
+        ],
+        "qid long, cid long, cr long",
+    )
+    qsubs = qs.select(
+        "qid",
+        F.explode(
+            F.array(*_subvector_structs("qe", n_subspaces, sub_d))
+        ).alias("x"),
+    ).select("qid", "x.sub_id", F.col("x.sv").alias("qv"))
+    dsub = F.round(F.sqrt(_sq_euclid(F.col("cv"), F.col("qv"))), 6)
+    adc = (
+        index["codebooks"]
+        .join(F.broadcast(qsubs), "sub_id")
+        .select("qid", "sub_id", "code", (dsub * dsub).alias("d2sub"))
+    )
+    vap = (
+        index["codes"]
+        .join(F.broadcast(adc), ["sub_id", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.min("cell").alias("cell"),
+            (
+                F.floor(F.sum("d2sub") * 1000000 + 0.5).cast("long")
+                / 1000000.0
+            ).alias("approx_d2"),
+        )
+    )
+    vex = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(F.sqrt(_sq_euclid(F.col("e"), F.col("qe"))), 6).alias(
+                "d"
+            ),
+        )
+    )
+    crank_j = crank.select(
+        F.col("qid").alias("c_qid"), F.col("cid"), F.col("cr")
+    )
+    # vm is n_queries x corpus rows and EVERY downstream branch
+    # (truth, per-probe candidate cuts, the three miss decompositions)
+    # fully consumes it — the persist criterion customer_rfm_scores'
+    # A/B established: cache only what each branch reads whole, more
+    # times than materialization costs (5 consumers here).
+    vm = (
+        vap.join(vex, ["qid", "vec_id"])
+        .join(
+            F.broadcast(crank_j),
+            (F.col("qid") == F.col("c_qid"))
+            & (F.col("cell") == F.col("cid")),
+        )
+        .select("qid", "vec_id", "approx_d2", "d", "cr")
+        .persist()
+    )
+    # eager-pin the scored relation: every downstream branch roots at
+    # the cache, which also keeps the final plan (and its one-time
+    # codegen compile) small
+    vm.count()
+    truth = (
+        vm.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("d", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.col("cr").alias("vcr"))
+    )
+    # config dimensions inline as exploded literal arrays — no join,
+    # no broadcast-materialization job per reference
+    ps_col = F.explode(
+        F.array(*[F.lit(int(p)).cast("long") for p in probes])
+    )
+    ss_col = F.explode(
+        F.array(*[F.lit(int(x)).cast("long") for x in shortlists])
+    )
+    cand = vm.select(
+        "*", ps_col.alias("n_probe")
+    ).filter(F.col("cr") <= F.col("n_probe"))
+    ar = cand.withColumn(
+        "arank",
+        F.row_number().over(
+            Window.partitionBy("n_probe", "qid").orderBy(
+                "approx_d2", "vec_id"
+            )
+        ),
+    )
+    # served top-k ∩ truth == truth ∩ shortlist: a true top-k vector
+    # inside the shortlist is never outranked in the exact re-rank (at
+    # most k-1 corpus vectors have a smaller (d, vec_id), and every
+    # shortlist >= k), and tie-breaks are (d, vec_id) on both sides.
+    # So the exact-re-rank window drops from the eval entirely; the
+    # DuckDB oracle deliberately KEEPS the naive served-top-k form,
+    # independently verifying this reduction value-for-value.
+    assert min(shortlists) >= k, "hits reduction requires shortlist >= k"
+    hits = (
+        truth.select("qid", "vec_id")
+        .join(ar, ["qid", "vec_id"])
+        .select("*", ss_col.alias("shortlist"))
+        .groupBy("n_probe", "shortlist")
+        .agg(
+            F.sum(
+                F.when(F.col("arank") <= F.col("shortlist"), 1).otherwise(0)
+            ).cast("long").alias("n_hits")
+        )
+    )
+    # one conditional aggregate gives the cell-miss side; truth has
+    # exactly k*nq rows, so n_in_cand = k*nq - n_cell_miss (no third
+    # pass needed)
+    cm = (
+        truth.select("*", ps_col.alias("n_probe"))
+        .groupBy("n_probe")
+        .agg(
+            F.sum(
+                F.when(F.col("vcr") > F.col("n_probe"), 1).otherwise(0)
+            ).cast("long").alias("n_cell_miss")
+        )
+    )
+    cc = cand.groupBy("n_probe").agg(F.count(F.lit(1)).alias("n_cand"))
+    grid = spark.createDataFrame(
+        [(int(p), int(x)) for p in probes for x in shortlists],
+        "n_probe long, shortlist long",
+    )
+    rpt = (
+        grid.join(hits, ["n_probe", "shortlist"], "left")
+        .join(cm, "n_probe", "left")
+        .join(cc, "n_probe", "left")
+        .select(
+            "n_probe",
+            "shortlist",
+            (
+                F.floor(
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.lit(float(k * nq))
+                    * 10000
+                    + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("recall_at_k"),
+            F.coalesce(F.col("n_cell_miss"), F.lit(0))
+            .cast("long")
+            .alias("n_cell_miss"),
+            (
+                F.lit(k * nq)
+                - F.coalesce(F.col("n_cell_miss"), F.lit(0))
+                - F.coalesce(F.col("n_hits"), F.lit(0))
+            ).cast("long").alias("n_adc_miss"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_cand"), F.lit(0))
+                    / F.lit(float(nq))
+                    * 100
+                    + 0.5
+                ).cast("long")
+                / 100.0
+            ).alias("mean_candidates"),
+        )
+        .withColumn(
+            "probe_cost", F.col("mean_candidates") + F.col("shortlist")
+        )
+    )
+    eligible = F.when(F.col("recall_at_k") >= target, 0).otherwise(1)
+    tiebreak = F.when(
+        F.col("recall_at_k") >= target, F.col("probe_cost")
+    ).otherwise(-F.col("recall_at_k"))
+    return (
+        rpt.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(
+                    eligible, tiebreak, "n_probe", "shortlist"
+                )
+            ),
+        )
+        .select(
+            "n_probe",
+            "shortlist",
+            "recall_at_k",
+            "n_cell_miss",
+            "n_adc_miss",
+            "mean_candidates",
+            "probe_cost",
+            (F.col("rn") == 1).cast("long").alias("chosen"),
+        )
+        .orderBy("n_probe", "shortlist")
+    )

@@ -7131,6 +7131,41 @@ def _ivfpq_index(spark, sf_dir):
     return similarity.read_ivfpq_index(spark, path)
 
 
+def _ivfpq_index_post_add(spark, sf_dir):
+    """The post-add snapshot of the maintained artifact: the base
+    codes table plus the incremental batch APPENDED (mode=append into
+    the same cell-partitioned layout — only the batch's cell
+    directories are touched, the O(|batch|) add job). Quantizers are
+    the frozen base ones. Queries over the post-add state (add-serve,
+    tuning) read codes straight from parquet — no re-encode chain in
+    their plans."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tf
+
+    tag = _h.md5(_os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    path = _os.path.join(_tf.gettempdir(), f"ivfpq_index_v1post_{tag}")
+    marker = _os.path.join(path, "_BUILT")
+    if not _os.path.exists(marker):
+        base = _ivfpq_index(spark, sf_dir)
+        base["centroids"].write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+        base["codebooks"].write.mode("overwrite").parquet(
+            f"{path}/codebooks"
+        )
+        base["codes"].write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/codes"
+        )
+        extra = similarity.ivfpq_add_batch(base, _ivfpq_batch(spark, sf_dir))
+        extra.write.mode("append").partitionBy("cell").parquet(
+            f"{path}/codes"
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return similarity.read_ivfpq_index(spark, path)
+
+
 def _ivfpq_idx_oracle(pop: str, final: str) -> str:
     """Frozen-quantizer IVF-PQ replay: train (2 rounded Lloyd
     iterations + lowest-vec_id codebooks) on the hash-slice train set
@@ -7274,13 +7309,118 @@ def q_ann_ivfpq_add_serve(spark, sf_dir):
     oracle replays a FULL REBUILD over the whole corpus — the
     incremental-add == full-rebuild equivalence proof, checked
     value-for-value by the driver."""
-    idx = _ivfpq_index(spark, sf_dir)
-    extra = similarity.ivfpq_add_batch(idx, _ivfpq_batch(spark, sf_dir))
+    idx = _ivfpq_index_post_add(spark, sf_dir)
     return similarity.ann_ivfpq_serve(
-        idx,
-        _t(spark, sf_dir, "embeddings"),
-        similarity.IVFPQ_ADD_QUERY,
-        extra_codes=extra,
+        idx, _t(spark, sf_dir, "embeddings"), similarity.IVFPQ_ADD_QUERY
+    )
+
+
+_TUNE_PS = ", ".join(str(p) for p in similarity.IVFPQ_TUNE_PROBES)
+_TUNE_SS = ", ".join(str(s) for s in similarity.IVFPQ_TUNE_SHORTLISTS)
+
+
+def _ivfpq_tuning_final() -> str:
+    subd = _PQ_SUBD
+    nq = similarity.IVFPQ_TUNE_QUERIES
+    k = similarity.IVFPQ_K
+    target = similarity.IVFPQ_RECALL_TARGET
+    return f""",
+qs AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < {nq}),
+crank AS (SELECT qid, cid, cr FROM (
+            SELECT qs.qid, c.cid,
+                   row_number() OVER (PARTITION BY qs.qid ORDER BY
+                       round(list_distance(qs.qe, c.c), 6), c.cid) AS cr
+            FROM c1 c CROSS JOIN qs)),
+qsubs AS (SELECT qid, sub_id,
+                 array_slice(qe, sub_id * {subd} + 1, sub_id * {subd} + {subd}) AS qsv
+          FROM qs CROSS JOIN sp),
+adc AS (SELECT qsubs.qid, cbs.sub_id, cbs.code,
+               round(list_distance(cbs.cv, qsubs.qsv), 6)
+                 * round(list_distance(cbs.cv, qsubs.qsv), 6) AS d2sub
+        FROM cbs JOIN qsubs USING (sub_id)),
+vap AS (SELECT adc.qid, codes.vec_id, min(codes.cell) AS cell,
+               floor(sum(adc.d2sub) * 1000000 + 0.5) / 1000000.0
+                 AS approx_d2
+        FROM codes JOIN adc ON adc.sub_id = codes.sub_id
+                           AND adc.code = codes.code
+        GROUP BY adc.qid, codes.vec_id),
+vex AS (SELECT qs.qid, emb.vec_id,
+               round(list_distance(emb.e, qs.qe), 6) AS d
+        FROM emb CROSS JOIN qs WHERE emb.vec_id <> qs.qid),
+vm AS (SELECT vap.qid, vap.vec_id, vap.approx_d2, vex.d, crank.cr
+       FROM vap
+       JOIN vex ON vex.qid = vap.qid AND vex.vec_id = vap.vec_id
+       JOIN crank ON crank.qid = vap.qid AND crank.cid = vap.cell),
+truth AS (SELECT qid, vec_id, cr AS vcr FROM (
+            SELECT qid, vec_id, cr,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY d, vec_id) AS rn
+            FROM vm) WHERE rn <= {k}),
+ps AS (SELECT CAST(unnest([{_TUNE_PS}]) AS BIGINT) AS n_probe),
+ss AS (SELECT CAST(unnest([{_TUNE_SS}]) AS BIGINT) AS shortlist),
+cand AS (SELECT ps.n_probe, vm.* FROM vm JOIN ps ON vm.cr <= ps.n_probe),
+ar AS (SELECT n_probe, qid, vec_id, approx_d2, d,
+              row_number() OVER (PARTITION BY n_probe, qid
+                  ORDER BY approx_d2, vec_id) AS arank
+       FROM cand),
+served AS (SELECT shortlist, n_probe, qid, vec_id FROM (
+             SELECT ss.shortlist, ar.n_probe, ar.qid, ar.vec_id,
+                    row_number() OVER (PARTITION BY ss.shortlist,
+                        ar.n_probe, ar.qid
+                        ORDER BY ar.d, ar.vec_id) AS erank
+             FROM ar JOIN ss ON ar.arank <= ss.shortlist)
+           WHERE erank <= {k}),
+hits AS (SELECT n_probe, shortlist, count(*) AS n_hits
+         FROM served JOIN truth USING (qid, vec_id)
+         GROUP BY n_probe, shortlist),
+cmiss AS (SELECT ps.n_probe,
+                 CAST(sum(CASE WHEN truth.vcr > ps.n_probe
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cell_miss
+          FROM truth CROSS JOIN ps
+          GROUP BY ps.n_probe),
+cc AS (SELECT n_probe, count(*) AS n_cand FROM cand GROUP BY n_probe),
+rpt AS (SELECT g.n_probe, g.shortlist,
+               floor(coalesce(h.n_hits, 0) / {float(k * nq)} * 10000
+                     + 0.5) / 10000.0 AS recall_at_k,
+               CAST(coalesce(cmiss.n_cell_miss, 0) AS BIGINT)
+                 AS n_cell_miss,
+               CAST({k * nq} - coalesce(cmiss.n_cell_miss, 0)
+                    - coalesce(h.n_hits, 0) AS BIGINT) AS n_adc_miss,
+               floor(coalesce(cc.n_cand, 0) / {float(nq)} * 100
+                     + 0.5) / 100.0 AS mean_candidates
+        FROM (SELECT ps.n_probe, ss.shortlist
+              FROM ps CROSS JOIN ss) g
+        LEFT JOIN hits h ON h.n_probe = g.n_probe
+                        AND h.shortlist = g.shortlist
+        LEFT JOIN cmiss ON cmiss.n_probe = g.n_probe
+        LEFT JOIN cc ON cc.n_probe = g.n_probe),
+sel AS (SELECT *, mean_candidates + shortlist AS probe_cost,
+               row_number() OVER (ORDER BY
+                   CASE WHEN recall_at_k >= {target} THEN 0 ELSE 1 END,
+                   CASE WHEN recall_at_k >= {target}
+                        THEN mean_candidates + shortlist
+                        ELSE -recall_at_k END,
+                   n_probe, shortlist) AS rn
+        FROM rpt)
+SELECT n_probe, shortlist, recall_at_k, n_cell_miss, n_adc_miss,
+       mean_candidates, probe_cost,
+       CAST(rn = 1 AS BIGINT) AS chosen
+FROM sel ORDER BY n_probe, shortlist"""
+
+
+@query(
+    "ivfpq_tuning_curve",
+    _ivfpq_idx_oracle(pop="SELECT * FROM emb", final=_ivfpq_tuning_final()),
+)
+def q_ivfpq_tuning_curve(spark, sf_dir):
+    """Close the ANN recall loop (VERDICT r4 ask #2): grid-evaluate
+    (n_probe, shortlist) over the maintained index (base + added
+    batch), decompose recall loss into cell vs ADC misses, and choose
+    the cheapest config with recall >= target (else max recall). The
+    scored relation computes ONCE; configs are dimension-table cuts."""
+    return similarity.ivfpq_tuning_curve(
+        _ivfpq_index_post_add(spark, sf_dir), _t(spark, sf_dir, "embeddings")
     )
 
 

@@ -90,3 +90,45 @@ def test_serve_prunes_cell_partitions(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [cell" in plan and "cell#" in plan
+
+
+def test_tuning_curve_properties(spark, sf_dir):
+    """Grid shape; recall monotone non-decreasing in shortlist at
+    fixed n_probe (supersets can only add hits); exactly one chosen
+    config, and it satisfies the target/min-cost rule."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.plans.registry import (
+        _ivfpq_index_post_add,
+    )
+
+    rows = similarity.ivfpq_tuning_curve(
+        _ivfpq_index_post_add(spark, sf_dir), _emb(spark, sf_dir)
+    ).collect()
+    n_configs = len(similarity.IVFPQ_TUNE_PROBES) * len(
+        similarity.IVFPQ_TUNE_SHORTLISTS
+    )
+    assert len(rows) == n_configs
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["n_probe"], []).append(r)
+    for grp in by_probe.values():
+        grp.sort(key=lambda r: r["shortlist"])
+        recalls = [r["recall_at_k"] for r in grp]
+        assert recalls == sorted(recalls)
+        # decomposition closes: hits + cell_miss + adc_miss = k * nq
+        for r in grp:
+            assert (
+                r["n_cell_miss"] + r["n_adc_miss"] >= 0
+                and r["n_cell_miss"]
+                <= similarity.IVFPQ_K * similarity.IVFPQ_TUNE_QUERIES
+            )
+    chosen = [r for r in rows if r["chosen"] == 1]
+    assert len(chosen) == 1
+    c = chosen[0]
+    eligible = [
+        r for r in rows if r["recall_at_k"] >= similarity.IVFPQ_RECALL_TARGET
+    ]
+    if eligible:
+        assert c["recall_at_k"] >= similarity.IVFPQ_RECALL_TARGET
+        assert c["probe_cost"] == min(r["probe_cost"] for r in eligible)
+    else:
+        assert c["recall_at_k"] == max(r["recall_at_k"] for r in rows)
