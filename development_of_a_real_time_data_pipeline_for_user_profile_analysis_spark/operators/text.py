@@ -1778,3 +1778,160 @@ def epoch_budget_report(
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------------------
+# BPE trainer loop (VERDICT r4 ask #7): K bounded merge rounds over
+# the distinct-word table — the real learned-merges artifact
+# bpe_pair_counts' single iteration previews.
+# ------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 8
+
+
+def _bpe_word_table(documents: DataFrame) -> DataFrame:
+    """BPE training runs on the DISTINCT word-frequency table — the
+    classic trick that makes the trainer corpus-size-independent:
+    |distinct words| rows instead of |corpus tokens|, each carrying
+    its count. Initial symbol sequence = character split."""
+    wt = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return wt.select(
+        "w",
+        "n",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+
+
+def _bpe_fold(bl: str, br: str) -> str:
+    """Left-to-right merge fold for pair (bl, br): replace
+    (last==bl, next==br) with the merged symbol — leftmost-
+    nonoverlapping semantics, the same run-parity the DuckDB oracle
+    replays with window functions. Pair values are embedded as SQL
+    string literals (the winning pair is a bounded planner scalar)."""
+    lq = bl.replace("\\", "\\\\").replace("'", "\\'")
+    rq = br.replace("\\", "\\\\").replace("'", "\\'")
+    return f"""aggregate(
+  syms,
+  cast(array() as array<string>),
+  (acc, x) -> CASE
+    WHEN size(acc) > 0 AND element_at(acc, -1) = '{lq}' AND x = '{rq}'
+    THEN concat(slice(acc, 1, size(acc) - 1), array('{lq}{rq}'))
+    ELSE concat(acc, array(x)) END)"""
+
+
+def _bpe_chain(documents: DataFrame, n_merges: int):
+    """Run `n_merges` BPE merge rounds. Each round is one aggregate
+    over the distinct-word symbol table ((l, r)-key pair counts with
+    map-side combine, then a 1-row argmax); the winning pair — a
+    bounded scalar, like ann_ivfpq_serve's probe cells — is collected
+    and folded into the next round's symbol rewrite as a narrow
+    literal projection. The word table is therefore a chain of K
+    narrow folds with NO joins and NO broadcasts: evaluating round i
+    costs one pass, the whole trainer K passes of a table whose size
+    is |distinct words|, independent of corpus size.
+
+    Returns (list of (step, lhs, rhs, pair_count) tuples, final word
+    table)."""
+    # pin the distinct-word table: all K rounds and the final encode
+    # re-read it; uncached, every round would re-run the corpus token
+    # shuffle (the word table is |distinct words| x 3 cols — tiny
+    # relative to the corpus it summarizes)
+    words = _bpe_word_table(documents).persist()
+    learned = []
+    for step in range(1, n_merges + 1):
+        pc = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " j -> struct(syms[j] AS l, syms[j + 1] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").cast("long").alias("pn"))
+        )
+        best = pc.agg(
+            F.min(
+                F.struct(
+                    (-F.col("pn")).alias("neg"), F.col("l"), F.col("r")
+                )
+            ).alias("m")
+        ).collect()[0]["m"]
+        bl, br, bpn = best["l"], best["r"], -best["neg"]
+        learned.append((step, bl, br, int(bpn)))
+        words = words.select(
+            "w", "n", F.expr(_bpe_fold(bl, br)).alias("syms")
+        )
+    return learned, words
+
+
+def bpe_learned_merges(
+    documents: DataFrame, n_merges: int = BPE_MERGE_ROUNDS
+) -> DataFrame:
+    """The learned-merges table: `n_merges` BPE rounds, one row per
+    round (step, lhs, rhs, merged, pair_count). Tie-breaks are
+    lexicographic on (lhs, rhs) at equal count, counts include
+    overlapping occurrences (Sennrich get_stats semantics), so the
+    trajectory is engine-portable and the DuckDB oracle replays every
+    round exactly."""
+    learned, _ = _bpe_chain(documents, n_merges)
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        [(s, l, r, l + r, n) for (s, l, r, n) in learned],
+        "step long, lhs string, rhs string, merged string,"
+        " pair_count long",
+    ).orderBy("step")
+
+
+def bpe_fertility_report(
+    documents: DataFrame, n_merges: int = BPE_MERGE_ROUNDS
+) -> DataFrame:
+    """Tokenizer fertility measured with the LEARNED merges (re-bases
+    tokenizer_fertility_report's bpe-ish proxy on the real trained
+    vocabulary): per language, words, character-split symbol count,
+    learned-token count after applying the K merges, fertility
+    (learned tokens per word) and compression vs raw characters.
+    The per-(lang, word) counts join the trained word table on the
+    word key — the corpus is scanned once; the trainer cost is the
+    distinct-word chain."""
+    _, trained = _bpe_chain(documents, n_merges)
+    fin = trained.select("w", F.size("syms").cast("long").alias("n_syms"))
+    lw = (
+        documents.select(
+            "lang", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lw"))
+    )
+    return (
+        lw.join(fin, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_lw").cast("long").alias("n_words"),
+            F.sum(F.col("n_lw") * F.length("w")).cast("long").alias(
+                "base_symbols"
+            ),
+            F.sum(F.col("n_lw") * F.col("n_syms")).cast("long").alias(
+                "learned_tokens"
+            ),
+            round4(
+                F.sum(F.col("n_lw") * F.col("n_syms")) / F.sum("n_lw")
+            ).alias("fertility"),
+            round4(
+                F.sum(F.col("n_lw") * F.col("n_syms"))
+                / F.sum(F.col("n_lw") * F.length("w"))
+            ).alias("compression"),
+        )
+        .orderBy("lang")
+    )

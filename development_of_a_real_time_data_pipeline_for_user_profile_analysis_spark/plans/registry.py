@@ -7424,6 +7424,110 @@ def q_ivfpq_tuning_curve(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# BPE trainer loop (round 5): the oracle replays every merge round.
+# The engine rewrites symbols with a left-to-right fold; the oracle
+# uses run-parity windows (within a run of consecutive flagged
+# positions, the 1st/3rd/5th... merge — provably the same leftmost-
+# nonoverlapping semantics), so a pass is an INDEPENDENT derivation,
+# not a transliteration.
+# ------------------------------------------------------------------
+
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    """CTE chain: w0 (distinct words, char symbols) then per round i:
+    pair counts p{i}, winner b{i}, position flags f{i}, run-parity
+    merge marks m{i}, rewrite w{i}."""
+    parts = [
+        """WITH w0 AS MATERIALIZED (
+  SELECT w, n, list_transform(generate_series(1, length(w)),
+                              i -> substr(w, i, 1)) AS syms
+  FROM (SELECT tok AS w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY tok))"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+p{i} AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS pn FROM (
+          SELECT n,
+                 unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+                 unnest(list_slice(syms, 2, len(syms))) AS r
+          FROM w{i - 1} WHERE len(syms) >= 2)
+        GROUP BY l, r),
+b{i} AS (SELECT l, r, pn FROM p{i} ORDER BY pn DESC, l, r LIMIT 1),
+f{i} AS (SELECT w, n, j, syms[j] AS s, b.l AS bl, b.r AS br,
+                CASE WHEN j < len(syms) AND syms[j] = b.l
+                          AND syms[j + 1] = b.r THEN 1 ELSE 0 END AS flg
+         FROM (SELECT w, n, syms,
+                      unnest(generate_series(1, len(syms))) AS j
+               FROM w{i - 1}) CROSS JOIN b{i} b),
+m{i} AS (SELECT *, CASE WHEN flg = 1 AND
+                  (j - min(j) OVER (PARTITION BY w, grp)) % 2 = 0
+                  THEN 1 ELSE 0 END AS mrg
+         FROM (SELECT *, CASE WHEN flg = 1 THEN j - row_number()
+                         OVER (PARTITION BY w, flg ORDER BY j) END AS grp
+               FROM f{i})),
+w{i} AS MATERIALIZED (
+        SELECT w, n, list(CASE WHEN mrg = 1 THEN bl || br ELSE s END
+                           ORDER BY j) AS syms
+         FROM (SELECT *, coalesce(lag(mrg) OVER (PARTITION BY w
+                           ORDER BY j), 0) AS prev_mrg
+               FROM m{i})
+         WHERE prev_mrg = 0 GROUP BY w, n)""")
+    return "".join(parts)
+
+
+def _bpe_merges_final(n_merges: int) -> str:
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, l AS lhs, r AS rhs,"
+        f" l || r AS merged, pn AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"\nSELECT * FROM ({unions}) ORDER BY step"
+
+
+@query(
+    "bpe_learned_merges",
+    _bpe_chain_sql(text.BPE_MERGE_ROUNDS)
+    + _bpe_merges_final(text.BPE_MERGE_ROUNDS),
+)
+def q_bpe_learned_merges(spark, sf_dir):
+    """K-round BPE trainer (extends bpe_pair_counts' single
+    iteration): the learned-merges table, each round one aggregate
+    over the pinned distinct-word table with the winner folded into
+    the next rewrite as a bounded planner scalar."""
+    return text.bpe_learned_merges(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "bpe_fertility_report",
+    _bpe_chain_sql(text.BPE_MERGE_ROUNDS)
+    + f""",
+lw AS (SELECT lang, tok AS w, CAST(count(*) AS BIGINT) AS n_lw
+       FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+             FROM documents)
+       WHERE tok <> '' GROUP BY lang, tok),
+fin AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_syms
+        FROM w{text.BPE_MERGE_ROUNDS})
+SELECT lang,
+       CAST(sum(n_lw) AS BIGINT) AS n_words,
+       CAST(sum(n_lw * length(w)) AS BIGINT) AS base_symbols,
+       CAST(sum(n_lw * n_syms) AS BIGINT) AS learned_tokens,
+       floor(sum(n_lw * n_syms) / sum(n_lw) * 10000 + 0.5) / 10000.0
+         AS fertility,
+       floor(sum(n_lw * n_syms) / sum(n_lw * length(w)) * 10000 + 0.5)
+         / 10000.0 AS compression
+FROM lw JOIN fin USING (w) GROUP BY lang ORDER BY lang""",
+)
+def q_bpe_fertility_report(spark, sf_dir):
+    """Tokenizer fertility from the LEARNED merges (re-bases the
+    bpe-ish proxy of tokenizer_fertility_report on the trained
+    vocabulary): per-language learned-token counts, fertility and
+    compression vs raw characters."""
+    return text.bpe_fertility_report(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
