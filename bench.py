@@ -81,22 +81,44 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen paths so per-query times measure the
-    # queries, not session startup
-    QUERIES["total_users"](spark, sf_dir).collect()
+    # FIXED warmup set (VERDICT r4 ask #4): one query per major plan
+    # shape (scan-agg, broadcast-join chain, window, text shuffle,
+    # vector math) so first-measured queries don't pay cold
+    # JIT/codegen for their whole operator class
+    for wname in (
+        "total_users",
+        "pricing_summary",
+        "customer_order_rank",
+        "text_stats",
+        "cosine_topk",
+    ):
+        QUERIES[wname](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     # full-registry coverage: every queries() entry is benched, so
-    # regressions in the long tail are caught by the >1.3x gate below
+    # regressions in the long tail are caught by the >1.3x gate below.
+    # TWO full passes; per query keep the MIN and record the spread —
+    # a uniform machine drift inflates both passes equally, so the
+    # min-of-2 comparison vs the previous round is drift-immune and
+    # the spread map shows how noisy the box was.
     names = list(QUERIES)
 
-    per_query: dict[str, float] = {}
+    runs: dict[str, list[float]] = {n: [] for n in names}
     t_all = time.time()
-    for name in names:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+    for _pass in range(2):
+        for name in names:
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.time() - t0, 3))
+    wall_both_passes = round(time.time() - t_all, 3)
+    per_query = {n: min(ts) for n, ts in runs.items()}
+    spread = {
+        n: round((max(ts) - min(ts)) / max(min(ts), 0.001), 3)
+        for n, ts in runs.items()
+    }
+    total = round(sum(per_query.values()), 3)
 
     # VERDICT r3 #5: the userfeed/kafka-wire bench entries conflate
     # Python-DataSource envelope GENERATION (the test feeder — a
@@ -180,6 +202,10 @@ def main() -> None:
         "baseline_etl_records_per_sec": 0.153,
         "regressions_vs_prev": regressions,
         "feeder_split": feeder_split,
+        "passes": 2,
+        "wall_both_passes": wall_both_passes,
+        "run_spread": spread,
+        "median_spread": sorted(spread.values())[len(spread) // 2],
     }
     if sf == 0.1:  # only the driver's per-round SF produces an artifact
         try:
@@ -207,6 +233,8 @@ def main() -> None:
                 "feeder_split": feeder_split,
                 "regressions_vs_prev": dict(list(regressions.items())[:8]),
                 "n_regressions": len(regressions),
+                "passes": 2,
+                "median_spread": sorted(spread.values())[len(spread) // 2],
                 "detail_file": detail_file,
             }
         )
