@@ -1374,3 +1374,87 @@ def split_near_dup_leakage(
         )
         .orderBy("split_a", "split_b")
     )
+
+
+SEMDEDUP_COS_T = 0.45  # same planted-near-dup threshold embedding_near_dupes uses
+SEMDEDUP_CELLS = 8
+
+
+def semdedup_prune_plan(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_COS_T,
+    k: int = SEMDEDUP_CELLS,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning plan (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with the coarse
+    k-means quantizer, compare pairs ONLY within a cluster, and prune
+    every vector that has a higher-similarity twin with a smaller
+    vec_id in its cell (deterministic keep-lowest rule — the greedy
+    one-per-group choice made engine-portable). Returns the per-cell
+    pruning ledger: occupancy, pruned count, keep rate.
+
+    Scale shape: the published algorithm's exact cost model — the
+    cross-cell quadratic is GONE (pairs form per cell; k is chosen so
+    cells hold ~1-10k vectors at production scale), assignment is the
+    broadcast-centroid narrow scan, and the ledger is a |cells|-row
+    aggregate. Within-cell pair formation is an equi-join on the cell
+    key, never a global cross join.
+    """
+    from .similarity import cosine, kmeans_assign, _to_double
+
+    assigned = kmeans_assign(embeddings, k=k, iterations=2).select(
+        "vec_id", "cluster"
+    )
+    av = assigned.join(
+        embeddings.select(
+            "vec_id", _to_double(F.col("embedding")).alias("e")
+        ),
+        "vec_id",
+    )
+    u = av.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("u_id"),
+        F.col("e").alias("u_e"),
+    )
+    v = av.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("v_id"),
+        F.col("e").alias("v_e"),
+    )
+    pruned = (
+        u.join(v, "cluster")
+        .filter(F.col("u_id") < F.col("v_id"))
+        .filter(
+            F.round(cosine(F.col("u_e"), F.col("v_e")), 6)
+            >= F.lit(threshold)
+        )
+        .select("cluster", F.col("v_id").alias("vec_id"))
+        .distinct()
+    )
+    occ = av.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    pc = pruned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_pruned")
+    )
+    return (
+        occ.join(pc, "cluster", "left")
+        .select(
+            F.col("cluster").alias("cell"),
+            "n_vectors",
+            F.coalesce(F.col("n_pruned"), F.lit(0))
+            .cast("long")
+            .alias("n_pruned"),
+            (
+                F.floor(
+                    (
+                        F.col("n_vectors")
+                        - F.coalesce(F.col("n_pruned"), F.lit(0))
+                    )
+                    / F.col("n_vectors")
+                    * 10000
+                    + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("keep_rate"),
+        )
+        .orderBy("cell")
+    )

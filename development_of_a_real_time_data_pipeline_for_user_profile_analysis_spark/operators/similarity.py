@@ -2090,3 +2090,37 @@ def ivfpq_tuning_curve(
         )
         .orderBy("n_probe", "shortlist")
     )
+
+
+def ivfpq_index_stats(index: dict) -> DataFrame:
+    """Index-artifact audit (the check a maintained index runs after
+    every add/compaction cycle): per cell — vector occupancy, load
+    share (the shard-balance signal ivf_shard_plan consumes), the
+    number of distinct (subspace, code) entries actually used (dead
+    codebook entries ⇒ retrain signal), and the stored size estimate
+    at 1 byte/code (the IO unit the ADC probe reads).
+
+    Scale shape: one groupBy over the codes table — mergeable
+    partials, |cells| output rows, no window over the corpus."""
+    codes = index["codes"]
+    wall = Window.partitionBy()
+    per_cell = codes.groupBy("cell").agg(
+        F.countDistinct("vec_id").alias("n_vectors"),
+        F.countDistinct("sub_id", "code").alias("n_used_codes"),
+        F.count(F.lit(1)).alias("n_code_rows"),
+    )
+    return per_cell.select(
+        "cell",
+        "n_vectors",
+        "n_used_codes",
+        F.col("n_code_rows").cast("long").alias("bytes_est"),
+        (
+            F.floor(
+                F.col("n_vectors")
+                / F.sum("n_vectors").over(wall)
+                * 1000000
+                + 0.5
+            ).cast("long")
+            / 1000000.0
+        ).alias("load_share"),
+    ).orderBy("cell")

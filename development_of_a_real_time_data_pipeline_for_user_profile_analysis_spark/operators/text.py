@@ -1935,3 +1935,86 @@ def bpe_fertility_report(
         )
         .orderBy("lang")
     )
+
+
+BENCH_NGRAM_N = 13  # the GPT-3/LLaMA decontamination n-gram length
+BENCH_SAMPLE_MOD = 20  # benchmark set = 1/20 md5 bucket of doc ids
+BENCH_SAMPLE_RESIDUE = 7
+
+
+def _doc_bucket(col: Column, mod: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
+def benchmark_ngram_contamination(
+    documents: DataFrame,
+    n: int = BENCH_NGRAM_N,
+    mod: int = BENCH_SAMPLE_MOD,
+    residue: int = BENCH_SAMPLE_RESIDUE,
+) -> DataFrame:
+    """Benchmark decontamination audit — the published 13-gram rule
+    (GPT-3 appendix C / LLaMA eval hygiene): a training document is
+    CONTAMINATED if it shares any n-gram of `n` consecutive
+    whitespace tokens with the held-out benchmark set (here: the
+    deterministic 1/`mod` md5 bucket of doc ids standing in for the
+    eval suite). Returns the per-source audit: training docs,
+    contaminated docs, contamination rate — the table that decides
+    what gets dropped before a training run.
+
+    Scale shape: n-gram generation is a JVM higher-order transform
+    (no per-token explode beyond the n-gram fan-out); the benchmark
+    side is a distinct-gram relation orders of magnitude smaller than
+    the corpus — it BROADCASTS into a semi-join against training
+    grams, so the corpus is never shuffled on the gram key at all.
+    """
+    grams = F.expr(
+        f"CASE WHEN size(split(text, ' ')) >= {n}"
+        f" THEN transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+        f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+        f" ELSE array() END"
+    )
+    base = documents.select(
+        "doc_id",
+        "source",
+        _doc_bucket(F.col("doc_id"), mod).alias("b"),
+        F.explode(grams).alias("gram"),
+    )
+    bench_grams = (
+        base.filter(F.col("b") == residue).select("gram").distinct()
+    )
+    train = base.filter(F.col("b") != residue)
+    contaminated = (
+        train.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train_docs = (
+        documents.filter(_doc_bucket(F.col("doc_id"), mod) != residue)
+        .select("doc_id", "source")
+    )
+    return (
+        train_docs.join(
+            contaminated.withColumn("hit", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+            (
+                F.floor(
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )

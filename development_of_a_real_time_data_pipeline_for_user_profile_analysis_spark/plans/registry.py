@@ -7528,6 +7528,90 @@ def q_bpe_fertility_report(spark, sf_dir):
     return text.bpe_fertility_report(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "ivfpq_index_stats",
+    _ivfpq_idx_oracle(
+        pop="SELECT * FROM emb",
+        final="""
+SELECT cell,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT sub_id || ':' || code) AS BIGINT)
+         AS n_used_codes,
+       CAST(count(*) AS BIGINT) AS bytes_est,
+       floor(count(DISTINCT vec_id) * 1.0
+             / (SELECT count(DISTINCT vec_id) FROM codes)
+             * 1000000 + 0.5) / 1000000.0 AS load_share
+FROM codes GROUP BY cell ORDER BY cell""",
+    ),
+)
+def q_ivfpq_index_stats(spark, sf_dir):
+    """Post-add artifact audit: per-cell occupancy, used-code count
+    (dead codebook entries => retrain), byte estimate, load share."""
+    return similarity.ivfpq_index_stats(_ivfpq_index_post_add(spark, sf_dir))
+
+
+@query(
+    "semdedup_prune_plan",
+    _kmeans_oracle(
+        k=dedup.SEMDEDUP_CELLS,
+        final_select=f"""
+, pr AS (SELECT DISTINCT v.cid AS cell, v.vec_id
+         FROM a2 u JOIN a2 v ON u.cid = v.cid AND u.vec_id < v.vec_id
+         WHERE round(list_cosine_similarity(u.e, v.e), 6)
+               >= {dedup.SEMDEDUP_COS_T}),
+occ AS (SELECT cid AS cell, count(*) AS n_vectors FROM a2 GROUP BY cid),
+pc AS (SELECT cell, count(*) AS n_pruned FROM pr GROUP BY cell)
+SELECT occ.cell, CAST(n_vectors AS BIGINT) AS n_vectors,
+       CAST(coalesce(pc.n_pruned, 0) AS BIGINT) AS n_pruned,
+       floor((n_vectors - coalesce(pc.n_pruned, 0)) * 1.0 / n_vectors
+             * 10000 + 0.5) / 10000.0 AS keep_rate
+FROM occ LEFT JOIN pc ON occ.cell = pc.cell ORDER BY occ.cell""",
+    ),
+)
+def q_semdedup_prune_plan(spark, sf_dir):
+    """SemDeDup semantic pruning ledger: within-kmeans-cell cosine
+    twins pruned by the keep-lowest-id rule; per-cell keep rate."""
+    return dedup.semdedup_prune_plan(_t(spark, sf_dir, "embeddings"))
+
+
+_BN = text.BENCH_NGRAM_N
+_BM = text.BENCH_SAMPLE_MOD
+_BR = text.BENCH_SAMPLE_RESIDUE
+
+
+@query(
+    "benchmark_ngram_contamination",
+    f"""WITH b AS (
+  SELECT doc_id, source,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) AS BIGINT) % {_BM} AS bk,
+         string_split(text, ' ') AS w
+  FROM documents),
+g AS (SELECT doc_id, bk,
+             unnest(list_transform(generate_series(1, len(w) - {_BN - 1}),
+                    i -> array_to_string(list_slice(w, i, i + {_BN - 1}),
+                                         ' '))) AS gram
+      FROM b WHERE len(w) >= {_BN}),
+bg AS (SELECT DISTINCT gram FROM g WHERE bk = {_BR}),
+cont AS (SELECT DISTINCT doc_id FROM g
+         WHERE bk <> {_BR} AND gram IN (SELECT gram FROM bg)),
+td AS (SELECT doc_id, source FROM b WHERE bk <> {_BR})
+SELECT source, CAST(count(*) AS BIGINT) AS n_train_docs,
+       CAST(sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       floor(sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / count(*) * 10000 + 0.5) / 10000.0
+         AS contamination_rate
+FROM td LEFT JOIN cont ON td.doc_id = cont.doc_id
+GROUP BY source ORDER BY source""",
+)
+def q_benchmark_ngram_contamination(spark, sf_dir):
+    """13-gram benchmark decontamination audit: per-source training
+    docs sharing any 13-token span with the held-out benchmark
+    bucket; the benchmark gram set broadcasts into a semi-join."""
+    return text.benchmark_ngram_contamination(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
