@@ -892,3 +892,37 @@ def test_dataset_card_no_corpus_window(spark, sf_dir):
     plan = _plan(spark, "dataset_card_report", sf_dir)
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- round-5 additions: plan contracts --
+
+
+def test_contamination_benchmark_grams_broadcast(spark, sf_dir):
+    """The benchmark gram set must broadcast into the semi-join —
+    shuffling the training corpus on the gram key would be the
+    wrong plan at any scale."""
+    plan = _plan(spark, "benchmark_ngram_contamination", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_form_per_cell_only(spark, sf_dir):
+    """SemDeDup's pair join must be an equi-join on the cell key —
+    no global cartesian; the quadratic stays inside cells. (The
+    BroadcastNestedLoopJoin nodes present are kmeans' bounded
+    k-row centroid broadcasts, the designed assignment pattern.)"""
+    plan = _plan(spark, "semdedup_prune_plan", sf_dir)
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert re.search(
+        r"(SortMergeJoin|BroadcastHashJoin) \[cluster#\d+L?\]", plan
+    ), "pair join must key on the cell"
+
+
+def test_ivfpq_serve_partition_prunes_artifact(spark, sf_dir):
+    """The registry serve query must read the persisted codes with a
+    cell partition filter (n_probe of n_cells directories)."""
+    plan = _plan(spark, "ann_ivfpq_serve", sf_dir)
+    assert "PartitionFilters: [cell" in plan
