@@ -2018,3 +2018,118 @@ def benchmark_ngram_contamination(
         )
         .orderBy("source")
     )
+
+
+DSIR_TARGET_SOURCE = "src0"  # the target-domain exemplar corpus
+DSIR_SELECT_PCT = 20  # share of the pool the selection keeps
+
+
+def dsir_selection_report(
+    documents: DataFrame,
+    target_source: str = DSIR_TARGET_SOURCE,
+    select_pct: int = DSIR_SELECT_PCT,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection via Importance Resampling): score every document
+    by the log importance weight log p_target(x) − log p_raw(x) under
+    two add-one-smoothed unigram models (target = the designated
+    exemplar source, raw = the whole pool; shared global vocab so
+    every token has both probabilities), then keep the top
+    `select_pct`% by weight. Returns the per-source selection ledger:
+    pool docs, selected docs, selected share, mean log weight — the
+    table that shows which sources the target distribution pulls in.
+
+    Determinism: per-token log-probs floor-quantize to integer
+    micro-nats BEFORE the subtraction and combine as long sums
+    (unigram_logprob_quality's device), ranking ties break on doc_id.
+
+    Scale shape: the TF-IDF token shuffles plus broadcast model
+    stats; the final ranking windows over the per-doc SCORE relation
+    (|docs| rows, not tokens) — a production run at 100 TB would
+    replace the exact rank with a quantile threshold on the same
+    scores, leaving every other stage unchanged.
+    """
+    tf = (
+        documents.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts_r = tf.groupBy("tok").agg(F.sum("tf").alias("c_r"))
+    counts_t = (
+        tf.filter(F.col("source") == target_source)
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("c_t"))
+    )
+    stats = counts_r.agg(
+        F.sum("c_r").alias("total_r"), F.count(F.lit(1)).alias("vocab")
+    ).crossJoin(
+        F.broadcast(
+            counts_t.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("total_t"))
+        )
+    )
+    lp_t = F.floor(
+        F.log(
+            (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+            / (F.col("total_t") + F.col("vocab"))
+        )
+        * 1000000
+    ).cast("long")
+    lp_r = F.floor(
+        F.log((F.col("c_r") + 1) / (F.col("total_r") + F.col("vocab")))
+        * 1000000
+    ).cast("long")
+    delta = (
+        counts_r.join(counts_t, "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .select("tok", (lp_t - lp_r).alias("d_micro"))
+    )
+    scored = (
+        tf.join(delta, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("tf") * F.col("d_micro")).alias("w_sum"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.floor(F.col("w_sum") / F.col("n_tokens"))
+            .cast("long")
+            .alias("avg_micro"),
+        )
+    )
+    n_total = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = scored.crossJoin(F.broadcast(n_total)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("avg_micro"), F.asc("doc_id"))
+        ),
+    )
+    sel = ranked.withColumn(
+        "selected",
+        (
+            F.col("rn")
+            <= F.floor(F.col("n_total") * select_pct / 100)
+        ).cast("long"),
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("selected").cast("long").alias("n_selected"),
+            (
+                F.floor(
+                    F.sum("selected") / F.count(F.lit(1)) * 10000 + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("selected_share"),
+            (
+                F.floor(F.sum("avg_micro") / F.count(F.lit(1))).cast("long")
+                / 1000000.0
+            ).alias("mean_logw"),
+        )
+        .orderBy("source")
+    )

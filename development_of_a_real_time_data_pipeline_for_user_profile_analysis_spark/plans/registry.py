@@ -7612,6 +7612,57 @@ def q_benchmark_ngram_contamination(spark, sf_dir):
     return text.benchmark_ngram_contamination(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "dsir_selection_report",
+    f"""WITH tf AS (
+  SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, source, tok),
+cr AS (SELECT tok, sum(tf) AS c_r FROM tf GROUP BY tok),
+ct AS (SELECT tok, sum(tf) AS c_t FROM tf
+       WHERE source = '{text.DSIR_TARGET_SOURCE}' GROUP BY tok),
+st AS (SELECT (SELECT sum(c_r) FROM cr) AS total_r,
+              (SELECT count(*) FROM cr) AS vocab,
+              (SELECT coalesce(sum(c_t), 0) FROM ct) AS total_t),
+delta AS (
+  SELECT cr.tok,
+         CAST(floor(ln((coalesce(ct.c_t, 0) + 1) * 1.0
+                       / (st.total_t + st.vocab)) * 1000000) AS BIGINT)
+         - CAST(floor(ln((cr.c_r + 1) * 1.0
+                         / (st.total_r + st.vocab)) * 1000000) AS BIGINT)
+           AS d_micro
+  FROM cr LEFT JOIN ct ON cr.tok = ct.tok CROSS JOIN st),
+scored AS (
+  SELECT doc_id, source,
+         CAST(floor(sum(tf * d_micro) * 1.0 / sum(tf)) AS BIGINT)
+           AS avg_micro
+  FROM tf JOIN delta ON tf.tok = delta.tok
+  GROUP BY doc_id, source),
+ranked AS (
+  SELECT source, avg_micro,
+         row_number() OVER (ORDER BY avg_micro DESC, doc_id) AS rn,
+         (SELECT count(*) FROM scored) AS n_total
+  FROM scored),
+sel AS (SELECT source, avg_micro,
+               CASE WHEN rn <= floor(n_total * {text.DSIR_SELECT_PCT}
+                                     / 100.0)
+                    THEN 1 ELSE 0 END AS selected
+        FROM ranked)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(selected) AS BIGINT) AS n_selected,
+       floor(sum(selected) * 1.0 / count(*) * 10000 + 0.5) / 10000.0
+         AS selected_share,
+       CAST(floor(sum(avg_micro) * 1.0 / count(*)) AS BIGINT)
+         / 1000000.0 AS mean_logw
+FROM sel GROUP BY source ORDER BY source""",
+)
+def q_dsir_selection_report(spark, sf_dir):
+    """DSIR data selection: unigram importance weights vs the target
+    exemplar source, top-20% kept; per-source selection ledger."""
+    return text.dsir_selection_report(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: the full ETL chain + the A1 aggregate."""
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
