@@ -1397,64 +1397,68 @@ def semdedup_prune_plan(
     cross-cell quadratic is GONE (pairs form per cell; k is chosen so
     cells hold ~1-10k vectors at production scale), assignment is the
     broadcast-centroid narrow scan, and the ledger is a |cells|-row
-    aggregate. Within-cell pair formation is an equi-join on the cell
-    key, never a global cross join.
+    aggregate. The within-cell compare is ONE Arrow batch per cell
+    through a chunked BLAS matmul (embedding_near_dupes' device —
+    the JVM pair-join version measured 40x slower at 10x: PERF.md
+    round-5 semdedup row), so per-cell cost is dense-linear-algebra
+    speed and per-task memory is chunk-bounded.
     """
-    from .similarity import cosine, kmeans_assign, _to_double
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import kmeans_assign
 
     assigned = kmeans_assign(embeddings, k=k, iterations=2).select(
         "vec_id", "cluster"
     )
     av = assigned.join(
-        embeddings.select(
-            "vec_id", _to_double(F.col("embedding")).alias("e")
-        ),
-        "vec_id",
+        embeddings.select("vec_id", "embedding"), "vec_id"
     )
-    u = av.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("u_id"),
-        F.col("e").alias("u_e"),
-    )
-    v = av.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("v_id"),
-        F.col("e").alias("v_e"),
-    )
-    pruned = (
-        u.join(v, "cluster")
-        .filter(F.col("u_id") < F.col("v_id"))
-        .filter(
-            F.round(cosine(F.col("u_e"), F.col("v_e")), 6)
-            >= F.lit(threshold)
+
+    def cell_prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-cell BLAS pair compare (embedding_near_dupes' device:
+        # row-normalized float64 matmul, round-6 BEFORE threshold);
+        # chunked rows keep the similarity buffer bounded at
+        # ~chunk x cell x 8B regardless of cell size
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)[
+            order
+        ]
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        n = len(ids)
+        pruned = np.zeros(n, dtype=bool)
+        chunk = 1024
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = np.round(mat[lo:hi] @ mat.T, 6)
+            hits = sims >= threshold
+            # u < v on sorted ids == strict upper triangle
+            hits &= ids[lo:hi, None] < ids[None, :]
+            pruned |= hits.any(axis=0)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cluster"].iloc[0])],
+                "n_vectors": [n],
+                "n_pruned": [int(pruned.sum())],
+            }
         )
-        .select("cluster", F.col("v_id").alias("vec_id"))
-        .distinct()
+
+    per_cell = av.groupBy("cluster").applyInPandas(
+        cell_prune, "cell long, n_vectors long, n_pruned long"
     )
-    occ = av.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
-    pc = pruned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_pruned")
-    )
-    return (
-        occ.join(pc, "cluster", "left")
-        .select(
-            F.col("cluster").alias("cell"),
-            "n_vectors",
-            F.coalesce(F.col("n_pruned"), F.lit(0))
-            .cast("long")
-            .alias("n_pruned"),
-            (
-                F.floor(
-                    (
-                        F.col("n_vectors")
-                        - F.coalesce(F.col("n_pruned"), F.lit(0))
-                    )
-                    / F.col("n_vectors")
-                    * 10000
-                    + 0.5
-                ).cast("long")
-                / 10000.0
-            ).alias("keep_rate"),
-        )
-        .orderBy("cell")
-    )
+    return per_cell.select(
+        "cell",
+        "n_vectors",
+        "n_pruned",
+        (
+            F.floor(
+                (F.col("n_vectors") - F.col("n_pruned"))
+                / F.col("n_vectors")
+                * 10000
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("keep_rate"),
+    ).orderBy("cell")

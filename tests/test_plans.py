@@ -908,17 +908,15 @@ def test_contamination_benchmark_grams_broadcast(spark, sf_dir):
 
 
 def test_semdedup_pairs_form_per_cell_only(spark, sf_dir):
-    """SemDeDup's pair join must be an equi-join on the cell key —
-    no global cartesian; the quadratic stays inside cells. (The
+    """SemDeDup's pair compare must happen INSIDE cells: one Arrow
+    group per cluster through the BLAS kernel (FlatMapGroupsInPandas
+    keyed on the cluster), never a global cartesian. (The
     BroadcastNestedLoopJoin nodes present are kmeans' bounded
     k-row centroid broadcasts, the designed assignment pattern.)"""
     plan = _plan(spark, "semdedup_prune_plan", sf_dir)
     assert "CartesianProduct" not in plan
-    import re
-
-    assert re.search(
-        r"(SortMergeJoin|BroadcastHashJoin) \[cluster#\d+L?\]", plan
-    ), "pair join must key on the cell"
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(cluster" in plan
 
 
 def test_ivfpq_serve_partition_prunes_artifact(spark, sf_dir):

@@ -163,6 +163,17 @@ QUERIES_TO_RUN = [
     "streaming_outer_join_errors",
     "offpolicy_value_eval",
     "epoch_budget_report",
+    # round-5: maintained IVF-PQ lifecycle, BPE trainer, curation
+    "ann_ivfpq_serve",
+    "ivfpq_incremental_add",
+    "ann_ivfpq_add_serve",
+    "ivfpq_tuning_curve",
+    "ivfpq_index_stats",
+    "bpe_learned_merges",
+    "bpe_fertility_report",
+    "semdedup_prune_plan",
+    "benchmark_ngram_contamination",
+    "dsir_selection_report",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
