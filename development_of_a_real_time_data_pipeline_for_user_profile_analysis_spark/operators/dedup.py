@@ -823,7 +823,12 @@ def embedding_near_dupes(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        # eps-clamped norm: a zero vector normalizes to zeros (cosine
+        # 0 with everything, never NaN) — mirrored in the oracle SQL
+        # via greatest(norm, eps) (ADVICE r5)
+        mat /= np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
         return pd.DataFrame(
             {
                 "blk": [int(pdf["blk"].iloc[0])],

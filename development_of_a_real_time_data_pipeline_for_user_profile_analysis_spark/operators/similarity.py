@@ -2069,7 +2069,7 @@ def ivfpq_tuning_curve(
     tiebreak = F.when(
         F.col("recall_at_k") >= target, F.col("probe_cost")
     ).otherwise(-F.col("recall_at_k"))
-    return (
+    out = (
         rpt.withColumn(
             "rn",
             F.row_number().over(
@@ -2090,6 +2090,11 @@ def ivfpq_tuning_curve(
         )
         .orderBy("n_probe", "shortlist")
     )
+    # drain into the |grid|-row report and release the vm pin (ADVICE
+    # r5: long-lived sessions otherwise accumulate cached relations)
+    rows = out.collect()
+    vm.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def ivfpq_index_stats(index: dict) -> DataFrame:

@@ -1837,13 +1837,17 @@ def _bpe_chain(documents: DataFrame, n_merges: int):
     costs one pass, the whole trainer K passes of a table whose size
     is |distinct words|, independent of corpus size.
 
-    Returns (list of (step, lhs, rhs, pair_count) tuples, final word
-    table)."""
+    Returns (learned, words, base): the (step, lhs, rhs, pair_count)
+    tuples, the final word table, and the persisted base word table —
+    the CALLER must base.unpersist() once its last consumer of the
+    chain has materialized (ADVICE r5: these pins otherwise accumulate
+    across the many queries a long-lived session runs)."""
     # pin the distinct-word table: all K rounds and the final encode
     # re-read it; uncached, every round would re-run the corpus token
     # shuffle (the word table is |distinct words| x 3 cols — tiny
     # relative to the corpus it summarizes)
-    words = _bpe_word_table(documents).persist()
+    base = _bpe_word_table(documents).persist()
+    words = base
     learned = []
     for step in range(1, n_merges + 1):
         pc = (
@@ -1867,12 +1871,14 @@ def _bpe_chain(documents: DataFrame, n_merges: int):
                 )
             ).alias("m")
         ).collect()[0]["m"]
+        if best is None:  # degenerate corpus: no mergeable pair left
+            break  # (all words single-symbol) — terminate cleanly
         bl, br, bpn = best["l"], best["r"], -best["neg"]
         learned.append((step, bl, br, int(bpn)))
         words = words.select(
             "w", "n", F.expr(_bpe_fold(bl, br)).alias("syms")
         )
-    return learned, words
+    return learned, words, base
 
 
 def bpe_learned_merges(
@@ -1884,7 +1890,8 @@ def bpe_learned_merges(
     overlapping occurrences (Sennrich get_stats semantics), so the
     trajectory is engine-portable and the DuckDB oracle replays every
     round exactly."""
-    learned, _ = _bpe_chain(documents, n_merges)
+    learned, _, base = _bpe_chain(documents, n_merges)
+    base.unpersist()  # `learned` is plain Python — chain fully drained
     spark = documents.sparkSession
     return spark.createDataFrame(
         [(s, l, r, l + r, n) for (s, l, r, n) in learned],
@@ -1904,7 +1911,7 @@ def bpe_fertility_report(
     The per-(lang, word) counts join the trained word table on the
     word key — the corpus is scanned once; the trainer cost is the
     distinct-word chain."""
-    _, trained = _bpe_chain(documents, n_merges)
+    _, trained, base = _bpe_chain(documents, n_merges)
     fin = trained.select("w", F.size("syms").cast("long").alias("n_syms"))
     lw = (
         documents.select(
@@ -1914,7 +1921,7 @@ def bpe_fertility_report(
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("n_lw"))
     )
-    return (
+    out = (
         lw.join(fin, "w")
         .groupBy("lang")
         .agg(
@@ -1935,6 +1942,11 @@ def bpe_fertility_report(
         )
         .orderBy("lang")
     )
+    # drain the chain into the |langs|-row report, then release the
+    # word-table pin (ADVICE r5) — the returned relation is local
+    rows = out.collect()
+    base.unpersist()
+    return documents.sparkSession.createDataFrame(rows, out.schema)
 
 
 BENCH_NGRAM_N = 13  # the GPT-3/LLaMA decontamination n-gram length

@@ -1539,13 +1539,20 @@ def q_simhash_weighted_dupes(spark, sf_dir):
 
 @query(
     "embedding_near_dupes",
-    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-       FROM embeddings a, embeddings b
-       WHERE a.vec_id < b.vec_id
-         AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])), 6) >= 0.45""",
+    # zero-norm mirror of the engine's eps-clamped normalize (ADVICE
+    # r5): a zero vector has cosine 0 with everything, never NaN
+    """WITH emb AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) AS n2
+         FROM embeddings),
+       p AS (
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0
+                      ELSE list_cosine_similarity(a.e, b.e) END, 6)
+                  AS cosine
+         FROM emb a, emb b WHERE a.vec_id < b.vec_id)
+       SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45""",
 )
 def q_embedding_near_dupes(spark, sf_dir):
     return dedup.embedding_near_dupes(_t(spark, sf_dir, "embeddings"))
@@ -7110,25 +7117,66 @@ def _ivfpq_batch(spark, sf_dir):
     )
 
 
-def _ivfpq_index(spark, sf_dir):
-    """Load the maintained index artifact for this corpus, building
-    it once if absent (the scheduled build job, run on demand here).
-    Keyed by corpus path; `v1` tags the artifact format — bump on
-    any build-code change so a stale /tmp artifact can't serve."""
+def _ivfpq_tag(sf_dir: str) -> str:
+    """Artifact cache key: corpus path PLUS a data fingerprint (every
+    part-file's name, size, mtime) so a corpus regenerated in place
+    — e.g. a rebuilt soak directory — invalidates the cached index
+    instead of silently serving stale codes (ADVICE r5)."""
     import hashlib as _h
     import os as _os
-    import tempfile as _tf
 
-    tag = _h.md5(_os.path.realpath(sf_dir).encode()).hexdigest()[:12]
-    path = _os.path.join(_tf.gettempdir(), f"ivfpq_index_v1_{tag}")
-    marker = _os.path.join(path, "_BUILT")
-    if not _os.path.exists(marker):
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    parts = [_os.path.realpath(sf_dir)]
+    paths = (
+        sorted(
+            _os.path.join(src, f)
+            for f in _os.listdir(src)
+            if not f.startswith(("_", "."))
+        )
+        if _os.path.isdir(src)
+        else [src]
+    )
+    for p in paths:
+        st = _os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    return _h.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def _ivfpq_build_cached(spark, sf_dir, variant: str, build_fn):
+    """Build-once artifact cache with an ATOMIC publish: build into a
+    scratch dir, then os.rename into the final path — concurrent
+    sessions either see the complete artifact or build their own
+    scratch copy; a half-written tree can never serve (ADVICE r5).
+    `v1` tags the artifact format — bump on build-code changes."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+    import uuid as _uuid
+
+    tag = _ivfpq_tag(sf_dir)
+    path = _os.path.join(_tf.gettempdir(), f"ivfpq_index_v1{variant}_{tag}")
+    if not _os.path.exists(path):
+        scratch = _os.path.join(
+            _tf.gettempdir(), f".ivfpq_build_{_uuid.uuid4().hex}"
+        )
+        build_fn(scratch)
+        try:
+            _os.rename(scratch, path)  # atomic publish
+        except OSError:  # another session published first — use its
+            _shutil.rmtree(scratch, ignore_errors=True)
+    return similarity.read_ivfpq_index(spark, path)
+
+
+def _ivfpq_index(spark, sf_dir):
+    """Load the maintained index artifact for this corpus, building
+    it once if absent (the scheduled build job, run on demand here)."""
+
+    def build(path):
         similarity.write_ivfpq_index(
             similarity.build_ivfpq_index(_ivfpq_corpus(spark, sf_dir)), path
         )
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return similarity.read_ivfpq_index(spark, path)
+
+    return _ivfpq_build_cached(spark, sf_dir, "", build)
 
 
 def _ivfpq_index_post_add(spark, sf_dir):
@@ -7139,14 +7187,8 @@ def _ivfpq_index_post_add(spark, sf_dir):
     the frozen base ones. Queries over the post-add state (add-serve,
     tuning) read codes straight from parquet — no re-encode chain in
     their plans."""
-    import hashlib as _h
-    import os as _os
-    import tempfile as _tf
 
-    tag = _h.md5(_os.path.realpath(sf_dir).encode()).hexdigest()[:12]
-    path = _os.path.join(_tf.gettempdir(), f"ivfpq_index_v1post_{tag}")
-    marker = _os.path.join(path, "_BUILT")
-    if not _os.path.exists(marker):
+    def build(path):
         base = _ivfpq_index(spark, sf_dir)
         base["centroids"].write.mode("overwrite").parquet(
             f"{path}/centroids"
@@ -7161,9 +7203,8 @@ def _ivfpq_index_post_add(spark, sf_dir):
         extra.write.mode("append").partitionBy("cell").parquet(
             f"{path}/codes"
         )
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return similarity.read_ivfpq_index(spark, path)
+
+    return _ivfpq_build_cached(spark, sf_dir, "post", build)
 
 
 def _ivfpq_idx_oracle(pop: str, final: str) -> str:
