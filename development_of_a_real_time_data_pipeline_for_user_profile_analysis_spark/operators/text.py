@@ -2056,10 +2056,14 @@ def dsir_selection_report(
     (unigram_logprob_quality's device), ranking ties break on doc_id.
 
     Scale shape: the TF-IDF token shuffles plus broadcast model
-    stats; the final ranking windows over the per-doc SCORE relation
-    (|docs| rows, not tokens) — a production run at 100 TB would
-    replace the exact rank with a quantile threshold on the same
-    scores, leaving every other stage unchanged.
+    stats; the top-k selection is the histogram-CDF quantile device
+    (quality_deciles): a per-score histogram (scores are integer
+    micro-nats — |distinct| ≪ |docs|) locates the single cut score
+    and its remaining slot count as a 1-row broadcast, docs strictly
+    above the cut select map-side, and the deterministic doc_id tie
+    rule ranks ONLY the docs sitting exactly at the cut — the sole
+    single-partition window runs over that boundary sliver, never
+    the corpus (the r5 global row_number over all docs is gone).
     """
     tf = (
         documents.select(
@@ -2113,19 +2117,52 @@ def dsir_selection_report(
             .alias("avg_micro"),
         )
     )
-    n_total = scored.agg(F.count(F.lit(1)).alias("n_total"))
-    ranked = scored.crossJoin(F.broadcast(n_total)).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.desc("avg_micro"), F.asc("doc_id"))
-        ),
+    # histogram-CDF cut: one row per distinct score, descending CDF
+    # locates the score where the top-k boundary falls and how many
+    # slots remain there — a 1-row broadcast planner scalar
+    hist = scored.groupBy("avg_micro").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.orderBy(F.desc("avg_micro")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    sel = ranked.withColumn(
-        "selected",
-        (
-            F.col("rn")
-            <= F.floor(F.col("n_total") * select_pct / 100)
-        ).cast("long"),
+    n_total = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    k_expr = F.floor(F.col("n_total") * select_pct / 100)
+    boundary = (
+        hist.withColumn(
+            "cum_before", F.coalesce(F.sum("n").over(wcum), F.lit(0))
+        )
+        .crossJoin(F.broadcast(n_total))
+        .filter(
+            (F.col("cum_before") < k_expr)
+            & (F.col("cum_before") + F.col("n") >= k_expr)
+        )
+        .select(
+            F.col("avg_micro").alias("cut_score"),
+            (k_expr - F.col("cum_before")).alias("slots"),
+            F.lit(1).alias("one"),
+        )
+    )
+    # deterministic doc_id tie rule at the cut, as a SCORE-KEYED
+    # window (hash-partitioned on avg_micro — never single-partition;
+    # the per-partition width is ties-per-score, the same sliver the
+    # cut itself sits on): only rows AT the cut consult their rank
+    flagged = scored.withColumn("one", F.lit(1)).join(
+        F.broadcast(boundary), "one", "left"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("avg_micro").orderBy("doc_id")
+    )
+    sel = flagged.select(
+        "source",
+        "avg_micro",
+        F.when(F.col("avg_micro") > F.col("cut_score"), 1)
+        .when(
+            (F.col("avg_micro") == F.col("cut_score"))
+            & (rn <= F.col("slots")),
+            1,
+        )
+        .otherwise(0)  # below the cut, or cut_score NULL (k == 0)
+        .cast("long")
+        .alias("selected"),
     )
     return (
         sel.groupBy("source")

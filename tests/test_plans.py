@@ -924,3 +924,19 @@ def test_ivfpq_serve_partition_prunes_artifact(spark, sf_dir):
     cell partition filter (n_probe of n_cells directories)."""
     plan = _plan(spark, "ann_ivfpq_serve", sf_dir)
     assert "PartitionFilters: [cell" in plan
+
+
+def test_dsir_selection_no_corpus_global_rank(spark, sf_dir):
+    """DSIR's top-k selection must be the histogram-CDF cut (VERDICT
+    r5 ask #1): the deterministic doc_id tie rule runs as a window
+    KEYED ON THE SCORE (per-partition width = ties per score), and no
+    row_number window anywhere in the plan is partition-less — the
+    r5 global rank over the whole scored corpus is gone. The one
+    SinglePartition window left is the CDF over the distinct-score
+    histogram."""
+    plan = _plan(spark, "dsir_selection_report", sf_dir)
+    rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn_lines, "tie rule must still rank at the cut"
+    assert all(
+        "windowspecdefinition(avg_micro" in l for l in rn_lines
+    ), "every row_number window must be score-keyed"
