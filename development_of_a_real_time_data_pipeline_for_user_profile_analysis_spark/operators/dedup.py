@@ -1385,18 +1385,48 @@ SEMDEDUP_COS_T = 0.45  # same planted-near-dup threshold embedding_near_dupes us
 SEMDEDUP_CELLS = 8
 
 
+def _semdedup_cells(
+    embeddings: DataFrame, k: int, centroids: DataFrame | None
+) -> DataFrame:
+    """SemDeDup's cell assignment: against FROZEN centroids when a
+    maintained coarse quantizer exists (the IVF-PQ artifact's —
+    VERDICT r5 ask #2: one cell layout for the whole curation stack),
+    else a fresh 2-iteration k-means. Returns (vec_id, e, cell)."""
+    from .similarity import ivfpq_assign_cells, kmeans_assign
+
+    if centroids is not None:
+        return ivfpq_assign_cells(embeddings, centroids)
+    assigned = kmeans_assign(embeddings, k=k, iterations=2)
+    return (
+        assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            F.col("cluster").alias("cell"),
+        )
+    )
+
+
 def semdedup_prune_plan(
     embeddings: DataFrame,
     threshold: float = SEMDEDUP_COS_T,
     k: int = SEMDEDUP_CELLS,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning plan (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with the coarse
-    k-means quantizer, compare pairs ONLY within a cluster, and prune
+    quantizer, compare pairs ONLY within a cluster, and prune
     every vector that has a higher-similarity twin with a smaller
     vec_id in its cell (deterministic keep-lowest rule — the greedy
     one-per-group choice made engine-portable). Returns the per-cell
     pruning ledger: occupancy, pruned count, keep rate.
+
+    `centroids`: pass the maintained IVF-PQ artifact's FROZEN
+    centroid table to run semantic dedup on the same cell layout the
+    ANN index serves from (assignment = ivfpq_assign_cells, the one
+    coarse-quantizer path) — no per-invocation k-means retrain, and
+    semdedup_incremental_prune's batch ledgers compose with this
+    full-corpus ledger cell-for-cell. None → self-contained k-means.
 
     Scale shape: the published algorithm's exact cost model — the
     cross-cell quadratic is GONE (pairs form per cell; k is chosen so
@@ -1411,14 +1441,7 @@ def semdedup_prune_plan(
     import numpy as np
     import pandas as pd
 
-    from .similarity import kmeans_assign
-
-    assigned = kmeans_assign(embeddings, k=k, iterations=2).select(
-        "vec_id", "cluster"
-    )
-    av = assigned.join(
-        embeddings.select("vec_id", "embedding"), "vec_id"
-    )
+    av = _semdedup_cells(embeddings, k, centroids)
 
     def cell_prune(pdf: pd.DataFrame) -> pd.DataFrame:
         # per-cell BLAS pair compare (embedding_near_dupes' device:
@@ -1428,10 +1451,12 @@ def semdedup_prune_plan(
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)[
-            order
-        ]
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)[order]
+        # eps-clamped norm: zero vectors get cosine 0, never NaN
+        # (ADVICE r5; mirrored in the oracle's CASE)
+        mat /= np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
         n = len(ids)
         pruned = np.zeros(n, dtype=bool)
         chunk = 1024
@@ -1444,13 +1469,13 @@ def semdedup_prune_plan(
             pruned |= hits.any(axis=0)
         return pd.DataFrame(
             {
-                "cell": [int(pdf["cluster"].iloc[0])],
+                "cell": [int(pdf["cell"].iloc[0])],
                 "n_vectors": [n],
                 "n_pruned": [int(pruned.sum())],
             }
         )
 
-    per_cell = av.groupBy("cluster").applyInPandas(
+    per_cell = av.groupBy("cell").applyInPandas(
         cell_prune, "cell long, n_vectors long, n_pruned long"
     )
     return per_cell.select(
@@ -1461,6 +1486,91 @@ def semdedup_prune_plan(
             F.floor(
                 (F.col("n_vectors") - F.col("n_pruned"))
                 / F.col("n_vectors")
+                * 10000
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("keep_rate"),
+    ).orderBy("cell")
+
+
+def semdedup_incremental_prune(
+    corpus: DataFrame,
+    batch: DataFrame,
+    centroids: DataFrame,
+    threshold: float = SEMDEDUP_COS_T,
+) -> DataFrame:
+    """Incremental SemDeDup over the MAINTAINED cell layout (VERDICT
+    r5 ask #2): the ingest batch is assigned to the FROZEN IVF-PQ
+    coarse cells and BLAS-compared against cell residents only —
+    semantic dedup becomes a per-batch operation on the same layout
+    the ANN index serves from, with no corpus re-cluster and no
+    corpus-side pair work. A batch vector is pruned iff some resident
+    (standing corpus or earlier-id batch member) of ITS OWN cell has
+    cosine >= threshold and a smaller vec_id — exactly the full
+    recompute's keep-lowest verdict restricted to the batch, which is
+    what the full-recompute oracle replays. Returns the per-cell
+    batch ledger: batch occupancy, pruned count, keep rate.
+
+    Scale shape: assignment is the broadcast-centroid narrow scan of
+    the BATCH; only cells the batch touches are read from the corpus
+    side (left-semi on the bounded touched-cell set — with a
+    cell-partitioned vector store this is the same partition-pruned
+    read the IVF-PQ serve does); per-cell compare is
+    |batch ∩ cell| x |cell| chunked BLAS — linear in batch size,
+    linear in touched-cell occupancy, NEVER corpus x corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import ivfpq_assign_cells
+
+    asg_b = ivfpq_assign_cells(batch, centroids).withColumn(
+        "is_batch", F.lit(1)
+    )
+    touched = asg_b.select("cell").distinct()
+    residents = (
+        ivfpq_assign_cells(corpus, centroids)
+        .join(F.broadcast(touched), "cell", "left_semi")
+        .withColumn("is_batch", F.lit(0))
+    )
+    av = residents.unionByName(asg_b)
+
+    def cell_prune_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        isb = pdf["is_batch"].to_numpy().astype(bool)
+        mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        b_idx = np.nonzero(isb)[0]
+        pruned = 0
+        chunk = 1024
+        for lo in range(0, len(b_idx), chunk):
+            sel = b_idx[lo : lo + chunk]
+            sims = np.round(mat[sel] @ mat.T, 6)
+            hits = sims >= threshold
+            hits &= ids[None, :] < ids[sel, None]  # resident id < batch id
+            pruned += int(hits.any(axis=1).sum())
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n_batch": [int(isb.sum())],
+                "n_pruned": [pruned],
+            }
+        )
+
+    per_cell = av.groupBy("cell").applyInPandas(
+        cell_prune_batch, "cell long, n_batch long, n_pruned long"
+    )
+    return per_cell.select(
+        "cell",
+        "n_batch",
+        "n_pruned",
+        (
+            F.floor(
+                (F.col("n_batch") - F.col("n_pruned"))
+                / F.col("n_batch")
                 * 10000
                 + 0.5
             ).cast("long")

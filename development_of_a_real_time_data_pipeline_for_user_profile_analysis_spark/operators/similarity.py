@@ -1629,6 +1629,29 @@ def ivfpq_train(
     return cents, cb
 
 
+def ivfpq_assign_cells(
+    vectors: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Coarse-quantizer assignment against FROZEN centroids: one
+    broadcast-centroid narrow scan, rounded-6dp euclidean argmin with
+    ties on cid (kmeans_assign's determinism device). Shared by
+    ivfpq_encode (build + incremental add) and SemDeDup's cell
+    assignment (dedup.semdedup_prune_plan), so the whole curation
+    stack lives on ONE maintained cell layout. Returns
+    (vec_id, e, cell)."""
+    corpus = vectors.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    )
+    dist = F.round(F.sqrt(_sq_euclid(F.col("e"), F.col("c"))), 6)
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "e", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"), F.first("e").alias("e"))
+        .select("vec_id", "e", F.col("m.cid").alias("cell"))
+    )
+
+
 def ivfpq_encode(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -1644,17 +1667,7 @@ def ivfpq_encode(
     build and every incremental add — there is exactly one encoding
     path, so add-vs-rebuild equivalence is structural."""
     sub_d = dim // n_subspaces
-    corpus = vectors.select(
-        "vec_id", _to_double(F.col("embedding")).alias("e")
-    )
-    dist = F.round(F.sqrt(_sq_euclid(F.col("e"), F.col("c"))), 6)
-    cells = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "e", "cid", dist.alias("dist"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cid")).alias("m"), F.first("e").alias("e"))
-        .select("vec_id", "e", F.col("m.cid").alias("cell"))
-    )
+    cells = ivfpq_assign_cells(vectors, centroids)
     subs = cells.select(
         "vec_id",
         "cell",

@@ -7207,13 +7207,11 @@ def _ivfpq_index_post_add(spark, sf_dir):
     return _ivfpq_build_cached(spark, sf_dir, "post", build)
 
 
-def _ivfpq_idx_oracle(pop: str, final: str) -> str:
-    """Frozen-quantizer IVF-PQ replay: train (2 rounded Lloyd
-    iterations + lowest-vec_id codebooks) on the hash-slice train set
-    `trn`, then encode population `pop` (a SELECT over emb/trn) and
-    run `final` over the codes CTE."""
-    subd = _PQ_SUBD
-    return f"""WITH emb AS (
+# Frozen coarse-quantizer replay, shared by every oracle that reads
+# the maintained cell layout (IVF-PQ build/add/serve, SemDeDup full +
+# incremental): train (2 rounded Lloyd iterations on the hash-slice
+# train set) -> c1 is the FROZEN centroid table.
+_IVFPQ_CENT_CTES = f"""emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 trn AS (SELECT * FROM emb WHERE vec_id % {_IVFPQ_MOD} <> {_IVFPQ_RES}),
 c0 AS (
@@ -7231,7 +7229,16 @@ c1 AS (
     SELECT cid, dim, round(avg(v), 6) AS mv FROM (
       SELECT cid, generate_subscripts(e, 1) AS dim, unnest(e) AS v
       FROM a1)
-    GROUP BY cid, dim) GROUP BY cid),
+    GROUP BY cid, dim) GROUP BY cid),"""
+
+
+def _ivfpq_idx_oracle(pop: str, final: str) -> str:
+    """Frozen-quantizer IVF-PQ replay: train (2 rounded Lloyd
+    iterations + lowest-vec_id codebooks) on the hash-slice train set
+    `trn`, then encode population `pop` (a SELECT over emb/trn) and
+    run `final` over the codes CTE."""
+    subd = _PQ_SUBD
+    return f"""WITH {_IVFPQ_CENT_CTES}
 cbv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                AS code, e
         FROM (SELECT * FROM trn ORDER BY vec_id
@@ -7593,26 +7600,82 @@ def q_ivfpq_index_stats(spark, sf_dir):
 
 @query(
     "semdedup_prune_plan",
-    _kmeans_oracle(
-        k=dedup.SEMDEDUP_CELLS,
-        final_select=f"""
-, pr AS (SELECT DISTINCT v.cid AS cell, v.vec_id
-         FROM a2 u JOIN a2 v ON u.cid = v.cid AND u.vec_id < v.vec_id
-         WHERE round(list_cosine_similarity(u.e, v.e), 6)
-               >= {dedup.SEMDEDUP_COS_T}),
-occ AS (SELECT cid AS cell, count(*) AS n_vectors FROM a2 GROUP BY cid),
+    # assignment replays the FROZEN IVF-PQ coarse quantizer (c1) —
+    # the maintained cell layout, not a per-invocation k-means; the
+    # cosine CASE mirrors the engine's eps-clamped zero-norm rule
+    f"""WITH {{cent}}
+asg AS (
+  SELECT vec_id, e, n2, cid AS cell FROM (
+    SELECT emb.vec_id, emb.e,
+           list_dot_product(emb.e, emb.e) AS n2, c.cid,
+           row_number() OVER (PARTITION BY emb.vec_id
+               ORDER BY round(list_distance(emb.e, c.c), 6), c.cid) AS rn
+    FROM emb CROSS JOIN c1 c) WHERE rn = 1),
+pr AS (SELECT DISTINCT v.cell, v.vec_id
+       FROM asg u JOIN asg v ON u.cell = v.cell AND u.vec_id < v.vec_id
+       WHERE round(CASE WHEN u.n2 = 0 OR v.n2 = 0 THEN 0.0
+                   ELSE list_cosine_similarity(u.e, v.e) END, 6)
+             >= {dedup.SEMDEDUP_COS_T}),
+occ AS (SELECT cell, count(*) AS n_vectors FROM asg GROUP BY cell),
 pc AS (SELECT cell, count(*) AS n_pruned FROM pr GROUP BY cell)
 SELECT occ.cell, CAST(n_vectors AS BIGINT) AS n_vectors,
        CAST(coalesce(pc.n_pruned, 0) AS BIGINT) AS n_pruned,
        floor((n_vectors - coalesce(pc.n_pruned, 0)) * 1.0 / n_vectors
              * 10000 + 0.5) / 10000.0 AS keep_rate
-FROM occ LEFT JOIN pc ON occ.cell = pc.cell ORDER BY occ.cell""",
+FROM occ LEFT JOIN pc ON occ.cell = pc.cell ORDER BY occ.cell""".format(
+        cent=_IVFPQ_CENT_CTES
     ),
 )
 def q_semdedup_prune_plan(spark, sf_dir):
-    """SemDeDup semantic pruning ledger: within-kmeans-cell cosine
-    twins pruned by the keep-lowest-id rule; per-cell keep rate."""
-    return dedup.semdedup_prune_plan(_t(spark, sf_dir, "embeddings"))
+    """SemDeDup semantic pruning ledger on the MAINTAINED cell
+    layout: within-frozen-IVF-PQ-cell cosine twins pruned by the
+    keep-lowest-id rule; per-cell keep rate."""
+    return dedup.semdedup_prune_plan(
+        _t(spark, sf_dir, "embeddings"),
+        centroids=_ivfpq_index(spark, sf_dir)["centroids"],
+    )
+
+
+@query(
+    "semdedup_incremental_prune",
+    # full-recompute equivalence: the batch ledger must equal the
+    # full corpus+batch recompute restricted to batch vectors
+    f"""WITH {{cent}}
+asg AS (
+  SELECT vec_id, e, n2, cid AS cell FROM (
+    SELECT emb.vec_id, emb.e,
+           list_dot_product(emb.e, emb.e) AS n2, c.cid,
+           row_number() OVER (PARTITION BY emb.vec_id
+               ORDER BY round(list_distance(emb.e, c.c), 6), c.cid) AS rn
+    FROM emb CROSS JOIN c1 c) WHERE rn = 1),
+pr AS (SELECT DISTINCT v.cell, v.vec_id
+       FROM asg u JOIN asg v ON u.cell = v.cell AND u.vec_id < v.vec_id
+       WHERE v.vec_id % {_IVFPQ_MOD} = {_IVFPQ_RES}
+         AND round(CASE WHEN u.n2 = 0 OR v.n2 = 0 THEN 0.0
+                   ELSE list_cosine_similarity(u.e, v.e) END, 6)
+             >= {dedup.SEMDEDUP_COS_T}),
+occ AS (SELECT cell, count(*) AS n_batch FROM asg
+        WHERE vec_id % {_IVFPQ_MOD} = {_IVFPQ_RES} GROUP BY cell),
+pc AS (SELECT cell, count(*) AS n_pruned FROM pr GROUP BY cell)
+SELECT occ.cell, CAST(n_batch AS BIGINT) AS n_batch,
+       CAST(coalesce(pc.n_pruned, 0) AS BIGINT) AS n_pruned,
+       floor((n_batch - coalesce(pc.n_pruned, 0)) * 1.0 / n_batch
+             * 10000 + 0.5) / 10000.0 AS keep_rate
+FROM occ LEFT JOIN pc ON occ.cell = pc.cell ORDER BY occ.cell""".format(
+        cent=_IVFPQ_CENT_CTES
+    ),
+)
+def q_semdedup_incremental_prune(spark, sf_dir):
+    """Incremental SemDeDup: the ingest batch (the IVF-PQ held-out
+    residue slice) assigned to FROZEN cells and BLAS-compared against
+    cell residents only; oracle = full recompute restricted to the
+    batch. Semantic dedup as a per-batch job on the maintained
+    layout."""
+    return dedup.semdedup_incremental_prune(
+        _ivfpq_corpus(spark, sf_dir),
+        _ivfpq_batch(spark, sf_dir),
+        _ivfpq_index(spark, sf_dir)["centroids"],
+    )
 
 
 _BN = text.BENCH_NGRAM_N

@@ -909,14 +909,29 @@ def test_contamination_benchmark_grams_broadcast(spark, sf_dir):
 
 def test_semdedup_pairs_form_per_cell_only(spark, sf_dir):
     """SemDeDup's pair compare must happen INSIDE cells: one Arrow
-    group per cluster through the BLAS kernel (FlatMapGroupsInPandas
-    keyed on the cluster), never a global cartesian. (The
-    BroadcastNestedLoopJoin nodes present are kmeans' bounded
-    k-row centroid broadcasts, the designed assignment pattern.)"""
+    group per cell through the BLAS kernel (FlatMapGroupsInPandas
+    keyed on the cell), never a global cartesian — and since r6 the
+    cells come from the MAINTAINED IVF-PQ artifact's frozen centroid
+    table (a parquet scan + broadcast assignment), not a
+    per-invocation k-means retrain."""
     plan = _plan(spark, "semdedup_prune_plan", sf_dir)
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
-    assert "hashpartitioning(cluster" in plan
+    assert "hashpartitioning(cell" in plan
+    # frozen quantizer: the centroid relation is READ (artifact
+    # parquet), not derived from the embedding corpus in-plan
+    assert "centroids" in plan
+
+
+def test_semdedup_incremental_reads_touched_cells_only(spark, sf_dir):
+    """Incremental SemDeDup must semi-join the corpus side onto the
+    batch's touched-cell set (broadcast, bounded by n_cells) before
+    any pair work — the cell-partition-pruned read shape — and the
+    pair compare stays per-cell Arrow BLAS."""
+    plan = _plan(spark, "semdedup_incremental_prune", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin [cell" in plan and "LeftSemi" in plan
 
 
 def test_ivfpq_serve_partition_prunes_artifact(spark, sf_dir):
