@@ -1731,6 +1731,31 @@ def read_ivfpq_index(spark, path: str) -> dict:
     }
 
 
+def read_ivfpq_index_with_adds(spark, path: str) -> dict:
+    """Load the maintained artifact INCLUDING un-compacted streaming
+    adds: serve-time codes = base codes ∪ every `codes_adds/
+    batch_id=N` segment run_ivfpq_add_stream has published (the
+    L0-segment shape — a compaction job folds segments into the base
+    on its own schedule; probing reads both until then). Cell
+    partition pruning applies to base and segments alike: both
+    layouts carry cell as a directory partition."""
+    import os
+
+    index = read_ivfpq_index(spark, path)
+    adds_dir = f"{path}/codes_adds"
+    if os.path.isdir(adds_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(adds_dir)
+    ):
+        adds = spark.read.parquet(adds_dir).select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            "sub_id",
+            "code",
+        )
+        index["codes"] = index["codes"].unionByName(adds)
+    return index
+
+
 def ivfpq_add_batch(index: dict, batch: DataFrame) -> DataFrame:
     """Incremental add: encode the ingest batch against the FROZEN
     quantizers — no retrain, no rebuild, no touch of existing codes.

@@ -242,6 +242,68 @@ def run_pipeline(
     return writer.start()
 
 
+def run_ivfpq_add_stream(
+    spark: SparkSession,
+    vector_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    timings: list | None = None,
+):
+    """Streaming maintenance of the IVF-PQ index artifact (VERDICT r5
+    ask #3): each micro-batch of (vec_id, embedding) rows encodes
+    against the artifact's FROZEN quantizers (read once at start —
+    broadcast-sized, never retrained) and publishes its codes as an
+    L0 segment `codes_adds/batch_id=N`, cell-partitioned like the
+    base. Probe-serving between batches reads base ∪ segments
+    (similarity.read_ivfpq_index_with_adds); a compaction job folds
+    segments into the base off the hot path.
+
+    Idempotent under foreachBatch's at-least-once: the batch id is
+    the segment directory and the write is overwrite — a replayed
+    batch replaces itself (run_pipeline's device). Per-batch cost is
+    one narrow scan of the batch: O(|batch|), independent of both
+    corpus size and the number of standing segments.
+
+    `timings` (optional test/bench hook): appends
+    (batch_id, n_rows, seconds) per processed batch."""
+    import time
+
+    from ..operators import similarity
+
+    index = similarity.read_ivfpq_index(spark, index_path)
+
+    def add_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n:
+                similarity.ivfpq_add_batch(index, batch_df).write.mode(
+                    "overwrite"
+                ).partitionBy("cell").parquet(
+                    os.path.join(
+                        index_path, "codes_adds", f"batch_id={batch_id}"
+                    )
+                )
+        finally:
+            batch_df.unpersist()
+        if timings is not None:
+            timings.append((batch_id, n, time.monotonic() - t0))
+
+    writer = (
+        vector_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(add_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def deduped_stream(source: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
     """Streaming dedup on profile id — fixes the reference's silent
     duplicate problem (Mongo append had no PK). Event time comes from
