@@ -7772,6 +7772,145 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.gender_distribution(profiles_df(spark, sf_dir))
 
 
+
+
+# ------------------------------------------------------------------
+# Trained document-quality classifier (round 6): fastText-style
+# exemplar-source model over hashing-trick features, logistic GD
+# trainer, held-out AUC eval. The oracle replays the identical
+# integer-grid GD trajectory (logistic_churn_model's device,
+# generated here for QC_N_FEATURES+1 weights x QC_GD_STEPS steps).
+# ------------------------------------------------------------------
+
+_QC_NF = text.QC_N_FEATURES
+_QC_STEPS = text.QC_GD_STEPS
+_QC_ETA = text.QC_ETA
+_QC_BIN = text.QC_SCORE_BIN
+
+
+def _qc_oracle(final: str) -> str:
+    nf, eta = _QC_NF, _QC_ETA
+    f6 = "floor({} * 1000000 + 0.5) / 1000000.0"
+    cs = ",\n                ".join(
+        f"sum(CASE WHEN b = {i} THEN 1.0 ELSE 0.0 END) AS c{i}"
+        for i in range(nf)
+    )
+    nrm = " + ".join(f"c{i} * c{i}" for i in range(nf))
+    xs = ", ".join(f"round(c{i} / nrm, 6) AS x{i}" for i in range(nf))
+    xlist = ", ".join(f"x{i}" for i in range(nf))
+    ctes = [
+        f"""tok AS (
+  SELECT doc_id, source,
+         CAST(CAST('0x' || substr(md5(tok), 1, 2) AS UBIGINT) % {nf}
+              AS INT) AS b
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+counts AS (SELECT doc_id, source, {cs}
+           FROM tok GROUP BY doc_id, source),
+normed AS (SELECT doc_id, source, sqrt({nrm}) AS nrm, * FROM counts),
+feats AS (
+  SELECT CASE WHEN source = '{text.DSIR_TARGET_SOURCE}'
+              THEN 1.0 ELSE 0.0 END AS y,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % 100 AS BIGINT) < 80 AS is_train,
+         {xs}
+  FROM normed)"""
+    ]
+    prev_w = None  # step-0 weights are all literal 0.0
+    for s in range(1, _QC_STEPS + 1):
+        if prev_w is None:
+            zterms = "0.0"
+        else:
+            zterms = "w0 + " + " + ".join(
+                f"w{j + 1} * x{j}" for j in range(nf)
+            )
+        src = "feats" if prev_w is None else f"feats CROSS JOIN {prev_w}"
+        ctes.append(
+            f"""p{s} AS (SELECT y, is_train, {xlist},
+               1.0 / (1.0 + exp(-({zterms}))) AS p
+        FROM {src})"""
+        )
+        gcols = [f6.format("avg(y - p)") + " AS g0"] + [
+            f6.format(f"avg((y - p) * x{j})") + f" AS g{j + 1}"
+            for j in range(nf)
+        ]
+        ctes.append(
+            f"g{s} AS (SELECT " + ",\n        ".join(gcols)
+            + f" FROM p{s} WHERE is_train)"
+        )
+        wb = "0.0" if prev_w is None else None
+        wcols = []
+        for j in range(nf + 1):
+            base = "0.0" if prev_w is None else f"w{j}"
+            wcols.append(
+                f6.format(f"({base} + {eta} * g{j})") + f" AS w{j}"
+            )
+        wsrc = f"g{s}" if prev_w is None else f"g{s} CROSS JOIN {prev_w}"
+        ctes.append(
+            f"w{s} AS (SELECT " + ",\n        ".join(wcols)
+            + f" FROM {wsrc})"
+        )
+        prev_w = f"w{s}"
+    return "WITH " + ",\n".join(ctes) + "\n" + final.format(w=prev_w)
+
+
+@query(
+    "quality_classifier_weights",
+    _qc_oracle(
+        "SELECT feature, weight FROM (\n  SELECT 'intercept' AS feature, w0 AS weight FROM {w}\n"
+        + "".join(
+            f"  UNION ALL SELECT 'h{j}', w{j + 1} FROM {{w}}\n"
+            for j in range(_QC_NF)
+        )
+        + ") ORDER BY feature"
+    ),
+)
+def q_quality_classifier_weights(spark, sf_dir):
+    """The trained quality model (intercept + 8 hashed-bucket
+    weights) — the broadcastable scoring artifact of model-based
+    filtering; oracle replays the full integer-grid GD trajectory."""
+    return text.quality_classifier_weights(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_classifier_eval",
+    _qc_oracle(
+        f""", sc AS (
+  SELECT CAST(floor((w0 + {" + ".join(f"w{j + 1} * x{j}" for j in range(_QC_NF))})
+                    * {_QC_BIN}) AS BIGINT) AS s,
+         CAST(y AS BIGINT) AS y
+  FROM feats CROSS JOIN {{w}} WHERE NOT is_train),
+per_s AS (SELECT s, count(*) AS n, sum(y) AS npos FROM sc GROUP BY s),
+rk AS (SELECT s, n, npos,
+              coalesce(sum(n) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + (n + 1) / 2.0 AS avg_rank
+       FROM per_s),
+tt AS (SELECT sum(npos * avg_rank) AS r_pos, sum(npos) AS p,
+              sum(n) AS t, count(*) AS n_bins,
+              sum(CASE WHEN s >= 0 THEN npos ELSE n - npos END)
+                AS n_correct
+       FROM rk),
+m AS (SELECT CASE WHEN p > 0 AND t > p
+             THEN (r_pos - p * (p + 1) / 2.0) / (p * (t - p)) END AS auc,
+             n_correct * 1.0 / t AS acc, p, t, n_bins, n_correct
+      FROM tt)
+SELECT floor(auc * 1000000 + 0.5) / 1000000.0 AS auc,
+       floor((2 * auc - 1) * 1000000 + 0.5) / 1000000.0 AS gini,
+       floor(acc * 10000 + 0.5) / 10000.0 AS accuracy,
+       CAST(p AS BIGINT) AS n_pos, CAST(t - p AS BIGINT) AS n_neg,
+       CAST(n_bins AS BIGINT) AS n_score_bins
+FROM m"""
+    ),
+)
+def q_quality_classifier_eval(spark, sf_dir):
+    """Held-out ROC AUC + accuracy of the trained quality classifier
+    (val+test md5 splits, milli-logit score bins) — the go/no-go
+    table before the model gates a corpus."""
+    return text.quality_classifier_eval(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------------
 # Export ordering
 # ------------------------------------------------------------------
