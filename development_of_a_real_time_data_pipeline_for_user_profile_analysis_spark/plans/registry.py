@@ -8007,3 +8007,90 @@ def _apply_export_order() -> None:
 
 
 _apply_export_order()
+
+
+_BLM = text.BLOOM_GRAM_M_BITS
+_BLK = text.BLOOM_GRAM_K
+_BLS = text.BLOOM_FP_SLACK
+
+
+def _bloom_pos_sql(expr: str, i) -> str:
+    return (
+        f"CAST(CAST('0x' || substr(md5({expr} || ':' || {i}), 1, 8)"
+        f" AS UBIGINT) AS BIGINT) % {_BLM}"
+    )
+
+
+@query(
+    "benchmark_bloom_contamination",
+    f"""WITH b AS (
+  SELECT doc_id, source,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) AS BIGINT) % {text.BENCH_SAMPLE_MOD} AS bk,
+         string_split(text, ' ') AS w
+  FROM documents),
+g AS (SELECT doc_id, source, bk,
+             unnest(list_transform(
+                 generate_series(1, len(w) - {text.BENCH_NGRAM_N - 1}),
+                 i -> array_to_string(
+                     list_slice(w, i, i + {text.BENCH_NGRAM_N - 1}), ' ')))
+               AS gram
+      FROM b WHERE len(w) >= {text.BENCH_NGRAM_N}),
+bg AS (SELECT DISTINCT gram FROM g
+       WHERE bk = {text.BENCH_SAMPLE_RESIDUE}),
+bits AS (SELECT DISTINCT {_bloom_pos_sql('gram', 'i')} AS pos
+         FROM bg CROSS JOIN (SELECT unnest(range({_BLK})) AS i) r),
+tp AS (SELECT doc_id, gram,
+              {", ".join(_bloom_pos_sql('gram', i) + f" AS pos_{i}" for i in range(_BLK))}
+       FROM g WHERE bk <> {text.BENCH_SAMPLE_RESIDUE}),
+fl AS (SELECT doc_id,
+              CASE WHEN {" AND ".join(f"pos_{i} IN (SELECT pos FROM bits)" for i in range(_BLK))}
+                   THEN 1 ELSE 0 END AS bpass,
+              CASE WHEN gram IN (SELECT gram FROM bg)
+                   THEN 1 ELSE 0 END AS epass
+       FROM tp),
+pd AS (SELECT doc_id, max(bpass) AS bloom_hit, max(epass) AS exact_hit,
+              count(*) AS n_grams
+       FROM fl GROUP BY doc_id),
+td AS (SELECT doc_id, source FROM b
+       WHERE bk <> {text.BENCH_SAMPLE_RESIDUE}),
+rolled AS (
+  SELECT source, count(*) AS n_train_docs,
+         CAST(sum(coalesce(exact_hit, 0)) AS BIGINT) AS n_exact,
+         CAST(sum(coalesce(bloom_hit, 0)) AS BIGINT) AS n_bloom,
+         CAST(sum(CASE WHEN coalesce(bloom_hit, 0) = 1
+                        AND coalesce(exact_hit, 0) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         CAST(sum(CASE WHEN coalesce(exact_hit, 0) = 1
+                        AND coalesce(bloom_hit, 0) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+         CAST(floor(sum(coalesce(n_grams, 0)) * 1.0 / count(*) * 10000)
+              AS BIGINT) AS mg
+  FROM td LEFT JOIN pd USING (doc_id) GROUP BY source),
+fp AS (SELECT floor(pow(1.0 - exp(-{_BLK}.0 * count(*) / {_BLM}.0),
+                        {_BLK}.0) * 1000000) / 1000000.0 AS fpr
+       FROM bg),
+ex AS (SELECT rolled.*, fpr,
+              floor((1.0 - pow(1.0 - fpr, mg / 10000.0)) * 1000000)
+              / 1000000.0 AS efp
+       FROM rolled CROSS JOIN fp)
+SELECT source, n_train_docs, n_exact, n_bloom, n_false_pos,
+       floor(n_exact * 1.0 / n_train_docs * 10000 + 0.5) / 10000.0
+         AS exact_rate,
+       floor(n_bloom * 1.0 / n_train_docs * 10000 + 0.5) / 10000.0
+         AS bloom_rate,
+       fpr AS theoretical_gram_fpr,
+       efp AS expected_doc_fp_rate,
+       n_missed = 0 AS no_false_negatives,
+       n_false_pos <= floor({_BLS}.0 * efp * (n_train_docs - n_exact)) + 2
+         AS fp_within_bound
+FROM ex ORDER BY source""",
+)
+def q_benchmark_bloom_contamination(spark, sf_dir):
+    """13-gram decontamination through a Bloom filter of bench grams
+    — the tier for a non-broadcastable benchmark suite; reports the
+    Bloom rate next to the exact rate with the no-false-negative and
+    FP-expectation audits in-query."""
+    return text.benchmark_bloom_contamination(
+        _t(spark, sf_dir, "documents")
+    )

@@ -955,3 +955,20 @@ def test_dsir_selection_no_corpus_global_rank(spark, sf_dir):
     assert all(
         "windowspecdefinition(avg_micro" in l for l in rn_lines
     ), "every row_number window must be score-keyed"
+
+
+def test_bloom_contamination_no_gram_corpus_shuffle(spark, sf_dir):
+    """The Bloom decontamination tier must probe with broadcast
+    map-side joins: k bit-relation joins + the exact-tier gram join
+    all broadcast, never a sort-merge or cartesian — the training
+    gram relation is only ever shuffled on doc_id (the rollup)."""
+    plan = _plan(spark, "benchmark_bloom_contamination", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        text,
+    )
+
+    # one broadcast probe join per hash + the exact gram tier
+    assert plan.count("BroadcastHashJoin") >= text.BLOOM_GRAM_K + 1
+    assert "BroadcastHashJoin [pos_0" in plan
