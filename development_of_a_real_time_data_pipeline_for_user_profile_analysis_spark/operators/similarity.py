@@ -2167,3 +2167,135 @@ def ivfpq_index_stats(index: dict) -> DataFrame:
             / 1000000.0
         ).alias("load_share"),
     ).orderBy("cell")
+
+
+IVFPQ_SERVE_BATCH = (1, 2, 3, 4)  # the registry's probe query batch
+
+
+def ann_ivfpq_serve_batch(
+    index: dict,
+    vectors: DataFrame,
+    query_ids=IVFPQ_SERVE_BATCH,
+    k: int = IVFPQ_K,
+    n_probe: int = IVFPQ_NPROBE,
+    shortlist: int = IVFPQ_SHORTLIST,
+    n_subspaces: int = PQ_SUBSPACES,
+    dim: int = EMB_DIM,
+    extra_codes: DataFrame | None = None,
+) -> DataFrame:
+    """Serve a QUERY BATCH against the maintained IVF-PQ artifact in
+    ONE plan (VERDICT r5 ask #7) — the throughput shape of a real
+    serving tier, where queries arrive in micro-batches and the index
+    is read once per batch, not once per query:
+
+    - the per-query probe-cell ranking is ONE bounded planner collect
+      (n_cells x |queries| rows — ann_ivfpq_serve's device batched);
+    - the codes table is read ONCE with the UNION of all probed cells
+      as a literal partition filter (cell pruning survives batching),
+      then each code row meets only the queries that probed its cell
+      via a broadcast (qid, cell) pair join;
+    - ADC tables for all queries ride one broadcast keyed by
+      (qid, sub_id, code) — cosine_topk_batch's broadcast pattern;
+    - shortlist and exact re-rank are qid-PARTITIONED windows (per-
+      query width ≤ shortlist — never a global window).
+
+    Cost: linear in |queries| (ADC rows scanned = Σ per-query probed
+    cells), flat in corpus size beyond the probed partitions. Same
+    determinism devices as ann_ivfpq_serve, so the DuckDB full-
+    rebuild replay matches per query."""
+    sub_d = dim // n_subspaces
+    spark = vectors.sparkSession
+    codes = index["codes"]
+    if extra_codes is not None:
+        codes = codes.unionByName(extra_codes)
+    qids = [int(q) for q in query_ids]
+    qs = vectors.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"),
+        _to_double(F.col("embedding")).alias("qe"),
+    )
+    # bounded planner step: n_cells x |queries| centroid ranks
+    crank_rows = (
+        index["centroids"]
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "cid",
+            F.round(F.sqrt(_sq_euclid(F.col("c"), F.col("qe"))), 6).alias(
+                "qd"
+            ),
+        )
+        .collect()
+    )
+    by_q: dict = {}
+    for r in sorted(crank_rows, key=lambda r: (r["qid"], r["qd"], r["cid"])):
+        by_q.setdefault(r["qid"], []).append(int(r["cid"]))
+    probe_pairs = [
+        (int(qid), cid) for qid, cids in by_q.items() for cid in cids[:n_probe]
+    ]
+    union_cells = sorted({c for _, c in probe_pairs})
+    pairs_df = spark.createDataFrame(probe_pairs, "qid long, cell long")
+    qsubs = qs.select(
+        "qid",
+        F.explode(
+            F.array(*_subvector_structs("qe", n_subspaces, sub_d))
+        ).alias("x"),
+    ).select("qid", "x.sub_id", F.col("x.sv").alias("qv"))
+    dsub = F.round(F.sqrt(_sq_euclid(F.col("cv"), F.col("qv"))), 6)
+    adc = (
+        index["codebooks"]
+        .join(F.broadcast(qsubs), "sub_id")
+        .select("qid", "sub_id", "code", (dsub * dsub).alias("d2sub"))
+    )
+    approx = (
+        codes.filter(F.col("cell").isin(union_cells))
+        .join(F.broadcast(pairs_df), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(adc), ["qid", "sub_id", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            (
+                F.floor(F.sum("d2sub") * 1000000 + 0.5).cast("long")
+                / 1000000.0
+            ).alias("approx_d2")
+        )
+    )
+    short = approx.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy("approx_d2", "vec_id")
+        ),
+    ).filter(F.col("rn") <= shortlist)
+    exact = (
+        short.join(
+            vectors.select(
+                "vec_id", _to_double(F.col("embedding")).alias("e")
+            ),
+            "vec_id",
+        )
+        .join(F.broadcast(qs), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "approx_d2",
+            F.round(F.sqrt(_sq_euclid(F.col("e"), F.col("qe"))), 6).alias(
+                "exact_dist"
+            ),
+        )
+    )
+    return (
+        exact.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("exact_dist", "vec_id")
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_vec_id"),
+            "rank",
+            "vec_id",
+            "approx_d2",
+            "exact_dist",
+        )
+        .orderBy("query_vec_id", "rank")
+    )

@@ -8094,3 +8094,70 @@ def q_benchmark_bloom_contamination(spark, sf_dir):
     return text.benchmark_bloom_contamination(
         _t(spark, sf_dir, "documents")
     )
+
+
+_SERVE_BATCH_IDS = ", ".join(str(q) for q in similarity.IVFPQ_SERVE_BATCH)
+
+
+def _ivfpq_serve_batch_final() -> str:
+    """Batched probe/ADC/re-rank tail over the codes CTE — the DuckDB
+    twin of similarity.ann_ivfpq_serve_batch (per-query windows are
+    PARTITION BY qid)."""
+    subd = _PQ_SUBD
+    return f""",
+qv AS (SELECT vec_id AS qid, e AS qe FROM emb
+       WHERE vec_id IN ({_SERVE_BATCH_IDS})),
+qcells AS (SELECT qid, cid FROM (
+             SELECT qv.qid, c.cid,
+                    row_number() OVER (PARTITION BY qv.qid ORDER BY
+                        round(list_distance(qv.qe, c.c), 6), c.cid) AS rn
+             FROM c1 c CROSS JOIN qv) WHERE rn <= {similarity.IVFPQ_NPROBE}),
+qsubs AS (SELECT qid, sub_id,
+                 array_slice(qe, sub_id * {subd} + 1, sub_id * {subd} + {subd}) AS qsv
+          FROM qv CROSS JOIN sp),
+adc AS (SELECT qsubs.qid, cbs.sub_id, cbs.code,
+               round(list_distance(cbs.cv, qsubs.qsv), 6)
+                 * round(list_distance(cbs.cv, qsubs.qsv), 6) AS d2sub
+        FROM cbs JOIN qsubs USING (sub_id)),
+approx AS (SELECT q.qid, codes.vec_id,
+                  floor(sum(adc.d2sub) * 1000000 + 0.5) / 1000000.0
+                    AS approx_d2
+           FROM codes
+           JOIN qcells q ON codes.cell = q.cid
+           JOIN adc ON adc.qid = q.qid AND adc.sub_id = codes.sub_id
+                   AND adc.code = codes.code
+           WHERE codes.vec_id <> q.qid
+           GROUP BY q.qid, codes.vec_id),
+short AS (SELECT qid, vec_id, approx_d2 FROM (
+            SELECT qid, vec_id, approx_d2,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY approx_d2, vec_id) AS rn
+            FROM approx) WHERE rn <= {similarity.IVFPQ_SHORTLIST}),
+ex AS (SELECT s.qid, s.vec_id, s.approx_d2,
+              round(list_distance(emb.e, qv.qe), 6) AS exact_dist
+       FROM short s JOIN emb ON emb.vec_id = s.vec_id
+       JOIN qv ON qv.qid = s.qid)
+SELECT query_vec_id, rank, vec_id, approx_d2, exact_dist FROM (
+  SELECT qid AS query_vec_id,
+         CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY exact_dist, vec_id) AS BIGINT) AS rank,
+         vec_id, approx_d2, exact_dist
+  FROM ex) WHERE rank <= {similarity.IVFPQ_K}
+ORDER BY query_vec_id, rank"""
+
+
+@query(
+    "ann_ivfpq_serve_batch",
+    _ivfpq_idx_oracle(
+        pop="SELECT * FROM trn", final=_ivfpq_serve_batch_final()
+    ),
+)
+def q_ann_ivfpq_serve_batch(spark, sf_dir):
+    """A query micro-batch served against the maintained artifact in
+    one plan: union-of-probed-cells partition pruning, one broadcast
+    ADC for all queries, qid-partitioned shortlist/re-rank windows.
+    Oracle replays the full rebuild + per-query probe."""
+    idx = _ivfpq_index(spark, sf_dir)
+    return similarity.ann_ivfpq_serve_batch(
+        idx, _t(spark, sf_dir, "embeddings")
+    )

@@ -972,3 +972,20 @@ def test_bloom_contamination_no_gram_corpus_shuffle(spark, sf_dir):
     # one broadcast probe join per hash + the exact gram tier
     assert plan.count("BroadcastHashJoin") >= text.BLOOM_GRAM_K + 1
     assert "BroadcastHashJoin [pos_0" in plan
+
+
+def test_ivfpq_batch_serve_prunes_and_partitions_by_query(spark, sf_dir):
+    """The batched serve must keep cell partition pruning on the
+    artifact (union of probed cells as a literal filter) and run its
+    shortlist/re-rank windows PARTITIONED BY qid — batching queries
+    must not cost either property."""
+    plan = _plan(spark, "ann_ivfpq_serve_batch", sf_dir)
+    assert "PartitionFilters: [cell" in plan
+    assert "windowspecdefinition(qid" in plan
+    rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn_lines and all(
+        "windowspecdefinition(qid" in l or "WindowGroupLimit [qid" in l
+        for l in rn_lines
+    ), "no global (partition-less) window may appear in the serve"
+    # map-side group-limit pruning fires for both ranking tiers
+    assert "WindowGroupLimit [qid" in plan
