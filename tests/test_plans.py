@@ -130,17 +130,19 @@ def test_driver_window_covers_component_families():
         "embedding_near_dupes",
         "curation_pipeline",
         "multimodal_features",
-        "simhash_dupes", "profiles_upsert",
+        "profiles_upsert",
         "profiles_quality_report",
         "events_rollup_multi",
-        # r3 second wave: data-layout / data-mixing (bm25_search
-        # rotated out r5 — BM25 stays in-window inside
-        # hybrid_rrf_search)
-        "zorder_files", "mixture_sampled_counts",
-        # r3 third wave: model-based quality + data-quality audit
-        # (events_sessionized rotated out — streaming_session_windows
-        # carries the sessionization family in-window)
-        "unigram_logprob_quality", "referential_integrity_report",
+        # r3 second wave: data-layout (bm25_search rotated out r5 —
+        # BM25 stays in-window inside hybrid_rrf_search;
+        # mixture_sampled_counts rotated out r6 —
+        # dsir_selection_report carries data selection/mixing)
+        "zorder_files",
+        # r3 third wave: data-quality audit (events_sessionized
+        # rotated out — streaming_session_windows carries
+        # sessionization; unigram_logprob_quality rotated out r6 —
+        # quality_classifier_eval carries model-based filtering)
+        "referential_integrity_report",
         # r3 sixth wave: rule gate / stats test / retrieval fusion /
         # sequential smoothing (approx_quantiles_check, top_ngrams,
         # label_centroids, user_event_type_sets rotated out — their
@@ -161,6 +163,16 @@ def test_driver_window_covers_component_families():
         # embedding_near_dupes + the serve's exact re-rank)
         "ann_ivfpq_serve", "ivfpq_incremental_add",
         "ann_ivfpq_add_serve",
+        # r6 rotation: tokenizer trainer, scale-safe DSIR selection,
+        # frozen-cell SemDeDup, trained quality model, Bloom-tier
+        # decontamination, IVF-PQ tuning curve enter (evicted:
+        # total_users, open_not_pending_customers, event_type_pivot,
+        # simhash_dupes, mixture_sampled_counts,
+        # unigram_logprob_quality — each family keeps an in-window
+        # rep; see QUERIES.md r6 note)
+        "bpe_learned_merges", "dsir_selection_report",
+        "semdedup_prune_plan", "quality_classifier_eval",
+        "benchmark_bloom_contamination", "ivfpq_tuning_curve",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
