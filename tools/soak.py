@@ -174,6 +174,13 @@ QUERIES_TO_RUN = [
     "semdedup_prune_plan",
     "benchmark_ngram_contamination",
     "dsir_selection_report",
+    # round-6: incremental semantic dedup, trained quality model,
+    # Bloom decontamination tier, batched artifact serve
+    "semdedup_incremental_prune",
+    "quality_classifier_weights",
+    "quality_classifier_eval",
+    "benchmark_bloom_contamination",
+    "ann_ivfpq_serve_batch",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
