@@ -2299,3 +2299,47 @@ def ann_ivfpq_serve_batch(
         )
         .orderBy("query_vec_id", "rank")
     )
+
+
+def ivfpq_compact_segments(spark, path: str) -> dict:
+    """Fold the streaming L0 segments (`codes_adds/batch_id=N`, from
+    run_ivfpq_add_stream) into the base codes table — the compaction
+    half of the maintained-index lifecycle. Serving reads get faster
+    (one cell directory per cell instead of 1 + |segments|) and the
+    segment area empties; quantizers are untouched (codes only move,
+    they never re-encode, so compaction can never change a serve
+    result — pytest asserts serve-before == serve-after).
+
+    Publish protocol on a plain filesystem: the merged codes land in
+    a scratch directory, then swap in via rename with the old tree
+    kept until the swap completes (a table format — Iceberg/Delta —
+    would make this a metadata commit; the physical layout written
+    here is identical). Returns {"n_segments", "n_rows"} of what was
+    folded.
+    """
+    import os
+    import shutil
+    import uuid
+
+    adds_dir = os.path.join(path, "codes_adds")
+    segments = (
+        [
+            e
+            for e in os.listdir(adds_dir)
+            if e.startswith("batch_id=")
+        ]
+        if os.path.isdir(adds_dir)
+        else []
+    )
+    if not segments:
+        return {"n_segments": 0, "n_rows": 0}
+    merged = read_ivfpq_index_with_adds(spark, path)["codes"]
+    n_rows = spark.read.parquet(adds_dir).count()
+    scratch = os.path.join(path, f".codes_compact_{uuid.uuid4().hex}")
+    merged.write.partitionBy("cell").parquet(scratch)
+    old = os.path.join(path, f".codes_old_{uuid.uuid4().hex}")
+    os.rename(os.path.join(path, "codes"), old)
+    os.rename(scratch, os.path.join(path, "codes"))
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(adds_dir, ignore_errors=True)
+    return {"n_segments": len(segments), "n_rows": int(n_rows)}

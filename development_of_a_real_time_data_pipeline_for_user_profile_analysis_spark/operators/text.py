@@ -2239,6 +2239,7 @@ def _qc_feature_table(
     )
     return counts.select(
         "doc_id",
+        "source",
         (F.col("source") == DSIR_TARGET_SOURCE).cast("double").alias("y"),
         (split_col(F.col("doc_id")) == "train").alias("is_train"),
         *[
@@ -2292,7 +2293,7 @@ def _qc_gd_chain(
             ]
         )
         feats = feats.crossJoin(F.broadcast(step)).select(
-            "y", "is_train", *xcols, *new_wcols
+            "doc_id", "source", "y", "is_train", *xcols, *new_wcols
         )
         ws = [F.col(c) for c in new_wcols]
         wcols = new_wcols
@@ -2597,6 +2598,50 @@ def benchmark_bloom_contamination(
                 )
                 + 2
             ).alias("fp_within_bound"),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_model_filtered_counts(documents: DataFrame) -> DataFrame:
+    """The model APPLIED — the actual filtering step of model-based
+    curation: every document (train and held-out alike; production
+    scores the whole corpus) gets its milli-logit score under the
+    trained classifier, and the per-source ledger reports what a
+    keep-if-score>=0 gate would retain. Read next to
+    quality_classifier_eval: the eval says whether to trust the
+    model, this says what it would do to the corpus.
+
+    Scale shape: training is the fixed GD chain; scoring is a narrow
+    projection under a 1-row weight broadcast — at 100 TB the weights
+    are the only state, so the filter is one corpus scan with no
+    shuffle beyond the |sources|-row rollup."""
+    feats, wcols = _qc_gd_chain(documents)
+    z = F.col(wcols[0]) + sum(
+        F.col(wcols[j + 1]) * F.col(f"x{j}")
+        for j in range(QC_N_FEATURES)
+    )
+    s = F.floor(z * QC_SCORE_BIN).cast("long")
+    return (
+        feats.select("source", s.alias("s"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("s") >= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("s") >= 0, 1).otherwise(0))
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("keep_rate"),
+            F.floor(F.sum("s") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_milli_logit"),
         )
         .orderBy("source")
     )

@@ -7810,7 +7810,8 @@ counts AS (SELECT doc_id, source, {cs}
            FROM tok GROUP BY doc_id, source),
 normed AS (SELECT doc_id, source, sqrt({nrm}) AS nrm, * FROM counts),
 feats AS (
-  SELECT CASE WHEN source = '{text.DSIR_TARGET_SOURCE}'
+  SELECT source,
+         CASE WHEN source = '{text.DSIR_TARGET_SOURCE}'
               THEN 1.0 ELSE 0.0 END AS y,
          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
               AS UBIGINT) % 100 AS BIGINT) < 80 AS is_train,
@@ -8064,6 +8065,33 @@ def q_ann_ivfpq_serve_batch(spark, sf_dir):
     idx = _ivfpq_index(spark, sf_dir)
     return similarity.ann_ivfpq_serve_batch(
         idx, _t(spark, sf_dir, "embeddings")
+    )
+
+
+
+
+@query(
+    "quality_model_filtered_counts",
+    _qc_oracle(
+        f""", sc AS (
+  SELECT source,
+         CAST(floor((w0 + {" + ".join(f"w{j + 1} * x{j}" for j in range(_QC_NF))})
+                    * {_QC_BIN}) AS BIGINT) AS s
+  FROM feats CROSS JOIN {{w}})
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       floor(sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) * 1.0 / count(*)
+             * 10000 + 0.5) / 10000.0 AS keep_rate,
+       CAST(floor(sum(s) * 1.0 / count(*)) AS BIGINT) AS mean_milli_logit
+FROM sc GROUP BY source ORDER BY source"""
+    ),
+)
+def q_quality_model_filtered_counts(spark, sf_dir):
+    """The trained quality model APPLIED corpus-wide: per-source
+    keep counts under the score>=0 gate — the filtering ledger next
+    to the eval's go/no-go."""
+    return text.quality_model_filtered_counts(
+        _t(spark, sf_dir, "documents")
     )
 
 

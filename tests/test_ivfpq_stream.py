@@ -121,3 +121,43 @@ def test_segment_publish_is_idempotent(spark, sf_dir, streamed_index):
         spark.read.parquet(seg0).select("vec_id", "sub_id", "code").collect()
     )
     assert before == after
+
+
+def test_compaction_folds_segments_and_preserves_serving(
+    spark, sf_dir, streamed_index
+):
+    """ivfpq_compact_segments merges the L0 segments into the base
+    codes table: the segment area empties, the compacted index equals
+    the pre-compaction base ∪ segments row-for-row, and probe-serving
+    is unchanged (codes only move — they never re-encode)."""
+    import os
+
+    index_path, _ = streamed_index
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = ["vec_id", "cell", "sub_id", "code"]
+    before_codes = sorted(
+        similarity.read_ivfpq_index_with_adds(spark, index_path)["codes"]
+        .select(cols)
+        .collect()
+    )
+    served_before = similarity.ann_ivfpq_serve(
+        similarity.read_ivfpq_index_with_adds(spark, index_path),
+        emb,
+        similarity.IVFPQ_ADD_QUERY,
+    ).collect()
+
+    stats = similarity.ivfpq_compact_segments(spark, index_path)
+    assert stats["n_segments"] >= 3 and stats["n_rows"] > 0
+    assert not os.path.isdir(os.path.join(index_path, "codes_adds"))
+
+    after = similarity.read_ivfpq_index(spark, index_path)
+    assert sorted(after["codes"].select(cols).collect()) == before_codes
+    served_after = similarity.ann_ivfpq_serve(
+        after, emb, similarity.IVFPQ_ADD_QUERY
+    ).collect()
+    assert served_after == served_before
+    # idempotent: nothing left to fold
+    assert similarity.ivfpq_compact_segments(spark, index_path) == {
+        "n_segments": 0,
+        "n_rows": 0,
+    }
