@@ -181,6 +181,7 @@ QUERIES_TO_RUN = [
     "quality_classifier_eval",
     "benchmark_bloom_contamination",
     "ann_ivfpq_serve_batch",
+    "quality_model_filtered_counts",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
