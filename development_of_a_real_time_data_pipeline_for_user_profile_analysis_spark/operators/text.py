@@ -2603,39 +2603,80 @@ def benchmark_bloom_contamination(
     )
 
 
+QC_KEEP_PCT = 20  # the gate keeps the top share of TRAIN scores
+
+
+def _qc_threshold(feats: DataFrame, wcols: list[str]) -> DataFrame:
+    """The model's serving threshold: the milli-logit score at the
+    top-QC_KEEP_PCT% cut of the TRAIN split, located by the
+    histogram-CDF boundary device (dsir_selection_report's) — a
+    1-row broadcastable relation (t, one). The gate keeps s >= t;
+    boundary ties are ALL kept (value-threshold semantics — a
+    serving gate wants a stable score cut, not an exact-k draw).
+    Raw 0.5-probability gating is useless on an imbalanced exemplar
+    class (nothing crosses logit 0 — measured: 0 kept at every SF);
+    a tuned keep-rate threshold is how fastText-style quality
+    filters actually ship."""
+    z = F.col(wcols[0]) + sum(
+        F.col(wcols[j + 1]) * F.col(f"x{j}")
+        for j in range(QC_N_FEATURES)
+    )
+    trs = feats.filter(F.col("is_train")).select(
+        F.floor(z * QC_SCORE_BIN).cast("long").alias("s")
+    )
+    hist = trs.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    n_total = trs.agg(F.count(F.lit(1)).alias("n_total"))
+    k_expr = F.floor(F.col("n_total") * QC_KEEP_PCT / 100)
+    return (
+        hist.withColumn(
+            "cum_before", F.coalesce(F.sum("n").over(wcum), F.lit(0))
+        )
+        .crossJoin(F.broadcast(n_total))
+        .filter(
+            (F.col("cum_before") < k_expr)
+            & (F.col("cum_before") + F.col("n") >= k_expr)
+        )
+        .select(F.col("s").alias("t"), F.lit(1).alias("one"))
+    )
+
+
 def quality_model_filtered_counts(documents: DataFrame) -> DataFrame:
     """The model APPLIED — the actual filtering step of model-based
     curation: every document (train and held-out alike; production
     scores the whole corpus) gets its milli-logit score under the
-    trained classifier, and the per-source ledger reports what a
-    keep-if-score>=0 gate would retain. Read next to
-    quality_classifier_eval: the eval says whether to trust the
-    model, this says what it would do to the corpus.
+    trained classifier, and the per-source ledger reports what the
+    keep-if-score>=threshold gate retains (threshold = the trained
+    top-QC_KEEP_PCT% cut of the train split — _qc_threshold). Read
+    next to quality_classifier_eval: the eval says whether to trust
+    the model, this says what it would do to the corpus.
 
-    Scale shape: training is the fixed GD chain; scoring is a narrow
-    projection under a 1-row weight broadcast — at 100 TB the weights
-    are the only state, so the filter is one corpus scan with no
-    shuffle beyond the |sources|-row rollup."""
+    Scale shape: training is the fixed GD chain; the threshold is a
+    histogram-CDF boundary over train scores (1-row broadcast);
+    scoring is a narrow projection — at 100 TB the weights + one
+    integer threshold are the only model state, so the filter is one
+    corpus scan with no shuffle beyond the |sources|-row rollup."""
     feats, wcols = _qc_gd_chain(documents)
+    thr = _qc_threshold(feats, wcols)
     z = F.col(wcols[0]) + sum(
         F.col(wcols[j + 1]) * F.col(f"x{j}")
         for j in range(QC_N_FEATURES)
     )
     s = F.floor(z * QC_SCORE_BIN).cast("long")
+    kept = F.when(F.col("s") >= F.col("t"), 1).otherwise(0)
     return (
         feats.select("source", s.alias("s"))
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(thr), "one", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("s") >= 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_kept"),
+            F.sum(kept).cast("long").alias("n_kept"),
             (
                 F.floor(
-                    F.sum(F.when(F.col("s") >= 0, 1).otherwise(0))
-                    / F.count(F.lit(1))
-                    * 10000
-                    + 0.5
+                    F.sum(kept) / F.count(F.lit(1)) * 10000 + 0.5
                 ).cast("long")
                 / 10000.0
             ).alias("keep_rate"),
@@ -2645,3 +2686,41 @@ def quality_model_filtered_counts(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def quality_model_scored(
+    documents: DataFrame, weights: dict[str, float]
+) -> DataFrame:
+    """Score documents under FROZEN trained weights (the serving half
+    of the quality model — no training anywhere in this plan): one
+    token shuffle to featurize, then a literal-weight projection to
+    the milli-logit. `weights` is quality_classifier_weights' output
+    collected into {feature: weight} — a handful of floats, embedded
+    as literals exactly like IVF-PQ's probe cells. Returns
+    (doc_id, source, milli_logit); tokenless docs have no feature
+    vector and are out of the model's population."""
+    feats = _qc_feature_table(documents)
+    z = F.lit(float(weights["intercept"])) + sum(
+        F.lit(float(weights[f"h{j}"])) * F.col(f"x{j}")
+        for j in range(QC_N_FEATURES)
+    )
+    return feats.select(
+        "doc_id",
+        "source",
+        F.floor(z * QC_SCORE_BIN).cast("long").alias("milli_logit"),
+    )
+
+
+def quality_model_artifact(documents: DataFrame):
+    """Train once, package for SERVING: ({feature: weight}, threshold)
+    — the entire deployable state of the quality model (9 floats + 1
+    int), the pair run_quality_gate_stream embeds as literals. Two
+    bounded collects (9-row weights, 1-row threshold), both planner
+    scalars. Threshold None on a degenerate corpus (k == 0)."""
+    feats, wcols = _qc_gd_chain(documents)
+    final = feats.agg(*[F.max(c).alias(c) for c in wcols]).collect()[0]
+    names = ["intercept"] + [f"h{j}" for j in range(QC_N_FEATURES)]
+    weights = {n: float(final[c]) for n, c in zip(names, wcols)}
+    t_rows = _qc_threshold(feats, wcols).collect()
+    threshold = int(t_rows[0]["t"]) if t_rows else None
+    return weights, threshold

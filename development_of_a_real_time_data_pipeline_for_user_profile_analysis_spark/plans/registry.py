@@ -8070,18 +8070,21 @@ def q_ann_ivfpq_serve_batch(spark, sf_dir):
 
 
 
+_QC_THR_CTES = ', trs AS (\n  SELECT CAST(floor((w0 + w1 * x0 + w2 * x1 + w3 * x2 + w4 * x3 + w5 * x4 + w6 * x5 + w7 * x6 + w8 * x7) * 1000) AS BIGINT) AS s\n  FROM feats CROSS JOIN {w} WHERE is_train),\nth AS (SELECT s, count(*) AS n FROM trs GROUP BY s),\nthc AS (SELECT s, n,\n               coalesce(sum(n) OVER (ORDER BY s DESC\n                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)\n                 AS cb\n        FROM th),\nkk AS (SELECT CAST(floor(count(*) * 20 / 100.0) AS BIGINT) AS k FROM trs),\nthr AS (SELECT s AS t FROM thc CROSS JOIN kk\n        WHERE cb < k AND cb + n >= k),\nsc AS (\n  SELECT source, CAST(floor((w0 + w1 * x0 + w2 * x1 + w3 * x2 + w4 * x3 + w5 * x4 + w6 * x5 + w7 * x6 + w8 * x7) * 1000) AS BIGINT) AS s\n  FROM feats CROSS JOIN {w})'
+
+
 @query(
     "quality_model_filtered_counts",
+    # threshold = the trained top-20% train-split cut (histogram-CDF
+    # boundary); gate keeps s >= t, boundary ties all kept
     _qc_oracle(
-        f""", sc AS (
-  SELECT source,
-         CAST(floor((w0 + {" + ".join(f"w{j + 1} * x{j}" for j in range(_QC_NF))})
-                    * {_QC_BIN}) AS BIGINT) AS s
-  FROM feats CROSS JOIN {{w}})
+        _QC_THR_CTES
+        + """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       floor(sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) * 1.0 / count(*)
-             * 10000 + 0.5) / 10000.0 AS keep_rate,
+       CAST(sum(CASE WHEN s >= (SELECT t FROM thr) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       floor(sum(CASE WHEN s >= (SELECT t FROM thr) THEN 1 ELSE 0 END)
+             * 1.0 / count(*) * 10000 + 0.5) / 10000.0 AS keep_rate,
        CAST(floor(sum(s) * 1.0 / count(*)) AS BIGINT) AS mean_milli_logit
 FROM sc GROUP BY source ORDER BY source"""
     ),
@@ -8093,6 +8096,86 @@ def q_quality_model_filtered_counts(spark, sf_dir):
     return text.quality_model_filtered_counts(
         _t(spark, sf_dir, "documents")
     )
+
+
+
+
+def _docs_stream(spark, sf_dir):
+    """File-stream over the documents table (the _events_stream
+    device, minus the timestamp-flavor handling — documents has no
+    temporal column): a per-corpus symlink directory satisfies the
+    directory-source requirement."""
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    if os.path.isdir(path):
+        d = path
+    else:
+        tag = hashlib.md5(path.encode()).hexdigest()[:12]
+        d = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+    return spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(d)
+
+
+@query(
+    "streaming_quality_gate",
+    _qc_oracle(
+        _QC_THR_CTES
+        + """
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(floor(sum(s) * 1.0 / count(*)) AS BIGINT) AS mean_milli_logit
+FROM sc WHERE s >= (SELECT t FROM thr)
+GROUP BY source ORDER BY source"""
+    ),
+)
+def q_streaming_quality_gate(spark, sf_dir):
+    """Model-based filtering END TO END across the batch/stream
+    boundary: the classifier trains in batch (9 collected weights —
+    the model artifact), the document stream is gated per micro-batch
+    under those frozen literal weights (streaming/pipeline.py:
+    run_quality_gate_stream, idempotent kept-sink), and the landed
+    kept table rolls up per source. The oracle replays train + score
+    + gate in SQL — so a drift anywhere (featurizer, GD trajectory,
+    scoring, gate threshold, sink) turns the row red."""
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import run_quality_gate_stream
+
+    w, t = text.quality_model_artifact(_t(spark, sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="quality_gate_")
+    try:
+        q = run_quality_gate_stream(
+            spark,
+            _docs_stream(spark, sf_dir),
+            w,
+            t,
+            f"{work}/kept",
+            f"{work}/ckpt",
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(f"{work}/kept")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.floor(F.sum("milli_logit") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("mean_milli_logit"),
+            )
+            .orderBy("source")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # ------------------------------------------------------------------

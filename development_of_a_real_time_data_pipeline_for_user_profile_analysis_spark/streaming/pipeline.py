@@ -517,3 +517,59 @@ def drift_monitor_stream(
             F.lit(True),
         ).alias("alert"),
     )
+
+
+def run_quality_gate_stream(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    weights: dict,
+    threshold: int,
+    kept_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    timings: list | None = None,
+):
+    """Streaming quality gate under the TRAINED model — the serving
+    half of model-based filtering (train in batch:
+    text.quality_classifier_weights; gate the ingest stream here):
+    each micro-batch featurizes (one in-batch token shuffle), scores
+    against the frozen literal weights, and lands only
+    score >= `threshold` docs (the trained top-QC_KEEP_PCT% train-
+    split cut — text.quality_model_artifact ships both) — idempotent
+    per batch (overwrite by batch id, run_pipeline's device). The
+    model artifact is 9 floats + 1 int: no state store, no retrain
+    on the hot path — at 100 TB/day of ingest this is a stateless
+    map over each batch.
+
+    `timings`: optional (batch_id, n_in, n_kept, seconds) hook."""
+    import time
+
+    from ..operators.text import quality_model_scored
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        batch_df.persist()
+        try:
+            n_in = batch_df.count()
+            kept = quality_model_scored(batch_df, weights).filter(
+                F.col("milli_logit") >= F.lit(int(threshold))
+            )
+            kept.write.mode("overwrite").parquet(
+                os.path.join(kept_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+        if timings is not None:
+            n_kept = spark.read.parquet(
+                os.path.join(kept_dir, f"batch_id={batch_id}")
+            ).count()
+            timings.append((batch_id, n_in, n_kept, time.monotonic() - t0))
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
