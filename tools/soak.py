@@ -182,6 +182,7 @@ QUERIES_TO_RUN = [
     "benchmark_bloom_contamination",
     "ann_ivfpq_serve_batch",
     "quality_model_filtered_counts",
+    "streaming_quality_gate",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
