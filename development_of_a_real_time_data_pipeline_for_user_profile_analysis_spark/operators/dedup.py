@@ -1577,3 +1577,42 @@ def semdedup_incremental_prune(
             / 10000.0
         ).alias("keep_rate"),
     ).orderBy("cell")
+
+
+def write_band_index(corpus: DataFrame, path: str) -> None:
+    """Persist the corpus LSH band table — the maintained near-dup
+    artifact incremental_near_dups' docstring promises: computed once
+    per corpus version, probed by every ingest batch. (At production
+    scale, write it bucketed on band_key so the batch probe join is
+    shuffle-free on the corpus side; plain parquet here — the probe
+    broadcasts the batch, so the corpus side never shuffles either
+    way.)"""
+    banded_signatures(corpus).write.mode("overwrite").parquet(path)
+
+
+def incremental_near_dups_indexed(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    batch: DataFrame,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """incremental_near_dups served from the MAINTAINED band index:
+    the corpus is NEVER re-banded — its band table reads straight
+    from the artifact (one parquet scan of (doc_id, band_key) rows),
+    the batch is banded fresh and BROADCAST into the probe join, and
+    only same-bucket pairs are Jaccard-verified. Per-batch cost:
+    band the batch + one broadcast join + verify on candidates —
+    O(|batch|)-driven, with the corpus touched only through the
+    precomputed index and the shingle fetch of candidate docs."""
+    corpus_bands = spark.read.parquet(index_path)
+    batch_bands = banded_signatures(batch).select(
+        F.col("doc_id").alias("doc_b"), "band_key"
+    )
+    cands = (
+        corpus_bands.join(F.broadcast(batch_bands), "band_key")
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(corpus.unionByName(batch), cands)
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)

@@ -2724,3 +2724,95 @@ def quality_model_artifact(documents: DataFrame):
     t_rows = _qc_threshold(feats, wcols).collect()
     threshold = int(t_rows[0]["t"]) if t_rows else None
     return weights, threshold
+
+
+DOREMI_ETA = 10.0  # EG step size on excess loss (static variant)
+DOREMI_SMOOTH = 0.01  # uniform smoothing mass (DoReMi's ε)
+
+
+def doremi_mixture_weights(documents: DataFrame) -> DataFrame:
+    """DoReMi-flavored domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429 — Domain Reweighting with Minimax Optimization),
+    static-proxy variant: each source's EXCESS LOSS (its token-
+    weighted mean unigram NLL above the corpus-wide mean — the
+    unigram_logprob_quality model standing in for DoReMi's proxy LM)
+    drives one exponentiated-gradient reweighting
+    w_s ∝ exp(η·excess_s), uniform-smoothed by ε — upweight the
+    domains the reference model finds hardest, never to zero. The
+    published method iterates proxy-retrain ↔ reweight; with a
+    closed-form unigram proxy the trajectory collapses to this one
+    deterministic step (documented, not hidden).
+
+    Determinism: NLLs live in integer micro-nats; exp() evaluates on
+    the quantized excess and is floor-quantized to integer nano-
+    weights, so the normalizing sum is an exact long sum — no
+    float-order dependence anywhere. Scale shape: one token pass
+    (the TF-IDF shuffles), then all mixture math on the |sources|-row
+    relation.
+    """
+    tok = documents.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("total_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    lp_micro = F.floor(
+        F.log((F.col("c") + 1) / (F.col("total_tokens") + F.col("vocab")))
+        * 1000000
+    ).cast("long")
+    per_src = (
+        tf.join(counts, "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("tf") * lp_micro).alias("lp_sum"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            (-F.floor(F.col("lp_sum") / F.col("n_tokens")))
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    glob = per_src.agg(
+        (
+            -F.floor(F.sum(F.col("nll_micro") * -1 * F.col("n_tokens")) / F.sum("n_tokens"))
+        ).cast("long").alias("nll_global_micro"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    ex = per_src.crossJoin(F.broadcast(glob)).withColumn(
+        "excess_micro",
+        F.greatest(
+            F.col("nll_micro") - F.col("nll_global_micro"), F.lit(0)
+        ).cast("long"),
+    )
+    # exp() parity across engines is proven at 1e-6 quantization
+    # (logistic GD, Bloom fpr) — stay at that grid
+    u = F.floor(
+        F.exp(F.lit(DOREMI_ETA) * F.col("excess_micro") / 1000000.0)
+        * 1000000
+    ).cast("long")
+    weighted = ex.withColumn("u", u)
+    tot = weighted.agg(F.sum("u").alias("u_tot"))
+    eps = DOREMI_SMOOTH
+    alpha_micro = (
+        F.floor(
+            F.lit((1.0 - eps) * 1000000.0) * F.col("u") / F.col("u_tot")
+            + F.lit(eps * 1000000.0) / F.col("n_sources")
+        ).cast("long")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("nll_micro") / 1000000.0).alias("nll"),
+            (F.col("excess_micro") / 1000000.0).alias("excess_loss"),
+            (alpha_micro / 1000000.0).alias("mixture_weight"),
+        )
+        .orderBy("source")
+    )

@@ -7117,7 +7117,7 @@ def _ivfpq_batch(spark, sf_dir):
     )
 
 
-def _ivfpq_tag(sf_dir: str) -> str:
+def _ivfpq_tag(sf_dir: str, table: str = "embeddings") -> str:
     """Artifact cache key: corpus path PLUS a data fingerprint (every
     part-file's name, size, mtime) so a corpus regenerated in place
     — e.g. a rebuilt soak directory — invalidates the cached index
@@ -7125,7 +7125,7 @@ def _ivfpq_tag(sf_dir: str) -> str:
     import hashlib as _h
     import os as _os
 
-    src = _os.path.join(sf_dir, "embeddings.parquet")
+    src = _os.path.join(sf_dir, f"{table}.parquet")
     parts = [_os.path.realpath(sf_dir)]
     paths = (
         sorted(
@@ -8176,6 +8176,121 @@ def q_streaming_quality_gate(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+
+
+@query(
+    "doremi_mixture_weights",
+    f"""WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE tok <> '' GROUP BY source, tok),
+c AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY tok),
+st AS (SELECT sum(c) AS total_tokens, count(*) AS vocab FROM c),
+lp AS (SELECT c.tok,
+              CAST(floor(ln((c.c + 1) * 1.0
+                            / (st.total_tokens + st.vocab)) * 1000000)
+                   AS BIGINT) AS lp_micro
+       FROM c CROSS JOIN st),
+ps AS (SELECT source,
+              CAST(sum(tf) AS BIGINT) AS n_tokens,
+              CAST(-floor(sum(tf * lp_micro) * 1.0 / sum(tf)) AS BIGINT)
+                AS nll_micro
+       FROM tf JOIN lp ON tf.tok = lp.tok GROUP BY source),
+g AS (SELECT CAST(-floor(sum(-nll_micro * n_tokens) * 1.0
+                         / sum(n_tokens)) AS BIGINT) AS nll_g,
+             count(*) AS n_sources
+      FROM ps),
+ex AS (SELECT ps.*, g.n_sources,
+              CAST(greatest(nll_micro - g.nll_g, 0) AS BIGINT)
+                AS excess_micro
+       FROM ps CROSS JOIN g),
+w AS (SELECT ex.*,
+             CAST(floor(exp({text.DOREMI_ETA} * excess_micro / 1000000.0)
+                        * 1000000) AS BIGINT) AS u
+      FROM ex),
+t AS (SELECT sum(u) AS u_tot FROM w)
+SELECT source, n_tokens,
+       nll_micro / 1000000.0 AS nll,
+       excess_micro / 1000000.0 AS excess_loss,
+       CAST(floor({(1.0 - text.DOREMI_SMOOTH) * 1000000.0} * u * 1.0 / u_tot
+                  + {text.DOREMI_SMOOTH * 1000000.0} / n_sources)
+            AS BIGINT) / 1000000.0 AS mixture_weight
+FROM w CROSS JOIN t ORDER BY source""",
+)
+def q_doremi_mixture_weights(spark, sf_dir):
+    """DoReMi-flavored domain reweighting: per-source excess unigram
+    NLL -> exponentiated-gradient mixture weights with uniform
+    smoothing (static-proxy variant; all math in integer micro-nats/
+    nano-weights so both engines agree exactly)."""
+    return text.doremi_mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+
+
+def _band_index_path(spark, sf_dir) -> str:
+    """Build-once maintained LSH band index over the documents table
+    (fingerprint-keyed, atomic publish — the _ivfpq_build_cached
+    protocol)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+    import uuid as _uuid
+
+    tag = _ivfpq_tag(sf_dir, table="documents")
+    path = _os.path.join(_tf.gettempdir(), f"band_index_v1_{tag}")
+    if not _os.path.exists(path):
+        scratch = _os.path.join(
+            _tf.gettempdir(), f".band_build_{_uuid.uuid4().hex}"
+        )
+        dedup.write_band_index(_t(spark, sf_dir, "documents"), scratch)
+        try:
+            _os.rename(scratch, path)
+        except OSError:
+            _shutil.rmtree(scratch, ignore_errors=True)
+    return path
+
+
+@query(
+    "near_dup_probe_indexed",
+    # identical semantics to incremental_near_dups — the artifact
+    # changes WHERE the corpus bands come from, never their values
+    _with_dupes(
+        f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE},
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b ON a.band_key = b.band_key
+          WHERE a.doc_id < 100000 AND b.doc_id >= 100000),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0 >= 0.6"""
+    ),
+)
+def q_near_dup_probe_indexed(spark, sf_dir):
+    """The ingest batch probed against the MAINTAINED band index
+    (build-once parquet artifact; the corpus is never re-banded) —
+    the near-dup twin of the IVF-PQ add/serve lifecycle. Oracle =
+    the full in-plan recompute, so artifact round-trip fidelity is
+    value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = dedup.with_synthetic_dupes(docs).filter(
+        F.col("doc_id") >= 100000
+    )
+    return dedup.incremental_near_dups_indexed(
+        spark, _band_index_path(spark, sf_dir), docs, batch
+    )
 
 
 # ------------------------------------------------------------------

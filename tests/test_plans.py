@@ -1001,3 +1001,15 @@ def test_ivfpq_batch_serve_prunes_and_partitions_by_query(spark, sf_dir):
     ), "no global (partition-less) window may appear in the serve"
     # map-side group-limit pruning fires for both ranking tiers
     assert "WindowGroupLimit [qid" in plan
+
+
+def test_band_index_probe_reads_artifact_broadcasts_batch(spark, sf_dir):
+    """The indexed near-dup probe must read corpus bands from the
+    persisted artifact (no in-plan re-banding of the corpus: exactly
+    one minhash chain — the batch's) and broadcast the batch side
+    into the band-key join."""
+    plan = _plan(spark, "near_dup_probe_indexed", sf_dir)
+    assert "BroadcastHashJoin [band_key" in plan
+    # the artifact scan shows up as a plain parquet read of band rows
+    assert "band_index_v1_" in plan
+    assert "CartesianProduct" not in plan

@@ -183,6 +183,8 @@ QUERIES_TO_RUN = [
     "ann_ivfpq_serve_batch",
     "quality_model_filtered_counts",
     "streaming_quality_gate",
+    "doremi_mixture_weights",
+    "near_dup_probe_indexed",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
