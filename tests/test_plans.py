@@ -1013,3 +1013,28 @@ def test_band_index_probe_reads_artifact_broadcasts_batch(spark, sf_dir):
     # the artifact scan shows up as a plain parquet read of band rows
     assert "band_index_v1_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doremi_single_token_pass_no_windows(spark, sf_dir):
+    """DoReMi reweighting must be one token pass + |sources|-row
+    mixture math: no window anywhere (the normalizing sum is a 1-row
+    aggregate), no join wider than the broadcast stats, no sort of
+    the corpus."""
+    plan = _plan(spark, "doremi_mixture_weights", sf_dir)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_filter_threshold_is_broadcast_boundary(spark, sf_dir):
+    """The trained keep-threshold must reach the corpus scoring scan
+    as a 1-row broadcast: no global rank anywhere in the gate (the
+    only Window is the descending train-score histogram CDF), no
+    sort-merge join, and every nested-loop join is one of the
+    designed 1-row planner scalars (GD weight folds + the boundary —
+    the constant-key joins Catalyst collapses to BNLJ broadcasts)."""
+    plan = _plan(spark, "quality_model_filtered_counts", sf_dir)
+    assert "row_number" not in plan
+    assert "SortMergeJoin" not in plan
+    w_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert w_lines and all("DESC" in l for l in w_lines)  # CDF only
