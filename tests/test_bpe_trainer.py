@@ -58,3 +58,20 @@ def test_fertility_from_learned_merges_invariants(spark, sf_dir):
         assert 0 < r["compression"] <= 1.0
         # fertility must sit between 1 token/word and chars/word
         assert 1.0 <= r["fertility"] <= r["base_symbols"] / r["n_words"] + 1e-9
+
+
+def test_bpe_degenerate_corpus_terminates_cleanly(spark):
+    """ADVICE r5: a corpus whose words are all single symbols has no
+    mergeable pair — the trainer must stop with an empty merge list,
+    not raise on the NULL argmax."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.text import (
+        _bpe_chain,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c a")], "doc_id long, text string"
+    )
+    learned, words, base = _bpe_chain(docs, 3)
+    base.unpersist()
+    assert learned == []
+    assert words.count() == 3  # the distinct-word table survives

@@ -2397,3 +2397,31 @@ def test_epoch_budget_flags_small_sources(spark):
     assert got["small"].over_repeat_cap  # tiny source over-repeats
     assert not got["big"].over_repeat_cap
     assert got["small"].epochs > got["big"].epochs
+
+
+def test_zero_norm_embedding_cosine_is_zero_never_nan(spark):
+    """ADVICE r5: a zero-norm embedding must behave as cosine 0 with
+    everything (eps-clamped normalize), never NaN — in both the
+    block-pair BLAS kernel and the SemDeDup cell kernel."""
+    import math
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        dedup,
+    )
+
+    rows = [
+        (1, [0.0] * 8),
+        (2, [1.0] + [0.0] * 7),
+        (3, [1.0] + [0.0] * 7),
+        (4, [0.0] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_near_dupes(df, threshold=0.45).collect()
+    assert all(not math.isnan(r["cosine"]) for r in out)
+    # only the identical nonzero pair survives; zero vectors pair
+    # with nothing (cosine 0 < threshold), including each other
+    assert {(r["vec_a"], r["vec_b"]) for r in out} == {(2, 3)}
+
+    ledger = dedup.semdedup_prune_plan(df, k=2).collect()
+    assert sum(r["n_pruned"] for r in ledger) == 1  # vec 3 only
+    assert all(not math.isnan(r["keep_rate"]) for r in ledger)
