@@ -2816,3 +2816,74 @@ def doremi_mixture_weights(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CURRICULUM_PHASES = ((1, 0), (2, 3), (3, 6))  # (phase, min quality decile)
+
+
+def curriculum_phase_plan(documents: DataFrame) -> DataFrame:
+    """Quality-annealed curriculum plan — the "end training on the
+    best data" recipe (quality-ordered curricula / annealed data
+    schedules): each training phase admits only documents at or above
+    a minimum quality DECILE, so late phases see a progressively
+    cleaner corpus. Returns one row per phase: admission floor, doc
+    and token counts, share of the corpus — the table a training run
+    reads to cut its phase boundaries.
+
+    Scale shape: one corpus scan into a per-score histogram (scores
+    are 4-dp quantized — |distinct| bounded regardless of corpus
+    size), deciles assigned on the HISTOGRAM by the quality_deciles
+    CDF device, then phases × deciles is a ≤|phases|·10-row join —
+    no per-doc decile join, no global sort, nothing corpus-sized
+    after the first aggregate.
+    """
+    scored = documents.select(
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    hist = scored.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").cast("long").alias("tok"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    total = Window.partitionBy()
+    with_dec = hist.select(
+        "n",
+        "tok",
+        F.least(
+            F.lit(9),
+            F.floor(
+                10
+                * F.coalesce(F.sum("n").over(w), F.lit(0))
+                / F.sum("n").over(total)
+            ),
+        ).alias("decile"),
+    )
+    per_dec = with_dec.groupBy("decile").agg(
+        F.sum("n").alias("n"), F.sum("tok").alias("tok")
+    )
+    phases = documents.sparkSession.createDataFrame(
+        list(CURRICULUM_PHASES), "phase long, min_decile long"
+    )
+    tot = per_dec.agg(F.sum("n").alias("n_total"))
+    return (
+        phases.join(per_dec, per_dec.decile >= phases.min_decile)
+        .groupBy("phase", "min_decile")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "phase",
+            "min_decile",
+            "n_docs",
+            "n_tokens",
+            (
+                F.floor(F.col("n_docs") / F.col("n_total") * 10000 + 0.5)
+                .cast("long")
+                / 10000.0
+            ).alias("doc_share"),
+        )
+        .orderBy("phase")
+    )

@@ -8320,6 +8320,48 @@ def q_near_dup_probe_indexed(spark, sf_dir):
     )
 
 
+
+
+_PHASES_SQL = ", ".join(
+    f"({p}, {d})" for p, d in text.CURRICULUM_PHASES
+)
+
+
+@query(
+    "curriculum_phase_plan",
+    f"""WITH hist AS (
+  SELECT {{q}} AS q, count(*) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+  FROM documents GROUP BY 1),
+cdf AS (
+  SELECT n, tok,
+         least(9, CAST(floor(10 * coalesce(
+           sum(n) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)
+           / sum(n) OVER ()) AS BIGINT)) AS decile
+  FROM hist),
+pd AS (SELECT decile, sum(n) AS n, sum(tok) AS tok
+       FROM cdf GROUP BY decile),
+ph AS (SELECT * FROM (VALUES {_PHASES_SQL}) t(phase, min_decile)),
+tt AS (SELECT sum(n) AS n_total FROM pd)
+SELECT CAST(phase AS BIGINT) AS phase,
+       CAST(min_decile AS BIGINT) AS min_decile,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       floor(sum(n) * 1.0 / n_total * 10000 + 0.5) / 10000.0
+         AS doc_share
+FROM ph JOIN pd ON pd.decile >= ph.min_decile CROSS JOIN tt
+GROUP BY phase, min_decile, n_total ORDER BY phase""".replace(
+        "{q}", _SQL_QUALITY
+    ),
+)
+def q_curriculum_phase_plan(spark, sf_dir):
+    """Quality-annealed curriculum: per-phase min-decile admission
+    over the histogram-CDF decile grid — docs/tokens/share per
+    training phase."""
+    return text.curriculum_phase_plan(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------------
 # Export ordering
 # ------------------------------------------------------------------

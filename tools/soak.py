@@ -185,6 +185,7 @@ QUERIES_TO_RUN = [
     "streaming_quality_gate",
     "doremi_mixture_weights",
     "near_dup_probe_indexed",
+    "curriculum_phase_plan",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
