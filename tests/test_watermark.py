@@ -223,7 +223,11 @@ def test_watermark_drop_is_observable_in_progress(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination returns False (no raise) on timeout — under a
+    # loaded machine 120 s was occasionally not enough and the
+    # truncated recentProgress flaked the metric sums; wait longer
+    # and assert the run actually finished
+    assert q.awaitTermination(600), "availableNow run did not finish"
     dropped = sum(
         op["numRowsDroppedByWatermark"]
         for p in q.recentProgress
