@@ -2887,3 +2887,67 @@ def curriculum_phase_plan(documents: DataFrame) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+BLOCKLIST_TERMS = ("merge", "window", "truncate")  # parameterized list
+BLOCKLIST_MAX_PER_10K = 100  # flag at >= 1% blocklisted-token density
+
+
+def blocklist_filter_report(
+    documents: DataFrame,
+    terms: tuple = BLOCKLIST_TERMS,
+    max_per_10k: int = BLOCKLIST_MAX_PER_10K,
+) -> DataFrame:
+    """Rule-based blocklist (safety) filtering — the wordlist gate
+    every published curation pipeline runs before the model-based
+    tiers (RefinedWeb/C4-style banned-word filters): a document is
+    FLAGGED when its blocklisted-token density reaches
+    `max_per_10k` per 10k tokens (density, not raw count, so long
+    documents aren't over-flagged). The term list is a parameterized
+    constant interpolated into the oracle (lockstep pattern); the
+    corpus-absent term exercises the zero-hit path. Returns the
+    per-source ledger: docs, flagged, flag rate, mean density.
+
+    Scale shape: the blocklist test is a literal IN predicate inside
+    the one token pass — no join at all, not even a broadcast; the
+    per-doc rollup is the single (doc, source) shuffle and the
+    ledger is |sources| rows. Density compare is integer cross-
+    multiplication (hits·10⁴ ≥ threshold·tokens) — no division on
+    the flag path.
+    """
+    hit = F.col("tok").isin(list(terms))
+    per_doc = (
+        documents.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(hit.cast("long")).alias("n_hits"),
+        )
+    )
+    flagged = (
+        F.col("n_hits") * 10000 >= F.lit(max_per_10k) * F.col("n_tokens")
+    ).cast("long")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flagged).cast("long").alias("n_flagged"),
+            (
+                F.floor(
+                    F.sum(flagged) / F.count(F.lit(1)) * 10000 + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("flag_rate"),
+            (
+                F.floor(
+                    F.sum("n_hits") / F.sum("n_tokens") * 10000 * 10000
+                    + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("mean_hits_per_10k"),
+        )
+        .orderBy("source")
+    )

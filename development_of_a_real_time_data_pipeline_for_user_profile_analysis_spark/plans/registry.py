@@ -8362,6 +8362,41 @@ def q_curriculum_phase_plan(spark, sf_dir):
     return text.curriculum_phase_plan(_t(spark, sf_dir, "documents"))
 
 
+
+
+_BL_TERMS_SQL = ", ".join(f"'{t}'" for t in text.BLOCKLIST_TERMS)
+
+
+@query(
+    "blocklist_filter_report",
+    f"""WITH pd AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN tok IN ({_BL_TERMS_SQL}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, source)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_hits * 10000
+                      >= {text.BLOCKLIST_MAX_PER_10K} * n_tokens
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       floor(sum(CASE WHEN n_hits * 10000
+                       >= {text.BLOCKLIST_MAX_PER_10K} * n_tokens
+                      THEN 1 ELSE 0 END) * 1.0 / count(*) * 10000 + 0.5)
+         / 10000.0 AS flag_rate,
+       floor(sum(n_hits) * 1.0 / sum(n_tokens) * 10000 * 10000 + 0.5)
+         / 10000.0 AS mean_hits_per_10k
+FROM pd GROUP BY source ORDER BY source""",
+)
+def q_blocklist_filter_report(spark, sf_dir):
+    """Rule-based blocklist (safety) gate: per-source flag ledger at
+    the 1%-density threshold — the wordlist tier ahead of the
+    model-based quality gates; literal IN inside the token pass, no
+    join anywhere."""
+    return text.blocklist_filter_report(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------------
 # Export ordering
 # ------------------------------------------------------------------

@@ -186,6 +186,7 @@ QUERIES_TO_RUN = [
     "doremi_mixture_weights",
     "near_dup_probe_indexed",
     "curriculum_phase_plan",
+    "blocklist_filter_report",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
