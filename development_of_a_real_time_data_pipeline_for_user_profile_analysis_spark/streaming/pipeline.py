@@ -551,8 +551,15 @@ def run_quality_gate_stream(
         batch_df.persist()
         try:
             n_in = batch_df.count()
-            kept = quality_model_scored(batch_df, weights).filter(
-                F.col("milli_logit") >= F.lit(int(threshold))
+            scored = quality_model_scored(batch_df, weights)
+            # threshold None = degenerate training corpus (k == 0):
+            # the gate keeps nothing rather than crashing the stream
+            kept = (
+                scored.filter(F.lit(False))
+                if threshold is None
+                else scored.filter(
+                    F.col("milli_logit") >= F.lit(int(threshold))
+                )
             )
             kept.write.mode("overwrite").parquet(
                 os.path.join(kept_dir, f"batch_id={batch_id}")
