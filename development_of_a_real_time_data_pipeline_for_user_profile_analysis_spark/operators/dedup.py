@@ -1616,3 +1616,265 @@ def incremental_near_dups_indexed(
     )
     verified = ngram_jaccard_pairs(corpus.unionByName(batch), cands)
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+# ------------------------------------------------------------------
+# Chunk-level exact-substring dedup (document reconstruction) and the
+# normalization dedup tier — the two tiers between byte-exact and
+# MinHash in an LLM curation funnel.
+# ------------------------------------------------------------------
+
+
+def chunk_dedup_report(documents: DataFrame) -> DataFrame:
+    """Exact-substring dedup at CDC-chunk granularity with document
+    reconstruction accounting (the Lee et al. "deduplicating training
+    data" ExactSubstr pass, approximated at content-defined chunk
+    boundaries): the FIRST occurrence of each chunk digest — ordered
+    by (doc_id, chunk_id) — survives; every later occurrence is cut
+    from its document. Reports, per source, how much text the
+    reconstruction keeps: a doc whose every chunk appeared earlier in
+    the corpus reconstructs to zero words (an exact or
+    subset-duplicate), partial overlaps lose only the shared spans.
+
+    Scale shape: cdc_chunk_table's per-doc windows; keeper selection
+    is min(struct(doc_id, chunk_id)) per digest — a uniform
+    digest-keyed aggregation, no per-digest sort; the keeper join is
+    digest-keyed (same shuffle); the doc rollup and source rollup are
+    keyed aggregations. Nothing global, nothing all-pairs.
+    """
+    from .text import cdc_chunk_table
+
+    chunks = cdc_chunk_table(documents)
+    keepers = chunks.groupBy("digest").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("k")
+    )
+    marked = chunks.join(keepers, "digest").select(
+        "doc_id",
+        "n_words",
+        (
+            (F.col("doc_id") == F.col("k.doc_id"))
+            & (F.col("chunk_id") == F.col("k.chunk_id"))
+        ).alias("is_keeper"),
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.sum("n_words").cast("long").alias("w_total"),
+        F.sum(F.when(F.col("is_keeper"), F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("w_kept"),
+    )
+    return (
+        per_doc.join(documents.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w_total").cast("long").alias("total_words"),
+            F.sum("w_kept").cast("long").alias("kept_words"),
+            (F.sum("w_total") - F.sum("w_kept"))
+            .cast("long")
+            .alias("removed_words"),
+            F.sum(F.when(F.col("w_kept") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("fully_dup_docs"),
+            F.floor(
+                (F.lit(1) - F.sum("w_kept") / F.sum("w_total")) * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("removed_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Normalization-tier canonical form: lowercase, strip everything
+    outside [a-z0-9 ], collapse whitespace runs, trim. Catches
+    trivially-reformatted duplicates (case changes, punctuation
+    injection, double spacing) that byte-exact dedup misses while
+    staying a pure JVM regexp chain — no Python in the row path.
+    DuckDB mirror uses the same patterns with the 'g' flag."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
+def with_normalization_variants(documents: DataFrame) -> DataFrame:
+    """Extend a corpus with deterministic normalization-tier
+    positives: every 11th doc gets an uppercased, punctuation-noised
+    copy — invisible to byte-exact dedup, collapsed by the
+    normalization tier. Mirrored by NORMVAR_ORACLE_CTE."""
+    v = (
+        documents.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 300000)
+        .withColumn(
+            "text", F.concat(F.upper(F.col("text")), F.lit("  !!"))
+        )
+    )
+    return documents.unionByName(v)
+
+
+# SQL mirror of with_normalization_variants over the `dupes` CTE
+# (DuckDB dialect). Keep in lockstep with the function above.
+NORMVAR_ORACLE_CTE = """
+normvar AS (
+  SELECT doc_id, text, lang, source, n_chars FROM dupes
+  UNION ALL
+  SELECT doc_id + 300000, upper(text) || '  !!', lang, source, n_chars
+  FROM dupes WHERE doc_id % 11 = 0
+)"""
+
+# SQL form of normalize_text (DuckDB dialect; {col} interpolated).
+NORMALIZE_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), "
+    "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def normalized_dedup_report(documents: DataFrame) -> DataFrame:
+    """Normalization-tier dedup audit: how many duplicate groups the
+    canonical form finds beyond byte-exact. One row:
+    (n_docs, exact_groups, norm_groups, extra_merged,
+    docs_removed_norm, removed_ppm).
+
+    Scale shape: one scan computes both digests map-side; two
+    count-distinct aggregations over uniform 128-bit keys (partial
+    aggregation applies); output is one row.
+    """
+    digests = documents.select(
+        F.md5("text").alias("exact_hash"),
+        F.md5(normalize_text(F.col("text"))).alias("norm_hash"),
+    )
+    return digests.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("exact_hash").alias("exact_groups"),
+        F.countDistinct("norm_hash").alias("norm_groups"),
+        (F.countDistinct("exact_hash") - F.countDistinct("norm_hash"))
+        .cast("long")
+        .alias("extra_merged"),
+        (F.count(F.lit(1)) - F.countDistinct("norm_hash"))
+        .cast("long")
+        .alias("docs_removed_norm"),
+        F.floor(
+            (
+                F.lit(1)
+                - F.countDistinct("norm_hash") / F.count(F.lit(1))
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("removed_ppm"),
+    )
+
+
+def normalized_dedup_docs(documents: DataFrame) -> DataFrame:
+    """The normalization-tier curation output: docs surviving dedup
+    on the canonical form (lowest doc_id per normalized digest wins).
+    Same keeper discipline as exact_dedup — one digest-keyed
+    aggregation plus a semi-join."""
+    keepers = (
+        documents.select(
+            F.md5(normalize_text(F.col("text"))).alias("norm_hash"),
+            "doc_id",
+        )
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return documents.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def dedup_funnel_report(documents: DataFrame) -> DataFrame:
+    """The curation funnel a dataset card reports: documents and
+    words surviving each dedup tier, applied cumulatively —
+    raw → byte-exact → normalized → chunk-substring. Tiers 2-3 keep
+    the lowest doc_id per (exact|normalized) digest; tier 4
+    reconstructs the normalized survivors at CDC-chunk granularity
+    and counts a doc as surviving while any chunk of it remains
+    (kept words are the reconstruction residue).
+
+    Scale shape: each tier is a digest-keyed aggregation or
+    semi-join on uniform keys; the chunk tier adds cdc_chunk_table's
+    per-doc windows. Output is 4 rows of exact integers.
+    """
+    from .text import cdc_chunk_table
+
+    words_of = F.size(F.split("text", " "))
+    base = documents.select(
+        "doc_id",
+        "text",
+        words_of.alias("n_words"),
+        F.md5("text").alias("exact_hash"),
+        F.md5(normalize_text(F.col("text"))).alias("norm_hash"),
+    )
+
+    def tier_row(tier_id, tier, df, docs_col, words_col):
+        return df.agg(
+            F.lit(tier_id).alias("tier_id"),
+            F.lit(tier).alias("tier"),
+            docs_col.cast("long").alias("n_docs"),
+            words_col.cast("long").alias("n_words"),
+        )
+
+    raw = tier_row(
+        1, "raw", base, F.count(F.lit(1)), F.sum("n_words")
+    )
+    exact_keep = base.groupBy("exact_hash").agg(
+        F.min(F.struct("doc_id", "n_words", "norm_hash")).alias("k")
+    )
+    exact = tier_row(
+        2,
+        "exact",
+        exact_keep,
+        F.count(F.lit(1)),
+        F.sum("k.n_words"),
+    )
+    norm_keep = (
+        exact_keep.select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.n_words").alias("n_words"),
+            F.col("k.norm_hash").alias("norm_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(F.min(F.struct("doc_id", "n_words")).alias("k"))
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.n_words").alias("n_words"),
+        )
+    )
+    norm = tier_row(
+        3, "normalized", norm_keep, F.count(F.lit(1)), F.sum("n_words")
+    )
+    survivors = base.join(
+        norm_keep.select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "text")
+    chunks = cdc_chunk_table(survivors)
+    keepers = chunks.groupBy("digest").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("k")
+    )
+    kept = (
+        chunks.join(keepers, "digest")
+        .filter(
+            (F.col("doc_id") == F.col("k.doc_id"))
+            & (F.col("chunk_id") == F.col("k.chunk_id"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("n_words").alias("w_kept"))
+    )
+    chunk_tier = tier_row(
+        4,
+        "chunk_substring",
+        kept,
+        F.count(F.lit(1)),
+        F.sum("w_kept"),
+    )
+    return (
+        raw.unionByName(exact)
+        .unionByName(norm)
+        .unionByName(chunk_tier)
+        .orderBy("tier_id")
+    )

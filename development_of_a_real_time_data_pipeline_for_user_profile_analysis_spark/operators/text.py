@@ -1568,24 +1568,19 @@ def quality_quantile_norm(documents: DataFrame) -> DataFrame:
 CDC_BOUNDARY_MOD = 16  # interpolated into the registry oracle
 
 
-def content_defined_chunks(
+def cdc_chunk_table(
     documents: DataFrame, boundary_mod: int = CDC_BOUNDARY_MOD
 ) -> DataFrame:
-    """Content-defined chunking (CDC) dedup audit — the
-    storage-layer dedup technique for a 100 TB corpus with shifted
-    duplicate content: chunk boundaries fall where the WORD hash
-    satisfies md5(word) % boundary_mod == 0 (content-defined, so an
-    insertion only perturbs its own chunk, unlike fixed-width
-    blocks), and identical chunks across documents dedupe by digest.
-    Reports the chunking geometry (chunks, mean words per chunk) and
-    the cross-doc dedup payoff (distinct vs total chunks, share of
-    chunk instances that are redundant copies).
+    """Content-defined chunk relation: (doc_id, chunk_id, n_words,
+    digest), one row per chunk instance. Chunk boundaries fall where
+    the WORD hash satisfies md5(word) % boundary_mod == 0
+    (content-defined, so an insertion only perturbs its own chunk,
+    unlike fixed-width blocks). Shared by the CDC dedup audit and the
+    chunk-level exact-substring dedup (dedup.chunk_dedup_report).
 
     Scale shape: per-doc posexplode (map-side), boundary flags and
     chunk ids via a PER-DOC window (bounded by doc length, never
-    global), chunk assembly is one (doc, chunk) groupBy, and the
-    dedup rollup is one digest-keyed aggregation — the same
-    uniform-digest shuffle as exact dedup.
+    global), chunk assembly is one (doc, chunk) groupBy.
     """
     words = documents.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
@@ -1604,7 +1599,7 @@ def content_defined_chunks(
         .over(wdoc)
         .alias("chunk_id"),
     )
-    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+    return chunked.groupBy("doc_id", "chunk_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.md5(
             F.concat_ws(
@@ -1618,6 +1613,23 @@ def content_defined_chunks(
             )
         ).alias("digest"),
     )
+
+
+def content_defined_chunks(
+    documents: DataFrame, boundary_mod: int = CDC_BOUNDARY_MOD
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup audit — the
+    storage-layer dedup technique for a 100 TB corpus with shifted
+    duplicate content: identical chunks across documents dedupe by
+    digest. Reports the chunking geometry (chunks, mean words per
+    chunk) and the cross-doc dedup payoff (distinct vs total chunks,
+    share of chunk instances that are redundant copies).
+
+    Scale shape: cdc_chunk_table's per-doc windows, then one
+    digest-keyed aggregation — the same uniform-digest shuffle as
+    exact dedup.
+    """
+    chunks = cdc_chunk_table(documents, boundary_mod)
     per_digest = chunks.groupBy("digest").agg(
         F.count(F.lit(1)).alias("n_copies"),
         F.max("n_words").alias("n_words"),

@@ -8397,6 +8397,151 @@ def q_blocklist_filter_report(spark, sf_dir):
     return text.blocklist_filter_report(_t(spark, sf_dir, "documents"))
 
 
+def _cdc_ctes(rel: str) -> str:
+    """The content-defined chunk relation as DuckDB CTEs over `rel`
+    — SQL mirror of text.cdc_chunk_table (w → boundary flags →
+    running chunk_id → chunk digests). Produces CTE `ch` with
+    (doc_id, chunk_id, n_words, digest)."""
+    return f"""w AS (SELECT doc_id,
+              generate_subscripts(string_split(text, ' '), 1) AS pos,
+              unnest(string_split(text, ' ')) AS word FROM {rel}),
+  b AS (SELECT doc_id, pos, word,
+               CASE WHEN CAST(CAST('0x' || substr(md5(word), 1, 8)
+                    AS UBIGINT) AS BIGINT) % {text.CDC_BOUNDARY_MOD} = 0
+                    THEN 1 ELSE 0 END AS isb FROM w),
+  c AS (SELECT doc_id, pos, word,
+               sum(isb) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS chunk_id FROM b),
+  ch AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_words,
+                md5(string_agg(word, ' ' ORDER BY pos)) AS digest
+         FROM c GROUP BY doc_id, chunk_id)"""
+
+
+_NORM_SQL = dedup.NORMALIZE_SQL.format(col="text")
+
+
+@query(
+    "chunk_dedup_report",
+    _with_dupes(
+        f""", {_cdc_ctes('dupes')},
+  rk AS (SELECT doc_id, chunk_id, n_words,
+                row_number() OVER (PARTITION BY digest
+                                   ORDER BY doc_id, chunk_id) AS rn
+         FROM ch),
+  pd AS (SELECT doc_id, CAST(sum(n_words) AS BIGINT) AS w_total,
+                CAST(sum(CASE WHEN rn = 1 THEN n_words ELSE 0 END)
+                     AS BIGINT) AS w_kept
+         FROM rk GROUP BY doc_id)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w_total) AS BIGINT) AS total_words,
+       CAST(sum(w_kept) AS BIGINT) AS kept_words,
+       CAST(sum(w_total) - sum(w_kept) AS BIGINT) AS removed_words,
+       CAST(sum(CASE WHEN w_kept = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS fully_dup_docs,
+       CAST(floor((1 - sum(w_kept) * 1.0 / sum(w_total)) * 1000000
+                  + 0.5) AS BIGINT) AS removed_ppm
+FROM pd JOIN dupes d USING (doc_id)
+GROUP BY d.source ORDER BY d.source"""
+    ),
+)
+def q_chunk_dedup_report(spark, sf_dir):
+    """Chunk-level exact-substring dedup with document
+    reconstruction: first occurrence of each CDC-chunk digest
+    survives, per-source words-removed ledger (the ExactSubstr pass
+    of an LLM curation pipeline at chunk granularity)."""
+    return dedup.chunk_dedup_report(_dupes_df(spark, sf_dir))
+
+
+def _with_normvar(sql: str) -> str:
+    return (
+        f"WITH {dedup.DUPES_ORACLE_CTE}, {dedup.NORMVAR_ORACLE_CTE} {sql}"
+    )
+
+
+def _normvar_df(spark, sf_dir):
+    return dedup.with_normalization_variants(_dupes_df(spark, sf_dir))
+
+
+@query(
+    "normalized_dedup_report",
+    _with_normvar(
+        f""", d AS (SELECT md5(text) AS eh, md5({_NORM_SQL}) AS nh
+               FROM normvar)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT eh) AS BIGINT) AS exact_groups,
+       CAST(count(DISTINCT nh) AS BIGINT) AS norm_groups,
+       CAST(count(DISTINCT eh) - count(DISTINCT nh) AS BIGINT)
+         AS extra_merged,
+       CAST(count(*) - count(DISTINCT nh) AS BIGINT)
+         AS docs_removed_norm,
+       CAST(floor((1 - count(DISTINCT nh) * 1.0 / count(*)) * 1000000
+                  + 0.5) AS BIGINT) AS removed_ppm
+FROM d"""
+    ),
+)
+def q_normalized_dedup_report(spark, sf_dir):
+    """Normalization-tier dedup audit: duplicate groups the
+    lowercase/punct-strip/whitespace-collapse canonical form merges
+    beyond byte-exact — the tier that catches reformatted copies
+    before the MinHash tiers pay for them."""
+    return dedup.normalized_dedup_report(_normvar_df(spark, sf_dir))
+
+
+@query(
+    "normalized_dedup_docs",
+    _with_normvar(
+        f"""SELECT doc_id, source, n_chars FROM normvar
+WHERE doc_id IN (SELECT min(doc_id) FROM normvar
+                 GROUP BY md5({_NORM_SQL}))"""
+    ),
+)
+def q_normalized_dedup_docs(spark, sf_dir):
+    """Normalization-tier curation output: surviving docs, lowest
+    doc_id per normalized digest (keeper discipline identical to
+    dedup_exact_docs one tier up)."""
+    return dedup.normalized_dedup_docs(_normvar_df(spark, sf_dir))
+
+
+@query(
+    "dedup_funnel_report",
+    _with_normvar(
+        f""", base AS (SELECT doc_id, text,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                md5(text) AS eh, md5({_NORM_SQL}) AS nh
+         FROM normvar),
+  ek AS (SELECT eh, min(doc_id) AS kid FROM base GROUP BY eh),
+  ekr AS (SELECT b.* FROM base b JOIN ek ON b.doc_id = ek.kid),
+  nk AS (SELECT nh, min(doc_id) AS kid FROM ekr GROUP BY nh),
+  nkr AS (SELECT b.* FROM ekr b JOIN nk ON b.doc_id = nk.kid),
+  {_cdc_ctes('nkr')},
+  rk AS (SELECT doc_id, n_words,
+                row_number() OVER (PARTITION BY digest
+                                   ORDER BY doc_id, chunk_id) AS rn
+         FROM ch),
+  kept AS (SELECT doc_id, CAST(sum(n_words) AS BIGINT) AS w_kept
+           FROM rk WHERE rn = 1 GROUP BY doc_id)
+SELECT 1 AS tier_id, 'raw' AS tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words FROM base
+UNION ALL
+SELECT 2, 'exact', CAST(count(*) AS BIGINT),
+       CAST(sum(n_words) AS BIGINT) FROM ekr
+UNION ALL
+SELECT 3, 'normalized', CAST(count(*) AS BIGINT),
+       CAST(sum(n_words) AS BIGINT) FROM nkr
+UNION ALL
+SELECT 4, 'chunk_substring', CAST(count(*) AS BIGINT),
+       CAST(sum(w_kept) AS BIGINT) FROM kept
+ORDER BY tier_id"""
+    ),
+)
+def q_dedup_funnel_report(spark, sf_dir):
+    """The dataset-card curation funnel: docs and words surviving
+    each cumulative dedup tier (raw → byte-exact → normalized →
+    chunk-substring reconstruction) — 4 rows of exact integers."""
+    return dedup.dedup_funnel_report(_normvar_df(spark, sf_dir))
+
+
 # ------------------------------------------------------------------
 # Export ordering
 # ------------------------------------------------------------------

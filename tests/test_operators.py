@@ -2425,3 +2425,82 @@ def test_zero_norm_embedding_cosine_is_zero_never_nan(spark):
     ledger = dedup.semdedup_prune_plan(df, k=2).collect()
     assert sum(r["n_pruned"] for r in ledger) == 1  # vec 3 only
     assert all(not math.isnan(r["keep_rate"]) for r in ledger)
+
+
+def test_chunk_dedup_reconstruction_accounting(spark):
+    base = " ".join(f"word{i}" for i in range(60))  # no internal repeats
+    other = " ".join(f"other{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "a", len(base)),
+            (2, base, "en", "a", len(base)),      # exact copy: reconstructs to 0
+            (3, base + " unique tail words", "en", "b", 0),  # partial overlap
+            (4, other, "en", "b", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = {r.source: r for r in dedup.chunk_dedup_report(docs).collect()}
+    # source a: doc 2 is a full duplicate of doc 1
+    assert rep["a"].fully_dup_docs == 1
+    assert rep["a"].kept_words == rep["a"].total_words // 2 == 60
+    assert rep["a"].removed_ppm == 500000
+    # source b: doc 3 loses the chunks shared with doc 1, keeps its tail;
+    # doc 4 is untouched
+    assert rep["b"].fully_dup_docs == 0
+    assert 0 < rep["b"].removed_words < rep["b"].total_words
+    for r in rep.values():
+        assert r.kept_words + r.removed_words == r.total_words
+
+
+def test_chunk_dedup_removes_intra_doc_repetition(spark):
+    unit = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(1, " ".join([unit] * 3), "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = dedup.chunk_dedup_report(docs).collect()[0]
+    # the 2nd/3rd repetitions of the unit dedupe against the first —
+    # ExactSubstr semantics apply WITHIN a document too
+    assert rep.total_words == 60
+    assert rep.kept_words < rep.total_words
+    assert rep.fully_dup_docs == 0  # the first occurrence always survives
+
+
+def test_normalized_dedup_merges_reformatted_copies(spark):
+    base = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, base.upper() + "  !!", "en", "s", 0),  # normalized dup only
+            (3, base, "en", "s", len(base)),           # exact dup
+            (4, "some other document entirely", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = dedup.normalized_dedup_report(docs).collect()[0]
+    assert rep.n_docs == 4
+    assert rep.exact_groups == 3       # docs 1+3 merge byte-exact
+    assert rep.norm_groups == 2        # doc 2 merges at the norm tier
+    assert rep.extra_merged == 1
+    assert rep.docs_removed_norm == 2
+    kept = sorted(r.doc_id for r in dedup.normalized_dedup_docs(docs).collect())
+    assert kept == [1, 4]
+
+
+def test_dedup_funnel_is_monotone_on_synthetic_dupes(spark):
+    docs = dedup.with_normalization_variants(
+        dedup.with_synthetic_dupes(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        )
+    )
+    rows = dedup.dedup_funnel_report(docs).collect()
+    assert [r.tier_id for r in rows] == [1, 2, 3, 4]
+    assert [r.tier for r in rows] == ["raw", "exact", "normalized", "chunk_substring"]
+    d = [r.n_docs for r in rows]
+    w = [r.n_words for r in rows]
+    # every tier removes something on this corpus, never adds
+    assert d[0] > d[1] > d[2] >= d[3]
+    assert w[0] > w[1] > w[2] > w[3]
+    # chunk tier cuts words, not whole docs, unless a doc fully vanishes
+    assert d[3] > 0 and w[3] > 0

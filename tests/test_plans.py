@@ -1038,3 +1038,32 @@ def test_quality_filter_threshold_is_broadcast_boundary(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     w_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert w_lines and all("DESC" in l for l in w_lines)  # CDF only
+
+
+def test_chunk_dedup_windows_are_per_doc_only(spark, sf_dir):
+    """Chunk-substring dedup must never sort or window globally: the
+    only windows are the per-doc chunk-id running sum and the
+    per-digest keeper rank — both keyed; no cartesian anywhere."""
+    plan = _plan(spark, "chunk_dedup_report", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "doc_id" in line or "digest" in line
+
+
+def test_normalized_dedup_report_is_one_scan_no_join(spark, sf_dir):
+    """The normalization-tier audit is one scan + one aggregate:
+    both digests computed map-side, no join, no window, no sort."""
+    plan = _plan(spark, "normalized_dedup_report", sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_dedup_funnel_no_global_window_or_cartesian(spark, sf_dir):
+    plan = _plan(spark, "dedup_funnel_report", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "doc_id" in line or "digest" in line
