@@ -2343,3 +2343,117 @@ def ivfpq_compact_segments(spark, path: str) -> dict:
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(adds_dir, ignore_errors=True)
     return {"n_segments": len(segments), "n_rows": int(n_rows)}
+
+
+# ------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection — the sketching step ahead
+# of ANN when the raw dimensionality is the cost driver.
+# ------------------------------------------------------------------
+
+JL_DIMS = 8  # target dimensionality (interpolated into the oracle)
+JL_PAIR_BAND = 0.5  # distortion band half-width for the within count
+
+
+def _jl_sign_py(j: int, d: int) -> float:
+    """±1 Rademacher component (j = output dim, d = input dim):
+    +1 iff the first md5 hex digit of 'j{j}d{d}' is >= 8 — the same
+    formula the DuckDB oracle evaluates in SQL (registry). Computed
+    driver-side once and baked into the plan as literals, so the
+    executor-side projection is pure constant-folded arithmetic (no
+    per-row hashing)."""
+    import hashlib
+
+    return 1.0 if int(hashlib.md5(f"j{j}d{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+
+
+def jl_project(emb: Column, k: int = JL_DIMS, dims: int = 64) -> Column:
+    """array<double> JL projection of a dims-dimensional embedding to
+    k dims: p[j] = <emb, s_j> / sqrt(k) with deterministic ±1 signs.
+    Distance-preserving in expectation (E[|p(a)-p(b)|²] = |a-b|²).
+    All JVM higher-order functions inside whole-stage codegen."""
+    inv = 1.0 / float(np.sqrt(k))
+    return F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        emb,
+                        F.array(
+                            *[F.lit(_jl_sign_py(j, d)) for d in range(dims)]
+                        ),
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                * inv
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def _l2sq(u: Column, v: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def jl_projection_distortion(
+    embeddings: DataFrame, k: int = JL_DIMS
+) -> DataFrame:
+    """JL sketch quality audit over consecutive-id vector pairs
+    (v, v+1): the squared-distance ratio |p(a)-p(b)|² / |a-b|² per
+    pair, reported as (n_pairs, mean/min/max ratio, pairs within the
+    ±50% band). A mean near 1.0 certifies the sketch is unbiased;
+    the band count is the operational guarantee an ANN shortlist
+    built on the sketch relies on.
+
+    Scale shape: the projection is per-row constant-folded
+    arithmetic (literal sign matrix — no hashing, no join, no
+    broadcast); the pair join is one equi-join on vec_id (keyed
+    shuffle, uniform); the report is a 1-row aggregate. Nothing
+    all-pairs — the pair set is O(n) by construction.
+    """
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    proj = base.select(
+        "vec_id", "emb", jl_project(F.col("emb"), k).alias("p")
+    )
+    left = proj.select(
+        "vec_id", F.col("emb").alias("ea"), F.col("p").alias("pa")
+    )
+    right = proj.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("emb").alias("eb"),
+        F.col("p").alias("pb"),
+    )
+    pairs = left.join(right, "vec_id")
+    r = (
+        pairs.select(
+            _l2sq(F.col("ea"), F.col("eb")).alias("od2"),
+            _l2sq(F.col("pa"), F.col("pb")).alias("pd2"),
+        )
+        .filter(F.col("od2") > 0)
+        .select((F.col("pd2") / F.col("od2")).alias("ratio"))
+    )
+
+    def r4(c):
+        return F.floor(c * 10000 + 0.5).cast("long") / 10000.0
+
+    lo, hi = 1.0 - JL_PAIR_BAND, 1.0 + JL_PAIR_BAND
+    return r.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        r4(F.avg("ratio")).alias("mean_ratio"),
+        r4(F.min("ratio")).alias("min_ratio"),
+        r4(F.max("ratio")).alias("max_ratio"),
+        F.sum(
+            F.when((F.col("ratio") >= lo) & (F.col("ratio") <= hi), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_band"),
+    )

@@ -8542,6 +8542,56 @@ def q_dedup_funnel_report(spark, sf_dir):
     return dedup.dedup_funnel_report(_normvar_df(spark, sf_dir))
 
 
+_JL_INV = repr(1.0 / float(similarity.JL_DIMS) ** 0.5)
+_JL_SIGN_SQL = (
+    "(CASE WHEN CAST('0x' || substr(md5('j' || CAST(j AS VARCHAR) || 'd'"
+    " || CAST(d - 1 AS VARCHAR)), 1, 1) AS UBIGINT) >= 8"
+    " THEN 1.0 ELSE -1.0 END)"
+)
+
+
+@query(
+    "jl_projection_distortion",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  p AS (SELECT vec_id, emb,
+          list_transform(generate_series(0, {similarity.JL_DIMS - 1}), j ->
+            list_sum(list_transform(generate_series(1, len(emb)), d ->
+              emb[CAST(d AS INTEGER)] * {_JL_SIGN_SQL})) * {_JL_INV})
+            AS pr
+        FROM e),
+  pr2 AS (SELECT a.vec_id AS vec_id,
+            list_sum(list_transform(generate_series(1, len(a.emb)), d ->
+              (a.emb[CAST(d AS INTEGER)] - b.emb[CAST(d AS INTEGER)]) *
+              (a.emb[CAST(d AS INTEGER)] - b.emb[CAST(d AS INTEGER)])))
+              AS od2,
+            list_sum(list_transform(generate_series(1, {similarity.JL_DIMS}), j ->
+              (a.pr[CAST(j AS INTEGER)] - b.pr[CAST(j AS INTEGER)]) *
+              (a.pr[CAST(j AS INTEGER)] - b.pr[CAST(j AS INTEGER)])))
+              AS pd2
+          FROM p a JOIN p b ON b.vec_id = a.vec_id + 1),
+  r AS (SELECT pd2 / od2 AS ratio FROM pr2 WHERE od2 > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       floor(avg(ratio) * 10000 + 0.5) / 10000.0 AS mean_ratio,
+       floor(min(ratio) * 10000 + 0.5) / 10000.0 AS min_ratio,
+       floor(max(ratio) * 10000 + 0.5) / 10000.0 AS max_ratio,
+       CAST(sum(CASE WHEN ratio >= {1.0 - similarity.JL_PAIR_BAND!r}
+                      AND ratio <= {1.0 + similarity.JL_PAIR_BAND!r}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_band
+FROM r""",
+)
+def q_jl_projection_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss sketch audit: 64-dim embeddings
+    projected to 8 dims with a deterministic ±1 sign matrix (literal
+    in the Spark plan, md5-derived in the SQL oracle — same values),
+    squared-distance distortion measured over O(n) consecutive-id
+    pairs. The sketching step ahead of ANN when raw dimensionality
+    drives cost."""
+    return similarity.jl_projection_distortion(
+        _t(spark, sf_dir, "embeddings")
+    )
+
+
 # ------------------------------------------------------------------
 # Export ordering
 # ------------------------------------------------------------------

@@ -2504,3 +2504,28 @@ def test_dedup_funnel_is_monotone_on_synthetic_dupes(spark):
     assert w[0] > w[1] > w[2] > w[3]
     # chunk tier cuts words, not whole docs, unless a doc fully vanishes
     assert d[3] > 0 and w[3] > 0
+
+
+def test_jl_projection_preserves_distances_in_expectation(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import similarity
+
+    r = similarity.jl_projection_distortion(emb).collect()[0]
+    assert r.n_pairs == emb.count() - 1
+    # unbiased sketch: mean squared-distance ratio near 1
+    assert 0.8 < r.mean_ratio < 1.25
+    # most pairs inside the ±50% band at k=8
+    assert r.n_within_band > 0.6 * r.n_pairs
+    assert r.min_ratio < 1.0 < r.max_ratio
+
+
+def test_jl_sign_matrix_matches_oracle_formula(spark):
+    import hashlib
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import similarity
+
+    # the Python-side literal and the SQL md5 formula must stay in
+    # lockstep: spot-check the first plane against a hand evaluation
+    for d in range(8):
+        expect = 1.0 if int(hashlib.md5(f"j0d{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+        assert similarity._jl_sign_py(0, d) == expect

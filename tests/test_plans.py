@@ -1067,3 +1067,14 @@ def test_dedup_funnel_no_global_window_or_cartesian(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "doc_id" in line or "digest" in line
+
+
+def test_jl_projection_is_literal_folded_single_equijoin(spark, sf_dir):
+    """The JL sketch must cost one scan + one vec_id equi-join: the
+    sign matrix is baked into the plan as literals (no runtime md5,
+    no sign-table join), no cartesian, no Python UDF."""
+    plan = _plan(spark, "jl_projection_distortion", sf_dir)
+    assert "md5" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
