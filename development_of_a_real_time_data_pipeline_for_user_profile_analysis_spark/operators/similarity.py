@@ -2457,3 +2457,99 @@ def jl_projection_distortion(
         .cast("long")
         .alias("n_within_band"),
     )
+
+
+JL_SHORTLIST = 40  # sketch-stage shortlist size (oracle lockstep)
+
+
+def ann_jl_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    shortlist: int = JL_SHORTLIST,
+    kdims: int = JL_DIMS,
+) -> DataFrame:
+    """Recall@k of the JL-sketch two-stage ANN against the exact
+    scan, per probe query: stage 1 shortlists by squared L2 distance
+    in the 8-dim sketch (8 multiplies per corpus row instead of 64),
+    stage 2 exact-cosine re-ranks the shortlist. The eval that sizes
+    the shortlist for a target recall — the sketch sibling of
+    ann_lsh_recall (bucketing) and quantized_recall (storage).
+
+    Probes are the first `n_queries` vec_ids (deterministic).
+    Scale shape: the projection is constant-folded per-row
+    arithmetic; the probe set broadcasts into both arms; both
+    rankings are per-query row_numbers (WindowGroupLimit-prunable).
+    Sketch distances are floor-quantized at 6 dp with vec_id
+    tiebreaks so the shortlist boundary is engine-portable; cosine
+    ranks round at 6 dp likewise.
+    """
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    proj = base.withColumn("p", jl_project(F.col("emb"), kdims))
+    queries = proj.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("p").alias("q_p"),
+    )
+    cos = F.round(cosine(F.col("emb"), F.col("q_emb")), 6)
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    exact_k = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id")
+    )
+    sd2 = F.floor(
+        _l2sq(F.col("p"), F.col("q_p")) * 1000000 + 0.5
+    ).cast("long")
+    ws = Window.partitionBy("q_id").orderBy(
+        F.asc("sd2"), F.asc("vec_id")
+    )
+    short = (
+        proj.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "emb", "q_emb", sd2.alias("sd2"))
+        .withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= shortlist)
+    )
+    jl_k = (
+        short.select("q_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", F.col("vec_id").alias("j_vec_id"))
+    )
+    ex_n = exact_k.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    jl_n = jl_k.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_jl"))
+    ov_n = (
+        exact_k.join(
+            jl_k,
+            (exact_k["q_id"] == jl_k["q_id"])
+            & (exact_k["vec_id"] == jl_k["j_vec_id"]),
+        )
+        .groupBy(exact_k["q_id"].alias("q_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        ex_n.join(jl_n, "q_id", "left")
+        .join(ov_n, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce(F.col("n_jl"), F.lit(0)).alias("n_jl"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_overlap"), F.lit(0))
+                    / F.col("n_exact")
+                    * 10000
+                    + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )

@@ -8592,6 +8592,66 @@ def q_jl_projection_distortion(spark, sf_dir):
     )
 
 
+_JL_PR_CTE = f"""p AS (SELECT vec_id, emb,
+          list_transform(generate_series(0, {similarity.JL_DIMS - 1}), j ->
+            list_sum(list_transform(generate_series(1, len(emb)), d ->
+              emb[CAST(d AS INTEGER)] * {_JL_SIGN_SQL})) * {_JL_INV})
+            AS pr
+        FROM e)"""
+
+
+@query(
+    "ann_jl_recall",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  {_JL_PR_CTE},
+  q AS (SELECT vec_id AS q_id, emb AS q_emb, pr AS q_pr
+        FROM p WHERE vec_id < 8),
+  ex AS (SELECT q_id, p.vec_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY round(list_cosine_similarity(p.emb, q.q_emb), 6)
+                        DESC, p.vec_id ASC) AS rn
+         FROM p, q WHERE p.vec_id != q.q_id),
+  exk AS (SELECT q_id, vec_id FROM ex WHERE rn <= 10),
+  sd AS (SELECT q_id, p.vec_id, p.emb, q.q_emb,
+           CAST(floor(list_sum(list_transform(
+                  generate_series(1, {similarity.JL_DIMS}), j ->
+                  (p.pr[CAST(j AS INTEGER)] - q.q_pr[CAST(j AS INTEGER)]) *
+                  (p.pr[CAST(j AS INTEGER)] - q.q_pr[CAST(j AS INTEGER)])))
+                * 1000000 + 0.5) AS BIGINT) AS sd2
+         FROM p, q WHERE p.vec_id != q.q_id),
+  sh AS (SELECT q_id, vec_id, emb, q_emb,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY sd2 ASC, vec_id ASC) AS srn
+         FROM sd),
+  jl AS (SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY round(list_cosine_similarity(emb, q_emb), 6)
+                        DESC, vec_id ASC) AS rn
+         FROM sh WHERE srn <= {similarity.JL_SHORTLIST}),
+  jlk AS (SELECT q_id, vec_id FROM jl WHERE rn <= 10),
+  exn AS (SELECT q_id, count(*) AS n_exact FROM exk GROUP BY q_id),
+  jln AS (SELECT q_id, count(*) AS n_jl FROM jlk GROUP BY q_id),
+  ovn AS (SELECT exk.q_id, count(*) AS n_overlap
+          FROM exk JOIN jlk ON exk.q_id = jlk.q_id
+                           AND exk.vec_id = jlk.vec_id
+          GROUP BY exk.q_id)
+SELECT q_id, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(n_jl, 0) AS BIGINT) AS n_jl,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(floor(coalesce(n_overlap, 0) / n_exact * 10000 + 0.5)
+            AS BIGINT) / 10000.0 AS recall
+FROM exn LEFT JOIN jln USING (q_id) LEFT JOIN ovn USING (q_id)
+ORDER BY q_id""",
+)
+def q_ann_jl_recall(spark, sf_dir):
+    """Recall@10 of the JL two-stage ANN (quantized sketch-distance
+    shortlist → exact cosine re-rank) vs the exact scan over the
+    first 8 probe queries — the shortlist-sizing eval for the
+    sketch path."""
+    return similarity.ann_jl_recall(_t(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------------------------
 # Export ordering
 # ------------------------------------------------------------------

@@ -2529,3 +2529,18 @@ def test_jl_sign_matrix_matches_oracle_formula(spark):
     for d in range(8):
         expect = 1.0 if int(hashlib.md5(f"j0d{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
         assert similarity._jl_sign_py(0, d) == expect
+
+
+def test_ann_jl_recall_beats_random_shortlist(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import similarity
+
+    rows = similarity.ann_jl_recall(emb).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.n_exact == 10 and r.n_jl == 10
+        assert 0.0 <= r.recall <= 1.0
+    # a 40-of-500 random shortlist would land E[recall] = 0.08; the
+    # sketch must do far better on average
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall > 0.3

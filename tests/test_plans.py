@@ -1078,3 +1078,14 @@ def test_jl_projection_is_literal_folded_single_equijoin(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_jl_recall_rankings_are_per_query_windows(spark, sf_dir):
+    """Both ANN arms rank per probe query: every window is
+    partitioned by q_id (WindowGroupLimit-prunable), the probe set
+    broadcasts, and no Python UDF appears."""
+    plan = _plan(spark, "ann_jl_recall", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "q_id" in line
