@@ -1878,3 +1878,86 @@ def dedup_funnel_report(documents: DataFrame) -> DataFrame:
         .unionByName(chunk_tier)
         .orderBy("tier_id")
     )
+
+
+def incremental_chunk_dedup(
+    corpus: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Incremental-ingest chunk-substring dedup: a new batch is
+    reconstructed against the existing corpus's chunk-digest index —
+    a batch chunk survives iff its digest is absent from the corpus
+    AND it is the first occurrence within the batch. The per-source
+    ledger separates the two removal causes (corpus overlap vs
+    intra-batch repetition), which is the signal an ingest pipeline
+    uses to decide whether a crawl slice is worth keeping.
+
+    Scale shape: the corpus is touched only to produce its distinct
+    digest set — at production scale this is a MAINTAINED artifact
+    (the band-index pattern, incremental_near_dups_indexed) appended
+    per batch, optionally fronted by a Bloom filter; the probe is a
+    digest-keyed join against the batch's chunks (batch-sized
+    output), and the rollups are keyed aggregations. Per-batch cost
+    is O(|batch|) plus one index probe.
+    """
+    from .text import cdc_chunk_table
+
+    idx = (
+        cdc_chunk_table(corpus)
+        .select("digest")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    bch = cdc_chunk_table(batch)
+    keepers = bch.groupBy("digest").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("k")
+    )
+    marked = (
+        bch.join(idx, "digest", "left")
+        .join(keepers, "digest")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("in_corpus", F.lit(False)).alias("in_corpus"),
+            (
+                (F.col("doc_id") == F.col("k.doc_id"))
+                & (F.col("chunk_id") == F.col("k.chunk_id"))
+            ).alias("is_first"),
+        )
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.sum("n_words").cast("long").alias("w_total"),
+        F.sum(F.when(F.col("in_corpus"), F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("w_corpus_dup"),
+        F.sum(
+            F.when(
+                ~F.col("in_corpus") & ~F.col("is_first"), F.col("n_words")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("w_batch_dup"),
+        F.sum(
+            F.when(
+                ~F.col("in_corpus") & F.col("is_first"), F.col("n_words")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("w_kept"),
+    )
+    return (
+        per_doc.join(batch.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w_total").cast("long").alias("total_words"),
+            F.sum("w_corpus_dup").cast("long").alias("corpus_dup_words"),
+            F.sum("w_batch_dup").cast("long").alias("batch_dup_words"),
+            F.sum("w_kept").cast("long").alias("kept_words"),
+            F.floor(
+                F.sum("w_kept") / F.sum("w_total") * 1000000 + 0.5
+            )
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -8397,24 +8397,25 @@ def q_blocklist_filter_report(spark, sf_dir):
     return text.blocklist_filter_report(_t(spark, sf_dir, "documents"))
 
 
-def _cdc_ctes(rel: str) -> str:
+def _cdc_ctes(rel: str, p: str = "") -> str:
     """The content-defined chunk relation as DuckDB CTEs over `rel`
     — SQL mirror of text.cdc_chunk_table (w → boundary flags →
-    running chunk_id → chunk digests). Produces CTE `ch` with
-    (doc_id, chunk_id, n_words, digest)."""
-    return f"""w AS (SELECT doc_id,
+    running chunk_id → chunk digests). Produces CTE `{p}ch` with
+    (doc_id, chunk_id, n_words, digest); prefix `p` lets two chunk
+    relations coexist in one oracle."""
+    return f"""{p}w AS (SELECT doc_id,
               generate_subscripts(string_split(text, ' '), 1) AS pos,
               unnest(string_split(text, ' ')) AS word FROM {rel}),
-  b AS (SELECT doc_id, pos, word,
+  {p}b AS (SELECT doc_id, pos, word,
                CASE WHEN CAST(CAST('0x' || substr(md5(word), 1, 8)
                     AS UBIGINT) AS BIGINT) % {text.CDC_BOUNDARY_MOD} = 0
-                    THEN 1 ELSE 0 END AS isb FROM w),
-  c AS (SELECT doc_id, pos, word,
+                    THEN 1 ELSE 0 END AS isb FROM {p}w),
+  {p}c AS (SELECT doc_id, pos, word,
                sum(isb) OVER (PARTITION BY doc_id ORDER BY pos)
-                 AS chunk_id FROM b),
-  ch AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_words,
+                 AS chunk_id FROM {p}b),
+  {p}ch AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_words,
                 md5(string_agg(word, ' ' ORDER BY pos)) AS digest
-         FROM c GROUP BY doc_id, chunk_id)"""
+         FROM {p}c GROUP BY doc_id, chunk_id)"""
 
 
 _NORM_SQL = dedup.NORMALIZE_SQL.format(col="text")
@@ -8540,6 +8541,51 @@ def q_dedup_funnel_report(spark, sf_dir):
     each cumulative dedup tier (raw → byte-exact → normalized →
     chunk-substring reconstruction) — 4 rows of exact integers."""
     return dedup.dedup_funnel_report(_normvar_df(spark, sf_dir))
+
+
+@query(
+    "incremental_chunk_dedup",
+    f"""WITH {dedup.DUPES_ORACLE_CTE.strip()},
+  batch AS (SELECT * FROM dupes WHERE doc_id >= 100000),
+  {_cdc_ctes('documents', 'c')},
+  {_cdc_ctes('batch', 'bt')},
+  idx AS (SELECT DISTINCT digest FROM cch),
+  rk AS (SELECT btch.doc_id, btch.chunk_id, btch.n_words,
+                row_number() OVER (PARTITION BY btch.digest
+                                   ORDER BY doc_id, chunk_id) AS rn,
+                btch.digest IN (SELECT digest FROM idx) AS in_corpus
+         FROM btch),
+  pd AS (SELECT doc_id,
+           CAST(sum(n_words) AS BIGINT) AS w_total,
+           CAST(sum(CASE WHEN in_corpus THEN n_words ELSE 0 END)
+                AS BIGINT) AS w_corpus_dup,
+           CAST(sum(CASE WHEN NOT in_corpus AND rn > 1
+                         THEN n_words ELSE 0 END) AS BIGINT)
+             AS w_batch_dup,
+           CAST(sum(CASE WHEN NOT in_corpus AND rn = 1
+                         THEN n_words ELSE 0 END) AS BIGINT) AS w_kept
+         FROM rk GROUP BY doc_id)
+SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w_total) AS BIGINT) AS total_words,
+       CAST(sum(w_corpus_dup) AS BIGINT) AS corpus_dup_words,
+       CAST(sum(w_batch_dup) AS BIGINT) AS batch_dup_words,
+       CAST(sum(w_kept) AS BIGINT) AS kept_words,
+       CAST(floor(sum(w_kept) * 1.0 / sum(w_total) * 1000000 + 0.5)
+            AS BIGINT) AS kept_ppm
+FROM pd JOIN batch b USING (doc_id)
+GROUP BY b.source ORDER BY b.source""",
+)
+def q_incremental_chunk_dedup(spark, sf_dir):
+    """Incremental chunk-substring dedup: the synthetic 'new crawl'
+    batch (exact + near copies, doc_id >= 100000) reconstructed
+    against the corpus chunk index — exact copies reconstruct to
+    zero, near copies keep only their novel tail, and the ledger
+    splits corpus-dup from intra-batch-dup words."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = dedup.with_synthetic_dupes(docs).filter(
+        F.col("doc_id") >= 100000
+    )
+    return dedup.incremental_chunk_dedup(docs, batch)
 
 
 _JL_INV = repr(1.0 / float(similarity.JL_DIMS) ** 0.5)

@@ -2544,3 +2544,27 @@ def test_ann_jl_recall_beats_random_shortlist(spark):
     # sketch must do far better on average
     mean_recall = sum(r.recall for r in rows) / len(rows)
     assert mean_recall > 0.3
+
+
+def test_incremental_chunk_dedup_splits_removal_causes(spark):
+    base = " ".join(f"word{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [(1, base, "en", "s", len(base))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    novel = " ".join(f"new{i}" for i in range(30))
+    batch = spark.createDataFrame(
+        [
+            (100, base, "en", "s", 0),            # full corpus dup
+            (101, novel, "en", "s", 0),           # fully novel
+            (102, novel, "en", "s", 0),           # intra-batch dup of 101
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = dedup.incremental_chunk_dedup(corpus, batch).collect()[0]
+    assert r.n_docs == 3
+    assert r.total_words == 120
+    assert r.corpus_dup_words == 60     # doc 100 entirely in corpus
+    assert r.batch_dup_words == 30      # doc 102 repeats doc 101
+    assert r.kept_words == 30           # doc 101 survives
+    assert r.kept_ppm == 250000
