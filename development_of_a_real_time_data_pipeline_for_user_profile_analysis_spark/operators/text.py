@@ -2963,3 +2963,82 @@ def blocklist_filter_report(
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------------------
+# Multi-epoch training shuffle plan
+# ------------------------------------------------------------------
+
+EPOCHS = 4  # epochs audited (oracle lockstep)
+EPOCH_SHARDS = 16  # loader shards per epoch (oracle lockstep)
+
+
+def epoch_shuffle_plan(
+    documents: DataFrame, epochs: int = EPOCHS, shards: int = EPOCH_SHARDS
+) -> DataFrame:
+    """Deterministic multi-epoch shuffle audit for a training data
+    loader: each epoch assigns every doc a shard via
+    md5('e{epoch}:{doc_id}') % shards — stateless, reproducible from
+    (epoch, doc_id) alone, no RNG, no stored permutation. Per epoch:
+    shard balance (min/max shard occupancy) and the fraction of docs
+    whose shard CHANGED vs the previous epoch (decorrelation — a
+    healthy re-shuffle moves ~(1 - 1/shards) of the corpus).
+
+    Scale shape: ONE corpus scan — the per-epoch shard array is
+    computed map-side per row, move flags compare adjacent array
+    elements in the same row (no self-join, no window over docs);
+    one (epoch, shard)-keyed aggregation (uniform keys, partial
+    aggregation) then an |epochs|-row rollup.
+    """
+    did = F.col("doc_id").cast("string")
+
+    def shard_of(ep):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("e"), ep.cast("string"), F.lit(":"), did)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % shards
+        )
+
+    sh = F.transform(
+        F.sequence(F.lit(0), F.lit(epochs - 1)), lambda ep: shard_of(ep)
+    )
+    base = documents.select("doc_id", sh.alias("sh")).select(
+        "sh", F.posexplode("sh").alias("epoch", "shard")
+    )
+    # element_at is 1-based: element_at(sh, epoch) == sh[epoch-1],
+    # i.e. the PREVIOUS epoch's shard for this doc
+    moved = F.when(F.col("epoch") == 0, F.lit(None).cast("int")).otherwise(
+        (F.col("shard") != F.element_at("sh", F.col("epoch"))).cast("int")
+    )
+    pc = base.select("epoch", "shard", moved.alias("moved")).groupBy(
+        "epoch", "shard"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("moved").alias("n_moved"),
+    )
+    return (
+        pc.groupBy("epoch")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_shards_used"),
+            F.min("n").cast("long").alias("min_shard_docs"),
+            F.max("n").cast("long").alias("max_shard_docs"),
+            F.floor(F.min("n") / F.max("n") * 1000000 + 0.5)
+            .cast("long")
+            .alias("balance_ppm"),
+            F.when(
+                F.col("epoch") > 0,
+                F.floor(
+                    F.sum("n_moved") / F.sum("n") * 1000000 + 0.5
+                ).cast("long"),
+            ).alias("moved_ppm"),
+        )
+        .orderBy("epoch")
+    )

@@ -8544,6 +8544,40 @@ def q_dedup_funnel_report(spark, sf_dir):
 
 
 @query(
+    "epoch_shuffle_plan",
+    f"""WITH a AS (SELECT doc_id, CAST(e.range AS INTEGER) AS epoch,
+             CAST(CAST('0x' || substr(md5('e' || CAST(e.range AS VARCHAR)
+                  || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                  AS BIGINT) % {text.EPOCH_SHARDS} AS shard
+           FROM documents, range({text.EPOCHS}) e),
+  m AS (SELECT doc_id, epoch, shard,
+          CASE WHEN epoch = 0 THEN NULL
+               WHEN shard <> lag(shard) OVER (PARTITION BY doc_id
+                                              ORDER BY epoch)
+               THEN 1 ELSE 0 END AS moved
+        FROM a),
+  pc AS (SELECT epoch, shard, count(*) AS n, sum(moved) AS n_moved
+         FROM m GROUP BY epoch, shard)
+SELECT epoch, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_shards_used,
+       CAST(min(n) AS BIGINT) AS min_shard_docs,
+       CAST(max(n) AS BIGINT) AS max_shard_docs,
+       CAST(floor(min(n) * 1.0 / max(n) * 1000000 + 0.5) AS BIGINT)
+         AS balance_ppm,
+       CASE WHEN epoch > 0
+            THEN CAST(floor(sum(n_moved) * 1.0 / sum(n) * 1000000 + 0.5)
+                      AS BIGINT) END AS moved_ppm
+FROM pc GROUP BY epoch ORDER BY epoch""",
+)
+def q_epoch_shuffle_plan(spark, sf_dir):
+    """Training-loader epoch shuffle audit: stateless md5 shard
+    assignment per (epoch, doc), per-epoch balance + cross-epoch
+    decorrelation, all from ONE corpus scan (move flags compare
+    adjacent elements of the per-row shard array — no self-join)."""
+    return text.epoch_shuffle_plan(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "incremental_chunk_dedup",
     f"""WITH {dedup.DUPES_ORACLE_CTE.strip()},
   batch AS (SELECT * FROM dupes WHERE doc_id >= 100000),

@@ -2568,3 +2568,18 @@ def test_incremental_chunk_dedup_splits_removal_causes(spark):
     assert r.batch_dup_words == 30      # doc 102 repeats doc 101
     assert r.kept_words == 30           # doc 101 survives
     assert r.kept_ppm == 250000
+
+
+def test_epoch_shuffle_decorrelates_and_balances(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = text.epoch_shuffle_plan(docs).collect()
+    assert [r.epoch for r in rows] == [0, 1, 2, 3]
+    n = docs.count()
+    for r in rows:
+        assert r.n_docs == n
+        assert r.n_shards_used == 16
+        assert r.min_shard_docs <= n // 16 <= r.max_shard_docs
+    assert rows[0].moved_ppm is None
+    # re-shuffle should move ~15/16 of docs each epoch (937500 ppm)
+    for r in rows[1:]:
+        assert 850000 < r.moved_ppm < 990000

@@ -1089,3 +1089,13 @@ def test_ann_jl_recall_rankings_are_per_query_windows(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "q_id" in line
+
+
+def test_epoch_shuffle_is_one_scan_no_selfjoin(spark, sf_dir):
+    """The epoch shuffle audit must be one corpus scan: move flags
+    come from adjacent elements of the per-row shard array, so no
+    join and no doc-keyed window may appear."""
+    plan = _plan(spark, "epoch_shuffle_plan", sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 1
