@@ -8785,9 +8785,9 @@ DRIVER_PRIORITY = [
     "dsir_selection_report",  # r6: DSIR importance selection, now histogram-CDF scale-safe (data-selection family rep; evicts mixture_sampled_counts -> past window, same family)
     "quality_classifier_eval",  # r6: TRAINED quality-model eval (model-based-filtering family rep; evicts unigram_logprob_quality -> past window, same family)
     # dedup / similarity / curation / multimodal
-    "dedup_exact_groups",
+    "dedup_funnel_report",  # r6w2: cumulative tier funnel (raw→exact→normalized→chunk); evicts dedup_exact_groups -> past window, the exact keeper discipline stays in-window as this funnel's tier 2
     "near_dedup_minhash",
-    "ngram_jaccard_dupes",
+    "chunk_dedup_report",  # r6w2: chunk-substring dedup with reconstruction ledger (ExactSubstr family rep; evicts ngram_jaccard_dupes -> past window, Jaccard verify stays in-window inside near_dedup_minhash's candidate-verify stage)
     "near_dup_clusters",
     "profiles_upsert",
     "embedding_near_dupes",
@@ -8808,6 +8808,8 @@ DRIVER_PRIORITY = [
     "simhash_dupes",  # r6 evicted: SimHash tier stays oracle-covered past window
     "mixture_sampled_counts",  # r6 evicted: mixture sampling stays oracle-covered past window (dsir_selection_report is the selection-family rep)
     "unigram_logprob_quality",  # r6 evicted: LM-proxy quality stays oracle-covered past window (quality_classifier_eval is the model-based rep)
+    "dedup_exact_groups",  # r6w2 evicted: exact keeper discipline stays in-window via dedup_funnel_report tier 2
+    "ngram_jaccard_dupes",  # r6w2 evicted: Jaccard verify stays in-window inside near_dedup_minhash
     "mktsegment_rollup",  # r4w9 evicted: stays oracle-covered past window
     "pq_codebook_report",  # r4w7 evicted: sizing report stays oracle-covered past window
     "quantize_embeddings",  # r4 evicted: int8 tier stays oracle-covered past window
