@@ -1880,30 +1880,29 @@ def dedup_funnel_report(documents: DataFrame) -> DataFrame:
     )
 
 
-def incremental_chunk_dedup(
-    corpus: DataFrame, batch: DataFrame
-) -> DataFrame:
-    """Incremental-ingest chunk-substring dedup: a new batch is
-    reconstructed against the existing corpus's chunk-digest index —
-    a batch chunk survives iff its digest is absent from the corpus
-    AND it is the first occurrence within the batch. The per-source
-    ledger separates the two removal causes (corpus overlap vs
-    intra-batch repetition), which is the signal an ingest pipeline
-    uses to decide whether a crawl slice is worth keeping.
+def chunk_digest_index(corpus: DataFrame) -> DataFrame:
+    """The corpus's distinct chunk-digest set — the maintained index
+    the incremental and streaming chunk-dedup paths probe. At
+    production scale this is a persisted artifact appended per batch
+    (see streaming.pipeline.run_chunk_dedup_stream), not recomputed."""
+    from .text import cdc_chunk_table
 
-    Scale shape: the corpus is touched only to produce its distinct
-    digest set — at production scale this is a MAINTAINED artifact
-    (the band-index pattern, incremental_near_dups_indexed) appended
-    per batch, optionally fronted by a Bloom filter; the probe is a
-    digest-keyed join against the batch's chunks (batch-sized
-    output), and the rollups are keyed aggregations. Per-batch cost
-    is O(|batch|) plus one index probe.
-    """
+    return cdc_chunk_table(corpus).select("digest").distinct()
+
+
+def chunk_dedup_batch_ledger(
+    corpus_digests: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Per-doc reconstruction ledger of a batch against a chunk-digest
+    index: (doc_id, w_total, w_corpus_dup, w_batch_dup, w_kept). A
+    batch chunk is kept iff its digest is absent from the index AND
+    it is the first occurrence within the batch; the two removal
+    causes are accounted separately. Probe is one digest-keyed join;
+    everything else is keyed aggregation on batch-sized relations."""
     from .text import cdc_chunk_table
 
     idx = (
-        cdc_chunk_table(corpus)
-        .select("digest")
+        corpus_digests.select("digest")
         .distinct()
         .withColumn("in_corpus", F.lit(True))
     )
@@ -1944,6 +1943,46 @@ def incremental_chunk_dedup(
         .cast("long")
         .alias("w_kept"),
     )
+    return per_doc
+
+
+def chunk_dedup_new_digests(
+    corpus_digests: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """The digests a batch introduces: its distinct chunk digests
+    absent from the index. This is what the streaming maintenance
+    appends per micro-batch (the index grows by exactly the kept
+    content)."""
+    from .text import cdc_chunk_table
+
+    return (
+        cdc_chunk_table(batch)
+        .select("digest")
+        .distinct()
+        .join(corpus_digests.select("digest"), "digest", "left_anti")
+    )
+
+
+def incremental_chunk_dedup(
+    corpus: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Incremental-ingest chunk-substring dedup: a new batch is
+    reconstructed against the existing corpus's chunk-digest index —
+    a batch chunk survives iff its digest is absent from the corpus
+    AND it is the first occurrence within the batch. The per-source
+    ledger separates the two removal causes (corpus overlap vs
+    intra-batch repetition), which is the signal an ingest pipeline
+    uses to decide whether a crawl slice is worth keeping.
+
+    Scale shape: the corpus is touched only to produce its distinct
+    digest set — at production scale this is a MAINTAINED artifact
+    (the band-index pattern, incremental_near_dups_indexed) appended
+    per batch (run_chunk_dedup_stream), optionally fronted by a
+    Bloom filter; the probe is a digest-keyed join against the
+    batch's chunks (batch-sized output), and the rollups are keyed
+    aggregations. Per-batch cost is O(|batch|) plus one index probe.
+    """
+    per_doc = chunk_dedup_batch_ledger(chunk_digest_index(corpus), batch)
     return (
         per_doc.join(batch.select("doc_id", "source"), "doc_id")
         .groupBy("source")

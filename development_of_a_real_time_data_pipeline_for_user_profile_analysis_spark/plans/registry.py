@@ -8622,6 +8622,130 @@ def q_incremental_chunk_dedup(spark, sf_dir):
     return dedup.incremental_chunk_dedup(docs, batch)
 
 
+def _chunk_ledger_sql(chunks: str, idx: str) -> str:
+    """Per-batch rollup of the chunk-dedup ledger in SQL: `chunks` is
+    a cdc chunk CTE name, `idx` a digest-set CTE name. Mirrors
+    dedup.chunk_dedup_batch_ledger + the batch_id rollup."""
+    return f"""(SELECT CAST(sum(w_total) AS BIGINT) AS total_words,
+       CAST(sum(w_corpus_dup) AS BIGINT) AS corpus_dup_words,
+       CAST(sum(w_batch_dup) AS BIGINT) AS batch_dup_words,
+       CAST(sum(w_kept) AS BIGINT) AS kept_words,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id,
+        sum(n_words) AS w_total,
+        sum(CASE WHEN in_corpus THEN n_words ELSE 0 END) AS w_corpus_dup,
+        sum(CASE WHEN NOT in_corpus AND rn > 1 THEN n_words ELSE 0 END)
+          AS w_batch_dup,
+        sum(CASE WHEN NOT in_corpus AND rn = 1 THEN n_words ELSE 0 END)
+          AS w_kept
+      FROM (SELECT doc_id, chunk_id, n_words,
+              row_number() OVER (PARTITION BY digest
+                                 ORDER BY doc_id, chunk_id) AS rn,
+              digest IN (SELECT digest FROM {idx}) AS in_corpus
+            FROM {chunks})
+      GROUP BY doc_id))"""
+
+
+@query(
+    "streaming_chunk_dedup",
+    f"""WITH {dedup.DUPES_ORACLE_CTE.strip()},
+  b0 AS (SELECT * FROM dupes
+         WHERE doc_id >= 100000 AND doc_id < 200000),
+  b1 AS (SELECT * FROM dupes WHERE doc_id >= 200000),
+  b2 AS (SELECT doc_id + 200000 AS doc_id, text, lang, source, n_chars
+         FROM b1),
+  {_cdc_ctes('documents', 'c')},
+  {_cdc_ctes('b0', 'x0')},
+  {_cdc_ctes('b1', 'x1')},
+  {_cdc_ctes('b2', 'x2')},
+  idx0 AS (SELECT DISTINCT digest FROM cch),
+  idx1 AS (SELECT digest FROM idx0
+           UNION SELECT digest FROM x0ch),
+  idx2 AS (SELECT digest FROM idx1
+           UNION SELECT digest FROM x1ch)
+SELECT 0 AS batch_id, * FROM {_chunk_ledger_sql('x0ch', 'idx0')}
+UNION ALL
+SELECT 1, * FROM {_chunk_ledger_sql('x1ch', 'idx1')}
+UNION ALL
+SELECT 2, * FROM {_chunk_ledger_sql('x2ch', 'idx2')}
+ORDER BY batch_id""",
+)
+def q_streaming_chunk_dedup(spark, sf_dir):
+    """Chunk-substring dedup ACROSS the batch/stream boundary: the
+    corpus digest index is built in batch, three document
+    micro-batches stream through run_chunk_dedup_stream in pinned
+    order (exact copies → near copies → exact copies OF THE SECOND
+    BATCH), and the landed ledgers roll up per batch. Batch 2 must
+    reconstruct to zero kept words — its content entered the index
+    via batch 1's adds segment, proving the maintained index grows
+    between micro-batches. The oracle replays the cumulative index
+    growth in SQL."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.pipeline import (
+        build_chunk_digest_index,
+        run_chunk_dedup_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dupes = dedup.with_synthetic_dupes(docs)
+    b0 = dupes.filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+    )
+    b1 = dupes.filter(F.col("doc_id") >= 200000)
+    b2 = b1.withColumn("doc_id", F.col("doc_id") + 200000)
+
+    work = tempfile.mkdtemp(prefix="chunk_stream_")
+    try:
+        index_path = f"{work}/idx"
+        build_chunk_digest_index(docs, index_path)
+        in_dir = f"{work}/in"
+        import os as _os
+
+        _os.makedirs(in_dir)
+        base_t = _time.time()
+        for i, b in enumerate((b0, b1, b2)):
+            stage = f"{work}/stage_{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_chunk_dedup_stream(
+            spark, stream, index_path, f"{work}/ckpt"
+        )
+        q.awaitTermination(300)
+        ledgers = spark.read.option(
+            "basePath", f"{index_path}/ledger"
+        ).parquet(f"{index_path}/ledger")
+        out = (
+            ledgers.groupBy("batch_id")
+            .agg(
+                F.sum("w_total").cast("long").alias("total_words"),
+                F.sum("w_corpus_dup").cast("long").alias("corpus_dup_words"),
+                F.sum("w_batch_dup").cast("long").alias("batch_dup_words"),
+                F.sum("w_kept").cast("long").alias("kept_words"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .orderBy("batch_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _JL_INV = repr(1.0 / float(similarity.JL_DIMS) ** 0.5)
 _JL_SIGN_SQL = (
     "(CASE WHEN CAST('0x' || substr(md5('j' || CAST(j AS VARCHAR) || 'd'"

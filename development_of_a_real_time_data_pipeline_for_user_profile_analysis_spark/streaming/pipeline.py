@@ -580,3 +580,106 @@ def run_quality_gate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------------------------
+# Streaming chunk-substring dedup against a maintained digest index
+# ------------------------------------------------------------------
+
+
+def build_chunk_digest_index(corpus: DataFrame, index_path: str) -> None:
+    """Materialize the base chunk-digest index (distinct digests of
+    the existing corpus) — the artifact run_chunk_dedup_stream probes
+    and appends to."""
+    from ..operators import dedup
+
+    dedup.chunk_digest_index(corpus).write.mode("overwrite").parquet(
+        os.path.join(index_path, "base")
+    )
+
+
+def read_chunk_digest_index(
+    spark: SparkSession, index_path: str, exclude_batch_id: int | None = None
+) -> DataFrame:
+    """base ∪ per-batch add segments as one digest relation.
+    `exclude_batch_id` drops that batch's own segment — required for
+    replay-safety: a foreachBatch retry must not classify its own
+    previously-published digests as corpus duplicates."""
+    base = spark.read.parquet(os.path.join(index_path, "base")).select(
+        "digest"
+    )
+    adds_dir = os.path.join(index_path, "adds")
+    if os.path.isdir(adds_dir) and any(
+        n.startswith("batch_id=") for n in os.listdir(adds_dir)
+    ):
+        adds = spark.read.option("basePath", adds_dir).parquet(adds_dir)
+        if exclude_batch_id is not None:
+            adds = adds.filter(F.col("batch_id") != exclude_batch_id)
+        base = base.unionByName(adds.select("digest"))
+    return base
+
+
+def run_chunk_dedup_stream(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    timings: list | None = None,
+):
+    """Streaming chunk-substring dedup: each micro-batch of documents
+    is reconstructed against the maintained chunk-digest index —
+    per-doc ledger rows (words kept / corpus-dup / intra-batch-dup)
+    land in `ledger/batch_id=N`, and the digests the batch introduces
+    append to the index as `adds/batch_id=N`. Sequential batches
+    therefore dedupe against corpus + all earlier batches, exactly
+    like running the batch operator incrementally — the streaming
+    sibling of run_ivfpq_add_stream's maintained-artifact discipline.
+
+    Idempotent under foreachBatch's at-least-once: both writes key on
+    the batch id and overwrite, and the index read EXCLUDES the
+    current batch's own segment, so a replayed batch reproduces its
+    original ledger rather than self-colliding. Per-batch cost: chunk
+    the batch (map-side) + one digest-keyed index probe — O(|batch|)
+    plus the index scan, independent of ledger history.
+
+    `timings` (optional test hook): (batch_id, n_rows, seconds)."""
+    import time
+
+    from ..operators import dedup
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n:
+                idx = read_chunk_digest_index(
+                    spark, index_path, exclude_batch_id=batch_id
+                )
+                dedup.chunk_dedup_batch_ledger(idx, batch_df).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(index_path, "ledger", f"batch_id={batch_id}")
+                )
+                dedup.chunk_dedup_new_digests(idx, batch_df).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(index_path, "adds", f"batch_id={batch_id}")
+                )
+        finally:
+            batch_df.unpersist()
+        if timings is not None:
+            timings.append((batch_id, n, time.monotonic() - t0))
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

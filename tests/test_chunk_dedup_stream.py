@@ -1,0 +1,138 @@
+"""Streaming chunk-substring dedup: the foreachBatch maintenance
+must leave each batch's ledger equal to running the batch operator
+incrementally (corpus + all earlier batches as the index), the index
+must grow by exactly the kept digests (a later exact copy of an
+earlier batch reconstructs to zero), and a checkpoint-reset replay
+must reproduce the same ledgers (idempotent publish)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+    dedup,
+)
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+    load_table,
+)
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+    build_chunk_digest_index,
+    run_chunk_dedup_stream,
+)
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _ledger_rows(spark, index_path, batch_id):
+    return sorted(
+        (r.doc_id, r.w_total, r.w_corpus_dup, r.w_batch_dup, r.w_kept)
+        for r in spark.read.parquet(
+            os.path.join(index_path, "ledger", f"batch_id={batch_id}")
+        ).collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def streamed_dedup(spark, sf_dir, tmp_path_factory):
+    """Corpus = base documents; 3 micro-batches streamed in strict
+    order (pinned mtimes): b0 = exact copies of corpus docs,
+    b1 = near copies (appended marker), b2 = exact copies of b1 —
+    b2 dedupes against content introduced by b1, not the corpus.
+    Returns (index_path, batches_as_dataframes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dupes = dedup.with_synthetic_dupes(docs)
+    b0 = dupes.filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+    )
+    b1 = dupes.filter(F.col("doc_id") >= 200000)
+    b2 = b1.withColumn("doc_id", F.col("doc_id") + 200000)
+
+    index_path = str(tmp_path_factory.mktemp("chunk_idx"))
+    build_chunk_digest_index(docs, index_path)
+
+    in_dir = str(tmp_path_factory.mktemp("chunk_stream_in"))
+    base_t = time.time()
+    for i, b in enumerate((b0, b1, b2)):
+        stage = str(tmp_path_factory.mktemp(f"stage_{i}"))
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"b{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = run_chunk_dedup_stream(
+        spark,
+        stream,
+        index_path,
+        str(tmp_path_factory.mktemp("chunk_ckpt")),
+    )
+    q.awaitTermination(300)
+    return index_path, in_dir, (b0, b1, b2), docs
+
+
+def test_each_batch_ledger_matches_incremental_batch_op(
+    spark, streamed_dedup
+):
+    index_path, _, batches, docs = streamed_dedup
+    cumulative = docs
+    for i, b in enumerate(batches):
+        expect = sorted(
+            (r.doc_id, r.w_total, r.w_corpus_dup, r.w_batch_dup, r.w_kept)
+            for r in dedup.chunk_dedup_batch_ledger(
+                dedup.chunk_digest_index(cumulative), b
+            ).collect()
+        )
+        assert _ledger_rows(spark, index_path, i) == expect
+        cumulative = cumulative.unionByName(b)
+
+
+def test_index_growth_dedupes_later_copy_of_earlier_batch(
+    spark, streamed_dedup
+):
+    index_path, _, _, _ = streamed_dedup
+    # b2 is an exact copy of b1: every chunk was introduced by b1's
+    # adds segment (or the corpus), so nothing survives
+    b2 = spark.read.parquet(
+        os.path.join(index_path, "ledger", "batch_id=2")
+    )
+    kept = b2.agg(F.sum("w_kept")).collect()[0][0]
+    assert kept == 0
+    # and b2 introduced no digests
+    adds2 = spark.read.parquet(
+        os.path.join(index_path, "adds", "batch_id=2")
+    )
+    assert adds2.count() == 0
+
+
+def test_replay_with_fresh_checkpoint_is_idempotent(
+    spark, streamed_dedup, tmp_path_factory
+):
+    index_path, in_dir, _, _ = streamed_dedup
+    before = [_ledger_rows(spark, index_path, i) for i in range(3)]
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = run_chunk_dedup_stream(
+        spark,
+        stream,
+        index_path,
+        str(tmp_path_factory.mktemp("chunk_ckpt_replay")),
+    )
+    q.awaitTermination(300)
+    after = [_ledger_rows(spark, index_path, i) for i in range(3)]
+    assert after == before
