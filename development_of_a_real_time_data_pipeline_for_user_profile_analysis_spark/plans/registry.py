@@ -8649,37 +8649,35 @@ FROM (SELECT doc_id,
 @query(
     "streaming_chunk_dedup",
     f"""WITH {dedup.DUPES_ORACLE_CTE.strip()},
-  b0 AS (SELECT * FROM dupes
-         WHERE doc_id >= 100000 AND doc_id < 200000),
-  b1 AS (SELECT * FROM dupes WHERE doc_id >= 200000),
-  b2 AS (SELECT doc_id + 200000 AS doc_id, text, lang, source, n_chars
-         FROM b1),
+  b0 AS (SELECT * FROM dupes WHERE doc_id >= 100000
+         UNION ALL
+         SELECT doc_id + 300000, text, lang, source, n_chars
+         FROM dupes WHERE doc_id >= 200000 AND doc_id % 3 = 0),
+  b1 AS (SELECT doc_id + 400000 AS doc_id, text, lang, source, n_chars
+         FROM b0),
   {_cdc_ctes('documents', 'c')},
   {_cdc_ctes('b0', 'x0')},
   {_cdc_ctes('b1', 'x1')},
-  {_cdc_ctes('b2', 'x2')},
   idx0 AS (SELECT DISTINCT digest FROM cch),
   idx1 AS (SELECT digest FROM idx0
-           UNION SELECT digest FROM x0ch),
-  idx2 AS (SELECT digest FROM idx1
-           UNION SELECT digest FROM x1ch)
+           UNION SELECT digest FROM x0ch)
 SELECT 0 AS batch_id, * FROM {_chunk_ledger_sql('x0ch', 'idx0')}
 UNION ALL
 SELECT 1, * FROM {_chunk_ledger_sql('x1ch', 'idx1')}
-UNION ALL
-SELECT 2, * FROM {_chunk_ledger_sql('x2ch', 'idx2')}
 ORDER BY batch_id""",
 )
 def q_streaming_chunk_dedup(spark, sf_dir):
     """Chunk-substring dedup ACROSS the batch/stream boundary: the
-    corpus digest index is built in batch, three document
-    micro-batches stream through run_chunk_dedup_stream in pinned
-    order (exact copies → near copies → exact copies OF THE SECOND
-    BATCH), and the landed ledgers roll up per batch. Batch 2 must
-    reconstruct to zero kept words — its content entered the index
-    via batch 1's adds segment, proving the maintained index grows
-    between micro-batches. The oracle replays the cumulative index
-    growth in SQL."""
+    corpus digest index is built in batch, two document micro-batches
+    stream through run_chunk_dedup_stream in pinned order, and the
+    landed ledgers roll up per batch. Batch 0 mixes exact copies
+    (all corpus-dup), near copies (kept marker tails), and in-batch
+    twins of near copies (their novel tails classify as INTRA-BATCH
+    dup — all three removal causes in one ledger); batch 1 is an
+    exact copy of batch 0 and must reconstruct to zero kept words —
+    its content entered the index via batch 0's adds segment,
+    proving the maintained index grows between micro-batches. The
+    oracle replays the cumulative index growth in SQL."""
     import glob as _glob
     import shutil
     import tempfile
@@ -8692,11 +8690,14 @@ def q_streaming_chunk_dedup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     dupes = dedup.with_synthetic_dupes(docs)
-    b0 = dupes.filter(
-        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+    near_twins = (
+        dupes.filter(
+            (F.col("doc_id") >= 200000) & (F.col("doc_id") % 3 == 0)
+        )
+        .withColumn("doc_id", F.col("doc_id") + 300000)
     )
-    b1 = dupes.filter(F.col("doc_id") >= 200000)
-    b2 = b1.withColumn("doc_id", F.col("doc_id") + 200000)
+    b0 = dupes.filter(F.col("doc_id") >= 100000).unionByName(near_twins)
+    b1 = b0.withColumn("doc_id", F.col("doc_id") + 400000)
 
     work = tempfile.mkdtemp(prefix="chunk_stream_")
     try:
@@ -8707,7 +8708,7 @@ def q_streaming_chunk_dedup(spark, sf_dir):
 
         _os.makedirs(in_dir)
         base_t = _time.time()
-        for i, b in enumerate((b0, b1, b2)):
+        for i, b in enumerate((b0, b1)):
             stage = f"{work}/stage_{i}"
             b.coalesce(1).write.mode("overwrite").parquet(stage)
             part = _glob.glob(f"{stage}/part-*.parquet")[0]
