@@ -185,3 +185,50 @@ def k_anonymity_report(profiles: DataFrame, k: int = 5) -> DataFrame:
         ).alias("pct_rows_below_k"),
         F.min("l").cast("long").alias("min_l_diversity"),
     )
+
+
+def generalization_ladder(profiles: DataFrame, k: int = 5) -> DataFrame:
+    """Anonymization planning: k-anonymity measured at four
+    quasi-identifier generalization levels in one result —
+    (gender, exact age) → (gender, age decade) → (gender, 20-year
+    band) → (gender only). The release process picks the FIRST level
+    whose smallest equivalence class reaches `k` (meets_k): the
+    minimal generalization that makes the table safe, instead of
+    over-coarsening everything.
+
+    Scale shape: four grouped aggregates over tiny key spaces
+    (each collapses map-side), unioned into a 4-row ladder; no
+    windows, no joins.
+    """
+    from pyspark.sql import functions as F
+
+    levels = [
+        (1, "gender_x_age", F.col("age").cast("int")),
+        (2, "gender_x_decade", (F.floor(F.col("age") / 10) * 10).cast("int")),
+        (3, "gender_x_band20", (F.floor(F.col("age") / 20) * 20).cast("int")),
+        (4, "gender_only", F.lit(0)),
+    ]
+    out = None
+    for level_id, name, band in levels:
+        classes = (
+            profiles.select("gender", band.alias("band"))
+            .groupBy("gender", "band")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        row = classes.agg(
+            F.lit(level_id).alias("level_id"),
+            F.lit(name).alias("level"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("n").cast("long").alias("min_class_size"),
+            F.floor(
+                F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+                / F.sum("n")
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("rows_below_k_ppm"),
+            (F.min("n") >= k).alias("meets_k"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("level_id")

@@ -5522,6 +5522,43 @@ def q_k_anonymity_report(spark, sf_dir):
     return etl.k_anonymity_report(profiles_df(spark, sf_dir))
 
 
+def _ladder_level_sql(level_id: int, name: str, band: str) -> str:
+    return f"""SELECT {level_id} AS level_id, '{name}' AS level,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS BIGINT) AS min_class_size,
+       CAST(floor(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0
+                  / sum(n) * 1000000 + 0.5) AS BIGINT)
+         AS rows_below_k_ppm,
+       min(n) >= 5 AS meets_k
+FROM (SELECT gender, {band} AS band, count(*) AS n
+      FROM profiles GROUP BY gender, band)"""
+
+
+@query(
+    "generalization_ladder",
+    _with_profiles(
+        _ladder_level_sql(1, "gender_x_age", "CAST(age AS INT)")
+        + " UNION ALL "
+        + _ladder_level_sql(
+            2, "gender_x_decade", "CAST(floor(age / 10) * 10 AS INT)"
+        )
+        + " UNION ALL "
+        + _ladder_level_sql(
+            3, "gender_x_band20", "CAST(floor(age / 20) * 20 AS INT)"
+        )
+        + " UNION ALL "
+        + _ladder_level_sql(4, "gender_only", "0")
+        + " ORDER BY level_id"
+    ),
+)
+def q_generalization_ladder(spark, sf_dir):
+    """Anonymization planning ladder: k-anonymity at four QI
+    generalization levels in one result — release picks the first
+    level whose smallest equivalence class reaches k=5 (minimal
+    generalization instead of blanket coarsening)."""
+    return etl.generalization_ladder(profiles_df(spark, sf_dir))
+
+
 @query(
     "token_counts_arrow",
     """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)

@@ -166,3 +166,24 @@ def test_age_formulas(spark, compat):
     compat_age = today.year - 2000
     exact_age = (today - dt.date(2000, 12, 31)).days // 365.25
     assert age == (compat_age if compat else int(exact_age))
+
+
+def test_generalization_ladder_monotone_and_meets_k(spark, sf_dir):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.plans.registry import (
+        profiles_df,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        etl,
+    )
+
+    rows = etl.generalization_ladder(profiles_df(spark, sf_dir)).collect()
+    assert [r.level_id for r in rows] == [1, 2, 3, 4]
+    # coarser levels can only merge classes: class count nonincreasing,
+    # smallest class nondecreasing
+    nc = [r.n_classes for r in rows]
+    mn = [r.min_class_size for r in rows]
+    assert all(a >= b for a, b in zip(nc, nc[1:]))
+    assert all(a <= b for a, b in zip(mn, mn[1:]))
+    # gender-only over the full profile table always reaches k=5 here
+    assert rows[-1].meets_k
+    assert rows[-1].rows_below_k_ppm == 0
