@@ -1637,24 +1637,24 @@ def chunk_dedup_report(documents: DataFrame) -> DataFrame:
     subset-duplicate), partial overlaps lose only the shared spans.
 
     Scale shape: cdc_chunk_table's per-doc windows; keeper selection
-    is min(struct(doc_id, chunk_id)) per digest — a uniform
-    digest-keyed aggregation, no per-digest sort; the keeper join is
-    digest-keyed (same shuffle); the doc rollup and source rollup are
-    keyed aggregations. Nothing global, nothing all-pairs.
+    is a row_number over (digest) partitions — ONE digest-keyed
+    shuffle of the chunk relation, partitions bounded by a digest's
+    copy count (tiny), and the chunk table is computed once (the
+    min-struct + self-join form computes it twice — A/B'd at 10×:
+    window ties-or-wins warm and halves the chunk work); the doc
+    rollup and source rollup are keyed aggregations. Nothing global,
+    nothing all-pairs.
     """
+    from pyspark.sql import Window
+
     from .text import cdc_chunk_table
 
     chunks = cdc_chunk_table(documents)
-    keepers = chunks.groupBy("digest").agg(
-        F.min(F.struct("doc_id", "chunk_id")).alias("k")
+    rn = F.row_number().over(
+        Window.partitionBy("digest").orderBy("doc_id", "chunk_id")
     )
-    marked = chunks.join(keepers, "digest").select(
-        "doc_id",
-        "n_words",
-        (
-            (F.col("doc_id") == F.col("k.doc_id"))
-            & (F.col("chunk_id") == F.col("k.chunk_id"))
-        ).alias("is_keeper"),
+    marked = chunks.select(
+        "doc_id", "n_words", (rn == F.lit(1)).alias("is_keeper")
     )
     per_doc = marked.groupBy("doc_id").agg(
         F.sum("n_words").cast("long").alias("w_total"),
@@ -1799,8 +1799,12 @@ def dedup_funnel_report(documents: DataFrame) -> DataFrame:
 
     Scale shape: each tier is a digest-keyed aggregation or
     semi-join on uniform keys; the chunk tier adds cdc_chunk_table's
-    per-doc windows. Output is 4 rows of exact integers.
+    per-doc windows plus one digest-keyed keeper row_number (single
+    pass — see chunk_dedup_report). Output is 4 rows of exact
+    integers.
     """
+    from pyspark.sql import Window
+
     from .text import cdc_chunk_table
 
     words_of = F.size(F.split("text", " "))
@@ -1853,15 +1857,12 @@ def dedup_funnel_report(documents: DataFrame) -> DataFrame:
         norm_keep.select("doc_id"), "doc_id", "left_semi"
     ).select("doc_id", "text")
     chunks = cdc_chunk_table(survivors)
-    keepers = chunks.groupBy("digest").agg(
-        F.min(F.struct("doc_id", "chunk_id")).alias("k")
+    chunk_rn = F.row_number().over(
+        Window.partitionBy("digest").orderBy("doc_id", "chunk_id")
     )
     kept = (
-        chunks.join(keepers, "digest")
-        .filter(
-            (F.col("doc_id") == F.col("k.doc_id"))
-            & (F.col("chunk_id") == F.col("k.chunk_id"))
-        )
+        chunks.withColumn("rn", chunk_rn)
+        .filter(F.col("rn") == 1)
         .groupBy("doc_id")
         .agg(F.sum("n_words").alias("w_kept"))
     )
@@ -1901,26 +1902,25 @@ def chunk_dedup_batch_ledger(
     everything else is keyed aggregation on batch-sized relations."""
     from .text import cdc_chunk_table
 
+    from pyspark.sql import Window
+
     idx = (
         corpus_digests.select("digest")
         .distinct()
         .withColumn("in_corpus", F.lit(True))
     )
     bch = cdc_chunk_table(batch)
-    keepers = bch.groupBy("digest").agg(
-        F.min(F.struct("doc_id", "chunk_id")).alias("k")
+    rn = F.row_number().over(
+        Window.partitionBy("digest").orderBy("doc_id", "chunk_id")
     )
     marked = (
-        bch.join(idx, "digest", "left")
-        .join(keepers, "digest")
+        bch.withColumn("is_first", rn == F.lit(1))
+        .join(idx, "digest", "left")
         .select(
             "doc_id",
             "n_words",
             F.coalesce("in_corpus", F.lit(False)).alias("in_corpus"),
-            (
-                (F.col("doc_id") == F.col("k.doc_id"))
-                & (F.col("chunk_id") == F.col("k.chunk_id"))
-            ).alias("is_first"),
+            "is_first",
         )
     )
     per_doc = marked.groupBy("doc_id").agg(
