@@ -8738,11 +8738,33 @@ def q_streaming_chunk_dedup(spark, sf_dir):
 
     work = tempfile.mkdtemp(prefix="chunk_stream_")
     try:
-        index_path = f"{work}/idx"
-        build_chunk_digest_index(docs, index_path)
-        in_dir = f"{work}/in"
         import os as _os
 
+        # the base digest index is immutable per corpus version —
+        # cache it fingerprint-keyed with an atomic publish (the
+        # IVF-PQ artifact protocol) and symlink it into this
+        # invocation's index dir; adds/ledger stay invocation-local
+        # so the cached artifact is never mutated
+        tag = _ivfpq_tag(sf_dir, table="documents")
+        cached = _os.path.join(
+            tempfile.gettempdir(), f"chunk_digest_base_v1_{tag}"
+        )
+        if not _os.path.exists(cached):
+            import uuid as _uuid
+
+            scratch = _os.path.join(
+                tempfile.gettempdir(), f".chunk_base_{_uuid.uuid4().hex}"
+            )
+            build_chunk_digest_index(docs, scratch)
+            try:
+                _os.rename(_os.path.join(scratch, "base"), cached)
+            except OSError:
+                pass  # lost the publish race — the winner's is equal
+            shutil.rmtree(scratch, ignore_errors=True)
+        index_path = f"{work}/idx"
+        _os.makedirs(index_path)
+        _os.symlink(cached, _os.path.join(index_path, "base"))
+        in_dir = f"{work}/in"
         _os.makedirs(in_dir)
         base_t = _time.time()
         for i, b in enumerate((b0, b1)):
