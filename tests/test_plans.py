@@ -124,9 +124,15 @@ def test_driver_window_covers_component_families():
         "conversion_funnel",
         "streaming_events_hourly", "streaming_user_totals",
         "streaming_session_windows", "streaming_dedup_profiles",
-        "text_stats", "deterministic_split", "dedup_exact_groups",
+        "text_stats", "deterministic_split",
+        # r6 fourth wave: the tier funnel carries the exact keeper
+        # discipline (its tier 2) and chunk_dedup_report carries
+        # ExactSubstr reconstruction; dedup_exact_groups and
+        # ngram_jaccard_dupes rotated past the window (Jaccard verify
+        # stays inside near_dedup_minhash)
+        "dedup_funnel_report", "chunk_dedup_report",
         "near_dedup_minhash",
-        "ngram_jaccard_dupes", "near_dup_clusters",
+        "near_dup_clusters",
         "embedding_near_dupes",
         "curation_pipeline",
         "multimodal_features",
