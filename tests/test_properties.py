@@ -175,3 +175,42 @@ def test_cdc_chunks_partition_every_word(spark, texts):
     assert abs(got.mean_chunk_words * got.n_chunks - total_words) <= (
         0.005 * got.n_chunks * 2 + 1
     )
+
+
+def test_chunk_dedup_conservation_and_duplication_properties(spark):
+    """Invariants of chunk-substring dedup on randomized corpora:
+    (1) kept + removed == total always; (2) an all-unique corpus
+    removes nothing; (3) appending an exact copy of any doc removes
+    exactly that doc's words."""
+    import random
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        dedup,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n_docs = rng.randint(3, 8)
+        rows = []
+        for d in range(n_docs):
+            n = rng.randint(20, 60)
+            words = [f"t{trial}d{d}w{i}" for i in range(n)]  # globally unique
+            rows.append((d, " ".join(words), "en", "s", 0))
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        rep = dedup.chunk_dedup_report(docs).collect()[0]
+        assert rep.kept_words + rep.removed_words == rep.total_words
+        assert rep.removed_words == 0  # all-unique corpus
+
+        # duplicate one doc: exactly its words disappear
+        dup_id = rng.randrange(n_docs)
+        dup_words = len(rows[dup_id][1].split(" "))
+        docs2 = spark.createDataFrame(
+            rows + [(1000, rows[dup_id][1], "en", "s", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        rep2 = dedup.chunk_dedup_report(docs2).collect()[0]
+        assert rep2.removed_words == dup_words
+        assert rep2.fully_dup_docs == 1
