@@ -2553,3 +2553,90 @@ def ann_jl_recall(
         )
         .orderBy("q_id")
     )
+
+
+JL_CURVE_SHORTLISTS = (10, 20, 40, 80)  # oracle lockstep
+
+
+def jl_shortlist_curve(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    kdims: int = JL_DIMS,
+    shortlists: tuple = JL_CURVE_SHORTLISTS,
+) -> DataFrame:
+    """The shortlist-sizing curve for the JL two-stage ANN: recall@k
+    at each candidate shortlist size, ALL sizes evaluated in one plan
+    (the ivfpq_tuning_curve device — explode the config dimension
+    instead of re-running the pipeline per setting). For shortlist s,
+    the served top-k is the k best exact cosines among the s
+    sketch-nearest rows; recall is overlap with the exact top-k,
+    pooled over the probe queries. Monotone nondecreasing in s by
+    construction — the test asserts it.
+
+    Scale shape: sketch distances and cosines are computed ONCE per
+    (query, row); the config dimension is an exploded LITERAL array
+    over the already-shortlisted slice (srn <= max(s)) — the
+    ivfpq_tuning_curve lesson, no non-equi join anywhere; every
+    ranking window is per (q_id[, shortlist]) — bounded partitions,
+    never global.
+    """
+    max_s = max(shortlists)
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    proj = base.withColumn("p", jl_project(F.col("emb"), kdims))
+    queries = proj.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("p").alias("q_p"),
+    )
+    sd2 = F.floor(
+        _l2sq(F.col("p"), F.col("q_p")) * 1000000 + 0.5
+    ).cast("long")
+    cos = F.round(cosine(F.col("emb"), F.col("q_emb")), 6)
+    scored = proj.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id", "vec_id", cos.alias("cosine"), sd2.alias("sd2")
+    )
+    w_exact = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    w_sketch = Window.partitionBy("q_id").orderBy(
+        F.asc("sd2"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "q_id",
+        "vec_id",
+        "cosine",
+        F.row_number().over(w_exact).alias("rn_exact"),
+        F.row_number().over(w_sketch).alias("srn"),
+    ).filter(F.col("srn") <= max_s)
+    expanded = ranked.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(int(s)) for s in shortlists])
+        ).alias("shortlist"),
+    ).filter(F.col("srn") <= F.col("shortlist"))
+    w_jl = Window.partitionBy("q_id", "shortlist").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    hits = (
+        expanded.withColumn("jl_rank", F.row_number().over(w_jl))
+        .filter((F.col("jl_rank") <= k) & (F.col("rn_exact") <= k))
+    )
+    return (
+        hits.groupBy("shortlist")
+        .agg(
+            F.countDistinct("q_id").alias("n_queries_hit"),
+            F.count(F.lit(1)).alias("n_hits"),
+            (
+                F.floor(
+                    F.count(F.lit(1)) / (k * n_queries) * 10000 + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("recall"),
+        )
+        .orderBy("shortlist")
+    )

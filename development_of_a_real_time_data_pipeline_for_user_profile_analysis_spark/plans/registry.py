@@ -8916,6 +8916,56 @@ def q_ann_jl_recall(spark, sf_dir):
     return similarity.ann_jl_recall(_t(spark, sf_dir, "embeddings"))
 
 
+_JL_SHORTLIST_VALUES = ", ".join(
+    f"({s})" for s in similarity.JL_CURVE_SHORTLISTS
+)
+
+
+@query(
+    "jl_shortlist_curve",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+  {_JL_PR_CTE},
+  q AS (SELECT vec_id AS q_id, emb AS q_emb, pr AS q_pr
+        FROM p WHERE vec_id < 8),
+  sc AS (SELECT q_id, p.vec_id,
+           round(list_cosine_similarity(p.emb, q.q_emb), 6) AS cosine,
+           CAST(floor(list_sum(list_transform(
+                  generate_series(1, {similarity.JL_DIMS}), j ->
+                  (p.pr[CAST(j AS INTEGER)] - q.q_pr[CAST(j AS INTEGER)]) *
+                  (p.pr[CAST(j AS INTEGER)] - q.q_pr[CAST(j AS INTEGER)])))
+                * 1000000 + 0.5) AS BIGINT) AS sd2
+         FROM p, q WHERE p.vec_id != q.q_id),
+  rk AS (SELECT q_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, vec_id ASC) AS rn_exact,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY sd2 ASC, vec_id ASC) AS srn
+         FROM sc),
+  ex AS (SELECT * FROM rk
+         WHERE srn <= {max(similarity.JL_CURVE_SHORTLISTS)}),
+  cf AS (SELECT ex.*, s.shortlist
+         FROM ex, (VALUES {_JL_SHORTLIST_VALUES}) s(shortlist)
+         WHERE ex.srn <= s.shortlist),
+  jr AS (SELECT q_id, shortlist, rn_exact,
+           row_number() OVER (PARTITION BY q_id, shortlist
+             ORDER BY cosine DESC, vec_id ASC) AS jl_rank
+         FROM cf),
+  hits AS (SELECT * FROM jr WHERE jl_rank <= 10 AND rn_exact <= 10)
+SELECT shortlist, CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries_hit,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(floor(count(*) * 1.0 / 80 * 10000 + 0.5) AS BIGINT)
+         / 10000.0 AS recall
+FROM hits GROUP BY shortlist ORDER BY shortlist""",
+)
+def q_jl_shortlist_curve(spark, sf_dir):
+    """JL shortlist-sizing curve: recall@10 at shortlist sizes
+    {10, 20, 40, 80}, all evaluated in ONE plan via an exploded
+    literal config dimension over the once-computed
+    (sketch-rank, exact-rank) relation."""
+    return similarity.jl_shortlist_curve(_t(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------------------------
 # Export ordering
 # ------------------------------------------------------------------

@@ -2583,3 +2583,19 @@ def test_epoch_shuffle_decorrelates_and_balances(spark):
     # re-shuffle should move ~15/16 of docs each epoch (937500 ppm)
     for r in rows[1:]:
         assert 850000 < r.moved_ppm < 990000
+
+
+def test_jl_shortlist_curve_monotone(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import similarity
+
+    rows = similarity.jl_shortlist_curve(emb).collect()
+    assert [r.shortlist for r in rows] == [10, 20, 40, 80]
+    recalls = [r.recall for r in rows]
+    # a bigger shortlist can only add candidates: recall nondecreasing
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] > recalls[0] or recalls[0] == 1.0
+    hit_counts = [r.n_queries_hit for r in rows]
+    # more shortlist -> at least as many queries contribute hits
+    assert all(1 <= h <= 8 for h in hit_counts)
+    assert all(a <= b for a, b in zip(hit_counts, hit_counts[1:]))

@@ -1105,3 +1105,19 @@ def test_epoch_shuffle_is_one_scan_no_selfjoin(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_jl_shortlist_curve_no_nonequi_join(spark, sf_dir):
+    """The config dimension must be an exploded literal over the
+    shortlisted slice — no nested-loop/non-equi join, no cartesian;
+    ranking windows keyed by q_id."""
+    plan = _plan(spark, "jl_shortlist_curve", sf_dir)
+    # exactly one BNLJ is designed: the 8-row broadcast probe join
+    # (the ann_lsh_recall device); the CONFIG dimension must be an
+    # explode, never a second nested-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "q_id" in line
