@@ -3042,3 +3042,94 @@ def epoch_shuffle_plan(
         )
         .orderBy("epoch")
     )
+
+
+CDC_CURVE_MODS = (8, 16, 32)  # boundary moduli audited (oracle lockstep)
+
+
+def cdc_granularity_curve(
+    documents: DataFrame, mods: tuple = CDC_CURVE_MODS
+) -> DataFrame:
+    """CDC boundary-granularity tuning curve: the chunking geometry
+    and dedup payoff at several boundary moduli in ONE plan — smaller
+    modulus → shorter chunks → finer dedup (higher redundant share)
+    at more chunk-table rows; this curve is how the storage layer
+    picks its operating point. The exploded-literal config device
+    (ivfpq_tuning_curve / jl_shortlist_curve): the word hash is
+    computed ONCE per word occurrence, then the modulus dimension
+    multiplies rows map-side.
+
+    Scale shape: one posexplode scan, per-(modulus, doc) windows
+    (bounded by doc length), one (modulus, doc, chunk) groupBy, one
+    (modulus, digest) groupBy, |mods| output rows.
+    """
+    words = documents.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    per_mod = words.select(
+        "*",
+        F.explode(F.array(*[F.lit(int(m)) for m in mods])).alias("bmod"),
+    )
+    wdoc = Window.partitionBy("bmod", "doc_id").orderBy("pos")
+    chunked = per_mod.select(
+        "bmod",
+        "doc_id",
+        "pos",
+        "w",
+        F.sum(
+            F.when(F.col("h") % F.col("bmod") == 0, 1).otherwise(0)
+        )
+        .over(wdoc)
+        .alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("bmod", "doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("digest"),
+    )
+    per_digest = chunks.groupBy("bmod", "digest").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max("n_words").alias("n_words"),
+    )
+    return (
+        per_digest.groupBy("bmod")
+        .agg(
+            F.sum("n_copies").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_distinct_chunks"),
+            (F.sum("n_copies") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_redundant_chunks"),
+            F.floor(
+                (F.lit(1) - F.count(F.lit(1)) / F.sum("n_copies"))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("dedup_ratio_ppm"),
+            (
+                F.floor(
+                    F.sum(F.col("n_copies") * F.col("n_words"))
+                    / F.sum("n_copies")
+                    * 100
+                    + 0.5
+                ).cast("long")
+                / 100.0
+            ).alias("mean_chunk_words"),
+        )
+        .orderBy("bmod")
+    )

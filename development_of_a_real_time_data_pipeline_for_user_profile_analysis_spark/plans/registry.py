@@ -8659,6 +8659,49 @@ def q_incremental_chunk_dedup(spark, sf_dir):
     return dedup.incremental_chunk_dedup(docs, batch)
 
 
+_CDC_CURVE_MODS_SQL = ", ".join(
+    f"({m})" for m in text.CDC_CURVE_MODS
+)
+
+
+@query(
+    "cdc_granularity_curve",
+    _with_dupes(
+        f""", w AS (SELECT doc_id,
+              generate_subscripts(string_split(text, ' '), 1) AS pos,
+              unnest(string_split(text, ' ')) AS word FROM dupes),
+  h AS (SELECT doc_id, pos, word,
+          CAST(CAST('0x' || substr(md5(word), 1, 8) AS UBIGINT)
+               AS BIGINT) AS hv FROM w),
+  m AS (SELECT h.*, mods.bmod
+        FROM h, (VALUES {_CDC_CURVE_MODS_SQL}) mods(bmod)),
+  c AS (SELECT bmod, doc_id, pos, word,
+          sum(CASE WHEN hv % bmod = 0 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY bmod, doc_id ORDER BY pos) AS chunk_id
+        FROM m),
+  ch AS (SELECT bmod, doc_id, chunk_id, count(*) AS n_words,
+           md5(string_agg(word, ' ' ORDER BY pos)) AS digest
+         FROM c GROUP BY bmod, doc_id, chunk_id),
+  pd AS (SELECT bmod, digest, count(*) AS n_copies,
+           max(n_words) AS n_words
+         FROM ch GROUP BY bmod, digest)
+SELECT bmod, CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(n_copies) - count(*) AS BIGINT) AS n_redundant_chunks,
+       CAST(floor((1 - count(*) * 1.0 / sum(n_copies)) * 1000000 + 0.5)
+            AS BIGINT) AS dedup_ratio_ppm,
+       floor(sum(n_copies * n_words) * 1.0 / sum(n_copies) * 100 + 0.5)
+         / 100.0 AS mean_chunk_words
+FROM pd GROUP BY bmod ORDER BY bmod"""
+    ),
+)
+def q_cdc_granularity_curve(spark, sf_dir):
+    """CDC boundary-modulus tuning curve over the duped corpus:
+    chunk geometry vs dedup payoff at moduli 8/16/32 in one plan
+    (word hash computed once, modulus exploded as a literal)."""
+    return text.cdc_granularity_curve(_dupes_df(spark, sf_dir))
+
+
 def _chunk_ledger_sql(chunks: str, idx: str) -> str:
     """Per-batch rollup of the chunk-dedup ledger in SQL: `chunks` is
     a cdc chunk CTE name, `idx` a digest-set CTE name. Mirrors

@@ -2599,3 +2599,18 @@ def test_jl_shortlist_curve_monotone(spark):
     # more shortlist -> at least as many queries contribute hits
     assert all(1 <= h <= 8 for h in hit_counts)
     assert all(a <= b for a, b in zip(hit_counts, hit_counts[1:]))
+
+
+def test_cdc_granularity_tradeoff(spark):
+    docs = dedup.with_synthetic_dupes(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    rows = text.cdc_granularity_curve(docs).collect()
+    assert [r.bmod for r in rows] == [8, 16, 32]
+    # smaller modulus -> more, shorter chunks
+    chunk_counts = [r.n_chunks for r in rows]
+    mean_words = [r.mean_chunk_words for r in rows]
+    assert chunk_counts[0] > chunk_counts[1] > chunk_counts[2]
+    assert mean_words[0] < mean_words[1] < mean_words[2]
+    # the duped corpus must show redundancy at every granularity
+    assert all(r.n_redundant_chunks > 0 for r in rows)
