@@ -1756,16 +1756,19 @@ def normalized_dedup_report(documents: DataFrame) -> DataFrame:
         (F.count(F.lit(1)) - F.countDistinct("norm_hash"))
         .cast("long")
         .alias("docs_removed_norm"),
-        F.floor(
-            (
-                F.lit(1)
-                - F.countDistinct("norm_hash") / F.count(F.lit(1))
-            )
-            * 1000000
-            + 0.5
-        )
-        .cast("long")
-        .alias("removed_ppm"),
+        # count() == 0 guard: ANSI mode turns the empty-corpus ratio
+        # into a DIVIDE_BY_ZERO crash, not a NULL
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.floor(
+                (
+                    F.lit(1)
+                    - F.countDistinct("norm_hash") / F.count(F.lit(1))
+                )
+                * 1000000
+                + 0.5
+            ).cast("long"),
+        ).alias("removed_ppm"),
     )
 
 

@@ -8512,8 +8512,10 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
          AS extra_merged,
        CAST(count(*) - count(DISTINCT nh) AS BIGINT)
          AS docs_removed_norm,
-       CAST(floor((1 - count(DISTINCT nh) * 1.0 / count(*)) * 1000000
-                  + 0.5) AS BIGINT) AS removed_ppm
+       CASE WHEN count(*) > 0
+            THEN CAST(floor((1 - count(DISTINCT nh) * 1.0 / count(*))
+                            * 1000000 + 0.5) AS BIGINT) END
+         AS removed_ppm
 FROM d"""
     ),
 )

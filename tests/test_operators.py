@@ -2614,3 +2614,31 @@ def test_cdc_granularity_tradeoff(spark):
     assert mean_words[0] < mean_words[1] < mean_words[2]
     # the duped corpus must show redundancy at every granularity
     assert all(r.n_redundant_chunks > 0 for r in rows)
+
+
+def test_new_dedup_ops_tolerate_empty_and_single_doc(spark):
+    """Degenerate-corpus guards: an empty or 1-doc corpus must flow
+    through every new dedup/sketch operator without raising (ANSI
+    mode turns unguarded /count(*) into a crash, not a NULL)."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        similarity,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    one = spark.createDataFrame(
+        [(1, "solo doc words", "en", "s", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert dedup.chunk_dedup_report(empty).collect() == []
+    r = dedup.normalized_dedup_report(empty).collect()[0]
+    assert r.n_docs == 0 and r.removed_ppm is None
+    assert text.epoch_shuffle_plan(empty).collect() == []
+    assert text.cdc_granularity_curve(empty).collect() == []
+    assert len(dedup.dedup_funnel_report(one).collect()) == 4
+    r1 = dedup.normalized_dedup_report(one).collect()[0]
+    assert r1.n_docs == 1 and r1.removed_ppm == 0
+    eemb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    jl = similarity.jl_projection_distortion(eemb).collect()[0]
+    assert jl.n_pairs == 0
