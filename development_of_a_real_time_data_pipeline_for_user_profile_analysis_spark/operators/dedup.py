@@ -2003,3 +2003,77 @@ def incremental_chunk_dedup(
         )
         .orderBy("source")
     )
+
+
+def split_leakage_repair(
+    docs: DataFrame, jaccard_threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """REPAIR for cross-split near-dup leakage (the fix
+    split_near_dup_leakage's audit calls for): every verified
+    near-dup pair crossing a split boundary is broken by dropping
+    the lower-priority member under train < val < test — training
+    data is expendable, eval sets stay intact, and a val↔test pair
+    loses its val side. Returns the per-split repair ledger
+    (n_docs, n_dropped, n_kept, dropped_ppm).
+
+    Scale shape: inherits near_dedup_minhash's banded-bucket shape
+    for pair discovery; the drop set is a distinct projection of the
+    pair relation (pair-sized); membership lands as one doc_id-keyed
+    semi-join; rollup is a 3-row aggregate.
+    """
+    from .text import split_col
+
+    def prio(s):
+        return (
+            F.when(s == "train", 0).when(s == "val", 1).otherwise(2)
+        )
+
+    pairs = near_dedup_minhash(docs, jaccard_threshold).select(
+        "doc_a", "doc_b"
+    )
+    tagged = pairs.select(
+        "doc_a",
+        "doc_b",
+        split_col(F.col("doc_a")).alias("sa"),
+        split_col(F.col("doc_b")).alias("sb"),
+    ).filter(F.col("sa") != F.col("sb"))
+    drops = (
+        tagged.filter(prio(F.col("sa")) < prio(F.col("sb")))
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            tagged.filter(prio(F.col("sb")) < prio(F.col("sa"))).select(
+                F.col("doc_b").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    base = docs.select(
+        "doc_id", split_col(F.col("doc_id")).alias("split")
+    )
+    flagged = base.join(
+        drops.withColumn("is_dropped", F.lit(1)), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("is_dropped"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+            (
+                F.count(F.lit(1))
+                - F.coalesce(F.sum("is_dropped"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.floor(
+                F.coalesce(F.sum("is_dropped"), F.lit(0))
+                / F.count(F.lit(1))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("dropped_ppm"),
+        )
+        .orderBy("split")
+    )

@@ -6589,6 +6589,63 @@ def q_split_near_dup_leakage(spark, sf_dir):
     return dedup.split_near_dup_leakage(_dupes_df(spark, sf_dir))
 
 
+_SPLIT_PRIO = (
+    "CASE {s} WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END"
+)
+
+
+@query(
+    "split_leakage_repair",
+    _with_dupes(
+        f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+        nd AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter)
+                      * 10000 + 0.5) / 10000.0 >= {dedup.JACCARD_THRESHOLD}),
+        tg AS (SELECT doc_a, doc_b,
+                 {_SPLIT_CASE.format(col='doc_a')} AS sa,
+                 {_SPLIT_CASE.format(col='doc_b')} AS sb
+               FROM nd),
+        cx AS (SELECT * FROM tg WHERE sa <> sb),
+        drops AS (
+          SELECT doc_a AS doc_id FROM cx
+          WHERE {_SPLIT_PRIO.format(s='sa')} < {_SPLIT_PRIO.format(s='sb')}
+          UNION
+          SELECT doc_b FROM cx
+          WHERE {_SPLIT_PRIO.format(s='sb')} < {_SPLIT_PRIO.format(s='sa')}),
+        base AS (SELECT doc_id,
+                   {_SPLIT_CASE.format(col='doc_id')} AS split
+                 FROM dupes)
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM drops)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+          CAST(count(*) - sum(CASE WHEN doc_id IN
+                                   (SELECT doc_id FROM drops)
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          CAST(floor(sum(CASE WHEN doc_id IN (SELECT doc_id FROM drops)
+                              THEN 1 ELSE 0 END) * 1.0 / count(*)
+                     * 1000000 + 0.5) AS BIGINT) AS dropped_ppm
+        FROM base GROUP BY split ORDER BY split"""
+    ),
+)
+def q_split_leakage_repair(spark, sf_dir):
+    """The repair the leakage audit calls for: break every
+    cross-split near-dup pair by dropping the lower-priority member
+    (train < val < test — eval sets stay intact); per-split repair
+    ledger."""
+    return dedup.split_leakage_repair(_dupes_df(spark, sf_dir))
+
+
 @query(
     "ivf_shard_plan",
     _kmeans_oracle(

@@ -2642,3 +2642,23 @@ def test_new_dedup_ops_tolerate_empty_and_single_doc(spark):
     eemb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
     jl = similarity.jl_projection_distortion(eemb).collect()[0]
     assert jl.n_pairs == 0
+
+
+def test_split_leakage_repair_drops_lower_priority_side(spark):
+    docs = dedup.with_synthetic_dupes(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    before = dedup.split_near_dup_leakage(docs).collect()
+    leaked = sum(r.n_pairs for r in before if r.is_leakage)
+    assert leaked > 0  # synthetic dupes do cross split boundaries
+    rep = {r.split: r for r in dedup.split_leakage_repair(docs).collect()}
+    assert set(rep) == {"train", "val", "test"}
+    total_dropped = sum(r.n_dropped for r in rep.values())
+    assert total_dropped > 0
+    # priority rule: the train side of any cross pair drops first, so
+    # train carries the bulk of the repairs; eval sets lose only to
+    # each other (val to test)
+    assert rep["train"].n_dropped >= rep["val"].n_dropped
+    assert rep["test"].n_dropped == 0  # nothing outranks test
+    for r in rep.values():
+        assert r.n_kept + r.n_dropped == r.n_docs
