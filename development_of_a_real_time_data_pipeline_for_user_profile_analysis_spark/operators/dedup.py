@@ -2077,3 +2077,57 @@ def split_leakage_repair(
         )
         .orderBy("split")
     )
+
+
+def soft_dedup_weights(docs: DataFrame) -> DataFrame:
+    """Soft dedup: instead of DROPPING duplicates, each doc is
+    downweighted by its content-group multiplicity (weight = 1/n
+    copies) so repeated content contributes one document's worth of
+    gradient in expectation — the sampling-weight alternative to
+    hard dedup a training pipeline uses when provenance diversity
+    matters. Per-source ledger: raw vs effective (weighted) words
+    and the discount the corpus takes.
+
+    Weights are integer milli-units floored PER DOC
+    (floor(1000 * words / n_copies)) so the sums are exact integer
+    arithmetic — engine-portable with zero float-order sensitivity.
+
+    Scale shape: one digest-keyed groupBy for multiplicities, one
+    digest-keyed join back (same shuffle key), one per-source
+    rollup.
+    """
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("w"),
+    )
+    mult = sized.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    weighted = sized.join(mult, "h").select(
+        "source",
+        "w",
+        F.floor(F.lit(1000) * F.col("w") / F.col("n_copies"))
+        .cast("long")
+        .alias("w_milli"),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").cast("long").alias("raw_words"),
+            F.sum("w_milli").cast("long").alias("effective_words_milli"),
+            F.floor(
+                (
+                    F.lit(1)
+                    - F.sum("w_milli") / 1000.0 / F.sum("w")
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("discount_ppm"),
+        )
+        .orderBy("source")
+    )

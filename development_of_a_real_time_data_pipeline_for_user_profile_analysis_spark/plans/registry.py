@@ -6647,6 +6647,33 @@ def q_split_leakage_repair(spark, sf_dir):
 
 
 @query(
+    "soft_dedup_weights",
+    _with_dupes(
+        """, sized AS (SELECT doc_id, source, md5(text) AS h,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+         FROM dupes),
+  mult AS (SELECT h, count(*) AS n_copies FROM sized GROUP BY h),
+  weighted AS (SELECT source, w,
+                 CAST(floor(1000 * w * 1.0 / n_copies) AS BIGINT)
+                   AS w_milli
+               FROM sized JOIN mult USING (h))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS raw_words,
+       CAST(sum(w_milli) AS BIGINT) AS effective_words_milli,
+       CAST(floor((1 - sum(w_milli) / 1000.0 / sum(w)) * 1000000
+                  + 0.5) AS BIGINT) AS discount_ppm
+FROM weighted GROUP BY source ORDER BY source"""
+    ),
+)
+def q_soft_dedup_weights(spark, sf_dir):
+    """Soft dedup: duplicates downweighted (1/n copies, integer
+    milli-units floored per doc — exact integer sums both engines)
+    instead of dropped; per-source raw vs effective words and the
+    discount repeated content takes."""
+    return dedup.soft_dedup_weights(_dupes_df(spark, sf_dir))
+
+
+@query(
     "ivf_shard_plan",
     _kmeans_oracle(
         final_select="""

@@ -2662,3 +2662,20 @@ def test_split_leakage_repair_drops_lower_priority_side(spark):
     assert rep["test"].n_dropped == 0  # nothing outranks test
     for r in rep.values():
         assert r.n_kept + r.n_dropped == r.n_docs
+
+
+def test_soft_dedup_weight_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s", "en", 0),
+            (2, "a b c d", "s", "en", 0),   # duplicate pair: each counts half
+            (3, "e f g", "s", "en", 0),     # unique: full weight
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    r = dedup.soft_dedup_weights(docs).collect()[0]
+    assert r.raw_words == 11
+    # 2*floor(1000*4/2) + floor(1000*3/1) = 4000 + 3000
+    assert r.effective_words_milli == 7000
+    # discount = 1 - 7/11
+    assert r.discount_ppm == 363636
