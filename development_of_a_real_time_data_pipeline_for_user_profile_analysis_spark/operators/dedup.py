@@ -2037,13 +2037,16 @@ def split_leakage_repair(
         split_col(F.col("doc_a")).alias("sa"),
         split_col(F.col("doc_b")).alias("sb"),
     ).filter(F.col("sa") != F.col("sb"))
+    # exactly one side of each cross-split pair drops (sa != sb), so
+    # the drop set is ONE projection — a union of two filtered
+    # branches would execute the whole minhash pipeline twice
     drops = (
-        tagged.filter(prio(F.col("sa")) < prio(F.col("sb")))
-        .select(F.col("doc_a").alias("doc_id"))
-        .unionByName(
-            tagged.filter(prio(F.col("sb")) < prio(F.col("sa"))).select(
-                F.col("doc_b").alias("doc_id")
+        tagged.select(
+            F.when(
+                prio(F.col("sa")) < prio(F.col("sb")), F.col("doc_a")
             )
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
         )
         .distinct()
     )

@@ -6617,11 +6617,10 @@ _SPLIT_PRIO = (
                FROM nd),
         cx AS (SELECT * FROM tg WHERE sa <> sb),
         drops AS (
-          SELECT doc_a AS doc_id FROM cx
-          WHERE {_SPLIT_PRIO.format(s='sa')} < {_SPLIT_PRIO.format(s='sb')}
-          UNION
-          SELECT doc_b FROM cx
-          WHERE {_SPLIT_PRIO.format(s='sb')} < {_SPLIT_PRIO.format(s='sa')}),
+          SELECT DISTINCT CASE WHEN {_SPLIT_PRIO.format(s='sa')}
+                               < {_SPLIT_PRIO.format(s='sb')}
+                          THEN doc_a ELSE doc_b END AS doc_id
+          FROM cx),
         base AS (SELECT doc_id,
                    {_SPLIT_CASE.format(col='doc_id')} AS split
                  FROM dupes)
