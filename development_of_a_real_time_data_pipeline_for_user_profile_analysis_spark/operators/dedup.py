@@ -693,7 +693,37 @@ def _small_star(edges: DataFrame) -> DataFrame:
 _last_edges: DataFrame | None = None
 
 
-def near_dup_clusters(docs: DataFrame, jaccard_threshold: float = 0.6, max_iter: int = 12) -> DataFrame:
+def near_dup_pairs_checkpointed(
+    docs: DataFrame, jaccard_threshold: float = 0.6
+) -> DataFrame:
+    """The confirmed near-dup pair relation, eagerly checkpointed so
+    MULTIPLE consumers (pair counts, clustering, repair ledgers) share
+    ONE MinHash/LSH/verify execution instead of re-running the whole
+    pipeline per branch — the never-consume-an-expensive-lazy-relation-
+    twice rule. Blocks live until the next call (the _last_edges
+    discipline); pass the result into near_dup_clusters(pairs=...)."""
+    global _last_pairs
+    if _last_pairs is not None:
+        _last_pairs.rdd.unpersist()
+        _last_pairs = None
+    p = (
+        near_dedup_minhash(docs, jaccard_threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    _last_pairs = p
+    return p
+
+
+_last_pairs: DataFrame | None = None
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.6,
+    max_iter: int = 12,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
     """Connected components over the confirmed near-dup pair graph →
     (doc_id, cluster_id = min doc_id in component).
 
@@ -716,7 +746,14 @@ def near_dup_clusters(docs: DataFrame, jaccard_threshold: float = 0.6, max_iter:
     if _last_edges is not None:  # previous call's final checkpoint
         _last_edges.rdd.unpersist()
         _last_edges = None
-    pairs = near_dedup_minhash(docs, jaccard_threshold).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = near_dedup_minhash(docs, jaccard_threshold).select(
+            "doc_a", "doc_b"
+        )
+    # when a prebuilt (checkpointed) pair relation is passed in, this
+    # re-checkpoint copies only the tiny pair set — the caller's
+    # blocks stay alive for its own consumers (the in-loop unpersist
+    # below must not release them)
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).localCheckpoint(eager=True)
@@ -1894,17 +1931,15 @@ def chunk_digest_index(corpus: DataFrame) -> DataFrame:
     return cdc_chunk_table(corpus).select("digest").distinct()
 
 
-def chunk_dedup_batch_ledger(
-    corpus_digests: DataFrame, batch: DataFrame
+def chunk_dedup_marked(
+    corpus_digests: DataFrame, batch_chunks: DataFrame
 ) -> DataFrame:
-    """Per-doc reconstruction ledger of a batch against a chunk-digest
-    index: (doc_id, w_total, w_corpus_dup, w_batch_dup, w_kept). A
-    batch chunk is kept iff its digest is absent from the index AND
-    it is the first occurrence within the batch; the two removal
-    causes are accounted separately. Probe is one digest-keyed join;
-    everything else is keyed aggregation on batch-sized relations."""
-    from .text import cdc_chunk_table
-
+    """The shared marked chunk relation both streaming-gate outputs
+    derive from: each batch chunk tagged (in_corpus, is_first). The
+    per-doc ledger aggregates it; the new-digest set is exactly its
+    ~in_corpus slice — so a micro-batch computes the chunk windows
+    and probes the digest index ONCE (persist this, then derive
+    both), instead of re-chunking and re-probing per output."""
     from pyspark.sql import Window
 
     idx = (
@@ -1912,20 +1947,26 @@ def chunk_dedup_batch_ledger(
         .distinct()
         .withColumn("in_corpus", F.lit(True))
     )
-    bch = cdc_chunk_table(batch)
     rn = F.row_number().over(
         Window.partitionBy("digest").orderBy("doc_id", "chunk_id")
     )
-    marked = (
-        bch.withColumn("is_first", rn == F.lit(1))
+    return (
+        batch_chunks.withColumn("is_first", rn == F.lit(1))
         .join(idx, "digest", "left")
         .select(
             "doc_id",
+            "digest",
             "n_words",
             F.coalesce("in_corpus", F.lit(False)).alias("in_corpus"),
             "is_first",
         )
     )
+
+
+def ledger_from_marked(marked: DataFrame) -> DataFrame:
+    """Per-doc reconstruction ledger off an already-marked chunk
+    relation: (doc_id, w_total, w_corpus_dup, w_batch_dup, w_kept) —
+    one keyed aggregation, batch-sized."""
     per_doc = marked.groupBy("doc_id").agg(
         F.sum("n_words").cast("long").alias("w_total"),
         F.sum(F.when(F.col("in_corpus"), F.col("n_words")).otherwise(0))
@@ -1949,6 +1990,29 @@ def chunk_dedup_batch_ledger(
     return per_doc
 
 
+def new_digests_from_marked(marked: DataFrame) -> DataFrame:
+    """The digests a batch introduces, off the shared marked
+    relation: distinct digests of chunks absent from the index (a
+    kept-or-batch-dup chunk's digest is exactly a new digest)."""
+    return marked.filter(~F.col("in_corpus")).select("digest").distinct()
+
+
+def chunk_dedup_batch_ledger(
+    corpus_digests: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Per-doc reconstruction ledger of a batch against a chunk-digest
+    index: (doc_id, w_total, w_corpus_dup, w_batch_dup, w_kept). A
+    batch chunk is kept iff its digest is absent from the index AND
+    it is the first occurrence within the batch; the two removal
+    causes are accounted separately. Probe is one digest-keyed join;
+    everything else is keyed aggregation on batch-sized relations."""
+    from .text import cdc_chunk_table
+
+    return ledger_from_marked(
+        chunk_dedup_marked(corpus_digests, cdc_chunk_table(batch))
+    )
+
+
 def chunk_dedup_new_digests(
     corpus_digests: DataFrame, batch: DataFrame
 ) -> DataFrame:
@@ -1958,11 +2022,8 @@ def chunk_dedup_new_digests(
     content)."""
     from .text import cdc_chunk_table
 
-    return (
-        cdc_chunk_table(batch)
-        .select("digest")
-        .distinct()
-        .join(corpus_digests.select("digest"), "digest", "left_anti")
+    return new_digests_from_marked(
+        chunk_dedup_marked(corpus_digests, cdc_chunk_table(batch))
     )
 
 

@@ -142,7 +142,12 @@ def enforce_profile_schema(df: DataFrame) -> DataFrame:
     return df.select(*PROFILE_COLUMNS)
 
 
-def k_anonymity_report(profiles: DataFrame, k: int = 5) -> DataFrame:
+# k-anonymity threshold shared by the privacy reports and their
+# oracle SQL (registry interpolates this — change it HERE only).
+K_ANONYMITY = 5
+
+
+def k_anonymity_report(profiles: DataFrame, k: int = K_ANONYMITY) -> DataFrame:
     """Privacy-risk summary over the curated profile table — the
     quantitative extension of the reference's GDPR age filter
     (Real_Time_Data.py:137): treat (gender, age decade) as the
@@ -187,7 +192,9 @@ def k_anonymity_report(profiles: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def generalization_ladder(profiles: DataFrame, k: int = 5) -> DataFrame:
+def generalization_ladder(
+    profiles: DataFrame, k: int = K_ANONYMITY
+) -> DataFrame:
     """Anonymization planning: k-anonymity measured at four
     quasi-identifier generalization levels in one result —
     (gender, exact age) → (gender, age decade) → (gender, 20-year

@@ -2556,12 +2556,14 @@ def ann_jl_recall(
 
 
 JL_CURVE_SHORTLISTS = (10, 20, 40, 80)  # oracle lockstep
+JL_CURVE_QUERIES = 8  # probe-query count (oracle lockstep)
+JL_CURVE_K = 10  # recall@k depth (oracle lockstep)
 
 
 def jl_shortlist_curve(
     embeddings: DataFrame,
-    n_queries: int = 8,
-    k: int = 10,
+    n_queries: int = JL_CURVE_QUERIES,
+    k: int = JL_CURVE_K,
     kdims: int = JL_DIMS,
     shortlists: tuple = JL_CURVE_SHORTLISTS,
 ) -> DataFrame:

@@ -2965,10 +2965,13 @@ def q_curation_report(spark, sf_dir):
         F.count(F.lit(1)).alias("n_distinct_contents"),
         F.sum(F.col("n_copies") - 1).cast("long").alias("n_exact_dupes"),
     )
-    pairs = dedup.near_dedup_minhash(docs).agg(
-        F.count(F.lit(1)).alias("n_near_pairs")
-    )
-    clusters = dedup.near_dup_clusters(docs)
+    # ONE MinHash execution: the checkpointed pair relation feeds
+    # both the pair count and the clustering (pre-share, the full
+    # shingle→minhash→band→verify pipeline ran twice — the measured
+    # 2× double-execution class)
+    pair_df = dedup.near_dup_pairs_checkpointed(docs)
+    pairs = pair_df.agg(F.count(F.lit(1)).alias("n_near_pairs"))
+    clusters = dedup.near_dup_clusters(docs, pairs=pair_df)
     cl = clusters.agg(
         F.count_distinct("cluster_id").alias("n_clusters"),
         F.count(F.lit(1)).alias("n_clustered_docs"),
@@ -5509,7 +5512,9 @@ def q_quality_dup_correlation(spark, sf_dir):
        SELECT CAST(count(*) AS BIGINT) AS n_classes,
               CAST(sum(n) AS BIGINT) AS n_rows,
               CAST(min(n) AS BIGINT) AS min_class_size,
-              floor(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0
+              floor(sum(CASE WHEN n < """
+        + str(etl.K_ANONYMITY)
+        + """ THEN n ELSE 0 END) * 1.0
                     / sum(n) * 10000 + 0.5) / 10000.0 AS pct_rows_below_k,
               CAST(min(l) AS BIGINT) AS min_l_diversity
        FROM classes"""
@@ -5523,13 +5528,16 @@ def q_k_anonymity_report(spark, sf_dir):
 
 
 def _ladder_level_sql(level_id: int, name: str, band: str) -> str:
+    # k interpolated from etl.K_ANONYMITY — lockstep with the Spark
+    # side's default (the CDC_BOUNDARY_MOD / JL_DIMS discipline)
+    k = etl.K_ANONYMITY
     return f"""SELECT {level_id} AS level_id, '{name}' AS level,
        CAST(count(*) AS BIGINT) AS n_classes,
        CAST(min(n) AS BIGINT) AS min_class_size,
-       CAST(floor(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0
+       CAST(floor(sum(CASE WHEN n < {k} THEN n ELSE 0 END) * 1.0
                   / sum(n) * 1000000 + 0.5) AS BIGINT)
          AS rows_below_k_ppm,
-       min(n) >= 5 AS meets_k
+       min(n) >= {k} AS meets_k
 FROM (SELECT gender, {band} AS band, count(*) AS n
       FROM profiles GROUP BY gender, band)"""
 
@@ -8913,7 +8921,15 @@ def q_streaming_chunk_dedup(spark, sf_dir):
         q = run_chunk_dedup_stream(
             spark, stream, index_path, f"{work}/ckpt"
         )
-        q.awaitTermination(300)
+        # awaitTermination returns False on timeout — reading the
+        # ledgers then (and rmtree'ing the work dir under the live
+        # query) would yield silently partial results
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "chunk-dedup stream did not drain within 300 s"
+                + (f": {q.exception()}" if q.exception() else "")
+            )
         ledgers = spark.read.option(
             "basePath", f"{index_path}/ledger"
         ).parquet(f"{index_path}/ledger")
@@ -9055,7 +9071,7 @@ _JL_SHORTLIST_VALUES = ", ".join(
              FROM embeddings),
   {_JL_PR_CTE},
   q AS (SELECT vec_id AS q_id, emb AS q_emb, pr AS q_pr
-        FROM p WHERE vec_id < 8),
+        FROM p WHERE vec_id < {similarity.JL_CURVE_QUERIES}),
   sc AS (SELECT q_id, p.vec_id,
            round(list_cosine_similarity(p.emb, q.q_emb), 6) AS cosine,
            CAST(floor(list_sum(list_transform(
@@ -9079,10 +9095,13 @@ _JL_SHORTLIST_VALUES = ", ".join(
            row_number() OVER (PARTITION BY q_id, shortlist
              ORDER BY cosine DESC, vec_id ASC) AS jl_rank
          FROM cf),
-  hits AS (SELECT * FROM jr WHERE jl_rank <= 10 AND rn_exact <= 10)
+  hits AS (SELECT * FROM jr WHERE jl_rank <= {similarity.JL_CURVE_K}
+             AND rn_exact <= {similarity.JL_CURVE_K})
 SELECT shortlist, CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries_hit,
        CAST(count(*) AS BIGINT) AS n_hits,
-       CAST(floor(count(*) * 1.0 / 80 * 10000 + 0.5) AS BIGINT)
+       CAST(floor(count(*) * 1.0
+                  / {similarity.JL_CURVE_K * similarity.JL_CURVE_QUERIES}
+                  * 10000 + 0.5) AS BIGINT)
          / 10000.0 AS recall
 FROM hits GROUP BY shortlist ORDER BY shortlist""",
 )

@@ -604,7 +604,19 @@ def read_chunk_digest_index(
     """base ∪ per-batch add segments as one digest relation.
     `exclude_batch_id` drops that batch's own segment — required for
     replay-safety: a foreachBatch retry must not classify its own
-    previously-published digests as corpus duplicates."""
+    previously-published digests as corpus duplicates.
+
+    The adds discovery below is driver-local os.listdir — correct
+    only for local filesystem paths. A remote URI (hdfs://, s3a://)
+    would silently skip every adds segment and produce WRONG ledgers,
+    so refuse it loudly; the cluster deployment swaps this listing
+    for the Hadoop FS API."""
+    if "://" in index_path:  # incl. file:// — os.listdir can't see it
+        raise ValueError(
+            "read_chunk_digest_index discovers adds segments via "
+            f"local os.listdir; got URI index_path {index_path!r} "
+            "— adds would be silently skipped. Use a plain local path."
+        )
     base = spark.read.parquet(os.path.join(index_path, "base")).select(
         "digest"
     )
@@ -650,25 +662,38 @@ def run_chunk_dedup_stream(
     from ..operators import dedup
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.text import cdc_chunk_table
+
         t0 = time.monotonic()
         batch_df.persist()
+        marked = None
         try:
             n = batch_df.count()
             if n:
                 idx = read_chunk_digest_index(
                     spark, index_path, exclude_batch_id=batch_id
                 )
-                dedup.chunk_dedup_batch_ledger(idx, batch_df).write.mode(
+                # chunk the batch and probe the index ONCE — both the
+                # ledger and the new-digest segment derive from the
+                # same persisted marked relation (pre-share, the
+                # chunking windows and the full base+adds index scan
+                # ran twice per micro-batch)
+                marked = dedup.chunk_dedup_marked(
+                    idx, cdc_chunk_table(batch_df)
+                ).persist()
+                dedup.ledger_from_marked(marked).write.mode(
                     "overwrite"
                 ).parquet(
                     os.path.join(index_path, "ledger", f"batch_id={batch_id}")
                 )
-                dedup.chunk_dedup_new_digests(idx, batch_df).write.mode(
+                dedup.new_digests_from_marked(marked).write.mode(
                     "overwrite"
                 ).parquet(
                     os.path.join(index_path, "adds", f"batch_id={batch_id}")
                 )
         finally:
+            if marked is not None:
+                marked.unpersist()
             batch_df.unpersist()
         if timings is not None:
             timings.append((batch_id, n, time.monotonic() - t0))

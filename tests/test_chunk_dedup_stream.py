@@ -136,3 +136,16 @@ def test_replay_with_fresh_checkpoint_is_idempotent(
     q.awaitTermination(300)
     after = [_ledger_rows(spark, index_path, i) for i in range(3)]
     assert after == before
+
+
+def test_read_index_refuses_uri_paths(spark):
+    """adds discovery is driver-local os.listdir — a remote URI would
+    silently skip every adds segment and corrupt the ledgers, so it
+    must fail loudly instead."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        read_chunk_digest_index,
+    )
+
+    for bad in ("hdfs://nn/idx", "s3a://bucket/idx", "file:///tmp/idx"):
+        with pytest.raises(ValueError, match="os.listdir"):
+            read_chunk_digest_index(spark, bad)

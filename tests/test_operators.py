@@ -186,6 +186,51 @@ def test_near_dup_clusters_match_python_union_find(spark):
     assert len(expected) > 0 and got == expected
 
 
+def test_curation_report_runs_minhash_once(spark, monkeypatch):
+    """Single-pass contract: the pair count and the clustering share
+    ONE checkpointed pair relation — the MinHash pipeline must
+    execute exactly once per curation_report (it used to run twice:
+    once for n_near_pairs, once inside near_dup_clusters)."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.plans import (
+        registry,
+    )
+
+    calls = {"n": 0}
+    real = dedup.near_dedup_minhash
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup, "near_dedup_minhash", counting)
+    row = registry.QUERIES["curation_report"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert calls["n"] == 1
+    # the shared relation must still feed both consumers coherently:
+    # clustered docs exist iff pairs exist
+    assert (row.n_near_pairs > 0) == (row.n_clustered_docs > 0)
+
+
+def test_near_dup_clusters_accepts_prebuilt_pairs(spark):
+    docs = dedup.with_synthetic_dupes(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    pairs = dedup.near_dup_pairs_checkpointed(docs)
+    via_pairs = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.near_dup_clusters(docs, pairs=pairs).collect()
+    }
+    fresh = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.near_dup_clusters(docs).collect()
+    }
+    assert via_pairs == fresh and len(fresh) > 0
+    # the caller's checkpoint must survive the clustering's in-loop
+    # unpersists — counting it afterwards still works
+    assert pairs.count() > 0
+
+
 def test_simhash_close_for_near_dups(docs):
     sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     assert sigs[1] == sigs[2]
