@@ -1602,6 +1602,9 @@ IVFPQ_BATCH_RESIDUE = 7  # held-out ingest slice: vec_id % 10 == 7
 IVFPQ_N_CELLS = 8
 IVFPQ_SERVE_QUERY = 1  # probe query for the maintained-index serve
 IVFPQ_ADD_QUERY = 2  # probe query for the post-add serve
+IVFPQ_ERASE_MOD = 9  # erase set: vec_id % MOD == RESIDUE (oracle lockstep)
+IVFPQ_ERASE_RESIDUE = 4
+IVFPQ_ERASE_QUERY = 3  # probe query for the post-erase serve (not erased)
 
 
 def ivfpq_train(
@@ -2301,21 +2304,124 @@ def ann_ivfpq_serve_batch(
     )
 
 
+def ivfpq_erase(spark, path: str, erase_ids: DataFrame) -> dict:
+    """Right-to-be-forgotten reaching the maintained IVF-PQ artifact:
+    publish a TOMBSTONE SEGMENT for the given subjects' vec_ids. At
+    100 TB the index cannot be rebuilt per erasure request — instead
+    the erase set is written cell-partitioned under `tombstones/
+    seg_id=N` (cells looked up from the live codes, so the serve-time
+    tombstone read prunes to the probed cells exactly like the codes
+    read), excluded at serve via a broadcast anti-join on vec_id
+    (read_ivfpq_index_serving), and folded PERMANENTLY out of the
+    codes at the next ivfpq_compact_segments.
+
+    Semantics: a tombstone suppresses the vec_id across base AND every
+    un-compacted add segment — including an add published AFTER the
+    erasure (the subject must not reappear). Compaction physically
+    drops the rows and clears the tombstones; only a post-compaction
+    re-add (re-consent) serves the id again. The frozen quantizers are
+    aggregate model parameters, not per-subject data — erasure does
+    not retrain them, matching how deployed ANN systems treat
+    codebooks under GDPR.
+
+    Cost: one vec_id-keyed semi-join of the erase set against the
+    codes (request-sized output), one small parquet write. Returns
+    {"seg_id", "n_ids", "n_cells"}.
+    """
+    import os
+
+    ids = erase_ids.select("vec_id").distinct()
+    codes = read_ivfpq_index_with_adds(spark, path)["codes"]
+    cells = (
+        codes.join(F.broadcast(ids), "vec_id")
+        .select("vec_id", "cell")
+        .distinct()
+    )
+    ts_dir = os.path.join(path, "tombstones")
+    # an id with no codes rows YET (erase raced ahead of its add) must
+    # still tombstone — cell -1 (no partition to prune, anti-join on
+    # vec_id still suppresses it when the add lands)
+    found_rows = cells.collect()  # bounded: request-sized
+    found = {r.vec_id for r in found_rows}
+    missing = [
+        (int(r.vec_id), -1)
+        for r in ids.collect()
+        if r.vec_id not in found
+    ]
+    seg_id = (
+        max(
+            (
+                int(e.split("=", 1)[1])
+                for e in os.listdir(ts_dir)
+                if e.startswith("seg_id=")
+            ),
+            default=-1,
+        )
+        + 1
+        if os.path.isdir(ts_dir)
+        else 0
+    )
+    rows = [(int(r.vec_id), int(r.cell)) for r in found_rows] + missing
+    out = spark.createDataFrame(rows, "vec_id long, cell long")
+    out.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(ts_dir, f"seg_id={seg_id}")
+    )
+    return {
+        "seg_id": seg_id,
+        "n_ids": len({v for v, _ in rows}),
+        "n_cells": len({c for _, c in rows if c >= 0}),
+    }
+
+
+def read_ivfpq_tombstones(spark, path: str) -> DataFrame | None:
+    """Union of all published tombstone segments as (vec_id, cell);
+    None when no erasures are pending."""
+    import os
+
+    ts_dir = os.path.join(path, "tombstones")
+    if os.path.isdir(ts_dir) and any(
+        e.startswith("seg_id=") for e in os.listdir(ts_dir)
+    ):
+        return spark.read.parquet(ts_dir).select(
+            "vec_id", F.col("cell").cast("long").alias("cell")
+        )
+    return None
+
+
+def read_ivfpq_index_serving(spark, path: str) -> dict:
+    """THE serve-time artifact read: base codes ∪ un-compacted add
+    segments, MINUS tombstoned vec_ids (broadcast anti-join — erase
+    sets are request-sized). Every serve over an index with pending
+    erasures must read through this, so an erased subject can never
+    appear in a shortlist even before compaction folds its rows."""
+    index = read_ivfpq_index_with_adds(spark, path)
+    ts = read_ivfpq_tombstones(spark, path)
+    if ts is not None:
+        index["codes"] = index["codes"].join(
+            F.broadcast(ts.select("vec_id")), "vec_id", "left_anti"
+        )
+    return index
+
+
 def ivfpq_compact_segments(spark, path: str) -> dict:
     """Fold the streaming L0 segments (`codes_adds/batch_id=N`, from
-    run_ivfpq_add_stream) into the base codes table — the compaction
-    half of the maintained-index lifecycle. Serving reads get faster
-    (one cell directory per cell instead of 1 + |segments|) and the
-    segment area empties; quantizers are untouched (codes only move,
-    they never re-encode, so compaction can never change a serve
-    result — pytest asserts serve-before == serve-after).
+    run_ivfpq_add_stream) into the base codes table AND permanently
+    drop tombstoned rows (`tombstones/seg_id=N`, from ivfpq_erase) —
+    the compaction half of the maintained-index lifecycle. Serving
+    reads get faster (one cell directory per cell instead of
+    1 + |segments|, no anti-join), the segment and tombstone areas
+    empty, and erased subjects' codes leave the physical artifact;
+    quantizers are untouched (surviving codes only move, they never
+    re-encode, so compaction can never change a SERVE result — the
+    serving read already excluded tombstoned rows; pytest asserts
+    serve-before == serve-after across erase/add interleavings).
 
     Publish protocol on a plain filesystem: the merged codes land in
     a scratch directory, then swap in via rename with the old tree
     kept until the swap completes (a table format — Iceberg/Delta —
     would make this a metadata commit; the physical layout written
-    here is identical). Returns {"n_segments", "n_rows"} of what was
-    folded.
+    here is identical). Returns {"n_segments", "n_rows",
+    "n_tombstoned"} of what was folded.
     """
     import os
     import shutil
@@ -2331,10 +2437,16 @@ def ivfpq_compact_segments(spark, path: str) -> dict:
         if os.path.isdir(adds_dir)
         else []
     )
-    if not segments:
-        return {"n_segments": 0, "n_rows": 0}
-    merged = read_ivfpq_index_with_adds(spark, path)["codes"]
-    n_rows = spark.read.parquet(adds_dir).count()
+    ts = read_ivfpq_tombstones(spark, path)
+    if not segments and ts is None:
+        return {"n_segments": 0, "n_rows": 0, "n_tombstoned": 0}
+    merged = read_ivfpq_index_serving(spark, path)["codes"]
+    n_rows = (
+        spark.read.parquet(adds_dir).count() if segments else 0
+    )
+    n_tombstoned = (
+        int(ts.select("vec_id").distinct().count()) if ts is not None else 0
+    )
     scratch = os.path.join(path, f".codes_compact_{uuid.uuid4().hex}")
     merged.write.partitionBy("cell").parquet(scratch)
     old = os.path.join(path, f".codes_old_{uuid.uuid4().hex}")
@@ -2342,7 +2454,12 @@ def ivfpq_compact_segments(spark, path: str) -> dict:
     os.rename(scratch, os.path.join(path, "codes"))
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(adds_dir, ignore_errors=True)
-    return {"n_segments": len(segments), "n_rows": int(n_rows)}
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    return {
+        "n_segments": len(segments),
+        "n_rows": int(n_rows),
+        "n_tombstoned": n_tombstoned,
+    }
 
 
 # ------------------------------------------------------------------

@@ -7491,6 +7491,69 @@ def q_ann_ivfpq_add_serve(spark, sf_dir):
     )
 
 
+def _ivfpq_index_post_erase(spark, sf_dir):
+    """The post-erase snapshot: the post-add artifact with a GDPR
+    erasure request tombstoned (vec_id % IVFPQ_ERASE_MOD ==
+    IVFPQ_ERASE_RESIDUE — the deterministic erase set, ~1/9 of the
+    corpus spread across every cell). The tombstone segment is
+    request-sized; codes are NOT rewritten (that is compaction's
+    job). Loaded through the SERVING read, which anti-joins the
+    tombstones out."""
+    import os as _os
+
+    def build(path):
+        post = _ivfpq_index_post_add(spark, sf_dir)
+        post["centroids"].write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+        post["codebooks"].write.mode("overwrite").parquet(
+            f"{path}/codebooks"
+        )
+        post["codes"].write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/codes"
+        )
+        erase = (
+            _t(spark, sf_dir, "embeddings")
+            .filter(
+                F.col("vec_id") % similarity.IVFPQ_ERASE_MOD
+                == similarity.IVFPQ_ERASE_RESIDUE
+            )
+            .select("vec_id")
+        )
+        similarity.ivfpq_erase(spark, path, erase)
+
+    _ivfpq_build_cached(spark, sf_dir, "erase", build)
+    import tempfile as _tf
+
+    path = _os.path.join(
+        _tf.gettempdir(), f"ivfpq_index_v1erase_{_ivfpq_tag(sf_dir)}"
+    )
+    return similarity.read_ivfpq_index_serving(spark, path)
+
+
+@query(
+    "ann_ivfpq_erase_serve",
+    _ivfpq_idx_oracle(
+        pop=f"""SELECT * FROM emb
+ WHERE vec_id % {similarity.IVFPQ_ERASE_MOD}
+       <> {similarity.IVFPQ_ERASE_RESIDUE}""",
+        final=_ivfpq_serve_final(similarity.IVFPQ_ERASE_QUERY),
+    ),
+)
+def q_ann_ivfpq_erase_serve(spark, sf_dir):
+    """Right-to-be-forgotten on the maintained ANN artifact: serve
+    AFTER a tombstone erasure (codes untouched, erase set excluded by
+    the serving read's anti-join). The oracle replays a FULL REBUILD
+    over the corpus WITHOUT the erased subjects — serve-after-erase ==
+    rebuild-without-erased, vector-for-vector (the add==rebuild
+    equivalence pattern, pointed at deletion). Quantizers stay frozen:
+    they are aggregate model parameters, not per-subject rows."""
+    idx = _ivfpq_index_post_erase(spark, sf_dir)
+    return similarity.ann_ivfpq_serve(
+        idx, _t(spark, sf_dir, "embeddings"), similarity.IVFPQ_ERASE_QUERY
+    )
+
+
 _TUNE_PS = ", ".join(str(p) for p in similarity.IVFPQ_TUNE_PROBES)
 _TUNE_SS = ", ".join(str(s) for s in similarity.IVFPQ_TUNE_SHORTLISTS)
 

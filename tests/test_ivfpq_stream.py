@@ -160,4 +160,5 @@ def test_compaction_folds_segments_and_preserves_serving(
     assert similarity.ivfpq_compact_segments(spark, index_path) == {
         "n_segments": 0,
         "n_rows": 0,
+        "n_tombstoned": 0,
     }
