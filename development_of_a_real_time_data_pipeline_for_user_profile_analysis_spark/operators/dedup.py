@@ -1418,6 +1418,49 @@ def split_near_dup_leakage(
     )
 
 
+def temporal_split_leakage(
+    docs: DataFrame,
+    events: DataFrame,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """split_near_dup_leakage's audit pointed at the TEMPORAL split
+    (train < hour-cutoff ≤ eval, text.acquired_with_split): verified
+    near-dup pairs classified by which side of the time boundary each
+    member was acquired on. A cross-boundary pair is future leakage —
+    a re-crawl of training content sitting in the forward eval set.
+
+    Scale shape: inherits near_dedup_minhash's banded-bucket shape;
+    the split tags come from joining the PAIR-SIZED relation (hinted
+    broadcast — confirmed pairs are orders of magnitude smaller than
+    the corpus) against the doc→split map twice; the rollup is a
+    ≤4-row (split_a, split_b) aggregate."""
+    from .text import acquired_with_split
+
+    pairs = near_dedup_minhash(docs, jaccard_threshold).select(
+        "doc_a", "doc_b"
+    )
+    sp = acquired_with_split(docs, events).select("doc_id", "split")
+    tagged = (
+        sp.select(
+            F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+        )
+        .join(F.broadcast(pairs), "doc_a")
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        tagged.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leakage", F.col("split_a") != F.col("split_b"))
+        .orderBy("split_a", "split_b")
+    )
+
+
 SEMDEDUP_COS_T = 0.45  # same planted-near-dup threshold embedding_near_dupes uses
 SEMDEDUP_CELLS = 8
 

@@ -294,6 +294,164 @@ def split_col(doc_id: Column) -> Column:
     return F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
 
 
+# --- temporal (time-based) split ----------------------------------
+# Real pipelines often split by TIME, not hash (train < cutoff ≤
+# eval) to measure forward generalization. Documents carry no
+# timestamp in this corpus; their acquisition event lives in the
+# events stream (event_id == doc_id — one crawl event per document).
+# Synthetic duplicate copies (with_synthetic_dupes' doc_id + 100000 /
+# + 200000 id space) model a RE-CRAWL: their acquisition event is the
+# one n_base_docs after the original's, so duplicate content lands on
+# both sides of any interior cutoff — the leakage scenario the audit
+# exists for. All constants are oracle-interpolated (lockstep rule).
+TEMPORAL_TRAIN_PCT = 70  # train share target, integer percent
+ACQ_DUPE_OFFSET = 100000  # with_synthetic_dupes' id space (lockstep)
+
+
+def with_acquired_ts(documents: DataFrame, events: DataFrame) -> DataFrame:
+    """Attach each document's acquisition timestamp from the events
+    stream. Originals (doc_id < ACQ_DUPE_OFFSET) join event_id ==
+    doc_id; synthetic re-crawl copies join event_id == original_id +
+    n_base_docs (a strictly later event — event ids are time-ordered
+    in this corpus). One equi-join against the events table; the
+    n_base scalar rides a broadcast crossJoin, no driver collect."""
+    n_base = documents.filter(
+        F.col("doc_id") < ACQ_DUPE_OFFSET
+    ).agg(F.count(F.lit(1)).alias("_nb"))
+    keyed = documents.crossJoin(F.broadcast(n_base)).withColumn(
+        "_acq_key",
+        (F.col("doc_id") % ACQ_DUPE_OFFSET)
+        + F.when(
+            F.col("doc_id") >= ACQ_DUPE_OFFSET, F.col("_nb")
+        ).otherwise(F.lit(0)),
+    )
+    acq = events.select(
+        F.col("event_id").alias("_acq_key"),
+        F.col("ts").alias("acquired_ts"),
+    )
+    return keyed.join(acq, "_acq_key").drop("_acq_key", "_nb")
+
+
+def acquired_with_split(
+    documents: DataFrame,
+    events: DataFrame,
+    train_pct: int = TEMPORAL_TRAIN_PCT,
+) -> DataFrame:
+    """Documents + acquired_ts + temporal split assignment. The
+    cutoff is the first HOUR bucket at which the cumulative acquired
+    share reaches train_pct — the histogram-CDF quantile device
+    (dsir_selection_report's scale fix): the quantile is found on the
+    bounded hour-bucket table (≤ hours-of-history rows, ~10⁵ even for
+    a decade), never by globally ranking the corpus. Integer math
+    (cum·100 ≥ tot·pct) keeps both engines exact."""
+    d = with_acquired_ts(documents, events)
+    hour = F.date_trunc("hour", F.col("acquired_ts"))
+    hrs = d.groupBy(hour.alias("h")).agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cutoff = (
+        hrs.select(
+            "h",
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("tot"),
+        )
+        .filter(F.col("cum") * 100 >= F.col("tot") * train_pct)
+        .agg(F.min("h").alias("_cutoff_h"))
+    )
+    return (
+        d.crossJoin(F.broadcast(cutoff))
+        .withColumn(
+            "split",
+            F.when(hour <= F.col("_cutoff_h"), "train").otherwise("eval"),
+        )
+        .drop("_cutoff_h")
+    )
+
+
+def temporal_split_plan(
+    documents: DataFrame, events: DataFrame
+) -> DataFrame:
+    """The time-split summary a training run is planned from: per
+    split (train < hour-cutoff ≤ eval), document/char volume and the
+    acquisition window it covers. Two keyed aggregations over the
+    acquisition join; the cutoff search is the bounded hour-CDF."""
+    d = acquired_with_split(documents, events)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        d.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.date_format(F.min("acquired_ts"), fmt).alias("first_acquired"),
+            F.date_format(F.max("acquired_ts"), fmt).alias("last_acquired"),
+        )
+        .orderBy("split")
+    )
+
+
+def temporal_contamination(
+    documents: DataFrame,
+    events: DataFrame,
+    n: int | None = None,  # defaults to BENCH_NGRAM_N (defined below)
+) -> DataFrame:
+    """The 13-gram decontamination audit run ACROSS THE TIME BOUNDARY
+    (benchmark_ngram_contamination's rule, pointed at the temporal
+    split): a train-side document is contaminated if it shares any
+    n-gram of n consecutive tokens with an eval-side document —
+    verbatim future leakage a forward-generalization eval must not
+    train on. Eval-side distinct grams broadcast into a semi-join
+    against train grams (the eval slice is the small side by
+    construction); per-source ledger."""
+    if n is None:
+        n = BENCH_NGRAM_N
+    d = acquired_with_split(documents, events)
+    grams = F.expr(
+        f"CASE WHEN size(split(text, ' ')) >= {n}"
+        f" THEN transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+        f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+        f" ELSE array() END"
+    )
+    base = d.select(
+        "doc_id", "source", "split", F.explode(grams).alias("gram")
+    )
+    eval_grams = (
+        base.filter(F.col("split") == "eval").select("gram").distinct()
+    )
+    contaminated = (
+        base.filter(F.col("split") == "train")
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train_docs = d.filter(F.col("split") == "train").select(
+        "doc_id", "source"
+    )
+    return (
+        train_docs.join(
+            contaminated.withColumn("hit", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+            (
+                F.floor(
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def deterministic_split(documents: DataFrame) -> DataFrame:
     """Split-size summary of :func:`split_col`."""
     return documents.groupBy(split_col(F.col("doc_id")).alias("split")).agg(

@@ -6597,6 +6597,132 @@ def q_split_near_dup_leakage(spark, sf_dir):
     return dedup.split_near_dup_leakage(_dupes_df(spark, sf_dir))
 
 
+# --- temporal (time-based) split family -----------------------------
+# Acquisition timestamps come from the events stream (event_id ==
+# doc_id; synthetic re-crawl copies join the event n_base_docs later);
+# the cutoff is the hour-bucket CDF quantile at TEMPORAL_TRAIN_PCT.
+# Keep in lockstep with text.with_acquired_ts / acquired_with_split.
+_TEMPORAL_ACQ_CTES = f""",
+acq AS (
+  SELECT dupes.doc_id, dupes.text, dupes.source, dupes.n_chars,
+         e.ts AS acquired_ts
+  FROM dupes JOIN events e
+    ON e.event_id = (dupes.doc_id % {text.ACQ_DUPE_OFFSET})
+       + CASE WHEN dupes.doc_id >= {text.ACQ_DUPE_OFFSET}
+              THEN (SELECT count(*) FROM documents) ELSE 0 END),
+hrs AS (SELECT date_trunc('hour', acquired_ts) AS h, count(*) AS c
+        FROM acq GROUP BY 1),
+cut AS (SELECT min(h) AS ch FROM (
+          SELECT h, sum(c) OVER (ORDER BY h) AS cum,
+                 sum(c) OVER () AS tot FROM hrs)
+        WHERE cum * 100 >= tot * {text.TEMPORAL_TRAIN_PCT}),
+sp AS (SELECT acq.*,
+              CASE WHEN date_trunc('hour', acquired_ts)
+                        <= (SELECT ch FROM cut)
+                   THEN 'train' ELSE 'eval' END AS split
+       FROM acq)"""
+
+
+@query(
+    "temporal_split_plan",
+    _with_dupes(
+        _TEMPORAL_ACQ_CTES
+        + """
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       strftime(min(acquired_ts), '%Y-%m-%d %H:%M:%S')
+         AS first_acquired,
+       strftime(max(acquired_ts), '%Y-%m-%d %H:%M:%S')
+         AS last_acquired
+FROM sp GROUP BY split ORDER BY split"""
+    ),
+)
+def q_temporal_split_plan(spark, sf_dir):
+    """Time-based split plan (train < hour-cutoff ≤ eval, cutoff =
+    70th-percentile acquisition hour via the bounded hour-CDF):
+    per-split volume and acquisition window — the forward-
+    generalization counterpart of the md5 split family."""
+    return text.temporal_split_plan(
+        _dupes_df(spark, sf_dir), _t(spark, sf_dir, "events")
+    )
+
+
+@query(
+    "temporal_split_leakage",
+    _with_dupes(
+        f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+        nd AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter)
+                      * 10000 + 0.5) / 10000.0 >= {dedup.JACCARD_THRESHOLD})"""
+        + _TEMPORAL_ACQ_CTES
+        + """,
+        tg AS (SELECT sa.split AS split_a, sb.split AS split_b
+               FROM nd
+               JOIN sp sa ON sa.doc_id = nd.doc_a
+               JOIN sp sb ON sb.doc_id = nd.doc_b)
+        SELECT split_a, split_b, count(*) AS n_pairs,
+               split_a <> split_b AS is_leakage
+        FROM tg GROUP BY split_a, split_b
+        ORDER BY split_a, split_b"""
+    ),
+)
+def q_temporal_split_leakage(spark, sf_dir):
+    """Cross-TIME-boundary near-dup leakage: verified near-dup pairs
+    classified by acquisition side of the hour-cutoff — a re-crawl of
+    training content inside the forward eval window is leakage the
+    curation pipeline must break."""
+    return dedup.temporal_split_leakage(
+        _dupes_df(spark, sf_dir), _t(spark, sf_dir, "events")
+    )
+
+
+@query(
+    "temporal_contamination",
+    _with_dupes(
+        _TEMPORAL_ACQ_CTES
+        + f""",
+w AS (SELECT doc_id, source, split, string_split(text, ' ') AS w
+      FROM sp),
+g AS (SELECT doc_id, source, split,
+             unnest(list_transform(
+                    generate_series(1, len(w) - {text.BENCH_NGRAM_N - 1}),
+                    i -> array_to_string(
+                         list_slice(w, i, i + {text.BENCH_NGRAM_N - 1}),
+                         ' '))) AS gram
+      FROM w WHERE len(w) >= {text.BENCH_NGRAM_N}),
+eg AS (SELECT DISTINCT gram FROM g WHERE split = 'eval'),
+cont AS (SELECT DISTINCT doc_id FROM g
+         WHERE split = 'train' AND gram IN (SELECT gram FROM eg)),
+td AS (SELECT doc_id, source FROM sp WHERE split = 'train')
+SELECT source, CAST(count(*) AS BIGINT) AS n_train_docs,
+       CAST(sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       floor(sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / count(*) * 10000 + 0.5) / 10000.0
+         AS contamination_rate
+FROM td LEFT JOIN cont ON td.doc_id = cont.doc_id
+GROUP BY source ORDER BY source"""
+    ),
+)
+def q_temporal_contamination(spark, sf_dir):
+    """13-gram decontamination across the TIME boundary: train-side
+    docs sharing any 13-token span with the forward eval window —
+    verbatim future leakage the temporal split must be scrubbed of."""
+    return text.temporal_contamination(
+        _dupes_df(spark, sf_dir), _t(spark, sf_dir, "events")
+    )
+
+
 _SPLIT_PRIO = (
     "CASE {s} WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END"
 )

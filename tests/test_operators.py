@@ -231,6 +231,63 @@ def test_near_dup_clusters_accepts_prebuilt_pairs(spark):
     assert pairs.count() > 0
 
 
+def test_temporal_split_is_forward_and_covers_target_share(spark):
+    """acquired_with_split: the hour-CDF cutoff puts >= 70% of docs
+    in train, every train acquisition strictly precedes every eval
+    acquisition at hour granularity, and both sides are non-empty."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        text,
+    )
+
+    docs = dedup.with_synthetic_dupes(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = text.acquired_with_split(docs, events).select(
+        "split", "acquired_ts"
+    )
+    rows = d.collect()
+    n = len(rows)
+    train = [r.acquired_ts for r in rows if r.split == "train"]
+    ev = [r.acquired_ts for r in rows if r.split == "eval"]
+    assert train and ev and len(train) * 100 >= n * text.TEMPORAL_TRAIN_PCT
+    hour = lambda t: t.replace(minute=0, second=0, microsecond=0)  # noqa: E731
+    assert max(hour(t) for t in train) < min(hour(t) for t in ev)
+
+
+def test_temporal_leakage_flags_only_cross_boundary_pairs(spark):
+    """temporal_split_leakage counts exactly the verified near-dup
+    pairs whose members straddle the cutoff — cross-checked against
+    tagging the pair list in Python."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        text,
+    )
+
+    docs = dedup.with_synthetic_dupes(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    split = {
+        r.doc_id: r.split
+        for r in text.acquired_with_split(docs, events)
+        .select("doc_id", "split")
+        .collect()
+    }
+    pairs = dedup.near_dedup_minhash(docs).select("doc_a", "doc_b").collect()
+    expected: dict = {}
+    for p in pairs:
+        key = (split[p.doc_a], split[p.doc_b])
+        expected[key] = expected.get(key, 0) + 1
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.is_leakage)
+        for r in dedup.temporal_split_leakage(docs, events).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == expected
+    for (a, b), (_, leak) in got.items():
+        assert leak == (a != b)
+    assert any(leak for _, leak in got.values())  # positives exist
+
+
 def test_simhash_close_for_near_dups(docs):
     sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     assert sigs[1] == sigs[2]
