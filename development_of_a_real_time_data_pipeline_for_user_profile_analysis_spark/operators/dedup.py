@@ -20,6 +20,8 @@ min-aggregate) and never materializes unaggregated.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1812,6 +1814,134 @@ NORMALIZE_SQL = (
 )
 
 
+def unicode_fold(text: Column) -> Column:
+    """Unicode canonicalization ahead of the ASCII normalization
+    chain: NFC-compose, then strip combining diacritical marks
+    (NFD-decompose and drop category Mn — é→e, ü→u, ö→o). Zero-width
+    characters (U+200B/C/D, U+FEFF) need no special case: they fall
+    to normalize_text's [^a-z0-9 ] strip like any other non-ASCII
+    codepoint. Implemented as an Arrow-batched pandas_udf — the
+    full Unicode tables have no JVM-expression form, and a vectorized
+    str-in/str-out batch is the documented fast path for that;
+    everything downstream of the fold stays a JVM regexp chain.
+    DuckDB mirror: strip_accents(nfc_normalize(x)) — equivalent on
+    composed-or-decomposed Latin diacritics (what multilingual
+    near-dup normalization hits in practice; exotic compatibility
+    characters would need a full NFKC pass on BOTH engines, which
+    DuckDB does not expose — documented contract)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fold(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def fold_one(x):
+            if x is None:
+                return None
+            x = unicodedata.normalize("NFC", x)
+            return "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", x)
+                if unicodedata.category(ch) != "Mn"
+            )
+
+        return s.map(fold_one)
+
+    return _fold(text)
+
+
+def unicode_normalize_text(text: Column) -> Column:
+    """The Unicode-grade canonical form: unicode_fold (NFC +
+    diacritics strip) feeding the existing ASCII chain (lowercase,
+    strip non-[a-z0-9 ] — which also removes zero-widths — collapse
+    whitespace, trim). Catches the multilingual reformattings the
+    ASCII tier alone cannot: 'Café' and 'cafe' now share a digest."""
+    return normalize_text(unicode_fold(text))
+
+
+# SQL form of unicode_normalize_text (DuckDB; {col} interpolated).
+UNINORM_SQL = NORMALIZE_SQL.format(
+    col="strip_accents(nfc_normalize({col}))"
+)
+
+
+def with_unicode_variants(documents: DataFrame) -> DataFrame:
+    """Extend a corpus with deterministic Unicode-tier positives:
+    every 13th doc gets a copy (doc_id + 1000000 — disjoint from the
+    +100000/+200000/+300000 variant id spaces) with accented vowels
+    (a→á, e→é, o→ö) and a zero-width space injected after each blank
+    — invisible to byte-exact AND to the ASCII normalization tier
+    (the accents strip to nothing there, changing the words), but
+    collapsed by the Unicode tier. Mirrored by UNIVAR_ORACLE_CTE."""
+    noised = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "a", "á"), "e", "é"
+            ),
+            "o",
+            "ö",
+        ),
+        " ",
+        " \u200b",  # space + zero-width space
+    )
+    v = (
+        documents.filter(F.col("doc_id") % 13 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", noised)
+    )
+    return documents.unionByName(v)
+
+
+# SQL mirror of with_unicode_variants over the `normvar` CTE (DuckDB
+# dialect). Keep in lockstep with the function above.
+UNIVAR_ORACLE_CTE = """
+univar AS (
+  SELECT doc_id, text, lang, source, n_chars FROM normvar
+  UNION ALL
+  SELECT doc_id + 1000000,
+         replace(replace(replace(replace(text,
+                 'a', 'á'), 'e', 'é'), 'o', 'ö'), ' ', ' ' || chr(8203)),
+         lang, source, n_chars
+  FROM normvar WHERE doc_id % 13 = 0
+)"""
+
+
+def unicode_dedup_report(documents: DataFrame) -> DataFrame:
+    """Unicode-tier dedup audit: duplicate groups each canonical form
+    finds, cumulatively — byte-exact, ASCII normalization, Unicode
+    fold. One row: the extra_merged_unicode column is exactly what
+    the NFC/diacritics tier buys beyond lowercase/punct-strip.
+
+    Scale shape: one scan computes all three digests (the fold is
+    one Arrow batch column); three count-distincts over uniform
+    128-bit keys; 1-row output."""
+    digests = documents.select(
+        F.md5("text").alias("eh"),
+        F.md5(normalize_text(F.col("text"))).alias("nh"),
+        F.md5(unicode_normalize_text(F.col("text"))).alias("uh"),
+    )
+    return digests.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("eh").alias("exact_groups"),
+        F.countDistinct("nh").alias("ascii_norm_groups"),
+        F.countDistinct("uh").alias("unicode_norm_groups"),
+        (F.countDistinct("nh") - F.countDistinct("uh"))
+        .cast("long")
+        .alias("extra_merged_unicode"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.floor(
+                (
+                    F.lit(1)
+                    - F.countDistinct("uh") / F.count(F.lit(1))
+                )
+                * 1000000
+                + 0.5
+            ).cast("long"),
+        ).alias("removed_ppm"),
+    )
+
+
 def normalized_dedup_report(documents: DataFrame) -> DataFrame:
     """Normalization-tier dedup audit: how many duplicate groups the
     canonical form finds beyond byte-exact. One row:
@@ -1874,17 +2004,19 @@ def normalized_dedup_docs(documents: DataFrame) -> DataFrame:
 def dedup_funnel_report(documents: DataFrame) -> DataFrame:
     """The curation funnel a dataset card reports: documents and
     words surviving each dedup tier, applied cumulatively —
-    raw → byte-exact → normalized → chunk-substring. Tiers 2-3 keep
-    the lowest doc_id per (exact|normalized) digest; tier 4
-    reconstructs the normalized survivors at CDC-chunk granularity
-    and counts a doc as surviving while any chunk of it remains
-    (kept words are the reconstruction residue).
+    raw → byte-exact → ASCII-normalized → Unicode-normalized →
+    chunk-substring. Tiers 2-4 keep the lowest doc_id per
+    (exact | ascii-norm | unicode-norm) digest; tier 5 reconstructs
+    the tier-4 survivors at CDC-chunk granularity and counts a doc
+    as surviving while any chunk of it remains (kept words are the
+    reconstruction residue).
 
     Scale shape: each tier is a digest-keyed aggregation or
-    semi-join on uniform keys; the chunk tier adds cdc_chunk_table's
-    per-doc windows plus one digest-keyed keeper row_number (single
-    pass — see chunk_dedup_report). Output is 4 rows of exact
-    integers.
+    semi-join on uniform keys (all three digests computed in the ONE
+    base scan — the Unicode fold is one Arrow batch column); the
+    chunk tier adds cdc_chunk_table's per-doc windows plus one
+    digest-keyed keeper row_number (single pass — see
+    chunk_dedup_report). Output is 5 rows of exact integers.
     """
     from pyspark.sql import Window
 
@@ -1897,6 +2029,7 @@ def dedup_funnel_report(documents: DataFrame) -> DataFrame:
         words_of.alias("n_words"),
         F.md5("text").alias("exact_hash"),
         F.md5(normalize_text(F.col("text"))).alias("norm_hash"),
+        F.md5(unicode_normalize_text(F.col("text"))).alias("uni_hash"),
     )
 
     def tier_row(tier_id, tier, df, docs_col, words_col):
@@ -1911,7 +2044,9 @@ def dedup_funnel_report(documents: DataFrame) -> DataFrame:
         1, "raw", base, F.count(F.lit(1)), F.sum("n_words")
     )
     exact_keep = base.groupBy("exact_hash").agg(
-        F.min(F.struct("doc_id", "n_words", "norm_hash")).alias("k")
+        F.min(F.struct("doc_id", "n_words", "norm_hash", "uni_hash")).alias(
+            "k"
+        )
     )
     exact = tier_row(
         2,
@@ -1925,19 +2060,32 @@ def dedup_funnel_report(documents: DataFrame) -> DataFrame:
             F.col("k.doc_id").alias("doc_id"),
             F.col("k.n_words").alias("n_words"),
             F.col("k.norm_hash").alias("norm_hash"),
+            F.col("k.uni_hash").alias("uni_hash"),
         )
         .groupBy("norm_hash")
+        .agg(F.min(F.struct("doc_id", "n_words", "uni_hash")).alias("k"))
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.n_words").alias("n_words"),
+            F.col("k.uni_hash").alias("uni_hash"),
+        )
+    )
+    norm = tier_row(
+        3, "normalized", norm_keep, F.count(F.lit(1)), F.sum("n_words")
+    )
+    uni_keep = (
+        norm_keep.groupBy("uni_hash")
         .agg(F.min(F.struct("doc_id", "n_words")).alias("k"))
         .select(
             F.col("k.doc_id").alias("doc_id"),
             F.col("k.n_words").alias("n_words"),
         )
     )
-    norm = tier_row(
-        3, "normalized", norm_keep, F.count(F.lit(1)), F.sum("n_words")
+    uni = tier_row(
+        4, "unicode", uni_keep, F.count(F.lit(1)), F.sum("n_words")
     )
     survivors = base.join(
-        norm_keep.select("doc_id"), "doc_id", "left_semi"
+        uni_keep.select("doc_id"), "doc_id", "left_semi"
     ).select("doc_id", "text")
     chunks = cdc_chunk_table(survivors)
     chunk_rn = F.row_number().over(
@@ -1950,7 +2098,7 @@ def dedup_funnel_report(documents: DataFrame) -> DataFrame:
         .agg(F.sum("n_words").alias("w_kept"))
     )
     chunk_tier = tier_row(
-        4,
+        5,
         "chunk_substring",
         kept,
         F.count(F.lit(1)),
@@ -1959,6 +2107,7 @@ def dedup_funnel_report(documents: DataFrame) -> DataFrame:
     return (
         raw.unionByName(exact)
         .unionByName(norm)
+        .unionByName(uni)
         .unionByName(chunk_tier)
         .orderBy("tier_id")
     )

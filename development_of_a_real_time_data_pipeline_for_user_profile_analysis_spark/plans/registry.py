@@ -8780,6 +8780,48 @@ def _normvar_df(spark, sf_dir):
     return dedup.with_normalization_variants(_dupes_df(spark, sf_dir))
 
 
+def _with_univar(sql: str) -> str:
+    return (
+        f"WITH {dedup.DUPES_ORACLE_CTE}, {dedup.NORMVAR_ORACLE_CTE},"
+        f" {dedup.UNIVAR_ORACLE_CTE} {sql}"
+    )
+
+
+def _univar_df(spark, sf_dir):
+    return dedup.with_unicode_variants(_normvar_df(spark, sf_dir))
+
+
+_UNINORM_SQL = dedup.UNINORM_SQL.format(col="text")
+
+
+@query(
+    "unicode_dedup_report",
+    _with_univar(
+        f""", d AS (SELECT md5(text) AS eh, md5({_NORM_SQL}) AS nh,
+                     md5({_UNINORM_SQL}) AS uh
+               FROM univar)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT eh) AS BIGINT) AS exact_groups,
+       CAST(count(DISTINCT nh) AS BIGINT) AS ascii_norm_groups,
+       CAST(count(DISTINCT uh) AS BIGINT) AS unicode_norm_groups,
+       CAST(count(DISTINCT nh) - count(DISTINCT uh) AS BIGINT)
+         AS extra_merged_unicode,
+       CASE WHEN count(*) > 0
+            THEN CAST(floor((1 - count(DISTINCT uh) * 1.0 / count(*))
+                            * 1000000 + 0.5) AS BIGINT) END
+         AS removed_ppm
+FROM d"""
+    ),
+)
+def q_unicode_dedup_report(spark, sf_dir):
+    """Unicode-tier dedup audit: NFC folding + diacritics stripping
+    + zero-width removal ahead of the ASCII canonical form — the
+    extra_merged_unicode column is exactly what the Unicode tier
+    buys beyond lowercase/punct-strip (accented re-crawls, zero-width
+    injections)."""
+    return dedup.unicode_dedup_report(_univar_df(spark, sf_dir))
+
+
 @query(
     "normalized_dedup_report",
     _with_normvar(
@@ -8824,16 +8866,19 @@ def q_normalized_dedup_docs(spark, sf_dir):
 
 @query(
     "dedup_funnel_report",
-    _with_normvar(
+    _with_univar(
         f""", base AS (SELECT doc_id, text,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-                md5(text) AS eh, md5({_NORM_SQL}) AS nh
-         FROM normvar),
+                md5(text) AS eh, md5({_NORM_SQL}) AS nh,
+                md5({_UNINORM_SQL}) AS uh
+         FROM univar),
   ek AS (SELECT eh, min(doc_id) AS kid FROM base GROUP BY eh),
   ekr AS (SELECT b.* FROM base b JOIN ek ON b.doc_id = ek.kid),
   nk AS (SELECT nh, min(doc_id) AS kid FROM ekr GROUP BY nh),
   nkr AS (SELECT b.* FROM ekr b JOIN nk ON b.doc_id = nk.kid),
-  {_cdc_ctes('nkr')},
+  uk AS (SELECT uh, min(doc_id) AS kid FROM nkr GROUP BY uh),
+  ukr AS (SELECT b.* FROM nkr b JOIN uk ON b.doc_id = uk.kid),
+  {_cdc_ctes('ukr')},
   rk AS (SELECT doc_id, n_words,
                 row_number() OVER (PARTITION BY digest
                                    ORDER BY doc_id, chunk_id) AS rn
@@ -8850,16 +8895,21 @@ UNION ALL
 SELECT 3, 'normalized', CAST(count(*) AS BIGINT),
        CAST(sum(n_words) AS BIGINT) FROM nkr
 UNION ALL
-SELECT 4, 'chunk_substring', CAST(count(*) AS BIGINT),
+SELECT 4, 'unicode', CAST(count(*) AS BIGINT),
+       CAST(sum(n_words) AS BIGINT) FROM ukr
+UNION ALL
+SELECT 5, 'chunk_substring', CAST(count(*) AS BIGINT),
        CAST(sum(w_kept) AS BIGINT) FROM kept
 ORDER BY tier_id"""
     ),
 )
 def q_dedup_funnel_report(spark, sf_dir):
     """The dataset-card curation funnel: docs and words surviving
-    each cumulative dedup tier (raw → byte-exact → normalized →
-    chunk-substring reconstruction) — 4 rows of exact integers."""
-    return dedup.dedup_funnel_report(_normvar_df(spark, sf_dir))
+    each cumulative dedup tier (raw → byte-exact → ASCII-normalized
+    → Unicode-normalized → chunk-substring reconstruction) — 5 rows
+    of exact integers; the unicode tier's delta is what NFC folding
+    + diacritics stripping buys."""
+    return dedup.dedup_funnel_report(_univar_df(spark, sf_dir))
 
 
 @query(

@@ -2591,21 +2591,54 @@ def test_normalized_dedup_merges_reformatted_copies(spark):
 
 
 def test_dedup_funnel_is_monotone_on_synthetic_dupes(spark):
-    docs = dedup.with_normalization_variants(
-        dedup.with_synthetic_dupes(
-            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = dedup.with_unicode_variants(
+        dedup.with_normalization_variants(
+            dedup.with_synthetic_dupes(
+                spark.read.parquet(
+                    "/root/testdata/sf0.001/documents.parquet"
+                )
+            )
         )
     )
     rows = dedup.dedup_funnel_report(docs).collect()
-    assert [r.tier_id for r in rows] == [1, 2, 3, 4]
-    assert [r.tier for r in rows] == ["raw", "exact", "normalized", "chunk_substring"]
+    assert [r.tier_id for r in rows] == [1, 2, 3, 4, 5]
+    assert [r.tier for r in rows] == [
+        "raw", "exact", "normalized", "unicode", "chunk_substring",
+    ]
     d = [r.n_docs for r in rows]
     w = [r.n_words for r in rows]
     # every tier removes something on this corpus, never adds
-    assert d[0] > d[1] > d[2] >= d[3]
-    assert w[0] > w[1] > w[2] > w[3]
+    assert d[0] > d[1] > d[2] > d[3] >= d[4]
+    assert w[0] > w[1] > w[2] > w[3] > w[4]
     # chunk tier cuts words, not whole docs, unless a doc fully vanishes
-    assert d[3] > 0 and w[3] > 0
+    assert d[4] > 0 and w[4] > 0
+
+
+def test_unicode_tier_merges_accented_and_zero_width_copies(spark):
+    base = "the quick brown fox jumps over the lazy dog"
+    accented = (
+        base.replace("a", "á").replace("e", "é").replace("o", "ö")
+    )
+    zw = base.replace(" ", " ​")
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, accented, "en", "s", 0),   # unicode-tier dup only
+            (3, zw, "en", "s", 0),         # zero-width injection
+            (4, base.upper(), "en", "s", 0),  # ascii-tier dup
+            (5, "another document entirely", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = dedup.unicode_dedup_report(docs).collect()[0]
+    assert rep.n_docs == 5
+    assert rep.exact_groups == 5
+    # ascii tier merges only the uppercased copy (and the zero-width
+    # one — ZWSP is stripped by the [^a-z0-9 ] rule)
+    assert rep.ascii_norm_groups == 3
+    # unicode tier folds the accents back
+    assert rep.unicode_norm_groups == 2
+    assert rep.extra_merged_unicode == 1
 
 
 def test_jl_projection_preserves_distances_in_expectation(spark):
