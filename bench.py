@@ -166,20 +166,36 @@ def main() -> None:
     n_records = profiles_df(spark, sf_dir).count()
     etl_rec_s = round(n_records / (time.time() - t0), 1)
 
-    # round-over-round hygiene: flag queries that regressed >1.3x
-    # against the most recent recorded round. Sub-second queries
-    # jitter on a warm local JVM, so anything that flags on the first
-    # pass is re-timed once and the min kept — surviving flags are
-    # real regressions, not scheduler noise.
+    # round-over-round hygiene, DRIFT-NORMALIZED (the PERF.md ratio-
+    # median methodology, encoded): this box drifts uniformly between
+    # rounds (measured up to ~1.36x at identical code), so absolute
+    # per-query comparison mass-flags on a slow day (r14: 139 spurious
+    # flags). The median per-query ratio vs the previous detail file
+    # IS the machine drift — divide it out, THEN flag what still
+    # regressed >1.3x AND >0.5 s (sub-second queries jitter on a warm
+    # local JVM; first-pass flags are re-timed once and the min kept,
+    # so surviving flags are real per-query regressions, not drift and
+    # not scheduler noise).
     sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
 
     regressions: dict[str, dict] = {}
+    drift = 1.0
     prev = _previous_timings(sf)
     if prev:
+        ratios = sorted(
+            per_query[n] / prev[n]
+            for n in per_query
+            if n in prev and prev[n] > 0.2 and per_query[n] > 0
+        )
+        if ratios:
+            drift = round(ratios[len(ratios) // 2], 4)
 
         def flagged(name: str, secs: float) -> bool:
-            return name in prev and prev[name] > 0.2 and secs > 1.3 * prev[name]
+            if name not in prev or prev[name] <= 0.2:
+                return False
+            norm = secs / drift
+            return norm > 1.3 * prev[name] and norm - prev[name] > 0.5
 
         for name in [n for n, s in per_query.items() if flagged(n, s)]:
             t0 = time.time()
@@ -189,7 +205,11 @@ def main() -> None:
             per_query[name] = min(per_query[name], round(time.time() - t0, 3))
         for name, secs in per_query.items():
             if flagged(name, secs):
-                regressions[name] = {"prev": prev[name], "now": secs}
+                regressions[name] = {
+                    "prev": prev[name],
+                    "now": secs,
+                    "now_drift_normalized": round(secs / drift, 3),
+                }
 
     detail_file: str | None = f"BENCH_DETAIL_r{_round_number():02d}.json"
     detail = {
@@ -201,6 +221,7 @@ def main() -> None:
         "etl_records_per_sec": etl_rec_s,
         "baseline_etl_records_per_sec": 0.153,
         "regressions_vs_prev": regressions,
+        "drift_coefficient": drift,
         "feeder_split": feeder_split,
         "passes": 2,
         "wall_both_passes": wall_both_passes,
@@ -233,6 +254,7 @@ def main() -> None:
                 "feeder_split": feeder_split,
                 "regressions_vs_prev": dict(list(regressions.items())[:8]),
                 "n_regressions": len(regressions),
+                "drift_coefficient": drift,
                 "passes": 2,
                 "median_spread": sorted(spread.values())[len(spread) // 2],
                 "detail_file": detail_file,

@@ -9380,8 +9380,6 @@ DRIVER_PRIORITY = [
     "pricing_summary",
     "nation_revenue",
     "gdpr_erasure_plan",  # r4w9: governance family rep (evicts mktsegment_rollup; ROLLUP semantics stay evidenced by segment_priority_grouping_sets, its GROUPING SETS superset)
-    "customer_order_rank",
-    "purchasing_customers",
     "segment_priority_grouping_sets",
     "profiles_quality_report",
     # event analytics / windows
@@ -9398,7 +9396,8 @@ DRIVER_PRIORITY = [
     # text analysis / training-data ops
     "text_stats",
     "gopher_quality_report",  # r3w6: rule-based quality gate (evicts top_ngrams)
-    "deterministic_split",
+    "split_leakage_repair",  # r7: cross-split near-dup REPAIR enters as the split-governance rep (evicts deterministic_split -> past window; the 80/10/10 md5 assignment stays in-window INSIDE this query's split priority rule)
+    "soft_dedup_weights",  # r7: downweight-instead-of-drop dedup decision (soft-dedup family rep; evicts purchasing_customers -> past window, semi-join discipline stays in-window inside dedup_funnel_report's survivor semi-join and benchmark_bloom_contamination's gram probe)
     "bloom_membership_audit",  # r4: Bloom build+FPR audit (sketch-audit family; evicts split_contamination -> past window)
     "benchmark_bloom_contamination",  # r6: Bloom-tier 13-gram decontamination (contamination family enters the window; evicts event_type_pivot -> past window, reshaping stays evidenced by segment_priority_grouping_sets + conversion_funnel's conditional aggs)
     "bpe_learned_merges",  # r6: the real BPE trainer loop (tokenizer-trainer family rep; evicts total_users -> past window, dashboard parity keeps gender_distribution + top_email_domains)
@@ -9410,18 +9409,23 @@ DRIVER_PRIORITY = [
     "chunk_dedup_report",  # r6w2: chunk-substring dedup with reconstruction ledger (ExactSubstr family rep; evicts ngram_jaccard_dupes -> past window, Jaccard verify stays in-window inside near_dedup_minhash's candidate-verify stage)
     "near_dup_clusters",
     "profiles_upsert",
-    "embedding_near_dupes",
-    "semdedup_prune_plan",  # r6: semantic dedup on the MAINTAINED frozen-cell layout (evicts simhash_dupes -> past window; near-dup family keeps minhash/ngram/clusters/embedding reps in-window)
+    "semdedup_prune_plan",  # r6: semantic dedup on the MAINTAINED frozen-cell layout (evicts simhash_dupes -> past window; near-dup family keeps minhash/ngram/clusters reps in-window)
     "curation_pipeline",
     "ann_ivfpq_serve",  # r5: probe-only serve from the MAINTAINED index artifact (ANN family rep; evicts ann_ivfpq_topk -> past window, same pipeline minus the artifact)
-    "ivfpq_incremental_add",  # r5: frozen-quantizer batch add (evicts cosine_topk -> past window; exact-cosine stays evidenced by embedding_near_dupes' exact verifier + the serve's exact re-rank)
+    "ivfpq_incremental_add",  # r5: frozen-quantizer batch add (evicts cosine_topk -> past window; exact-cosine stays evidenced by the serve's exact re-rank)
     "ann_ivfpq_add_serve",  # r5: serve over base+batch, oracle = FULL REBUILD (the add==rebuild equivalence proof; evicts bm25_search -> past window, BM25 stays in-window inside hybrid_rrf_search)
-    "ivfpq_tuning_curve",  # r6: the (n_probe, shortlist) recall-loop closer over the maintained artifact (evicts open_not_pending_customers -> past window; semi/anti-join family keeps purchasing_customers + gdpr_erasure_plan's anti-join)
+    "ann_ivfpq_erase_serve",  # r7: tombstone erasure on the maintained artifact, oracle = rebuild WITHOUT the erased subjects (governance-reaches-the-index proof; evicts embedding_near_dupes -> past window, embedding near-dup stays in-window via semdedup_prune_plan's cell-bounded Arrow matmul — the same device)
+    "ivfpq_tuning_curve",  # r6: the (n_probe, shortlist) recall-loop closer over the maintained artifact (evicts open_not_pending_customers -> past window; semi/anti-join family keeps gdpr_erasure_plan's anti-join)
+    "jl_shortlist_curve",  # r7: JL sketch-ANN shortlist-sizing curve (sketch-ANN family rep; evicts customer_order_rank -> past window, ranking-window discipline stays in-window via chunk_dedup_report's keeper row_number and the IVF-PQ serves' re-rank windows)
     "hybrid_rrf_search",  # r3w6: retrieval fusion (evicts label_centroids)
     "multimodal_features",
     "zorder_files",
     "referential_integrity_report",
     "cluster_canonicals",  # r4: rotated out of the 50-window (family rep stays: near_dup_clusters); QUERIES.md
+    "deterministic_split",  # r7 evicted: the md5 split assignment stays in-window inside split_leakage_repair
+    "purchasing_customers",  # r7 evicted: semi-join discipline stays in-window via dedup_funnel_report + benchmark_bloom_contamination probes
+    "customer_order_rank",  # r7 evicted: ranking windows stay in-window via chunk_dedup_report keeper + IVF-PQ re-rank
+    "embedding_near_dupes",  # r7 evicted: embedding near-dup stays in-window via semdedup_prune_plan (same Arrow matmul device)
     "total_users",  # r6 evicted: A3 count parity stays oracle-covered past window
     "open_not_pending_customers",  # r6 evicted: anti-join semantics stay in-window via gdpr_erasure_plan
     "event_type_pivot",  # r6 evicted: pivot stays oracle-covered past window
