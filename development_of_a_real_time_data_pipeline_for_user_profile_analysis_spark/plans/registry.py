@@ -8105,8 +8105,12 @@ _QC_ETA = text.QC_ETA
 _QC_BIN = text.QC_SCORE_BIN
 
 
-def _qc_oracle(final: str) -> str:
-    nf, eta = _QC_NF, _QC_ETA
+def _qc_ctes(nf: int, pfx: str = "") -> tuple[list[str], str]:
+    """The full integer-grid GD replay as a CTE list at feature width
+    `nf`, every CTE name prefixed with `pfx` so two chains (the base
+    model and a capacity-step twin) can ride ONE query. Returns
+    (ctes, final-weight-CTE name)."""
+    eta = _QC_ETA
     f6 = "floor({} * 1000000 + 0.5) / 1000000.0"
     cs = ",\n                ".join(
         f"sum(CASE WHEN b = {i} THEN 1.0 ELSE 0.0 END) AS c{i}"
@@ -8116,24 +8120,25 @@ def _qc_oracle(final: str) -> str:
     xs = ", ".join(f"round(c{i} / nrm, 6) AS x{i}" for i in range(nf))
     xlist = ", ".join(f"x{i}" for i in range(nf))
     ctes = [
-        f"""tok AS (
+        f"""{pfx}tok AS (
   SELECT doc_id, source,
          CAST(CAST('0x' || substr(md5(tok), 1, 2) AS UBIGINT) % {nf}
               AS INT) AS b
   FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
         FROM documents)
   WHERE tok <> ''),
-counts AS (SELECT doc_id, source, {cs}
-           FROM tok GROUP BY doc_id, source),
-normed AS (SELECT doc_id, source, sqrt({nrm}) AS nrm, * FROM counts),
-feats AS (
+{pfx}counts AS (SELECT doc_id, source, {cs}
+           FROM {pfx}tok GROUP BY doc_id, source),
+{pfx}normed AS (SELECT doc_id, source, sqrt({nrm}) AS nrm, *
+                FROM {pfx}counts),
+{pfx}feats AS (
   SELECT source,
          CASE WHEN source = '{text.DSIR_TARGET_SOURCE}'
               THEN 1.0 ELSE 0.0 END AS y,
          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
               AS UBIGINT) % 100 AS BIGINT) < 80 AS is_train,
          {xs}
-  FROM normed)"""
+  FROM {pfx}normed)"""
     ]
     prev_w = None  # step-0 weights are all literal 0.0
     for s in range(1, _QC_STEPS + 1):
@@ -8143,9 +8148,13 @@ feats AS (
             zterms = "w0 + " + " + ".join(
                 f"w{j + 1} * x{j}" for j in range(nf)
             )
-        src = "feats" if prev_w is None else f"feats CROSS JOIN {prev_w}"
+        src = (
+            f"{pfx}feats"
+            if prev_w is None
+            else f"{pfx}feats CROSS JOIN {prev_w}"
+        )
         ctes.append(
-            f"""p{s} AS (SELECT y, is_train, {xlist},
+            f"""{pfx}p{s} AS (SELECT y, is_train, {xlist},
                1.0 / (1.0 + exp(-({zterms}))) AS p
         FROM {src})"""
         )
@@ -8154,22 +8163,30 @@ feats AS (
             for j in range(nf)
         ]
         ctes.append(
-            f"g{s} AS (SELECT " + ",\n        ".join(gcols)
-            + f" FROM p{s} WHERE is_train)"
+            f"{pfx}g{s} AS (SELECT " + ",\n        ".join(gcols)
+            + f" FROM {pfx}p{s} WHERE is_train)"
         )
-        wb = "0.0" if prev_w is None else None
         wcols = []
         for j in range(nf + 1):
             base = "0.0" if prev_w is None else f"w{j}"
             wcols.append(
                 f6.format(f"({base} + {eta} * g{j})") + f" AS w{j}"
             )
-        wsrc = f"g{s}" if prev_w is None else f"g{s} CROSS JOIN {prev_w}"
+        wsrc = (
+            f"{pfx}g{s}"
+            if prev_w is None
+            else f"{pfx}g{s} CROSS JOIN {prev_w}"
+        )
         ctes.append(
-            f"w{s} AS (SELECT " + ",\n        ".join(wcols)
+            f"{pfx}w{s} AS (SELECT " + ",\n        ".join(wcols)
             + f" FROM {wsrc})"
         )
-        prev_w = f"w{s}"
+        prev_w = f"{pfx}w{s}"
+    return ctes, prev_w
+
+
+def _qc_oracle(final: str) -> str:
+    ctes, prev_w = _qc_ctes(_QC_NF)
     return "WITH " + ",\n".join(ctes) + "\n" + final.format(w=prev_w)
 
 
@@ -8227,6 +8244,72 @@ def q_quality_classifier_eval(spark, sf_dir):
     (val+test md5 splits, milli-logit score bins) — the go/no-go
     table before the model gates a corpus."""
     return text.quality_classifier_eval(_t(spark, sf_dir, "documents"))
+
+
+def _qc_capacity_tail(nf: int, pfx: str, label: str, w: str) -> str:
+    """AUC + ECE evaluation tail over one trained chain's held-out
+    scores → a 1-row SELECT fragment tagged (model, n_features)."""
+    z = "w0 + " + " + ".join(f"w{j + 1} * x{j}" for j in range(nf))
+    pb = text.QC_PROB_BIN
+    return f"""{pfx}sc AS (
+  SELECT CAST(floor(({z}) * {_QC_BIN}) AS BIGINT) AS s,
+         CAST(floor(1.0 / (1.0 + exp(-({z}))) * {pb}) AS BIGINT) AS pm,
+         CAST(y AS BIGINT) AS y
+  FROM {pfx}feats CROSS JOIN {w} WHERE NOT is_train),
+{pfx}per_s AS (SELECT s, count(*) AS n, sum(y) AS npos
+               FROM {pfx}sc GROUP BY s),
+{pfx}rk AS (SELECT s, n, npos,
+              coalesce(sum(n) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + (n + 1) / 2.0 AS avg_rank
+       FROM {pfx}per_s),
+{pfx}tt AS (SELECT sum(npos * avg_rank) AS r_pos, sum(npos) AS p,
+              sum(n) AS t,
+              sum(CASE WHEN s >= 0 THEN npos ELSE n - npos END)
+                AS n_correct
+       FROM {pfx}rk),
+{pfx}eb AS (SELECT least(CAST(floor(pm / 100.0) AS INT), 9) AS bin,
+                   count(*) AS n, sum(y) AS npos, sum(pm) AS spm
+            FROM {pfx}sc GROUP BY 1),
+{pfx}ece AS (SELECT sum(abs({pb} * npos - spm)) AS num, sum(n) AS den
+             FROM {pfx}eb),
+{pfx}m AS (SELECT CASE WHEN p > 0 AND t > p
+             THEN (r_pos - p * (p + 1) / 2.0) / (p * (t - p)) END AS auc,
+             n_correct * 1.0 / t AS acc, p, t
+      FROM {pfx}tt),
+{pfx}row AS (
+SELECT '{label}' AS model, {nf} AS n_features,
+       floor(auc * 1000000 + 0.5) / 1000000.0 AS auc,
+       floor(acc * 10000 + 0.5) / 10000.0 AS accuracy,
+       floor(num / ({pb} * 1.0 * den) * 1000000 + 0.5) / 1000000.0
+         AS ece,
+       CAST(p AS BIGINT) AS n_pos, CAST(t - p AS BIGINT) AS n_neg
+FROM {pfx}m CROSS JOIN {pfx}ece)"""
+
+
+def _qc_capacity_oracle() -> str:
+    base_ctes, base_w = _qc_ctes(_QC_NF, "qa_")
+    wide_ctes, wide_w = _qc_ctes(text.QC_WIDE_FEATURES, "qb_")
+    tails = [
+        _qc_capacity_tail(_QC_NF, "qa_", "base", base_w),
+        _qc_capacity_tail(text.QC_WIDE_FEATURES, "qb_", "wide", wide_w),
+    ]
+    return (
+        "WITH "
+        + ",\n".join(base_ctes + wide_ctes + tails)
+        + "\nSELECT * FROM qa_row UNION ALL SELECT * FROM qb_row"
+        + " ORDER BY n_features"
+    )
+
+
+@query("quality_capacity_eval", _qc_capacity_oracle())
+def q_quality_capacity_eval(spark, sf_dir):
+    """The capacity step the eval loop exists to catch: the 8-bucket
+    production quality model vs a 32-bucket twin, same integer-grid
+    GD recipe, same held-out split — ROC AUC and exact-integer ECE
+    side by side in one 2-row result. Oracle replays BOTH full GD
+    trajectories."""
+    return text.quality_capacity_eval(_t(spark, sf_dir, "documents"))
 
 
 
