@@ -2304,7 +2304,9 @@ def ann_ivfpq_serve_batch(
     )
 
 
-def ivfpq_erase(spark, path: str, erase_ids: DataFrame) -> dict:
+def ivfpq_erase(
+    spark, path: str, erase_ids: DataFrame, seg_id: int | str | None = None
+) -> dict:
     """Right-to-be-forgotten reaching the maintained IVF-PQ artifact:
     publish a TOMBSTONE SEGMENT for the given subjects' vec_ids. At
     100 TB the index cannot be rebuilt per erasure request — instead
@@ -2327,6 +2329,12 @@ def ivfpq_erase(spark, path: str, erase_ids: DataFrame) -> dict:
     Cost: one vec_id-keyed semi-join of the erase set against the
     codes (request-sized output), one small parquet write. Returns
     {"seg_id", "n_ids", "n_cells"}.
+
+    `seg_id`: explicit segment key — pass a batch-derived key from
+    foreachBatch (run_ivfpq_erase_stream) so a replayed micro-batch
+    OVERWRITES its own segment instead of appending a duplicate
+    (at-least-once safety, the adds-segment discipline). None →
+    auto-next integer.
     """
     import os
 
@@ -2348,19 +2356,21 @@ def ivfpq_erase(spark, path: str, erase_ids: DataFrame) -> dict:
         for r in ids.collect()
         if r.vec_id not in found
     ]
-    seg_id = (
-        max(
-            (
-                int(e.split("=", 1)[1])
-                for e in os.listdir(ts_dir)
-                if e.startswith("seg_id=")
-            ),
-            default=-1,
+    if seg_id is None:
+        seg_id = (
+            max(
+                (
+                    int(e.split("=", 1)[1])
+                    for e in os.listdir(ts_dir)
+                    if e.startswith("seg_id=")
+                    and e.split("=", 1)[1].isdigit()
+                ),
+                default=-1,
+            )
+            + 1
+            if os.path.isdir(ts_dir)
+            else 0
         )
-        + 1
-        if os.path.isdir(ts_dir)
-        else 0
-    )
     rows = [(int(r.vec_id), int(r.cell)) for r in found_rows] + missing
     out = spark.createDataFrame(rows, "vec_id long, cell long")
     out.write.mode("overwrite").partitionBy("cell").parquet(
@@ -2401,6 +2411,54 @@ def read_ivfpq_index_serving(spark, path: str) -> dict:
             F.broadcast(ts.select("vec_id")), "vec_id", "left_anti"
         )
     return index
+
+
+def ivfpq_erasure_audit(spark, path: str) -> DataFrame:
+    """Per-cell erasure ledger of the maintained artifact — the
+    governance view gdpr_erasure_plan lacked: for every IVF cell,
+    how many vectors still serve vs how many are tombstoned pending
+    the compaction fold (and the ppm share). This is what schedules
+    compaction: a cell whose tombstone share crosses policy triggers
+    the fold; zero rows tombstoned everywhere == the artifact is
+    clean of erased subjects.
+
+    Scale shape: one distinct projection of the codes to (vec_id,
+    cell), one broadcast anti/semi pair against the request-sized
+    tombstone set, one ≤n_cells-row aggregate."""
+    idx = read_ivfpq_index_with_adds(spark, path)
+    vecs = idx["codes"].select("vec_id", "cell").distinct()
+    ts = read_ivfpq_tombstones(spark, path)
+    if ts is None:
+        marked = vecs.withColumn("is_tomb", F.lit(False))
+    else:
+        t = ts.select("vec_id").distinct().withColumn(
+            "is_tomb", F.lit(True)
+        )
+        marked = vecs.join(F.broadcast(t), "vec_id", "left").select(
+            "vec_id",
+            "cell",
+            F.coalesce("is_tomb", F.lit(False)).alias("is_tomb"),
+        )
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.sum(F.when(~F.col("is_tomb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_live"),
+            F.sum(F.when(F.col("is_tomb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tombstoned"),
+            F.floor(
+                F.sum(F.when(F.col("is_tomb"), 1).otherwise(0))
+                / F.count(F.lit(1))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("tombstoned_ppm"),
+        )
+        .orderBy("cell")
+    )
 
 
 def ivfpq_compact_segments(spark, path: str) -> dict:

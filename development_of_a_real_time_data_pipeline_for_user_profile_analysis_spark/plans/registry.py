@@ -7623,8 +7623,9 @@ def _ivfpq_index_post_erase(spark, sf_dir):
     IVFPQ_ERASE_RESIDUE — the deterministic erase set, ~1/9 of the
     corpus spread across every cell). The tombstone segment is
     request-sized; codes are NOT rewritten (that is compaction's
-    job). Loaded through the SERVING read, which anti-joins the
-    tombstones out."""
+    job). Returns the artifact PATH — load through
+    read_ivfpq_index_serving (anti-joins the tombstones out) to
+    serve, or hand to ivfpq_erasure_audit for the governance view."""
     import os as _os
 
     def build(path):
@@ -7654,7 +7655,38 @@ def _ivfpq_index_post_erase(spark, sf_dir):
     path = _os.path.join(
         _tf.gettempdir(), f"ivfpq_index_v1erase_{_ivfpq_tag(sf_dir)}"
     )
-    return similarity.read_ivfpq_index_serving(spark, path)
+    return path
+
+
+@query(
+    "ivfpq_erasure_audit",
+    _ivfpq_idx_oracle(
+        pop="SELECT * FROM emb",
+        final=f""",
+v AS (SELECT DISTINCT vec_id, cell FROM codes),
+m AS (SELECT cell,
+             vec_id % {similarity.IVFPQ_ERASE_MOD}
+               = {similarity.IVFPQ_ERASE_RESIDUE} AS is_tomb
+      FROM v)
+SELECT cell, CAST(sum(CASE WHEN NOT is_tomb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_live,
+       CAST(sum(CASE WHEN is_tomb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tombstoned,
+       CAST(floor(sum(CASE WHEN is_tomb THEN 1 ELSE 0 END) * 1.0
+                  / count(*) * 1000000 + 0.5) AS BIGINT)
+         AS tombstoned_ppm
+FROM m GROUP BY cell ORDER BY cell""",
+    ),
+)
+def q_ivfpq_erasure_audit(spark, sf_dir):
+    """Per-cell erasure ledger of the maintained ANN artifact: live
+    vs tombstoned-pending-fold vectors and the ppm share — the
+    governance observability gdpr_erasure_plan lacked, and what
+    schedules compaction. Oracle replays the frozen-quantizer cell
+    assignment and the deterministic erase set from scratch."""
+    return similarity.ivfpq_erasure_audit(
+        spark, _ivfpq_index_post_erase(spark, sf_dir)
+    )
 
 
 @query(
@@ -7674,7 +7706,9 @@ def q_ann_ivfpq_erase_serve(spark, sf_dir):
     rebuild-without-erased, vector-for-vector (the add==rebuild
     equivalence pattern, pointed at deletion). Quantizers stay frozen:
     they are aggregate model parameters, not per-subject rows."""
-    idx = _ivfpq_index_post_erase(spark, sf_dir)
+    idx = similarity.read_ivfpq_index_serving(
+        spark, _ivfpq_index_post_erase(spark, sf_dir)
+    )
     return similarity.ann_ivfpq_serve(
         idx, _t(spark, sf_dir, "embeddings"), similarity.IVFPQ_ERASE_QUERY
     )

@@ -304,6 +304,65 @@ def run_ivfpq_add_stream(
     return writer.start()
 
 
+def run_ivfpq_erase_stream(
+    spark: SparkSession,
+    id_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    timings: list | None = None,
+):
+    """Streaming right-to-be-forgotten against the maintained IVF-PQ
+    artifact — the erasure twin of run_ivfpq_add_stream: each
+    micro-batch of subject vec_ids publishes a TOMBSTONE segment
+    (`tombstones/seg_id=s{batch_id}` — request-sized, cell-tagged);
+    serving through similarity.read_ivfpq_index_serving excludes the
+    subjects immediately, and the next compaction folds their codes
+    out of the artifact permanently. Erasure requests in a real
+    deployment ARE a stream (deletion API events), so the maintained
+    lifecycle is add-stream + erase-stream + compaction.
+
+    Idempotent under foreachBatch's at-least-once: the segment key is
+    derived from the batch id and the write is overwrite — a replayed
+    batch replaces its own segment (never double-counts). Per-batch
+    cost: one broadcast semi-join of the ids against the codes plus a
+    tiny parquet write — O(|batch|)-driven, flat in corpus size.
+
+    `timings` (optional test hook): (batch_id, n_ids, seconds)."""
+    import time
+
+    from ..operators import similarity
+
+    def erase_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n:
+                similarity.ivfpq_erase(
+                    spark,
+                    index_path,
+                    batch_df.select("vec_id"),
+                    seg_id=f"s{batch_id}",
+                )
+        finally:
+            batch_df.unpersist()
+        if timings is not None:
+            timings.append((batch_id, n, time.monotonic() - t0))
+
+    writer = (
+        id_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(erase_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def deduped_stream(source: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
     """Streaming dedup on profile id — fixes the reference's silent
     duplicate problem (Mongo append had no PK). Event time comes from

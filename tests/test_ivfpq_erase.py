@@ -179,3 +179,94 @@ def test_erase_is_request_sized(spark, base_index):
     assert stats == {"seg_id": 0, "n_ids": 3, "n_cells": stats["n_cells"]}
     ts = similarity.read_ivfpq_tombstones(spark, path)
     assert ts.count() == 3
+
+
+def test_streaming_erase_then_compact_equals_batch_erase(
+    spark, sf_dir, tmp_path
+):
+    """run_ivfpq_erase_stream: erasure requests arriving as
+    micro-batches publish idempotent tombstone segments; serving
+    excludes every streamed subject, a checkpoint-reset replay
+    changes nothing, and compaction folds identically to a one-shot
+    batch erase of the union."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        run_ivfpq_erase_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % MOD != RES)
+    path = str(tmp_path / "idx")
+    similarity.write_ivfpq_index(similarity.build_ivfpq_index(corpus), path)
+
+    erase = corpus.filter(F.col("vec_id") % EMOD == ERES).select("vec_id")
+    erase_ids = sorted(r.vec_id for r in erase.collect())
+    assert len(erase_ids) >= 2
+
+    in_dir = str(tmp_path / "in")
+    erase.repartition(2).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    timings: list = []
+    q = run_ivfpq_erase_stream(
+        spark, stream, path, str(tmp_path / "ckpt"), timings=timings
+    )
+    assert q.awaitTermination(300)
+    assert len([t for t in timings if t[1] > 0]) >= 2  # real multi-batch
+
+    serving = similarity.read_ivfpq_index_serving(spark, path)["codes"]
+    assert serving.filter(F.col("vec_id").isin(erase_ids)).count() == 0
+
+    # replay with a fresh checkpoint: segments overwrite themselves
+    ts_before = sorted(
+        (r.vec_id, r.cell)
+        for r in similarity.read_ivfpq_tombstones(spark, path).collect()
+    )
+    q2 = run_ivfpq_erase_stream(
+        spark,
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir),
+        path,
+        str(tmp_path / "ckpt_replay"),
+    )
+    assert q2.awaitTermination(300)
+    ts_after = sorted(
+        (r.vec_id, r.cell)
+        for r in similarity.read_ivfpq_tombstones(spark, path).collect()
+    )
+    assert ts_after == ts_before
+
+    stats = similarity.ivfpq_compact_segments(spark, path)
+    assert stats["n_tombstoned"] == len(erase_ids)
+    got = similarity.read_ivfpq_index(spark, path)["codes"]
+    idx = {"centroids": got.sparkSession.read.parquet(f"{path}/centroids"),
+           "codebooks": got.sparkSession.read.parquet(f"{path}/codebooks")}
+    survivors = corpus.filter(F.col("vec_id") % EMOD != ERES)
+    expected = similarity.ivfpq_encode(
+        survivors, idx["centroids"], idx["codebooks"]
+    )
+    assert sorted(got.select(COLS).collect()) == sorted(
+        expected.select(COLS).collect()
+    )
+
+
+def test_erasure_audit_counts_live_vs_tombstoned(spark, base_index):
+    path, emb, corpus = base_index
+    before = similarity.ivfpq_erasure_audit(spark, path).collect()
+    assert all(r.n_tombstoned == 0 and r.tombstoned_ppm == 0 for r in before)
+    n_total = sum(r.n_live for r in before)
+
+    erase = corpus.filter(F.col("vec_id") % EMOD == ERES).select("vec_id")
+    n_erased = erase.count()
+    similarity.ivfpq_erase(spark, path, erase)
+    after = similarity.ivfpq_erasure_audit(spark, path).collect()
+    assert sum(r.n_tombstoned for r in after) == n_erased
+    assert sum(r.n_live + r.n_tombstoned for r in after) == n_total
+    # fold clears the ledger
+    similarity.ivfpq_compact_segments(spark, path)
+    clean = similarity.ivfpq_erasure_audit(spark, path).collect()
+    assert all(r.n_tombstoned == 0 for r in clean)
+    assert sum(r.n_live for r in clean) == n_total - n_erased

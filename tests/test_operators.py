@@ -2771,7 +2771,7 @@ def test_new_dedup_ops_tolerate_empty_and_single_doc(spark):
     assert r.n_docs == 0 and r.removed_ppm is None
     assert text.epoch_shuffle_plan(empty).collect() == []
     assert text.cdc_granularity_curve(empty).collect() == []
-    assert len(dedup.dedup_funnel_report(one).collect()) == 4
+    assert len(dedup.dedup_funnel_report(one).collect()) == 5
     r1 = dedup.normalized_dedup_report(one).collect()[0]
     assert r1.n_docs == 1 and r1.removed_ppm == 0
     eemb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")

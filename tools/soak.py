@@ -187,6 +187,27 @@ QUERIES_TO_RUN = [
     "near_dup_probe_indexed",
     "curriculum_phase_plan",
     "blocklist_filter_report",
+    # round-6 (late waves): chunk dedup, split repair, soft dedup,
+    # JL tier, governance/epoch planning
+    "chunk_dedup_report",
+    "dedup_funnel_report",
+    "incremental_chunk_dedup",
+    "split_leakage_repair",
+    "soft_dedup_weights",
+    "jl_shortlist_curve",
+    "epoch_shuffle_plan",
+    "cdc_granularity_curve",
+    "generalization_ladder",
+    # round-7: tombstone erasure (must stay flat — the erase is
+    # request-sized and the serve is probe-only), temporal split +
+    # cross-boundary audits, unicode tier, capacity eval
+    "ann_ivfpq_erase_serve",
+    "ivfpq_erasure_audit",
+    "temporal_split_plan",
+    "temporal_split_leakage",
+    "temporal_contamination",
+    "unicode_dedup_report",
+    "quality_capacity_eval",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
