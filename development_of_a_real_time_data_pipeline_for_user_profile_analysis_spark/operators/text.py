@@ -2555,6 +2555,85 @@ def quality_classifier_eval(documents: DataFrame) -> DataFrame:
     )
 
 
+PACK_SEQ_LEN = 512  # training sequence length (oracle lockstep)
+PACK_SHARDS = 8  # packing shards (a loader knob — grows with corpus)
+
+
+def sequence_packing_plan(
+    documents: DataFrame,
+    seq_len: int = PACK_SEQ_LEN,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """The loader's sequence-packing plan: documents are concatenated
+    CONTIGUOUSLY (token stream order) into fixed-length training
+    sequences, per shard — the standard pretraining packing where a
+    document may straddle a sequence boundary and only the final
+    sequence of a shard carries padding. Per-shard ledger: docs,
+    tokens, sequences produced, documents crossing a boundary
+    (attention-mask / doc-separator accounting), tail padding, and
+    utilization ppm — the numbers a training run sizes its data
+    loader (and its step count) from.
+
+    Order within a shard is the md5(doc_id) shuffle order (the
+    epoch_shuffle_plan device) so the packing is reproducible across
+    engines and runs without an RNG.
+
+    Scale shape: one doc-level projection (token counts are a narrow
+    map), one window per shard partition for the running offset —
+    n_shards is the loader knob that bounds partition width (a real
+    run sets shards so each holds one worker's slice; this plan's
+    cost is the same shuffle the loader itself pays), and the ledger
+    is an n_shards-row aggregate.
+    """
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    )
+    base = documents.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = base.select(
+        "shard",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("off"),
+    )
+    start_bin = F.floor(F.col("off") / seq_len)
+    end_bin = F.floor((F.col("off") + F.col("n_tok") - 1) / seq_len)
+    n_seq = F.floor((F.sum("n_tok") - 1) / seq_len) + 1
+    return (
+        offs.select(
+            "shard",
+            "n_tok",
+            (end_bin > start_bin).alias("crosses"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            n_seq.cast("long").alias("n_sequences"),
+            F.sum(F.when(F.col("crosses"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_crossing_boundary"),
+            (n_seq * seq_len - F.sum("n_tok"))
+            .cast("long")
+            .alias("tail_padding_tokens"),
+            F.floor(
+                F.sum("n_tok") / (n_seq * seq_len) * 1000000 + 0.5
+            )
+            .cast("long")
+            .alias("utilization_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
 QC_WIDE_FEATURES = 32  # capacity-step width (oracle lockstep)
 QC_PROB_BIN = 1000  # milli-probability grid for calibration bins
 

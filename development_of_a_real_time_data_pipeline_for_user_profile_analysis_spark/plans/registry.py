@@ -8336,6 +8336,45 @@ def _qc_capacity_oracle() -> str:
     )
 
 
+_PSL = text.PACK_SEQ_LEN
+_PSH = text.PACK_SHARDS
+
+
+@query(
+    "sequence_packing_plan",
+    f"""WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % {_PSH} AS BIGINT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+o AS (SELECT shard, n_tok,
+        coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t WHERE n_tok > 0)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(floor((sum(n_tok) - 1) / {_PSL}) + 1 AS BIGINT)
+         AS n_sequences,
+       CAST(sum(CASE WHEN floor((off + n_tok - 1) / {_PSL})
+                          > floor(off / {_PSL})
+                THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_crossing_boundary,
+       CAST((floor((sum(n_tok) - 1) / {_PSL}) + 1) * {_PSL}
+            - sum(n_tok) AS BIGINT) AS tail_padding_tokens,
+       CAST(floor(sum(n_tok) * 1.0
+                  / ((floor((sum(n_tok) - 1) / {_PSL}) + 1) * {_PSL})
+                  * 1000000 + 0.5) AS BIGINT) AS utilization_ppm
+FROM o GROUP BY shard ORDER BY shard""",
+)
+def q_sequence_packing_plan(spark, sf_dir):
+    """Loader sequence-packing plan: contiguous fixed-length packing
+    per shard in reproducible md5 shuffle order — sequences, boundary
+    crossings, tail padding, utilization; what a training run sizes
+    its step count from."""
+    return text.sequence_packing_plan(_t(spark, sf_dir, "documents"))
+
+
 @query("quality_capacity_eval", _qc_capacity_oracle())
 def q_quality_capacity_eval(spark, sf_dir):
     """The capacity step the eval loop exists to catch: the 8-bucket

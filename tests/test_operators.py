@@ -2814,3 +2814,38 @@ def test_soft_dedup_weight_semantics(spark):
     assert r.effective_words_milli == 7000
     # discount = 1 - 7/11
     assert r.discount_ppm == 363636
+
+
+def test_sequence_packing_invariants_and_tiny_case(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        text,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = text.sequence_packing_plan(docs).collect()
+    assert len(rows) == text.PACK_SHARDS
+    total_tok = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    assert sum(r.n_tokens for r in rows) == total_tok
+    for r in rows:
+        assert 0 <= r.tail_padding_tokens < text.PACK_SEQ_LEN
+        assert r.n_sequences * text.PACK_SEQ_LEN == (
+            r.n_tokens + r.tail_padding_tokens
+        )
+        assert 0 <= r.docs_crossing_boundary <= r.n_docs
+        assert 0 < r.utilization_ppm <= 1000000
+
+    # hand case: 3 docs of 300 tokens each into one shard at
+    # seq_len=512 -> 900 tokens, 2 sequences, doc #2 straddles the
+    # 512 boundary, 124 pad tokens
+    one = spark.createDataFrame(
+        [(i, " ".join(["w"] * 300), "en", "s", 0) for i in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = text.sequence_packing_plan(one, seq_len=512, n_shards=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_docs, r.n_tokens, r.n_sequences) == (3, 900, 2)
+    assert r.docs_crossing_boundary == 1
+    assert r.tail_padding_tokens == 2 * 512 - 900

@@ -208,6 +208,7 @@ QUERIES_TO_RUN = [
     "temporal_contamination",
     "unicode_dedup_report",
     "quality_capacity_eval",
+    "sequence_packing_plan",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
