@@ -1664,12 +1664,110 @@ def semdedup_incremental_prune(
 def write_band_index(corpus: DataFrame, path: str) -> None:
     """Persist the corpus LSH band table — the maintained near-dup
     artifact incremental_near_dups' docstring promises: computed once
-    per corpus version, probed by every ingest batch. (At production
-    scale, write it bucketed on band_key so the batch probe join is
-    shuffle-free on the corpus side; plain parquet here — the probe
-    broadcasts the batch, so the corpus side never shuffles either
-    way.)"""
-    banded_signatures(corpus).write.mode("overwrite").parquet(path)
+    per corpus version, probed by every ingest batch. Layout (v2):
+    `{path}/bands` holds the band rows; `{path}/tombstones/seg_id=N`
+    holds erasure segments (band_index_erase) excluded by
+    read_band_index_serving until band_index_compact folds them.
+    (At production scale, write the bands bucketed on band_key so
+    the batch probe join is shuffle-free on the corpus side; plain
+    parquet here — the probe broadcasts the batch, so the corpus
+    side never shuffles either way.)"""
+    import os
+
+    banded_signatures(corpus).write.mode("overwrite").parquet(
+        os.path.join(path, "bands")
+    )
+
+
+def read_band_tombstones(spark, path: str) -> DataFrame | None:
+    """Union of pending erasure segments as (doc_id); None if
+    clean."""
+    import os
+
+    ts_dir = os.path.join(path, "tombstones")
+    if os.path.isdir(ts_dir) and any(
+        e.startswith("seg_id=") for e in os.listdir(ts_dir)
+    ):
+        return spark.read.parquet(ts_dir).select("doc_id").distinct()
+    return None
+
+
+def read_band_index_serving(spark, path: str) -> DataFrame:
+    """THE probe-time band read: band rows minus tombstoned doc_ids
+    (broadcast anti-join on the request-sized erase set) — an erased
+    subject can never surface as a near-dup candidate even before
+    compaction rewrites the artifact."""
+    import os
+
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    ts = read_band_tombstones(spark, path)
+    if ts is not None:
+        bands = bands.join(F.broadcast(ts), "doc_id", "left_anti")
+    return bands
+
+
+BAND_ERASE_MOD = 6  # deterministic erase set (oracle lockstep)
+BAND_ERASE_RESIDUE = 1
+
+
+def band_index_erase(
+    spark, path: str, erase_ids: DataFrame, seg_id: int | str | None = None
+) -> dict:
+    """Right-to-be-forgotten on the maintained band index (the
+    IVF-PQ tombstone discipline applied to the near-dup artifact —
+    band rows are md5 signatures DERIVED from the subject's content,
+    so they are erasure-scoped too): publish a request-sized
+    tombstone segment keyed `seg_id` (explicit for foreachBatch
+    idempotence, auto-next otherwise); band_index_compact folds it
+    permanently. Cost: one tiny parquet write."""
+    import os
+
+    ids = erase_ids.select("doc_id").distinct()
+    ts_dir = os.path.join(path, "tombstones")
+    if seg_id is None:
+        seg_id = (
+            max(
+                (
+                    int(e.split("=", 1)[1])
+                    for e in os.listdir(ts_dir)
+                    if e.startswith("seg_id=")
+                    and e.split("=", 1)[1].isdigit()
+                ),
+                default=-1,
+            )
+            + 1
+            if os.path.isdir(ts_dir)
+            else 0
+        )
+    rows = [(int(r.doc_id),) for r in ids.collect()]  # request-sized
+    spark.createDataFrame(rows, "doc_id long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(ts_dir, f"seg_id={seg_id}"))
+    return {"seg_id": seg_id, "n_ids": len(rows)}
+
+
+def band_index_compact(spark, path: str) -> dict:
+    """Fold pending tombstones out of the band artifact: rewrite the
+    bands minus tombstoned doc_ids (rename-swap publish, the
+    ivfpq_compact_segments protocol) and clear the tombstone area —
+    the erased subjects' signatures physically leave the artifact."""
+    import os
+    import shutil
+    import uuid
+
+    ts = read_band_tombstones(spark, path)
+    if ts is None:
+        return {"n_tombstoned": 0}
+    n = int(ts.count())
+    merged = read_band_index_serving(spark, path)
+    scratch = os.path.join(path, f".bands_compact_{uuid.uuid4().hex}")
+    merged.write.parquet(scratch)
+    old = os.path.join(path, f".bands_old_{uuid.uuid4().hex}")
+    os.rename(os.path.join(path, "bands"), old)
+    os.rename(scratch, os.path.join(path, "bands"))
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    return {"n_tombstoned": n}
 
 
 def incremental_near_dups_indexed(
@@ -1687,7 +1785,7 @@ def incremental_near_dups_indexed(
     band the batch + one broadcast join + verify on candidates —
     O(|batch|)-driven, with the corpus touched only through the
     precomputed index and the shingle fetch of candidate docs."""
-    corpus_bands = spark.read.parquet(index_path)
+    corpus_bands = read_band_index_serving(spark, index_path)
     batch_bands = banded_signatures(batch).select(
         F.col("doc_id").alias("doc_b"), "band_key"
     )

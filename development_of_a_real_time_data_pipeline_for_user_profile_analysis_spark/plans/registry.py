@@ -8739,7 +8739,7 @@ def _band_index_path(spark, sf_dir) -> str:
     import uuid as _uuid
 
     tag = _ivfpq_tag(sf_dir, table="documents")
-    path = _os.path.join(_tf.gettempdir(), f"band_index_v1_{tag}")
+    path = _os.path.join(_tf.gettempdir(), f"band_index_v2_{tag}")
     if not _os.path.exists(path):
         scratch = _os.path.join(
             _tf.gettempdir(), f".band_build_{_uuid.uuid4().hex}"
@@ -8790,6 +8790,87 @@ def q_near_dup_probe_indexed(spark, sf_dir):
     )
     return dedup.incremental_near_dups_indexed(
         spark, _band_index_path(spark, sf_dir), docs, batch
+    )
+
+
+def _band_index_post_erase_path(spark, sf_dir) -> str:
+    """The band artifact with a GDPR erasure tombstoned: originals
+    with doc_id % BAND_ERASE_MOD == BAND_ERASE_RESIDUE. Separate
+    cached variant dir — the shared clean artifact is never
+    mutated."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+    import uuid as _uuid
+
+    tag = _ivfpq_tag(sf_dir, table="documents")
+    path = _os.path.join(_tf.gettempdir(), f"band_index_v2er_{tag}")
+    if not _os.path.exists(path):
+        scratch = _os.path.join(
+            _tf.gettempdir(), f".band_er_build_{_uuid.uuid4().hex}"
+        )
+        base = _band_index_path(spark, sf_dir)
+        spark.read.parquet(_os.path.join(base, "bands")).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(scratch, "bands"))
+        erase = (
+            _t(spark, sf_dir, "documents")
+            .filter(
+                F.col("doc_id") % dedup.BAND_ERASE_MOD
+                == dedup.BAND_ERASE_RESIDUE
+            )
+            .select("doc_id")
+        )
+        dedup.band_index_erase(spark, scratch, erase)
+        try:
+            _os.rename(scratch, path)
+        except OSError:
+            _shutil.rmtree(scratch, ignore_errors=True)
+    return path
+
+
+@query(
+    "near_dup_probe_after_erase",
+    # = near_dup_probe_indexed's oracle with the erased originals
+    # excluded from the corpus side of the candidate join — the
+    # probe-after-erase == probe-of-index-built-without-erased proof
+    _with_dupes(
+        f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE},
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b ON a.band_key = b.band_key
+          WHERE a.doc_id < 100000
+            AND a.doc_id % {dedup.BAND_ERASE_MOD}
+                <> {dedup.BAND_ERASE_RESIDUE}
+            AND b.doc_id >= 100000),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0 >= 0.6"""
+    ),
+)
+def q_near_dup_probe_after_erase(spark, sf_dir):
+    """Probe the band index AFTER a tombstone erasure (the near-dup
+    artifact's right-to-be-forgotten — band rows are md5 signatures
+    derived from the subject's content): erased subjects never
+    surface as candidates, and the oracle recomputes the probe over
+    an index that never contained them."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = dedup.with_synthetic_dupes(docs).filter(
+        F.col("doc_id") >= 100000
+    )
+    return dedup.incremental_near_dups_indexed(
+        spark, _band_index_post_erase_path(spark, sf_dir), docs, batch
     )
 
 

@@ -270,3 +270,63 @@ def test_erasure_audit_counts_live_vs_tombstoned(spark, base_index):
     clean = similarity.ivfpq_erasure_audit(spark, path).collect()
     assert all(r.n_tombstoned == 0 for r in clean)
     assert sum(r.n_live for r in clean) == n_total - n_erased
+
+
+def test_band_index_erase_probe_and_compact(spark, sf_dir, tmp_path):
+    """Band-index right-to-be-forgotten: tombstoned doc_ids never
+    surface as probe candidates, probe-after-erase equals probing an
+    index built without them, and compaction physically removes
+    their signature rows."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        dedup,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = dedup.with_synthetic_dupes(docs).filter(
+        F.col("doc_id") >= 100000
+    )
+    path = str(tmp_path / "bidx")
+    dedup.write_band_index(docs, path)
+
+    erase = docs.filter(
+        F.col("doc_id") % dedup.BAND_ERASE_MOD == dedup.BAND_ERASE_RESIDUE
+    ).select("doc_id")
+    erase_ids = {r.doc_id for r in erase.collect()}
+    stats = dedup.band_index_erase(spark, path, erase)
+    assert stats["n_ids"] == len(erase_ids) > 0
+
+    probed = dedup.incremental_near_dups_indexed(
+        spark, path, docs, batch
+    ).collect()
+    assert probed and not erase_ids & {r.doc_a for r in probed}
+
+    # equivalence: an index that never contained the erased docs
+    clean = str(tmp_path / "bidx_clean")
+    dedup.write_band_index(
+        docs.join(erase, "doc_id", "left_anti"), clean
+    )
+    expected = dedup.incremental_near_dups_indexed(
+        spark, clean, docs, batch
+    ).collect()
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    assert sorted(probed, key=key) == sorted(expected, key=key)
+
+    # fold: tombstones gone, signature rows physically removed,
+    # probe unchanged
+    assert dedup.band_index_compact(spark, path)["n_tombstoned"] == len(
+        erase_ids
+    )
+    assert dedup.read_band_tombstones(spark, path) is None
+    bands = spark.read.parquet(f"{path}/bands")
+    assert bands.filter(
+        F.col("doc_id").isin([int(i) for i in erase_ids])
+    ).count() == 0
+    after = dedup.incremental_near_dups_indexed(
+        spark, path, docs, batch
+    ).collect()
+    assert sorted(after, key=key) == sorted(probed, key=key)
+    # idempotent: nothing left to fold
+    assert dedup.band_index_compact(spark, path) == {"n_tombstoned": 0}

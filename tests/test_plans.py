@@ -1026,7 +1026,7 @@ def test_band_index_probe_reads_artifact_broadcasts_batch(spark, sf_dir):
     plan = _plan(spark, "near_dup_probe_indexed", sf_dir)
     assert "BroadcastHashJoin [band_key" in plan
     # the artifact scan shows up as a plain parquet read of band rows
-    assert "band_index_v1_" in plan
+    assert "band_index_v2_" in plan
     assert "CartesianProduct" not in plan
 
 

@@ -209,6 +209,7 @@ QUERIES_TO_RUN = [
     "unicode_dedup_report",
     "quality_capacity_eval",
     "sequence_packing_plan",
+    "near_dup_probe_after_erase",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
