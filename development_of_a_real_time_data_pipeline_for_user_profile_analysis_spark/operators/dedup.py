@@ -1708,6 +1708,8 @@ def read_band_index_serving(spark, path: str) -> DataFrame:
 
 BAND_ERASE_MOD = 6  # deterministic erase set (oracle lockstep)
 BAND_ERASE_RESIDUE = 1
+CHUNK_ERASE_MOD = 6  # chunk-index GC erase set (oracle lockstep)
+CHUNK_ERASE_RESIDUE = 1
 
 
 def band_index_erase(
@@ -2212,13 +2214,25 @@ def dedup_funnel_report(documents: DataFrame) -> DataFrame:
 
 
 def chunk_digest_index(corpus: DataFrame) -> DataFrame:
-    """The corpus's distinct chunk-digest set — the maintained index
-    the incremental and streaming chunk-dedup paths probe. At
-    production scale this is a persisted artifact appended per batch
-    (see streaming.pipeline.run_chunk_dedup_stream), not recomputed."""
+    """The corpus's REFCOUNTED chunk-digest relation (digest, refs =
+    chunk-instance occurrences) — the maintained index the
+    incremental and streaming chunk-dedup paths probe. Refcounts are
+    what make erasure correct on a content-addressed artifact: a
+    digest is shared by every document containing the chunk, so an
+    erased subject's digests may only be GC'd when no surviving
+    reference remains (chunk_index_erase publishes negative-delta
+    segments; a digest is ALIVE while Σrefs > 0). Probing only needs
+    presence, so every existing consumer reads `.select("digest")`.
+    At production scale this is a persisted artifact appended per
+    batch (see streaming.pipeline.run_chunk_dedup_stream), not
+    recomputed."""
     from .text import cdc_chunk_table
 
-    return cdc_chunk_table(corpus).select("digest").distinct()
+    return (
+        cdc_chunk_table(corpus)
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).cast("long").alias("refs"))
+    )
 
 
 def chunk_dedup_marked(
@@ -2285,6 +2299,34 @@ def new_digests_from_marked(marked: DataFrame) -> DataFrame:
     relation: distinct digests of chunks absent from the index (a
     kept-or-batch-dup chunk's digest is exactly a new digest)."""
     return marked.filter(~F.col("in_corpus")).select("digest").distinct()
+
+
+def new_digest_refs_from_marked(marked: DataFrame) -> DataFrame:
+    """The batch's NEW digests with their occurrence counts, off the
+    shared marked relation — the presence-bearing `adds` segment.
+    Presence segments must contain ONLY first introductions: a
+    replayed batch probes base ∪ other segments, and a later batch's
+    re-reference of this batch's content must not make the replay see
+    its own digests as pre-existing (measured replay regression when
+    segments carried the full delta)."""
+    return (
+        marked.filter(~F.col("in_corpus"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).cast("long").alias("refs"))
+    )
+
+
+def rereference_refs_from_marked(marked: DataFrame) -> DataFrame:
+    """The batch's refcount delta over EXISTING digests — the
+    `rerefs` segment: never consulted for presence (replay safety),
+    only summed into the GC refcount so a batch that re-references
+    old content keeps those digests alive through a later erasure of
+    their original contributor."""
+    return (
+        marked.filter(F.col("in_corpus"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).cast("long").alias("refs"))
+    )
 
 
 def chunk_dedup_batch_ledger(

@@ -9295,6 +9295,129 @@ FROM (SELECT doc_id,
       GROUP BY doc_id))"""
 
 
+def _link_cached_chunk_base(spark, sf_dir, docs, index_path) -> None:
+    """Symlink the fingerprint-keyed cached chunk-digest base (v2:
+    refcounted) into an invocation-local index dir — the base is
+    immutable per corpus version (atomic publish, the IVF-PQ artifact
+    protocol); adds/rerefs/erases/ledger stay invocation-local so the
+    cached artifact is never mutated."""
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..streaming.pipeline import build_chunk_digest_index
+
+    tag = _ivfpq_tag(sf_dir, table="documents")
+    cached = _os.path.join(
+        tempfile.gettempdir(), f"chunk_digest_base_v2_{tag}"
+    )
+    if not _os.path.exists(cached):
+        scratch = _os.path.join(
+            tempfile.gettempdir(), f".chunk_base_{_uuid.uuid4().hex}"
+        )
+        build_chunk_digest_index(docs, scratch)
+        try:
+            _os.rename(_os.path.join(scratch, "base"), cached)
+        except OSError:
+            pass  # lost the publish race — the winner's is equal
+        shutil.rmtree(scratch, ignore_errors=True)
+    _os.makedirs(index_path)
+    _os.symlink(cached, _os.path.join(index_path, "base"))
+
+
+@query(
+    "chunk_index_gc_report",
+    f"""WITH {_cdc_ctes('documents')},
+r AS (SELECT digest, CAST(count(*) AS BIGINT) AS refs,
+             CAST(sum(CASE WHEN doc_id % {dedup.CHUNK_ERASE_MOD}
+                                = {dedup.CHUNK_ERASE_RESIDUE}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS erefs
+      FROM ch GROUP BY digest)
+SELECT CAST(count(*) AS BIGINT) AS n_digests,
+       CAST(sum(CASE WHEN erefs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_touched,
+       CAST(sum(CASE WHEN erefs = refs THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dead,
+       CAST(sum(CASE WHEN erefs > 0 AND erefs < refs THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared_survive,
+       CAST(floor(sum(CASE WHEN erefs = refs THEN 1 ELSE 0 END) * 1.0
+                  / count(*) * 1000000 + 0.5) AS BIGINT) AS dead_ppm
+FROM r""",
+)
+def q_chunk_index_gc_report(spark, sf_dir):
+    """Erasure GC on the content-addressed chunk-digest index — the
+    third maintained artifact the right-to-be-forgotten story
+    reaches, and the one where naive deletion is WRONG: a digest is
+    shared by every document containing the chunk, so refcounts
+    decide. Erasing doc_id % 6 == 1 publishes a negative-delta
+    segment; this report sizes the fold — digests touched, digests
+    whose count reaches zero (GC'd at compaction), digests kept
+    alive by surviving sharers. Oracle replays the chunk relation and
+    the refcount arithmetic from scratch."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import chunk_index_erase
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="chunk_gc_")
+    try:
+        index_path = f"{work}/idx"
+        _link_cached_chunk_base(spark, sf_dir, docs, index_path)
+        erased = docs.filter(
+            F.col("doc_id") % dedup.CHUNK_ERASE_MOD
+            == dedup.CHUNK_ERASE_RESIDUE
+        )
+        chunk_index_erase(spark, index_path, erased)
+        base = spark.read.parquet(_os.path.join(index_path, "base"))
+        er = (
+            spark.read.parquet(_os.path.join(index_path, "erases"))
+            .select("doc_id", "digest", "refs")
+            .distinct()
+            .groupBy("digest")
+            .agg(F.sum("refs").cast("long").alias("erefs"))
+        )
+        j = base.join(F.broadcast(er), "digest", "left").select(
+            "refs", F.coalesce("erefs", F.lit(0)).alias("erefs")
+        )
+        out = j.agg(
+            F.count(F.lit(1)).alias("n_digests"),
+            F.sum(F.when(F.col("erefs") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_touched"),
+            F.sum(F.when(F.col("erefs") == F.col("refs"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dead"),
+            F.sum(
+                F.when(
+                    (F.col("erefs") > 0)
+                    & (F.col("erefs") < F.col("refs")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_shared_survive"),
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("erefs") == F.col("refs"), 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("dead_ppm"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "streaming_chunk_dedup",
     f"""WITH {dedup.DUPES_ORACLE_CTE.strip()},
@@ -9352,30 +9475,8 @@ def q_streaming_chunk_dedup(spark, sf_dir):
     try:
         import os as _os
 
-        # the base digest index is immutable per corpus version —
-        # cache it fingerprint-keyed with an atomic publish (the
-        # IVF-PQ artifact protocol) and symlink it into this
-        # invocation's index dir; adds/ledger stay invocation-local
-        # so the cached artifact is never mutated
-        tag = _ivfpq_tag(sf_dir, table="documents")
-        cached = _os.path.join(
-            tempfile.gettempdir(), f"chunk_digest_base_v1_{tag}"
-        )
-        if not _os.path.exists(cached):
-            import uuid as _uuid
-
-            scratch = _os.path.join(
-                tempfile.gettempdir(), f".chunk_base_{_uuid.uuid4().hex}"
-            )
-            build_chunk_digest_index(docs, scratch)
-            try:
-                _os.rename(_os.path.join(scratch, "base"), cached)
-            except OSError:
-                pass  # lost the publish race — the winner's is equal
-            shutil.rmtree(scratch, ignore_errors=True)
         index_path = f"{work}/idx"
-        _os.makedirs(index_path)
-        _os.symlink(cached, _os.path.join(index_path, "base"))
+        _link_cached_chunk_base(spark, sf_dir, docs, index_path)
         in_dir = f"{work}/in"
         _os.makedirs(in_dir)
         base_t = _time.time()

@@ -647,9 +647,10 @@ def run_quality_gate_stream(
 
 
 def build_chunk_digest_index(corpus: DataFrame, index_path: str) -> None:
-    """Materialize the base chunk-digest index (distinct digests of
-    the existing corpus) — the artifact run_chunk_dedup_stream probes
-    and appends to."""
+    """Materialize the base chunk-digest index — REFCOUNTED
+    (digest, refs) so erasure on the content-addressed artifact is
+    correct (see dedup.chunk_digest_index) — the artifact
+    run_chunk_dedup_stream probes and appends to."""
     from ..operators import dedup
 
     dedup.chunk_digest_index(corpus).write.mode("overwrite").parquet(
@@ -676,18 +677,59 @@ def read_chunk_digest_index(
             f"local os.listdir; got URI index_path {index_path!r} "
             "— adds would be silently skipped. Use a plain local path."
         )
-    base = spark.read.parquet(os.path.join(index_path, "base")).select(
-        "digest"
+    def _refs(df: DataFrame) -> DataFrame:
+        # legacy v1 segments carried bare digests — count as 1 ref
+        if "refs" in df.columns:
+            return df.select("digest", "refs")
+        return df.select("digest", F.lit(1).cast("long").alias("refs"))
+
+    def _segments(sub: str, key: str) -> DataFrame | None:
+        d = os.path.join(index_path, sub)
+        if os.path.isdir(d) and any(
+            n.startswith(f"{key}=") for n in os.listdir(d)
+        ):
+            df = spark.read.option("basePath", d).parquet(d)
+            if key == "batch_id" and exclude_batch_id is not None:
+                df = df.filter(F.col("batch_id") != exclude_batch_id)
+            return df
+        return None
+
+    base = _refs(spark.read.parquet(os.path.join(index_path, "base")))
+    adds = _segments("adds", "batch_id")
+    # presence = base ∪ adds (first introductions only — rerefs never
+    # grant presence, so a replayed batch cannot see its own content
+    # reflected back through a later batch's re-references)
+    present = base.select("digest")
+    if adds is not None:
+        present = present.unionByName(adds.select("digest"))
+    erases = _segments("erases", "seg_id")
+    if erases is None:
+        # no pending erasures: membership is presence — the hot
+        # streaming path pays zero refcount work
+        return present
+    # pending erasures: a digest stays alive while Σrefs > 0 across
+    # base + adds + rerefs − erases (one digest-keyed aggregation,
+    # partial-aggregable; erase sets are request-sized)
+    rel = base
+    if adds is not None:
+        rel = rel.unionByName(_refs(adds))
+    rerefs = _segments("rerefs", "batch_id")
+    if rerefs is not None:
+        rel = rel.unionByName(_refs(rerefs))
+    # per-subject attribution rows, deduped on (doc_id, digest) so a
+    # replayed/duplicated pending request decrements exactly once
+    rel = rel.unionByName(
+        erases.select("doc_id", "digest", "refs")
+        .distinct()
+        .select("digest", (-F.col("refs")).alias("refs"))
     )
-    adds_dir = os.path.join(index_path, "adds")
-    if os.path.isdir(adds_dir) and any(
-        n.startswith("batch_id=") for n in os.listdir(adds_dir)
-    ):
-        adds = spark.read.option("basePath", adds_dir).parquet(adds_dir)
-        if exclude_batch_id is not None:
-            adds = adds.filter(F.col("batch_id") != exclude_batch_id)
-        base = base.unionByName(adds.select("digest"))
-    return base
+    alive = (
+        rel.groupBy("digest")
+        .agg(F.sum("refs").alias("r"))
+        .filter(F.col("r") > 0)
+        .select("digest")
+    )
+    return present.join(alive, "digest", "left_semi")
 
 
 def run_chunk_dedup_stream(
@@ -745,10 +787,22 @@ def run_chunk_dedup_stream(
                 ).parquet(
                     os.path.join(index_path, "ledger", f"batch_id={batch_id}")
                 )
-                dedup.new_digests_from_marked(marked).write.mode(
+                # presence segment: the batch's NEW digests (replay-
+                # safe — only first introductions), carrying refcounts
+                dedup.new_digest_refs_from_marked(marked).write.mode(
                     "overwrite"
                 ).parquet(
                     os.path.join(index_path, "adds", f"batch_id={batch_id}")
+                )
+                # refcount-only segment: re-references of existing
+                # digests, so a later erasure of the original
+                # contributor cannot GC content this batch still uses
+                dedup.rereference_refs_from_marked(marked).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(
+                        index_path, "rerefs", f"batch_id={batch_id}"
+                    )
                 )
         finally:
             if marked is not None:
@@ -767,3 +821,186 @@ def run_chunk_dedup_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def chunk_index_erase(
+    spark: SparkSession,
+    index_path: str,
+    erased_docs: DataFrame,
+    seg_id: int | str | None = None,
+) -> dict:
+    """Right-to-be-forgotten on the maintained chunk-digest index —
+    the third maintained artifact the erasure story reaches (after
+    the IVF-PQ codes and the LSH band index), and the one where naive
+    deletion would be WRONG: digests are content-addressed, shared by
+    every document containing the chunk, so a subject's digests may
+    only die when no surviving reference remains. The erase publishes
+    a negative refcount-delta segment `erases/seg_id=N` (the erased
+    docs' own chunk occurrence counts — request-sized: only the
+    erased documents are chunked); read_chunk_digest_index keeps a
+    digest alive while Σrefs > 0, and chunk_index_compact folds the
+    ledgers into a clean base, physically dropping digests whose
+    count reached zero. `seg_id`: explicit batch-derived key for
+    foreachBatch idempotence; None → auto-next integer.
+
+    Repeat-request safety: refcounts alone cannot tell a NEW erasure
+    from a REPEAT of one already folded (the fold removed the
+    subject's contribution from the base — decrementing again would
+    drive shared digests negative and GC content surviving sharers
+    still own). So segments carry per-subject attribution
+    (doc_id, digest, refs), pending segments dedupe rows on
+    (doc_id, digest) at aggregation time, and compaction records
+    folded subjects in the `erased_subjects/` suppression ledger —
+    a repeated request for a suppressed or already-pending subject
+    is dropped HERE, making erasure idempotent end-to-end."""
+    from ..operators.text import cdc_chunk_table
+
+    er_dir = os.path.join(index_path, "erases")
+    if seg_id is None:
+        seg_id = (
+            max(
+                (
+                    int(e.split("=", 1)[1])
+                    for e in os.listdir(er_dir)
+                    if e.startswith("seg_id=")
+                    and e.split("=", 1)[1].isdigit()
+                ),
+                default=-1,
+            )
+            + 1
+            if os.path.isdir(er_dir)
+            else 0
+        )
+    delta = (
+        cdc_chunk_table(erased_docs)
+        .groupBy("doc_id", "digest")
+        .agg(F.count(F.lit(1)).cast("long").alias("refs"))
+    )
+    known = _known_erased_subjects(spark, index_path, exclude=seg_id)
+    if known is not None:
+        delta = delta.join(F.broadcast(known), "doc_id", "left_anti")
+    delta.write.mode("overwrite").parquet(
+        os.path.join(er_dir, f"seg_id={seg_id}")
+    )
+    written = spark.read.parquet(
+        os.path.join(er_dir, f"seg_id={seg_id}")
+    )
+    return {
+        "seg_id": seg_id,
+        "n_subjects": int(written.select("doc_id").distinct().count()),
+        "n_digests": int(written.select("digest").distinct().count()),
+        "n_refs": int(
+            written.agg(F.sum("refs").alias("s")).collect()[0].s or 0
+        ),
+    }
+
+
+def _known_erased_subjects(
+    spark: SparkSession, index_path: str, exclude=None
+) -> DataFrame | None:
+    """doc_ids already covered by a pending erase segment or the
+    folded-subject suppression ledger — requests naming them again
+    are no-ops."""
+    parts = []
+    er_dir = os.path.join(index_path, "erases")
+    if os.path.isdir(er_dir):
+        for e in os.listdir(er_dir):
+            if e.startswith("seg_id=") and e != f"seg_id={exclude}":
+                parts.append(
+                    spark.read.parquet(
+                        os.path.join(er_dir, e)
+                    ).select("doc_id")
+                )
+    led = os.path.join(index_path, "erased_subjects")
+    if os.path.isdir(led) and os.listdir(led):
+        parts.append(spark.read.parquet(led).select("doc_id"))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def chunk_index_compact(spark: SparkSession, index_path: str) -> dict:
+    """Fold the chunk-digest index's refcount ledgers: base ∪ add
+    segments − erase segments → a clean refcounted base; digests
+    whose count reached zero leave the artifact physically, and the
+    segment areas empty. Rename-swap publish (the
+    ivfpq_compact_segments protocol). Probing results are unchanged
+    by construction — the serving read already aggregated the same
+    ledgers."""
+    import shutil
+    import uuid
+
+    adds_dir = os.path.join(index_path, "adds")
+    rerefs_dir = os.path.join(index_path, "rerefs")
+    er_dir = os.path.join(index_path, "erases")
+
+    def _n_segs(d: str, key: str) -> int:
+        return (
+            len([e for e in os.listdir(d) if e.startswith(f"{key}=")])
+            if os.path.isdir(d)
+            else 0
+        )
+
+    n_adds = _n_segs(adds_dir, "batch_id")
+    n_rerefs = _n_segs(rerefs_dir, "batch_id")
+    n_erases = _n_segs(er_dir, "seg_id")
+    if not n_adds and not n_rerefs and not n_erases:
+        return {"n_add_segments": 0, "n_erase_segments": 0, "n_dead": 0}
+
+    def _refs(df: DataFrame) -> DataFrame:
+        if "refs" in df.columns:
+            return df.select("digest", "refs")
+        return df.select("digest", F.lit(1).cast("long").alias("refs"))
+
+    rel = _refs(spark.read.parquet(os.path.join(index_path, "base")))
+    if n_adds:
+        rel = rel.unionByName(
+            _refs(spark.read.option("basePath", adds_dir).parquet(adds_dir))
+        )
+    if n_rerefs:
+        rel = rel.unionByName(
+            _refs(
+                spark.read.option("basePath", rerefs_dir).parquet(
+                    rerefs_dir
+                )
+            )
+        )
+    if n_erases:
+        rel = rel.unionByName(
+            spark.read.parquet(er_dir)
+            .select("doc_id", "digest", "refs")
+            .distinct()
+            .select("digest", (-F.col("refs")).alias("refs"))
+        )
+    merged = (
+        rel.groupBy("digest")
+        .agg(F.sum("refs").cast("long").alias("refs"))
+    )
+    alive = merged.filter(F.col("refs") > 0)
+    n_dead = int(merged.filter(F.col("refs") <= 0).count())
+    scratch = os.path.join(index_path, f".base_compact_{uuid.uuid4().hex}")
+    alive.write.parquet(scratch)
+    if n_erases:
+        # record the folded subjects in the suppression ledger BEFORE
+        # dropping their segments — a later repeat request for any of
+        # them must be a no-op (their contribution is gone from base)
+        spark.read.parquet(er_dir).select(
+            "doc_id"
+        ).distinct().write.mode("append").parquet(
+            os.path.join(index_path, "erased_subjects")
+        )
+    old = os.path.join(index_path, f".base_old_{uuid.uuid4().hex}")
+    os.rename(os.path.join(index_path, "base"), old)
+    os.rename(scratch, os.path.join(index_path, "base"))
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(adds_dir, ignore_errors=True)
+    shutil.rmtree(rerefs_dir, ignore_errors=True)
+    shutil.rmtree(er_dir, ignore_errors=True)
+    return {
+        "n_add_segments": n_adds,
+        "n_erase_segments": n_erases,
+        "n_dead": n_dead,
+    }

@@ -110,11 +110,18 @@ def test_index_growth_dedupes_later_copy_of_earlier_batch(
     )
     kept = b2.agg(F.sum("w_kept")).collect()[0][0]
     assert kept == 0
-    # and b2 introduced no digests
+    # and b2 introduced no digests — its presence (adds) segment is
+    # empty; the re-references it makes to b1's content land in the
+    # refcount-only rerefs segment (what keeps shared digests alive
+    # through a later erasure of their original contributor)
     adds2 = spark.read.parquet(
         os.path.join(index_path, "adds", "batch_id=2")
     )
     assert adds2.count() == 0
+    rerefs2 = spark.read.parquet(
+        os.path.join(index_path, "rerefs", "batch_id=2")
+    )
+    assert rerefs2.count() > 0
 
 
 def test_replay_with_fresh_checkpoint_is_idempotent(
@@ -149,3 +156,97 @@ def test_read_index_refuses_uri_paths(spark):
     for bad in ("hdfs://nn/idx", "s3a://bucket/idx", "file:///tmp/idx"):
         with pytest.raises(ValueError, match="os.listdir"):
             read_chunk_digest_index(spark, bad)
+
+
+def test_chunk_index_erase_refcounts_and_reref_protection(
+    spark, tmp_path
+):
+    """Refcount GC on the content-addressed index: (a) erasing one
+    contributor of shared content must NOT kill the digests (the
+    surviving doc still reconstructs as a dup), (b) a streamed batch
+    that re-references old content protects it through an erasure of
+    the original contributor (rerefs segment), (c) erasing every
+    contributor kills the digests and compaction drops them
+    physically."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        chunk_index_compact,
+        chunk_index_erase,
+        read_chunk_digest_index,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    text_a = " ".join(f"alpha{i}" for i in range(40))
+    text_b = " ".join(f"beta{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, text_a, "en", "s", 0), (2, text_a, "en", "s", 0),
+         (3, text_b, "en", "s", 0)],
+        schema,
+    )
+    path = str(tmp_path / "cidx")
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        build_chunk_digest_index,
+    )
+
+    build_chunk_digest_index(corpus, path)
+    n_base = spark.read.parquet(f"{path}/base").count()
+    a_digests = dedup.chunk_digest_index(
+        corpus.filter(F.col("doc_id") == 1)
+    ).select("digest")
+    n_a = a_digests.count()
+
+    # (a) erase doc 1: doc 2 still references text_a's digests
+    chunk_index_erase(spark, path, corpus.filter(F.col("doc_id") == 1))
+    idx = read_chunk_digest_index(spark, path)
+    assert idx.join(a_digests, "digest", "left_semi").count() == n_a
+    stats = chunk_index_compact(spark, path)
+    assert stats["n_dead"] == 0
+    assert spark.read.parquet(f"{path}/base").count() == n_base
+
+    # (b) a batch re-references text_a (rerefs segment), then BOTH
+    # original contributors are erased — the re-reference keeps the
+    # digests alive
+    batch = spark.createDataFrame([(10, text_a, "en", "s", 0)], schema)
+    marked = dedup.chunk_dedup_marked(
+        read_chunk_digest_index(spark, path),
+        __import__(
+            "development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.text",
+            fromlist=["cdc_chunk_table"],
+        ).cdc_chunk_table(batch),
+    )
+    dedup.new_digest_refs_from_marked(marked).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/adds/batch_id=0")
+    dedup.rereference_refs_from_marked(marked).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/rerefs/batch_id=0")
+    chunk_index_erase(
+        spark, path, corpus.filter(F.col("doc_id").isin(1, 2))
+    )
+    idx = read_chunk_digest_index(spark, path)
+    assert idx.join(a_digests, "digest", "left_semi").count() == n_a
+    stats = chunk_index_compact(spark, path)
+    assert stats["n_dead"] == 0
+
+    # repeat request for already-folded subjects: suppressed (the
+    # erased_subjects ledger), so shared digests are not
+    # double-decremented into oblivion
+    stats = chunk_index_erase(
+        spark, path, corpus.filter(F.col("doc_id").isin(1, 2))
+    )
+    assert stats["n_subjects"] == 0 and stats["n_refs"] == 0
+    assert chunk_index_compact(spark, path)["n_dead"] == 0
+    idx = read_chunk_digest_index(spark, path)
+    assert idx.join(a_digests, "digest", "left_semi").count() == n_a
+
+    # (c) erase the re-referencing doc too: text_a's digests die,
+    # text_b's survive — and leave the artifact physically
+    chunk_index_erase(spark, path, batch)
+    idx = read_chunk_digest_index(spark, path)
+    assert idx.join(a_digests, "digest", "left_semi").count() == 0
+    stats = chunk_index_compact(spark, path)
+    assert stats["n_dead"] == n_a
+    base = spark.read.parquet(f"{path}/base")
+    assert base.join(a_digests, "digest", "left_semi").count() == 0
+    assert base.count() == n_base - n_a
+    # idempotent: nothing left to fold
+    assert chunk_index_compact(spark, path)["n_dead"] == 0

@@ -210,6 +210,7 @@ QUERIES_TO_RUN = [
     "quality_capacity_eval",
     "sequence_packing_plan",
     "near_dup_probe_after_erase",
+    "chunk_index_gc_report",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
