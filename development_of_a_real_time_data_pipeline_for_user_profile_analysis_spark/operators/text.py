@@ -1403,6 +1403,78 @@ def temperature_mixture_weights(
     )
 
 
+MIXTURE_TAUS = (1, 2, 4)  # temperature curve, α = 1/τ (oracle lockstep)
+
+
+def temperature_mixture_curve(
+    documents: DataFrame,
+    budget_tokens: int | None = None,
+    taus: tuple = MIXTURE_TAUS,
+) -> DataFrame:
+    """The temperature-mixing TRADE-OFF curve the fixed-α report
+    cannot show: per-source sampling share, token allocation,
+    effective epochs and repeat-cap breaches at τ ∈ {1, 2, 4}
+    (α = 1/τ: proportional → sqrt → fourth-root) — picking τ IS the
+    decision between respecting the data distribution (τ=1: big
+    sources dominate, small sources starve) and upsampling the tail
+    (τ=4: small sources repeat past the cap where value decays).
+    All τ evaluated in ONE plan via an exploded literal (the
+    ivfpq_tuning_curve device).
+
+    Determinism: weights are τ-specific integer micro-units built
+    from n, √n and √√n — sqrt is correctly-rounded IEEE on both
+    engines, so no cross-engine pow() hazard exists anywhere in the
+    curve. One per-source token aggregate; the curve is arithmetic
+    over the |sources|·|τ| rows with per-τ windowed totals (bounded
+    by the source count, never the corpus).
+    """
+    if budget_tokens is None:
+        budget_tokens = TRAIN_TOKEN_BUDGET
+    per_source = documents.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("n_tokens")
+    )
+    curve = per_source.select(
+        "source",
+        "n_tokens",
+        F.explode(
+            F.array(*[F.lit(int(t)) for t in taus])
+        ).alias("tau"),
+    )
+    w = (
+        F.when(F.col("tau") == 1, F.col("n_tokens"))
+        .when(
+            F.col("tau") == 2,
+            F.floor(F.sqrt("n_tokens") * 1000000).cast("long"),
+        )
+        .otherwise(
+            F.floor(F.sqrt(F.sqrt("n_tokens")) * 1000000).cast("long")
+        )
+    )
+    weighted = curve.withColumn("w", w)
+    w_tot = Window.partitionBy("tau")
+    shared = weighted.withColumn("w_tot", F.sum("w").over(w_tot))
+    alloc = F.floor(
+        F.lit(budget_tokens) * F.col("w") / F.col("w_tot") + 0.5
+    ).cast("long")
+    epochs = (
+        F.floor(alloc / F.col("n_tokens") * 10000 + 0.5).cast("long")
+        / 10000.0
+    )
+    return shared.select(
+        "tau",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.floor(F.col("w") / F.col("w_tot") * 1000000 + 0.5).cast(
+                "long"
+            )
+        ).alias("share_ppm"),
+        alloc.alias("alloc_tokens"),
+        epochs.alias("epochs"),
+        (epochs > F.lit(float(EPOCH_REPEAT_CAP))).alias("over_cap"),
+    ).orderBy("tau", "source")
+
+
 def heaps_law_fit(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
     """Heaps'-law fit of vocabulary growth, V(N) ≈ K·N^β: the corpus
     is cut into `n_buckets` doc_id-range prefixes, cumulative token
@@ -2419,11 +2491,64 @@ def _qc_feature_table(
     )
 
 
+def _qc_feature_tables(
+    documents: DataFrame, widths: tuple
+) -> dict[int, DataFrame]:
+    """Feature tables for SEVERAL hashing widths off ONE token scan:
+    the 2-hex-digit token hash is computed once, every width's bucket
+    counts ride one (doc_id, source) aggregation (Σ widths columns),
+    and each width's normalized x-vector is a projection of that
+    shared relation — so a multi-model eval's chains share a single
+    token shuffle (exchange reuse dedupes it inside the one final
+    plan) instead of paying one per model. Values are identical to
+    per-width _qc_feature_table calls (h % width of the same h)."""
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    tok = (
+        documents.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", "source", h.alias("h"))
+    )
+    aggs = [
+        F.sum(F.when(F.col("h") % w == i, 1).otherwise(0))
+        .cast("double")
+        .alias(f"c{w}_{i}")
+        for w in widths
+        for i in range(w)
+    ]
+    counts = tok.groupBy("doc_id", "source").agg(*aggs)
+    out: dict[int, DataFrame] = {}
+    for w in widths:
+        nrm = F.sqrt(
+            sum(
+                F.col(f"c{w}_{i}") * F.col(f"c{w}_{i}")
+                for i in range(w)
+            )
+        )
+        out[w] = counts.select(
+            "doc_id",
+            "source",
+            (F.col("source") == DSIR_TARGET_SOURCE)
+            .cast("double")
+            .alias("y"),
+            (split_col(F.col("doc_id")) == "train").alias("is_train"),
+            *[
+                F.round(F.col(f"c{w}_{i}") / nrm, 6).alias(f"x{i}")
+                for i in range(w)
+            ],
+        )
+    return out
+
+
 def _qc_gd_chain(
     documents: DataFrame,
     n_buckets: int = QC_N_FEATURES,
     n_steps: int = QC_GD_STEPS,
     eta: float = QC_ETA,
+    feats: DataFrame | None = None,
 ):
     """Train the quality classifier: `n_steps` full-batch GD steps
     over the TRAIN split, weights floor-quantized to 1e-6 after every
@@ -2431,8 +2556,11 @@ def _qc_gd_chain(
     (logistic_churn_gd's device, generalized to n_buckets+1 weights).
     No driver loop — each step's 1-row gradient aggregate folds back
     in as a broadcast, the whole trajectory is one lazy plan.
+    `feats`: pass a prebuilt feature table (the shared-scan path,
+    _qc_feature_tables) to share one token shuffle across chains.
     Returns (feats-with-final-weights, final weight column names)."""
-    feats = _qc_feature_table(documents, n_buckets)
+    if feats is None:
+        feats = _qc_feature_table(documents, n_buckets)
     xcols = [f"x{j}" for j in range(n_buckets)]
     ws = [F.lit(0.0)] * (n_buckets + 1)
     wcols: list[str] = []
@@ -2658,8 +2786,13 @@ def quality_capacity_eval(documents: DataFrame) -> DataFrame:
     projection; AUC runs over bounded milli-logit bins and ECE over
     10 decile bins."""
     out = None
+    shared = _qc_feature_tables(
+        documents, (QC_N_FEATURES, QC_WIDE_FEATURES)
+    )
     for label, nb in (("base", QC_N_FEATURES), ("wide", QC_WIDE_FEATURES)):
-        feats, wcols = _qc_gd_chain(documents, n_buckets=nb)
+        feats, wcols = _qc_gd_chain(
+            documents, n_buckets=nb, feats=shared[nb]
+        )
         held = feats.filter(~F.col("is_train"))
         z = F.col(wcols[0]) + sum(
             F.col(wcols[j + 1]) * F.col(f"x{j}") for j in range(nb)

@@ -5111,6 +5111,52 @@ def q_temperature_mixture_weights(spark, sf_dir):
     return text.temperature_mixture_weights(_t(spark, sf_dir, "documents"))
 
 
+_MIX_TAU_VALUES = ", ".join(f"({t})" for t in text.MIXTURE_TAUS)
+
+
+@query(
+    "temperature_mixture_curve",
+    f"""WITH per_source AS (
+         SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS n_tokens
+         FROM documents GROUP BY source),
+       c AS (SELECT source, n_tokens, CAST(t.tau AS INT) AS tau
+             FROM per_source
+             CROSS JOIN (VALUES {_MIX_TAU_VALUES}) t(tau)),
+       w AS (SELECT tau, source, n_tokens,
+                    CASE WHEN tau = 1 THEN n_tokens
+                         WHEN tau = 2
+                           THEN CAST(floor(sqrt(n_tokens) * 1000000)
+                                     AS BIGINT)
+                         ELSE CAST(floor(sqrt(sqrt(n_tokens)) * 1000000)
+                                   AS BIGINT) END AS wm
+             FROM c),
+       s AS (SELECT *, sum(wm) OVER (PARTITION BY tau) AS w_tot FROM w),
+       a AS (SELECT tau, source, n_tokens,
+                    CAST(floor(wm * 1.0 / w_tot * 1000000 + 0.5)
+                         AS BIGINT) AS share_ppm,
+                    CAST(floor({text.TRAIN_TOKEN_BUDGET} * wm * 1.0
+                               / w_tot + 0.5) AS BIGINT)
+                      AS alloc_tokens
+             FROM s)
+       SELECT tau, source, n_tokens, share_ppm, alloc_tokens,
+              CAST(floor(alloc_tokens * 1.0 / n_tokens * 10000 + 0.5)
+                   AS BIGINT) / 10000.0 AS epochs,
+              CAST(floor(alloc_tokens * 1.0 / n_tokens * 10000 + 0.5)
+                   AS BIGINT) / 10000.0 > {text.EPOCH_REPEAT_CAP}
+                AS over_cap
+       FROM a ORDER BY tau, source""",
+)
+def q_temperature_mixture_curve(spark, sf_dir):
+    """The τ trade-off curve for temperature mixing: per-source share,
+    allocation, effective epochs and repeat-cap breaches at
+    τ ∈ {{1, 2, 4}} in one plan — the table that picks the sampling
+    temperature for a training run (τ weights use n, √n, √√n — no
+    pow(), so the curve is exact cross-engine)."""
+    return text.temperature_mixture_curve(_t(spark, sf_dir, "documents"))
+
+
 @query(
     "dup_cluster_size_histogram",
     "WITH RECURSIVE "

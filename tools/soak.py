@@ -211,6 +211,7 @@ QUERIES_TO_RUN = [
     "sequence_packing_plan",
     "near_dup_probe_after_erase",
     "chunk_index_gc_report",
+    "temperature_mixture_curve",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
