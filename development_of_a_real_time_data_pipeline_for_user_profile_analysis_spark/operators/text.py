@@ -593,6 +593,95 @@ def redact_pii(note: Column) -> tuple[Column, Column, Column]:
     return redacted, n_emails.cast("long"), n_phones.cast("long")
 
 
+PII_VARIANT_MOD = 17  # every Nth doc gets planted PII (oracle lockstep)
+
+
+def with_pii_variants(documents: DataFrame) -> DataFrame:
+    """Extend a corpus with deterministic PII positives: every 17th
+    doc gains a crawl-realistic contact tail (an email and a phone
+    number derived from the doc id) — the planted ground truth the
+    scan/redaction pair is audited against. Mirrored by
+    PII_VARIANT_ORACLE_CTE."""
+    tail = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or call +1-415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return documents.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % PII_VARIANT_MOD == 0,
+            F.concat(F.col("text"), tail),
+        ).otherwise(F.col("text")),
+    )
+
+
+# SQL mirror of with_pii_variants (DuckDB dialect), producing CTE
+# `piidocs`. Keep in lockstep with the function above.
+PII_VARIANT_ORACLE_CTE = f"""
+piidocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_VARIANT_MOD} = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.org or call +1-415-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents
+)"""
+
+
+def pii_scan_report(documents: DataFrame) -> DataFrame:
+    """Pre-training PII hygiene scan over the document corpus: per
+    source, how many docs carry email- / phone-shaped strings and the
+    ppm rates — the audit that decides whether a crawl slice needs
+    the redaction pass before tokenization. Pure JVM regexps (the
+    RE2/Java-portable patterns redact_pii uses), one narrow scan +
+    per-source rollup."""
+    has_email = F.col("text").rlike(EMAIL_PII_RE)
+    has_phone = F.col("text").rlike(PHONE_PII_RE)
+    return (
+        documents.select(
+            "source",
+            has_email.cast("int").alias("e"),
+            has_phone.cast("int").alias("p"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").cast("long").alias("n_email_docs"),
+            F.sum("p").cast("long").alias("n_phone_docs"),
+            F.floor(
+                F.sum("e") / F.count(F.lit(1)) * 1000000 + 0.5
+            )
+            .cast("long")
+            .alias("email_ppm"),
+            F.floor(
+                F.sum("p") / F.count(F.lit(1)) * 1000000 + 0.5
+            )
+            .cast("long")
+            .alias("phone_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def pii_redact_documents(documents: DataFrame) -> DataFrame:
+    """The PII scrub's curation OUTPUT over documents (not just the
+    audit): every doc's text with emails → [EMAIL] and phone-shaped
+    runs → [PHONE], plus per-doc removal counts — what actually ships
+    to tokenization. Narrow map, no shuffle."""
+    redacted, n_emails, n_phones = redact_pii(F.col("text"))
+    return documents.select(
+        "doc_id",
+        "source",
+        redacted.alias("text_redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
 def sample_per_source(documents: DataFrame, k: int = 50) -> DataFrame:
     """Deterministic top-k-per-stratum subsample: the k docs per
     source with the lowest md5(doc_id) — a reproducible "give me N
@@ -2870,6 +2959,47 @@ def quality_capacity_eval(documents: DataFrame) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("n_features")
+
+
+def decontaminated_docs(
+    documents: DataFrame,
+    n: int = BENCH_NGRAM_N,
+    mod: int = BENCH_SAMPLE_MOD,
+    residue: int = BENCH_SAMPLE_RESIDUE,
+) -> DataFrame:
+    """The decontamination pass's curation OUTPUT (the audit's
+    actionable twin): training docs that SURVIVE the 13-gram rule —
+    what actually feeds the training run after
+    benchmark_ngram_contamination decides the rule is worth applying.
+    Benchmark-bucket docs are excluded by definition (they are the
+    eval suite). Same broadcast-semi-join shape as the audit, with
+    the final step flipped to an anti-join."""
+    grams = F.expr(
+        f"CASE WHEN size(split(text, ' ')) >= {n}"
+        f" THEN transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+        f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+        f" ELSE array() END"
+    )
+    base = documents.select(
+        "doc_id",
+        _doc_bucket(F.col("doc_id"), mod).alias("b"),
+        F.explode(grams).alias("gram"),
+    )
+    bench_grams = (
+        base.filter(F.col("b") == residue).select("gram").distinct()
+    )
+    contaminated = (
+        base.filter(F.col("b") != residue)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        documents.filter(_doc_bucket(F.col("doc_id"), mod) != residue)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 BLOOM_GRAM_M_BITS = 1 << 20  # gram-filter width (bits)

@@ -8114,6 +8114,92 @@ def q_benchmark_ngram_contamination(spark, sf_dir):
 
 
 @query(
+    "decontaminated_docs",
+    f"""WITH b AS (
+  SELECT doc_id, source, n_chars,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) AS BIGINT) % {_BM} AS bk,
+         string_split(text, ' ') AS w
+  FROM documents),
+g AS (SELECT doc_id, bk,
+             unnest(list_transform(generate_series(1, len(w) - {_BN - 1}),
+                    i -> array_to_string(list_slice(w, i, i + {_BN - 1}),
+                                         ' '))) AS gram
+      FROM b WHERE len(w) >= {_BN}),
+bg AS (SELECT DISTINCT gram FROM g WHERE bk = {_BR}),
+cont AS (SELECT DISTINCT doc_id FROM g
+         WHERE bk <> {_BR} AND gram IN (SELECT gram FROM bg))
+SELECT doc_id, source, n_chars FROM b
+WHERE bk <> {_BR} AND doc_id NOT IN (SELECT doc_id FROM cont)
+ORDER BY doc_id""",
+)
+def q_decontaminated_docs(spark, sf_dir):
+    """The decontamination pass's curation output: training docs
+    surviving the 13-gram rule (the audit's actionable twin — what
+    actually feeds the run)."""
+    return text.decontaminated_docs(_t(spark, sf_dir, "documents"))
+
+
+def _with_piidocs(sql: str) -> str:
+    return f"WITH {text.PII_VARIANT_ORACLE_CTE} {sql}"
+
+
+def _piidocs_df(spark, sf_dir):
+    return text.with_pii_variants(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pii_scan_report",
+    _with_piidocs(
+        f"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN regexp_matches(text, '{text.EMAIL_PII_RE}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+       CAST(sum(CASE WHEN regexp_matches(text, '{text.PHONE_PII_RE}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
+       CAST(floor(sum(CASE WHEN regexp_matches(text,
+                     '{text.EMAIL_PII_RE}') THEN 1 ELSE 0 END) * 1.0
+                  / count(*) * 1000000 + 0.5) AS BIGINT) AS email_ppm,
+       CAST(floor(sum(CASE WHEN regexp_matches(text,
+                     '{text.PHONE_PII_RE}') THEN 1 ELSE 0 END) * 1.0
+                  / count(*) * 1000000 + 0.5) AS BIGINT) AS phone_ppm
+FROM piidocs GROUP BY source ORDER BY source"""
+    ),
+)
+def q_pii_scan_report(spark, sf_dir):
+    """Pre-training PII hygiene scan over the document corpus (with
+    planted contact-tail positives): per-source email/phone document
+    counts and ppm rates — the audit gating the redaction pass."""
+    return text.pii_scan_report(_piidocs_df(spark, sf_dir))
+
+
+@query(
+    "pii_redact_documents",
+    _with_piidocs(
+        f""", s AS (
+  SELECT doc_id, source, text,
+         regexp_replace(text, '{text.EMAIL_PII_RE}', '[EMAIL]', 'g')
+           AS no_email
+  FROM piidocs)
+SELECT doc_id, source,
+       regexp_replace(no_email, '{text.PHONE_PII_RE}', '[PHONE]', 'g')
+         AS text_redacted,
+       CAST(len(regexp_extract_all(text, '{text.EMAIL_PII_RE}'))
+            AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(no_email, '{text.PHONE_PII_RE}'))
+            AS BIGINT) AS n_phones
+FROM s"""
+    ),
+)
+def q_pii_redact_documents(spark, sf_dir):
+    """The PII scrub's curation output over documents: emails and
+    phone-shaped runs replaced with placeholders, per-doc removal
+    counts — what actually ships to tokenization. Value-hashed on
+    the redacted text, so regex parity is checked byte-for-byte
+    corpus-wide."""
+    return text.pii_redact_documents(_piidocs_df(spark, sf_dir))
+
+
+@query(
     "dsir_selection_report",
     f"""WITH tf AS (
   SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS tf

@@ -212,6 +212,8 @@ QUERIES_TO_RUN = [
     "near_dup_probe_after_erase",
     "chunk_index_gc_report",
     "temperature_mixture_curve",
+    "decontaminated_docs",
+    "pii_redact_documents",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
