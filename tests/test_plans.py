@@ -1130,3 +1130,44 @@ def test_jl_shortlist_curve_no_nonequi_join(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "q_id" in line
+
+
+def test_temporal_leakage_and_contamination_stay_keyed(spark, sf_dir):
+    """The temporal-boundary audits must ride equi-joins: the only
+    nested-loop joins allowed are the deliberate 1-row scalar
+    broadcasts (the n_base count and the hour-CDF cutoff riding
+    crossJoin) — every BNLJ must be a Cross build, and no
+    CartesianProduct may appear (a row-vs-row cartesian means the
+    split-tag join or the gram probe decorrelated wrong)."""
+    for q in ("temporal_split_leakage", "temporal_contamination"):
+        plan = _plan(spark, q, sf_dir)
+        assert "CartesianProduct" not in plan, q
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        n_scalar_cross = plan.count(
+            "BroadcastNestedLoopJoin BuildRight, Cross"
+        )
+        assert n_bnlj == n_scalar_cross, q
+
+
+def test_band_probe_after_erase_broadcasts_batch(spark, sf_dir):
+    """The erased band index probe keeps the incremental shape: the
+    banded batch broadcasts into the corpus-band join (the corpus
+    side never shuffles on the band key)."""
+    plan = _plan(spark, "near_dup_probe_after_erase", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_windows_are_per_shard(spark, sf_dir):
+    """The running-offset window must be PARTITIONED by shard — a
+    global (empty-partition) window would serialize the corpus
+    through one task."""
+    import re as _re
+
+    plan = _plan(spark, "sequence_packing_plan", sf_dir)
+    assert "CartesianProduct" not in plan
+    # every Window's partition spec (2nd bracket group) must be
+    # non-empty and keyed on shard
+    specs = _re.findall(r"Window \[[^\]]*\], \[(shard[^\]]*)\],", plan)
+    assert len(specs) >= 1
+    assert plan.count("Window [") == len(specs)
