@@ -8991,6 +8991,8 @@ def _band_index_post_erase_path(spark, sf_dir) -> str:
         WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5) / 10000.0 >= 0.6"""
     ),
 )
+
+
 def q_near_dup_probe_after_erase(spark, sf_dir):
     """Probe the band index AFTER a tombstone erasure (the near-dup
     artifact's right-to-be-forgotten — band rows are md5 signatures
@@ -9004,6 +9006,102 @@ def q_near_dup_probe_after_erase(spark, sf_dir):
     return dedup.incremental_near_dups_indexed(
         spark, _band_index_post_erase_path(spark, sf_dir), docs, batch
     )
+
+
+@query(
+    "streaming_leakage_monitor",
+    _with_dupes(
+        f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE},
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b ON a.band_key = b.band_key
+          WHERE a.doc_id < 100000 AND b.doc_id >= 100000),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b),
+        nd AS (
+          SELECT doc_a, doc_b,
+                 CASE WHEN doc_b < 200000 THEN 0 ELSE 1 END AS batch_id
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter)
+                      * 10000 + 0.5) / 10000.0 >= {dedup.JACCARD_THRESHOLD})
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_flagged
+        FROM nd GROUP BY batch_id ORDER BY batch_id"""
+    ),
+)
+def q_streaming_leakage_monitor(spark, sf_dir):
+    """Eval-set protection as a service: candidate documents arrive
+    as micro-batches and are probed against the MAINTAINED band index
+    BEFORE admission — per-batch ledgers of verified near-dup pairs
+    against the training corpus (batch 0 = exact re-crawls, batch 1 =
+    near copies). Oracle replays both batches' probes from scratch."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.pipeline import run_near_dup_monitor_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    dupes = dedup.with_synthetic_dupes(docs)
+    b0 = dupes.filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+    )
+    b1 = dupes.filter(F.col("doc_id") >= 200000)
+    index_path = _band_index_path(spark, sf_dir)  # read-only probe
+    work = tempfile.mkdtemp(prefix="leak_monitor_")
+    try:
+        in_dir = f"{work}/in"
+        _os.makedirs(in_dir)
+        base_t = _time.time()
+        for i, b in enumerate((b0, b1)):
+            stage = f"{work}/stage_{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_near_dup_monitor_stream(
+            spark, stream, index_path, docs, f"{work}/out", f"{work}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "leakage-monitor stream did not drain within 300 s"
+                + (f": {q.exception()}" if q.exception() else "")
+            )
+        pairs = spark.read.option(
+            "basePath", f"{work}/out/pairs"
+        ).parquet(f"{work}/out/pairs")
+        out = (
+            pairs.groupBy("batch_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.count_distinct("doc_b").alias("n_docs_flagged"),
+            )
+            .orderBy("batch_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 

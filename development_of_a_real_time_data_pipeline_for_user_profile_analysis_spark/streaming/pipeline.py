@@ -1004,3 +1004,74 @@ def chunk_index_compact(spark: SparkSession, index_path: str) -> dict:
         "n_erase_segments": n_erases,
         "n_dead": n_dead,
     }
+
+
+def run_near_dup_monitor_stream(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    band_index_path: str,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    jaccard_threshold: float = 0.6,
+    available_now: bool = True,
+    timings: list | None = None,
+):
+    """Streaming near-dup LEAKAGE MONITOR: every micro-batch of
+    incoming documents is probed against the MAINTAINED band index
+    (read through the tombstone-aware serving read — erased subjects
+    can never re-surface as partners) and the verified pairs land in
+    a per-batch ledger `out_dir/pairs/batch_id=N`. This is eval-set
+    protection as a service: candidate eval/benchmark documents
+    arriving after the split are checked against the training corpus
+    BEFORE they are admitted, instead of auditing leakage after the
+    fact.
+
+    Idempotent under foreachBatch's at-least-once (batch-keyed
+    overwrite). Per-batch cost: band the batch + one broadcast probe
+    join + Jaccard verify on candidates — O(|batch|)-driven; the
+    corpus is touched only through the precomputed index and the
+    shingle fetch of candidate partners.
+
+    `timings` (optional test hook): (batch_id, n_docs, n_pairs,
+    seconds)."""
+    import time
+
+    from ..operators import dedup
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        batch_df.persist()
+        n_pairs = 0
+        try:
+            n = batch_df.count()
+            if n:
+                pairs = dedup.incremental_near_dups_indexed(
+                    spark,
+                    band_index_path,
+                    corpus,
+                    batch_df,
+                    jaccard_threshold,
+                )
+                pairs.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "pairs", f"batch_id={batch_id}")
+                )
+                if timings is not None:
+                    n_pairs = spark.read.parquet(
+                        os.path.join(
+                            out_dir, "pairs", f"batch_id={batch_id}"
+                        )
+                    ).count()
+        finally:
+            batch_df.unpersist()
+        if timings is not None:
+            timings.append((batch_id, n, n_pairs, time.monotonic() - t0))
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

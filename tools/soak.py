@@ -214,6 +214,7 @@ QUERIES_TO_RUN = [
     "temperature_mixture_curve",
     "decontaminated_docs",
     "pii_redact_documents",
+    "streaming_leakage_monitor",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
