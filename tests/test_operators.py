@@ -2849,3 +2849,52 @@ def test_sequence_packing_invariants_and_tiny_case(spark):
     assert (r.n_docs, r.n_tokens, r.n_sequences) == (3, 900, 2)
     assert r.docs_crossing_boundary == 1
     assert r.tail_padding_tokens == 2 * 512 - 900
+
+
+def test_temperature_curve_flattens_shares_monotonically(spark):
+    """As τ grows the mixture flattens: the largest source's share is
+    non-increasing in τ, the smallest source's non-decreasing, and
+    each τ's shares sum to ~1."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        text,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = text.temperature_mixture_curve(docs).collect()
+    by_tau: dict = {}
+    for r in rows:
+        by_tau.setdefault(r.tau, {})[r.source] = r.share_ppm
+    taus = sorted(by_tau)
+    assert taus == list(text.MIXTURE_TAUS)
+    for t in taus:
+        assert abs(sum(by_tau[t].values()) - 1_000_000) <= len(by_tau[t])
+    base = by_tau[taus[0]]
+    big = max(base, key=base.get)
+    small = min(base, key=base.get)
+    for lo, hi in zip(taus, taus[1:]):
+        assert by_tau[hi][big] <= by_tau[lo][big]
+        assert by_tau[hi][small] >= by_tau[lo][small]
+
+
+def test_pii_scan_and_redact_agree_on_planted_positives(spark):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        text,
+    )
+
+    docs = text.with_pii_variants(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    planted = docs.filter(
+        F.col("doc_id") % text.PII_VARIANT_MOD == 0
+    ).count()
+    scan = text.pii_scan_report(docs).collect()
+    assert sum(r.n_email_docs for r in scan) == planted
+    assert sum(r.n_phone_docs for r in scan) == planted
+    red = text.pii_redact_documents(docs)
+    assert red.agg(F.sum("n_emails")).collect()[0][0] == planted
+    # nothing email/phone-shaped survives the scrub
+    leftovers = red.filter(
+        F.col("text_redacted").rlike(text.EMAIL_PII_RE)
+        | F.col("text_redacted").rlike(text.PHONE_PII_RE)
+    )
+    assert leftovers.count() == 0
