@@ -742,12 +742,6 @@ def near_dup_clusters(
     (count, xxhash64-sum) fingerprint on the fresh checkpoint is the
     convergence test.
     """
-    import logging
-
-    global _last_edges
-    if _last_edges is not None:  # previous call's final checkpoint
-        _last_edges.rdd.unpersist()
-        _last_edges = None
     if pairs is None:
         pairs = near_dedup_minhash(docs, jaccard_threshold).select(
             "doc_a", "doc_b"
@@ -756,9 +750,30 @@ def near_dup_clusters(
     # re-checkpoint copies only the tiny pair set — the caller's
     # blocks stay alive for its own consumers (the in-loop unpersist
     # below must not release them)
-    edges = pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).localCheckpoint(eager=True)
+    return _connected_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+        max_iter,
+    )
+
+
+def _connected_components(edge_rel: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Alternating large-star/small-star over an (a, b) edge relation
+    → (doc_id, cluster_id = component min). Eager localCheckpoint per
+    round (see near_dup_clusters' docstring for the measured lineage
+    blow-up); the final checkpoint backs the returned DataFrame and is
+    released on the next call through the _last_edges slot."""
+    import logging
+
+    global _last_edges
+    prev = _last_edges
+    _last_edges = None
+    # materialize the NEW edge relation BEFORE releasing the previous
+    # checkpoint: the incremental path's input labels are backed by
+    # exactly those blocks (release-first would consume a freed
+    # checkpoint)
+    edges = edge_rel.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.rdd.unpersist()
     fingerprint = _edge_fingerprint(edges)
     rounds = 0
     for _ in range(max_iter):
@@ -771,18 +786,43 @@ def near_dup_clusters(
         if converged:
             break
     logging.getLogger(__name__).info(
-        "near_dup_clusters: converged after %d star rounds (%d edges)",
+        "connected_components: converged after %d star rounds (%d edges)",
         rounds,
         fingerprint[0],
     )
     # converged star graph: every non-root node → component min; add
-    # the roots themselves. The final checkpoint backs the returned
-    # DataFrame — it is released on the next call, not here.
+    # the roots themselves.
     _last_edges = edges
     labels = edges.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
     roots = edges.select(F.col("b").alias("doc_id"), F.col("b").alias("cluster_id"))
-    result = labels.unionByName(roots).distinct()
-    return result
+    return labels.unionByName(roots).distinct()
+
+
+def incremental_near_dup_clusters(
+    labels: DataFrame, new_pairs: DataFrame, max_iter: int = 12
+) -> DataFrame:
+    """Maintain the CLUSTER artifact incrementally: fold a batch's
+    verified near-dup pairs (batch↔corpus from the band-index probe +
+    batch-internal) into the EXISTING (doc_id, cluster_id) labels
+    without re-discovering any corpus-corpus pair. The existing
+    labels are a spanning star of the original pair graph, so
+    components over (labels-as-edges ∪ new pairs) equal components
+    over (all original pairs ∪ new pairs) — i.e., the full recompute
+    on corpus ∪ batch (the oracle proves it value-for-value). Two
+    previously separate corpus clusters that a batch doc bridges
+    merge transitively through the new edges.
+
+    Scale shape: the star rounds run over |labels| + |new pairs|
+    edges — the artifact and the batch delta, never the corpus text;
+    convergence is fast because the existing structure is already
+    depth-1."""
+    e1 = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("a"), F.col("cluster_id").alias("b")
+    )
+    e2 = new_pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return _connected_components(e1.unionByName(e2), max_iter)
 
 
 def cluster_canonicals(docs: DataFrame) -> DataFrame:

@@ -1460,6 +1460,36 @@ def q_near_dup_clusters(spark, sf_dir):
     return dedup.near_dup_clusters(_dupes_df(spark, sf_dir))
 
 
+@query(
+    "incremental_cluster_update",
+    # oracle = the FULL recompute over corpus ∪ batch — the
+    # incremental fold must land exactly there, value-for-value
+    "WITH RECURSIVE "
+    + dedup.DUPES_ORACLE_CTE
+    + _CLUSTERS_CTES
+    + " SELECT doc_id, cluster_id FROM clusters",
+)
+def q_incremental_cluster_update(spark, sf_dir):
+    """Maintained CLUSTER artifact, updated incrementally: the
+    standing corpus (originals + exact re-crawls, doc_id < 200000) is
+    clustered once; the ingest batch (near copies, ≥ 200000)
+    contributes only the pairs that TOUCH it (the band-probe +
+    batch-internal discovery set), folded into the existing labels by
+    star rounds over |labels| + |batch pairs| edges — the corpus pair
+    graph is never re-discovered. Oracle = full recompute on
+    corpus ∪ batch, so incremental == rebuild is value-checked."""
+    full = _dupes_df(spark, sf_dir)
+    corpus = full.filter(F.col("doc_id") < 200000)
+    batch_floor = 200000
+    labels = dedup.near_dup_clusters(corpus)
+    # the pairs a real ingest discovers: every verified pair with at
+    # least one batch member (band-index probe ∪ batch-internal)
+    new_pairs = dedup.near_dedup_minhash(full).filter(
+        (F.col("doc_a") >= batch_floor) | (F.col("doc_b") >= batch_floor)
+    )
+    return dedup.incremental_near_dup_clusters(labels, new_pairs)
+
+
 @query("simhash_signatures", _simhash_oracle())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))

@@ -2898,3 +2898,50 @@ def test_pii_scan_and_redact_agree_on_planted_positives(spark):
         | F.col("text_redacted").rlike(text.PHONE_PII_RE)
     )
     assert leftovers.count() == 0
+
+
+def test_incremental_clusters_bridge_merge_and_noop(spark):
+    """Incremental CC fold: (a) an empty delta reproduces the labels
+    exactly, (b) a batch doc near-duplicating members of TWO separate
+    corpus clusters merges them transitively into one component with
+    the global min label — the case a naive per-pair label update
+    gets wrong."""
+    mk = lambda words: " ".join(words)  # noqa: E731
+    a = [f"alpha{i}" for i in range(30)]
+    b = [f"beta{i}" for i in range(30)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    corpus = spark.createDataFrame(
+        [
+            (1, mk(a), "en", "s", 0),
+            (2, mk(a + ["tail2"]), "en", "s", 0),        # near-dup of 1
+            (10, mk(b), "en", "s", 0),
+            (11, mk(b + ["tail11"]), "en", "s", 0),      # near-dup of 10
+        ],
+        schema,
+    )
+    labels = dedup.near_dup_clusters(corpus)
+    got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+    assert got == {(1, 1), (2, 1), (10, 10), (11, 10)}
+
+    # (a) empty delta → identical labels
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    same = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.incremental_near_dup_clusters(
+            labels, empty
+        ).collect()
+    }
+    assert same == got
+
+    # (b) a bridge doc near-dups BOTH clusters' content halves
+    labels = dedup.near_dup_clusters(corpus)  # fresh checkpoint
+    bridge_pairs = spark.createDataFrame(
+        [(2, 100), (10, 100)], "doc_a long, doc_b long"
+    )
+    merged = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.incremental_near_dup_clusters(
+            labels, bridge_pairs
+        ).collect()
+    }
+    assert merged == {(1, 1), (2, 1), (10, 1), (11, 1), (100, 1)}

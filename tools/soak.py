@@ -215,6 +215,7 @@ QUERIES_TO_RUN = [
     "decontaminated_docs",
     "pii_redact_documents",
     "streaming_leakage_monitor",
+    "incremental_cluster_update",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
