@@ -1732,14 +1732,39 @@ def read_band_tombstones(spark, path: str) -> DataFrame | None:
     return None
 
 
+def band_index_add(
+    spark, path: str, batch: DataFrame, batch_id: int | str
+) -> None:
+    """Append an ingest batch's band signatures as the segment
+    `adds/batch_id=N` — the maintenance step that lets LATER batches
+    discover near-dups against THIS batch's content, not just the
+    base corpus (the chunk-digest index's adds discipline applied to
+    the band artifact). Batch-keyed overwrite: a foreachBatch replay
+    replaces its own segment."""
+    import os
+
+    banded_signatures(batch).write.mode("overwrite").parquet(
+        os.path.join(path, "adds", f"batch_id={batch_id}")
+    )
+
+
 def read_band_index_serving(spark, path: str) -> DataFrame:
-    """THE probe-time band read: band rows minus tombstoned doc_ids
-    (broadcast anti-join on the request-sized erase set) — an erased
-    subject can never surface as a near-dup candidate even before
-    compaction rewrites the artifact."""
+    """THE probe-time band read: base bands ∪ add segments, minus
+    tombstoned doc_ids (broadcast anti-join on the request-sized
+    erase set) — an erased subject can never surface as a near-dup
+    candidate even before compaction rewrites the artifact, and
+    streamed content is probe-able as soon as its segment lands."""
     import os
 
     bands = spark.read.parquet(os.path.join(path, "bands"))
+    adds_dir = os.path.join(path, "adds")
+    if os.path.isdir(adds_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(adds_dir)
+    ):
+        adds = spark.read.option("basePath", adds_dir).parquet(adds_dir)
+        bands = bands.unionByName(
+            adds.select(*bands.columns)
+        )
     ts = read_band_tombstones(spark, path)
     if ts is not None:
         bands = bands.join(F.broadcast(ts), "doc_id", "left_anti")
@@ -1789,18 +1814,25 @@ def band_index_erase(
 
 
 def band_index_compact(spark, path: str) -> dict:
-    """Fold pending tombstones out of the band artifact: rewrite the
-    bands minus tombstoned doc_ids (rename-swap publish, the
-    ivfpq_compact_segments protocol) and clear the tombstone area —
-    the erased subjects' signatures physically leave the artifact."""
+    """Fold the band artifact's ledgers: base ∪ add segments minus
+    tombstoned doc_ids → a clean bands table (rename-swap publish,
+    the ivfpq_compact_segments protocol); the add-segment and
+    tombstone areas empty — erased subjects' signatures physically
+    leave the artifact and streamed segments merge into the base."""
     import os
     import shutil
     import uuid
 
     ts = read_band_tombstones(spark, path)
-    if ts is None:
-        return {"n_tombstoned": 0}
-    n = int(ts.count())
+    adds_dir = os.path.join(path, "adds")
+    n_adds = (
+        len([e for e in os.listdir(adds_dir) if e.startswith("batch_id=")])
+        if os.path.isdir(adds_dir)
+        else 0
+    )
+    if ts is None and not n_adds:
+        return {"n_tombstoned": 0, "n_add_segments": 0}
+    n = int(ts.count()) if ts is not None else 0
     merged = read_band_index_serving(spark, path)
     scratch = os.path.join(path, f".bands_compact_{uuid.uuid4().hex}")
     merged.write.parquet(scratch)
@@ -1808,8 +1840,9 @@ def band_index_compact(spark, path: str) -> dict:
     os.rename(os.path.join(path, "bands"), old)
     os.rename(scratch, os.path.join(path, "bands"))
     shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(adds_dir, ignore_errors=True)
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-    return {"n_tombstoned": n}
+    return {"n_tombstoned": n, "n_add_segments": n_adds}
 
 
 def incremental_near_dups_indexed(

@@ -1490,6 +1490,87 @@ def q_incremental_cluster_update(spark, sf_dir):
     return dedup.incremental_near_dup_clusters(labels, new_pairs)
 
 
+@query(
+    "streaming_cluster_update",
+    # oracle = full clusters over corpus ∪ both streamed batches —
+    # the streamed incremental folds must land exactly there
+    "WITH RECURSIVE "
+    + dedup.DUPES_ORACLE_CTE
+    + _CLUSTERS_CTES
+    + " SELECT doc_id, cluster_id FROM clusters",
+)
+def q_streaming_cluster_update(spark, sf_dir):
+    """The full near-dup lifecycle as a STREAM: the corpus is
+    clustered once (seed labels); each micro-batch publishes its
+    bands + docs, probes base ∪ segments, and folds its verified
+    pairs into the maintained labels with incremental connected
+    components — batch 1 near-dups against batch 0's content through
+    the adds segments, and the final artifact must equal the full
+    recompute over corpus ∪ both batches, label-for-label."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.pipeline import run_cluster_update_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    dupes = dedup.with_synthetic_dupes(docs)
+    b0 = dupes.filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+    )
+    b1 = dupes.filter(F.col("doc_id") >= 200000)
+    cached_band = _band_index_path(spark, sf_dir)  # immutable cache
+    work = tempfile.mkdtemp(prefix="cluster_stream_")
+    try:
+        # invocation-local band index: symlink the cached base bands,
+        # adds stay local so the shared artifact is never mutated
+        bidx = f"{work}/bidx"
+        _os.makedirs(bidx)
+        _os.symlink(
+            _os.path.join(cached_band, "bands"),
+            _os.path.join(bidx, "bands"),
+        )
+        lab = f"{work}/lab"
+        _os.makedirs(lab)
+        # seed: the corpus's own clusters (none of its pairs are
+        # rediscovered by the stream)
+        dedup.near_dup_clusters(docs).write.parquet(f"{lab}/labels")
+        in_dir = f"{work}/in"
+        _os.makedirs(in_dir)
+        base_t = _time.time()
+        for i, b in enumerate((b0, b1)):
+            stage = f"{work}/stage_{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_cluster_update_stream(
+            spark, stream, bidx, docs, lab, f"{work}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "cluster-update stream did not drain within 300 s"
+                + (f": {q.exception()}" if q.exception() else "")
+            )
+        out = spark.read.parquet(f"{lab}/labels").orderBy("doc_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("simhash_signatures", _simhash_oracle())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))

@@ -1075,3 +1075,112 @@ def run_near_dup_monitor_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_cluster_update_stream(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    band_index_path: str,
+    corpus: DataFrame,
+    labels_path: str,
+    checkpoint_dir: str,
+    jaccard_threshold: float = 0.6,
+    available_now: bool = True,
+    timings: list | None = None,
+):
+    """Streaming maintenance of the CLUSTER artifact — the full
+    near-dup lifecycle as a service: each micro-batch (1) publishes
+    its band signatures and raw docs as batch-keyed segments (later
+    batches can then near-dup against THIS batch, not just the base
+    corpus), (2) probes the band index (base ∪ all segments, through
+    the tombstone-aware serving read) and Jaccard-verifies the
+    candidates, and (3) folds the verified pairs into the maintained
+    (doc_id, cluster_id) labels with incremental connected components
+    — star rounds over |labels| + |batch pairs| edges, never a corpus
+    re-cluster — publishing the new labels by rename-swap.
+
+    Replay safety is ALGEBRAIC, not bookkept: connected components
+    are idempotent under edge re-addition, so a replayed batch
+    re-folding its own pairs cannot change any component; the segment
+    writes are batch-keyed overwrites as everywhere else. Cross-batch
+    duplicates (batch j near-duplicating batch i < j) are found
+    because batch i's bands already sit in the index when j probes.
+
+    `timings` (optional test hook): (batch_id, n_docs, n_pairs,
+    seconds)."""
+    import shutil
+    import time
+    import uuid
+
+    from ..operators import dedup
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        batch_df.persist()
+        n_pairs = 0
+        try:
+            n = batch_df.count()
+            if n:
+                # (1) publish this batch's bands + docs (idempotent)
+                dedup.band_index_add(
+                    spark, band_index_path, batch_df, batch_id
+                )
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(
+                        labels_path, "docs", f"batch_id={batch_id}"
+                    )
+                )
+                # (2) probe base ∪ segments; shingle-verify needs the
+                # candidate partners' TEXT — corpus plus every doc
+                # segment published so far
+                store = corpus
+                docs_dir = os.path.join(labels_path, "docs")
+                store = store.unionByName(
+                    spark.read.option("basePath", docs_dir)
+                    .parquet(docs_dir)
+                    .select(*corpus.columns)
+                )
+                pairs = dedup.incremental_near_dups_indexed(
+                    spark,
+                    band_index_path,
+                    store,
+                    batch_df,
+                    jaccard_threshold,
+                ).filter(F.col("doc_a") != F.col("doc_b"))
+                # (3) fold into the maintained labels (rename-swap)
+                cur = os.path.join(labels_path, "labels")
+                if os.path.isdir(cur):
+                    prev = spark.read.parquet(cur)
+                else:
+                    prev = spark.createDataFrame(
+                        [], "doc_id long, cluster_id long"
+                    )
+                new_labels = dedup.incremental_near_dup_clusters(
+                    prev, pairs.select("doc_a", "doc_b")
+                )
+                scratch = os.path.join(
+                    labels_path, f".labels_{uuid.uuid4().hex}"
+                )
+                new_labels.write.parquet(scratch)
+                if timings is not None:
+                    n_pairs = pairs.count()
+                old = os.path.join(
+                    labels_path, f".labels_old_{uuid.uuid4().hex}"
+                )
+                if os.path.isdir(cur):
+                    os.rename(cur, old)
+                os.rename(scratch, cur)
+                shutil.rmtree(old, ignore_errors=True)
+        finally:
+            batch_df.unpersist()
+        if timings is not None:
+            timings.append((batch_id, n, n_pairs, time.monotonic() - t0))
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

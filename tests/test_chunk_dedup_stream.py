@@ -250,3 +250,74 @@ def test_chunk_index_erase_refcounts_and_reref_protection(
     assert base.count() == n_base - n_a
     # idempotent: nothing left to fold
     assert chunk_index_compact(spark, path)["n_dead"] == 0
+
+
+def test_cluster_update_stream_matches_full_and_replays_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Streaming cluster maintenance: after streaming two batches the
+    labels artifact equals the FULL recompute over corpus ∪ batches
+    (cross-batch pairs found through the adds segments), and a
+    checkpoint-reset replay leaves the labels unchanged — connected
+    components are idempotent under edge re-addition, so replay
+    safety is algebraic, not bookkept."""
+    import glob as _glob
+    import time as _time
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        run_cluster_update_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dupes = dedup.with_synthetic_dupes(docs)
+    b0 = dupes.filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+    )
+    b1 = dupes.filter(F.col("doc_id") >= 200000)
+
+    bidx = str(tmp_path / "bidx")
+    dedup.write_band_index(docs, bidx)
+    lab = str(tmp_path / "lab")
+    os.makedirs(lab)
+    dedup.near_dup_clusters(docs).write.parquet(f"{lab}/labels")
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base_t = _time.time()
+    for i, b in enumerate((b0, b1)):
+        stage = str(tmp_path / f"stage_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_cluster_update_stream(
+            spark, stream, bidx, docs, lab, str(tmp_path / ckpt)
+        )
+        assert q.awaitTermination(300)
+
+    run("ck1")
+    streamed = {
+        (r.doc_id, r.cluster_id)
+        for r in spark.read.parquet(f"{lab}/labels").collect()
+    }
+    full = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.near_dup_clusters(dupes).collect()
+    }
+    assert streamed == full and len(full) > 0
+
+    # checkpoint-reset replay: both batches re-fold — no change
+    run("ck2")
+    again = {
+        (r.doc_id, r.cluster_id)
+        for r in spark.read.parquet(f"{lab}/labels").collect()
+    }
+    assert again == streamed

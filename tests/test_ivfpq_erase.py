@@ -329,4 +329,7 @@ def test_band_index_erase_probe_and_compact(spark, sf_dir, tmp_path):
     ).collect()
     assert sorted(after, key=key) == sorted(probed, key=key)
     # idempotent: nothing left to fold
-    assert dedup.band_index_compact(spark, path) == {"n_tombstoned": 0}
+    assert dedup.band_index_compact(spark, path) == {
+        "n_tombstoned": 0,
+        "n_add_segments": 0,
+    }

@@ -216,6 +216,7 @@ QUERIES_TO_RUN = [
     "pii_redact_documents",
     "streaming_leakage_monitor",
     "incremental_cluster_update",
+    "streaming_cluster_update",
 ]
 
 # (table, {col: unit}) — each replica i shifts col by i*unit so join
