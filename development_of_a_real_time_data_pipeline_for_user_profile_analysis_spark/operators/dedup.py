@@ -1719,11 +1719,68 @@ def write_band_index(corpus: DataFrame, path: str) -> None:
     )
 
 
+def require_local_index_path(fn: str, path: str) -> None:
+    """Refuse URI paths (hdfs://, s3a://, even file://) on every
+    maintained-artifact reader/compactor that discovers segments via
+    driver-local os.listdir: on a remote store the listing silently
+    returns nothing, so tombstone and adds segments would be SKIPPED
+    — erased subjects keep serving and streamed content goes
+    invisible, the exact silent-skip hazard read_chunk_digest_index
+    already guards (streaming/pipeline.py). The cluster deployment
+    swaps these listings for the Hadoop FS API; until then, fail
+    loudly (ADVICE r7, medium)."""
+    if "://" in path:
+        raise ValueError(
+            f"{fn} discovers index segments via driver-local "
+            f"os.listdir; got URI path {path!r} — segments would be "
+            "silently skipped (erasure-correctness hazard). Use a "
+            "plain local filesystem path."
+        )
+
+
+def require_nonempty_parquet_scratch(scratch: str, what: str) -> None:
+    """Refuse a rename-swap publish whose scratch directory carries
+    ZERO rows (ADVICE r7: the all-rows-erased case). Two failure
+    shapes, one contract: a partitionBy write of an empty DataFrame
+    produces a data-less directory that bricks later reads (no
+    schema to infer), and a plain write produces a schema-bearing
+    empty file — readable, but publishing it would silently replace
+    a populated artifact with nothing. Either way the compaction is
+    refused and the pending ledgers stay in place: the serving read
+    already excludes every erased row, and an artifact whose content
+    is entirely erased should be DELETED, not compacted. Row counts
+    come from the parquet footers driver-side (pyarrow) — scratch is
+    compaction output, so this reads a handful of footers, no job."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    n_rows = sum(
+        pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for root, _, files in os.walk(scratch)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    if n_rows == 0:
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise ValueError(
+            f"refusing to compact {what} to EMPTY: the erase set "
+            "covers every row, and publishing an empty artifact "
+            "would at best silently serve nothing and at worst "
+            "brick subsequent reads (partitioned layouts carry no "
+            "schema to infer). Pending tombstones keep excluding "
+            "the rows at serve time; delete the artifact directory "
+            "instead of compacting it."
+        )
+
+
 def read_band_tombstones(spark, path: str) -> DataFrame | None:
     """Union of pending erasure segments as (doc_id); None if
     clean."""
     import os
 
+    require_local_index_path("read_band_tombstones", path)
     ts_dir = os.path.join(path, "tombstones")
     if os.path.isdir(ts_dir) and any(
         e.startswith("seg_id=") for e in os.listdir(ts_dir)
@@ -1743,6 +1800,7 @@ def band_index_add(
     replaces its own segment."""
     import os
 
+    require_local_index_path("band_index_add", path)
     banded_signatures(batch).write.mode("overwrite").parquet(
         os.path.join(path, "adds", f"batch_id={batch_id}")
     )
@@ -1756,6 +1814,7 @@ def read_band_index_serving(spark, path: str) -> DataFrame:
     streamed content is probe-able as soon as its segment lands."""
     import os
 
+    require_local_index_path("read_band_index_serving", path)
     bands = spark.read.parquet(os.path.join(path, "bands"))
     adds_dir = os.path.join(path, "adds")
     if os.path.isdir(adds_dir) and any(
@@ -1789,6 +1848,7 @@ def band_index_erase(
     permanently. Cost: one tiny parquet write."""
     import os
 
+    require_local_index_path("band_index_erase", path)
     ids = erase_ids.select("doc_id").distinct()
     ts_dir = os.path.join(path, "tombstones")
     if seg_id is None:
@@ -1823,6 +1883,7 @@ def band_index_compact(spark, path: str) -> dict:
     import shutil
     import uuid
 
+    require_local_index_path("band_index_compact", path)
     ts = read_band_tombstones(spark, path)
     adds_dir = os.path.join(path, "adds")
     n_adds = (
@@ -1836,6 +1897,7 @@ def band_index_compact(spark, path: str) -> dict:
     merged = read_band_index_serving(spark, path)
     scratch = os.path.join(path, f".bands_compact_{uuid.uuid4().hex}")
     merged.write.parquet(scratch)
+    require_nonempty_parquet_scratch(scratch, "band index")
     old = os.path.join(path, f".bands_old_{uuid.uuid4().hex}")
     os.rename(os.path.join(path, "bands"), old)
     os.rename(scratch, os.path.join(path, "bands"))

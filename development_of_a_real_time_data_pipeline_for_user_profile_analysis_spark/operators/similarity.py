@@ -1744,6 +1744,9 @@ def read_ivfpq_index_with_adds(spark, path: str) -> dict:
     layouts carry cell as a directory partition."""
     import os
 
+    from .dedup import require_local_index_path
+
+    require_local_index_path("read_ivfpq_index_with_adds", path)
     index = read_ivfpq_index(spark, path)
     adds_dir = f"{path}/codes_adds"
     if os.path.isdir(adds_dir) and any(
@@ -2338,6 +2341,9 @@ def ivfpq_erase(
     """
     import os
 
+    from .dedup import require_local_index_path
+
+    require_local_index_path("ivfpq_erase", path)
     ids = erase_ids.select("vec_id").distinct()
     codes = read_ivfpq_index_with_adds(spark, path)["codes"]
     cells = (
@@ -2388,6 +2394,9 @@ def read_ivfpq_tombstones(spark, path: str) -> DataFrame | None:
     None when no erasures are pending."""
     import os
 
+    from .dedup import require_local_index_path
+
+    require_local_index_path("read_ivfpq_tombstones", path)
     ts_dir = os.path.join(path, "tombstones")
     if os.path.isdir(ts_dir) and any(
         e.startswith("seg_id=") for e in os.listdir(ts_dir)
@@ -2404,6 +2413,9 @@ def read_ivfpq_index_serving(spark, path: str) -> dict:
     sets are request-sized). Every serve over an index with pending
     erasures must read through this, so an erased subject can never
     appear in a shortlist even before compaction folds its rows."""
+    from .dedup import require_local_index_path
+
+    require_local_index_path("read_ivfpq_index_serving", path)
     index = read_ivfpq_index_with_adds(spark, path)
     ts = read_ivfpq_tombstones(spark, path)
     if ts is not None:
@@ -2485,6 +2497,9 @@ def ivfpq_compact_segments(spark, path: str) -> dict:
     import shutil
     import uuid
 
+    from .dedup import require_local_index_path
+
+    require_local_index_path("ivfpq_compact_segments", path)
     adds_dir = os.path.join(path, "codes_adds")
     segments = (
         [
@@ -2507,6 +2522,9 @@ def ivfpq_compact_segments(spark, path: str) -> dict:
     )
     scratch = os.path.join(path, f".codes_compact_{uuid.uuid4().hex}")
     merged.write.partitionBy("cell").parquet(scratch)
+    from .dedup import require_nonempty_parquet_scratch
+
+    require_nonempty_parquet_scratch(scratch, "IVF-PQ codes")
     old = os.path.join(path, f".codes_old_{uuid.uuid4().hex}")
     os.rename(os.path.join(path, "codes"), old)
     os.rename(scratch, os.path.join(path, "codes"))

@@ -1485,7 +1485,7 @@ def temperature_mixture_weights(
                 / 1000000.0
             ).alias("weight"),
             F.floor(
-                F.lit(budget_tokens) * F.col("w") / F.col("w_tot") + 0.5
+                F.lit(budget_tokens) * (F.col("w") * 1.0 / F.col("w_tot")) + 0.5
             ).cast("long").alias("alloc_tokens"),
         )
         .orderBy("source")
@@ -1543,7 +1543,7 @@ def temperature_mixture_curve(
     w_tot = Window.partitionBy("tau")
     shared = weighted.withColumn("w_tot", F.sum("w").over(w_tot))
     alloc = F.floor(
-        F.lit(budget_tokens) * F.col("w") / F.col("w_tot") + 0.5
+        F.lit(budget_tokens) * (F.col("w") * 1.0 / F.col("w_tot")) + 0.5
     ).cast("long")
     epochs = (
         F.floor(alloc / F.col("n_tokens") * 10000 + 0.5).cast("long")
@@ -2092,7 +2092,7 @@ def epoch_budget_report(
     weighted = per_source.select("source", "n_tokens", w_micro.alias("w"))
     tot = weighted.agg(F.sum("w").alias("w_tot"))
     alloc = F.floor(
-        F.lit(budget_tokens) * F.col("w") / F.col("w_tot") + 0.5
+        F.lit(budget_tokens) * (F.col("w") * 1.0 / F.col("w_tot")) + 0.5
     ).cast("long")
     epochs = (
         F.floor(alloc / F.col("n_tokens") * 10000 + 0.5).cast("long")

@@ -5211,7 +5211,7 @@ def q_ab_test_report(spark, sf_dir):
        SELECT source, n_tokens,
               CAST(floor(wm / w_tot * 1000000 + 0.5) AS BIGINT)
                 / 1000000.0 AS weight,
-              CAST(floor(100000 * wm / w_tot + 0.5) AS BIGINT)
+              CAST(floor(100000 * (wm * 1.0 / w_tot) + 0.5) AS BIGINT)
                 AS alloc_tokens
        FROM w CROSS JOIN tot ORDER BY source""",
 )
@@ -5247,8 +5247,8 @@ _MIX_TAU_VALUES = ", ".join(f"({t})" for t in text.MIXTURE_TAUS)
        a AS (SELECT tau, source, n_tokens,
                     CAST(floor(wm * 1.0 / w_tot * 1000000 + 0.5)
                          AS BIGINT) AS share_ppm,
-                    CAST(floor({text.TRAIN_TOKEN_BUDGET} * wm * 1.0
-                               / w_tot + 0.5) AS BIGINT)
+                    CAST(floor({text.TRAIN_TOKEN_BUDGET}
+                               * (wm * 1.0 / w_tot) + 0.5) AS BIGINT)
                       AS alloc_tokens
              FROM s)
        SELECT tau, source, n_tokens, share_ppm, alloc_tokens,
@@ -7485,13 +7485,15 @@ def q_offpolicy_value_eval(spark, sf_dir):
              FROM ps),
        t AS (SELECT sum(wm) AS w_tot FROM w)
        SELECT source, n_tokens,
-              CAST(floor({text.TRAIN_TOKEN_BUDGET} * wm * 1.0 / w_tot
-                         + 0.5) AS BIGINT) AS alloc_tokens,
-              floor(floor({text.TRAIN_TOKEN_BUDGET} * wm * 1.0 / w_tot
-                          + 0.5) / n_tokens * 10000 + 0.5) / 10000.0
-                AS epochs,
-              floor(floor({text.TRAIN_TOKEN_BUDGET} * wm * 1.0 / w_tot
-                          + 0.5) / n_tokens * 10000 + 0.5) / 10000.0
+              CAST(floor({text.TRAIN_TOKEN_BUDGET}
+                         * (wm * 1.0 / w_tot) + 0.5) AS BIGINT)
+                AS alloc_tokens,
+              floor(floor({text.TRAIN_TOKEN_BUDGET}
+                          * (wm * 1.0 / w_tot) + 0.5)
+                    / n_tokens * 10000 + 0.5) / 10000.0 AS epochs,
+              floor(floor({text.TRAIN_TOKEN_BUDGET}
+                          * (wm * 1.0 / w_tot) + 0.5)
+                    / n_tokens * 10000 + 0.5) / 10000.0
                 > {text.EPOCH_REPEAT_CAP} AS over_repeat_cap
        FROM w CROSS JOIN t ORDER BY source""",
 )

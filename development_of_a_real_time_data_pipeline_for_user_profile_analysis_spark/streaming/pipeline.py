@@ -804,6 +804,12 @@ def run_chunk_dedup_stream(
                         index_path, "rerefs", f"batch_id={batch_id}"
                     )
                 )
+                # re-consent: these subjects' content just re-entered
+                # the index — lift any post-fold erasure suppression
+                # so they can be erased again (idempotent on replay)
+                chunk_index_release_subjects(
+                    spark, index_path, batch_df.select("doc_id")
+                )
         finally:
             if marked is not None:
                 marked.unpersist()
@@ -853,8 +859,10 @@ def chunk_index_erase(
     folded subjects in the `erased_subjects/` suppression ledger —
     a repeated request for a suppressed or already-pending subject
     is dropped HERE, making erasure idempotent end-to-end."""
+    from ..operators.dedup import require_local_index_path
     from ..operators.text import cdc_chunk_table
 
+    require_local_index_path("chunk_index_erase", index_path)
     er_dir = os.path.join(index_path, "erases")
     if seg_id is None:
         seg_id = (
@@ -871,6 +879,7 @@ def chunk_index_erase(
             if os.path.isdir(er_dir)
             else 0
         )
+    n_requested = int(erased_docs.select("doc_id").distinct().count())
     delta = (
         cdc_chunk_table(erased_docs)
         .groupBy("doc_id", "digest")
@@ -885,9 +894,15 @@ def chunk_index_erase(
     written = spark.read.parquet(
         os.path.join(er_dir, f"seg_id={seg_id}")
     )
+    n_subjects = int(written.select("doc_id").distinct().count())
     return {
         "seg_id": seg_id,
-        "n_subjects": int(written.select("doc_id").distinct().count()),
+        "n_subjects": n_subjects,
+        # surfaced so callers can DETECT a dropped repeat request
+        # (ADVICE r7) — nonzero means some named subjects were
+        # already pending or suppressed-after-fold and this request
+        # was a no-op for them
+        "n_suppressed": n_requested - n_subjects,
         "n_digests": int(written.select("digest").distinct().count()),
         "n_refs": int(
             written.agg(F.sum("refs").alias("s")).collect()[0].s or 0
@@ -901,6 +916,9 @@ def _known_erased_subjects(
     """doc_ids already covered by a pending erase segment or the
     folded-subject suppression ledger — requests naming them again
     are no-ops."""
+    from ..operators.dedup import require_local_index_path
+
+    require_local_index_path("_known_erased_subjects", index_path)
     parts = []
     er_dir = os.path.join(index_path, "erases")
     if os.path.isdir(er_dir):
@@ -933,6 +951,12 @@ def chunk_index_compact(spark: SparkSession, index_path: str) -> dict:
     import shutil
     import uuid
 
+    from ..operators.dedup import (
+        require_local_index_path,
+        require_nonempty_parquet_scratch,
+    )
+
+    require_local_index_path("chunk_index_compact", index_path)
     adds_dir = os.path.join(index_path, "adds")
     rerefs_dir = os.path.join(index_path, "rerefs")
     er_dir = os.path.join(index_path, "erases")
@@ -983,6 +1007,7 @@ def chunk_index_compact(spark: SparkSession, index_path: str) -> dict:
     n_dead = int(merged.filter(F.col("refs") <= 0).count())
     scratch = os.path.join(index_path, f".base_compact_{uuid.uuid4().hex}")
     alive.write.parquet(scratch)
+    require_nonempty_parquet_scratch(scratch, "chunk-digest index")
     if n_erases:
         # record the folded subjects in the suppression ledger BEFORE
         # dropping their segments — a later repeat request for any of
@@ -1004,6 +1029,56 @@ def chunk_index_compact(spark: SparkSession, index_path: str) -> dict:
         "n_erase_segments": n_erases,
         "n_dead": n_dead,
     }
+
+
+def chunk_index_release_subjects(
+    spark: SparkSession, index_path: str, doc_ids: DataFrame
+) -> dict:
+    """RE-CONSENT on the chunk-digest index: drop the given subjects
+    from the `erased_subjects/` suppression ledger so they become
+    erasable AGAIN. Without this, the ledger is permanent — a subject
+    whose content legitimately re-enters via an adds segment could
+    never be re-erased, because chunk_index_erase's anti-join would
+    silently drop every later request, leaving the re-added refs
+    alive forever (ADVICE r7). run_chunk_dedup_stream calls this for
+    each micro-batch's doc_ids: content re-entering IS the
+    re-consent event, and the new adds/rerefs segments carry exactly
+    the refcounts a future erase of the same subject will decrement.
+
+    Idempotent (anti-join removal), replay-safe, and rename-swap
+    published; a ledger emptied entirely is DELETED (missing dir ==
+    empty ledger) rather than written as a schema-less parquet dir.
+    Cost: one subject-sized ledger rewrite, skipped when no ledger
+    exists or no overlap."""
+    import shutil
+    import uuid
+
+    from ..operators.dedup import require_local_index_path
+
+    require_local_index_path("chunk_index_release_subjects", index_path)
+    led = os.path.join(index_path, "erased_subjects")
+    if not (os.path.isdir(led) and os.listdir(led)):
+        return {"n_released": 0}
+    ledger = spark.read.parquet(led).select("doc_id").distinct()
+    ids = doc_ids.select("doc_id").distinct()
+    n_released = int(ledger.join(F.broadcast(ids), "doc_id").count())
+    if not n_released:
+        return {"n_released": 0}
+    kept = ledger.join(F.broadcast(ids), "doc_id", "left_anti")
+    if kept.isEmpty():
+        shutil.rmtree(led, ignore_errors=True)
+        return {"n_released": n_released}
+    scratch = os.path.join(
+        index_path, f".erased_subjects_{uuid.uuid4().hex}"
+    )
+    kept.write.parquet(scratch)
+    old_dir = os.path.join(
+        index_path, f".erased_subjects_old_{uuid.uuid4().hex}"
+    )
+    os.rename(led, old_dir)
+    os.rename(scratch, led)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return {"n_released": n_released}
 
 
 def run_near_dup_monitor_stream(
@@ -1149,8 +1224,28 @@ def run_cluster_update_stream(
                 ).filter(F.col("doc_a") != F.col("doc_b"))
                 # (3) fold into the maintained labels (rename-swap)
                 cur = os.path.join(labels_path, "labels")
+                seeded = os.path.join(labels_path, "_labels_seeded")
                 if os.path.isdir(cur):
                     prev = spark.read.parquet(cur)
+                elif os.path.exists(seeded):
+                    # the artifact has published before but the
+                    # labels dir is gone — a crash inside the
+                    # rename-swap window (cur renamed away, scratch
+                    # not yet renamed in). Silently starting from
+                    # empty would rebuild labels from only THIS
+                    # batch's pairs, discarding all corpus
+                    # clustering (ADVICE r7); fail loudly so the
+                    # half-completed swap is repaired (an
+                    # .labels_old_* dir still holds the pre-swap
+                    # labels) instead of masked.
+                    raise RuntimeError(
+                        "labels artifact missing but its seed marker "
+                        f"exists under {labels_path!r} — refusing to "
+                        "rebuild from one batch; restore the "
+                        "pre-swap .labels_old_* directory to "
+                        "labels/ (or delete the _labels_seeded "
+                        "marker to intentionally start over)."
+                    )
                 else:
                     prev = spark.createDataFrame(
                         [], "doc_id long, cluster_id long"
@@ -1164,6 +1259,11 @@ def run_cluster_update_stream(
                 new_labels.write.parquet(scratch)
                 if timings is not None:
                     n_pairs = pairs.count()
+                # seed marker BEFORE the swap: from here on, a
+                # missing labels dir is a torn publish, never a
+                # legitimate first batch
+                with open(seeded, "w") as fh:
+                    fh.write("1")
                 old = os.path.join(
                     labels_path, f".labels_old_{uuid.uuid4().hex}"
                 )
