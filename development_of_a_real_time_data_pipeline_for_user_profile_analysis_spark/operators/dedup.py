@@ -825,6 +825,104 @@ def incremental_near_dup_clusters(
     return _connected_components(e1.unionByName(e2), max_iter)
 
 
+_last_labels: DataFrame | None = None
+
+CLUSTER_ERASE_MOD = 4  # deterministic label-erase set (oracle lockstep)
+CLUSTER_ERASE_RESIDUE = 1
+
+
+def near_dup_clusters_checkpointed(
+    docs: DataFrame, jaccard_threshold: float = 0.6
+) -> DataFrame:
+    """near_dup_clusters materialized into its OWN eager checkpoint —
+    required whenever the labels are consumed AFTER a later
+    _connected_components call (e.g. cluster_labels_erase's member
+    relabel): the CC loop releases the previous call's final edge
+    checkpoint, and the plain near_dup_clusters result is backed by
+    exactly those blocks. Blocks live until the next call here (the
+    _last_pairs/_last_edges discipline)."""
+    global _last_labels
+    if _last_labels is not None:
+        _last_labels.rdd.unpersist()
+        _last_labels = None
+    lbl = near_dup_clusters(docs, jaccard_threshold).localCheckpoint(
+        eager=True
+    )
+    _last_labels = lbl
+    return lbl
+
+
+def cluster_labels_erase(
+    labels: DataFrame,
+    corpus_docs: DataFrame,
+    erase_ids: DataFrame,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Right-to-be-forgotten on the maintained CLUSTER artifact — the
+    fourth maintained artifact the erasure story must reach (IVF-PQ
+    codes, band signatures and chunk digests already tombstone; the
+    labels table still carries the erased subject's row AND its
+    structural influence). Deleting the subject's row alone is not
+    enough: components may have merged THROUGH the erased document (a
+    ghost bridge — A~X, X~B with A≁B keeps A and B in one cluster
+    after X's row is gone), so the subject's connectivity must be
+    re-derived, not just its row dropped.
+
+    Scale shape — request-bounded, never corpus- or artifact-CC-wide:
+    (1) the touched cluster_ids come from a broadcast join of the
+    request against the labels (≤ |request| clusters); (2) untouched
+    clusters pass through with ONE broadcast anti-join scan of the
+    labels — no star rounds over the artifact; (3) only the touched
+    clusters' surviving members (Σ touched cluster sizes) are
+    re-paired — MinHash/LSH/verify on that member slice — and re-run
+    through connected components. A pair between a survivor and any
+    doc outside its old cluster cannot exist (it would have merged
+    them already), so the member-local recompute equals the full
+    recompute on corpus-minus-erased, label-for-label (the oracle
+    proves it). Survivors whose every pair died leave the labels
+    entirely, exactly as a rebuild would drop unpaired docs.
+
+    `labels` must be independently materialized (artifact parquet
+    read, or near_dup_clusters_checkpointed) — the relabel's CC call
+    releases the previous CC checkpoint that a plain
+    near_dup_clusters result is backed by."""
+    ids = erase_ids.select("doc_id").distinct()
+    affected = (
+        labels.join(F.broadcast(ids), "doc_id")
+        .select("cluster_id")
+        .distinct()
+    )
+    untouched = labels.join(
+        F.broadcast(affected), "cluster_id", "left_anti"
+    )
+    survivors = (
+        labels.join(F.broadcast(affected), "cluster_id", "left_semi")
+        .join(F.broadcast(ids), "doc_id", "left_anti")
+        .select("doc_id")
+    )
+    member_docs = corpus_docs.join(
+        F.broadcast(survivors), "doc_id", "left_semi"
+    )
+    relabeled = near_dup_clusters(member_docs, jaccard_threshold)
+    return untouched.unionByName(relabeled)
+
+
+# SQL mirror of with_synthetic_dupes MINUS the deterministic cluster
+# erase set (originals with doc_id % CLUSTER_ERASE_MOD ==
+# CLUSTER_ERASE_RESIDUE) — the cluster_erase_update oracle recomputes
+# clusters from scratch on this reduced corpus. Built from
+# DUPES_ORACLE_CTE so the dupe construction can never drift.
+DUPES_ERASED_ORACLE_CTE = (
+    DUPES_ORACLE_CTE.replace("dupes AS (", "dupes_full AS (", 1)
+    + f""",
+dupes AS (
+  SELECT * FROM dupes_full
+  WHERE NOT (doc_id < 100000
+             AND doc_id % {CLUSTER_ERASE_MOD} = {CLUSTER_ERASE_RESIDUE})
+)"""
+)
+
+
 def cluster_canonicals(docs: DataFrame) -> DataFrame:
     """Canonical-document selection — the decision step that turns
     near-dup clusters into a curation action: per connected component,

@@ -1571,6 +1571,41 @@ def q_streaming_cluster_update(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "cluster_erase_update",
+    # oracle = clusters recomputed FROM SCRATCH on the corpus minus
+    # the erased subjects — the request-bounded fold must land
+    # exactly there, label-for-label (ghost bridges split, orphaned
+    # survivors leave the table)
+    "WITH RECURSIVE "
+    + dedup.DUPES_ERASED_ORACLE_CTE
+    + _CLUSTERS_CTES
+    + " SELECT doc_id, cluster_id FROM clusters",
+)
+def q_cluster_erase_update(spark, sf_dir):
+    """Right-to-be-forgotten on the maintained CLUSTER artifact (the
+    fourth maintained artifact — IVF-PQ codes, band signatures and
+    chunk digests already erase): subjects' rows leave the labels AND
+    their structural influence is re-derived. Request-bounded: one
+    broadcast anti-join pass over the labels for untouched clusters +
+    a member-local re-pair and CC over only the touched clusters'
+    survivors — never an artifact-wide or corpus-wide recompute. The
+    erase set (originals with doc_id % {mod} == {res}) includes docs
+    whose exact copy then becomes an orphaned survivor (drops out of
+    the labels) and bridge members of 3-clusters (survivor pair
+    relabels to its new min)."""
+    dupes = _dupes_df(spark, sf_dir)
+    labels = dedup.near_dup_clusters_checkpointed(dupes)
+    erase = dupes.filter(
+        (F.col("doc_id") < 100000)
+        & (
+            F.col("doc_id") % dedup.CLUSTER_ERASE_MOD
+            == dedup.CLUSTER_ERASE_RESIDUE
+        )
+    ).select("doc_id")
+    return dedup.cluster_labels_erase(labels, dupes, erase)
+
+
 @query("simhash_signatures", _simhash_oracle())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))

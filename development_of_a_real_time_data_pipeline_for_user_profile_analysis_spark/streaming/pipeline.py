@@ -1284,3 +1284,64 @@ def run_cluster_update_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cluster_labels_erase_artifact(
+    spark: SparkSession,
+    labels_path: str,
+    corpus_docs: DataFrame,
+    erase_ids: DataFrame,
+    jaccard_threshold: float = 0.6,
+) -> dict:
+    """Right-to-be-forgotten on the PUBLISHED cluster-labels artifact
+    (the run_cluster_update_stream layout: `labels/` + seed marker):
+    read the current labels, drop the erased subjects AND re-derive
+    the touched clusters' structure (dedup.cluster_labels_erase — a
+    ghost bridge must split its cluster, not keep serving the erased
+    doc's connectivity), publish by rename-swap. An empty result is a
+    LEGITIMATE labels state (no near-dup pairs left) and plain
+    parquet writes of empty DataFrames are schema-bearing, so no
+    empty-publish refusal applies here, unlike the index compactors.
+
+    Idempotent: re-erasing the same subjects finds no touched
+    clusters and republishes identical labels. Cost: one broadcast
+    anti-join scan of the artifact + a member-local re-pair bounded
+    by the touched clusters' sizes."""
+    import shutil
+    import uuid
+
+    from ..operators.dedup import (
+        cluster_labels_erase,
+        require_local_index_path,
+    )
+
+    require_local_index_path("cluster_labels_erase_artifact", labels_path)
+    cur = os.path.join(labels_path, "labels")
+    seeded = os.path.join(labels_path, "_labels_seeded")
+    if not os.path.isdir(cur):
+        if os.path.exists(seeded):
+            raise RuntimeError(
+                "labels artifact missing but its seed marker exists "
+                f"under {labels_path!r} — torn rename-swap; restore "
+                "the pre-swap .labels_old_* directory before erasing."
+            )
+        return {"n_rows_before": 0, "n_rows_after": 0, "n_erased_rows": 0}
+    labels = spark.read.parquet(cur)
+    n_before = int(labels.count())
+    ids = erase_ids.select("doc_id").distinct()
+    n_erased_rows = int(labels.join(F.broadcast(ids), "doc_id").count())
+    new_labels = cluster_labels_erase(
+        labels, corpus_docs, ids, jaccard_threshold
+    )
+    scratch = os.path.join(labels_path, f".labels_erase_{uuid.uuid4().hex}")
+    new_labels.write.parquet(scratch)
+    n_after = int(spark.read.parquet(scratch).count())
+    old = os.path.join(labels_path, f".labels_old_{uuid.uuid4().hex}")
+    os.rename(cur, old)
+    os.rename(scratch, cur)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "n_rows_before": n_before,
+        "n_rows_after": n_after,
+        "n_erased_rows": n_erased_rows,
+    }
