@@ -632,6 +632,184 @@ piidocs AS (
 )"""
 
 
+TEMPLATE_DOC_MOD = 3  # fixture: every Nth doc gets its source's header
+BOILERPLATE_NGRAM_WORDS = 3  # template-detection n-gram width
+BOILERPLATE_MIN_DF_PPM = 200000  # template ⟺ in ≥20% of a source's docs…
+BOILERPLATE_MIN_DF_DOCS = 3  # …AND in ≥3 docs (tiny-slice support floor)
+
+
+def with_template_docs(documents: DataFrame) -> DataFrame:
+    """Extend a corpus with deterministic boilerplate positives:
+    every TEMPLATE_DOC_MOD-th doc gains its SOURCE's template header
+    (a crawl-realistic nav/footer phrase parameterized by the source
+    name, so each source plants a distinct template) — the ground
+    truth the boilerplate detection/scrub pair is audited against.
+    The corpus's natural 3-gram doc-frequency ceiling is ~12% per
+    source (measured at sf0.01/0.1); planted templates sit at ~33%,
+    so the 20% threshold separates cleanly. Mirrored by
+    TEMPLATE_ORACLE_CTE."""
+    header = F.concat_ws(
+        " ",
+        F.lit("visit"),
+        F.col("source"),
+        F.lit("homepage subscribe"),
+        F.col("source"),
+        F.lit("newsletter click share button now"),
+    )
+    return documents.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % TEMPLATE_DOC_MOD == 0,
+            F.concat(header, F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+
+
+# SQL mirror of with_template_docs (DuckDB dialect), producing CTE
+# `tdocs`. Keep in lockstep with the function above.
+TEMPLATE_ORACLE_CTE = f"""
+tdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {TEMPLATE_DOC_MOD} = 0
+              THEN 'visit ' || source || ' homepage subscribe '
+                   || source
+                   || ' newsletter click share button now ' || text
+              ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents
+)"""
+
+
+def positioned_shingles(
+    docs: DataFrame, n: int = BOILERPLATE_NGRAM_WORDS
+) -> DataFrame:
+    """(doc_id, source, pos, shingle) — every word-n-gram occurrence
+    WITH its start position (dedup.shingles drops positions and
+    distincts; boilerplate scrubbing needs the cover). Map-side row
+    multiplication only."""
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "source",
+        words.alias("w"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))
+            )
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "source",
+        "pos",
+        F.concat_ws(" ", F.slice(F.col("w"), F.col("pos"), n)).alias(
+            "shingle"
+        ),
+    )
+
+
+def boilerplate_ngram_report(documents: DataFrame) -> DataFrame:
+    """Template/boilerplate n-gram detection, the RefinedWeb-style
+    cleanup signal at n-gram granularity (this corpus has no line
+    structure): per source, every word 3-gram present in ≥
+    BOILERPLATE_MIN_DF_PPM of the source's documents (and ≥
+    BOILERPLATE_MIN_DF_DOCS docs — doc-frequency thresholds always
+    carry a support floor) is a template phrase — nav bars, footers,
+    subscribe prompts replicate per-site at rates no natural phrase
+    reaches.
+
+    Scale shape: ONE (source, shingle)-keyed aggregate with partials
+    over distinct per-doc shingles; per-source doc totals are a
+    source-cardinality broadcast. Nothing pairwise, nothing global.
+    """
+    sh = positioned_shingles(documents).select(
+        "doc_id", "source", "shingle"
+    ).distinct()
+    src_n = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_src_docs")
+    )
+    df = sh.groupBy("source", "shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    rep = (
+        df.join(F.broadcast(src_n), "source")
+        .withColumn(
+            "df_ppm",
+            F.floor(
+                F.col("n_docs") * 1000000.0 / F.col("n_src_docs") + 0.5
+            ).cast("long"),
+        )
+        .filter(
+            (F.col("df_ppm") >= BOILERPLATE_MIN_DF_PPM)
+            & (F.col("n_docs") >= BOILERPLATE_MIN_DF_DOCS)
+        )
+    )
+    return rep.select("source", "shingle", "n_docs", "df_ppm").orderBy(
+        "source", "shingle"
+    )
+
+
+def boilerplate_scrub_report(documents: DataFrame) -> DataFrame:
+    """The scrub decision the template detection feeds: a word
+    POSITION is boilerplate when any template 3-gram covers it (the
+    occurrence-cover semantics a real cleaner deletes by). Per
+    source: docs, total words, boilerplate words and the removal
+    ppm — the volume the cleanup recovers before tokenization.
+
+    Scale shape: template set is broadcast (threshold-bounded);
+    cover = explode each matched start into its n positions,
+    distinct per doc; per-doc counts join the corpus on doc_id
+    (uniform key) and roll up per source. The corpus text is scanned
+    twice (detect + scrub) — at production scale the detection
+    report is a maintained per-corpus-version artifact, so the serve
+    path pays one scan."""
+    templates = boilerplate_ngram_report(documents).select(
+        "source", "shingle"
+    )
+    starts = positioned_shingles(documents).join(
+        F.broadcast(templates), ["source", "shingle"]
+    )
+    covered = (
+        starts.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.col("pos") + (BOILERPLATE_NGRAM_WORDS - 1),
+                )
+            ).alias("cpos"),
+        )
+        .distinct()
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_boiler"))
+    )
+    totals = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+    )
+    return (
+        totals.join(covered, ["doc_id", "source"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum(F.coalesce(F.col("n_boiler"), F.lit(0)))
+            .cast("long")
+            .alias("boilerplate_words"),
+            F.floor(
+                F.sum(F.coalesce(F.col("n_boiler"), F.lit(0)))
+                * 1000000.0
+                / F.sum("n_words")
+                + 0.5
+            )
+            .cast("long")
+            .alias("boilerplate_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def pii_scan_report(documents: DataFrame) -> DataFrame:
     """Pre-training PII hygiene scan over the document corpus: per
     source, how many docs carry email- / phone-shaped strings and the

@@ -1606,6 +1606,224 @@ def q_cluster_erase_update(spark, sf_dir):
     return dedup.cluster_labels_erase(labels, dupes, erase)
 
 
+# dupes minus the band/chunk erase set (one GDPR request hitting all
+# three document-derived artifacts), oracle side of the audit
+_AUDIT_ERASED_CTE = (
+    dedup.DUPES_ORACLE_CTE.replace("dupes AS (", "dupes_full AS (", 1)
+    + f""",
+dupes AS (
+  SELECT * FROM dupes_full
+  WHERE NOT (doc_id < 100000
+             AND doc_id % {dedup.BAND_ERASE_MOD} = {dedup.BAND_ERASE_RESIDUE})
+)"""
+)
+
+_AUDIT_N_REQ_DOCS = f"""(SELECT count(*) FROM dupes_full
+  WHERE doc_id < 100000
+    AND doc_id % {dedup.BAND_ERASE_MOD} = {dedup.BAND_ERASE_RESIDUE})"""
+
+
+@query(
+    "erasure_completeness_audit",
+    # every count recomputed from the BASE TABLES: after erase + fold
+    # each artifact must physically hold exactly the
+    # rebuild-without-erased row count, and zero rows referencing the
+    # erased subjects
+    "WITH RECURSIVE "
+    + _AUDIT_ERASED_CTE
+    + _CLUSTERS_CTES
+    + f""",
+  cw AS (SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS word FROM dupes),
+  chv AS (SELECT doc_id, pos, word,
+            CAST(CAST('0x' || substr(md5(word), 1, 8) AS UBIGINT)
+                 AS BIGINT) AS hv FROM cw),
+  cc2 AS (SELECT doc_id, pos, word,
+            sum(CASE WHEN hv % {text.CDC_BOUNDARY_MOD} = 0
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+          FROM chv),
+  cdig AS (SELECT md5(string_agg(word, ' ' ORDER BY pos)) AS digest
+           FROM cc2 GROUP BY doc_id, chunk_id)
+SELECT * FROM (
+  SELECT 'band_index' AS artifact,
+         CAST({_AUDIT_N_REQ_DOCS} AS BIGINT) AS n_requested,
+         CAST({dedup.LSH_BANDS} * (SELECT count(*) FROM dupes)
+              AS BIGINT) AS n_serving_rows,
+         CAST(0 AS BIGINT) AS n_rows_referencing_erased
+  UNION ALL
+  SELECT 'chunk_digest_index',
+         CAST({_AUDIT_N_REQ_DOCS} AS BIGINT),
+         CAST((SELECT count(DISTINCT digest) FROM cdig) AS BIGINT),
+         CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'cluster_labels',
+         CAST({_AUDIT_N_REQ_DOCS} AS BIGINT),
+         CAST((SELECT count(*) FROM clusters) AS BIGINT),
+         CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'ivfpq_codes',
+         CAST((SELECT count(*) FROM embeddings
+               WHERE vec_id % {similarity.IVFPQ_ERASE_MOD}
+                     = {similarity.IVFPQ_ERASE_RESIDUE}) AS BIGINT),
+         CAST({similarity.PQ_SUBSPACES} * (SELECT count(*) FROM embeddings
+               WHERE vec_id % {similarity.IVFPQ_ERASE_MOD}
+                     <> {similarity.IVFPQ_ERASE_RESIDUE}) AS BIGINT),
+         CAST(0 AS BIGINT)
+) ORDER BY artifact""",
+)
+def q_erasure_completeness_audit(spark, sf_dir):
+    """GDPR completeness across EVERY maintained derived artifact in
+    one governance view: one erase request (originals with doc_id %
+    {band mod} == {res}) is applied to the band index, the
+    chunk-digest index and the cluster labels, the standing vec_id
+    erase set to the IVF-PQ codes; each artifact is then FOLDED
+    (compaction / labels re-derive) and audited — physical row count
+    must equal the rebuild-without-erased count (oracle recomputes it
+    from the base tables) and zero serving rows may reference an
+    erased subject. This is the cross-artifact closure of the
+    per-artifact equivalence proofs (ann_ivfpq_erase_serve,
+    near_dup_probe_after_erase, chunk_index_gc_report,
+    cluster_erase_update): a data-protection officer's single query.
+
+    Scale shape: erases are request-sized tombstone/segment writes;
+    folds are the artifacts' own compaction paths; every audit count
+    is a keyed aggregate or broadcast semi-join against the
+    request-sized erase set. The IVF-PQ quantizers are symlinked and
+    codes copied invocation-locally so the shared cached artifact is
+    never mutated."""
+    import shutil
+    import tempfile
+
+    import os as _os
+
+    from ..operators.text import cdc_chunk_table
+    from ..streaming.pipeline import (
+        build_chunk_digest_index,
+        chunk_index_compact,
+        chunk_index_erase,
+        cluster_labels_erase_artifact,
+    )
+
+    dupes = _dupes_df(spark, sf_dir)
+    er_docs = dupes.filter(
+        (F.col("doc_id") < 100000)
+        & (
+            F.col("doc_id") % dedup.BAND_ERASE_MOD
+            == dedup.BAND_ERASE_RESIDUE
+        )
+    ).select("doc_id")
+    survivors = dupes.join(F.broadcast(er_docs), "doc_id", "left_anti")
+    emb = _t(spark, sf_dir, "embeddings")
+    er_vecs = emb.filter(
+        F.col("vec_id") % similarity.IVFPQ_ERASE_MOD
+        == similarity.IVFPQ_ERASE_RESIDUE
+    ).select("vec_id")
+    n_req_docs = int(er_docs.count())
+    n_req_vecs = int(er_vecs.count())
+
+    work = tempfile.mkdtemp(prefix="erasure_audit_")
+    rows = []
+    try:
+        bidx = f"{work}/bidx"
+        dedup.write_band_index(dupes, bidx)
+        dedup.band_index_erase(spark, bidx, er_docs)
+        dedup.band_index_compact(spark, bidx)
+        bands = spark.read.parquet(f"{bidx}/bands")
+        rows.append(
+            (
+                "band_index",
+                n_req_docs,
+                int(bands.count()),
+                int(
+                    bands.join(
+                        F.broadcast(er_docs), "doc_id", "left_semi"
+                    ).count()
+                ),
+            )
+        )
+
+        cidx = f"{work}/cidx"
+        build_chunk_digest_index(dupes, cidx)
+        chunk_index_erase(
+            spark,
+            cidx,
+            dupes.join(F.broadcast(er_docs), "doc_id", "left_semi"),
+        )
+        chunk_index_compact(spark, cidx)
+        base = spark.read.parquet(f"{cidx}/base")
+        surviving_digests = (
+            cdc_chunk_table(survivors).select("digest").distinct()
+        )
+        rows.append(
+            (
+                "chunk_digest_index",
+                n_req_docs,
+                int(base.count()),
+                # a remaining digest REFERENCES an erased subject only
+                # if no surviving doc carries it — refcount GC must
+                # have dropped every such row
+                int(
+                    base.join(
+                        surviving_digests, "digest", "left_anti"
+                    ).count()
+                ),
+            )
+        )
+
+        lab = f"{work}/lab"
+        _os.makedirs(lab)
+        dedup.near_dup_clusters(dupes).write.parquet(f"{lab}/labels")
+        with open(f"{lab}/_labels_seeded", "w") as fh:
+            fh.write("1")
+        cluster_labels_erase_artifact(spark, lab, dupes, er_docs)
+        labels = spark.read.parquet(f"{lab}/labels")
+        rows.append(
+            (
+                "cluster_labels",
+                n_req_docs,
+                int(labels.count()),
+                int(
+                    labels.join(
+                        F.broadcast(er_docs), "doc_id", "left_semi"
+                    ).count()
+                ),
+            )
+        )
+
+        src = _ivfpq_index_post_erase(spark, sf_dir)
+        vidx = f"{work}/vidx"
+        _os.makedirs(vidx)
+        _os.symlink(_os.path.join(src, "centroids"), f"{vidx}/centroids")
+        _os.symlink(_os.path.join(src, "codebooks"), f"{vidx}/codebooks")
+        shutil.copytree(_os.path.join(src, "codes"), f"{vidx}/codes")
+        shutil.copytree(
+            _os.path.join(src, "tombstones"), f"{vidx}/tombstones"
+        )
+        similarity.ivfpq_compact_segments(spark, vidx)
+        codes = spark.read.parquet(f"{vidx}/codes")
+        rows.append(
+            (
+                "ivfpq_codes",
+                n_req_vecs,
+                int(codes.count()),
+                int(
+                    codes.join(
+                        F.broadcast(er_vecs), "vec_id", "left_semi"
+                    ).count()
+                ),
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "artifact string, n_requested long, n_serving_rows long, "
+        "n_rows_referencing_erased long",
+    ).orderBy("artifact")
+
+
 @query("simhash_signatures", _simhash_oracle())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
@@ -8345,6 +8563,93 @@ def q_pii_redact_documents(spark, sf_dir):
     the redacted text, so regex parity is checked byte-for-byte
     corpus-wide."""
     return text.pii_redact_documents(_piidocs_df(spark, sf_dir))
+
+
+def _tdocs_df(spark, sf_dir):
+    return text.with_template_docs(_t(spark, sf_dir, "documents"))
+
+
+# positioned word 3-grams over the templated corpus + the per-source
+# template set — shared by the boilerplate detect/scrub oracle pair
+_BOILER_CTES = (
+    text.TEMPLATE_ORACLE_CTE
+    + f""",
+bw AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM tdocs),
+bps AS (SELECT doc_id, source, i AS pos,
+          array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)],
+                          ' ') AS shingle
+        FROM (SELECT doc_id, source, w,
+                unnest(generate_series(1,
+                    greatest(len(w) - 2, 1))) AS i
+              FROM bw)),
+srcn AS (SELECT source, count(*) AS n_src_docs FROM tdocs
+         GROUP BY source),
+bdf AS (SELECT source, shingle,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM bps GROUP BY source, shingle),
+tpl AS (SELECT source, shingle, n_docs,
+          CAST(floor(n_docs * 1000000.0 / n_src_docs + 0.5)
+               AS BIGINT) AS df_ppm
+        FROM bdf JOIN srcn USING (source)
+        WHERE floor(n_docs * 1000000.0 / n_src_docs + 0.5)
+                >= {text.BOILERPLATE_MIN_DF_PPM}
+          AND n_docs >= {text.BOILERPLATE_MIN_DF_DOCS})"""
+)
+
+
+@query(
+    "boilerplate_ngram_report",
+    "WITH "
+    + _BOILER_CTES
+    + " SELECT source, shingle, n_docs, df_ppm FROM tpl"
+    " ORDER BY source, shingle",
+)
+def q_boilerplate_ngram_report(spark, sf_dir):
+    """Per-source template/boilerplate 3-gram detection over the
+    templated corpus (with_template_docs plants each source's header
+    in every 3rd doc): phrases in ≥20% of a source's docs with a
+    ≥3-doc support floor — the n-gram analogue of RefinedWeb's
+    line-level boilerplate signal, since this corpus has no line
+    structure. One (source, shingle)-keyed aggregate + a broadcast
+    per-source total."""
+    return text.boilerplate_ngram_report(_tdocs_df(spark, sf_dir))
+
+
+@query(
+    "boilerplate_scrub_report",
+    "WITH "
+    + _BOILER_CTES
+    + f""",
+starts AS (SELECT bps.doc_id, bps.source, bps.pos
+           FROM bps JOIN tpl USING (source, shingle)),
+cov AS (SELECT DISTINCT doc_id, source, cpos
+        FROM (SELECT doc_id, source,
+                unnest(generate_series(pos,
+                    pos + {text.BOILERPLATE_NGRAM_WORDS - 1})) AS cpos
+              FROM starts)),
+perdoc AS (SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS n_boiler
+           FROM cov GROUP BY doc_id, source),
+tot AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM tdocs)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(coalesce(n_boiler, 0)) AS BIGINT) AS boilerplate_words,
+       CAST(floor(sum(coalesce(n_boiler, 0)) * 1000000.0
+                  / sum(n_words) + 0.5) AS BIGINT) AS boilerplate_ppm
+FROM tot LEFT JOIN perdoc USING (doc_id, source)
+GROUP BY source ORDER BY source""",
+)
+def q_boilerplate_scrub_report(spark, sf_dir):
+    """The scrub volume the template detection recovers: a word
+    position is boilerplate when any template 3-gram occurrence
+    covers it (occurrence-cover semantics — what a cleaner deletes).
+    Per source: docs, total words, boilerplate words, removal ppm.
+    Template set broadcast; cover exploded n-wide, distinct per doc;
+    doc-keyed join back to the corpus."""
+    return text.boilerplate_scrub_report(_tdocs_df(spark, sf_dir))
 
 
 @query(

@@ -1335,11 +1335,13 @@ def cluster_labels_erase_artifact(
     )
     scratch = os.path.join(labels_path, f".labels_erase_{uuid.uuid4().hex}")
     new_labels.write.parquet(scratch)
-    n_after = int(spark.read.parquet(scratch).count())
     old = os.path.join(labels_path, f".labels_old_{uuid.uuid4().hex}")
     os.rename(cur, old)
     os.rename(scratch, cur)
     shutil.rmtree(old, ignore_errors=True)
+    # count from the published dir (a dot-prefixed scratch read trips
+    # Spark's hidden-path filter warning)
+    n_after = int(spark.read.parquet(cur).count())
     return {
         "n_rows_before": n_before,
         "n_rows_after": n_after,
