@@ -1742,6 +1742,96 @@ def temperature_mixture_curve(
     ).orderBy("tau", "source")
 
 
+NOVELTY_NGRAM_WORDS = 13  # the memorization-scale span (oracle lockstep)
+NOVELTY_BUCKETS_PER_WAVE = 4  # within-crawl-wave quartiles (lockstep)
+
+
+def ngram_novelty_curve(
+    documents: DataFrame,
+    n: int = NOVELTY_NGRAM_WORDS,
+    per_wave: int = NOVELTY_BUCKETS_PER_WAVE,
+) -> DataFrame:
+    """Memorization-pressure curve: per ingest bucket, how much of
+    the incoming 13-gram volume was ALREADY SEEN in earlier buckets
+    (Lee et al.'s memorization span, turned into an arrival-order
+    audit). Buckets = crawl wave (doc_id // 100000: originals, exact
+    re-crawl, near re-crawl in the dupes fixture) × within-wave
+    doc_id quartile, so a re-crawl wave shows its reuse fraction
+    jumping to ~100% while the original wave's stays at the corpus's
+    natural floor — the signal that schedules dedup pressure ahead
+    of training. Reports per bucket: 13-gram occurrences, occurrences
+    whose gram first appeared in an EARLIER bucket, distinct grams
+    first seen here, and the reuse ppm.
+
+    Scale shape (the heaps_law_fit discipline, applied at gram
+    level): NO global sort — the bucket is arithmetic over broadcast
+    bounds; occurrences pre-aggregate per (gram, bucket) in ONE
+    uniform-keyed shuffle; first-seen resolves as a window over each
+    gram's ≤ |buckets| pre-aggregated rows (never the occurrence
+    list); the curve is |buckets| rows. Grams travel as md5 digests,
+    not 13-word strings — 8× narrower shuffle payload."""
+    from pyspark.sql import Window
+
+    bounds = documents.agg(
+        (F.max(F.col("doc_id") % 100000) + 1).alias("span")
+    )
+    wave = F.floor(F.col("doc_id") / 100000)
+    off = F.col("doc_id") % 100000
+    bucket = (
+        wave * per_wave
+        + F.floor(F.lit(per_wave) * off / F.col("span"))
+    ).cast("int")
+    words = F.split(F.col("text"), " ")
+    occ = (
+        documents.crossJoin(F.broadcast(bounds))
+        .filter(F.size(words) >= n)
+        .select(
+            bucket.alias("bucket"),
+            words.alias("w"),
+            F.explode(
+                F.sequence(F.lit(1), F.size(words) - (n - 1))
+            ).alias("i"),
+        )
+        .select(
+            "bucket",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), n))
+            ).alias("gram"),
+        )
+    )
+    pre = occ.groupBy("gram", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    first_b = F.min("bucket").over(Window.partitionBy("gram"))
+    marked = pre.select(
+        "bucket",
+        "cnt",
+        (F.col("bucket") > first_b).alias("reused"),
+        (F.col("bucket") == first_b).alias("is_first"),
+    )
+    return (
+        marked.groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_occurrences"),
+            F.sum(F.when(F.col("reused"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_reused_occurrences"),
+            F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel_grams"),
+            F.floor(
+                F.sum(F.when(F.col("reused"), F.col("cnt")).otherwise(0))
+                * 1000000.0
+                / F.sum("cnt")
+                + 0.5
+            )
+            .cast("long")
+            .alias("reuse_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def heaps_law_fit(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
     """Heaps'-law fit of vocabulary growth, V(N) ≈ K·N^β: the corpus
     is cut into `n_buckets` doc_id-range prefixes, cumulative token

@@ -8652,6 +8652,56 @@ def q_boilerplate_scrub_report(spark, sf_dir):
     return text.boilerplate_scrub_report(_tdocs_df(spark, sf_dir))
 
 
+_NOV_N = text.NOVELTY_NGRAM_WORDS
+_NOV_B = text.NOVELTY_BUCKETS_PER_WAVE
+
+
+@query(
+    "ngram_novelty_curve",
+    _with_dupes(
+        f""", sp AS (SELECT max(doc_id % 100000) + 1 AS span FROM dupes),
+b AS (SELECT CAST((doc_id // 100000) * {_NOV_B}
+                  + floor({_NOV_B} * (doc_id % 100000) / span)
+             AS INTEGER) AS bucket,
+             string_split(text, ' ') AS w
+      FROM dupes CROSS JOIN sp
+      WHERE len(string_split(text, ' ')) >= {_NOV_N}),
+g AS (SELECT bucket,
+             md5(array_to_string(list_slice(w, i, i + {_NOV_N - 1}),
+                                 ' ')) AS gram
+      FROM (SELECT bucket, w,
+              unnest(generate_series(1, len(w) - {_NOV_N - 1})) AS i
+            FROM b)),
+pre AS (SELECT gram, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM g GROUP BY gram, bucket),
+mk AS (SELECT bucket, cnt,
+         bucket > min(bucket) OVER (PARTITION BY gram) AS reused,
+         bucket = min(bucket) OVER (PARTITION BY gram) AS is_first
+       FROM pre)
+SELECT bucket,
+       CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+       CAST(sum(CASE WHEN reused THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_reused_occurrences,
+       CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel_grams,
+       CAST(floor(sum(CASE WHEN reused THEN cnt ELSE 0 END)
+                  * 1000000.0 / sum(cnt) + 0.5) AS BIGINT)
+         AS reuse_ppm
+FROM mk GROUP BY bucket ORDER BY bucket"""
+    ),
+)
+def q_ngram_novelty_curve(spark, sf_dir):
+    """Memorization-pressure / novelty-decay curve over arrival
+    order: per crawl-wave × within-wave quartile bucket, the fraction
+    of incoming 13-gram volume already seen in earlier buckets. The
+    dupes fixture's exact re-crawl wave shows ~100% reuse, the
+    near-copy wave just below, the original wave the natural floor —
+    the audit that schedules dedup pressure ahead of training. One
+    uniform (gram, bucket) pre-aggregate; first-seen resolves inside
+    each gram's ≤|buckets| rows; grams shuffle as md5 digests."""
+    return text.ngram_novelty_curve(_dupes_df(spark, sf_dir))
+
+
 @query(
     "dsir_selection_report",
     f"""WITH tf AS (

@@ -213,3 +213,25 @@ def test_referential_integrity_clean_and_violations(spark):
     assert rep["unique_orders_orderkey"]["n_violations"] == 1
     assert rep["notnull_orders_custkey"]["n_violations"] == 1
     assert not rep["fk_orders_custkey"]["ok"]
+
+
+def test_ngram_novelty_curve_recrawl_reuse(spark, sf_dir):
+    """The exact re-crawl wave (doc_id // 100000 == 1) must show full
+    13-gram reuse against the original wave; the original wave's own
+    reuse stays at the corpus's natural floor (< the re-crawl's)."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+
+    dupes = dedup.with_synthetic_dupes(load_table(spark, sf_dir, "documents"))
+    curve = {r.bucket: r for r in text.ngram_novelty_curve(dupes).collect()}
+    b = text.NOVELTY_BUCKETS_PER_WAVE
+    wave0 = [curve[i] for i in range(b) if i in curve]
+    wave1 = [curve[b + i] for i in range(b) if b + i in curve]
+    assert wave0 and wave1
+    # exact copies: every gram already seen in wave 0
+    assert all(r.reuse_ppm == 1000000 for r in wave1)
+    assert all(r.n_novel_grams == 0 for r in wave1)
+    # originals: natural reuse strictly below the re-crawl's
+    assert all(r.reuse_ppm < 1000000 for r in wave0)
+    assert sum(r.n_novel_grams for r in wave0) > 0
