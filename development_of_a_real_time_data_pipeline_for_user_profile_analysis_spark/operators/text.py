@@ -810,6 +810,58 @@ def boilerplate_scrub_report(documents: DataFrame) -> DataFrame:
     )
 
 
+def boilerplate_cleaned_docs(documents: DataFrame) -> DataFrame:
+    """The curation OUTPUT the scrub report only sizes: every word
+    position covered by a template 3-gram occurrence is deleted and
+    the document re-assembled from the surviving words in order —
+    byte-parity-checked corpus-wide by the oracle (the
+    pii_redact_documents discipline applied to boilerplate). A doc
+    whose every word is template leaves the corpus, exactly as a
+    cleaner drops pure-boilerplate pages.
+
+    Scale shape: template set broadcast; the word explode re-joins
+    the request-sized cover per doc (doc-keyed, uniform); reassembly
+    is an order-stable array_sort over each doc's surviving
+    (pos, word) structs — per-doc bounded, no global sort."""
+    templates = boilerplate_ngram_report(documents).select(
+        "source", "shingle"
+    )
+    starts = positioned_shingles(documents).join(
+        F.broadcast(templates), ["source", "shingle"]
+    )
+    covered = starts.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("pos"), F.col("pos") + (BOILERPLATE_NGRAM_WORDS - 1)
+            )
+        ).alias("pos"),
+    ).distinct()
+    words = documents.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+    ).select(
+        "doc_id", "source", (F.col("pos0") + 1).alias("pos"), "word"
+    )
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    return (
+        kept.groupBy("doc_id", "source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "word"))
+                    ),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("cleaned_text")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def pii_scan_report(documents: DataFrame) -> DataFrame:
     """Pre-training PII hygiene scan over the document corpus: per
     source, how many docs carry email- / phone-shaped strings and the

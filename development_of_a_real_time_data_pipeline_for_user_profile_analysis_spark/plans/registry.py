@@ -1606,6 +1606,83 @@ def q_cluster_erase_update(spark, sf_dir):
     return dedup.cluster_labels_erase(labels, dupes, erase)
 
 
+@query(
+    "streaming_cluster_erase",
+    # oracle = cluster_erase_update's: the streamed halves of the
+    # SAME erase set (doc_id % 8 ∈ {1, 5} ⟺ % 4 == 1) must land the
+    # artifact exactly where the one-shot batch erase lands it
+    "WITH RECURSIVE "
+    + dedup.DUPES_ERASED_ORACLE_CTE
+    + _CLUSTERS_CTES
+    + " SELECT doc_id, cluster_id FROM clusters",
+)
+def q_streaming_cluster_erase(spark, sf_dir):
+    """Right-to-be-forgotten REQUESTS as a stream: the cluster labels
+    are built once, then two erase-request micro-batches (the halves
+    of the standard erase set, pinned order) stream through
+    run_cluster_erase_stream — each folds its subjects out of the
+    maintained artifact with the ghost-bridge re-derive and a
+    rename-swap publish. The final labels must equal the clusters
+    recomputed from scratch without ALL erased subjects — the
+    batch+stream governance symmetry, closed on the fourth artifact.
+    Replay safety is algebraic (erasure is idempotent), pytest-proven
+    via a checkpoint-reset replay."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.pipeline import run_cluster_erase_stream
+
+    dupes = _dupes_df(spark, sf_dir)
+    er = dupes.filter(
+        (F.col("doc_id") < 100000)
+        & (
+            F.col("doc_id") % dedup.CLUSTER_ERASE_MOD
+            == dedup.CLUSTER_ERASE_RESIDUE
+        )
+    ).select("doc_id")
+    b0 = er.filter(F.col("doc_id") % 8 == 1)
+    b1 = er.filter(F.col("doc_id") % 8 == 5)
+    work = tempfile.mkdtemp(prefix="cluster_erase_stream_")
+    try:
+        lab = f"{work}/lab"
+        _os.makedirs(lab)
+        dedup.near_dup_clusters(dupes).write.parquet(f"{lab}/labels")
+        with open(f"{lab}/_labels_seeded", "w") as fh:
+            fh.write("1")
+        in_dir = f"{work}/in"
+        _os.makedirs(in_dir)
+        base_t = _time.time()
+        for i, b in enumerate((b0, b1)):
+            stage = f"{work}/stage_{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_cluster_erase_stream(
+            spark, stream, lab, dupes, f"{work}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "cluster-erase stream did not drain within 300 s"
+                + (f": {q.exception()}" if q.exception() else "")
+            )
+        out = spark.read.parquet(f"{lab}/labels").orderBy("doc_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # dupes minus the band/chunk erase set (one GDPR request hitting all
 # three document-derived artifacts), oracle side of the audit
 _AUDIT_ERASED_CTE = (
@@ -8652,6 +8729,38 @@ def q_boilerplate_scrub_report(spark, sf_dir):
     return text.boilerplate_scrub_report(_tdocs_df(spark, sf_dir))
 
 
+@query(
+    "boilerplate_cleaned_docs",
+    "WITH "
+    + _BOILER_CTES
+    + f""",
+bstarts AS (SELECT bps.doc_id, bps.source, bps.pos
+            FROM bps JOIN tpl USING (source, shingle)),
+bcov AS (SELECT DISTINCT doc_id, cpos
+         FROM (SELECT doc_id,
+                 unnest(generate_series(pos,
+                     pos + {text.BOILERPLATE_NGRAM_WORDS - 1})) AS cpos
+               FROM bstarts)),
+w2 AS (SELECT doc_id, source,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS word
+       FROM tdocs),
+bkept AS (SELECT w2.doc_id, w2.source, w2.pos, w2.word
+          FROM w2 LEFT JOIN bcov
+            ON bcov.doc_id = w2.doc_id AND bcov.cpos = w2.pos
+          WHERE bcov.cpos IS NULL)
+SELECT doc_id, source,
+       string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+FROM bkept GROUP BY doc_id, source ORDER BY doc_id""",
+)
+def q_boilerplate_cleaned_docs(spark, sf_dir):
+    """The scrubbed corpus itself: template-covered word positions
+    deleted, documents re-assembled in order, byte-parity value-hashed
+    corpus-wide (the pii_redact_documents discipline applied to
+    boilerplate). Pure-template docs leave the corpus."""
+    return text.boilerplate_cleaned_docs(_tdocs_df(spark, sf_dir))
+
+
 _NOV_N = text.NOVELTY_NGRAM_WORDS
 _NOV_B = text.NOVELTY_BUCKETS_PER_WAVE
 
@@ -10465,11 +10574,11 @@ DRIVER_PRIORITY = [
     "streaming_session_windows",
     "streaming_dedup_profiles",
     # text analysis / training-data ops
-    "text_stats",
+    "boilerplate_scrub_report",  # r8: template/boilerplate cleanup enters as the text-cleanup rep (detection stays in-window INSIDE the scrub — it consumes boilerplate_ngram_report's template set; evicts text_stats -> past window, basic token/length stats stay evidenced by gopher_quality_report's length/stopword features and dedup_funnel_report's word accounting)
     "gopher_quality_report",  # r3w6: rule-based quality gate (evicts top_ngrams)
     "split_leakage_repair",  # r7: cross-split near-dup REPAIR enters as the split-governance rep (evicts deterministic_split -> past window; the 80/10/10 md5 assignment stays in-window INSIDE this query's split priority rule)
     "soft_dedup_weights",  # r7: downweight-instead-of-drop dedup decision (soft-dedup family rep; evicts purchasing_customers -> past window, semi-join discipline stays in-window inside dedup_funnel_report's survivor semi-join and benchmark_bloom_contamination's gram probe)
-    "bloom_membership_audit",  # r4: Bloom build+FPR audit (sketch-audit family; evicts split_contamination -> past window)
+    "ngram_novelty_curve",  # r8: memorization-pressure curve over arrival order (ingest-audit family rep; evicts bloom_membership_audit -> past window, the Bloom build+FPR discipline stays in-window INSIDE benchmark_bloom_contamination's in-query Bloom tier)
     "benchmark_bloom_contamination",  # r6: Bloom-tier 13-gram decontamination (contamination family enters the window; evicts event_type_pivot -> past window, reshaping stays evidenced by segment_priority_grouping_sets + conversion_funnel's conditional aggs)
     "bpe_learned_merges",  # r6: the real BPE trainer loop (tokenizer-trainer family rep; evicts total_users -> past window, dashboard parity keeps gender_distribution + top_email_domains)
     "dsir_selection_report",  # r6: DSIR importance selection, now histogram-CDF scale-safe (data-selection family rep; evicts mixture_sampled_counts -> past window, same family)
@@ -10478,13 +10587,13 @@ DRIVER_PRIORITY = [
     "dedup_funnel_report",  # r6w2: cumulative tier funnel (raw→exact→normalized→chunk); evicts dedup_exact_groups -> past window, the exact keeper discipline stays in-window as this funnel's tier 2
     "near_dedup_minhash",
     "chunk_dedup_report",  # r6w2: chunk-substring dedup with reconstruction ledger (ExactSubstr family rep; evicts ngram_jaccard_dupes -> past window, Jaccard verify stays in-window inside near_dedup_minhash's candidate-verify stage)
-    "near_dup_clusters",
+    "cluster_erase_update",  # r8: right-to-be-forgotten on the cluster artifact, oracle = recompute WITHOUT the erased (ghost bridges split; evicts near_dup_clusters -> past window, the connected-components discipline stays in-window INSIDE this query, which builds the labels before erasing)
     "profiles_upsert",
     "semdedup_prune_plan",  # r6: semantic dedup on the MAINTAINED frozen-cell layout (evicts simhash_dupes -> past window; near-dup family keeps minhash/ngram/clusters reps in-window)
     "curation_pipeline",
     "ann_ivfpq_serve",  # r5: probe-only serve from the MAINTAINED index artifact (ANN family rep; evicts ann_ivfpq_topk -> past window, same pipeline minus the artifact)
     "ivfpq_incremental_add",  # r5: frozen-quantizer batch add (evicts cosine_topk -> past window; exact-cosine stays evidenced by the serve's exact re-rank)
-    "ann_ivfpq_add_serve",  # r5: serve over base+batch, oracle = FULL REBUILD (the add==rebuild equivalence proof; evicts bm25_search -> past window, BM25 stays in-window inside hybrid_rrf_search)
+    "erasure_completeness_audit",  # r8: GDPR closure across ALL FOUR maintained artifacts in one governance view (evicts ann_ivfpq_add_serve -> past window, the add==rebuild equivalence stays in-window INSIDE ann_ivfpq_erase_serve, which serves from the post-ADD artifact)
     "ann_ivfpq_erase_serve",  # r7: tombstone erasure on the maintained artifact, oracle = rebuild WITHOUT the erased subjects (governance-reaches-the-index proof; evicts embedding_near_dupes -> past window, embedding near-dup stays in-window via semdedup_prune_plan's cell-bounded Arrow matmul — the same device)
     "ivfpq_tuning_curve",  # r6: the (n_probe, shortlist) recall-loop closer over the maintained artifact (evicts open_not_pending_customers -> past window; semi/anti-join family keeps gdpr_erasure_plan's anti-join)
     "jl_shortlist_curve",  # r7: JL sketch-ANN shortlist-sizing curve (sketch-ANN family rep; evicts customer_order_rank -> past window, ranking-window discipline stays in-window via chunk_dedup_report's keeper row_number and the IVF-PQ serves' re-rank windows)
@@ -10492,7 +10601,11 @@ DRIVER_PRIORITY = [
     "multimodal_features",
     "zorder_files",
     "referential_integrity_report",
-    "cluster_canonicals",  # r4: rotated out of the 50-window (family rep stays: near_dup_clusters); QUERIES.md
+    "text_stats",  # r8 evicted: basic corpus stats stay evidenced via gopher_quality_report + dedup_funnel_report word accounting
+    "bloom_membership_audit",  # r8 evicted: Bloom build+FPR stays in-window inside benchmark_bloom_contamination
+    "near_dup_clusters",  # r8 evicted: CC discipline stays in-window inside cluster_erase_update (which builds the labels it erases)
+    "ann_ivfpq_add_serve",  # r8 evicted: add==rebuild equivalence stays in-window inside ann_ivfpq_erase_serve (post-add artifact)
+    "cluster_canonicals",  # r4: rotated out of the 50-window (family rep stays: near_dup_clusters evicted r8 -> cluster_erase_update); QUERIES.md
     "deterministic_split",  # r7 evicted: the md5 split assignment stays in-window inside split_leakage_repair
     "purchasing_customers",  # r7 evicted: semi-join discipline stays in-window via dedup_funnel_report + benchmark_bloom_contamination probes
     "customer_order_rank",  # r7 evicted: ranking windows stay in-window via chunk_dedup_report keeper + IVF-PQ re-rank

@@ -1347,3 +1347,47 @@ def cluster_labels_erase_artifact(
         "n_rows_after": n_after,
         "n_erased_rows": n_erased_rows,
     }
+
+
+def run_cluster_erase_stream(
+    spark: SparkSession,
+    erase_stream: DataFrame,
+    labels_path: str,
+    corpus_docs: DataFrame,
+    checkpoint_dir: str,
+    jaccard_threshold: float = 0.6,
+    available_now: bool = True,
+):
+    """Right-to-be-forgotten REQUESTS as a stream against the
+    maintained cluster-labels artifact: each micro-batch of (doc_id)
+    erase requests applies cluster_labels_erase_artifact — subjects'
+    rows leave the labels and the touched clusters' structure is
+    re-derived (ghost bridges split), published by rename-swap.
+
+    Replay safety is ALGEBRAIC, like the cluster-update stream's:
+    erasure is idempotent (re-erasing absent subjects touches no
+    cluster and republishes identical labels), so a replayed batch
+    cannot change the artifact. Later batches erase against the
+    already-reduced labels; the member re-pair only ever consults
+    surviving members, so the static corpus relation needs no
+    maintenance between batches. The batch+stream pair completes the
+    governance symmetry: every maintained artifact (IVF-PQ, band,
+    chunk-digest, cluster labels) now erases in BOTH modes."""
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        cluster_labels_erase_artifact(
+            spark,
+            labels_path,
+            corpus_docs,
+            batch_df.select("doc_id"),
+            jaccard_threshold,
+        )
+
+    writer = (
+        erase_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -163,3 +163,70 @@ def test_artifact_erase_swap_and_idempotence(spark, tmp_path):
     # URI guard
     with pytest.raises(ValueError, match="os.listdir"):
         cluster_labels_erase_artifact(spark, "s3a://b/lab", docs, erase)
+
+
+def test_streaming_erase_matches_batch_and_replays_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Two erase-request micro-batches streamed in pinned order must
+    land the labels exactly where the one-shot batch erase lands
+    them, and a checkpoint-reset replay must change nothing (erasure
+    is idempotent — the algebraic replay-safety argument)."""
+    import glob as _glob
+    import shutil as _sh
+    import time as _time
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        run_cluster_erase_stream,
+    )
+
+    dupes = dedup.with_synthetic_dupes(load_table(spark, sf_dir, "documents"))
+    er = dupes.filter(
+        (F.col("doc_id") < 100000)
+        & (
+            F.col("doc_id") % dedup.CLUSTER_ERASE_MOD
+            == dedup.CLUSTER_ERASE_RESIDUE
+        )
+    ).select("doc_id")
+    b0 = er.filter(F.col("doc_id") % 8 == 1)
+    b1 = er.filter(F.col("doc_id") % 8 == 5)
+
+    lab = str(tmp_path / "lab")
+    os.makedirs(lab)
+    dedup.near_dup_clusters(dupes).write.parquet(f"{lab}/labels")
+    with open(f"{lab}/_labels_seeded", "w") as fh:
+        fh.write("1")
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base_t = _time.time()
+    for i, b in enumerate((b0, b1)):
+        stage = str(tmp_path / f"stage_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{i}.parquet"
+        _sh.move(part, dst)
+        os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_cluster_erase_stream(
+            spark, stream, lab, dupes, str(tmp_path / ckpt)
+        )
+        assert q.awaitTermination(300)
+
+    run("ck1")
+    streamed = _labels(spark.read.parquet(f"{lab}/labels"))
+
+    # == one-shot batch erase of the union
+    batch_labels = dedup.near_dup_clusters_checkpointed(dupes)
+    expected = _labels(dedup.cluster_labels_erase(batch_labels, dupes, er))
+    assert streamed == expected and len(expected) > 0
+
+    # checkpoint-reset replay: both batches re-erase — no change
+    run("ck2")
+    assert _labels(spark.read.parquet(f"{lab}/labels")) == streamed

@@ -124,7 +124,6 @@ def test_driver_window_covers_component_families():
         "conversion_funnel",
         "streaming_events_hourly", "streaming_user_totals",
         "streaming_session_windows", "streaming_dedup_profiles",
-        "text_stats",
         # r6 fourth wave: the tier funnel carries the exact keeper
         # discipline (its tier 2) and chunk_dedup_report carries
         # ExactSubstr reconstruction; dedup_exact_groups and
@@ -132,7 +131,6 @@ def test_driver_window_covers_component_families():
         # stays inside near_dedup_minhash)
         "dedup_funnel_report", "chunk_dedup_report",
         "near_dedup_minhash",
-        "near_dup_clusters",
         "curation_pipeline",
         "multimodal_features",
         "profiles_upsert",
@@ -161,13 +159,11 @@ def test_driver_window_covers_component_families():
         # the split family); kafka_wire_roundtrip closes K4
         "kafka_wire_roundtrip", "ks_two_sample_drift",
         "gdpr_erasure_plan",
-        "bloom_membership_audit",
         # r5 rotation: the maintained-index triple replaces
         # ann_ivfpq_topk / cosine_topk / bm25_search (ANN family rep
         # is now the artifact serve; exact-cosine stays via
         # embedding_near_dupes + the serve's exact re-rank)
         "ann_ivfpq_serve", "ivfpq_incremental_add",
-        "ann_ivfpq_add_serve",
         # r6 rotation: tokenizer trainer, scale-safe DSIR selection,
         # frozen-cell SemDeDup, trained quality model, Bloom-tier
         # decontamination, IVF-PQ tuning curve enter (evicted:
@@ -188,6 +184,19 @@ def test_driver_window_covers_component_families():
         # Arrow-matmul near-dup device stays via semdedup_prune_plan)
         "split_leakage_repair", "soft_dedup_weights",
         "jl_shortlist_curve", "ann_ivfpq_erase_serve",
+        # r8 rotation: boilerplate scrub, memorization/novelty curve,
+        # cluster-labels erasure, and the cross-artifact erasure
+        # completeness audit enter (evicted: text_stats — basic
+        # corpus stats stay via gopher_quality_report + the funnel's
+        # word accounting; bloom_membership_audit — the Bloom
+        # build+FPR discipline stays inside
+        # benchmark_bloom_contamination; near_dup_clusters — the CC
+        # discipline stays inside cluster_erase_update, which builds
+        # the labels it erases; ann_ivfpq_add_serve — add==rebuild
+        # equivalence stays inside ann_ivfpq_erase_serve, which
+        # serves from the post-ADD artifact)
+        "boilerplate_scrub_report", "ngram_novelty_curve",
+        "cluster_erase_update", "erasure_completeness_audit",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
