@@ -810,22 +810,18 @@ def boilerplate_scrub_report(documents: DataFrame) -> DataFrame:
     )
 
 
-def boilerplate_cleaned_docs(documents: DataFrame) -> DataFrame:
-    """The curation OUTPUT the scrub report only sizes: every word
-    position covered by a template 3-gram occurrence is deleted and
-    the document re-assembled from the surviving words in order —
-    byte-parity-checked corpus-wide by the oracle (the
-    pii_redact_documents discipline applied to boilerplate). A doc
-    whose every word is template leaves the corpus, exactly as a
-    cleaner drops pure-boilerplate pages.
-
-    Scale shape: template set broadcast; the word explode re-joins
-    the request-sized cover per doc (doc-keyed, uniform); reassembly
-    is an order-stable array_sort over each doc's surviving
-    (pos, word) structs — per-doc bounded, no global sort."""
-    templates = boilerplate_ngram_report(documents).select(
-        "source", "shingle"
-    )
+def scrub_with_templates(
+    documents: DataFrame, templates: DataFrame
+) -> DataFrame:
+    """Scrub a document relation against a FROZEN template set
+    (source, shingle): every word position covered by a template
+    3-gram occurrence is deleted and the document re-assembled from
+    the surviving words in order. Scrubbing is per-doc, so cleaning
+    any partition of the corpus against the same frozen templates
+    equals cleaning the whole — the property that makes the
+    streaming gate's oracle the batch op's own. Template set
+    broadcast; cover distinct per doc; reassembly is an order-stable
+    array_sort over per-doc (pos, word) structs — no global sort."""
     starts = positioned_shingles(documents).join(
         F.broadcast(templates), ["source", "shingle"]
     )
@@ -859,6 +855,45 @@ def boilerplate_cleaned_docs(documents: DataFrame) -> DataFrame:
             ).alias("cleaned_text")
         )
         .orderBy("doc_id")
+    )
+
+
+def boilerplate_cleaned_docs(documents: DataFrame) -> DataFrame:
+    """The curation OUTPUT the scrub report only sizes: detect the
+    corpus's template set, then scrub_with_templates — documents
+    re-assembled without template-covered positions, byte-parity
+    value-hashed corpus-wide (the pii_redact_documents discipline
+    applied to boilerplate). A doc whose every word is template
+    leaves the corpus, exactly as a cleaner drops pure-boilerplate
+    pages. At production scale the detection half is the maintained
+    template-index artifact (write_template_index) and the serve
+    path pays one scan."""
+    return scrub_with_templates(
+        documents,
+        boilerplate_ngram_report(documents).select("source", "shingle"),
+    )
+
+
+def write_template_index(documents: DataFrame, path: str) -> None:
+    """Persist the per-source template set — the maintained
+    boilerplate artifact: detected once per corpus version, consumed
+    by every batch/stream scrub (the write_band_index discipline for
+    the cleanup family). Layout: `{path}/templates` holds
+    (source, shingle, n_docs, df_ppm) rows."""
+    import os
+
+    boilerplate_ngram_report(documents).write.mode("overwrite").parquet(
+        os.path.join(path, "templates")
+    )
+
+
+def read_template_index(spark, path: str) -> DataFrame:
+    """The serving read of the template artifact: (source, shingle)
+    rows, threshold-bounded — always broadcast-sized."""
+    import os
+
+    return spark.read.parquet(os.path.join(path, "templates")).select(
+        "source", "shingle"
     )
 
 

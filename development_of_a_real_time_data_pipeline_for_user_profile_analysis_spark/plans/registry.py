@@ -8729,8 +8729,7 @@ def q_boilerplate_scrub_report(spark, sf_dir):
     return text.boilerplate_scrub_report(_tdocs_df(spark, sf_dir))
 
 
-@query(
-    "boilerplate_cleaned_docs",
+_BOILER_CLEAN_SQL = (
     "WITH "
     + _BOILER_CTES
     + f""",
@@ -8751,14 +8750,82 @@ bkept AS (SELECT w2.doc_id, w2.source, w2.pos, w2.word
           WHERE bcov.cpos IS NULL)
 SELECT doc_id, source,
        string_agg(word, ' ' ORDER BY pos) AS cleaned_text
-FROM bkept GROUP BY doc_id, source ORDER BY doc_id""",
+FROM bkept GROUP BY doc_id, source ORDER BY doc_id"""
 )
+
+
+@query("boilerplate_cleaned_docs", _BOILER_CLEAN_SQL)
 def q_boilerplate_cleaned_docs(spark, sf_dir):
     """The scrubbed corpus itself: template-covered word positions
     deleted, documents re-assembled in order, byte-parity value-hashed
     corpus-wide (the pii_redact_documents discipline applied to
     boilerplate). Pure-template docs leave the corpus."""
     return text.boilerplate_cleaned_docs(_tdocs_df(spark, sf_dir))
+
+
+@query("streaming_boilerplate_scrub", _BOILER_CLEAN_SQL)
+def q_streaming_boilerplate_scrub(spark, sf_dir):
+    """The cleanup family completes the maintained-artifact
+    lifecycle: templates are detected ONCE into the persisted
+    template index (write_template_index), then two document
+    micro-batches stream through run_boilerplate_scrub_stream — no
+    detection on the hot path, the frozen broadcast-sized template
+    set scrubs each batch and the cleaned docs land idempotently per
+    batch. Scrubbing is per-doc against frozen templates, so the
+    streamed union must equal the one-shot batch scrub of the whole
+    corpus — the oracle IS boilerplate_cleaned_docs'."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.pipeline import run_boilerplate_scrub_stream
+
+    tdocs = _tdocs_df(spark, sf_dir)
+    b0 = tdocs.filter(F.col("doc_id") % 2 == 0)
+    b1 = tdocs.filter(F.col("doc_id") % 2 == 1)
+    work = tempfile.mkdtemp(prefix="boiler_stream_")
+    try:
+        tidx = f"{work}/tidx"
+        text.write_template_index(tdocs, tidx)
+        in_dir = f"{work}/in"
+        _os.makedirs(in_dir)
+        base_t = _time.time()
+        for i, b in enumerate((b0, b1)):
+            stage = f"{work}/stage_{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_boilerplate_scrub_stream(
+            spark, stream, tidx, f"{work}/cleaned", f"{work}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "boilerplate-scrub stream did not drain within 300 s"
+                + (f": {q.exception()}" if q.exception() else "")
+            )
+        out = (
+            spark.read.option("basePath", f"{work}/cleaned")
+            .parquet(f"{work}/cleaned")
+            .select("doc_id", "source", "cleaned_text")
+            .orderBy("doc_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 _NOV_N = text.NOVELTY_NGRAM_WORDS

@@ -1391,3 +1391,54 @@ def run_cluster_erase_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_boilerplate_scrub_stream(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    template_path: str,
+    cleaned_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    timings: list | None = None,
+):
+    """Streaming boilerplate scrub against the MAINTAINED template
+    artifact (text.write_template_index — detected once per corpus
+    version): each document micro-batch is scrubbed with
+    scrub_with_templates (frozen broadcast-sized template set, no
+    detection on the hot path — the quality gate's
+    train-batch/serve-stream split applied to cleanup) and the
+    cleaned docs land idempotently (overwrite by batch id). Scrubbing
+    is per-doc, so streamed batches against the frozen templates
+    equal the one-shot batch scrub of their union — the registered
+    query's oracle IS the batch op's.
+
+    `timings`: optional (batch_id, n_in, n_out, seconds) hook."""
+    import time
+
+    from ..operators.text import read_template_index, scrub_with_templates
+
+    templates = read_template_index(spark, template_path)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        cleaned = scrub_with_templates(batch_df, templates)
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(cleaned_dir, f"batch_id={batch_id}")
+        )
+        if timings is not None:
+            n_out = spark.read.parquet(
+                os.path.join(cleaned_dir, f"batch_id={batch_id}")
+            ).count()
+            timings.append(
+                (batch_id, batch_df.count(), n_out, time.monotonic() - t0)
+            )
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

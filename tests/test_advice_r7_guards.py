@@ -249,3 +249,80 @@ def test_cluster_stream_raises_on_torn_labels_swap(spark, tmp_path):
     assert q.awaitTermination(300)
     assert os.path.isdir(os.path.join(lab, "labels"))
     assert os.path.exists(os.path.join(lab, "_labels_seeded"))
+
+
+def test_boilerplate_scrub_stream_matches_batch_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """Streamed scrub against the frozen template artifact equals the
+    one-shot batch scrub, and a checkpoint-reset replay reproduces
+    the same cleaned segments (overwrite-by-batch idempotence)."""
+    import glob as _glob
+    import time as _time
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        text,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        run_boilerplate_scrub_stream,
+    )
+
+    tdocs = text.with_template_docs(load_table(spark, sf_dir, "documents"))
+    tidx = str(tmp_path / "tidx")
+    text.write_template_index(tdocs, tidx)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base_t = _time.time()
+    for i, b in enumerate(
+        (tdocs.filter(F.col("doc_id") % 2 == 0),
+         tdocs.filter(F.col("doc_id") % 2 == 1))
+    ):
+        stage = str(tmp_path / f"stage_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_boilerplate_scrub_stream(
+            spark, stream, tidx, str(tmp_path / "cleaned"),
+            str(tmp_path / ckpt),
+        )
+        assert q.awaitTermination(300)
+
+    run("ck1")
+    got = {
+        (r.doc_id, r.cleaned_text)
+        for r in spark.read.option("basePath", str(tmp_path / "cleaned"))
+        .parquet(str(tmp_path / "cleaned"))
+        .collect()
+    }
+    expected = {
+        (r.doc_id, r.cleaned_text)
+        for r in text.boilerplate_cleaned_docs(tdocs).collect()
+    }
+    assert got == expected and len(expected) > 0
+    # templates actually bit: some doc's text shrank
+    shrunk = text.boilerplate_scrub_report(tdocs).agg(
+        F.sum("boilerplate_words")
+    ).collect()[0][0]
+    assert shrunk > 0
+
+    run("ck2")  # checkpoint-reset replay: identical segments
+    again = {
+        (r.doc_id, r.cleaned_text)
+        for r in spark.read.option("basePath", str(tmp_path / "cleaned"))
+        .parquet(str(tmp_path / "cleaned"))
+        .collect()
+    }
+    assert again == got
