@@ -831,6 +831,29 @@ CLUSTER_ERASE_MOD = 4  # deterministic label-erase set (oracle lockstep)
 CLUSTER_ERASE_RESIDUE = 1
 
 
+def near_dup_pairs_from_band_index(
+    spark, index_path: str, docs: DataFrame, jaccard_threshold: float = 0.6
+) -> DataFrame:
+    """Corpus-internal confirmed near-dup pairs served from the
+    MAINTAINED band artifact: the signatures are never recomputed —
+    one parquet scan of the (tombstone-aware) band rows replaces
+    banded_signatures, then the same same-bucket candidate join and
+    exact Jaccard verify as near_dedup_minhash. The device that lets
+    a pipeline building BOTH the band index and the cluster labels
+    pay for one signature pass (erasure_completeness_audit measured
+    the double pass before this existed)."""
+    banded = read_band_index_serving(spark, index_path)
+    other = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
+    cands = (
+        banded.join(other, "band_key")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, cands)
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
 def near_dup_clusters_checkpointed(
     docs: DataFrame, jaccard_threshold: float = 0.6
 ) -> DataFrame:

@@ -1805,6 +1805,21 @@ def q_erasure_completeness_audit(spark, sf_dir):
     try:
         bidx = f"{work}/bidx"
         dedup.write_band_index(dupes, bidx)
+        # cluster labels from the PRISTINE artifact — one signature
+        # pass serves both the band index and the labels build
+        # (near_dup_pairs_from_band_index); materialized to parquet
+        # BEFORE the tombstone lands so the pair plan reads the
+        # un-erased bands
+        lab = f"{work}/lab"
+        _os.makedirs(lab)
+        dedup.near_dup_clusters(
+            dupes,
+            pairs=dedup.near_dup_pairs_from_band_index(
+                spark, bidx, dupes
+            ),
+        ).write.parquet(f"{lab}/labels")
+        with open(f"{lab}/_labels_seeded", "w") as fh:
+            fh.write("1")
         dedup.band_index_erase(spark, bidx, er_docs)
         dedup.band_index_compact(spark, bidx)
         bands = spark.read.parquet(f"{bidx}/bands")
@@ -1849,11 +1864,6 @@ def q_erasure_completeness_audit(spark, sf_dir):
             )
         )
 
-        lab = f"{work}/lab"
-        _os.makedirs(lab)
-        dedup.near_dup_clusters(dupes).write.parquet(f"{lab}/labels")
-        with open(f"{lab}/_labels_seeded", "w") as fh:
-            fh.write("1")
         cluster_labels_erase_artifact(spark, lab, dupes, er_docs)
         labels = spark.read.parquet(f"{lab}/labels")
         rows.append(
