@@ -810,6 +810,119 @@ def boilerplate_scrub_report(documents: DataFrame) -> DataFrame:
     )
 
 
+REVISION_RETIRE_MOD = 13  # v1 drops every 13th doc (oracle lockstep)
+REVISION_EDIT_MOD = 11  # every 11th doc's text is revised
+REVISION_FRESH_MOD = 9  # every 9th doc spawns a fresh-crawl doc
+
+
+def with_revision(documents: DataFrame) -> DataFrame:
+    """The NEXT crawl of the corpus, deterministically: every 13th
+    doc retired, every 11th doc's text revised (old content leaves,
+    new content enters under the same id), every 9th doc spawning a
+    brand-new page (id + 300000). The version pair
+    (documents, with_revision(documents)) is the fixture the
+    content-turnover diff audits. Mirrored by REVISION_ORACLE_CTE."""
+    kept = documents.filter(
+        F.col("doc_id") % REVISION_RETIRE_MOD != 0
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % REVISION_EDIT_MOD == 0,
+            F.concat(F.col("text"), F.lit(" revised edition")),
+        ).otherwise(F.col("text")),
+    )
+    fresh = (
+        documents.filter(F.col("doc_id") % REVISION_FRESH_MOD == 0)
+        .withColumn("doc_id", F.col("doc_id") + 300000)
+        .withColumn(
+            "text", F.concat(F.col("text"), F.lit(" fresh crawl wave"))
+        )
+    )
+    return kept.unionByName(fresh)
+
+
+# SQL mirror of with_revision (DuckDB dialect), producing CTE `rdocs`.
+# Keep in lockstep with the function above.
+REVISION_ORACLE_CTE = f"""
+rdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {REVISION_EDIT_MOD} = 0
+              THEN text || ' revised edition' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % {REVISION_RETIRE_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + 300000, text || ' fresh crawl wave',
+         lang, source, n_chars
+  FROM documents WHERE doc_id % {REVISION_FRESH_MOD} = 0
+)"""
+
+
+def corpus_content_diff(v0: DataFrame, v1: DataFrame) -> DataFrame:
+    """Content turnover between two corpus versions, id-INDEPENDENT
+    (maintenance.snapshot_diff answers the id-level question; crawl
+    ops need the content-level one: how much of the new crawl is
+    actually new text, how much carried over, how much retired —
+    the number that decides whether re-processing the whole crawl is
+    worth it). Per source: distinct content digests new / retired /
+    carried, the word volume behind new and retired content, and the
+    carryover ppm of v1's content.
+
+    Scale shape: per-version (source, digest) distinct projections
+    (narrow map + one uniform digest-keyed distinct each), ONE
+    full-outer digest join, one per-source rollup. No text
+    comparison ever happens — digests carry it."""
+
+    def digests(df):
+        return df.select(
+            "source",
+            F.md5(F.col("text")).alias("digest"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias(
+                "n_words"
+            ),
+        ).groupBy("source", "digest").agg(
+            F.max("n_words").alias("n_words")
+        )
+
+    d0 = digests(v0).select(
+        "source", "digest", F.col("n_words").alias("w0")
+    )
+    d1 = digests(v1).select(
+        "source", "digest", F.col("n_words").alias("w1")
+    )
+    j = d0.join(d1, ["source", "digest"], "full_outer")
+    new = F.col("w0").isNull()
+    retired = F.col("w1").isNull()
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum(F.when(new, 1).otherwise(0))
+            .cast("long")
+            .alias("n_content_new"),
+            F.sum(F.when(retired, 1).otherwise(0))
+            .cast("long")
+            .alias("n_content_retired"),
+            F.sum(F.when(~new & ~retired, 1).otherwise(0))
+            .cast("long")
+            .alias("n_content_carried"),
+            F.sum(F.when(new, F.col("w1")).otherwise(0))
+            .cast("long")
+            .alias("words_new"),
+            F.sum(F.when(retired, F.col("w0")).otherwise(0))
+            .cast("long")
+            .alias("words_retired"),
+            F.floor(
+                F.sum(F.when(~new & ~retired, 1).otherwise(0))
+                * 1000000.0
+                / F.sum(F.when(~retired, 1).otherwise(0))
+                + 0.5
+            )
+            .cast("long")
+            .alias("carryover_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def scrub_with_templates(
     documents: DataFrame, templates: DataFrame
 ) -> DataFrame:
@@ -3203,6 +3316,104 @@ def sequence_packing_plan(
             .alias("utilization_ppm"),
         )
         .orderBy("shard")
+    )
+
+
+PACK_CURVE_LENS = (512, 1024, 2048, 4096)  # context sizes (lockstep)
+
+
+def packing_length_curve(
+    documents: DataFrame,
+    lens: tuple = PACK_CURVE_LENS,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """The context-length TRADE-OFF the single-length packing plan
+    cannot show: sequences produced, boundary-crossing documents,
+    tail padding and utilization at seq_len ∈ {512…4096} — picking
+    the training context length trades step count and attention cost
+    against document fragmentation (crossings force attention masks
+    or doc separators; short contexts fragment more, long contexts
+    pad more on small shards). All lengths evaluated in ONE plan via
+    the exploded-literal device (ivfpq_tuning_curve): the shard
+    offsets are length-independent, so the window runs ONCE and the
+    curve is arithmetic over |lens| × rows."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    )
+    base = documents.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = base.select(
+        "shard",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("off"),
+    )
+    curve = offs.select(
+        "shard",
+        "n_tok",
+        "off",
+        F.explode(F.array(*[F.lit(int(s)) for s in lens])).alias(
+            "seq_len"
+        ),
+    )
+    start_bin = F.floor(F.col("off") / F.col("seq_len"))
+    end_bin = F.floor(
+        (F.col("off") + F.col("n_tok") - 1) / F.col("seq_len")
+    )
+    per_shard = (
+        curve.select(
+            "seq_len",
+            "shard",
+            "n_tok",
+            (end_bin > start_bin).alias("crosses"),
+        )
+        .groupBy("seq_len", "shard")
+        .agg(
+            F.sum("n_tok").alias("toks"),
+            F.sum(F.when(F.col("crosses"), 1).otherwise(0)).alias(
+                "crossings"
+            ),
+        )
+        .select(
+            "seq_len",
+            "toks",
+            "crossings",
+            (F.floor((F.col("toks") - 1) / F.col("seq_len")) + 1).alias(
+                "n_seq"
+            ),
+        )
+    )
+    return (
+        per_shard.groupBy("seq_len")
+        .agg(
+            F.sum("n_seq").cast("long").alias("n_sequences"),
+            F.sum("crossings").cast("long").alias(
+                "docs_crossing_boundary"
+            ),
+            (
+                F.sum(F.col("n_seq") * F.col("seq_len"))
+                - F.sum("toks")
+            )
+            .cast("long")
+            .alias("padding_tokens"),
+            F.floor(
+                F.sum("toks")
+                * 1000000.0
+                / F.sum(F.col("n_seq") * F.col("seq_len"))
+                + 0.5
+            )
+            .cast("long")
+            .alias("utilization_ppm"),
+        )
+        .orderBy("seq_len")
     )
 
 

@@ -9196,6 +9196,91 @@ def q_sequence_packing_plan(spark, sf_dir):
     return text.sequence_packing_plan(_t(spark, sf_dir, "documents"))
 
 
+_PACK_LENS_SQL = ", ".join(f"({s})" for s in text.PACK_CURVE_LENS)
+
+
+@query(
+    "packing_length_curve",
+    f"""WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % {_PSH} AS BIGINT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+o AS (SELECT shard, n_tok,
+        coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t WHERE n_tok > 0),
+c AS (SELECT o.*, ls.seq_len
+      FROM o, (VALUES {_PACK_LENS_SQL}) ls(seq_len)),
+ps AS (SELECT seq_len, shard, sum(n_tok) AS toks,
+         sum(CASE WHEN floor((off + n_tok - 1) / seq_len)
+                       > floor(off / seq_len)
+             THEN 1 ELSE 0 END) AS crossings,
+         floor((sum(n_tok) - 1) / seq_len) + 1 AS n_seq
+       FROM c GROUP BY seq_len, shard)
+SELECT seq_len,
+       CAST(sum(n_seq) AS BIGINT) AS n_sequences,
+       CAST(sum(crossings) AS BIGINT) AS docs_crossing_boundary,
+       CAST(sum(n_seq * seq_len) - sum(toks) AS BIGINT)
+         AS padding_tokens,
+       CAST(floor(sum(toks) * 1000000.0 / sum(n_seq * seq_len) + 0.5)
+            AS BIGINT) AS utilization_ppm
+FROM ps GROUP BY seq_len ORDER BY seq_len""",
+)
+def q_packing_length_curve(spark, sf_dir):
+    """Context-length sizing curve: sequences, boundary crossings,
+    padding and utilization at seq_len ∈ {{512…4096}} in ONE plan —
+    the shard offsets are length-independent, so the window runs
+    once and the curve is arithmetic over |lens| × rows."""
+    return text.packing_length_curve(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_content_diff",
+    "WITH "
+    + text.REVISION_ORACLE_CTE
+    + """,
+d0 AS (SELECT source, md5(text) AS digest,
+         max(len(string_split(text, ' '))) AS w0
+       FROM documents GROUP BY source, md5(text)),
+d1 AS (SELECT source, md5(text) AS digest,
+         max(len(string_split(text, ' '))) AS w1
+       FROM rdocs GROUP BY source, md5(text)),
+j AS (SELECT coalesce(d0.source, d1.source) AS source,
+             d0.w0, d1.w1
+      FROM d0 FULL OUTER JOIN d1
+        ON d0.source = d1.source AND d0.digest = d1.digest)
+SELECT source,
+       CAST(sum(CASE WHEN w0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_content_new,
+       CAST(sum(CASE WHEN w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_content_retired,
+       CAST(sum(CASE WHEN w0 IS NOT NULL AND w1 IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_content_carried,
+       CAST(sum(CASE WHEN w0 IS NULL THEN w1 ELSE 0 END) AS BIGINT)
+         AS words_new,
+       CAST(sum(CASE WHEN w1 IS NULL THEN w0 ELSE 0 END) AS BIGINT)
+         AS words_retired,
+       CAST(floor(sum(CASE WHEN w0 IS NOT NULL AND w1 IS NOT NULL
+                      THEN 1 ELSE 0 END) * 1000000.0
+                  / sum(CASE WHEN w1 IS NOT NULL THEN 1 ELSE 0 END)
+                  + 0.5) AS BIGINT) AS carryover_ppm
+FROM j GROUP BY source ORDER BY source""",
+)
+def q_corpus_content_diff(spark, sf_dir):
+    """Content turnover between crawl versions, id-independent (the
+    content-level complement of maintenance.snapshot_diff): per
+    source, distinct content digests new / retired / carried plus the
+    word volumes — the number that decides whether re-processing a
+    new crawl is worth it. The with_revision fixture retires every
+    13th doc, revises every 11th, adds a fresh page per 9th. One
+    digest-keyed full-outer join; no text comparison — digests carry
+    it."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.corpus_content_diff(docs, text.with_revision(docs))
+
+
 @query("quality_capacity_eval", _qc_capacity_oracle())
 def q_quality_capacity_eval(spark, sf_dir):
     """The capacity step the eval loop exists to catch: the 8-bucket
