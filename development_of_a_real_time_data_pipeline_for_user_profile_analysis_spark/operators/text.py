@@ -810,6 +810,214 @@ def boilerplate_scrub_report(documents: DataFrame) -> DataFrame:
     )
 
 
+DIALOGUE_DOC_MOD = 4  # every 4th doc (residue 2) becomes a dialogue
+DIALOGUE_VARIANT_MOD = 8  # half of those spawn a same-prompt variant
+DIALOGUE_MARKERS = ("u:", "a:")  # role markers (oracle lockstep)
+
+
+def with_dialogue_docs(documents: DataFrame) -> DataFrame:
+    """Extend the corpus with deterministic DIALOGUES (the SFT-data
+    shape): every 4th doc (residue 2) becomes a 3-turn conversation —
+    user turn = the original text, assistant reply, user follow-up —
+    and half of those (residue 2 mod 8) additionally spawn a
+    same-prompt variant (id + 400000) whose USER turns are identical
+    but whose assistant reply differs: the ground truth for
+    role-aware dedup, which full-text hashing cannot see (the texts
+    differ). Mirrored by DIALOGUE_ORACLE_CTE."""
+    reply = F.concat(
+        F.lit("a: summary reply for doc "),
+        F.col("doc_id").cast("string"),
+    )
+    alt_reply = F.concat(
+        F.lit("a: alternative reply for doc "),
+        F.col("doc_id").cast("string"),
+    )
+    followup = F.lit(" u: thanks followup question")
+    as_dialogue = F.concat(
+        F.lit("u: "), F.col("text"), F.lit(" "), reply, followup
+    )
+    base = documents.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % DIALOGUE_DOC_MOD == 2, as_dialogue
+        ).otherwise(F.col("text")),
+    )
+    variants = (
+        documents.filter(F.col("doc_id") % DIALOGUE_VARIANT_MOD == 2)
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("u: "),
+                F.col("text"),
+                F.lit(" "),
+                alt_reply,
+                followup,
+            ),
+        )
+        .withColumn("doc_id", F.col("doc_id") + 400000)
+    )
+    return base.unionByName(variants)
+
+
+# SQL mirror of with_dialogue_docs (DuckDB dialect), producing CTE
+# `ddocs`. Keep in lockstep with the function above.
+DIALOGUE_ORACLE_CTE = f"""
+ddocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIALOGUE_DOC_MOD} = 2
+              THEN 'u: ' || text || ' a: summary reply for doc '
+                   || CAST(doc_id AS VARCHAR)
+                   || ' u: thanks followup question'
+              ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 400000,
+         'u: ' || text || ' a: alternative reply for doc '
+           || CAST(doc_id AS VARCHAR) || ' u: thanks followup question',
+         lang, source, n_chars
+  FROM documents WHERE doc_id % {DIALOGUE_VARIANT_MOD} = 2
+)"""
+
+
+def dialogue_turns(documents: DataFrame) -> DataFrame:
+    """Role/turn attribution over marker-structured conversations —
+    the general device: explode words with position, a marker word
+    ('u:' / 'a:') opens a turn, every following word belongs to that
+    turn's role (running last-marker window per doc). Returns one row
+    per turn: (doc_id, turn_idx, role, n_words), marker words
+    excluded from the counts; non-dialogue docs (no marker) emit
+    nothing. Handles any number of alternating or repeated turns.
+
+    Scale shape: per-doc windows over the word explode (partition =
+    doc — bounded), one (doc, turn) aggregate. No regex splitting,
+    no lookahead (RE2-safe on both engines by construction)."""
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+    is_marker = F.col("word").isin(*DIALOGUE_MARKERS)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    attributed = words.select(
+        "doc_id",
+        "word",
+        F.last(
+            F.when(is_marker, F.col("word")), ignorenulls=True
+        )
+        .over(w)
+        .alias("role"),
+        F.sum(is_marker.cast("int")).over(w).alias("turn_idx"),
+        is_marker.alias("is_marker"),
+    )
+    return (
+        attributed.filter(F.col("role").isNotNull() & ~F.col("is_marker"))
+        .groupBy("doc_id", "turn_idx", "role")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+    )
+
+
+def dialogue_stats(documents: DataFrame) -> DataFrame:
+    """Per-source SFT-corpus shape report: dialogues, turns, words by
+    role and the user-word share — the balance a chat-tuning mixture
+    is sized from. One turn relation + a source-keyed rollup."""
+    turns = dialogue_turns(documents)
+    per_doc = turns.groupBy("doc_id").agg(
+        F.max("turn_idx").cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "u:", F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("u_words"),
+        F.sum(F.when(F.col("role") == "a:", F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("a_words"),
+    )
+    src = documents.select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dialogues"),
+            F.sum("n_turns").cast("long").alias("n_turns"),
+            F.sum("u_words").cast("long").alias("user_words"),
+            F.sum("a_words").cast("long").alias("assistant_words"),
+            F.floor(
+                F.sum("u_words")
+                * 1000000.0
+                / (F.sum("u_words") + F.sum("a_words"))
+                + 0.5
+            )
+            .cast("long")
+            .alias("user_share_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def sft_user_dedup(documents: DataFrame) -> DataFrame:
+    """Role-aware SFT dedup: two conversations with the SAME user
+    content are duplicates even when the assistant replies differ —
+    the keep-one-response-per-prompt rule full-text hashing cannot
+    implement (the texts differ byte-wise). The user digest is the
+    md5 of the user-role words in document order; groups of ≥ 2
+    report their keeper (lowest doc_id) and size.
+
+    Scale shape: the turn attribution's per-doc windows, one per-doc
+    ordered reassembly (array_sort over (pos, word) structs), one
+    digest-keyed aggregate."""
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+    is_marker = F.col("word").isin(*DIALOGUE_MARKERS)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    attributed = words.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.last(F.when(is_marker, F.col("word")), ignorenulls=True)
+        .over(w)
+        .alias("role"),
+        is_marker.alias("is_marker"),
+    )
+    user_text = (
+        attributed.filter((F.col("role") == "u:") & ~F.col("is_marker"))
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "word"))
+                        ),
+                        lambda s: s.word,
+                    ),
+                    " ",
+                )
+            ).alias("user_digest")
+        )
+    )
+    return (
+        user_text.groupBy("user_digest")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("user_digest")
+    )
+
+
 REVISION_RETIRE_MOD = 13  # v1 drops every 13th doc (oracle lockstep)
 REVISION_EDIT_MOD = 11  # every 11th doc's text is revised
 REVISION_FRESH_MOD = 9  # every 9th doc spawns a fresh-crawl doc

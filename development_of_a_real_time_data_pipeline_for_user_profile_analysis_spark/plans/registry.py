@@ -9236,6 +9236,93 @@ def q_packing_length_curve(spark, sf_dir):
     return text.packing_length_curve(_t(spark, sf_dir, "documents"))
 
 
+# role/turn attribution over the dialogue corpus — shared by the
+# SFT stats and role-aware dedup oracles (last-marker window, no
+# regex splitting / lookahead)
+_DIALOGUE_ATT_CTES = (
+    text.DIALOGUE_ORACLE_CTE
+    + """,
+dw AS (SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS word
+       FROM ddocs),
+att AS (SELECT doc_id, pos, word,
+          word IN ('u:', 'a:') AS is_marker,
+          last_value(CASE WHEN word IN ('u:', 'a:') THEN word END
+                     IGNORE NULLS)
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS role,
+          sum(CASE WHEN word IN ('u:', 'a:') THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS turn_idx
+        FROM dw)"""
+)
+
+
+@query(
+    "dialogue_stats",
+    "WITH "
+    + _DIALOGUE_ATT_CTES
+    + """,
+turns AS (SELECT doc_id, turn_idx, role, count(*) AS n_words
+          FROM att WHERE role IS NOT NULL AND NOT is_marker
+          GROUP BY doc_id, turn_idx, role),
+pd AS (SELECT doc_id, max(turn_idx) AS n_turns,
+         sum(CASE WHEN role = 'u:' THEN n_words ELSE 0 END) AS u_words,
+         sum(CASE WHEN role = 'a:' THEN n_words ELSE 0 END) AS a_words
+       FROM turns GROUP BY doc_id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_dialogues,
+       CAST(sum(n_turns) AS BIGINT) AS n_turns,
+       CAST(sum(u_words) AS BIGINT) AS user_words,
+       CAST(sum(a_words) AS BIGINT) AS assistant_words,
+       CAST(floor(sum(u_words) * 1000000.0
+                  / (sum(u_words) + sum(a_words)) + 0.5) AS BIGINT)
+         AS user_share_ppm
+FROM pd JOIN ddocs USING (doc_id)
+GROUP BY source ORDER BY source""",
+)
+def q_dialogue_stats(spark, sf_dir):
+    """SFT-corpus shape report over the dialogue fixture: per source,
+    dialogues / turns / words by role / user-word share — the balance
+    a chat-tuning mixture is sized from. Role attribution is the
+    general marker device (running last-marker window per doc, no
+    regex lookahead — RE2-safe on both engines), so any number of
+    alternating or repeated turns parses."""
+    return text.dialogue_stats(
+        text.with_dialogue_docs(_t(spark, sf_dir, "documents"))
+    )
+
+
+@query(
+    "sft_user_dedup",
+    "WITH "
+    + _DIALOGUE_ATT_CTES
+    + """,
+ut AS (SELECT doc_id,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS user_digest
+       FROM att WHERE role = 'u:' AND NOT is_marker
+       GROUP BY doc_id)
+SELECT user_digest,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM ut GROUP BY user_digest HAVING count(*) >= 2
+ORDER BY user_digest""",
+)
+def q_sft_user_dedup(spark, sf_dir):
+    """Role-aware SFT dedup: conversations with the SAME user content
+    are duplicates even when the assistant replies differ — the
+    keep-one-response-per-prompt rule byte-level hashing cannot see
+    (the fixture's same-prompt variants differ only in the assistant
+    turn). User digest = md5 of the user-role words in document
+    order; groups ≥ 2 report keeper + size."""
+    return text.sft_user_dedup(
+        text.with_dialogue_docs(_t(spark, sf_dir, "documents"))
+    )
+
+
 @query(
     "corpus_content_diff",
     "WITH "

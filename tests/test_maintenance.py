@@ -235,3 +235,56 @@ def test_ngram_novelty_curve_recrawl_reuse(spark, sf_dir):
     # originals: natural reuse strictly below the re-crawl's
     assert all(r.reuse_ppm < 1000000 for r in wave0)
     assert sum(r.n_novel_grams for r in wave0) > 0
+
+
+def test_sft_user_dedup_sees_what_exact_dedup_cannot(spark, sf_dir):
+    """Role-aware dedup must group the same-prompt variants (user
+    turns identical, assistant replies differ) that byte-level
+    hashing cannot: every variant pair is found, full-text digests
+    inside each group DIFFER, and the keeper is the original (lower
+    doc_id)."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+    from pyspark.sql import functions as FF
+
+    docs = load_table(spark, sf_dir, "documents")
+    ddocs = text.with_dialogue_docs(docs)
+    groups = text.sft_user_dedup(ddocs).collect()
+    n_variants = docs.filter(
+        FF.col("doc_id") % text.DIALOGUE_VARIANT_MOD == 2
+    ).count()
+    assert len(groups) == n_variants > 0
+    assert all(g.n_copies == 2 for g in groups)
+    assert all(g.keeper_doc_id < 400000 for g in groups)
+    # full-text hashing finds ZERO of these pairs
+    dialogue_ids = {g.keeper_doc_id for g in groups} | {
+        g.keeper_doc_id + 400000 for g in groups
+    }
+    full = (
+        ddocs.filter(FF.col("doc_id").isin([int(i) for i in dialogue_ids]))
+        .groupBy(FF.md5("text"))
+        .count()
+        .filter(FF.col("count") >= 2)
+        .count()
+    )
+    assert full == 0
+
+
+def test_dialogue_turns_attribution(spark):
+    """The marker device parses arbitrary turn structures: counts and
+    roles per turn, markers excluded from word counts."""
+    ddocs = spark.createDataFrame(
+        [(1, "u: hello there a: hi u: more words here", "en", "s", 0),
+         (2, "plain document no markers", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    turns = {
+        (r.doc_id, r.turn_idx, r.role): r.n_words
+        for r in text.dialogue_turns(ddocs).collect()
+    }
+    assert turns == {
+        (1, 1, "u:"): 2,
+        (1, 2, "a:"): 1,
+        (1, 3, "u:"): 3,
+    }
