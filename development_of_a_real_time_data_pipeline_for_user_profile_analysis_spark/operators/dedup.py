@@ -831,6 +831,61 @@ CLUSTER_ERASE_MOD = 4  # deterministic label-erase set (oracle lockstep)
 CLUSTER_ERASE_RESIDUE = 1
 
 
+EDIT_MAX_DIST = 64  # char-edit verify ceiling (oracle lockstep)
+
+
+def edit_distance_dupes(
+    docs: DataFrame, max_dist: int = EDIT_MAX_DIST
+) -> DataFrame:
+    """Char-level near-dup verify — the edit-distance tier between
+    byte-exact and token-Jaccard (catches single-char OCR noise,
+    whitespace drift and short insertions that shift every word
+    n-gram): LSH band candidates verified by Levenshtein distance ≤
+    `max_dist`, reporting the distance and the length-normalized
+    similarity ppm.
+
+    Scale shape: candidates come from the SAME banded LSH blocking
+    every other near-dup tier uses (never all-pairs); the verify is
+    JVM `levenshtein(a, b, threshold)` — the threshold variant runs
+    the BANDED O(n·k) algorithm and early-exits above the ceiling
+    (returns -1), so a candidate pair costs k·len, not len², and the
+    survivors' distances are exact (the oracle recomputes them
+    unbounded and must agree value-for-value)."""
+    cands = lsh_candidate_pairs(docs)
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    d = F.levenshtein(F.col("text_a"), F.col("text_b"), max_dist)
+    longest = F.greatest(
+        F.length("text_a"), F.length("text_b")
+    ).cast("double")
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", d.alias("edit_distance"), longest.alias("longest"))
+        .filter(
+            (F.col("edit_distance") >= 0)
+            & (F.col("edit_distance") <= max_dist)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("edit_distance").cast("long").alias("edit_distance"),
+            F.floor(
+                (1 - F.col("edit_distance") / F.col("longest"))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("sim_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def near_dup_pairs_from_band_index(
     spark, index_path: str, docs: DataFrame, jaccard_threshold: float = 0.6
 ) -> DataFrame:

@@ -9236,6 +9236,32 @@ def q_packing_length_curve(spark, sf_dir):
     return text.packing_length_curve(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "edit_distance_dupes",
+    _with_dupes(
+        f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE}
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+       CAST(floor((1 - levenshtein(a.text, b.text) * 1.0
+                   / greatest(length(a.text), length(b.text)))
+                  * 1000000 + 0.5) AS BIGINT) AS sim_ppm
+FROM cands c
+JOIN dupes a ON a.doc_id = c.doc_a
+JOIN dupes b ON b.doc_id = c.doc_b
+WHERE levenshtein(a.text, b.text) <= {dedup.EDIT_MAX_DIST}
+ORDER BY doc_a, doc_b"""
+    ),
+)
+def q_edit_distance_dupes(spark, sf_dir):
+    """Char-level near-dup verify tier: LSH band candidates filtered
+    by Levenshtein ≤ {max} — catches single-char noise and short
+    insertions that shift every word n-gram. The Spark side uses the
+    threshold variant (banded O(n·k), early-exit above the ceiling);
+    the oracle recomputes distances unbounded, so the survivors'
+    exact values are cross-checked."""
+    return dedup.edit_distance_dupes(_dupes_df(spark, sf_dir))
+
+
 # role/turn attribution over the dialogue corpus — shared by the
 # SFT stats and role-aware dedup oracles (last-marker window, no
 # regex splitting / lookahead)
