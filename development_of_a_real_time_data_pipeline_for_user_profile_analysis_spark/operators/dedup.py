@@ -833,6 +833,11 @@ CLUSTER_ERASE_RESIDUE = 1
 
 EDIT_MAX_DIST = 64  # char-edit verify ceiling (oracle lockstep)
 
+# the last edit_distance_dupes call's checkpointed relations (pair
+# binding + distinct-content DP) — released on the next call (the
+# _last_edges/_last_pairs discipline)
+_last_edit_ckpts: list = []
+
 
 def edit_distance_dupes(
     docs: DataFrame, max_dist: int = EDIT_MAX_DIST
@@ -845,31 +850,115 @@ def edit_distance_dupes(
     similarity ppm.
 
     Scale shape: candidates come from the SAME banded LSH blocking
-    every other near-dup tier uses (never all-pairs); the verify is
-    JVM `levenshtein(a, b, threshold)` — the threshold variant runs
-    the BANDED O(n·k) algorithm and early-exits above the ceiling
-    (returns -1), so a candidate pair costs k·len, not len², and the
-    survivors' distances are exact (the oracle recomputes them
-    unbounded and must agree value-for-value)."""
-    cands = lsh_candidate_pairs(docs)
-    a = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    every other near-dup tier uses (never all-pairs), pre-filtered by
+    TWO cheap tiers before any DP runs — the length band
+    (|len_a − len_b| > k ⟹ distance > k, a metadata compare) and the
+    byte-equality fast path (text_a == text_b ⟹ 0; O(len) vs the
+    DP's O(k·len), and in a re-crawl-heavy corpus exact copies ARE
+    the bulk of the candidate volume: the 10× soak measured 944 s
+    with the DP on every pair, because AQE coalesces the verify join
+    by BYTES and a compute-heavy projection behind a byte-coalesced
+    shuffle lands on a handful of tasks). The residual pairs run JVM
+    `levenshtein(a, b, threshold)` — the banded O(k·len) algorithm
+    with early exit above the ceiling (returns -1). Survivors'
+    distances are exact (the oracle recomputes them unbounded and
+    must agree value-for-value).
+
+    BOTH intermediate relations are eagerly checkpointed: the pair
+    binding feeds the distinct-content DP and the final rebind (each
+    un-truncated consumer re-executes the banded pipeline — measured
+    30 parquet scans, zero reused exchanges), and the DP relation is
+    consumed through a join whose planning re-executed the DP
+    subtree (10× soak: 944 s naive → 156 s keyed-only → 16 s with
+    both checkpoints; the checkpoints are pair-relation-sized, 4
+    digest columns). The shingle table is persisted through the
+    candidate build exactly as near_dedup_minhash does."""
+    global _last_edit_ckpts
+    sh = shingles(docs).persist()
+    cands = lsh_candidate_pairs(docs, sh=sh)
+    docs_h = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.length("text").alias("len"),
     )
-    b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    for prev in _last_edit_ckpts:
+        prev.rdd.unpersist()
+    _last_edit_ckpts = []
+    keyed = (
+        cands.join(
+            docs_h.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("h").alias("ha"),
+                F.col("len").alias("la"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs_h.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("h").alias("hb"),
+                F.col("len").alias("lb"),
+            ),
+            "doc_b",
+        )
+        .filter(F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        .select("doc_a", "doc_b", "ha", "hb")
+        .localCheckpoint(eager=True)
     )
-    d = F.levenshtein(F.col("text_a"), F.col("text_b"), max_dist)
+    _last_edit_ckpts.append(keyed)
+    sh.unpersist()
+    # CONTENT-ADDRESSED verify: the DP runs once per distinct
+    # (content_a, content_b) pair, not per doc pair — in a
+    # re-crawl-heavy corpus an m-way duplicate group contributes m²
+    # candidate pairs but ONE distinct text pair, and the pair
+    # relation shuffles DIGESTS only (texts attach to the distinct
+    # content relation, never to pairs — the 10× soak paid 123 s
+    # shipping 1.8 KB of text per pair before this split). The
+    # explicit-width repartition exists because the DP stage is
+    # CPU-bound, not byte-bound: AQE coalesces shuffles by bytes and
+    # would land every DP on a handful of tasks (measured 271 s on 3
+    # tasks vs wide).
+    sc = docs.sparkSession.sparkContext
+    contents = docs.select(
+        F.md5("text").alias("h"), F.col("text")
+    ).dropDuplicates(["h"])
+    d = F.when(F.col("text_a") == F.col("text_b"), F.lit(0)).otherwise(
+        F.levenshtein(F.col("text_a"), F.col("text_b"), max_dist)
+    )
     longest = F.greatest(
         F.length("text_a"), F.length("text_b")
     ).cast("double")
-    return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select("doc_a", "doc_b", d.alias("edit_distance"), longest.alias("longest"))
+    dp = (
+        keyed.select("ha", "hb")
+        .distinct()
+        .join(
+            contents.select(
+                F.col("h").alias("ha"), F.col("text").alias("text_a")
+            ),
+            "ha",
+        )
+        .join(
+            contents.select(
+                F.col("h").alias("hb"), F.col("text").alias("text_b")
+            ),
+            "hb",
+        )
+        .repartition(sc.defaultParallelism, "ha", "hb")
+        .select(
+            "ha",
+            "hb",
+            d.alias("edit_distance"),
+            longest.alias("longest"),
+        )
         .filter(
             (F.col("edit_distance") >= 0)
             & (F.col("edit_distance") <= max_dist)
         )
+        .localCheckpoint(eager=True)
+    )
+    _last_edit_ckpts.append(dp)
+    return (
+        keyed.join(dp, ["ha", "hb"])
         .select(
             "doc_a",
             "doc_b",
