@@ -3625,6 +3625,49 @@ def packing_length_curve(
     )
 
 
+def shard_manifest(
+    documents: DataFrame, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Reproducibility manifest for the training shards: per shard,
+    doc count, token count, id range and an ORDER-INDEPENDENT content
+    digest (bit_xor of each doc's 60-bit md5 prefix) — the checksum a
+    training run records so any later job can verify a shard's
+    content without re-reading the corpus, and which updates
+    incrementally under add/remove (xor is its own inverse: removing
+    a doc xors its term back out). Shard assignment is the
+    md5(doc_id) device shared with sequence_packing_plan /
+    epoch_shuffle_plan, so the manifest describes exactly the shards
+    the loader reads.
+
+    Scale shape: one corpus scan, one shard-keyed aggregate with
+    partials (xor and sums combine associatively map-side). 60-bit
+    digests keep the xor inside BIGINT on both engines."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    )
+    content_term = F.conv(
+        F.substring(F.md5(F.col("text")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        documents.select(
+            shard.alias("shard"),
+            "doc_id",
+            token_count(F.col("text")).alias("n_tok"),
+            content_term.alias("ct"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.expr("bit_xor(ct)").cast("long").alias("content_xor"),
+            F.min("doc_id").cast("long").alias("id_lo"),
+            F.max("doc_id").cast("long").alias("id_hi"),
+        )
+        .orderBy("shard")
+    )
+
+
 QC_WIDE_FEATURES = 32  # capacity-step width (oracle lockstep)
 QC_PROB_BIN = 1000  # milli-probability grid for calibration bins
 

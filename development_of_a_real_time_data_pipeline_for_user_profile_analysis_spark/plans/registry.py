@@ -8625,9 +8625,7 @@ def q_pii_scan_report(spark, sf_dir):
     return text.pii_scan_report(_piidocs_df(spark, sf_dir))
 
 
-@query(
-    "pii_redact_documents",
-    _with_piidocs(
+_PII_REDACT_SQL = _with_piidocs(
         f""", s AS (
   SELECT doc_id, source, text,
          regexp_replace(text, '{text.EMAIL_PII_RE}', '[EMAIL]', 'g')
@@ -8641,8 +8639,10 @@ SELECT doc_id, source,
        CAST(len(regexp_extract_all(no_email, '{text.PHONE_PII_RE}'))
             AS BIGINT) AS n_phones
 FROM s"""
-    ),
 )
+
+
+@query("pii_redact_documents", _PII_REDACT_SQL)
 def q_pii_redact_documents(spark, sf_dir):
     """The PII scrub's curation output over documents: emails and
     phone-shaped runs replaced with placeholders, per-doc removal
@@ -8650,6 +8650,97 @@ def q_pii_redact_documents(spark, sf_dir):
     the redacted text, so regex parity is checked byte-for-byte
     corpus-wide."""
     return text.pii_redact_documents(_piidocs_df(spark, sf_dir))
+
+
+@query("streaming_pii_redact", _PII_REDACT_SQL)
+def q_streaming_pii_redact(spark, sf_dir):
+    """PII redaction as the third STREAMING content gate (quality
+    score, boilerplate scrub, PII redact — every batch curation
+    decision now also serves per micro-batch): two document
+    micro-batches stream through run_pii_redact_stream and the
+    landed union must equal the one-shot batch redaction byte for
+    byte — the oracle IS pii_redact_documents'. The redaction is a
+    narrow stateless JVM-regex map, so replay safety is the
+    overwrite-by-batch device with no cross-batch state at all."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.pipeline import run_pii_redact_stream
+
+    pdocs = _piidocs_df(spark, sf_dir)
+    b0 = pdocs.filter(F.col("doc_id") % 2 == 0)
+    b1 = pdocs.filter(F.col("doc_id") % 2 == 1)
+    work = tempfile.mkdtemp(prefix="pii_stream_")
+    try:
+        in_dir = f"{work}/in"
+        _os.makedirs(in_dir)
+        base_t = _time.time()
+        for i, b in enumerate((b0, b1)):
+            stage = f"{work}/stage_{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_pii_redact_stream(
+            spark, stream, f"{work}/redacted", f"{work}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "pii-redact stream did not drain within 300 s"
+                + (f": {q.exception()}" if q.exception() else "")
+            )
+        out = (
+            spark.read.option("basePath", f"{work}/redacted")
+            .parquet(f"{work}/redacted")
+            .select(
+                "doc_id", "source", "text_redacted", "n_emails", "n_phones"
+            )
+            .orderBy("doc_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "shard_manifest",
+    f"""WITH t AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % {text.PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+              AS BIGINT) AS ct
+  FROM documents)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(bit_xor(ct) AS BIGINT) AS content_xor,
+       CAST(min(doc_id) AS BIGINT) AS id_lo,
+       CAST(max(doc_id) AS BIGINT) AS id_hi
+FROM t GROUP BY shard ORDER BY shard""",
+)
+def q_shard_manifest(spark, sf_dir):
+    """Reproducibility manifest per training shard: doc/token counts,
+    id range and an order-independent 60-bit xor content digest —
+    verify a shard without re-reading it; xor updates incrementally
+    under add/remove. One scan, one shard-keyed aggregate with
+    map-side partials."""
+    return text.shard_manifest(_t(spark, sf_dir, "documents"))
 
 
 def _tdocs_df(spark, sf_dir):

@@ -1442,3 +1442,36 @@ def run_boilerplate_scrub_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_pii_redact_stream(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    redacted_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming PII redaction — the third content gate beside the
+    quality gate and the boilerplate scrub, completing the
+    serve-mode symmetry: every curation decision the engine makes in
+    batch (score, scrub, redact) also runs per micro-batch on the
+    ingest stream. The redaction is a narrow JVM-regex map
+    (text.pii_redact_documents — no state, no model, no artifact),
+    so each batch lands idempotently (overwrite by batch id) and the
+    streamed union equals the one-shot batch redaction — the
+    registered query's oracle IS the batch op's."""
+    from ..operators.text import pii_redact_documents
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        pii_redact_documents(batch_df).write.mode("overwrite").parquet(
+            os.path.join(redacted_dir, f"batch_id={batch_id}")
+        )
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

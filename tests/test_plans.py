@@ -1180,3 +1180,70 @@ def test_sequence_packing_windows_are_per_shard(spark, sf_dir):
     specs = _re.findall(r"Window \[[^\]]*\], \[(shard[^\]]*)\],", plan)
     assert len(specs) >= 1
     assert plan.count("Window [") == len(specs)
+
+
+def test_boilerplate_scrub_broadcasts_templates(spark, sf_dir):
+    """The template set is threshold-bounded — it must ride into the
+    scrub as a broadcast join, never a shuffle of the corpus side."""
+    plan = _plan(spark, "boilerplate_scrub_report", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # the cover anti-join on (doc_id, pos) is doc-keyed, fine either
+    # way, but no cartesian/nested-loop may appear anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edit_distance_dp_stage_is_wide_and_checkpointed(spark, sf_dir):
+    """The Levenshtein stage is CPU-bound: the plan must read both
+    intermediates from checkpoints (no re-execution of the banded
+    pipeline — the measured 30-scan/zero-reuse failure mode) and the
+    DP must sit above an explicit-width repartition, not an
+    AQE-coalesced shuffle."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.plans import (
+        QUERIES,
+    )
+
+    df = QUERIES["edit_distance_dupes"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both eager checkpoints feed the final plan as scans, so the
+    # parquet source appears nowhere in it
+    assert "Scan ExistingRDD" in plan
+    assert "documents" not in plan
+    assert "levenshtein" not in plan  # DP already materialized
+
+
+def test_cluster_labels_erase_untouched_pass_is_one_anti_join(spark):
+    """Untouched clusters must stream through a broadcast anti-join —
+    no star rounds over the artifact, no sort-merge against the
+    request-sized erase set."""
+    C = [f"core{i}" for i in range(42)]
+    P = [f"pp{i}" for i in range(42)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(C), "en", "s", 0), (2, " ".join(C + P), "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        dedup,
+    )
+
+    labels = dedup.near_dup_clusters_checkpointed(docs)
+    erase = spark.createDataFrame([(1,)], "doc_id long")
+    plan = (
+        dedup.cluster_labels_erase(labels, docs, erase)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_novelty_curve_single_gram_shuffle(spark, sf_dir):
+    """Grams travel as md5 digests through ONE keyed pre-aggregate;
+    the first-seen window partitions by gram (bounded rows), never a
+    global sort of occurrences."""
+    plan = _plan(spark, "ngram_novelty_curve", sf_dir)
+    assert "md5" in plan
+    # exactly one window (the per-gram min-bucket); its partition key
+    # is the gram
+    assert plan.count("Window") >= 1
+    assert "partial_count" in plan or "partial_sum" in plan
