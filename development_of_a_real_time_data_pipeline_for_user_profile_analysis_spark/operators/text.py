@@ -3668,6 +3668,108 @@ def shard_manifest(
     )
 
 
+def shard_manifest_update(v0: DataFrame, v1: DataFrame) -> DataFrame:
+    """Maintain the shard manifest INCREMENTALLY across a corpus
+    revision: instead of recomputing over v1, patch manifest(v0) with
+    only the delta docs — counts add/subtract, and the xor content
+    digest self-inverts (removing a doc xors its term back out), so
+    the patch touches |delta| rows, never the corpus. The oracle
+    recomputes the manifest from v1 from scratch: patched == rebuilt,
+    shard for shard — the algebraic-maintenance proof.
+
+    The id range (min/max) is deliberately NOT in this output:
+    extrema are not group-invertible under removal (if the extremum
+    doc leaves, the new extremum needs a scan) — a production
+    manifest stores ranges per immutable segment and re-derives them
+    at compaction, exactly like the index artifacts here.
+
+    Scale shape: manifest(v0) is |shards| rows; the delta is two
+    anti-joins on doc_id (uniform key) aggregated per shard with the
+    same map-side partials; the patch is a |shards|-row outer join."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % PACK_SHARDS
+    )
+    content_term = F.conv(
+        F.substring(F.md5(F.col("text")), 1, 15), 16, 10
+    ).cast("long")
+
+    def per_shard(df):
+        return (
+            df.select(
+                shard.alias("shard"),
+                token_count(F.col("text")).alias("n_tok"),
+                content_term.alias("ct"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("n_tokens"),
+                F.expr("bit_xor(ct)").cast("long").alias("content_xor"),
+            )
+        )
+
+    base = per_shard(v0)
+    # the delta: docs only in v0 (removed / revised-away) and docs
+    # only in v1 (added / revised-in) — revision = remove + add, and
+    # a changed text changes the (doc_id, text) identity
+    k0 = v0.select("doc_id", F.md5("text").alias("hh"), "text")
+    k1 = v1.select("doc_id", F.md5("text").alias("hh"), "text")
+    removed = per_shard(k0.join(k1, ["doc_id", "hh"], "left_anti"))
+    added = per_shard(k1.join(k0, ["doc_id", "hh"], "left_anti"))
+
+    def pick(side, col):
+        return F.coalesce(F.col(f"{side}_{col}"), F.lit(0))
+
+    j = (
+        base.select(
+            "shard",
+            F.col("n_docs").alias("b_n_docs"),
+            F.col("n_tokens").alias("b_n_tokens"),
+            F.col("content_xor").alias("b_content_xor"),
+        )
+        .join(
+            removed.select(
+                "shard",
+                F.col("n_docs").alias("r_n_docs"),
+                F.col("n_tokens").alias("r_n_tokens"),
+                F.col("content_xor").alias("r_content_xor"),
+            ),
+            "shard",
+            "full_outer",
+        )
+        .join(
+            added.select(
+                "shard",
+                F.col("n_docs").alias("a_n_docs"),
+                F.col("n_tokens").alias("a_n_tokens"),
+                F.col("content_xor").alias("a_content_xor"),
+            ),
+            "shard",
+            "full_outer",
+        )
+    )
+    patched = j.select(
+        "shard",
+        (pick("b", "n_docs") - pick("r", "n_docs") + pick("a", "n_docs"))
+        .cast("long")
+        .alias("n_docs"),
+        (
+            pick("b", "n_tokens")
+            - pick("r", "n_tokens")
+            + pick("a", "n_tokens")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        pick("b", "content_xor")
+        .bitwiseXOR(pick("r", "content_xor"))
+        .bitwiseXOR(pick("a", "content_xor"))
+        .cast("long")
+        .alias("content_xor"),
+    )
+    return patched.filter(F.col("n_docs") > 0).orderBy("shard")
+
+
 QC_WIDE_FEATURES = 32  # capacity-step width (oracle lockstep)
 QC_PROB_BIN = 1000  # milli-probability grid for calibration bins
 

@@ -8743,6 +8743,40 @@ def q_shard_manifest(spark, sf_dir):
     return text.shard_manifest(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "shard_manifest_update",
+    # oracle = the manifest recomputed FROM SCRATCH over the revised
+    # corpus — the xor patch must land exactly there, shard for shard
+    "WITH "
+    + text.REVISION_ORACLE_CTE
+    + f""",
+t AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % {text.PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+              AS BIGINT) AS ct
+  FROM rdocs)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(bit_xor(ct) AS BIGINT) AS content_xor
+FROM t GROUP BY shard ORDER BY shard""",
+)
+def q_shard_manifest_update(spark, sf_dir):
+    """Incremental manifest maintenance across a crawl revision: the
+    v0 manifest patched by only the delta docs (counts add/subtract;
+    the xor digest self-inverts, so removal = re-xor) must equal the
+    manifest rebuilt from the revised corpus — the
+    algebraic-maintenance proof, |delta|-bounded instead of
+    corpus-bounded. Extrema are deliberately absent (not
+    group-invertible under removal; production manifests re-derive
+    ranges at segment compaction)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.shard_manifest_update(docs, text.with_revision(docs))
+
+
 def _tdocs_df(spark, sf_dir):
     return text.with_template_docs(_t(spark, sf_dir, "documents"))
 
