@@ -8743,6 +8743,143 @@ def q_shard_manifest(spark, sf_dir):
     return text.shard_manifest(_t(spark, sf_dir, "documents"))
 
 
+_MANIFEST_FOLD_SQL = f"""
+t AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % {text.PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+              AS BIGINT) AS ct
+  FROM dupes)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(bit_xor(ct) AS BIGINT) AS content_xor
+FROM t GROUP BY shard ORDER BY shard"""
+
+
+@query(
+    "streaming_shard_manifest",
+    # oracle = the manifest recomputed from scratch over
+    # corpus ∪ both streamed batches
+    _with_dupes(", " + _MANIFEST_FOLD_SQL.lstrip()),
+)
+def q_streaming_shard_manifest(spark, sf_dir):
+    """The manifest as the FIFTH maintained artifact, streamed: base
+    built over the corpus, two document micro-batches land their
+    per-shard terms as batch-keyed adds segments, and the serving
+    fold (counts SUM, digests XOR) must equal the manifest rebuilt
+    over corpus ∪ batches. Replay safety here is NOT algebraic — xor
+    self-inverts, so a destructive fold of a replayed batch would
+    CANCEL its digests — which is exactly why the ledger discipline
+    (batch-keyed segment overwrite, fold only at read/compaction) is
+    mandatory; pytest replays from a fresh checkpoint and proves the
+    artifact unchanged."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.pipeline import (
+        build_manifest_artifact,
+        manifest_compact,
+        read_manifest_serving,
+        run_manifest_update_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dupes = dedup.with_synthetic_dupes(docs)
+    b0 = dupes.filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+    )
+    b1 = dupes.filter(F.col("doc_id") >= 200000)
+    work = tempfile.mkdtemp(prefix="manifest_stream_")
+    try:
+        mpath = f"{work}/manifest"
+        build_manifest_artifact(docs, mpath)
+        in_dir = f"{work}/in"
+        _os.makedirs(in_dir)
+        base_t = _time.time()
+        for i, b in enumerate((b0, b1)):
+            stage = f"{work}/stage_{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_manifest_update_stream(spark, stream, mpath, f"{work}/ckpt")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "manifest-update stream did not drain within 300 s"
+                + (f": {q.exception()}" if q.exception() else "")
+            )
+        # compaction must not change the fold — serve from the
+        # compacted base
+        manifest_compact(spark, mpath)
+        out = read_manifest_serving(spark, mpath).orderBy("shard")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "shard_manifest_erase_serve",
+    # oracle = the manifest recomputed from scratch WITHOUT the
+    # erased subjects (the standing band/chunk erase set — one GDPR
+    # request across the document artifacts)
+    "WITH "
+    + _AUDIT_ERASED_CTE
+    + ", "
+    + _MANIFEST_FOLD_SQL.lstrip(),
+)
+def q_shard_manifest_erase_serve(spark, sf_dir):
+    """Right-to-be-forgotten on the manifest artifact: the erase
+    segment carries the subjects' own terms (counts negated; the xor
+    digest self-inverts, so erasure is the ONE place the xor algebra
+    helps instead of hurts) and the serving fold must equal the
+    manifest rebuilt without them — governance now reaches all five
+    maintained artifacts."""
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import (
+        build_manifest_artifact,
+        manifest_erase,
+        read_manifest_serving,
+    )
+
+    dupes = _dupes_df(spark, sf_dir)
+    er_docs = dupes.filter(
+        (F.col("doc_id") < 100000)
+        & (
+            F.col("doc_id") % dedup.BAND_ERASE_MOD
+            == dedup.BAND_ERASE_RESIDUE
+        )
+    )
+    work = tempfile.mkdtemp(prefix="manifest_erase_")
+    try:
+        mpath = f"{work}/manifest"
+        build_manifest_artifact(dupes, mpath)
+        manifest_erase(spark, mpath, er_docs)
+        out = read_manifest_serving(spark, mpath).orderBy("shard")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "shard_manifest_update",
     # oracle = the manifest recomputed FROM SCRATCH over the revised

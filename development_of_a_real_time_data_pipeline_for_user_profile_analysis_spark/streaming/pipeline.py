@@ -1475,3 +1475,203 @@ def run_pii_redact_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _manifest_shard_rows(documents: DataFrame) -> DataFrame:
+    """Per-shard (n_docs, n_tokens, content_xor) rows for a document
+    slice — the manifest's additive/xor terms (text.shard_manifest
+    minus the non-invertible id range)."""
+    from ..operators.text import PACK_SHARDS, token_count
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % PACK_SHARDS
+    )
+    ct = F.conv(
+        F.substring(F.md5(F.col("text")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        documents.select(
+            shard.alias("shard"),
+            token_count(F.col("text")).alias("n_tok"),
+            ct.alias("ct"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.expr("bit_xor(ct)").cast("long").alias("content_xor"),
+        )
+    )
+
+
+def build_manifest_artifact(corpus: DataFrame, path: str) -> None:
+    """Materialize the MAINTAINED manifest artifact (the fifth
+    maintained artifact, after the IVF-PQ index, band index,
+    chunk-digest index and cluster labels): `{path}/base` holds the
+    per-shard manifest rows; `adds/batch_id=N` and `erases/seg_id=N`
+    segments accumulate until a compaction folds them."""
+    import os
+
+    _manifest_shard_rows(corpus).write.mode("overwrite").parquet(
+        os.path.join(path, "base")
+    )
+
+
+def read_manifest_serving(spark: SparkSession, path: str) -> DataFrame:
+    """THE manifest serving read: base ∪ add segments ∪ erase
+    segments, folded per shard — counts SUM (erase segments carry
+    negated counts) and digests XOR (self-inverting, so an erase
+    segment carries the erased docs' own xor terms and cancels them
+    out). Shards whose docs all left fold to zero and drop, exactly
+    as a rebuild emits no row for an empty shard."""
+    import os
+
+    from ..operators.dedup import require_local_index_path
+
+    require_local_index_path("read_manifest_serving", path)
+    parts = [spark.read.parquet(os.path.join(path, "base"))]
+    for seg in ("adds", "erases"):
+        d = os.path.join(path, seg)
+        if os.path.isdir(d) and any(
+            e.split("=", 1)[0] in ("batch_id", "seg_id")
+            for e in os.listdir(d)
+        ):
+            parts.append(
+                spark.read.parquet(d).select(
+                    "shard", "n_docs", "n_tokens", "content_xor"
+                )
+            )
+    rel = parts[0]
+    for p in parts[1:]:
+        rel = rel.unionByName(p)
+    return (
+        rel.groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("bit_xor(content_xor)")
+            .cast("long")
+            .alias("content_xor"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
+def run_manifest_update_stream(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    manifest_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the manifest artifact: each document
+    micro-batch lands its per-shard terms as `adds/batch_id=N`.
+
+    REPLAY SAFETY IS NOT ALGEBRAIC HERE, by design: xor is its own
+    inverse, so a destructive in-place fold of a replayed batch
+    would CANCEL the batch's digest terms instead of no-opping (and
+    the counts would double) — the opposite failure modes, both
+    silent. Hence the ledger discipline is mandatory: batch-keyed
+    segment OVERWRITE makes a replay replace its own segment, and
+    folding only happens at the serving read / compaction. The
+    docstring-level contrast with the cluster stream (where
+    connected components ARE idempotent under edge re-addition) is
+    the round-8 lesson: choose bookkeeping per operator algebra."""
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        _manifest_shard_rows(batch_df).write.mode("overwrite").parquet(
+            os.path.join(manifest_path, "adds", f"batch_id={batch_id}")
+        )
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def manifest_erase(
+    spark: SparkSession,
+    path: str,
+    erased_docs: DataFrame,
+    seg_id: int | str | None = None,
+) -> dict:
+    """Right-to-be-forgotten on the manifest artifact: the erase
+    segment carries the erased docs' own terms with NEGATED counts —
+    the xor digest needs no negation (self-inverting), so serving
+    folds the subjects out exactly. Request-sized write, seg-keyed
+    for idempotent replay."""
+    import os
+
+    from ..operators.dedup import require_local_index_path
+
+    require_local_index_path("manifest_erase", path)
+    er_dir = os.path.join(path, "erases")
+    if seg_id is None:
+        seg_id = (
+            max(
+                (
+                    int(e.split("=", 1)[1])
+                    for e in os.listdir(er_dir)
+                    if e.startswith("seg_id=")
+                    and e.split("=", 1)[1].isdigit()
+                ),
+                default=-1,
+            )
+            + 1
+            if os.path.isdir(er_dir)
+            else 0
+        )
+    delta = _manifest_shard_rows(erased_docs).select(
+        "shard",
+        (-F.col("n_docs")).alias("n_docs"),
+        (-F.col("n_tokens")).alias("n_tokens"),
+        "content_xor",
+    )
+    delta.write.mode("overwrite").parquet(
+        os.path.join(er_dir, f"seg_id={seg_id}")
+    )
+    written = spark.read.parquet(os.path.join(er_dir, f"seg_id={seg_id}"))
+    return {
+        "seg_id": seg_id,
+        "n_docs_erased": int(
+            -written.agg(F.sum("n_docs")).collect()[0][0] or 0
+        ),
+    }
+
+
+def manifest_compact(spark: SparkSession, path: str) -> dict:
+    """Fold the manifest ledgers into a clean base (rename-swap). An
+    empty fold result (every doc erased) is a LEGITIMATE manifest —
+    like the cluster labels, plain parquet writes of empty DataFrames
+    are schema-bearing — but an artifact for an empty corpus is
+    better deleted; the count is surfaced so callers can decide."""
+    import os
+    import shutil
+    import uuid
+
+    from ..operators.dedup import require_local_index_path
+
+    require_local_index_path("manifest_compact", path)
+    n_segs = sum(
+        len(os.listdir(os.path.join(path, d)))
+        for d in ("adds", "erases")
+        if os.path.isdir(os.path.join(path, d))
+    )
+    if not n_segs:
+        return {"n_segments": 0, "n_shards": None}
+    merged = read_manifest_serving(spark, path)
+    scratch = os.path.join(path, f".base_compact_{uuid.uuid4().hex}")
+    merged.write.parquet(scratch)
+    old = os.path.join(path, f".base_old_{uuid.uuid4().hex}")
+    os.rename(os.path.join(path, "base"), old)
+    os.rename(scratch, os.path.join(path, "base"))
+    shutil.rmtree(old, ignore_errors=True)
+    for d in ("adds", "erases"):
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    n_shards = int(spark.read.parquet(os.path.join(path, "base")).count())
+    return {"n_segments": n_segs, "n_shards": n_shards}

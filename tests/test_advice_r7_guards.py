@@ -326,3 +326,113 @@ def test_boilerplate_scrub_stream_matches_batch_and_replays(
         .collect()
     }
     assert again == got
+
+
+def test_manifest_ledger_discipline_and_replay(spark, sf_dir, tmp_path):
+    """The manifest artifact's replay safety is BOOKKEPT, not
+    algebraic (xor self-inverts — a destructive re-fold of a
+    replayed batch would cancel its digests and double its counts):
+    batch-keyed segment overwrite must make a checkpoint-reset
+    replay a no-op; erase + compact must land exactly on the
+    rebuild-without-erased manifest; and interleavings (add → erase
+    → compact → add) keep the fold exact."""
+    import glob as _glob
+    import time as _time
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        _manifest_shard_rows,
+        build_manifest_artifact,
+        manifest_compact,
+        manifest_erase,
+        read_manifest_serving,
+        run_manifest_update_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dupes = dedup.with_synthetic_dupes(docs)
+    b0 = dupes.filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+    )
+    b1 = dupes.filter(F.col("doc_id") >= 200000)
+
+    mpath = str(tmp_path / "manifest")
+    build_manifest_artifact(docs, mpath)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base_t = _time.time()
+    for i, b in enumerate((b0, b1)):
+        stage = str(tmp_path / f"stage_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_manifest_update_stream(
+            spark, stream, mpath, str(tmp_path / ckpt)
+        )
+        assert q.awaitTermination(300)
+
+    def fold():
+        return {
+            r.shard: (r.n_docs, r.n_tokens, r.content_xor)
+            for r in read_manifest_serving(spark, mpath).collect()
+        }
+
+    def rebuilt(rel):
+        return {
+            r.shard: (r.n_docs, r.n_tokens, r.content_xor)
+            for r in _manifest_shard_rows(rel).collect()
+        }
+
+    run("ck1")
+    assert fold() == rebuilt(dupes)
+    # checkpoint-reset replay: batch-keyed overwrite → unchanged
+    # (a destructive xor fold would have cancelled both batches here)
+    run("ck2")
+    assert fold() == rebuilt(dupes)
+
+    # erase the standing subject set; serve == rebuild-without
+    er = dupes.filter(
+        (F.col("doc_id") < 100000)
+        & (F.col("doc_id") % dedup.BAND_ERASE_MOD == dedup.BAND_ERASE_RESIDUE)
+    )
+    stats = manifest_erase(spark, mpath, er)
+    assert stats["n_docs_erased"] == er.count() > 0
+    survivors = dupes.join(er.select("doc_id"), "doc_id", "left_anti")
+    assert fold() == rebuilt(survivors)
+
+    # compaction folds the ledgers physically; fold unchanged
+    st = manifest_compact(spark, mpath)
+    assert st["n_segments"] == 3  # 2 adds + 1 erase
+    assert not os.path.isdir(f"{mpath}/adds")
+    assert fold() == rebuilt(survivors)
+    # idempotent: nothing left
+    assert manifest_compact(spark, mpath)["n_segments"] == 0
+
+    # post-compaction add still folds exactly: the manifest counts
+    # CONTRIBUTIONS, so landing b0 again on the compacted base makes
+    # the fold equal the rebuild over survivors + b0
+    _manifest_shard_rows(b0).write.mode("overwrite").parquet(
+        f"{mpath}/adds/batch_id=9"
+    )
+    assert fold() == rebuilt(survivors.unionByName(b0))
+
+    # URI guard on every segment-listing entry point
+    for fn in (
+        lambda p: read_manifest_serving(spark, p),
+        lambda p: manifest_erase(spark, p, er),
+        lambda p: manifest_compact(spark, p),
+    ):
+        with pytest.raises(ValueError, match="os.listdir"):
+            fn("s3a://bucket/m")
