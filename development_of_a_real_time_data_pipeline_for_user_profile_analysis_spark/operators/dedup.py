@@ -985,7 +985,13 @@ def near_dup_pairs_from_band_index(
     exact Jaccard verify as near_dedup_minhash. The device that lets
     a pipeline building BOTH the band index and the cluster labels
     pay for one signature pass (erasure_completeness_audit measured
-    the double pass before this existed)."""
+    the double pass before this existed).
+
+    The verify stage consumes the shingle table THREE times (a-side,
+    b-side, per-doc sizes), so it is persisted here and released
+    after the verified pairs materialize (ADVICE r9, low) — without
+    it the function saved a signature pass but leaked a triple
+    shingle computation."""
     banded = read_band_index_serving(spark, index_path)
     other = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
     cands = (
@@ -994,8 +1000,14 @@ def near_dup_pairs_from_band_index(
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, cands)
-    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+    sh = shingles(docs).persist()
+    try:
+        verified = ngram_jaccard_pairs(docs, cands, sh=sh).filter(
+            F.col("jaccard") >= jaccard_threshold
+        )
+        return verified.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def near_dup_clusters_checkpointed(
@@ -2080,6 +2092,9 @@ def read_band_index_serving(spark, path: str) -> DataFrame:
     import os
 
     require_local_index_path("read_band_index_serving", path)
+    from . import artifact_lifecycle as alc
+
+    alc.recover_torn_compaction(path, "bands")
     bands = spark.read.parquet(os.path.join(path, "bands"))
     adds_dir = os.path.join(path, "adds")
     if os.path.isdir(adds_dir) and any(
@@ -2113,7 +2128,10 @@ def band_index_erase(
     permanently. Cost: one tiny parquet write."""
     import os
 
+    from . import artifact_lifecycle as alc
+
     require_local_index_path("band_index_erase", path)
+    alc.recover_torn_compaction(path, "bands")
     ids = erase_ids.select("doc_id").distinct()
     ts_dir = os.path.join(path, "tombstones")
     if seg_id is None:
@@ -2140,36 +2158,57 @@ def band_index_erase(
 
 def band_index_compact(spark, path: str) -> dict:
     """Fold the band artifact's ledgers: base ∪ add segments minus
-    tombstoned doc_ids → a clean bands table (rename-swap publish,
-    the ivfpq_compact_segments protocol); the add-segment and
+    tombstoned doc_ids → a clean bands table; the add-segment and
     tombstone areas empty — erased subjects' signatures physically
-    leave the artifact and streamed segments merge into the base."""
+    leave the artifact and streamed segments merge into the base.
+
+    CRASH-FENCED (VERDICT r8 #1) via the shared epoch-marker
+    protocol (operators/artifact_lifecycle.py): the segment list is
+    recorded in a pending marker before the fold, the fold reads
+    ONLY the listed segments, the epoch publishes atomically with
+    the bands directory, and recovery (run by the serving read, the
+    erase, and the compactor) rolls a torn state forward or back —
+    a crash between the rename-swap and the ledger retirement can
+    no longer re-fold the add segments into duplicate band rows."""
     import os
-    import shutil
     import uuid
 
+    from . import artifact_lifecycle as alc
+
     require_local_index_path("band_index_compact", path)
-    ts = read_band_tombstones(spark, path)
-    adds_dir = os.path.join(path, "adds")
-    n_adds = (
-        len([e for e in os.listdir(adds_dir) if e.startswith("batch_id=")])
-        if os.path.isdir(adds_dir)
-        else 0
-    )
-    if ts is None and not n_adds:
+    alc.recover_torn_compaction(path, "bands")
+    specs = [("adds", "batch_id"), ("tombstones", "seg_id")]
+    segs = alc.list_segment_dirs(path, specs)
+    if not segs:
         return {"n_tombstoned": 0, "n_add_segments": 0}
-    n = int(ts.count()) if ts is not None else 0
-    merged = read_band_index_serving(spark, path)
+    marker = alc.begin_compaction(path, "bands", segs)
+    add_segs = [s for s in segs if s.startswith("adds/")]
+    ts_segs = [s for s in segs if s.startswith("tombstones/")]
+    def _union_segs(seg_list, cols):
+        parts = [
+            spark.read.parquet(os.path.join(path, s)).select(*cols)
+            for s in seg_list
+        ]
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionByName(pt)
+        return out
+
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    if add_segs:
+        bands = bands.unionByName(_union_segs(add_segs, bands.columns))
+    n = 0
+    if ts_segs:
+        ts = _union_segs(ts_segs, ["doc_id"]).distinct()
+        n = int(ts.count())
+        bands = bands.join(F.broadcast(ts), "doc_id", "left_anti")
     scratch = os.path.join(path, f".bands_compact_{uuid.uuid4().hex}")
-    merged.write.parquet(scratch)
+    bands.write.parquet(scratch)
     require_nonempty_parquet_scratch(scratch, "band index")
-    old = os.path.join(path, f".bands_old_{uuid.uuid4().hex}")
-    os.rename(os.path.join(path, "bands"), old)
-    os.rename(scratch, os.path.join(path, "bands"))
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(adds_dir, ignore_errors=True)
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-    return {"n_tombstoned": n, "n_add_segments": n_adds}
+    alc.stamp_scratch_epoch(scratch, marker["to_epoch"])
+    alc.publish_base(path, "bands", scratch)
+    alc.finish_compaction(path, marker)
+    return {"n_tombstoned": n, "n_add_segments": len(add_segs)}
 
 
 def incremental_near_dups_indexed(

@@ -1747,6 +1747,9 @@ def read_ivfpq_index_with_adds(spark, path: str) -> dict:
     from .dedup import require_local_index_path
 
     require_local_index_path("read_ivfpq_index_with_adds", path)
+    from . import artifact_lifecycle as alc
+
+    alc.recover_torn_compaction(path, "codes")
     index = read_ivfpq_index(spark, path)
     adds_dir = f"{path}/codes_adds"
     if os.path.isdir(adds_dir) and any(
@@ -2341,9 +2344,11 @@ def ivfpq_erase(
     """
     import os
 
+    from . import artifact_lifecycle as alc
     from .dedup import require_local_index_path
 
     require_local_index_path("ivfpq_erase", path)
+    alc.recover_torn_compaction(path, "codes")
     ids = erase_ids.select("vec_id").distinct()
     codes = read_ivfpq_index_with_adds(spark, path)["codes"]
     cells = (
@@ -2487,53 +2492,78 @@ def ivfpq_compact_segments(spark, path: str) -> dict:
     serve-before == serve-after across erase/add interleavings).
 
     Publish protocol on a plain filesystem: the merged codes land in
-    a scratch directory, then swap in via rename with the old tree
-    kept until the swap completes (a table format — Iceberg/Delta —
-    would make this a metadata commit; the physical layout written
-    here is identical). Returns {"n_segments", "n_rows",
-    "n_tombstoned"} of what was folded.
+    a scratch directory, then swap in via rename — CRASH-FENCED
+    (VERDICT r8 #1) by the shared epoch-marker protocol
+    (operators/artifact_lifecycle.py): the segment list is recorded
+    in a pending marker before the fold, the fold reads ONLY the
+    listed segments, the target epoch publishes atomically with the
+    codes directory, and recovery (run by the serving reads, the
+    erase, and the compactor) rolls a torn state forward or back —
+    a crash between the rename-swap and the segment retirement can
+    no longer re-union the adds into duplicate code rows. (A table
+    format — Iceberg/Delta — would make this whole dance a metadata
+    commit; the physical layout written here is identical.) Returns
+    {"n_segments", "n_rows", "n_tombstoned"} of what was folded.
     """
     import os
-    import shutil
     import uuid
 
+    from . import artifact_lifecycle as alc
     from .dedup import require_local_index_path
 
     require_local_index_path("ivfpq_compact_segments", path)
-    adds_dir = os.path.join(path, "codes_adds")
-    segments = (
-        [
-            e
-            for e in os.listdir(adds_dir)
-            if e.startswith("batch_id=")
-        ]
-        if os.path.isdir(adds_dir)
-        else []
-    )
-    ts = read_ivfpq_tombstones(spark, path)
-    if not segments and ts is None:
+    alc.recover_torn_compaction(path, "codes")
+    specs = [("codes_adds", "batch_id"), ("tombstones", "seg_id")]
+    segs = alc.list_segment_dirs(path, specs)
+    if not segs:
         return {"n_segments": 0, "n_rows": 0, "n_tombstoned": 0}
-    merged = read_ivfpq_index_serving(spark, path)["codes"]
-    n_rows = (
-        spark.read.parquet(adds_dir).count() if segments else 0
+    marker = alc.begin_compaction(path, "codes", segs)
+    add_segs = [s for s in segs if s.startswith("codes_adds/")]
+    ts_segs = [s for s in segs if s.startswith("tombstones/")]
+    merged = spark.read.parquet(os.path.join(path, "codes")).select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "sub_id", "code"
     )
-    n_tombstoned = (
-        int(ts.select("vec_id").distinct().count()) if ts is not None else 0
-    )
+    # per-segment reads (each segment dir is itself cell-partitioned,
+    # so a single multi-root read would trip partition discovery)
+    def _union(segs, cols):
+        parts = [
+            spark.read.parquet(os.path.join(path, s)).select(*cols)
+            for s in segs
+        ]
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionByName(pt)
+        return out
+
+    n_rows = 0
+    if add_segs:
+        adds = _union(
+            add_segs,
+            [
+                "vec_id",
+                F.col("cell").cast("long").alias("cell"),
+                "sub_id",
+                "code",
+            ],
+        )
+        n_rows = int(adds.count())
+        merged = merged.unionByName(adds)
+    n_tombstoned = 0
+    if ts_segs:
+        ts = _union(ts_segs, ["vec_id"]).distinct()
+        n_tombstoned = int(ts.count())
+        merged = merged.join(F.broadcast(ts), "vec_id", "left_anti")
     scratch = os.path.join(path, f".codes_compact_{uuid.uuid4().hex}")
     merged.write.partitionBy("cell").parquet(scratch)
     from .dedup import require_nonempty_parquet_scratch
 
     require_nonempty_parquet_scratch(scratch, "IVF-PQ codes")
-    old = os.path.join(path, f".codes_old_{uuid.uuid4().hex}")
-    os.rename(os.path.join(path, "codes"), old)
-    os.rename(scratch, os.path.join(path, "codes"))
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(adds_dir, ignore_errors=True)
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    alc.stamp_scratch_epoch(scratch, marker["to_epoch"])
+    alc.publish_base(path, "codes", scratch)
+    alc.finish_compaction(path, marker)
     return {
-        "n_segments": len(segments),
-        "n_rows": int(n_rows),
+        "n_segments": len(add_segs),
+        "n_rows": n_rows,
         "n_tombstoned": n_tombstoned,
     }
 

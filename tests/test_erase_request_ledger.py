@@ -1,0 +1,190 @@
+"""Durable erase-request ledger (round-9 ask #2): one GDPR request
+must be provably applied to ALL maintained artifacts even across a
+driver crash mid-sequence. The ledger records the subject set before
+any artifact is touched, marks each artifact applied only after its
+erase returns, surfaces the gap per (request, artifact), and resumes
+by applying exactly the gap — leaning on each artifact's own
+idempotent-repeat semantics so a marker lost in the crash window is
+a harmless re-run."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+    governance as gov,
+)
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+def _subjects(spark, ids):
+    return spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+
+
+def test_open_is_idempotent_and_preserves_progress(spark, tmp_path):
+    led = str(tmp_path / "led")
+    st = gov.erase_request_open(spark, led, "r1", _subjects(spark, range(5)))
+    assert st == {"request_id": "r1", "n_subjects": 5}
+    gov.erase_request_mark_applied(led, "r1", "band_index")
+    # re-open (replayed workflow step): same subjects, progress kept
+    st2 = gov.erase_request_open(
+        spark, led, "r1", _subjects(spark, range(5))
+    )
+    assert st2["n_subjects"] == 5
+    status = {
+        (r.request_id, r.artifact): r.applied
+        for r in gov.erase_request_status(spark, led).collect()
+    }
+    assert status[("r1", "band_index")] == 1
+    assert status[("r1", "shard_manifest")] == 0
+    assert len(status) == len(gov.ERASURE_ARTIFACTS)
+    with pytest.raises(ValueError, match="plain token"):
+        gov.erase_request_open(spark, led, "a/b", _subjects(spark, [1]))
+    with pytest.raises(ValueError, match="os.listdir"):
+        gov.erase_request_status(spark, "s3a://bucket/led")
+
+
+def test_crash_between_artifacts_resumes_exactly_the_gap(
+    spark, tmp_path
+):
+    """The VERDICT r8 seam verbatim: the driver dies after 2 of 5
+    artifacts — the ledger must report exactly the 3 pending, and
+    the resume must run exactly those 3 (never re-erasing the
+    applied ones)."""
+    led = str(tmp_path / "led")
+    gov.erase_request_open(spark, led, "r9", _subjects(spark, range(7)))
+    calls = []
+
+    def applier(name, explode_at=None):
+        def f(subjects):
+            if name == explode_at:
+                raise RuntimeError("simulated driver crash")
+            calls.append((name, subjects.count()))
+
+        return f
+
+    appliers = {
+        a: applier(a, explode_at="cluster_labels")
+        for a in gov.ERASURE_ARTIFACTS
+    }
+    with pytest.raises(RuntimeError, match="simulated driver crash"):
+        gov.apply_erase_request(spark, led, "r9", appliers)
+    # deterministic (sorted) order: band_index and chunk_digest_index
+    # ran and are marked; cluster_labels crashed unmarked
+    pending = sorted(
+        r.artifact
+        for r in gov.erase_request_status(spark, led).collect()
+        if not r.applied
+    )
+    assert pending == ["cluster_labels", "ivfpq_codes", "shard_manifest"]
+    assert [c[0] for c in calls] == ["band_index", "chunk_digest_index"]
+
+    # resume with healthy appliers: exactly the gap runs
+    calls.clear()
+    res = gov.apply_erase_request(
+        spark, led, "r9", {a: applier(a) for a in gov.ERASURE_ARTIFACTS}
+    )
+    assert res["ran"] == ["cluster_labels", "ivfpq_codes", "shard_manifest"]
+    assert res["skipped"] == ["band_index", "chunk_digest_index"]
+    assert [c[0] for c in calls] == res["ran"]
+    assert all(n == 7 for _, n in calls)
+    assert all(
+        r.applied
+        for r in gov.erase_request_status(spark, led).collect()
+    )
+    # fully-applied replay is a pure no-op
+    calls.clear()
+    res2 = gov.apply_erase_request(
+        spark, led, "r9", {a: applier(a) for a in gov.ERASURE_ARTIFACTS}
+    )
+    assert res2["ran"] == [] and len(res2["skipped"]) == 5
+    assert calls == []
+
+
+def test_ledger_drives_real_artifacts_end_to_end(spark, tmp_path):
+    """Integration: the ledger workflow drives REAL erases on two
+    maintained artifacts (manifest + band index), crashes between
+    them, resumes, and both artifacts verifiably exclude the
+    subjects — including the manifest repeat-safety when the marker
+    is lost AFTER the erase ran (the erase re-runs as a suppressed
+    no-op instead of double-subtracting)."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        dedup,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming import (
+        pipeline,
+    )
+
+    rows = [
+        (int(i), " ".join(f"w{i}q{j} tok{j}" for j in range(12)))
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    subj = docs.filter(F.col("doc_id") < 5)
+    mpath = str(tmp_path / "m")
+    bpath = str(tmp_path / "b")
+    led = str(tmp_path / "led")
+    pipeline.build_manifest_artifact(docs, mpath)
+    dedup.write_band_index(docs, bpath)
+    gov.erase_request_open(spark, led, "req", subj.select("doc_id"))
+
+    def erase_manifest(ids):
+        pipeline.manifest_erase(
+            spark, mpath, docs.join(F.broadcast(ids), "doc_id", "left_semi")
+        )
+
+    def erase_band(ids):
+        dedup.band_index_erase(spark, bpath, ids)
+
+    # crash AFTER the manifest erase ran but BEFORE its marker: the
+    # worst ordering — resume re-runs the manifest erase, which must
+    # be a suppressed no-op (idempotent repeat), not a double-apply
+    def erase_manifest_then_crash(ids):
+        erase_manifest(ids)
+        raise RuntimeError("simulated crash before marker")
+
+    with pytest.raises(RuntimeError, match="before marker"):
+        gov.apply_erase_request(
+            spark,
+            led,
+            "req",
+            {"a_manifest": erase_manifest_then_crash, "b_band": erase_band},
+        )
+    pending = sorted(
+        r.artifact
+        for r in gov.erase_request_status(
+            spark, led, artifacts=("a_manifest", "b_band")
+        ).collect()
+        if not r.applied
+    )
+    assert pending == ["a_manifest", "b_band"]
+
+    res = gov.apply_erase_request(
+        spark,
+        led,
+        "req",
+        {"a_manifest": erase_manifest, "b_band": erase_band},
+    )
+    assert res["ran"] == ["a_manifest", "b_band"]
+    # both artifacts verifiably exclude the subjects, exactly once
+    fold = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_xor)
+        for r in pipeline.read_manifest_serving(spark, mpath).collect()
+    }
+    want = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_xor)
+        for r in pipeline._manifest_shard_rows(
+            docs.filter(F.col("doc_id") >= 5)
+        ).collect()
+    }
+    assert fold == want
+    assert (
+        dedup.read_band_index_serving(spark, bpath)
+        .join(F.broadcast(subj.select("doc_id")), "doc_id", "left_semi")
+        .count()
+        == 0
+    )
