@@ -108,6 +108,207 @@ def shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
     )
 
 
+NONWS_LANGS = ("zh", "ja", "ko", "th")  # no-whitespace scripts
+CHAR_SHINGLE_CHARS = 6  # char n-gram width for no-whitespace langs
+CJK_VARIANT_ID_OFFSET = 600000  # planted near-dup variants (fixture)
+
+
+def with_cjk_docs(documents: DataFrame) -> DataFrame:
+    """Planted NON-WHITESPACE fixture (round-9 ask #7): every 'zh'
+    doc's text is de-spaced (the fixture corpus is synthetic English
+    everywhere — this makes the zh slice genuinely whitespace-free,
+    like real CJK), and every odd-id zh doc spawns a near-dup
+    variant (id + 600000) = the de-spaced text plus a short tail.
+    Word-level shingles see each such doc as ONE word, so the
+    variant shares zero shingles with its base — whitespace
+    tokenization is blind to the planted near-dups; char n-grams
+    see ~97% overlap. Mirrored by CJK_ORACLE_CTE (CTE `cdocs`)."""
+    despaced = F.translate(F.col("text"), " ", "")
+    base = documents.withColumn(
+        "text",
+        F.when(F.col("lang") == "zh", despaced).otherwise(F.col("text")),
+    )
+    variants = (
+        documents.filter(
+            (F.col("lang") == "zh") & (F.col("doc_id") % 2 == 1)
+        )
+        .withColumn("text", F.concat(despaced, F.lit("xtail")))
+        .withColumn("doc_id", F.col("doc_id") + CJK_VARIANT_ID_OFFSET)
+    )
+    return base.unionByName(variants)
+
+
+CJK_ORACLE_CTE = f"""
+cdocs AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'zh' THEN replace(text, ' ', '')
+              ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {CJK_VARIANT_ID_OFFSET},
+         replace(text, ' ', '') || 'xtail', lang, source, n_chars
+  FROM documents WHERE lang = 'zh' AND doc_id % 2 = 1
+)"""
+
+
+def char_shingles(
+    docs: DataFrame, n: int = CHAR_SHINGLE_CHARS
+) -> DataFrame:
+    """Distinct char n-gram shingles per doc — the tokenizer tier for
+    scripts without whitespace word boundaries. ~|chars| rows per
+    doc (vs ~|words| for word shingles): the cost of not having word
+    boundaries; at scale the char tier runs only on the no-
+    whitespace language partition, never corpus-wide."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length("text") - (n - 1), F.lit(1)
+                    ),
+                )
+            ).alias("i"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            F.substring(F.col("text"), F.col("i"), n).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def lang_aware_shingles(
+    docs: DataFrame,
+    n_words: int = SHINGLE_WORDS,
+    n_chars: int = CHAR_SHINGLE_CHARS,
+    nonws_langs: tuple = NONWS_LANGS,
+) -> DataFrame:
+    """Language-keyed shingle table (round-9 ask #7): word n-grams
+    for whitespace-delimited languages, char n-grams for the
+    no-whitespace scripts — the `lang` column (language-ID is an
+    upstream tier) picks the tokenizer, so the near-dup funnel stops
+    treating a 300-char CJK document as a single 'word'. Drop-in for
+    every `sh=` parameter in the minhash/LSH/verify pipeline; the
+    two partitions' shingle spaces are disjoint in practice (word
+    shingles carry spaces), so cross-language false candidates don't
+    arise."""
+    ws = docs.filter(~F.col("lang").isin(*nonws_langs))
+    nonws = docs.filter(F.col("lang").isin(*nonws_langs))
+    return shingles(ws, n_words).unionByName(
+        char_shingles(nonws, n_chars)
+    )
+
+
+def lang_dedup_delta_report(
+    docs: DataFrame, jaccard_threshold: float = 0.6
+) -> DataFrame:
+    """Quantify what language-aware tokenization changes: the SAME
+    minhash→LSH→Jaccard pipeline run twice over the corpus — once on
+    whitespace word shingles, once on lang_aware_shingles — and per
+    mode: confirmed pairs, pairs among no-whitespace docs, distinct
+    no-whitespace docs flagged, and the no-whitespace slice's token
+    units under that tokenizer (a de-spaced doc counts ONE
+    whitespace token — the same blindness breaks Gopher-style length
+    gates, which is why quality stats key on the lang tier too).
+
+    Scale shape: two banded near-dup passes (each the standard
+    pipeline cost; the char tier only explodes the no-whitespace
+    partition) + request-small pair joins; token units are one
+    narrow aggregate per mode."""
+    langs = docs.select("doc_id", "lang")
+    nonws = F.col("lang").isin(*NONWS_LANGS)
+
+    def mode_row(mode: str) -> DataFrame:
+        sh = (
+            shingles(docs)
+            if mode == "whitespace"
+            else lang_aware_shingles(docs)
+        ).persist()
+        try:
+            cands = lsh_candidate_pairs(docs, sh=sh)
+            pairs = ngram_jaccard_pairs(docs, cands, sh=sh).filter(
+                F.col("jaccard") >= jaccard_threshold
+            )
+            tagged = (
+                pairs.join(
+                    langs.select(
+                        F.col("doc_id").alias("doc_a"),
+                        F.col("lang").alias("lang_a"),
+                    ),
+                    "doc_a",
+                )
+                .join(
+                    langs.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("lang").alias("lang_b"),
+                    ),
+                    "doc_b",
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            sh.unpersist()
+        flagged = (
+            tagged.filter(F.col("lang_a").isin(*NONWS_LANGS))
+            .select(F.col("doc_a").alias("doc_id"))
+            .unionByName(
+                tagged.filter(
+                    F.col("lang_b").isin(*NONWS_LANGS)
+                ).select(F.col("doc_b").alias("doc_id"))
+            )
+            .distinct()
+        )
+        token_units = (
+            F.size(F.split("text", " "))
+            if mode == "whitespace"
+            else F.greatest(
+                F.length("text") - (CHAR_SHINGLE_CHARS - 1), F.lit(1)
+            )
+        )
+        counts = tagged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("lang_a").isin(*NONWS_LANGS)
+                        & F.col("lang_b").isin(*NONWS_LANGS),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_nonws_pairs"),
+        )
+        fl = flagged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nonws_docs_flagged")
+        )
+        tk = docs.filter(nonws).agg(
+            F.sum(token_units).cast("long").alias("nonws_token_units")
+        )
+        return (
+            counts.crossJoin(fl)
+            .crossJoin(tk)
+            .select(
+                F.lit(mode).alias("tokenizer"),
+                "n_pairs",
+                "n_nonws_pairs",
+                "n_nonws_docs_flagged",
+                "nonws_token_units",
+            )
+        )
+
+    return (
+        mode_row("whitespace")
+        .unionByName(mode_row("lang_aware"))
+        .orderBy("tokenizer")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,

@@ -1030,6 +1030,162 @@ def sft_user_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+PREFIX_FORK_MOD = 8  # dialogues with residue 6 spawn a prefix fork
+PREFIX_FORK_RESIDUE = 6
+PREFIX_FORK_ID_OFFSET = 500000
+
+
+def with_prefix_fork_docs(documents: DataFrame) -> DataFrame:
+    """Extend the dialogue corpus with PREFIX FORKS — the dominant
+    chat-data duplication mode the whole-content user digest cannot
+    see (VERDICT r8 round-9 ask #3): every dialogue with doc_id %
+    8 == 6 spawns a fork (id + 500000) sharing the SAME first user
+    turn but a DIVERGENT second user turn and a different assistant
+    reply. Byte hashing misses it (texts differ), sft_user_dedup
+    misses it (the concatenated user content differs) — only a
+    per-turn prefix digest chain finds the shared prompt prefix.
+    Mirrored by PREFIX_FORK_ORACLE_CTE (CTE `pdocs`)."""
+    base = with_dialogue_docs(documents)
+    forks = (
+        documents.filter(
+            F.col("doc_id") % PREFIX_FORK_MOD == PREFIX_FORK_RESIDUE
+        )
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("u: "),
+                F.col("text"),
+                F.lit(" a: fork reply for doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" u: brand new divergent question "),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .withColumn("doc_id", F.col("doc_id") + PREFIX_FORK_ID_OFFSET)
+    )
+    return base.unionByName(forks)
+
+
+# SQL mirror of with_prefix_fork_docs (DuckDB), CTE `pdocs` — keeps
+# DIALOGUE_ORACLE_CTE in lockstep for the base dialogues.
+PREFIX_FORK_ORACLE_CTE = (
+    DIALOGUE_ORACLE_CTE
+    + f""",
+pdocs AS (
+  SELECT * FROM ddocs
+  UNION ALL
+  SELECT doc_id + {PREFIX_FORK_ID_OFFSET},
+         'u: ' || text || ' a: fork reply for doc '
+           || CAST(doc_id AS VARCHAR)
+           || ' u: brand new divergent question '
+           || CAST(doc_id AS VARCHAR),
+         lang, source, n_chars
+  FROM documents
+  WHERE doc_id % {PREFIX_FORK_MOD} = {PREFIX_FORK_RESIDUE}
+)"""
+)
+
+
+def sft_prefix_dedup(documents: DataFrame) -> DataFrame:
+    """Multi-turn PROMPT-PREFIX dedup (round-9 ask #3): two
+    conversations sharing their first k user turns are prefix
+    duplicates even when the tails diverge — the duplication mode
+    that dominates chat data (same opening prompt, different
+    continuations) and that both byte hashing and the whole-user-
+    content digest (sft_user_dedup) pass. Per user turn the digest
+    chain is cumulative (md5 over the ordered turn digests so far —
+    one window pass), so depth-k prefix groups are exact-match
+    groups on the chained digest. Each conversation reports its
+    DEEPEST shared prefix: (doc_id, shared_depth, prefix_digest,
+    n_sharers, keeper_doc_id, is_keeper) with the keeper rule =
+    lowest doc_id among the sharers of that prefix.
+
+    Scale shape: the turn attribution's per-doc windows (bounded by
+    doc length), one per-(doc, turn) ordered reassembly, one
+    cumulative window over ≤ n_user_turns rows per doc, one
+    (depth, digest)-keyed aggregate, one join back. Nothing
+    pairwise — prefix groups shuffle digests, not text."""
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+    is_marker = F.col("word").isin(*DIALOGUE_MARKERS)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    att = words.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.last(F.when(is_marker, F.col("word")), ignorenulls=True)
+        .over(w)
+        .alias("role"),
+        F.sum((F.col("word") == DIALOGUE_MARKERS[0]).cast("int"))
+        .over(w)
+        .alias("u_idx"),
+        is_marker.alias("is_marker"),
+    )
+    turn_digests = (
+        att.filter((F.col("role") == "u:") & ~F.col("is_marker"))
+        .groupBy("doc_id", "u_idx")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "word"))
+                        ),
+                        lambda s: s.word,
+                    ),
+                    " ",
+                )
+            ).alias("turn_digest")
+        )
+    )
+    wp = (
+        Window.partitionBy("doc_id")
+        .orderBy("u_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefixes = turn_digests.select(
+        "doc_id",
+        "u_idx",
+        F.md5(
+            F.concat_ws("|", F.collect_list("turn_digest").over(wp))
+        ).alias("prefix_digest"),
+    )
+    groups = (
+        prefixes.groupBy("u_idx", "prefix_digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sharers"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_sharers") >= 2)
+    )
+    shared = prefixes.join(groups, ["u_idx", "prefix_digest"])
+    deepest = shared.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("u_idx").desc())
+        ),
+    ).filter(F.col("rn") == 1)
+    return deepest.select(
+        "doc_id",
+        F.col("u_idx").cast("long").alias("shared_depth"),
+        "prefix_digest",
+        "n_sharers",
+        "keeper_doc_id",
+        F.when(F.col("doc_id") == F.col("keeper_doc_id"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
 REVISION_RETIRE_MOD = 13  # v1 drops every 13th doc (oracle lockstep)
 REVISION_EDIT_MOD = 11  # every 11th doc's text is revised
 REVISION_FRESH_MOD = 9  # every 9th doc spawns a fresh-crawl doc

@@ -1369,6 +1369,127 @@ def q_near_dedup_minhash(spark, sf_dir):
     return dedup.near_dedup_minhash(_dupes_df(spark, sf_dir))
 
 
+_NONWS_SQL = ", ".join(f"'{l}'" for l in dedup.NONWS_LANGS)
+
+
+def _lang_mode_ctes(p: str, shingle_cte: str) -> str:
+    """The full minhash→LSH→verify chain under a name prefix `p`,
+    reading its shingles from `{p}sh` — the near_dedup_minhash
+    oracle machinery parametrized so two tokenizer modes can run in
+    one statement."""
+    mh = ", ".join(
+        f"min((ha + {s} * hb) % 4294967291) AS mh{s}" for s in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, concat_ws('|', '{b}', mh{2*b}, mh{2*b+1})"
+        f" AS band_key FROM {p}sig"
+        for b in range(4)
+    )
+    return f"""
+{p}sh AS ({shingle_cte}),
+{p}hashed AS (SELECT doc_id,
+  CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT) AS BIGINT) AS ha,
+  CAST(CAST('0x' || substr(md5(shingle), 9, 8) AS UBIGINT) AS BIGINT) AS hb
+  FROM {p}sh),
+{p}sig AS (SELECT doc_id, {mh} FROM {p}hashed GROUP BY doc_id),
+{p}banded AS ({bands}),
+{p}cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {p}banded a JOIN {p}banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+{p}sizes AS (SELECT doc_id, count(*) AS n_sh FROM {p}sh GROUP BY doc_id),
+{p}inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM {p}cands c
+  JOIN {p}sh a ON a.doc_id = c.doc_a
+  JOIN {p}sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b),
+{p}v AS (
+  SELECT i.doc_a, i.doc_b, la.lang AS lang_a, lb.lang AS lang_b
+  FROM {p}inter i
+  JOIN {p}sizes sa ON sa.doc_id = i.doc_a
+  JOIN {p}sizes sb ON sb.doc_id = i.doc_b
+  JOIN cdocs la ON la.doc_id = i.doc_a
+  JOIN cdocs lb ON lb.doc_id = i.doc_b
+  WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5)
+          / 10000.0 >= 0.6)"""
+
+
+_WS_SHINGLE_SQL = """
+  SELECT DISTINCT doc_id,
+    array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')
+      AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+          unnest(generate_series(1,
+            greatest(len(string_split(text, ' ')) - 2, 1))) AS i
+        FROM cdocs)"""
+
+_LA_SHINGLE_SQL = f"""
+  SELECT DISTINCT doc_id,
+    array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')
+      AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+          unnest(generate_series(1,
+            greatest(len(string_split(text, ' ')) - 2, 1))) AS i
+        FROM cdocs WHERE lang NOT IN ({_NONWS_SQL}))
+  UNION
+  SELECT DISTINCT doc_id,
+    substr(text, CAST(i AS INTEGER), {dedup.CHAR_SHINGLE_CHARS})
+      AS shingle
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1,
+            greatest(len(text) - {dedup.CHAR_SHINGLE_CHARS - 1}, 1)))
+            AS i
+        FROM cdocs WHERE lang IN ({_NONWS_SQL}))"""
+
+
+def _lang_mode_row_sql(mode: str, p: str, token_units: str) -> str:
+    return f"""SELECT '{mode}' AS tokenizer,
+  CAST((SELECT count(*) FROM {p}v) AS BIGINT) AS n_pairs,
+  CAST((SELECT coalesce(sum(CASE WHEN lang_a IN ({_NONWS_SQL})
+                             AND lang_b IN ({_NONWS_SQL})
+                        THEN 1 ELSE 0 END), 0) FROM {p}v)
+       AS BIGINT) AS n_nonws_pairs,
+  CAST((SELECT count(DISTINCT d) FROM (
+          SELECT doc_a AS d FROM {p}v WHERE lang_a IN ({_NONWS_SQL})
+          UNION
+          SELECT doc_b FROM {p}v WHERE lang_b IN ({_NONWS_SQL})))
+       AS BIGINT) AS n_nonws_docs_flagged,
+  CAST((SELECT sum({token_units}) FROM cdocs
+        WHERE lang IN ({_NONWS_SQL})) AS BIGINT) AS nonws_token_units"""
+
+
+@query(
+    "lang_dedup_delta_report",
+    "WITH "
+    + dedup.CJK_ORACLE_CTE.lstrip()
+    + ","
+    + _lang_mode_ctes("w_", _WS_SHINGLE_SQL)
+    + ","
+    + _lang_mode_ctes("l_", _LA_SHINGLE_SQL)
+    + f"""
+SELECT * FROM (
+  {_lang_mode_row_sql("whitespace", "w_",
+                      "len(string_split(text, ' '))")}
+  UNION ALL
+  {_lang_mode_row_sql("lang_aware", "l_",
+                      f"greatest(len(text) - {dedup.CHAR_SHINGLE_CHARS - 1}, 1)")}
+) ORDER BY tokenizer""",
+)
+def q_lang_dedup_delta_report(spark, sf_dir):
+    """Language-aware tokenization tier (round-9 ask #7): the planted
+    non-whitespace fixture (de-spaced zh docs + near-dup tails) runs
+    through the SAME minhash→LSH→Jaccard funnel under both
+    tokenizers. Whitespace word shingles see each zh doc as one
+    'word' — zero planted pairs found and the zh slice reads as one
+    token per doc (the same blindness breaks Gopher length gates);
+    the lang-keyed char-6-gram tier finds every planted pair. The
+    report quantifies the delta; the oracle replays both modes."""
+    return dedup.lang_dedup_delta_report(
+        dedup.with_cjk_docs(_t(spark, sf_dir, "documents"))
+    )
+
+
 @query(
     "ngram_jaccard_dupes",
     _with_dupes(
@@ -9000,6 +9121,63 @@ def q_shard_manifest(spark, sf_dir):
     return text.shard_manifest(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "manifest_packing_verify",
+    f"""WITH t AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % {text.PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+              AS BIGINT) AS ct
+  FROM documents),
+m AS (SELECT shard,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        CAST(bit_xor(ct) AS BIGINT) AS content_xor
+      FROM t GROUP BY shard)
+SELECT shard, n_docs, n_tokens, content_xor,
+       n_docs AS packing_n_docs, n_tokens AS packing_n_tokens,
+       CAST(1 AS BIGINT) AS counts_match,
+       CAST(1 AS BIGINT) AS xor_match
+FROM m ORDER BY shard""",
+)
+def q_manifest_packing_verify(spark, sf_dir):
+    """Manifest CONSUMER closure (round-9 ask #6): the maintained
+    manifest artifact (built as base + a batch-keyed adds segment,
+    folded by the serving read) is verified against the LOADER's own
+    view — sequence_packing_plan's per-shard doc/token counts under
+    the same md5(doc_id) shard device, plus the content xor
+    recomputed from the docs that device assigns. Every shard must
+    report counts_match = xor_match = 1; the oracle recomputes both
+    sides from the base table. pytest flips the row with a planted
+    shard corruption."""
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import (
+        _manifest_shard_rows,
+        build_manifest_artifact,
+        manifest_packing_verify,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="manifest_verify_")
+    try:
+        mpath = f"{work}/manifest"
+        build_manifest_artifact(
+            docs.filter(F.col("doc_id") % 3 != 0), mpath
+        )
+        _manifest_shard_rows(
+            docs.filter(F.col("doc_id") % 3 == 0)
+        ).write.parquet(f"{mpath}/adds/batch_id=1")
+        out = manifest_packing_verify(spark, mpath, docs)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _MANIFEST_FOLD_SQL = f"""
 t AS (
   SELECT doc_id,
@@ -9867,6 +10045,73 @@ def q_sft_user_dedup(spark, sf_dir):
     order; groups ≥ 2 report keeper + size."""
     return text.sft_user_dedup(
         text.with_dialogue_docs(_t(spark, sf_dir, "documents"))
+    )
+
+
+_PREFIX_ATT_CTES = (
+    text.PREFIX_FORK_ORACLE_CTE
+    + """,
+pw AS (SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS word
+       FROM pdocs),
+patt AS (SELECT doc_id, pos, word,
+          word IN ('u:', 'a:') AS is_marker,
+          last_value(CASE WHEN word IN ('u:', 'a:') THEN word END
+                     IGNORE NULLS)
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS role,
+          sum(CASE WHEN word = 'u:' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS u_idx
+        FROM pw),
+ptd AS (SELECT doc_id, u_idx,
+          md5(string_agg(word, ' ' ORDER BY pos)) AS turn_digest
+        FROM patt WHERE role = 'u:' AND NOT is_marker
+        GROUP BY doc_id, u_idx),
+ppf AS (SELECT doc_id, u_idx,
+          md5(string_agg(turn_digest, '|')
+              OVER (PARTITION BY doc_id ORDER BY u_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            AS prefix_digest
+        FROM ptd),
+pg AS (SELECT u_idx, prefix_digest,
+         CAST(count(*) AS BIGINT) AS n_sharers,
+         CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+       FROM ppf GROUP BY u_idx, prefix_digest
+       HAVING count(*) >= 2),
+psh AS (SELECT ppf.doc_id, ppf.u_idx, ppf.prefix_digest,
+               pg.n_sharers, pg.keeper_doc_id,
+               row_number() OVER (PARTITION BY ppf.doc_id
+                                  ORDER BY ppf.u_idx DESC) AS rn
+        FROM ppf JOIN pg USING (u_idx, prefix_digest))"""
+)
+
+
+@query(
+    "sft_prefix_dedup",
+    "WITH "
+    + _PREFIX_ATT_CTES
+    + """
+SELECT doc_id, CAST(u_idx AS BIGINT) AS shared_depth, prefix_digest,
+       n_sharers, keeper_doc_id,
+       CAST(CASE WHEN doc_id = keeper_doc_id THEN 1 ELSE 0 END
+            AS BIGINT) AS is_keeper
+FROM psh WHERE rn = 1 ORDER BY doc_id""",
+)
+def q_sft_prefix_dedup(spark, sf_dir):
+    """Multi-turn prompt-PREFIX dedup (round-9 ask #3): the fixture
+    plants forks sharing the FIRST user turn with a divergent second
+    user turn — byte hashing and the whole-user-content digest both
+    miss them; the cumulative per-turn digest chain reports each
+    conversation's deepest shared prefix, its sharer count and the
+    keeper (lowest doc_id). The dialogue variants (identical full
+    user content) surface as depth-2 groups, the forks as depth-1 —
+    one report separating both duplication modes."""
+    return text.sft_prefix_dedup(
+        text.with_prefix_fork_docs(_t(spark, sf_dir, "documents"))
     )
 
 

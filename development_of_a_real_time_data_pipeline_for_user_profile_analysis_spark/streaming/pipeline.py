@@ -1557,6 +1557,66 @@ def build_manifest_artifact(corpus: DataFrame, path: str) -> None:
     )
 
 
+def manifest_packing_verify(
+    spark: SparkSession, path: str, documents: DataFrame
+) -> DataFrame:
+    """MANIFEST CONSUMER CLOSURE (round-9 ask #6): shard_manifest
+    promises "verify a shard without re-reading the corpus" — this
+    closes the loop from the consumer's side. Per shard, the SERVED
+    manifest row (base ∪ segments, the maintained artifact's fold)
+    is matched against the loader's own view: doc/token counts from
+    sequence_packing_plan (the md5(doc_id) shard device the loader
+    actually packs by) and the content xor recomputed from the docs
+    that device assigns to the shard. counts_match/xor_match == 1
+    everywhere proves manifest ↔ packing consistency end-to-end; a
+    corrupted or tampered shard flips exactly its row (pytest plants
+    one).
+
+    Scale shape: the artifact fold is |shards| rows; the loader side
+    is the packing plan's own one-scan shard aggregate plus one more
+    shard-keyed xor aggregate; the verify join is |shards| rows. A
+    real run samples shards — the full join here IS the sampled
+    check at fixture scale."""
+    from ..operators.text import sequence_packing_plan, shard_manifest
+
+    served = read_manifest_serving(spark, path).select(
+        "shard", "n_docs", "n_tokens", "content_xor"
+    )
+    plan = sequence_packing_plan(documents).select(
+        "shard",
+        F.col("n_docs").alias("packing_n_docs"),
+        F.col("n_tokens").alias("packing_n_tokens"),
+    )
+    recomputed = shard_manifest(documents).select(
+        "shard", F.col("content_xor").alias("recomputed_xor")
+    )
+    return (
+        served.join(plan, "shard", "full")
+        .join(recomputed, "shard", "full")
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "content_xor",
+            "packing_n_docs",
+            "packing_n_tokens",
+            F.when(
+                (F.col("n_docs") == F.col("packing_n_docs"))
+                & (F.col("n_tokens") == F.col("packing_n_tokens")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("counts_match"),
+            F.when(F.col("content_xor") == F.col("recomputed_xor"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("xor_match"),
+        )
+        .orderBy("shard")
+    )
+
+
 def read_manifest_serving(spark: SparkSession, path: str) -> DataFrame:
     """THE manifest serving read: base ∪ add segments ∪ erase
     segments, folded per shard — counts SUM (erase segments carry
