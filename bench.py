@@ -104,16 +104,34 @@ def main() -> None:
     # the spread map shows how noisy the box was.
     names = list(QUERIES)
 
+    # lifecycle streams record per-phase walls (build/stream/fold)
+    # into PHASE_TIMINGS on each invocation (round-9 ask #4) — the
+    # snapshot from each pass rides along so the drift analysis can
+    # attribute variance to a phase instead of flagging totals
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.plans.registry import (
+        PHASE_TIMINGS,
+    )
+
     runs: dict[str, list[float]] = {n: [] for n in names}
+    phase_runs: dict[str, list] = {n: [] for n in names}
     t_all = time.time()
     for _pass in range(2):
         for name in names:
+            PHASE_TIMINGS.pop(name, None)
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.time() - t0, 3))
+            phase_runs[name].append(PHASE_TIMINGS.get(name))
     wall_both_passes = round(time.time() - t_all, 3)
     per_query = {n: min(ts) for n, ts in runs.items()}
+    # per-query phases: keep BOTH passes (the variance between them
+    # is exactly what the phase decomposition attributes)
+    phase_timings = {
+        n: {f"pass{i}": ph for i, ph in enumerate(ps) if ph}
+        for n, ps in phase_runs.items()
+        if any(ps)
+    }
     spread = {
         n: round((max(ts) - min(ts)) / max(min(ts), 0.001), 3)
         for n, ts in runs.items()
@@ -210,6 +228,12 @@ def main() -> None:
                     "now": secs,
                     "now_drift_normalized": round(secs / drift, 3),
                 }
+                # phase attribution for lifecycle streams: a flag
+                # whose build/fold phases are stable while the
+                # stream phase moved is micro-batch scheduling
+                # variance, not an engine regression
+                if name in phase_timings:
+                    regressions[name]["phases"] = phase_timings[name]
 
     detail_file: str | None = f"BENCH_DETAIL_r{_round_number():02d}.json"
     detail = {
@@ -223,6 +247,7 @@ def main() -> None:
         "regressions_vs_prev": regressions,
         "drift_coefficient": drift,
         "feeder_split": feeder_split,
+        "phase_timings": phase_timings,
         "passes": 2,
         "wall_both_passes": wall_both_passes,
         "run_spread": spread,

@@ -38,6 +38,31 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+# ------------------------------------------------------------------
+# Lifecycle-stream phase walls (round-9 ask #4): the bench gate's
+# only recurring flags were high-variance lifecycle streams whose
+# wall mixes three phases — artifact BUILD, micro-batch STREAM, and
+# the post-stream FOLD/read. The instrumented queries record the
+# three walls here on every invocation; bench.py snapshots the map
+# per pass so BENCH_DETAIL carries per-phase timings and drift can
+# be attributed to a phase (micro-batch scheduling) instead of
+# flagging totals.
+# ------------------------------------------------------------------
+PHASE_TIMINGS: dict[str, dict[str, float]] = {}
+
+
+def _record_phases(qname: str, t0: float, t1: float, t2: float) -> None:
+    import time as _t
+
+    now = _t.monotonic()
+    PHASE_TIMINGS[qname] = {
+        "build": round(t1 - t0, 3),
+        "stream": round(t2 - t1, 3),
+        "fold": round(now - t2, 3),
+    }
+
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1645,6 +1670,7 @@ def q_streaming_cluster_update(spark, sf_dir):
     cached_band = _band_index_path(spark, sf_dir)  # immutable cache
     work = tempfile.mkdtemp(prefix="cluster_stream_")
     try:
+        _ph0 = _time.monotonic()
         # invocation-local band index: symlink the cached base bands,
         # adds stay local so the shared artifact is never mutated
         bidx = f"{work}/bidx"
@@ -1668,6 +1694,7 @@ def q_streaming_cluster_update(spark, sf_dir):
             dst = f"{in_dir}/b{i}.parquet"
             shutil.move(part, dst)
             _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        _ph1 = _time.monotonic()
         stream = (
             spark.readStream.schema(
                 "doc_id long, text string, lang string, "
@@ -1685,8 +1712,10 @@ def q_streaming_cluster_update(spark, sf_dir):
                 "cluster-update stream did not drain within 300 s"
                 + (f": {q.exception()}" if q.exception() else "")
             )
+        _ph2 = _time.monotonic()
         out = spark.read.parquet(f"{lab}/labels").orderBy("doc_id")
         rows = out.collect()
+        _record_phases("streaming_cluster_update", _ph0, _ph1, _ph2)
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1768,6 +1797,7 @@ def q_streaming_cluster_erase(spark, sf_dir):
     b1 = er.filter(F.col("doc_id") % 8 == 5)
     work = tempfile.mkdtemp(prefix="cluster_erase_stream_")
     try:
+        _ph0 = _time.monotonic()
         lab = f"{work}/lab"
         _os.makedirs(lab)
         dedup.near_dup_clusters(dupes).write.parquet(f"{lab}/labels")
@@ -1783,6 +1813,7 @@ def q_streaming_cluster_erase(spark, sf_dir):
             dst = f"{in_dir}/b{i}.parquet"
             shutil.move(part, dst)
             _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        _ph1 = _time.monotonic()
         stream = (
             spark.readStream.schema("doc_id long")
             .option("maxFilesPerTrigger", 1)
@@ -1797,8 +1828,10 @@ def q_streaming_cluster_erase(spark, sf_dir):
                 "cluster-erase stream did not drain within 300 s"
                 + (f": {q.exception()}" if q.exception() else "")
             )
+        _ph2 = _time.monotonic()
         out = spark.read.parquet(f"{lab}/labels").orderBy("doc_id")
         rows = out.collect()
+        _record_phases("streaming_cluster_erase", _ph0, _ph1, _ph2)
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -9232,6 +9265,7 @@ def q_streaming_shard_manifest(spark, sf_dir):
     b1 = dupes.filter(F.col("doc_id") >= 200000)
     work = tempfile.mkdtemp(prefix="manifest_stream_")
     try:
+        _ph0 = _time.monotonic()
         mpath = f"{work}/manifest"
         build_manifest_artifact(docs, mpath)
         in_dir = f"{work}/in"
@@ -9244,6 +9278,7 @@ def q_streaming_shard_manifest(spark, sf_dir):
             dst = f"{in_dir}/b{i}.parquet"
             shutil.move(part, dst)
             _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        _ph1 = _time.monotonic()
         stream = (
             spark.readStream.schema(
                 "doc_id long, text string, lang string, "
@@ -9259,11 +9294,13 @@ def q_streaming_shard_manifest(spark, sf_dir):
                 "manifest-update stream did not drain within 300 s"
                 + (f": {q.exception()}" if q.exception() else "")
             )
+        _ph2 = _time.monotonic()
         # compaction must not change the fold — serve from the
         # compacted base
         manifest_compact(spark, mpath)
         out = read_manifest_serving(spark, mpath).orderBy("shard")
         rows = out.collect()
+        _record_phases("streaming_shard_manifest", _ph0, _ph1, _ph2)
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -9496,6 +9533,7 @@ def q_streaming_boilerplate_scrub(spark, sf_dir):
     b1 = tdocs.filter(F.col("doc_id") % 2 == 1)
     work = tempfile.mkdtemp(prefix="boiler_stream_")
     try:
+        _ph0 = _time.monotonic()
         tidx = f"{work}/tidx"
         text.write_template_index(tdocs, tidx)
         in_dir = f"{work}/in"
@@ -9508,6 +9546,7 @@ def q_streaming_boilerplate_scrub(spark, sf_dir):
             dst = f"{in_dir}/b{i}.parquet"
             shutil.move(part, dst)
             _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        _ph1 = _time.monotonic()
         stream = (
             spark.readStream.schema(
                 "doc_id long, text string, lang string, "
@@ -9525,6 +9564,7 @@ def q_streaming_boilerplate_scrub(spark, sf_dir):
                 "boilerplate-scrub stream did not drain within 300 s"
                 + (f": {q.exception()}" if q.exception() else "")
             )
+        _ph2 = _time.monotonic()
         out = (
             spark.read.option("basePath", f"{work}/cleaned")
             .parquet(f"{work}/cleaned")
@@ -9532,6 +9572,7 @@ def q_streaming_boilerplate_scrub(spark, sf_dir):
             .orderBy("doc_id")
         )
         rows = out.collect()
+        _record_phases("streaming_boilerplate_scrub", _ph0, _ph1, _ph2)
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -10713,6 +10754,7 @@ def q_streaming_leakage_monitor(spark, sf_dir):
     index_path = _band_index_path(spark, sf_dir)  # read-only probe
     work = tempfile.mkdtemp(prefix="leak_monitor_")
     try:
+        _ph0 = _time.monotonic()
         in_dir = f"{work}/in"
         _os.makedirs(in_dir)
         base_t = _time.time()
@@ -10723,6 +10765,7 @@ def q_streaming_leakage_monitor(spark, sf_dir):
             dst = f"{in_dir}/b{i}.parquet"
             shutil.move(part, dst)
             _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        _ph1 = _time.monotonic()
         stream = (
             spark.readStream.schema(
                 "doc_id long, text string, lang string, "
@@ -10740,6 +10783,7 @@ def q_streaming_leakage_monitor(spark, sf_dir):
                 "leakage-monitor stream did not drain within 300 s"
                 + (f": {q.exception()}" if q.exception() else "")
             )
+        _ph2 = _time.monotonic()
         pairs = spark.read.option(
             "basePath", f"{work}/out/pairs"
         ).parquet(f"{work}/out/pairs")
@@ -10752,6 +10796,7 @@ def q_streaming_leakage_monitor(spark, sf_dir):
             .orderBy("batch_id")
         )
         rows = out.collect()
+        _record_phases("streaming_leakage_monitor", _ph0, _ph1, _ph2)
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -11356,6 +11401,7 @@ def q_streaming_chunk_dedup(spark, sf_dir):
 
     work = tempfile.mkdtemp(prefix="chunk_stream_")
     try:
+        _ph0 = _time.monotonic()
         import os as _os
 
         index_path = f"{work}/idx"
@@ -11370,6 +11416,7 @@ def q_streaming_chunk_dedup(spark, sf_dir):
             dst = f"{in_dir}/b{i}.parquet"
             shutil.move(part, dst)
             _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        _ph1 = _time.monotonic()
         stream = (
             spark.readStream.schema(
                 "doc_id long, text string, lang string, "
@@ -11390,6 +11437,7 @@ def q_streaming_chunk_dedup(spark, sf_dir):
                 "chunk-dedup stream did not drain within 300 s"
                 + (f": {q.exception()}" if q.exception() else "")
             )
+        _ph2 = _time.monotonic()
         ledgers = spark.read.option(
             "basePath", f"{index_path}/ledger"
         ).parquet(f"{index_path}/ledger")
@@ -11405,6 +11453,7 @@ def q_streaming_chunk_dedup(spark, sf_dir):
             .orderBy("batch_id")
         )
         rows = out.collect()
+        _record_phases("streaming_chunk_dedup", _ph0, _ph1, _ph2)
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -11602,19 +11651,18 @@ DRIVER_PRIORITY = [
     "nation_revenue",
     "gdpr_erasure_plan",  # r4w9: governance family rep (evicts mktsegment_rollup; ROLLUP semantics stay evidenced by segment_priority_grouping_sets, its GROUPING SETS superset)
     "segment_priority_grouping_sets",
-    "profiles_quality_report",
     # event analytics / windows
     "approx_distinct_users",
     "ks_two_sample_drift",  # r4: nonparametric two-sample drift (stats-test family rep; evicts chi2_lang_source -> past window)
     "events_rollup_multi",
-    "monthly_revenue_ewma",  # r3w6: sequential-smoothing family (evicts user_event_type_sets)
-    "conversion_funnel",
     # streaming
     "streaming_events_hourly",
-    "streaming_user_totals",
     "streaming_session_windows",
     "streaming_dedup_profiles",
+    "streaming_boilerplate_scrub",  # r9: the serve-mode content gate over the MAINTAINED template artifact enters (evicts streaming_user_totals -> past window; the custom-stateful discipline stays pytest-covered in tests/test_stateful*.py and streaming aggregation stays in-window via streaming_events_hourly + streaming_session_windows)
     # text analysis / training-data ops
+    "sft_user_dedup",  # r9: role-aware keep-one-response-per-prompt dedup enters (chat/SFT family's first window rep; evicts conversion_funnel -> past window, conditional-agg funnels stay in-window via segment_priority_grouping_sets' conditional aggregates + events_rollup_multi)
+    "sft_prefix_dedup",  # r9: multi-turn prompt-PREFIX dedup — cumulative turn-digest chain finds shared-prefix/divergent-tail dupes both byte and whole-content digests miss (evicts monthly_revenue_ewma -> past window; sequential smoothing stays oracle-covered, window discipline stays via chunk_dedup_report's keeper + the IVF-PQ re-ranks)
     "boilerplate_scrub_report",  # r8: template/boilerplate cleanup enters as the text-cleanup rep (detection stays in-window INSIDE the scrub — it consumes boilerplate_ngram_report's template set; evicts text_stats -> past window, basic token/length stats stay evidenced by gopher_quality_report's length/stopword features and dedup_funnel_report's word accounting)
     "gopher_quality_report",  # r3w6: rule-based quality gate (evicts top_ngrams)
     "split_leakage_repair",  # r7: cross-split near-dup REPAIR enters as the split-governance rep (evicts deterministic_split -> past window; the 80/10/10 md5 assignment stays in-window INSIDE this query's split priority rule)
@@ -11625,6 +11673,7 @@ DRIVER_PRIORITY = [
     "dsir_selection_report",  # r6: DSIR importance selection, now histogram-CDF scale-safe (data-selection family rep; evicts mixture_sampled_counts -> past window, same family)
     "quality_classifier_eval",  # r6: TRAINED quality-model eval (model-based-filtering family rep; evicts unigram_logprob_quality -> past window, same family)
     # dedup / similarity / curation / multimodal
+    "edit_distance_dupes",  # r9: char-level threshold-Levenshtein verify tier enters (content-addressed DP on LSH band candidates, the 944->20.9s A/B chain; evicts jl_shortlist_curve -> past window, the recall-curve discipline stays in-window via ivfpq_tuning_curve — the same explode-config-and-rank device)
     "dedup_funnel_report",  # r6w2: cumulative tier funnel (raw→exact→normalized→chunk); evicts dedup_exact_groups -> past window, the exact keeper discipline stays in-window as this funnel's tier 2
     "near_dedup_minhash",
     "chunk_dedup_report",  # r6w2: chunk-substring dedup with reconstruction ledger (ExactSubstr family rep; evicts ngram_jaccard_dupes -> past window, Jaccard verify stays in-window inside near_dedup_minhash's candidate-verify stage)
@@ -11637,11 +11686,17 @@ DRIVER_PRIORITY = [
     "erasure_completeness_audit",  # r8: GDPR closure across ALL FOUR maintained artifacts in one governance view (evicts ann_ivfpq_add_serve -> past window, the add==rebuild equivalence stays in-window INSIDE ann_ivfpq_erase_serve, which serves from the post-ADD artifact)
     "ann_ivfpq_erase_serve",  # r7: tombstone erasure on the maintained artifact, oracle = rebuild WITHOUT the erased subjects (governance-reaches-the-index proof; evicts embedding_near_dupes -> past window, embedding near-dup stays in-window via semdedup_prune_plan's cell-bounded Arrow matmul — the same device)
     "ivfpq_tuning_curve",  # r6: the (n_probe, shortlist) recall-loop closer over the maintained artifact (evicts open_not_pending_customers -> past window; semi/anti-join family keeps gdpr_erasure_plan's anti-join)
-    "jl_shortlist_curve",  # r7: JL sketch-ANN shortlist-sizing curve (sketch-ANN family rep; evicts customer_order_rank -> past window, ranking-window discipline stays in-window via chunk_dedup_report's keeper row_number and the IVF-PQ serves' re-rank windows)
-    "hybrid_rrf_search",  # r3w6: retrieval fusion (evicts label_centroids)
+    "shard_manifest_erase_serve",  # r9: the manifest artifact's erase+fold+serve rep enters — exercises the idempotent subject-ledger erase and the fenced compaction in one row (evicts profiles_quality_report -> past window; the rule-gate discipline stays in-window via gopher_quality_report and profile integrity via referential_integrity_report)
+    "erasure_request_ledger_audit",  # r9: the durable erase-request ledger — planted crash before the fifth artifact, resumable gap, zero pending + zero referencing rows after resume (evicts hybrid_rrf_search -> past window; retrieval stays in-window via the IVF-PQ serves, fusion stays oracle-covered)
     "multimodal_features",
     "zorder_files",
     "referential_integrity_report",
+    "jl_shortlist_curve",  # r9 evicted: recall-curve discipline stays in-window via ivfpq_tuning_curve (same device); JL sketch stays oracle-covered past window
+    "conversion_funnel",  # r9 evicted: conditional-agg funnels stay in-window via segment_priority_grouping_sets + events_rollup_multi
+    "profiles_quality_report",  # r9 evicted: rule-gate discipline stays in-window via gopher_quality_report; profile integrity via referential_integrity_report
+    "streaming_user_totals",  # r9 evicted: custom-stateful op stays pytest-covered (tests/test_stateful*.py); streaming aggs stay in-window via streaming_events_hourly + session windows
+    "hybrid_rrf_search",  # r9 evicted: retrieval stays in-window via the IVF-PQ serves; RRF fusion stays oracle-covered past window
+    "monthly_revenue_ewma",  # r9 evicted: sequential smoothing stays oracle-covered past window
     "text_stats",  # r8 evicted: basic corpus stats stay evidenced via gopher_quality_report + dedup_funnel_report word accounting
     "bloom_membership_audit",  # r8 evicted: Bloom build+FPR stays in-window inside benchmark_bloom_contamination
     "near_dup_clusters",  # r8 evicted: CC discipline stays in-window inside cluster_erase_update (which builds the labels it erases)

@@ -121,8 +121,7 @@ def test_driver_window_covers_component_families():
         "registrable_domains", "userfeed_profiles", "pricing_summary",
         "nation_revenue", "events_rollup_multi",
         "approx_distinct_users",
-        "conversion_funnel",
-        "streaming_events_hourly", "streaming_user_totals",
+        "streaming_events_hourly",
         "streaming_session_windows", "streaming_dedup_profiles",
         # r6 fourth wave: the tier funnel carries the exact keeper
         # discipline (its tier 2) and chunk_dedup_report carries
@@ -134,7 +133,6 @@ def test_driver_window_covers_component_families():
         "curation_pipeline",
         "multimodal_features",
         "profiles_upsert",
-        "profiles_quality_report",
         "events_rollup_multi",
         # r3 second wave: data-layout (bm25_search rotated out r5 —
         # BM25 stays in-window inside hybrid_rrf_search;
@@ -152,7 +150,6 @@ def test_driver_window_covers_component_families():
         # families keep approx_distinct_users, text_stats,
         # cosine_topk/quantize_embeddings, events_rollup_multi)
         "gopher_quality_report",
-        "hybrid_rrf_search", "monthly_revenue_ewma",
         # r4 rotation: KS replaces chi2 as the stats-test rep, PQ
         # replaces int8 as the quantization rep, the Bloom audit
         # replaces split_contamination (deterministic_split carries
@@ -183,7 +180,7 @@ def test_driver_window_covers_component_families():
         # keeper + IVF-PQ re-ranks; embedding_near_dupes — the
         # Arrow-matmul near-dup device stays via semdedup_prune_plan)
         "split_leakage_repair", "soft_dedup_weights",
-        "jl_shortlist_curve", "ann_ivfpq_erase_serve",
+        "ann_ivfpq_erase_serve",
         # r8 rotation: boilerplate scrub, memorization/novelty curve,
         # cluster-labels erasure, and the cross-artifact erasure
         # completeness audit enter (evicted: text_stats — basic
@@ -197,6 +194,21 @@ def test_driver_window_covers_component_families():
         # serves from the post-ADD artifact)
         "boilerplate_scrub_report", "ngram_novelty_curve",
         "cluster_erase_update", "erasure_completeness_audit",
+        # r9 rotation: the chat/SFT dedup pair (whole-content +
+        # prompt-prefix), the char-level edit-distance verify tier,
+        # the manifest erase+fold+serve rep, the streaming
+        # boilerplate gate, and the durable erase-request ledger
+        # audit enter (evicted: jl_shortlist_curve — the recall-curve
+        # device stays via ivfpq_tuning_curve; conversion_funnel —
+        # conditional aggs stay via segment_priority_grouping_sets;
+        # profiles_quality_report — rule gates stay via
+        # gopher_quality_report; streaming_user_totals — custom
+        # stateful ops stay pytest-covered; hybrid_rrf_search —
+        # retrieval stays via the IVF-PQ serves; monthly_revenue_ewma
+        # — smoothing stays oracle-covered past window)
+        "sft_user_dedup", "sft_prefix_dedup", "edit_distance_dupes",
+        "shard_manifest_erase_serve", "streaming_boilerplate_scrub",
+        "erasure_request_ledger_audit",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
