@@ -154,6 +154,67 @@ def finish_compaction(path: str, marker: dict) -> None:
         os.remove(m)
 
 
+def _swap_marker_path(root: str, name: str) -> str:
+    return os.path.join(root, f"._SWAP_PENDING_{name}.json")
+
+
+def atomic_swap_dir(root: str, name: str, scratch: str) -> None:
+    """Crash-fenced directory swap for small rewritten ledgers (the
+    suppression ledgers): without the fence, a crash between the two
+    renames leaves NO ledger — indistinguishable from a legitimately
+    empty one, so a repeated erase request for a folded subject would
+    double-apply. The marker records old/scratch names; recovery
+    (`recover_torn_swap`) rolls forward to the fully-written scratch
+    or back to the parked old directory — never to 'missing'."""
+    import uuid
+
+    cur = os.path.join(root, name)
+    old = f".{name}_old_{uuid.uuid4().hex}"
+    marker = {
+        "name": name,
+        "old": old,
+        "scratch": os.path.basename(scratch),
+    }
+    tmp = _swap_marker_path(root, name) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(marker, fh)
+    os.replace(tmp, _swap_marker_path(root, name))
+    if os.path.isdir(cur):
+        os.rename(cur, os.path.join(root, old))
+    os.rename(scratch, cur)
+    shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    os.remove(_swap_marker_path(root, name))
+
+
+def recover_torn_swap(root: str, name: str) -> str | None:
+    """Repair a torn atomic_swap_dir: scratch (fully written before
+    the marker) wins when the live dir is gone; a completed swap just
+    finishes its cleanup. Returns the action or None."""
+    m = _swap_marker_path(root, name)
+    if not os.path.isfile(m):
+        return None
+    with open(m) as fh:
+        marker = json.load(fh)
+    cur = os.path.join(root, name)
+    old = os.path.join(root, marker["old"])
+    scratch = os.path.join(root, marker["scratch"])
+    if os.path.isdir(cur):
+        shutil.rmtree(old, ignore_errors=True)
+        os.remove(m)
+        return "finished"
+    if os.path.isdir(scratch):
+        os.rename(scratch, cur)
+        shutil.rmtree(old, ignore_errors=True)
+        os.remove(m)
+        return "rolled_forward"
+    if os.path.isdir(old):
+        os.rename(old, cur)
+        os.remove(m)
+        return "rolled_back"
+    os.remove(m)
+    return "cleared"
+
+
 def recover_torn_compaction(path: str, base_name: str) -> str | None:
     """Repair a torn compaction before any read/erase/compaction
     touches the artifact. Returns "rolled_forward", "rolled_back",

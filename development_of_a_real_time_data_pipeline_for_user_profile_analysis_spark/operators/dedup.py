@@ -203,6 +203,38 @@ def lang_aware_shingles(
     )
 
 
+def lang_aware_token_stats(docs: DataFrame) -> DataFrame:
+    """The QUALITY-STATS half of the language-aware tier (round-9
+    ask #7): per lang — docs, whitespace token count, lang-aware
+    token units (words for whitespace scripts, characters for
+    no-whitespace scripts: the honest unit when there are no word
+    boundaries), and the units-per-whitespace-token ratio. A
+    whitespace length gate (Gopher min/max words) sees a de-spaced
+    300-char document as ONE word and rejects or misbuckets it; the
+    ratio column is the audit that catches a corpus slice whose
+    tokenizer is lying. One narrow scan, one lang-keyed aggregate."""
+    nonws = F.col("lang").isin(*NONWS_LANGS)
+    ws_tok = F.size(F.split("text", " ")).cast("long")
+    la_tok = F.when(nonws, F.length("text").cast("long")).otherwise(
+        ws_tok
+    )
+    return (
+        docs.select("lang", ws_tok.alias("wt"), la_tok.alias("lt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("wt").cast("long").alias("ws_tokens"),
+            F.sum("lt").cast("long").alias("lang_aware_units"),
+            F.floor(
+                F.sum("lt") * 1000000.0 / F.sum("wt") + 0.5
+            )
+            .cast("long")
+            .alias("units_per_ws_token_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 def lang_dedup_delta_report(
     docs: DataFrame, jaccard_threshold: float = 0.6
 ) -> DataFrame:

@@ -1186,6 +1186,139 @@ def sft_prefix_dedup(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+PREF_PAIR_MOD = 5  # every 5th doc spawns a preference pair
+PREF_DEGENERATE_MOD = 4  # every 4th pair: chosen == rejected
+PREF_DUP_PROMPT_MOD = 6  # every 6th pair: canned (colliding) prompt
+PREF_SPLIT_TEST_FLOOR = 90  # md5(doc_id) % 100 >= 90 → eval split
+
+
+def with_preference_pairs(documents: DataFrame) -> DataFrame:
+    """Deterministic PREFERENCE-PAIR corpus (the RLHF/reward-model
+    data shape): every 5th document spawns (pair_id, src_doc_id,
+    prompt, chosen, rejected) — prompt = the doc's first 8 words,
+    chosen/rejected = synthetic responses. Planted hygiene defects:
+    every 4th pair is DEGENERATE (chosen == rejected — carries zero
+    preference signal, a reward model trained on it learns nothing
+    and a DPO loss divides by zero margin); every 6th pair uses a
+    CANNED prompt colliding across pairs (same prompt, independently
+    judged — the inconsistent-label risk). Mirrored by
+    PREF_ORACLE_CTE (CTE `pairs`)."""
+    src = documents.filter(F.col("doc_id") % PREF_PAIR_MOD == 0)
+    pair_idx = (F.col("doc_id") / PREF_PAIR_MOD).cast("long")
+    canned = pair_idx % PREF_DUP_PROMPT_MOD == 3
+    degenerate = pair_idx % PREF_DEGENERATE_MOD == 1
+    prompt = F.when(
+        canned,
+        F.concat(
+            F.lit("shared canned prompt number "),
+            (pair_idx % 7).cast("string"),
+        ),
+    ).otherwise(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+    )
+    chosen = F.concat(
+        F.lit("preferred answer for pair "), pair_idx.cast("string")
+    )
+    rejected = F.when(degenerate, chosen).otherwise(
+        F.concat(
+            F.lit("worse answer for pair "), pair_idx.cast("string")
+        )
+    )
+    return src.select(
+        pair_idx.alias("pair_id"),
+        F.col("doc_id").alias("src_doc_id"),
+        prompt.alias("prompt"),
+        chosen.alias("chosen"),
+        rejected.alias("rejected"),
+    )
+
+
+PREF_ORACLE_CTE = f"""
+pairs AS (
+  SELECT CAST(doc_id // {PREF_PAIR_MOD} AS BIGINT) AS pair_id,
+         doc_id AS src_doc_id,
+         CASE WHEN (doc_id // {PREF_PAIR_MOD}) % {PREF_DUP_PROMPT_MOD} = 3
+              THEN 'shared canned prompt number ' ||
+                   CAST((doc_id // {PREF_PAIR_MOD}) % 7 AS VARCHAR)
+              ELSE array_to_string(
+                     string_split(text, ' ')[1:8], ' ')
+         END AS prompt,
+         'preferred answer for pair ' ||
+           CAST(doc_id // {PREF_PAIR_MOD} AS VARCHAR) AS chosen,
+         CASE WHEN (doc_id // {PREF_PAIR_MOD}) % {PREF_DEGENERATE_MOD} = 1
+              THEN 'preferred answer for pair ' ||
+                   CAST(doc_id // {PREF_PAIR_MOD} AS VARCHAR)
+              ELSE 'worse answer for pair ' ||
+                   CAST(doc_id // {PREF_PAIR_MOD} AS VARCHAR)
+         END AS rejected
+  FROM documents WHERE doc_id % {PREF_PAIR_MOD} = 0
+)"""
+
+
+def preference_pair_audit(pairs: DataFrame) -> DataFrame:
+    """Reward-model data hygiene in one row — the checks a
+    preference dataset runs before DPO/RM training: degenerate pairs
+    (chosen == rejected: zero preference signal), prompt collisions
+    (the same prompt judged independently across pairs — the
+    label-inconsistency risk; count of affected pairs AND groups),
+    and eval-split prompt leakage (pairs whose SOURCE document falls
+    in the held-out split under the standard md5(doc_id) assignment:
+    its prompt must not train a reward model that will be evaluated
+    on it).
+
+    Scale shape: one narrow scan with a prompt-digest aggregate
+    (uniform key), one ≤n_groups count, no joins beyond the digest
+    groupBy. All rates in exact ppm."""
+    split_bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("src_doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    base = pairs.select(
+        "pair_id",
+        F.md5("prompt").alias("prompt_digest"),
+        (F.col("chosen") == F.col("rejected")).alias("degenerate"),
+        (split_bucket >= PREF_SPLIT_TEST_FLOOR).alias("leaked"),
+    )
+    groups = base.groupBy("prompt_digest").agg(
+        F.count(F.lit(1)).alias("n_in_group")
+    )
+    dup = groups.filter(F.col("n_in_group") >= 2).agg(
+        F.coalesce(F.sum("n_in_group"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_prompt_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_prompt_groups"),
+    )
+    counts = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("degenerate").cast("int"))
+        .cast("long")
+        .alias("n_degenerate"),
+        F.sum(F.col("leaked").cast("int"))
+        .cast("long")
+        .alias("n_eval_leaked"),
+    )
+    return counts.crossJoin(dup).select(
+        "n_pairs",
+        "n_degenerate",
+        "n_dup_prompt_pairs",
+        "n_dup_prompt_groups",
+        "n_eval_leaked",
+        F.floor(F.col("n_degenerate") * 1000000.0 / F.col("n_pairs") + 0.5)
+        .cast("long")
+        .alias("degenerate_ppm"),
+        F.floor(
+            F.col("n_dup_prompt_pairs") * 1000000.0 / F.col("n_pairs")
+            + 0.5
+        )
+        .cast("long")
+        .alias("dup_prompt_ppm"),
+    )
+
+
 REVISION_RETIRE_MOD = 13  # v1 drops every 13th doc (oracle lockstep)
 REVISION_EDIT_MOD = 11  # every 11th doc's text is revised
 REVISION_FRESH_MOD = 9  # every 9th doc spawns a fresh-crawl doc

@@ -1516,6 +1516,79 @@ def q_lang_dedup_delta_report(spark, sf_dir):
 
 
 @query(
+    "preference_pair_audit",
+    "WITH "
+    + text.PREF_ORACLE_CTE.lstrip()
+    + f""",
+b AS (SELECT pair_id, md5(prompt) AS pd,
+        chosen = rejected AS degenerate,
+        CAST(CAST('0x' || substr(md5(CAST(src_doc_id AS VARCHAR)), 1, 8)
+             AS UBIGINT) AS BIGINT) % 100
+          >= {text.PREF_SPLIT_TEST_FLOOR} AS leaked
+      FROM pairs),
+g AS (SELECT pd, count(*) AS n_in_group FROM b GROUP BY pd),
+d AS (SELECT CAST(coalesce(sum(n_in_group), 0) AS BIGINT)
+         AS n_dup_prompt_pairs,
+       CAST(count(*) AS BIGINT) AS n_dup_prompt_groups
+      FROM g WHERE n_in_group >= 2),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(CASE WHEN degenerate THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_degenerate,
+        CAST(sum(CASE WHEN leaked THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_eval_leaked
+      FROM b)
+SELECT n_pairs, n_degenerate, n_dup_prompt_pairs, n_dup_prompt_groups,
+       n_eval_leaked,
+       CAST(floor(n_degenerate * 1000000.0 / n_pairs + 0.5) AS BIGINT)
+         AS degenerate_ppm,
+       CAST(floor(n_dup_prompt_pairs * 1000000.0 / n_pairs + 0.5)
+            AS BIGINT) AS dup_prompt_ppm
+FROM c CROSS JOIN d""",
+)
+def q_preference_pair_audit(spark, sf_dir):
+    """Preference-pair (RLHF/reward-model) data hygiene: the planted
+    fixture spawns (prompt, chosen, rejected) pairs with three defect
+    modes — degenerate pairs (chosen == rejected: zero preference
+    signal, a DPO margin of exactly zero), canned colliding prompts
+    (same prompt judged independently — label-inconsistency risk),
+    and eval-split prompt leakage under the standard md5 split
+    device. One-row audit with exact counts and ppm rates; every
+    number recomputed by the oracle from the base table."""
+    return text.preference_pair_audit(
+        text.with_preference_pairs(_t(spark, sf_dir, "documents"))
+    )
+
+
+@query(
+    "lang_aware_token_stats",
+    "WITH "
+    + dedup.CJK_ORACLE_CTE.lstrip()
+    + f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(CASE WHEN lang IN ({_NONWS_SQL}) THEN len(text)
+                ELSE len(string_split(text, ' ')) END) AS BIGINT)
+         AS lang_aware_units,
+       CAST(floor(sum(CASE WHEN lang IN ({_NONWS_SQL}) THEN len(text)
+                      ELSE len(string_split(text, ' ')) END)
+                  * 1000000.0 / sum(len(string_split(text, ' ')))
+                  + 0.5) AS BIGINT) AS units_per_ws_token_ppm
+FROM cdocs GROUP BY lang ORDER BY lang""",
+)
+def q_lang_aware_token_stats(spark, sf_dir):
+    """Quality stats keyed on the language tier: per lang, whitespace
+    tokens vs lang-aware units (chars for no-whitespace scripts) and
+    their ratio — the audit that catches a corpus slice whose
+    whitespace tokenizer is lying (a de-spaced doc reads as ONE word
+    to a Gopher length gate). Runs over the planted non-whitespace
+    fixture so the zh row's ratio is the visible anomaly."""
+    return dedup.lang_aware_token_stats(
+        dedup.with_cjk_docs(_t(spark, sf_dir, "documents"))
+    )
+
+
+@query(
     "ngram_jaccard_dupes",
     _with_dupes(
         f""", {_SHINGLES_CTE},

@@ -922,9 +922,11 @@ def _known_erased_subjects(
     """doc_ids already covered by a pending erase segment or the
     folded-subject suppression ledger — requests naming them again
     are no-ops."""
+    from ..operators.artifact_lifecycle import recover_torn_swap
     from ..operators.dedup import require_local_index_path
 
     require_local_index_path("_known_erased_subjects", index_path)
+    recover_torn_swap(index_path, "erased_subjects")
     parts = []
     er_dir = os.path.join(index_path, "erases")
     if os.path.isdir(er_dir):
@@ -1089,12 +1091,13 @@ def chunk_index_release_subjects(
     empty ledger) rather than written as a schema-less parquet dir.
     Cost: one subject-sized ledger rewrite, skipped when no ledger
     exists or no overlap."""
-    import shutil
     import uuid
 
+    from ..operators import artifact_lifecycle as alc
     from ..operators.dedup import require_local_index_path
 
     require_local_index_path("chunk_index_release_subjects", index_path)
+    alc.recover_torn_swap(index_path, "erased_subjects")
     led = os.path.join(index_path, "erased_subjects")
     if not (os.path.isdir(led) and os.listdir(led)):
         return {"n_released": 0}
@@ -1105,18 +1108,18 @@ def chunk_index_release_subjects(
         return {"n_released": 0}
     kept = ledger.join(F.broadcast(ids), "doc_id", "left_anti")
     if kept.isEmpty():
+        import shutil
+
         shutil.rmtree(led, ignore_errors=True)
         return {"n_released": n_released}
     scratch = os.path.join(
         index_path, f".erased_subjects_{uuid.uuid4().hex}"
     )
     kept.write.parquet(scratch)
-    old_dir = os.path.join(
-        index_path, f".erased_subjects_old_{uuid.uuid4().hex}"
-    )
-    os.rename(led, old_dir)
-    os.rename(scratch, led)
-    shutil.rmtree(old_dir, ignore_errors=True)
+    # fenced swap: a crash between the two renames must never leave
+    # the ledger MISSING (== no suppression — repeats would
+    # double-apply); recovery rolls to scratch or back to old
+    alc.atomic_swap_dir(index_path, "erased_subjects", scratch)
     return {"n_released": n_released}
 
 
@@ -1752,6 +1755,9 @@ def _known_manifest_erased_subjects(
     `_known_erased_subjects` discipline applied to the manifest)."""
     import os
 
+    from ..operators.artifact_lifecycle import recover_torn_swap
+
+    recover_torn_swap(path, "erased_subjects")
     parts = []
     es_dir = os.path.join(path, "erase_subjects")
     if os.path.isdir(es_dir):
@@ -1862,6 +1868,7 @@ def manifest_release_subjects(
     import shutil
     import uuid
 
+    from ..operators import artifact_lifecycle as alc
     from ..operators.dedup import require_local_index_path
 
     require_local_index_path("manifest_release_subjects", path)
@@ -1881,12 +1888,9 @@ def manifest_release_subjects(
         path, f".erased_subjects_{uuid.uuid4().hex}"
     )
     kept.write.parquet(scratch)
-    old_dir = os.path.join(
-        path, f".erased_subjects_old_{uuid.uuid4().hex}"
-    )
-    os.rename(led, old_dir)
-    os.rename(scratch, led)
-    shutil.rmtree(old_dir, ignore_errors=True)
+    # fenced swap (see chunk_index_release_subjects): a torn swap
+    # must never read as an EMPTY suppression ledger
+    alc.atomic_swap_dir(path, "erased_subjects", scratch)
     return {"n_released": n_released}
 
 

@@ -284,3 +284,70 @@ def test_chunk_index_interleaved_reentry_stays_erasable(spark, tmp_path):
         for r in pipeline.read_chunk_digest_index(spark, path).collect()
     }
     assert not set(subj_digests) & alive2
+
+
+def test_suppression_ledger_swap_is_crash_fenced(spark, tmp_path):
+    """A crash between the suppression-ledger rename-swap's two
+    renames used to leave NO ledger — indistinguishable from a
+    legitimately empty one, so a repeat of an already-folded erase
+    request would double-apply. The fenced swap's recovery must roll
+    the torn state to the fully-written scratch (or back to the old
+    dir), never to 'missing'."""
+    import json
+    import shutil
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        artifact_lifecycle as alc,
+    )
+
+    docs = _docs(spark, range(30))
+    erase = _docs(spark, range(0, 6))
+    path = str(tmp_path / "m")
+    pipeline.build_manifest_artifact(docs, path)
+    pipeline.manifest_erase(spark, path, erase)
+    pipeline.manifest_compact(spark, path)
+    led = os.path.join(path, "erased_subjects")
+    assert os.path.isdir(led)
+
+    # tear the swap at its worst point: ledger renamed away, scratch
+    # not yet renamed in (exactly what atomic_swap_dir's marker
+    # window looks like after the first rename)
+    scratch = os.path.join(path, ".erased_subjects_scratch")
+    shutil.copytree(led, scratch)
+    marker = {
+        "name": "erased_subjects",
+        "old": ".erased_subjects_old_torn",
+        "scratch": ".erased_subjects_scratch",
+    }
+    with open(
+        os.path.join(path, "._SWAP_PENDING_erased_subjects.json"), "w"
+    ) as fh:
+        json.dump(marker, fh)
+    os.rename(led, os.path.join(path, ".erased_subjects_old_torn"))
+    assert not os.path.isdir(led)  # the old hazard: ledger 'missing'
+
+    # the next erase entry recovers the ledger and SUPPRESSES the
+    # repeat instead of double-applying it
+    st = pipeline.manifest_erase(spark, path, erase)
+    assert st["n_docs_erased"] == 0 and st["n_suppressed"] == 6
+    assert os.path.isdir(led)
+    assert _fold(spark, path) == _rebuilt(
+        docs.filter(F.col("doc_id") >= 6)
+    )
+
+    # roll-BACK case: marker + old dir only (scratch never written)
+    os.rename(led, os.path.join(path, ".erased_subjects_old_torn2"))
+    with open(
+        os.path.join(path, "._SWAP_PENDING_erased_subjects.json"), "w"
+    ) as fh:
+        json.dump(
+            {
+                "name": "erased_subjects",
+                "old": ".erased_subjects_old_torn2",
+                "scratch": ".gone",
+            },
+            fh,
+        )
+    assert alc.recover_torn_swap(path, "erased_subjects") == "rolled_back"
+    st2 = pipeline.manifest_erase(spark, path, erase)
+    assert st2["n_suppressed"] == 6
