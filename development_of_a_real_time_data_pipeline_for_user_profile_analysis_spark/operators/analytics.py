@@ -1748,12 +1748,23 @@ def revenue_pareto(orders: DataFrame, top_frac: float = 0.1) -> DataFrame:
 def events_heatmap(events: DataFrame) -> DataFrame:
     """Hour-of-day x ISO-weekday activity heatmap — the ops-dashboard
     load profile. One partial-aggregable groupBy on 168 cells."""
+    # exact integer-cents mean, never floor(avg(double)): value is
+    # exact 2-dp, so avg*1e4 = sum_cents*100/n lands ON .5 boundaries
+    # for many (sum, n) — and a double partial-merge-order ulp then
+    # flips the 4th decimal (the pq_codebook_report knife edge,
+    # observed under load in round 9). Long sums are order-exact.
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     return events.groupBy(
         (F.weekday("ts") + 1).alias("iso_dow"),
         F.hour("ts").alias("hour"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        _floor_round(F.avg("value"), 4).alias("avg_value"),
+        (
+            F.floor(
+                F.sum(cents) * 100.0 / F.count(F.lit(1)) + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("avg_value"),
     )
 
 

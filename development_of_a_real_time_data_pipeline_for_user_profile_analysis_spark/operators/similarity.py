@@ -1245,12 +1245,21 @@ def pq_codebook_report(
     No self-join, no collect, no global sort.
     """
     assigned = pq_codes(embeddings, n_subspaces, codebook_k, dim)
+    # mean over exact integer MICROS, never floor(avg(double)): the
+    # double partial-aggregate merge order varies with task
+    # completion order, and a last-ulp wobble at a .5 knife edge
+    # flips the 6th decimal (observed once under concurrent load,
+    # round 9). dist is already 6-dp rounded, so the micro recovery
+    # is exact and the long sum is order-independent.
+    micro = F.floor(F.col("dist") * 1000000 + 0.5).cast("long")
     return (
         assigned.groupBy("sub_id", "code")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             (
-                F.floor(F.avg("dist") * 1000000 + 0.5).cast("long")
+                F.floor(
+                    F.sum(micro) / F.count(F.lit(1)) + 0.5
+                ).cast("long")
                 / 1000000.0
             ).alias("mean_err"),
             F.max("dist").alias("max_err"),

@@ -142,10 +142,21 @@ def gapfill_locf(events: DataFrame) -> DataFrame:
         F.date_trunc("minute", "ts").alias("bucket_start")
     ).agg(
         # floor-based 4dp rounding BEFORE the carry-forward so the
-        # propagated value is identical in any engine (text.round4)
-        (F.floor(F.avg("value") * 10000 + 0.5).cast("long") / 10000.0).alias(
-            "observed"
-        )
+        # propagated value is identical in any engine (text.round4);
+        # the mean runs over exact integer CENTS (value is exact
+        # 2-dp) — floor(avg(double)) sits on .5 knife edges where a
+        # partial-merge-order ulp flips the digit (round-9 audit)
+        (
+            F.floor(
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("long")
+                )
+                * 100.0
+                / F.count(F.lit(1))
+                + 0.5
+            ).cast("long")
+            / 10000.0
+        ).alias("observed")
     )
     w = Window.orderBy("bucket_start").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -602,7 +602,8 @@ def q_events_gapfill_minute(spark, sf_dir):
        grid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE))
                   AS bucket_start FROM b),
        m AS (SELECT date_trunc('minute', ts) AS bucket_start,
-                    floor(avg(value) * 10000 + 0.5) / 10000.0 AS observed
+                    floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          * 100.0 / count(*) + 0.5) / 10000.0 AS observed
              FROM events GROUP BY 1)
        SELECT g.bucket_start,
               last_value(m.observed IGNORE NULLS) OVER (
@@ -3814,7 +3815,8 @@ def q_revenue_pareto(spark, sf_dir):
     "events_heatmap",
     """SELECT isodow(ts) AS iso_dow, hour(ts) AS hour,
               count(*) AS n,
-              floor(avg(value) * 10000 + 0.5) / 10000.0 AS avg_value
+              floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    * 100.0 / count(*) + 0.5) / 10000.0 AS avg_value
        FROM events GROUP BY 1, 2""",
 )
 def q_events_heatmap(spark, sf_dir):
@@ -4028,15 +4030,17 @@ def q_fuzzy_part_matches(spark, sf_dir):
     "revenue_projection",
     """WITH RECURSIVE monthly AS (
          SELECT date_trunc('month', o_orderdate) AS m,
-                sum(o_totalprice) AS rev
+                sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS rev_cents
          FROM orders GROUP BY 1),
        ratios AS (
-         SELECT rev / lag(rev) OVER (ORDER BY m) AS ratio FROM monthly),
+         SELECT rev_cents * 1.0 / lag(rev_cents) OVER (ORDER BY m)
+           AS ratio FROM monthly),
        params AS (
          SELECT floor((SELECT avg(ratio) FROM ratios WHERE ratio IS NOT NULL)
                       * 1000000 + 0.5) / 1000000.0 AS g,
-                floor((SELECT rev FROM monthly ORDER BY m DESC LIMIT 1)
-                      * 100 + 0.5) / 100.0 AS base),
+                (SELECT rev_cents FROM monthly ORDER BY m DESC LIMIT 1)
+                  / 100.0 AS base),
        proj(step, projected) AS (
          SELECT 0, base FROM params
          UNION ALL
@@ -4056,18 +4060,25 @@ def q_revenue_projection(spark, sf_dir):
     from pyspark.sql import Window
 
     orders = _t(spark, sf_dir, "orders")
+    # monthly revenue as EXACT integer cents (order-exact long sum —
+    # a double sum's merge order wobbles the last ulp; round-9 audit)
     monthly = orders.groupBy(
         F.date_trunc("month", "o_orderdate").alias("m")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("rev_cents")
+    )
     w = Window.orderBy("m")  # ~80 monthly rows — single partition is fine
     ratios = monthly.select(
-        "m", (F.col("rev") / F.lag("rev").over(w)).alias("ratio")
+        "m",
+        (F.col("rev_cents") / F.lag("rev_cents").over(w)).alias("ratio"),
     ).filter(F.col("ratio").isNotNull())
     g_row = ratios.agg(
         (F.floor(F.avg("ratio") * 1000000 + 0.5).cast("long") / 1000000.0).alias("g")
     )
     base_row = monthly.orderBy(F.desc("m")).limit(1).select(
-        (F.floor(F.col("rev") * 100 + 0.5).cast("long") / 100.0).alias("base")
+        (F.col("rev_cents") / 100.0).alias("base")
     )
     params = g_row.crossJoin(base_row)
     # fixed name + createOrReplaceTempView: repeated calls replace
@@ -7169,17 +7180,29 @@ def q_copurchase_hitrate(spark, sf_dir):
 
 @query(
     "streaming_drift_monitor",
-    """WITH base AS (
+    """WITH c AS (
+         SELECT event_type, ts,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         FROM events),
+       bs AS (
+         SELECT event_type, count(*) AS bn,
+                sum(cents) AS s1, sum(cents * cents) AS s2
+         FROM c GROUP BY 1),
+       base AS (
          SELECT event_type,
-                floor(avg(value) * 100 + 0.5) / 100.0 AS mu,
-                floor(stddev_samp(value) * 100 + 0.5) / 100.0 AS sigma
-         FROM events GROUP BY 1),
+                floor(s1 * 1.0 / bn + 0.5) / 100.0 AS mu,
+                CASE WHEN bn >= 2
+                     THEN floor(sqrt((s2 - s1 * 1.0 * s1 / bn)
+                                     / (bn - 1)) + 0.5) / 100.0
+                END AS sigma
+         FROM bs),
        w AS (
          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
                 event_type,
                 count(*) AS n_events,
-                floor(avg(value) * 100 + 0.5) / 100.0 AS mean_value
-         FROM events GROUP BY 1, 2)
+                floor(sum(cents) * 1.0 / count(*) + 0.5) / 100.0
+                  AS mean_value
+         FROM c GROUP BY 1, 2)
        SELECT w.day_start, w.event_type, w.n_events, w.mean_value,
               b.mu IS NULL AS baseline_missing,
               coalesce(abs(w.mean_value - b.mu) > 2 * b.sigma, TRUE) AS alert
@@ -7329,7 +7352,8 @@ _PQ_SUBD = similarity.EMB_DIM // similarity.PQ_SUBSPACES
                                          6), cbs.code) AS rn
                FROM subs JOIN cbs USING (sub_id)) WHERE rn = 1)
        SELECT sub_id, code, count(*) AS n_vectors,
-              floor(avg(dist) * 1000000 + 0.5) / 1000000.0 AS mean_err,
+              floor(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT))
+                    * 1.0 / count(*) + 0.5) / 1000000.0 AS mean_err,
               max(dist) AS max_err
        FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
 )

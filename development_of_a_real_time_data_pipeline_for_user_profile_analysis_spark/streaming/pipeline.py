@@ -546,22 +546,58 @@ def drift_monitor_stream(
     its comparison is indeterminate, so the alert coalesces to true
     (fail-loud) rather than riding through as NULL (ADVICE r3).
     """
-    base = baseline_events.groupBy("event_type").agg(
-        (F.floor(F.avg("value") * 100 + 0.5).cast("long") / 100.0).alias(
-            "mu"
-        ),
-        (
-            F.floor(F.stddev_samp("value") * 100 + 0.5).cast("long") / 100.0
-        ).alias("sigma"),
+    # exact integer-cents moments (value is exact 2-dp): both the
+    # mean and the sample stddev derive from order-exact long sums
+    # (n, Σc, Σc²) — floor(avg/stddev of doubles) sits on .5 knife
+    # edges where a partial-merge-order ulp flips the cent (the
+    # round-9 pq_codebook_report flip, observed under load). Σc² and
+    # (Σc)²/n leave long range only AFTER the exact sums, as doubles
+    # of exact integers — deterministic arithmetic.
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    base = (
+        baseline_events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum(cents).alias("s1"),
+            F.sum(cents * cents).alias("s2"),
+        )
+        .select(
+            "event_type",
+            (
+                F.floor(F.col("s1") * 1.0 / F.col("bn") + 0.5).cast(
+                    "long"
+                )
+                / 100.0
+            ).alias("mu"),
+            F.when(
+                F.col("bn") >= 2,
+                F.floor(
+                    F.sqrt(
+                        (
+                            F.col("s2").cast("double")
+                            - F.col("s1").cast("double")
+                            * F.col("s1").cast("double")
+                            / F.col("bn")
+                        )
+                        / (F.col("bn") - 1)
+                    )
+                    + 0.5
+                ).cast("long")
+                / 100.0,
+            ).alias("sigma"),
+        )
     )
     joined = events.join(F.broadcast(base), "event_type", "left")
     win = joined.groupBy(
         F.window("ts", "1 day").alias("w"), F.col("event_type")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.floor(F.avg("value") * 100 + 0.5).cast("long") / 100.0).alias(
-            "mean_value"
-        ),
+        (
+            F.floor(F.sum(cents) * 1.0 / F.count(F.lit(1)) + 0.5).cast(
+                "long"
+            )
+            / 100.0
+        ).alias("mean_value"),
         F.max("mu").alias("mu"),
         F.max("sigma").alias("sigma"),
     )
