@@ -235,6 +235,56 @@ def lang_aware_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def jaccard_pairs_content_addressed(
+    docs: DataFrame,
+    cands: DataFrame,
+    sh: DataFrame,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Candidate verify with the edit_distance_dupes cost model
+    applied to Jaccard: (1) byte-identical pairs short-circuit to
+    jaccard 1.0 with NO shingle join (an m-replica dup group's m²
+    candidate pairs cost m digest lookups — the 30× soak's replica
+    groups made the naive verify superlinear), and (2) the remaining
+    pairs verify ONCE per distinct (content_a, content_b) digest
+    pair, fanning the verdict back by digest join — Jaccard depends
+    only on the shingle SETS, so the representative's value is every
+    twin's value. Returns (doc_a, doc_b, jaccard) ≥ threshold,
+    value-identical to the naive per-pair verify."""
+    d = docs.select("doc_id", F.md5("text").alias("h"))
+    keyed = cands.join(
+        d.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha")),
+        "doc_a",
+    ).join(
+        d.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb")),
+        "doc_b",
+    )
+    eq = keyed.filter(F.col("ha") == F.col("hb")).select(
+        "doc_a", "doc_b", F.lit(1.0).alias("jaccard")
+    )
+    neq = keyed.filter(F.col("ha") != F.col("hb"))
+    reps = neq.groupBy("ha", "hb").agg(
+        F.min(F.struct("doc_a", "doc_b")).alias("r")
+    )
+    rep_pairs = reps.select(
+        "ha", "hb", F.col("r.doc_a").alias("doc_a"), F.col("r.doc_b").alias("doc_b")
+    )
+    verdicts = (
+        ngram_jaccard_pairs(
+            docs, rep_pairs.select("doc_a", "doc_b"), sh=sh
+        )
+        .join(rep_pairs, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("ha", "hb", "jaccard")
+    )
+    fanned = neq.join(verdicts, ["ha", "hb"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return eq.unionByName(fanned).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
 def lang_dedup_delta_report(
     docs: DataFrame, jaccard_threshold: float = 0.6
 ) -> DataFrame:
@@ -262,8 +312,12 @@ def lang_dedup_delta_report(
         ).persist()
         try:
             cands = lsh_candidate_pairs(docs, sh=sh)
-            pairs = ngram_jaccard_pairs(docs, cands, sh=sh).filter(
-                F.col("jaccard") >= jaccard_threshold
+            # content-addressed verify: byte-identical candidates
+            # (replica/re-crawl groups are m² pairs) never touch the
+            # shingle join; distinct-content pairs verify once per
+            # content pair (30× soak was superlinear without this)
+            pairs = jaccard_pairs_content_addressed(
+                docs, cands, sh, jaccard_threshold
             )
             tagged = (
                 pairs.join(
