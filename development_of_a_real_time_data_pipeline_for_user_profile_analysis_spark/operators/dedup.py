@@ -521,7 +521,11 @@ def lsh_candidate_pairs(
 
 def near_dedup_minhash(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataFrame:
     """Full near-dedup pipeline: LSH candidates → exact Jaccard verify
-    → confirmed near-duplicate pairs."""
+    → confirmed near-duplicate pairs. The verify is CONTENT-ADDRESSED
+    (jaccard_pairs_content_addressed, round 9): exact re-crawl groups
+    emit m² byte-identical candidate pairs that short-circuit on a
+    digest join instead of fanning out shingles — the m²-dup-group
+    blowup measured superlinear on the 30× soak."""
     # The shared shingle table executes ~4x across the pipeline
     # branches (signatures, verify a-side, verify b-side, sizes) and
     # each execution repeats the distinct SHUFFLE, so it is persisted.
@@ -531,8 +535,9 @@ def near_dedup_minhash(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataF
     # semantics make the cache spill rather than evict the executors.)
     sh = shingles(docs).persist()
     cands = lsh_candidate_pairs(docs, sh=sh)
-    verified = ngram_jaccard_pairs(docs, cands, sh=sh)
-    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+    return jaccard_pairs_content_addressed(
+        docs, cands, sh, jaccard_threshold
+    )
 
 
 def ngram_jaccard_dupes(
