@@ -251,12 +251,39 @@ def jaccard_pairs_content_addressed(
     only on the shingle SETS, so the representative's value is every
     twin's value. Returns (doc_a, doc_b, jaccard) ≥ threshold,
     value-identical to the naive per-pair verify."""
-    d = docs.select("doc_id", F.md5("text").alias("h"))
+    # digests ONLY for candidate docs (narrow scan behind a broadcast
+    # semi-join), then broadcast into the pair tagging — the first
+    # cut shuffled the corpus-sized digest projection twice per call
+    # and cost ~2 s per consumer at sf0.1 (bench r24 flagged the
+    # whole minhash family)
+    # the candidate set and the per-doc digest table are consumed by
+    # several branches below — materialize each ONCE (they are
+    # LSH-output-sized); without this every broadcast re-ran the
+    # whole minhash pipeline (measured 2.3 s → 29 s at sf0.1)
+    cands = cands.localCheckpoint(eager=True)
+    ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = (
+        docs.join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id", F.md5("text").alias("h"))
+        .localCheckpoint(eager=True)
+    )
     keyed = cands.join(
-        d.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha")),
+        F.broadcast(
+            d.select(
+                F.col("doc_id").alias("doc_a"), F.col("h").alias("ha")
+            )
+        ),
         "doc_a",
     ).join(
-        d.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb")),
+        F.broadcast(
+            d.select(
+                F.col("doc_id").alias("doc_b"), F.col("h").alias("hb")
+            )
+        ),
         "doc_b",
     )
     eq = keyed.filter(F.col("ha") == F.col("hb")).select(
