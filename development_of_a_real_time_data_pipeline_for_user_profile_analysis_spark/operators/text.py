@@ -970,17 +970,17 @@ def dialogue_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def sft_user_dedup(documents: DataFrame) -> DataFrame:
-    """Role-aware SFT dedup: two conversations with the SAME user
+def sft_user_digests(documents: DataFrame) -> DataFrame:
+    """(doc_id, user_digest) — md5 of each conversation's user-role
+    words in document order: two conversations with the SAME user
     content are duplicates even when the assistant replies differ —
     the keep-one-response-per-prompt rule full-text hashing cannot
-    implement (the texts differ byte-wise). The user digest is the
-    md5 of the user-role words in document order; groups of ≥ 2
-    report their keeper (lowest doc_id) and size.
+    implement (the texts differ byte-wise). Non-dialogue docs (no
+    user turns) emit no row. Shared by the dedup report
+    (sft_user_dedup) and the corpus closure (sft_dedup_corpus).
 
     Scale shape: the turn attribution's per-doc windows, one per-doc
-    ordered reassembly (array_sort over (pos, word) structs), one
-    digest-keyed aggregate."""
+    ordered reassembly (array_sort over (pos, word) structs)."""
     from pyspark.sql import Window
 
     words = documents.select(
@@ -1019,8 +1019,15 @@ def sft_user_dedup(documents: DataFrame) -> DataFrame:
             ).alias("user_digest")
         )
     )
+    return user_text
+
+
+def sft_user_dedup(documents: DataFrame) -> DataFrame:
+    """Role-aware SFT dedup report: see sft_user_digests — groups of
+    ≥ 2 conversations sharing the full user-content digest report
+    their keeper (lowest doc_id) and size."""
     return (
-        user_text.groupBy("user_digest")
+        sft_user_digests(documents).groupBy("user_digest")
         .agg(
             F.min("doc_id").cast("long").alias("keeper_doc_id"),
             F.count(F.lit(1)).cast("long").alias("n_copies"),
@@ -1028,6 +1035,34 @@ def sft_user_dedup(documents: DataFrame) -> DataFrame:
         .filter(F.col("n_copies") >= 2)
         .orderBy("user_digest")
     )
+
+
+def sft_dedup_corpus(documents: DataFrame) -> DataFrame:
+    """The CORPUS CLOSURE of the role-aware dedup (the
+    boilerplate_cleaned_docs discipline applied to chat data): apply
+    the keeper rule — every conversation whose full user-content
+    digest matches a LOWER doc_id's is dropped; keepers and
+    non-dialogue documents pass through byte-identical. What ships
+    to SFT training is this relation, not the report.
+
+    Scale shape: one digest relation (per-doc windows), one
+    digest-keyed min, one broadcast-size anti-join of the dropped
+    ids against the corpus (dupe groups are report-sized)."""
+    from pyspark.sql import Window
+
+    ud = sft_user_digests(documents)
+    dropped = ud.withColumn(
+        "keeper",
+        F.min("doc_id").over(Window.partitionBy("user_digest")),
+    ).filter(F.col("doc_id") != F.col("keeper")).select("doc_id")
+    return documents.join(
+        F.broadcast(dropped), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_hash"),
+        token_count(F.col("text")).alias("n_tokens"),
+    ).orderBy("doc_id")
 
 
 PREFIX_FORK_MOD = 8  # dialogues with residue 6 spawn a prefix fork
@@ -1086,25 +1121,14 @@ pdocs AS (
 )
 
 
-def sft_prefix_dedup(documents: DataFrame) -> DataFrame:
-    """Multi-turn PROMPT-PREFIX dedup (round-9 ask #3): two
-    conversations sharing their first k user turns are prefix
-    duplicates even when the tails diverge — the duplication mode
-    that dominates chat data (same opening prompt, different
-    continuations) and that both byte hashing and the whole-user-
-    content digest (sft_user_dedup) pass. Per user turn the digest
-    chain is cumulative (md5 over the ordered turn digests so far —
-    one window pass), so depth-k prefix groups are exact-match
-    groups on the chained digest. Each conversation reports its
-    DEEPEST shared prefix: (doc_id, shared_depth, prefix_digest,
-    n_sharers, keeper_doc_id, is_keeper) with the keeper rule =
-    lowest doc_id among the sharers of that prefix.
-
-    Scale shape: the turn attribution's per-doc windows (bounded by
-    doc length), one per-(doc, turn) ordered reassembly, one
-    cumulative window over ≤ n_user_turns rows per doc, one
-    (depth, digest)-keyed aggregate, one join back. Nothing
-    pairwise — prefix groups shuffle digests, not text."""
+def sft_prefix_digests(documents: DataFrame) -> DataFrame:
+    """(doc_id, u_idx, prefix_digest) — each conversation's cumulative
+    user-turn prefix chain: prefix_digest at depth k is the md5 over
+    the ordered digests of user turns 1..k, so depth-k prefix groups
+    are exact-match groups on one column. The shared relation behind
+    sft_prefix_dedup (batch report) and the streaming prefix gate's
+    maintained index. Per-doc windows bounded by doc length; one
+    cumulative window over ≤ n_user_turns rows per doc."""
     from pyspark.sql import Window
 
     words = documents.select(
@@ -1151,13 +1175,35 @@ def sft_prefix_dedup(documents: DataFrame) -> DataFrame:
         .orderBy("u_idx")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    prefixes = turn_digests.select(
+    return turn_digests.select(
         "doc_id",
         "u_idx",
         F.md5(
             F.concat_ws("|", F.collect_list("turn_digest").over(wp))
         ).alias("prefix_digest"),
     )
+
+
+def sft_prefix_dedup(documents: DataFrame) -> DataFrame:
+    """Multi-turn PROMPT-PREFIX dedup (round-9 ask #3): two
+    conversations sharing their first k user turns are prefix
+    duplicates even when the tails diverge — the duplication mode
+    that dominates chat data (same opening prompt, different
+    continuations) and that both byte hashing and the whole-user-
+    content digest (sft_user_dedup) pass. Per user turn the digest
+    chain is cumulative (md5 over the ordered turn digests so far —
+    one window pass), so depth-k prefix groups are exact-match
+    groups on the chained digest. Each conversation reports its
+    DEEPEST shared prefix: (doc_id, shared_depth, prefix_digest,
+    n_sharers, keeper_doc_id, is_keeper) with the keeper rule =
+    lowest doc_id among the sharers of that prefix.
+
+    Scale shape: the turn attribution's per-doc windows (bounded by
+    doc length), one per-(doc, turn) ordered reassembly, one
+    cumulative window over ≤ n_user_turns rows per doc, one
+    (depth, digest)-keyed aggregate, one join back. Nothing
+    pairwise — prefix groups shuffle digests, not text."""
+    prefixes = sft_prefix_digests(documents)
     groups = (
         prefixes.groupBy("u_idx", "prefix_digest")
         .agg(

@@ -10186,6 +10186,36 @@ def q_sft_user_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "sft_dedup_corpus",
+    "WITH "
+    + _DIALOGUE_ATT_CTES
+    + """,
+ut AS (SELECT doc_id,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS user_digest
+       FROM att WHERE role = 'u:' AND NOT is_marker
+       GROUP BY doc_id),
+dropped AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY user_digest) AS keeper
+    FROM ut) WHERE doc_id != keeper)
+SELECT doc_id, source, md5(text) AS content_hash,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM ddocs WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id""",
+)
+def q_sft_dedup_corpus(spark, sf_dir):
+    """The role-aware dedup's CORPUS closure: the keeper rule applied
+    — same-user-content conversations keep only the lowest doc_id;
+    keepers and non-dialogue docs pass through byte-identical
+    (content_hash proves it against the oracle). What ships to SFT
+    training is this relation, not the dedup report."""
+    return text.sft_dedup_corpus(
+        text.with_dialogue_docs(_t(spark, sf_dir, "documents"))
+    )
+
+
 _PREFIX_ATT_CTES = (
     text.PREFIX_FORK_ORACLE_CTE
     + """,
@@ -10251,6 +10281,116 @@ def q_sft_prefix_dedup(spark, sf_dir):
     return text.sft_prefix_dedup(
         text.with_prefix_fork_docs(_t(spark, sf_dir, "documents"))
     )
+
+
+@query(
+    "streaming_sft_prefix_gate",
+    "WITH "
+    + _PREFIX_ATT_CTES
+    + f""",
+hits AS (
+  SELECT p.doc_id,
+         CASE WHEN p.doc_id >= {text.PREFIX_FORK_ID_OFFSET}
+              THEN 1 ELSE 0 END AS batch_id,
+         p.u_idx, q.doc_id AS partner
+  FROM ppf p JOIN ppf q
+    ON p.u_idx = q.u_idx AND p.prefix_digest = q.prefix_digest
+  WHERE p.doc_id >= 400000
+    AND ((p.doc_id < {text.PREFIX_FORK_ID_OFFSET}
+          AND q.doc_id < 400000)
+         OR (p.doc_id >= {text.PREFIX_FORK_ID_OFFSET}
+             AND q.doc_id < {text.PREFIX_FORK_ID_OFFSET}))),
+pd AS (SELECT doc_id, batch_id, u_idx,
+         CAST(count(DISTINCT partner) AS BIGINT) AS n_partners
+       FROM hits GROUP BY doc_id, batch_id, u_idx),
+dp AS (SELECT doc_id, batch_id, u_idx, n_partners,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY u_idx DESC) AS rn
+       FROM pd)
+SELECT CAST(batch_id AS BIGINT) AS batch_id, doc_id,
+       CAST(u_idx AS BIGINT) AS shared_depth, n_partners
+FROM dp WHERE rn = 1 ORDER BY doc_id""",
+)
+def q_streaming_sft_prefix_gate(spark, sf_dir):
+    """The prompt-prefix dedup gate as a STREAM over a MAINTAINED
+    prefix-digest index (the chat-ingest admission check): the
+    dialogue corpus's prefix chains are indexed once; the variant
+    batch (identical full user content) then the fork batch (shared
+    first turn, divergent tail) stream through — each conversation
+    is flagged with its deepest prefix shared with ANY PRIOR content
+    (corpus for batch 0; corpus + batch 0 for batch 1) and its
+    partner count, and each batch's chains land as batch-keyed adds
+    so later batches dedup against it. Oracle replays both probes
+    from scratch over the full fixture. Replay-safe: batch-keyed
+    overwrites + own-segment exclusion (pytest replays from a fresh
+    checkpoint)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    import os as _os
+
+    from ..streaming.pipeline import (
+        build_sft_prefix_index,
+        run_sft_prefix_gate_stream,
+    )
+
+    fixture = text.with_prefix_fork_docs(_t(spark, sf_dir, "documents"))
+    corpus = fixture.filter(F.col("doc_id") < 400000)
+    b0 = fixture.filter(
+        (F.col("doc_id") >= 400000)
+        & (F.col("doc_id") < text.PREFIX_FORK_ID_OFFSET)
+    )
+    b1 = fixture.filter(F.col("doc_id") >= text.PREFIX_FORK_ID_OFFSET)
+    work = tempfile.mkdtemp(prefix="sft_prefix_gate_")
+    try:
+        _ph0 = _time.monotonic()
+        pidx = f"{work}/pidx"
+        build_sft_prefix_index(corpus, pidx)
+        in_dir = f"{work}/in"
+        _os.makedirs(in_dir)
+        base_t = _time.time()
+        for i, b in enumerate((b0, b1)):
+            stage = f"{work}/stage_{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        _ph1 = _time.monotonic()
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_sft_prefix_gate_stream(
+            spark, stream, pidx, f"{work}/out", f"{work}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "sft-prefix-gate stream did not drain within 300 s"
+                + (f": {q.exception()}" if q.exception() else "")
+            )
+        _ph2 = _time.monotonic()
+        flags = spark.read.option(
+            "basePath", f"{work}/out/flags"
+        ).parquet(f"{work}/out/flags")
+        out = flags.select(
+            F.col("batch_id").cast("long").alias("batch_id"),
+            "doc_id",
+            "shared_depth",
+            "n_partners",
+        ).orderBy("doc_id")
+        rows = out.collect()
+        _record_phases("streaming_sft_prefix_gate", _ph0, _ph1, _ph2)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(

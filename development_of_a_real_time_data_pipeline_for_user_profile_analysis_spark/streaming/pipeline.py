@@ -1300,22 +1300,24 @@ def run_cluster_update_stream(
                     batch_df,
                     jaccard_threshold,
                 ).filter(F.col("doc_a") != F.col("doc_b"))
-                # (3) fold into the maintained labels (rename-swap)
+                # (3) fold into the maintained labels (fenced swap)
+                from ..operators import artifact_lifecycle as alc
+
+                alc.recover_torn_swap(labels_path, "labels")
                 cur = os.path.join(labels_path, "labels")
                 seeded = os.path.join(labels_path, "_labels_seeded")
                 if os.path.isdir(cur):
                     prev = spark.read.parquet(cur)
                 elif os.path.exists(seeded):
                     # the artifact has published before but the
-                    # labels dir is gone — a crash inside the
-                    # rename-swap window (cur renamed away, scratch
-                    # not yet renamed in). Silently starting from
+                    # labels dir is gone AND recover_torn_swap found
+                    # no repairable marker state — external deletion
+                    # or pre-fence wreckage. Silently starting from
                     # empty would rebuild labels from only THIS
                     # batch's pairs, discarding all corpus
-                    # clustering (ADVICE r7); fail loudly so the
-                    # half-completed swap is repaired (an
-                    # .labels_old_* dir still holds the pre-swap
-                    # labels) instead of masked.
+                    # clustering (ADVICE r7); fail loudly (a torn
+                    # FENCED swap never reaches here — recovery
+                    # rolls it to scratch or old automatically).
                     raise RuntimeError(
                         "labels artifact missing but its seed marker "
                         f"exists under {labels_path!r} — refusing to "
@@ -1342,13 +1344,10 @@ def run_cluster_update_stream(
                 # legitimate first batch
                 with open(seeded, "w") as fh:
                     fh.write("1")
-                old = os.path.join(
-                    labels_path, f".labels_old_{uuid.uuid4().hex}"
-                )
-                if os.path.isdir(cur):
-                    os.rename(cur, old)
-                os.rename(scratch, cur)
-                shutil.rmtree(old, ignore_errors=True)
+                # fenced swap: a crash between the renames self-heals
+                # on the next lifecycle entry (round 9 — the loud-fail
+                # above remains only for non-swap wreckage)
+                alc.atomic_swap_dir(labels_path, "labels", scratch)
         finally:
             batch_df.unpersist()
         if timings is not None:
@@ -1393,11 +1392,16 @@ def cluster_labels_erase_artifact(
         require_local_index_path,
     )
 
+    from ..operators import artifact_lifecycle as alc
+
     require_local_index_path("cluster_labels_erase_artifact", labels_path)
+    alc.recover_torn_swap(labels_path, "labels")
     cur = os.path.join(labels_path, "labels")
     seeded = os.path.join(labels_path, "_labels_seeded")
     if not os.path.isdir(cur):
         if os.path.exists(seeded):
+            # unreachable for a torn FENCED swap (recovery above
+            # rolls it forward/back) — external deletion only
             raise RuntimeError(
                 "labels artifact missing but its seed marker exists "
                 f"under {labels_path!r} — torn rename-swap; restore "
@@ -1413,10 +1417,7 @@ def cluster_labels_erase_artifact(
     )
     scratch = os.path.join(labels_path, f".labels_erase_{uuid.uuid4().hex}")
     new_labels.write.parquet(scratch)
-    old = os.path.join(labels_path, f".labels_old_{uuid.uuid4().hex}")
-    os.rename(cur, old)
-    os.rename(scratch, cur)
-    shutil.rmtree(old, ignore_errors=True)
+    alc.atomic_swap_dir(labels_path, "labels", scratch)
     # count from the published dir (a dot-prefixed scratch read trips
     # Spark's hidden-path filter warning)
     n_after = int(spark.read.parquet(cur).count())
@@ -1547,6 +1548,144 @@ def run_pii_redact_stream(
 
     writer = (
         doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def build_sft_prefix_index(corpus: DataFrame, path: str) -> None:
+    """Materialize the maintained SFT prefix-digest index: `base`
+    holds the corpus conversations' (doc_id, u_idx, prefix_digest)
+    chains (text.sft_prefix_digests); `adds/batch_id=N` segments
+    accumulate from the streaming gate. The chat-ingest sibling of
+    the band/chunk index discipline — incoming conversations probe
+    it BEFORE admission instead of auditing prompt reuse after."""
+    from ..operators.text import sft_prefix_digests
+
+    sft_prefix_digests(corpus).write.mode("overwrite").parquet(
+        os.path.join(path, "base")
+    )
+
+
+def read_sft_prefix_index(
+    spark: SparkSession, path: str, exclude_batch_id: int | None = None
+) -> DataFrame:
+    """base ∪ per-batch adds segments as one prefix relation;
+    `exclude_batch_id` drops every segment with batch id >= it —
+    NOT just the batch's own segment: stream batch ids are
+    monotone, so a replayed batch N must probe exactly the view it
+    originally saw (base ∪ batches < N). Excluding only its own
+    segment would let the replay see LATER batches' prefixes and
+    flag conversations against future content (measured: the replay
+    pytest flagged an earlier batch's doc against a later batch's
+    duplicate before this ge-exclusion)."""
+    from ..operators.dedup import require_local_index_path
+
+    require_local_index_path("read_sft_prefix_index", path)
+    rel = spark.read.parquet(os.path.join(path, "base")).select(
+        "doc_id", "u_idx", "prefix_digest"
+    )
+    adds_dir = os.path.join(path, "adds")
+    if os.path.isdir(adds_dir):
+        for e in sorted(os.listdir(adds_dir)):
+            if not e.startswith("batch_id="):
+                continue
+            bid = e.split("=", 1)[1]
+            if (
+                exclude_batch_id is not None
+                and bid.isdigit()
+                and int(bid) >= int(exclude_batch_id)
+            ):
+                continue
+            rel = rel.unionByName(
+                spark.read.parquet(os.path.join(adds_dir, e)).select(
+                    "doc_id", "u_idx", "prefix_digest"
+                )
+            )
+    return rel
+
+
+def run_sft_prefix_gate_stream(
+    spark: SparkSession,
+    conv_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    timings: list | None = None,
+):
+    """Streaming PROMPT-PREFIX dedup gate over the maintained prefix
+    index: each micro-batch of conversations (1) probes base ∪ all
+    earlier batches' prefix chains — a conversation sharing a
+    depth-k user-turn prefix with ANY prior conversation is flagged
+    with its deepest shared depth and partner count (the chat-data
+    admission check sft_prefix_dedup runs as a batch audit), and
+    (2) publishes its own chains as `adds/batch_id=N` so later
+    batches dedup against it. Batch-keyed overwrites + own-segment
+    exclusion make a replayed batch reproduce its original flags
+    (at-least-once safety, the chunk-dedup stream's discipline).
+
+    Per-batch cost: the batch's per-doc windows + one
+    (u_idx, digest)-keyed probe join against the index scan —
+    O(|batch|)-driven; prefix groups shuffle digests, never text."""
+    import time
+
+    from pyspark.sql import Window
+
+    from ..operators.text import sft_prefix_digests
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        batch_df.persist()
+        pf = None
+        try:
+            n = batch_df.count()
+            if n:
+                pf = sft_prefix_digests(batch_df).persist()
+                idx = read_sft_prefix_index(
+                    spark, index_path, exclude_batch_id=batch_id
+                )
+                hits = pf.join(
+                    idx.select(
+                        "u_idx",
+                        "prefix_digest",
+                        F.col("doc_id").alias("partner_id"),
+                    ),
+                    ["u_idx", "prefix_digest"],
+                ).filter(F.col("partner_id") != F.col("doc_id"))
+                per_depth = hits.groupBy("doc_id", "u_idx").agg(
+                    F.count_distinct("partner_id").alias("n_partners")
+                )
+                deepest = per_depth.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("doc_id").orderBy(
+                            F.col("u_idx").desc()
+                        )
+                    ),
+                ).filter(F.col("rn") == 1)
+                deepest.select(
+                    "doc_id",
+                    F.col("u_idx").cast("long").alias("shared_depth"),
+                    F.col("n_partners").cast("long").alias("n_partners"),
+                ).write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "flags", f"batch_id={batch_id}")
+                )
+                pf.write.mode("overwrite").parquet(
+                    os.path.join(index_path, "adds", f"batch_id={batch_id}")
+                )
+        finally:
+            if pf is not None:
+                pf.unpersist()
+            batch_df.unpersist()
+        if timings is not None:
+            timings.append((batch_id, n, time.monotonic() - t0))
+
+    writer = (
+        conv_stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(gate)
     )

@@ -301,3 +301,64 @@ def test_recovery_is_scoped_to_listed_segments(spark, tmp_path, monkeypatch):
     assert got == want
     assert os.path.isdir(os.path.join(path, "adds", "batch_id=2"))
     assert not os.path.isdir(os.path.join(path, "adds", "batch_id=1"))
+
+
+def test_labels_artifact_torn_swap_self_heals(spark, tmp_path):
+    """The cluster-labels artifact joins the fence (round 9): its
+    per-batch rename-swap used to fail LOUDLY on a torn state
+    (seed-marker + manual .labels_old_* restore); a torn FENCED swap
+    now self-heals on the next lifecycle entry — the loud-fail stays
+    only for non-swap wreckage (external deletion)."""
+    import shutil
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        cluster_labels_erase_artifact,
+    )
+
+    docs = _docs(spark, range(20))
+    lab = str(tmp_path / "lab")
+    os.makedirs(lab)
+    labels = spark.createDataFrame(
+        [(i, i - (i % 2)) for i in range(10)], "doc_id long, cluster_id long"
+    )
+    labels.write.parquet(os.path.join(lab, "labels"))
+    with open(os.path.join(lab, "_labels_seeded"), "w") as fh:
+        fh.write("1")
+    before = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in spark.read.parquet(os.path.join(lab, "labels")).collect()
+    )
+
+    # tear a fenced swap at its worst point: labels renamed away,
+    # scratch (the NEW state) fully written but not yet renamed in
+    scratch = os.path.join(lab, ".labels_scratch")
+    shutil.copytree(os.path.join(lab, "labels"), scratch)
+    json.dump(
+        {"name": "labels", "old": ".labels_old_torn", "scratch": ".labels_scratch"},
+        open(os.path.join(lab, "._SWAP_PENDING_labels.json"), "w"),
+    )
+    os.rename(
+        os.path.join(lab, "labels"), os.path.join(lab, ".labels_old_torn")
+    )
+    assert not os.path.isdir(os.path.join(lab, "labels"))
+
+    # the next lifecycle entry self-heals (rolls FORWARD to scratch)
+    # and the erase applies normally — no RuntimeError, no manual
+    # restore
+    st = cluster_labels_erase_artifact(
+        spark, lab, docs, spark.createDataFrame([(99,)], "doc_id long")
+    )
+    assert st["n_rows_before"] == 10 and st["n_erased_rows"] == 0
+    after = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in spark.read.parquet(os.path.join(lab, "labels")).collect()
+    )
+    assert after == before
+
+    # non-swap wreckage (external deletion, no marker) still fails
+    # loudly instead of silently rebuilding from nothing
+    shutil.rmtree(os.path.join(lab, "labels"))
+    with pytest.raises(RuntimeError, match="seed marker"):
+        cluster_labels_erase_artifact(
+            spark, lab, docs, spark.createDataFrame([(1,)], "doc_id long")
+        )

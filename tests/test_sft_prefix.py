@@ -93,3 +93,80 @@ def test_fixture_generator_plants_both_modes(spark, sf_dir):
     # a fork's base is caught by sft_user_dedup only via its OWN
     # depth-2 variant (doc%8==6 bases have none: variants need %8==2)
     assert not caught
+
+
+def test_streaming_prefix_gate_replay_and_cross_batch(spark, tmp_path):
+    """The streaming prefix gate's ledger discipline: (a) a
+    conversation sharing a prefix only with an EARLIER BATCH (not the
+    corpus) is still flagged — batch adds segments are live for later
+    batches; (b) a checkpoint-reset replay reproduces the identical
+    flags — batch-keyed overwrite + own-segment exclusion mean a
+    replayed batch never sees its own prefixes as prior content."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        build_sft_prefix_index,
+        run_sft_prefix_gate_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "u: corpus question one a: answer u: follow one"),
+            (2, "u: corpus question two a: answer u: follow two"),
+        ],
+        "doc_id long, text string",
+    )
+    # b0 doc 10 forks corpus doc 1 (depth 1); b0 doc 11 is NEW
+    b0 = spark.createDataFrame(
+        [
+            (10, "u: corpus question one a: other reply u: divergent tail"),
+            (11, "u: brand new topic a: reply u: more"),
+        ],
+        "doc_id long, text string",
+    )
+    # b1 doc 20 shares its FULL user content with b0's doc 11 —
+    # flagged only because batch 0's segment is probed
+    b1 = spark.createDataFrame(
+        [(20, "u: brand new topic a: different answer u: more")],
+        "doc_id long, text string",
+    )
+    pidx = str(tmp_path / "pidx")
+    build_sft_prefix_index(corpus, pidx)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base_t = _time.time()
+    for i, b in enumerate((b0, b1)):
+        stage = str(tmp_path / f"stage_{i}")
+        b.coalesce(1).write.parquet(stage)
+        dst = f"{in_dir}/b{i}.parquet"
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+
+    def run(ckpt, out):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_sft_prefix_gate_stream(
+            spark, stream, pidx, str(tmp_path / out), str(tmp_path / ckpt)
+        )
+        assert q.awaitTermination(300)
+        return sorted(
+            (r.doc_id, r.shared_depth, r.n_partners)
+            for r in spark.read.option(
+                "basePath", str(tmp_path / out / "flags")
+            )
+            .parquet(str(tmp_path / out / "flags"))
+            .collect()
+        )
+
+    flags = run("ck1", "out1")
+    # doc 10: depth-1 fork of corpus doc 1; doc 11 clean;
+    # doc 20: depth-2 (full user content) partner = b0's doc 11
+    assert flags == [(10, 1, 1), (20, 2, 1)]
+    # checkpoint-reset replay: identical flags, no self-collision
+    assert run("ck2", "out2") == flags
