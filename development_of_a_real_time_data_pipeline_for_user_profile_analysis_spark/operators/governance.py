@@ -2,8 +2,8 @@
 
 Each maintained artifact erases independently and idempotently —
 but nothing recorded whether ONE GDPR request reached ALL of them:
-a driver crash mid-sequence left the request applied to 3 of 5
-artifacts with no durable record of the gap, and
+a driver crash mid-sequence left the request applied to some of
+the artifacts with no durable record of the gap, and
 erasure_completeness_audit only checks a fresh synchronous
 application, not a durable workflow.
 
@@ -40,13 +40,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-# the five maintained artifacts a request must reach (kept in one
+# the six maintained artifacts a request must reach (kept in one
 # place so the audit and the workflow can never disagree on the set)
 ERASURE_ARTIFACTS = (
     "band_index",
     "chunk_digest_index",
     "cluster_labels",
     "ivfpq_codes",
+    "sft_prefix_index",
     "shard_manifest",
 )
 

@@ -2170,13 +2170,15 @@ SELECT * FROM (
   UNION ALL
   {_ledger_audit_row_sql("ivfpq_codes", 0)}
   UNION ALL
+  {_ledger_audit_row_sql("sft_prefix_index", 0)}
+  UNION ALL
   {_ledger_audit_row_sql("shard_manifest", 1)}
 ) ORDER BY artifact""",
 )
 def q_erasure_request_ledger_audit(spark, sf_dir):
     """Durable erase-request ledger audit (round-9 ask #2): one GDPR
     request is durably OPENED (subject ids recorded before any
-    artifact is touched), then driven across all five maintained
+    artifact is touched), then driven across all six maintained
     artifacts by apply_erase_request — with a planted driver crash
     before the last artifact. The audit diffs ledger vs applied
     markers per artifact: exactly the crashed artifact reports
@@ -2184,7 +2186,8 @@ def q_erasure_request_ledger_audit(spark, sf_dir):
     erase is idempotent under repeats, so a marker lost after its
     erase ran re-runs as a suppressed no-op); after resume, zero
     pending and zero serving rows referencing the subjects in ANY
-    artifact — the manifest is value-checked shard-for-shard against
+    artifact (incl. the SFT prefix index — prompt chains are
+    content-derived) — the manifest is value-checked shard-for-shard against
     the rebuild-without-erased fold, since it has no per-doc rows.
 
     This closes the VERDICT r8 seam: erasure_completeness_audit
@@ -2209,11 +2212,14 @@ def q_erasure_request_ledger_audit(spark, sf_dir):
         _manifest_shard_rows,
         build_chunk_digest_index,
         build_manifest_artifact,
+        build_sft_prefix_index,
         chunk_index_erase,
         cluster_labels_erase_artifact,
         manifest_erase,
         read_chunk_digest_index,
         read_manifest_serving,
+        read_sft_prefix_index,
+        sft_prefix_index_erase,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -2239,6 +2245,14 @@ def q_erasure_request_ledger_audit(spark, sf_dir):
         with open(f"{lab}/_labels_seeded", "w") as fh:
             fh.write("1")
         build_manifest_artifact(corpus, mpath)
+        # SFT prefix index: every corpus doc as a single-turn prompt
+        # (prefix chains are prompt-derived — erasure-scoped like the
+        # band signatures)
+        pfx = f"{work}/pfx"
+        prompts = corpus.withColumn(
+            "text", F.concat(F.lit("u: "), F.col("text"))
+        )
+        build_sft_prefix_index(prompts, pfx)
         # IVF-PQ: the session-cached base artifact, codes copied
         # invocation-locally so the shared artifact is never mutated
         import tempfile as _tf
@@ -2292,6 +2306,10 @@ def q_erasure_request_ledger_audit(spark, sf_dir):
                         vidx,
                         ids.select(F.col("doc_id").alias("vec_id")),
                     ),
+                ),
+                "sft_prefix_index": wrap(
+                    "sft_prefix_index",
+                    lambda ids: sft_prefix_index_erase(spark, pfx, ids),
                 ),
                 "shard_manifest": wrap(
                     "shard_manifest",
@@ -2349,6 +2367,11 @@ def q_erasure_request_ledger_audit(spark, sf_dir):
         )
         ref["cluster_labels"] = int(
             spark.read.parquet(f"{lab}/labels")
+            .join(F.broadcast(subj_ids), "doc_id", "left_semi")
+            .count()
+        )
+        ref["sft_prefix_index"] = int(
+            read_sft_prefix_index(spark, pfx)
             .join(F.broadcast(subj_ids), "doc_id", "left_semi")
             .count()
         )
@@ -11924,7 +11947,7 @@ DRIVER_PRIORITY = [
     "ann_ivfpq_erase_serve",  # r7: tombstone erasure on the maintained artifact, oracle = rebuild WITHOUT the erased subjects (governance-reaches-the-index proof; evicts embedding_near_dupes -> past window, embedding near-dup stays in-window via semdedup_prune_plan's cell-bounded Arrow matmul — the same device)
     "ivfpq_tuning_curve",  # r6: the (n_probe, shortlist) recall-loop closer over the maintained artifact (evicts open_not_pending_customers -> past window; semi/anti-join family keeps gdpr_erasure_plan's anti-join)
     "shard_manifest_erase_serve",  # r9: the manifest artifact's erase+fold+serve rep enters — exercises the idempotent subject-ledger erase and the fenced compaction in one row (evicts profiles_quality_report -> past window; the rule-gate discipline stays in-window via gopher_quality_report and profile integrity via referential_integrity_report)
-    "erasure_request_ledger_audit",  # r9: the durable erase-request ledger — planted crash before the fifth artifact, resumable gap, zero pending + zero referencing rows after resume (evicts hybrid_rrf_search -> past window; retrieval stays in-window via the IVF-PQ serves, fusion stays oracle-covered)
+    "erasure_request_ledger_audit",  # r9: the durable erase-request ledger — planted crash before the last artifact, resumable gap, zero pending + zero referencing rows after resume across all six maintained artifacts incl. the r9 SFT prefix index (evicts hybrid_rrf_search -> past window; retrieval stays in-window via the IVF-PQ serves, fusion stays oracle-covered)
     "multimodal_features",
     "zorder_files",
     "referential_integrity_report",

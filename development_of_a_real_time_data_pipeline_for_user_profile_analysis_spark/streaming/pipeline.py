@@ -1582,9 +1582,11 @@ def read_sft_prefix_index(
     flag conversations against future content (measured: the replay
     pytest flagged an earlier batch's doc against a later batch's
     duplicate before this ge-exclusion)."""
+    from ..operators import artifact_lifecycle as alc
     from ..operators.dedup import require_local_index_path
 
     require_local_index_path("read_sft_prefix_index", path)
+    alc.recover_torn_compaction(path, "base")
     rel = spark.read.parquet(os.path.join(path, "base")).select(
         "doc_id", "u_idx", "prefix_digest"
     )
@@ -1605,7 +1607,109 @@ def read_sft_prefix_index(
                     "doc_id", "u_idx", "prefix_digest"
                 )
             )
+    ts = _read_prefix_tombstones(spark, path)
+    if ts is not None:
+        # erased subjects' chains can never surface as partners even
+        # before compaction folds them out physically
+        rel = rel.join(F.broadcast(ts), "doc_id", "left_anti")
     return rel
+
+
+def sft_prefix_index_erase(
+    spark: SparkSession,
+    path: str,
+    erase_ids: DataFrame,
+    seg_id: int | str | None = None,
+) -> dict:
+    """Right-to-be-forgotten on the prefix index — the SIXTH
+    maintained artifact joins the governance story the moment it
+    exists: prefix digests are DERIVED from the subjects' prompts
+    (the band-signature argument), so erasure must reach them.
+    Tombstone segments of doc_ids (`tombstones/seg_id=N`), excluded
+    by the serving read until compaction folds them physically.
+    uuid default seg_id (no max+1 race); explicit batch-derived keys
+    for foreachBatch idempotence. Id-tombstones are naturally
+    idempotent under repeats — no subject ledger needed (the band
+    index's discipline, not the manifest's)."""
+    import uuid
+
+    from ..operators import artifact_lifecycle as alc
+    from ..operators.dedup import require_local_index_path
+
+    require_local_index_path("sft_prefix_index_erase", path)
+    alc.recover_torn_compaction(path, "base")
+    if seg_id is None:
+        seg_id = uuid.uuid4().hex
+    ids = erase_ids.select("doc_id").distinct()
+    ids.write.mode("overwrite").parquet(
+        os.path.join(path, "tombstones", f"seg_id={seg_id}")
+    )
+    n = int(
+        spark.read.parquet(
+            os.path.join(path, "tombstones", f"seg_id={seg_id}")
+        ).count()
+    )
+    return {"seg_id": seg_id, "n_ids": n}
+
+
+def _read_prefix_tombstones(spark: SparkSession, path: str):
+    ts_dir = os.path.join(path, "tombstones")
+    if os.path.isdir(ts_dir) and any(
+        e.startswith("seg_id=") for e in os.listdir(ts_dir)
+    ):
+        return spark.read.parquet(ts_dir).select("doc_id").distinct()
+    return None
+
+
+def sft_prefix_index_compact(spark: SparkSession, path: str) -> dict:
+    """Fold the prefix index's ledgers (adds ∪ base minus tombstoned
+    doc_ids) into a clean base — CRASH-FENCED via the shared
+    epoch-marker protocol like every other artifact compactor."""
+    import uuid
+
+    from ..operators import artifact_lifecycle as alc
+    from ..operators.dedup import (
+        require_local_index_path,
+        require_nonempty_parquet_scratch,
+    )
+
+    require_local_index_path("sft_prefix_index_compact", path)
+    alc.recover_torn_compaction(path, "base")
+    specs = [("adds", "batch_id"), ("tombstones", "seg_id")]
+    segs = alc.list_segment_dirs(path, specs)
+    if not segs:
+        return {"n_add_segments": 0, "n_tombstoned": 0}
+    marker = alc.begin_compaction(path, "base", segs)
+    add_segs = [s for s in segs if s.startswith("adds/")]
+    ts_segs = [s for s in segs if s.startswith("tombstones/")]
+    rel = spark.read.parquet(os.path.join(path, "base")).select(
+        "doc_id", "u_idx", "prefix_digest"
+    )
+    for s in add_segs:
+        rel = rel.unionByName(
+            spark.read.parquet(os.path.join(path, s)).select(
+                "doc_id", "u_idx", "prefix_digest"
+            )
+        )
+    n_ts = 0
+    if ts_segs:
+        parts = [
+            spark.read.parquet(os.path.join(path, s)).select("doc_id")
+            for s in ts_segs
+        ]
+        ts = parts[0]
+        for pt in parts[1:]:
+            ts = ts.unionByName(pt)
+        ts = ts.distinct()
+        n_ts = int(ts.count())
+        rel = rel.join(F.broadcast(ts), "doc_id", "left_anti")
+    scratch = os.path.join(path, f".base_compact_{uuid.uuid4().hex}")
+    rel.write.parquet(scratch)
+    require_nonempty_parquet_scratch(scratch, "SFT prefix index")
+    alc.stamp_scratch_epoch(scratch, marker["to_epoch"])
+    alc.publish_base(path, "base", scratch)
+    alc.finish_compaction(path, marker)
+    return {"n_add_segments": len(add_segs), "n_tombstoned": n_ts}
 
 
 def run_sft_prefix_gate_stream(

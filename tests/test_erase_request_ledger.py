@@ -80,7 +80,12 @@ def test_crash_between_artifacts_resumes_exactly_the_gap(
         for r in gov.erase_request_status(spark, led).collect()
         if not r.applied
     )
-    assert pending == ["cluster_labels", "ivfpq_codes", "shard_manifest"]
+    assert pending == [
+        "cluster_labels",
+        "ivfpq_codes",
+        "sft_prefix_index",
+        "shard_manifest",
+    ]
     assert [c[0] for c in calls] == ["band_index", "chunk_digest_index"]
 
     # resume with healthy appliers: exactly the gap runs
@@ -88,7 +93,12 @@ def test_crash_between_artifacts_resumes_exactly_the_gap(
     res = gov.apply_erase_request(
         spark, led, "r9", {a: applier(a) for a in gov.ERASURE_ARTIFACTS}
     )
-    assert res["ran"] == ["cluster_labels", "ivfpq_codes", "shard_manifest"]
+    assert res["ran"] == [
+        "cluster_labels",
+        "ivfpq_codes",
+        "sft_prefix_index",
+        "shard_manifest",
+    ]
     assert res["skipped"] == ["band_index", "chunk_digest_index"]
     assert [c[0] for c in calls] == res["ran"]
     assert all(n == 7 for _, n in calls)
@@ -101,7 +111,9 @@ def test_crash_between_artifacts_resumes_exactly_the_gap(
     res2 = gov.apply_erase_request(
         spark, led, "r9", {a: applier(a) for a in gov.ERASURE_ARTIFACTS}
     )
-    assert res2["ran"] == [] and len(res2["skipped"]) == 5
+    assert res2["ran"] == [] and len(res2["skipped"]) == len(
+        gov.ERASURE_ARTIFACTS
+    )
     assert calls == []
 
 

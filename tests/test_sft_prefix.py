@@ -170,3 +170,98 @@ def test_streaming_prefix_gate_replay_and_cross_batch(spark, tmp_path):
     assert flags == [(10, 1, 1), (20, 2, 1)]
     # checkpoint-reset replay: identical flags, no self-collision
     assert run("ck2", "out2") == flags
+
+
+def test_prefix_index_erase_serve_and_fenced_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """The prefix index is the SIXTH maintained artifact: erased
+    subjects' prompt chains must never surface as partners (tombstone
+    anti-join at serve), compaction folds them out physically, and
+    the compactor is crash-fenced like every other artifact."""
+    import json
+    import os
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        artifact_lifecycle as alc,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        build_sft_prefix_index,
+        read_sft_prefix_index,
+        sft_prefix_index_compact,
+        sft_prefix_index_erase,
+    )
+
+    convs = spark.createDataFrame(
+        [
+            (i, f"u: shared opening prompt a: reply {i} u: tail {i}")
+            for i in range(8)
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "pfx")
+    build_sft_prefix_index(convs, path)
+    # a later batch segment too, so compaction folds adds as well
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.text import (
+        sft_prefix_digests,
+    )
+
+    extra = spark.createDataFrame(
+        [(100, "u: shared opening prompt a: r u: different tail")],
+        "doc_id long, text string",
+    )
+    sft_prefix_digests(extra).write.parquet(
+        os.path.join(path, "adds", "batch_id=1")
+    )
+
+    st = sft_prefix_index_erase(
+        spark, path, spark.createDataFrame([(2,), (3,)], "doc_id long")
+    )
+    assert st["n_ids"] == 2
+    served = {
+        r.doc_id for r in read_sft_prefix_index(spark, path).collect()
+    }
+    assert served == {0, 1, 4, 5, 6, 7, 100}  # tombstoned gone, add live
+
+    # fenced compaction: crash between publish and retirement must
+    # not re-apply tombstones or double-union the adds segment
+    def crash(*_a, **_k):
+        raise RuntimeError("simulated crash")
+
+    with monkeypatch.context() as m:
+        m.setattr(alc, "finish_compaction", crash)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            sft_prefix_index_compact(spark, path)
+    marker = json.load(
+        open(os.path.join(path, alc.PENDING_MARKER))
+    )
+    assert marker["segments"]
+    served2 = {
+        r.doc_id for r in read_sft_prefix_index(spark, path).collect()
+    }
+    assert served2 == served  # recovery rolled forward, fold exact
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    # physical exclusion after the fold
+    base = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(path, "base")).collect()
+    }
+    assert base == served
+    # a fresh gate run over the compacted index never pairs against
+    # the erased subjects
+    probe = sft_prefix_digests(
+        spark.createDataFrame(
+            [(200, "u: shared opening prompt a: x u: y")],
+            "doc_id long, text string",
+        )
+    )
+    partners = {
+        r.doc_id
+        for r in read_sft_prefix_index(spark, path)
+        .join(
+            probe.select("u_idx", "prefix_digest"),
+            ["u_idx", "prefix_digest"],
+        )
+        .collect()
+    }
+    assert partners and not partners & {2, 3}
