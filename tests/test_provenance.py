@@ -1,0 +1,125 @@
+"""Artifact provenance / version-skew audit: every pipeline run
+stamps the artifacts it builds with an order-independent corpus
+version digest (xor of per-doc md5 terms + row count); the audit
+recomputes the current version and flags any artifact whose stamp
+differs — the rebuild-needed signal after a corpus revision. The
+sidecar lives at the artifact ROOT so lifecycle operations that
+rename-swap the base (compaction, erase folds) must leave it
+untouched."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+    governance as gov,
+)
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+    build_manifest_artifact,
+    manifest_compact,
+    manifest_erase,
+    read_manifest_serving,
+)
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [(int(i), f"doc text number {i}") for i in ids],
+        "doc_id long, text string",
+    )
+
+
+def test_corpus_version_is_order_and_partition_independent(spark):
+    docs = _docs(spark, range(40))
+    a = gov.corpus_version_scalar(docs.repartition(1))
+    b = gov.corpus_version_scalar(
+        docs.repartition(16).orderBy(F.col("doc_id").desc())
+    )
+    assert a == b
+    # content participates: one changed byte flips the digest
+    mut = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    assert gov.corpus_version_scalar(mut) != a
+    # identity participates: same bytes under a different doc_id
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    assert gov.corpus_version_scalar(shifted) != a
+
+
+def test_stamp_roundtrip_and_unstamped_row(spark, tmp_path):
+    art = str(tmp_path / "art")
+    gov.stamp_provenance(art, "band_index", 12345, 40)
+    assert gov.read_provenance(art) == {
+        "artifact": "band_index",
+        "version_xor": 12345,
+        "n_docs": 40,
+    }
+    # re-stamp overwrites atomically
+    gov.stamp_provenance(art, "band_index", 99, 41)
+    assert gov.read_provenance(art)["version_xor"] == 99
+    assert gov.read_provenance(str(tmp_path / "missing")) is None
+    with pytest.raises(ValueError, match="os.listdir"):
+        gov.stamp_provenance("s3a://bucket/art", "x", 1, 1)
+
+    docs = _docs(spark, range(10))
+    v, n = gov.corpus_version_scalar(docs)
+    fresh = str(tmp_path / "fresh")
+    gov.stamp_provenance(fresh, "shard_manifest", v, n)
+    rows = {
+        r.artifact: r
+        for r in gov.artifact_provenance_audit(
+            spark,
+            {"shard_manifest": fresh, "never_stamped": art + "_nope"},
+            docs,
+        ).collect()
+    }
+    assert rows["shard_manifest"].in_sync == 1
+    assert rows["never_stamped"].in_sync == 0
+    assert rows["never_stamped"].stamped_version is None
+    assert rows["never_stamped"].current_version == v
+
+
+def test_audit_flags_stale_artifact(spark, tmp_path):
+    docs = _docs(spark, range(30))
+    stale_view = docs.filter(F.col("doc_id") % 3 != 0)
+    v_now, n_now = gov.corpus_version_scalar(docs)
+    v_old, n_old = gov.corpus_version_scalar(stale_view)
+    fresh, stale = str(tmp_path / "f"), str(tmp_path / "s")
+    gov.stamp_provenance(fresh, "chunk_digest_index", v_now, n_now)
+    gov.stamp_provenance(stale, "band_index", v_old, n_old)
+    rows = {
+        r.artifact: r.in_sync
+        for r in gov.artifact_provenance_audit(
+            spark,
+            {"chunk_digest_index": fresh, "band_index": stale},
+            docs,
+        ).collect()
+    }
+    assert rows == {"chunk_digest_index": 1, "band_index": 0}
+
+
+def test_stamp_survives_manifest_erase_and_compaction(spark, tmp_path):
+    corpus = _docs(spark, range(60))
+    mpath = str(tmp_path / "manifest")
+    build_manifest_artifact(corpus, mpath)
+    v, n = gov.corpus_version_scalar(corpus)
+    gov.stamp_provenance(mpath, "shard_manifest", v, n)
+
+    erased = corpus.filter(F.col("doc_id") < 5)
+    manifest_erase(spark, mpath, erased)
+    manifest_compact(spark, mpath)
+    # lifecycle ops rename-swap the base subdir; the root sidecar
+    # must survive them (the stamp names the corpus, not the fold)
+    assert gov.read_provenance(mpath) == {
+        "artifact": "shard_manifest",
+        "version_xor": v,
+        "n_docs": n,
+    }
+    # and the artifact still serves post-compaction
+    assert read_manifest_serving(spark, mpath).count() > 0
