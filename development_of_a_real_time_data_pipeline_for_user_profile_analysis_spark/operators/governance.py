@@ -305,3 +305,52 @@ def artifact_provenance_audit(
         "artifact string, stamped_version long, stamped_n_docs long, "
         "current_version long, current_n_docs long, in_sync long",
     )
+
+
+def provenance_apply_delta(
+    artifact_path: str,
+    added_docs: DataFrame | None = None,
+    removed_docs: DataFrame | None = None,
+) -> dict:
+    """Incremental provenance maintenance — the reason the version
+    digest is an xor: when a revision lands as a delta (adds +
+    removals), the new corpus version is
+
+        stamp ⊕ xor(added terms) ⊕ xor(removed terms)
+
+    (xor is its own inverse, so removed docs' terms cancel back
+    out), and the count adjusts by the delta sizes. Cost is a scan
+    of the DELTA slices only — at 100 TB the stamp stays current
+    without ever rescanning the corpus, the same economics as the
+    manifest artifact's segment fold.
+
+    REPLAY HAZARD (deliberate scope): this is a destructive in-place
+    fold — applying the same delta twice CANCELS its digest terms
+    and double-counts, exactly the manifest stream's documented xor
+    failure mode. It belongs to the batch revision pipeline (one
+    idempotent run per revision); a streaming maintainer must keep
+    batch-keyed segments and fold at read, as the manifest does."""
+    from pyspark.sql import functions as F
+
+    prov = read_provenance(artifact_path)
+    if prov is None:
+        raise ValueError(
+            f"provenance_apply_delta: no stamp at {artifact_path}"
+        )
+    xor, n = int(prov["version_xor"]), int(prov["n_docs"])
+    for df, sign in ((added_docs, 1), (removed_docs, -1)):
+        if df is None:
+            continue
+        row = (
+            df.select(corpus_version_expr().alias("vt"))
+            .agg(
+                F.expr("bit_xor(vt)").cast("long").alias("x"),
+                F.count(F.lit(1)).cast("long").alias("c"),
+            )
+            .collect()[0]
+        )
+        if row["c"]:
+            xor ^= int(row["x"])
+            n += sign * int(row["c"])
+    stamp_provenance(artifact_path, prov["artifact"], xor, n)
+    return {"artifact": prov["artifact"], "version_xor": xor, "n_docs": n}

@@ -2522,6 +2522,92 @@ def q_artifact_provenance_audit(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "provenance_incremental_audit",
+    f"""WITH {_prov_version_cte("v0", " WHERE doc_id % 4 = 0")},
+{_prov_version_cte(
+        "fin",
+        " WHERE (doc_id % 4 = 0 AND NOT (doc_id % 9 = 5)) OR doc_id % 4 = 1",
+    )}
+SELECT * FROM (
+  SELECT 'band_index' AS artifact,
+         v0.v AS stamped_version, v0.n AS stamped_n_docs,
+         fin.v AS current_version, fin.n AS current_n_docs,
+         CAST(v0.v = fin.v AND v0.n = fin.n AS BIGINT) AS in_sync
+  FROM v0, fin
+  UNION ALL
+  SELECT 'shard_manifest', fin.v, fin.n, fin.v, fin.n,
+         CAST(1 AS BIGINT)
+  FROM fin
+) ORDER BY artifact""",
+)
+def q_provenance_incremental_audit(spark, sf_dir):
+    """Incremental provenance maintenance, value-proven: a revision
+    lands on the maintained manifest artifact as a DELTA (an adds
+    batch through the stream's own landing door + an erase segment),
+    and the provenance stamp follows by the xor fold — stamp ⊕
+    xor(added terms) ⊕ xor(removed terms), count adjusted — scanning
+    ONLY the delta slices. The audit then recomputes the final
+    corpus version from scratch and must find the incrementally
+    maintained stamp EXACTLY equal (in_sync 1), while a second
+    artifact left stamped at the pre-revision version flags
+    (in_sync 0). Both digests are value-checked against the
+    oracle's independent from-scratch xor computation — the
+    incremental == recompute identity IS the row.
+
+    Scale shape: at 100 TB the stamp stays current at delta cost
+    (the manifest segment economics applied to provenance); the
+    from-scratch recompute here is the audit's proof obligation,
+    not the maintenance path. Replay hazard documented on the op:
+    the in-place fold is for the batch revision pipeline, not a
+    stream (a replayed delta would xor-cancel — the manifest
+    stream's bookkept-segments lesson)."""
+    import shutil
+    import tempfile
+
+    from ..operators import governance as gov
+    from ..streaming.pipeline import (
+        build_manifest_artifact,
+        manifest_add_batch,
+        manifest_erase,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus0 = docs.filter(F.col("doc_id") % 4 == 0)
+    adds = docs.filter(F.col("doc_id") % 4 == 1)
+    removes = corpus0.filter(F.col("doc_id") % 9 == 5)
+    v0, n0 = gov.corpus_version_scalar(corpus0)
+
+    work = tempfile.mkdtemp(prefix="prov_incr_")
+    try:
+        mpath = f"{work}/manifest"
+        build_manifest_artifact(corpus0, mpath)
+        gov.stamp_provenance(mpath, "shard_manifest", v0, n0)
+        # the revision: adds land through the stream's batch door,
+        # removals as an erase segment; the stamp follows at delta cost
+        manifest_add_batch(spark, mpath, adds, 1)
+        manifest_erase(spark, mpath, removes, seg_id=1)
+        gov.provenance_apply_delta(
+            mpath, added_docs=adds, removed_docs=removes
+        )
+
+        stale = f"{work}/bidx"
+        gov.stamp_provenance(stale, "band_index", v0, n0)
+
+        final_corpus = corpus0.join(
+            removes.select("doc_id"), "doc_id", "left_anti"
+        ).unionByName(adds)
+        audit = gov.artifact_provenance_audit(
+            spark,
+            {"shard_manifest": mpath, "band_index": stale},
+            final_corpus,
+        ).orderBy("artifact")
+        rows = audit.collect()
+        return spark.createDataFrame(rows, audit.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("simhash_signatures", _simhash_oracle())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))

@@ -1972,25 +1972,7 @@ def run_manifest_update_stream(
     their erase segment folds); the serve path never reads it."""
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            _manifest_shard_rows(batch_df).write.mode(
-                "overwrite"
-            ).parquet(
-                os.path.join(manifest_path, "adds", f"batch_id={batch_id}")
-            )
-            batch_df.select("doc_id").distinct().write.mode(
-                "overwrite"
-            ).parquet(
-                os.path.join(
-                    manifest_path, "add_subjects", f"batch_id={batch_id}"
-                )
-            )
-            manifest_release_subjects(
-                spark, manifest_path, batch_df.select("doc_id")
-            )
-        finally:
-            batch_df.unpersist()
+        manifest_add_batch(spark, manifest_path, batch_df, batch_id)
 
     writer = (
         doc_stream.writeStream.outputMode("append")
@@ -2000,6 +1982,30 @@ def run_manifest_update_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def manifest_add_batch(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    batch_id: int | str,
+) -> None:
+    """Batch-mode adds landing — the stream gate's exact discipline
+    (batch-keyed segment OVERWRITE for bookkept replay safety, the
+    add_subjects re-consent sidecar, suppression-ledger release)
+    exposed to the batch revision pipeline, so a one-shot revision
+    lands through the same door a micro-batch does."""
+    docs.persist()
+    try:
+        _manifest_shard_rows(docs).write.mode("overwrite").parquet(
+            os.path.join(path, "adds", f"batch_id={batch_id}")
+        )
+        docs.select("doc_id").distinct().write.mode("overwrite").parquet(
+            os.path.join(path, "add_subjects", f"batch_id={batch_id}")
+        )
+        manifest_release_subjects(spark, path, docs.select("doc_id"))
+    finally:
+        docs.unpersist()
 
 
 def _manifest_repair_orphan_sidecars(path: str) -> int:

@@ -123,3 +123,70 @@ def test_stamp_survives_manifest_erase_and_compaction(spark, tmp_path):
     }
     # and the artifact still serves post-compaction
     assert read_manifest_serving(spark, mpath).count() > 0
+
+
+def test_provenance_apply_delta_matches_recompute(spark, tmp_path):
+    corpus0 = _docs(spark, range(0, 50))
+    adds = _docs(spark, range(100, 120))
+    removes = corpus0.filter(F.col("doc_id") % 5 == 0)
+    art = str(tmp_path / "m")
+    v0, n0 = gov.corpus_version_scalar(corpus0)
+    gov.stamp_provenance(art, "shard_manifest", v0, n0)
+    st = gov.provenance_apply_delta(
+        art, added_docs=adds, removed_docs=removes
+    )
+    final = corpus0.join(
+        removes.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(adds)
+    v_fin, n_fin = gov.corpus_version_scalar(final)
+    assert (st["version_xor"], st["n_docs"]) == (v_fin, n_fin)
+    assert gov.read_provenance(art)["version_xor"] == v_fin
+    # empty deltas are no-ops
+    empty = adds.filter(F.lit(False))
+    gov.provenance_apply_delta(art, added_docs=empty, removed_docs=empty)
+    assert gov.read_provenance(art)["version_xor"] == v_fin
+    # the documented replay hazard: re-applying the same delta
+    # xor-cancels — the stamp must NO LONGER match (this is why the
+    # op belongs to the batch revision pipeline, not a stream)
+    gov.provenance_apply_delta(art, added_docs=adds)
+    assert gov.read_provenance(art)["version_xor"] != v_fin
+    with pytest.raises(ValueError, match="no stamp"):
+        gov.provenance_apply_delta(str(tmp_path / "nope"), adds, None)
+
+
+def test_manifest_add_batch_is_replay_safe(spark, tmp_path):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        manifest_add_batch,
+    )
+
+    corpus0 = _docs(spark, range(0, 40))
+    adds = _docs(spark, range(200, 230))
+    mpath = str(tmp_path / "m")
+    build_manifest_artifact(corpus0, mpath)
+    manifest_add_batch(spark, mpath, adds, 7)
+    once = {
+        (r.shard, r.n_docs, r.n_tokens, r.content_xor)
+        for r in read_manifest_serving(spark, mpath).collect()
+    }
+    # replayed batch OVERWRITES its own segment: fold unchanged
+    manifest_add_batch(spark, mpath, adds, 7)
+    again = {
+        (r.shard, r.n_docs, r.n_tokens, r.content_xor)
+        for r in read_manifest_serving(spark, mpath).collect()
+    }
+    assert once == again
+    want = {
+        (r.shard, r.n_docs, r.n_tokens, r.content_xor)
+        for r in _manifest_rebuild(spark, corpus0.unionByName(adds))
+    }
+    assert once == want
+
+
+def _manifest_rebuild(spark, corpus):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.text import (
+        shard_manifest,
+    )
+
+    return shard_manifest(corpus).select(
+        "shard", "n_docs", "n_tokens", "content_xor"
+    ).collect()
