@@ -3604,7 +3604,7 @@ def _qc_feature_table(
 
 
 def _qc_feature_tables(
-    documents: DataFrame, widths: tuple
+    documents: DataFrame, widths: tuple, materialize: bool = False
 ) -> dict[int, DataFrame]:
     """Feature tables for SEVERAL hashing widths off ONE token scan:
     the 2-hex-digit token hash is computed once, every width's bucket
@@ -3632,6 +3632,12 @@ def _qc_feature_tables(
         for i in range(w)
     ]
     counts = tok.groupBy("doc_id", "source").agg(*aggs)
+    if materialize:
+        # one real token shuffle, materialized; every GD step job
+        # then scans the narrow counts relation instead of re-running
+        # the explode+aggregate (the materialize_steps=True path —
+        # exchange reuse can't span the per-step jobs)
+        counts = counts.localCheckpoint(eager=True)
     out: dict[int, DataFrame] = {}
     for w in widths:
         nrm = F.sqrt(
@@ -3661,6 +3667,7 @@ def _qc_gd_chain(
     n_steps: int = QC_GD_STEPS,
     eta: float = QC_ETA,
     feats: DataFrame | None = None,
+    materialize_steps: bool = False,
 ):
     """Train the quality classifier: `n_steps` full-batch GD steps
     over the TRAIN split, weights floor-quantized to 1e-6 after every
@@ -3702,6 +3709,14 @@ def _qc_gd_chain(
                 for j in range(n_buckets + 1)
             ]
         )
+        if materialize_steps:
+            # truncate the trajectory plan: each step's 1-row weight
+            # relation is computed eagerly (a bounded planner job —
+            # feats should be a materialized counts projection), so
+            # the wide chain's plan stays one step deep instead of
+            # nesting every previous step's aggregate into the next
+            # step's codegen (the measured 32-bucket compile wall)
+            step = step.localCheckpoint(eager=True)
         feats = feats.crossJoin(F.broadcast(step)).select(
             "doc_id", "source", "y", "is_train", *xcols, *new_wcols
         )
@@ -4142,11 +4157,14 @@ def quality_capacity_eval(documents: DataFrame) -> DataFrame:
     10 decile bins."""
     out = None
     shared = _qc_feature_tables(
-        documents, (QC_N_FEATURES, QC_WIDE_FEATURES)
+        documents, (QC_N_FEATURES, QC_WIDE_FEATURES), materialize=True
     )
     for label, nb in (("base", QC_N_FEATURES), ("wide", QC_WIDE_FEATURES)):
         feats, wcols = _qc_gd_chain(
-            documents, n_buckets=nb, feats=shared[nb]
+            documents,
+            n_buckets=nb,
+            feats=shared[nb],
+            materialize_steps=True,
         )
         held = feats.filter(~F.col("is_train"))
         z = F.col(wcols[0]) + sum(
