@@ -98,15 +98,23 @@ def list_segment_dirs(path: str, specs: list[tuple[str, str]]) -> list[str]:
 
 
 def begin_compaction(
-    path: str, base_name: str, segment_dirs: list[str]
+    path: str,
+    base_name: str,
+    segment_dirs: list[str],
+    snapshot: bool = False,
 ) -> dict:
     """Durably record the compaction intent: target epoch + the exact
     segment list being folded. Written atomically (tmp + rename) so a
-    crash mid-write never leaves a truncated marker."""
+    crash mid-write never leaves a truncated marker. `snapshot=True`
+    records that this compaction RETAINS its inputs (old base + the
+    enumerated segments) under `_snapshots/epoch={to_epoch}/` instead
+    of discarding them — recovery honors the flag, so a crash cannot
+    turn a snapshotting compaction into a discarding one."""
     marker = {
         "base": base_name,
         "to_epoch": read_base_epoch(path, base_name) + 1,
         "segments": sorted(segment_dirs),
+        "snapshot": bool(snapshot),
     }
     tmp = os.path.join(path, f".{PENDING_MARKER}.tmp")
     with open(tmp, "w") as fh:
@@ -122,13 +130,73 @@ def stamp_scratch_epoch(scratch: str, epoch: int) -> None:
         fh.write(str(epoch))
 
 
-def publish_base(path: str, base_name: str, scratch: str) -> None:
+def snapshot_dir(path: str, epoch: int) -> str:
+    return os.path.join(path, "_snapshots", f"epoch={int(epoch)}")
+
+
+def snapshot_epochs(path: str) -> list[int]:
+    """Retained snapshot epochs, ascending."""
+    d = os.path.join(path, "_snapshots")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(d)
+        if e.startswith("epoch=")
+    )
+
+
+def vacuum_snapshots(path: str, retain_last: int) -> list[int]:
+    """Drop all but the newest `retain_last` snapshots (the table
+    format's expire-snapshots). Returns the removed epochs."""
+    if retain_last < 0:
+        raise ValueError("retain_last must be >= 0")
+    epochs = snapshot_epochs(path)
+    victims = epochs[: max(0, len(epochs) - retain_last)]
+    for e in victims:
+        shutil.rmtree(snapshot_dir(path, e), ignore_errors=True)
+    d = os.path.join(path, "_snapshots")
+    if os.path.isdir(d) and not os.listdir(d):
+        os.rmdir(d)
+    return victims
+
+
+def _move_retired(src: str, dst: str) -> None:
+    """Move a retired directory into the snapshot tree, idempotently
+    (recovery may re-run after a crash mid-finish): a missing source
+    means an earlier attempt already moved it; an existing dest wins
+    and the source is dropped."""
+    if not os.path.isdir(src):
+        return
+    if os.path.isdir(dst):
+        shutil.rmtree(src, ignore_errors=True)
+        return
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.rename(src, dst)
+
+
+def publish_base(
+    path: str,
+    base_name: str,
+    scratch: str,
+    snapshot_epoch: int | None = None,
+) -> None:
     """Rename-swap the epoch-stamped scratch over the base. The old
-    base is parked dot-prefixed (invisible to readers) and removed;
-    a crash leaving it behind is storage garbage, never state."""
+    base is parked dot-prefixed (invisible to readers) and removed —
+    or, when `snapshot_epoch` is given, RETAINED under the snapshot
+    tree (rename only, no data copy): the as-of read folds it with
+    the retired segments finish_compaction parks beside it."""
     import uuid
 
     cur = os.path.join(path, base_name)
+    if snapshot_epoch is not None:
+        if os.path.isdir(cur):
+            _move_retired(
+                cur,
+                os.path.join(snapshot_dir(path, snapshot_epoch), base_name),
+            )
+        os.rename(scratch, cur)
+        return
     old = os.path.join(path, f".{base_name}_old_{uuid.uuid4().hex}")
     if os.path.isdir(cur):
         os.rename(cur, old)
@@ -139,9 +207,23 @@ def publish_base(path: str, base_name: str, scratch: str) -> None:
 def finish_compaction(path: str, marker: dict) -> None:
     """Retire exactly the folded segments, then drop the marker.
     Crash anywhere in here → recovery rolls forward to this same
-    end state (rmtree of an already-removed dir is a no-op)."""
+    end state (rmtree of an already-removed dir is a no-op; snapshot
+    moves are idempotent). A snapshotting compaction parks the
+    segments under `_snapshots/epoch={to_epoch}/` — together with
+    the old base publish_base parked there, their fold IS the state
+    the artifact served at commit to_epoch."""
+    snap = (
+        snapshot_dir(path, marker["to_epoch"])
+        if marker.get("snapshot")
+        else None
+    )
     for rel in marker["segments"]:
-        shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+        if snap is not None:
+            _move_retired(
+                os.path.join(path, rel), os.path.join(snap, rel)
+            )
+        else:
+            shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
     # drop now-empty ledger parents (adds/, erases/, …) so "no
     # pending segments" keeps reading as "directory absent" — but
     # never a parent that received a segment after the marker

@@ -2683,6 +2683,115 @@ def q_provenance_incremental_audit(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _manifest_epoch_sql(epoch: int, where: str) -> str:
+    return f"""SELECT CAST({epoch} AS BIGINT) AS epoch, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(bit_xor(ct) AS BIGINT) AS content_xor
+FROM (
+  SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % {text.PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+              AS BIGINT) AS ct
+  FROM documents WHERE {where}
+) GROUP BY shard"""
+
+
+@query(
+    "shard_manifest_time_travel",
+    f"""SELECT * FROM (
+  {_manifest_epoch_sql(1, "doc_id % 4 IN (0, 1)")}
+  UNION ALL
+  {_manifest_epoch_sql(
+        2,
+        "doc_id % 4 IN (0, 1, 2) "
+        "AND NOT (doc_id % 4 = 0 AND doc_id % 9 = 5)",
+    )}
+) ORDER BY epoch, shard""",
+)
+def q_shard_manifest_time_travel(spark, sf_dir):
+    """SNAPSHOT reads on the maintained manifest artifact — the
+    table format's time travel on the plain-filesystem lifecycle:
+    compacting with snapshot=True parks the old base and the retired
+    segments under `_snapshots/epoch=N/` (rename-only, no data
+    copy), and read_manifest_as_of(N) folds them back into exactly
+    the state the artifact served at commit N — reproduce what a
+    training run read at epoch 1 after epoch 2's adds/erases moved
+    the artifact on.
+
+    Lifecycle exercised: base(corpus) → adds batch → compact
+    (snapshot, commit 1) → second adds batch + erase segment →
+    compact (snapshot, commit 2). Epoch-1 rows come from the as-of
+    read and must equal the rebuild over corpus ∪ batch1; epoch-2
+    rows come from the LIVE serving read, in-query cross-checked
+    against as-of(2) (a torn retention would flip the check loudly).
+    Both epochs' counts and xor digests are value-checked by the
+    oracle's independent recompute.
+
+    Scale shape: retention is two renames per compaction; the as-of
+    fold is |shards|-sized like the live read; vacuum_snapshots is
+    the expire-snapshots knob (pytest covers it)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import (
+        build_manifest_artifact,
+        manifest_add_batch,
+        manifest_compact,
+        manifest_erase,
+        read_manifest_as_of,
+        read_manifest_serving,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus0 = docs.filter(F.col("doc_id") % 4 == 0)
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 2)
+    removes = corpus0.filter(F.col("doc_id") % 9 == 5)
+
+    work = tempfile.mkdtemp(prefix="manifest_tt_")
+    try:
+        mpath = f"{work}/manifest"
+        build_manifest_artifact(corpus0, mpath)
+        manifest_add_batch(spark, mpath, b1, 1)
+        st1 = manifest_compact(spark, mpath, snapshot=True)
+        manifest_add_batch(spark, mpath, b2, 2)
+        manifest_erase(spark, mpath, removes, seg_id=1)
+        st2 = manifest_compact(spark, mpath, snapshot=True)
+
+        cols = ["shard", "n_docs", "n_tokens", "content_xor"]
+        asof1 = read_manifest_as_of(spark, mpath, st1["epoch"]).select(
+            *cols
+        )
+        live = read_manifest_serving(spark, mpath).select(*cols)
+        asof2 = read_manifest_as_of(spark, mpath, st2["epoch"]).select(
+            *cols
+        )
+        # in-query retention cross-check: the latest snapshot's fold
+        # must equal the live serving state
+        if (
+            live.unionByName(asof2)
+            .groupBy(*cols)
+            .count()
+            .filter(F.col("count") != 2)
+            .count()
+        ):
+            raise AssertionError(
+                "as-of(latest) diverges from the live serving read"
+            )
+        out = (
+            asof1.withColumn("epoch", F.lit(1).cast("long"))
+            .unionByName(live.withColumn("epoch", F.lit(2).cast("long")))
+            .select("epoch", *cols)
+            .orderBy("epoch", "shard")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("simhash_signatures", _simhash_oracle())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))

@@ -1941,6 +1941,61 @@ def read_manifest_serving(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_manifest_as_of(
+    spark: SparkSession, path: str, epoch: int
+) -> DataFrame:
+    """TIME-TRAVEL read of the manifest artifact: the serving state
+    as of compaction commit `epoch`, folded from the retained
+    snapshot (the old base publish_base parked there + the segments
+    that compaction retired — rename-only retention, no data copy).
+    The fold is |shards|-sized, same as the live serving read; a
+    snapshot that was never retained (discarding compaction, or
+    vacuumed) fails loudly rather than serving the wrong epoch.
+
+    This is the table format's snapshot read on the plain-filesystem
+    protocol: reproduce exactly what a training run saw at commit N
+    after later adds/erases/compactions moved the artifact on."""
+    import os
+
+    from ..operators import artifact_lifecycle as alc
+    from ..operators.dedup import require_local_index_path
+
+    require_local_index_path("read_manifest_as_of", path)
+    snap = alc.snapshot_dir(path, epoch)
+    if not os.path.isdir(snap):
+        raise ValueError(
+            f"no retained snapshot for epoch {epoch} under {path!r} "
+            f"(retained: {alc.snapshot_epochs(path)}) — compact with "
+            "snapshot=True, or the epoch was vacuumed"
+        )
+    parts = [spark.read.parquet(os.path.join(snap, "base"))]
+    for seg in ("adds", "erases"):
+        d = os.path.join(snap, seg)
+        if os.path.isdir(d) and any(
+            e.split("=", 1)[0] in ("batch_id", "seg_id")
+            for e in os.listdir(d)
+        ):
+            parts.append(
+                spark.read.parquet(d).select(
+                    "shard", "n_docs", "n_tokens", "content_xor"
+                )
+            )
+    rel = parts[0].select("shard", "n_docs", "n_tokens", "content_xor")
+    for p in parts[1:]:
+        rel = rel.unionByName(p)
+    return (
+        rel.groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("bit_xor(content_xor)")
+            .cast("long")
+            .alias("content_xor"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
 def run_manifest_update_stream(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -2179,7 +2234,9 @@ def manifest_release_subjects(
     return {"n_released": n_released}
 
 
-def manifest_compact(spark: SparkSession, path: str) -> dict:
+def manifest_compact(
+    spark: SparkSession, path: str, snapshot: bool = False
+) -> dict:
     """Fold the manifest ledgers into a clean base. An empty fold
     result (every doc erased) is a LEGITIMATE manifest — like the
     cluster labels, plain parquet writes of empty DataFrames are
@@ -2225,7 +2282,7 @@ def manifest_compact(spark: SparkSession, path: str) -> dict:
     ]
     if not fold_segs:
         return {"n_segments": 0, "n_shards": None}
-    marker = alc.begin_compaction(path, "base", segs)
+    marker = alc.begin_compaction(path, "base", segs, snapshot=snapshot)
     cols = ["shard", "n_docs", "n_tokens", "content_xor"]
     rel = spark.read.parquet(os.path.join(path, "base")).select(*cols)
     for s in fold_segs:
@@ -2263,7 +2320,16 @@ def manifest_compact(spark: SparkSession, path: str) -> dict:
             os.path.join(path, "erased_subjects")
         )
     alc.stamp_scratch_epoch(scratch, marker["to_epoch"])
-    alc.publish_base(path, "base", scratch)
+    alc.publish_base(
+        path,
+        "base",
+        scratch,
+        snapshot_epoch=marker["to_epoch"] if snapshot else None,
+    )
     alc.finish_compaction(path, marker)
     n_shards = int(spark.read.parquet(os.path.join(path, "base")).count())
-    return {"n_segments": len(fold_segs), "n_shards": n_shards}
+    return {
+        "n_segments": len(fold_segs),
+        "n_shards": n_shards,
+        "epoch": marker["to_epoch"],
+    }

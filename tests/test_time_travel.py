@@ -1,0 +1,141 @@
+"""Snapshot retention + time-travel reads on the fenced compaction
+protocol: compacting with snapshot=True parks the old base and the
+retired segments under `_snapshots/epoch=N/` (rename-only), and
+read_manifest_as_of(N) folds them into exactly the state the
+artifact served at commit N — reproducible reads after later
+adds/erases/compactions moved the artifact on, with vacuum as the
+expire-snapshots knob. Recovery honors the marker's snapshot flag,
+so a crash between publish and finish cannot turn a snapshotting
+compaction into a discarding one."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+    artifact_lifecycle as alc,
+)
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.text import (
+    shard_manifest,
+)
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+    build_manifest_artifact,
+    manifest_add_batch,
+    manifest_compact,
+    manifest_erase,
+    read_manifest_as_of,
+    read_manifest_serving,
+)
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [(int(i), f"time travel doc {i} body {i % 7}") for i in ids],
+        "doc_id long, text string",
+    )
+
+
+def _rows(df):
+    return {
+        (r.shard, r.n_docs, r.n_tokens, r.content_xor)
+        for r in df.select(
+            "shard", "n_docs", "n_tokens", "content_xor"
+        ).collect()
+    }
+
+
+def _rebuild(corpus):
+    return shard_manifest(corpus).select(
+        "shard", "n_docs", "n_tokens", "content_xor"
+    )
+
+
+def test_as_of_reproduces_each_commit(spark, tmp_path):
+    c0 = _docs(spark, range(0, 40))
+    b1 = _docs(spark, range(100, 130))
+    b2 = _docs(spark, range(200, 220))
+    rm = c0.filter(F.col("doc_id") % 10 == 3)
+    m = str(tmp_path / "m")
+    build_manifest_artifact(c0, m)
+    manifest_add_batch(spark, m, b1, 1)
+    st1 = manifest_compact(spark, m, snapshot=True)
+    manifest_add_batch(spark, m, b2, 2)
+    manifest_erase(spark, m, rm, seg_id=1)
+    st2 = manifest_compact(spark, m, snapshot=True)
+
+    assert alc.snapshot_epochs(m) == [st1["epoch"], st2["epoch"]]
+    want1 = _rows(_rebuild(c0.unionByName(b1)))
+    assert _rows(read_manifest_as_of(spark, m, st1["epoch"])) == want1
+    final = (
+        c0.join(rm.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(b1)
+        .unionByName(b2)
+    )
+    want2 = _rows(_rebuild(final))
+    assert _rows(read_manifest_as_of(spark, m, st2["epoch"])) == want2
+    assert _rows(read_manifest_serving(spark, m)) == want2
+
+
+def test_discarding_compaction_retains_nothing(spark, tmp_path):
+    c0 = _docs(spark, range(0, 30))
+    m = str(tmp_path / "m")
+    build_manifest_artifact(c0, m)
+    manifest_add_batch(spark, m, _docs(spark, range(50, 60)), 1)
+    st = manifest_compact(spark, m)  # snapshot defaults off
+    assert alc.snapshot_epochs(m) == []
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        read_manifest_as_of(spark, m, st["epoch"])
+
+
+def test_vacuum_expires_oldest(spark, tmp_path):
+    c0 = _docs(spark, range(0, 30))
+    m = str(tmp_path / "m")
+    build_manifest_artifact(c0, m)
+    manifest_add_batch(spark, m, _docs(spark, range(50, 60)), 1)
+    st1 = manifest_compact(spark, m, snapshot=True)
+    manifest_add_batch(spark, m, _docs(spark, range(70, 80)), 2)
+    st2 = manifest_compact(spark, m, snapshot=True)
+    assert alc.vacuum_snapshots(m, retain_last=1) == [st1["epoch"]]
+    assert alc.snapshot_epochs(m) == [st2["epoch"]]
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        read_manifest_as_of(spark, m, st1["epoch"])
+    read_manifest_as_of(spark, m, st2["epoch"]).collect()
+    with pytest.raises(ValueError, match="retain_last"):
+        alc.vacuum_snapshots(m, retain_last=-1)
+    assert alc.vacuum_snapshots(m, retain_last=0) == [st2["epoch"]]
+    assert alc.snapshot_epochs(m) == []
+
+
+def test_crash_between_publish_and_finish_keeps_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """A crash after the base swap but before segment retirement:
+    recovery rolls forward using the ON-DISK marker — including its
+    snapshot flag — so the retired segments still land in the
+    snapshot and the as-of read serves the committed state."""
+    c0 = _docs(spark, range(0, 40))
+    b1 = _docs(spark, range(100, 120))
+    m = str(tmp_path / "m")
+    build_manifest_artifact(c0, m)
+    manifest_add_batch(spark, m, b1, 1)
+
+    real_finish = alc.finish_compaction
+
+    def boom(path, marker):
+        raise RuntimeError("planted crash before ledger retirement")
+
+    monkeypatch.setattr(alc, "finish_compaction", boom)
+    with pytest.raises(RuntimeError, match="planted crash"):
+        manifest_compact(spark, m, snapshot=True)
+    monkeypatch.setattr(alc, "finish_compaction", real_finish)
+
+    # next serving read repairs the torn state (roll forward) and
+    # must NOT double-fold
+    want = _rows(_rebuild(c0.unionByName(b1)))
+    assert _rows(read_manifest_serving(spark, m)) == want
+    # the roll-forward honored the snapshot flag: epoch 1 retained
+    assert alc.snapshot_epochs(m) == [1]
+    assert _rows(read_manifest_as_of(spark, m, 1)) == want
