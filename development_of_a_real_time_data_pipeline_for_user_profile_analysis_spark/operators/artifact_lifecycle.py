@@ -146,6 +146,22 @@ def snapshot_epochs(path: str) -> list[int]:
     )
 
 
+def drop_snapshot(path: str, epoch: int) -> bool:
+    """Targeted expire of ONE retained snapshot — the erasure story's
+    knob: a snapshot retained before an erase request still carries
+    the erased subjects' rows, so completing the request means
+    dropping (or rewriting) exactly the leaking epochs, not blindly
+    truncating history. Returns whether the epoch existed."""
+    d = snapshot_dir(path, epoch)
+    if not os.path.isdir(d):
+        return False
+    shutil.rmtree(d, ignore_errors=True)
+    parent = os.path.join(path, "_snapshots")
+    if os.path.isdir(parent) and not os.listdir(parent):
+        os.rmdir(parent)
+    return True
+
+
 def vacuum_snapshots(path: str, retain_last: int) -> list[int]:
     """Drop all but the newest `retain_last` snapshots (the table
     format's expire-snapshots). Returns the removed epochs."""

@@ -2792,6 +2792,115 @@ def q_shard_manifest_time_travel(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "snapshot_erasure_audit",
+    """WITH subj AS (
+  SELECT doc_id FROM documents WHERE doc_id % 4 = 0 AND doc_id % 7 = 2)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS epoch,
+         CAST(1 AS BIGINT) AS retained_before,
+         CAST((SELECT count(*) FROM subj) AS BIGINT)
+           AS n_referencing_before,
+         CAST(0 AS BIGINT) AS retained_after,
+         CAST(0 AS BIGINT) AS n_referencing_after
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+) ORDER BY epoch""",
+)
+def q_snapshot_erasure_audit(spark, sf_dir):
+    """The GOVERNANCE × TIME-TRAVEL interaction a naive snapshot
+    feature introduces: a snapshot retained BEFORE an erase request
+    still carries the erased subjects' rows — right-to-be-forgotten
+    is not complete until the leaking epochs are dropped or
+    rewritten. The audit measures the leak per retained epoch and
+    the targeted drop closes it (drop_snapshot — erasure never
+    requires truncating the innocent history).
+
+    Lifecycle: prefix index over the corpus prompts → adds batch →
+    snapshotting commit 1 (retains the subjects' chains) → subject
+    tombstones → snapshotting commit 2 (serving clean; its snapshot
+    folds the tombstones so it is clean TOO — value-checked). The
+    before-rows show exactly epoch 1 referencing exactly the subject
+    count (oracle recomputes it); after drop_snapshot(1), epoch 1 is
+    gone and epoch 2 still serves — per-epoch retained/referencing
+    flags all value-checked.
+
+    Scale shape: referencing counts are broadcast semi-joins of
+    |shards|- or chain-sized snapshot folds against the request-sized
+    subject set; the drop is one rmtree. Extension tier (the
+    reference has no artifacts, no snapshots, no erasure)."""
+    import shutil
+    import tempfile
+
+    from ..operators import artifact_lifecycle as alc
+    from ..streaming.pipeline import (
+        build_sft_prefix_index,
+        read_sft_prefix_index,
+        read_sft_prefix_index_as_of,
+        sft_prefix_index_compact,
+        sft_prefix_index_erase,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    as_prompt = lambda d: d.withColumn(  # noqa: E731
+        "text", F.concat(F.lit("u: "), F.col("text"))
+    )
+    corpus = as_prompt(docs.filter(F.col("doc_id") % 4 == 0))
+    b1 = as_prompt(docs.filter(F.col("doc_id") % 4 == 1))
+    subj = corpus.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+
+    work = tempfile.mkdtemp(prefix="snap_erase_")
+    try:
+        pfx = f"{work}/pfx"
+        build_sft_prefix_index(corpus, pfx)
+        from ..operators.text import sft_prefix_digests
+
+        sft_prefix_digests(b1).write.parquet(
+            f"{pfx}/adds/batch_id=1"
+        )
+        st1 = sft_prefix_index_compact(spark, pfx, snapshot=True)
+        sft_prefix_index_erase(spark, pfx, subj, seg_id=1)
+        st2 = sft_prefix_index_compact(spark, pfx, snapshot=True)
+
+        def n_ref(df):
+            return int(
+                df.join(F.broadcast(subj), "doc_id", "left_semi").count()
+            )
+
+        epochs = (st1["epoch"], st2["epoch"])
+        before = {
+            e: n_ref(read_sft_prefix_index_as_of(spark, pfx, e))
+            for e in epochs
+        }
+        if n_ref(read_sft_prefix_index(spark, pfx)) != 0:
+            raise AssertionError("live serving references erased subjects")
+        # the leak is epoch 1 by construction; drop exactly it
+        leaking = [e for e in epochs if before[e] > 0]
+        for e in leaking:
+            alc.drop_snapshot(pfx, e)
+        retained_after = set(alc.snapshot_epochs(pfx))
+        rows = [
+            (
+                i + 1,
+                1,
+                before[e],
+                1 if e in retained_after else 0,
+                n_ref(read_sft_prefix_index_as_of(spark, pfx, e))
+                if e in retained_after
+                else 0,
+            )
+            for i, e in enumerate(epochs)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "epoch long, retained_before long, n_referencing_before "
+            "long, retained_after long, n_referencing_after long",
+        ).orderBy("epoch")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("simhash_signatures", _simhash_oracle())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))

@@ -1661,7 +1661,9 @@ def _read_prefix_tombstones(spark: SparkSession, path: str):
     return None
 
 
-def sft_prefix_index_compact(spark: SparkSession, path: str) -> dict:
+def sft_prefix_index_compact(
+    spark: SparkSession, path: str, snapshot: bool = False
+) -> dict:
     """Fold the prefix index's ledgers (adds ∪ base minus tombstoned
     doc_ids) into a clean base — CRASH-FENCED via the shared
     epoch-marker protocol like every other artifact compactor."""
@@ -1679,7 +1681,7 @@ def sft_prefix_index_compact(spark: SparkSession, path: str) -> dict:
     segs = alc.list_segment_dirs(path, specs)
     if not segs:
         return {"n_add_segments": 0, "n_tombstoned": 0}
-    marker = alc.begin_compaction(path, "base", segs)
+    marker = alc.begin_compaction(path, "base", segs, snapshot=snapshot)
     add_segs = [s for s in segs if s.startswith("adds/")]
     ts_segs = [s for s in segs if s.startswith("tombstones/")]
     rel = spark.read.parquet(os.path.join(path, "base")).select(
@@ -1707,9 +1709,59 @@ def sft_prefix_index_compact(spark: SparkSession, path: str) -> dict:
     rel.write.parquet(scratch)
     require_nonempty_parquet_scratch(scratch, "SFT prefix index")
     alc.stamp_scratch_epoch(scratch, marker["to_epoch"])
-    alc.publish_base(path, "base", scratch)
+    alc.publish_base(
+        path,
+        "base",
+        scratch,
+        snapshot_epoch=marker["to_epoch"] if snapshot else None,
+    )
     alc.finish_compaction(path, marker)
-    return {"n_add_segments": len(add_segs), "n_tombstoned": n_ts}
+    return {
+        "n_add_segments": len(add_segs),
+        "n_tombstoned": n_ts,
+        "epoch": marker["to_epoch"],
+    }
+
+
+def read_sft_prefix_index_as_of(
+    spark: SparkSession, path: str, epoch: int
+) -> DataFrame:
+    """Time-travel read of the prefix index: fold the retained
+    snapshot (old base ∪ retired adds, minus retired tombstones)
+    into the state the artifact served at commit `epoch`. NOTE the
+    governance interaction this read makes visible: a snapshot
+    retained BEFORE an erase request was folded still carries the
+    subjects' chains — snapshot_erasure_audit measures that leak and
+    drop_snapshot closes it."""
+    from ..operators import artifact_lifecycle as alc
+    from ..operators.dedup import require_local_index_path
+
+    require_local_index_path("read_sft_prefix_index_as_of", path)
+    snap = alc.snapshot_dir(path, epoch)
+    if not os.path.isdir(snap):
+        raise ValueError(
+            f"no retained snapshot for epoch {epoch} under {path!r} "
+            f"(retained: {alc.snapshot_epochs(path)})"
+        )
+    rel = spark.read.parquet(os.path.join(snap, "base")).select(
+        "doc_id", "u_idx", "prefix_digest"
+    )
+    adds_dir = os.path.join(snap, "adds")
+    if os.path.isdir(adds_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(adds_dir)
+    ):
+        rel = rel.unionByName(
+            spark.read.parquet(adds_dir).select(
+                "doc_id", "u_idx", "prefix_digest"
+            )
+        )
+    ts_dir = os.path.join(snap, "tombstones")
+    if os.path.isdir(ts_dir) and any(
+        e.startswith("seg_id=") for e in os.listdir(ts_dir)
+    ):
+        ts = spark.read.parquet(ts_dir).select("doc_id").distinct()
+        rel = rel.join(F.broadcast(ts), "doc_id", "left_anti")
+    return rel
 
 
 def run_sft_prefix_gate_stream(

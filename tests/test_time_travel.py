@@ -139,3 +139,51 @@ def test_crash_between_publish_and_finish_keeps_snapshot(
     # the roll-forward honored the snapshot flag: epoch 1 retained
     assert alc.snapshot_epochs(m) == [1]
     assert _rows(read_manifest_as_of(spark, m, 1)) == want
+
+
+def test_prefix_index_snapshots_and_targeted_drop(spark, tmp_path):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.text import (
+        sft_prefix_digests,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        build_sft_prefix_index,
+        read_sft_prefix_index,
+        read_sft_prefix_index_as_of,
+        sft_prefix_index_compact,
+        sft_prefix_index_erase,
+    )
+
+    def prompts(ids):
+        return spark.createDataFrame(
+            [(int(i), f"u: question number {i}") for i in ids],
+            "doc_id long, text string",
+        )
+
+    corpus, b1 = prompts(range(0, 20)), prompts(range(50, 60))
+    subj = corpus.filter(F.col("doc_id") % 5 == 2).select("doc_id")
+    pfx = str(tmp_path / "pfx")
+    build_sft_prefix_index(corpus, pfx)
+    sft_prefix_digests(b1).write.parquet(f"{pfx}/adds/batch_id=1")
+    st1 = sft_prefix_index_compact(spark, pfx, snapshot=True)
+    sft_prefix_index_erase(spark, pfx, subj, seg_id=1)
+    st2 = sft_prefix_index_compact(spark, pfx, snapshot=True)
+
+    def ids_of(df):
+        return {r.doc_id for r in df.select("doc_id").collect()}
+
+    subj_ids = {r.doc_id for r in subj.collect()}
+    all_ids = set(range(0, 20)) | set(range(50, 60))
+    # epoch 1 = pre-erase state (the leak); epoch 2 folds tombstones
+    assert ids_of(read_sft_prefix_index_as_of(spark, pfx, st1["epoch"])) == all_ids
+    assert (
+        ids_of(read_sft_prefix_index_as_of(spark, pfx, st2["epoch"]))
+        == all_ids - subj_ids
+    )
+    assert ids_of(read_sft_prefix_index(spark, pfx)) == all_ids - subj_ids
+    # targeted drop removes ONLY the leaking epoch
+    assert alc.drop_snapshot(pfx, st1["epoch"]) is True
+    assert alc.drop_snapshot(pfx, st1["epoch"]) is False  # idempotent
+    assert alc.snapshot_epochs(pfx) == [st2["epoch"]]
+    read_sft_prefix_index_as_of(spark, pfx, st2["epoch"]).collect()
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        read_sft_prefix_index_as_of(spark, pfx, st1["epoch"])
