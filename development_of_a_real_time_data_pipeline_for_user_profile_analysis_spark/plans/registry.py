@@ -12437,7 +12437,7 @@ DRIVER_PRIORITY = [
     # text analysis / training-data ops
     "sft_user_dedup",  # r9: role-aware keep-one-response-per-prompt dedup enters (chat/SFT family's first window rep; evicts conversion_funnel -> past window, conditional-agg funnels stay in-window via segment_priority_grouping_sets' conditional aggregates + events_rollup_multi)
     "sft_prefix_dedup",  # r9: multi-turn prompt-PREFIX dedup — cumulative turn-digest chain finds shared-prefix/divergent-tail dupes both byte and whole-content digests miss (evicts monthly_revenue_ewma -> past window; sequential smoothing stays oracle-covered, window discipline stays via chunk_dedup_report's keeper + the IVF-PQ re-ranks)
-    "boilerplate_scrub_report",  # r8: template/boilerplate cleanup enters as the text-cleanup rep (detection stays in-window INSIDE the scrub — it consumes boilerplate_ngram_report's template set; evicts text_stats -> past window, basic token/length stats stay evidenced by gopher_quality_report's length/stopword features and dedup_funnel_report's word accounting)
+    "artifact_provenance_audit",  # r9w9: version-skew audit — every artifact stamped with the order-independent corpus version digest, the audit diffs stamps against one recompute (evicts boilerplate_scrub_report -> past window; the boilerplate family keeps streaming_boilerplate_scrub in-window, which scrubs per micro-batch against the SAME maintained template artifact and shares the batch scrub's oracle)
     "gopher_quality_report",  # r3w6: rule-based quality gate (evicts top_ngrams)
     "split_leakage_repair",  # r7: cross-split near-dup REPAIR enters as the split-governance rep (evicts deterministic_split -> past window; the 80/10/10 md5 assignment stays in-window INSIDE this query's split priority rule)
     "soft_dedup_weights",  # r7: downweight-instead-of-drop dedup decision (soft-dedup family rep; evicts purchasing_customers -> past window, semi-join discipline stays in-window inside dedup_funnel_report's survivor semi-join and benchmark_bloom_contamination's gram probe)
@@ -12456,16 +12456,19 @@ DRIVER_PRIORITY = [
     "semdedup_prune_plan",  # r6: semantic dedup on the MAINTAINED frozen-cell layout (evicts simhash_dupes -> past window; near-dup family keeps minhash/ngram/clusters reps in-window)
     "curation_pipeline",
     "ann_ivfpq_serve",  # r5: probe-only serve from the MAINTAINED index artifact (ANN family rep; evicts ann_ivfpq_topk -> past window, same pipeline minus the artifact)
-    "ivfpq_incremental_add",  # r5: frozen-quantizer batch add (evicts cosine_topk -> past window; exact-cosine stays evidenced by the serve's exact re-rank)
+    "shard_manifest_time_travel",  # r9w10: snapshot retention + as-of reads on the fenced lifecycle — two snapshotting commits with adds/erase between, epoch folds value-checked (evicts ivfpq_incremental_add -> past window; the add==rebuild equivalence stays in-window INSIDE ann_ivfpq_erase_serve, which serves from the post-ADD artifact)
     "erasure_completeness_audit",  # r8: GDPR closure across ALL FOUR maintained artifacts in one governance view (evicts ann_ivfpq_add_serve -> past window, the add==rebuild equivalence stays in-window INSIDE ann_ivfpq_erase_serve, which serves from the post-ADD artifact)
     "ann_ivfpq_erase_serve",  # r7: tombstone erasure on the maintained artifact, oracle = rebuild WITHOUT the erased subjects (governance-reaches-the-index proof; evicts embedding_near_dupes -> past window, embedding near-dup stays in-window via semdedup_prune_plan's cell-bounded Arrow matmul — the same device)
-    "ivfpq_tuning_curve",  # r6: the (n_probe, shortlist) recall-loop closer over the maintained artifact (evicts open_not_pending_customers -> past window; semi/anti-join family keeps gdpr_erasure_plan's anti-join)
+    "snapshot_erasure_audit",  # r9w10: the governance hole time travel opens — a pre-erase snapshot still carries the subjects; per-epoch leak measured and closed by targeted drop_snapshot (evicts ivfpq_tuning_curve -> past window; the explode-config recall-curve device stays oracle-covered past window and the ANN artifact keeps serve + erase-serve reps in-window)
     "shard_manifest_erase_serve",  # r9: the manifest artifact's erase+fold+serve rep enters — exercises the idempotent subject-ledger erase and the fenced compaction in one row (evicts profiles_quality_report -> past window; the rule-gate discipline stays in-window via gopher_quality_report and profile integrity via referential_integrity_report)
     "erasure_request_ledger_audit",  # r9: the durable erase-request ledger — planted crash before the last artifact, resumable gap, zero pending + zero referencing rows after resume across all six maintained artifacts incl. the r9 SFT prefix index (evicts hybrid_rrf_search -> past window; retrieval stays in-window via the IVF-PQ serves, fusion stays oracle-covered)
     "multimodal_features",
     "zorder_files",
     "referential_integrity_report",
-    "jl_shortlist_curve",  # r9 evicted: recall-curve discipline stays in-window via ivfpq_tuning_curve (same device); JL sketch stays oracle-covered past window
+    "boilerplate_scrub_report",  # r9w9 evicted: streaming_boilerplate_scrub carries the family in-window over the same maintained template artifact with the same oracle
+    "ivfpq_incremental_add",  # r9w10 evicted: add==rebuild stays in-window inside ann_ivfpq_erase_serve (serves from the post-ADD artifact)
+    "ivfpq_tuning_curve",  # r9w10 evicted: tuning/recall curve stays oracle-covered past window; ANN family keeps serve + erase-serve in-window
+    "jl_shortlist_curve",  # r9 evicted: recall-curve discipline stays oracle-covered past window (the explode-config device also inside ivfpq_tuning_curve); JL sketch stays oracle-covered past window
     "conversion_funnel",  # r9 evicted: conditional-agg funnels stay in-window via segment_priority_grouping_sets + events_rollup_multi
     "profiles_quality_report",  # r9 evicted: rule-gate discipline stays in-window via gopher_quality_report; profile integrity via referential_integrity_report
     "streaming_user_totals",  # r9 evicted: custom-stateful op stays pytest-covered (tests/test_stateful*.py); streaming aggs stay in-window via streaming_events_hourly + session windows

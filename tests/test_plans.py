@@ -160,7 +160,7 @@ def test_driver_window_covers_component_families():
         # ann_ivfpq_topk / cosine_topk / bm25_search (ANN family rep
         # is now the artifact serve; exact-cosine stays via
         # embedding_near_dupes + the serve's exact re-rank)
-        "ann_ivfpq_serve", "ivfpq_incremental_add",
+        "ann_ivfpq_serve",
         # r6 rotation: tokenizer trainer, scale-safe DSIR selection,
         # frozen-cell SemDeDup, trained quality model, Bloom-tier
         # decontamination, IVF-PQ tuning curve enter (evicted:
@@ -170,7 +170,7 @@ def test_driver_window_covers_component_families():
         # rep; see QUERIES.md r6 note)
         "bpe_learned_merges", "dsir_selection_report",
         "semdedup_prune_plan", "quality_classifier_eval",
-        "benchmark_bloom_contamination", "ivfpq_tuning_curve",
+        "benchmark_bloom_contamination",
         # r7 rotation: split repair, soft dedup, JL sketch-ANN, and
         # the tombstone-erasure serve enter (evicted:
         # deterministic_split — the md5 assignment lives inside
@@ -192,7 +192,7 @@ def test_driver_window_covers_component_families():
         # the labels it erases; ann_ivfpq_add_serve — add==rebuild
         # equivalence stays inside ann_ivfpq_erase_serve, which
         # serves from the post-ADD artifact)
-        "boilerplate_scrub_report", "ngram_novelty_curve",
+        "ngram_novelty_curve",
         "cluster_erase_update", "erasure_completeness_audit",
         # r9 rotation: the chat/SFT dedup pair (whole-content +
         # prompt-prefix), the char-level edit-distance verify tier,
@@ -209,6 +209,18 @@ def test_driver_window_covers_component_families():
         "sft_user_dedup", "sft_prefix_dedup", "edit_distance_dupes",
         "shard_manifest_erase_serve", "streaming_boilerplate_scrub",
         "erasure_request_ledger_audit",
+        # r9 second rotation: artifact provenance (version-skew
+        # stamps), snapshot time travel on the fenced lifecycle, and
+        # the snapshot×erasure leak audit enter (evicted:
+        # boilerplate_scrub_report — the family keeps
+        # streaming_boilerplate_scrub, same maintained template
+        # artifact, same oracle; ivfpq_incremental_add — add==rebuild
+        # stays inside ann_ivfpq_erase_serve, which serves from the
+        # post-ADD artifact; ivfpq_tuning_curve — the recall-curve
+        # device stays oracle-covered past window, ANN keeps serve +
+        # erase-serve reps)
+        "artifact_provenance_audit", "shard_manifest_time_travel",
+        "snapshot_erasure_audit",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
