@@ -2901,6 +2901,162 @@ def q_snapshot_erasure_audit(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "streaming_erase_requests",
+    """WITH s1 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 4 = 0 AND doc_id % 14 = 2),
+s2 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 4 = 0 AND doc_id % 14 = 8)
+SELECT * FROM (
+  SELECT 'reqA' AS request_id, 'sft_prefix_index' AS artifact,
+         CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_subjects,
+         CAST(1 AS BIGINT) AS applied,
+         CAST(0 AS BIGINT) AS n_rows_referencing_erased
+  UNION ALL
+  SELECT 'reqA', 'shard_manifest',
+         CAST((SELECT count(*) FROM s1) AS BIGINT),
+         CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'reqB', 'sft_prefix_index',
+         CAST((SELECT count(*) FROM s2) AS BIGINT),
+         CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'reqB', 'shard_manifest',
+         CAST((SELECT count(*) FROM s2) AS BIGINT),
+         CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+) ORDER BY request_id, artifact""",
+)
+def q_streaming_erase_requests(spark, sf_dir):
+    """GDPR erase-request INTAKE as a stream — the durable ledger
+    workflow (erasure_request_ledger_audit's machinery) running per
+    micro-batch: two requests arrive in two micro-batches, each is
+    durably opened then driven across the manifest and prefix-index
+    appliers, and the audit reads the final truth — per (request,
+    artifact): applied marker set, subject count (oracle recomputes
+    both requests' sizes), and ZERO serving rows referencing any
+    erased subject; the manifest is additionally value-checked
+    shard-for-shard against the rebuild-without-both-requests fold.
+    Replay safety is bookkept by the ledger (idempotent re-open +
+    applied-marker skip + each artifact's idempotent erase) — the
+    pytest resets the checkpoint and replays both batches into the
+    same ledger and artifacts, proving nothing changes.
+
+    Scale shape: request ids per batch are a bounded driver collect
+    (human-scale); every erase is a request-sized segment write;
+    audit counts are broadcast semi-joins against request-sized
+    sets."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    import os as _os
+
+    from ..operators import governance as gov
+    from ..streaming.pipeline import (
+        _manifest_shard_rows,
+        build_manifest_artifact,
+        build_sft_prefix_index,
+        manifest_erase,
+        read_manifest_serving,
+        read_sft_prefix_index,
+        run_erase_request_stream,
+        sft_prefix_index_erase,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 == 0).persist()
+    prompts = corpus.withColumn(
+        "text", F.concat(F.lit("u: "), F.col("text"))
+    )
+    reqs = {
+        "reqA": corpus.filter(F.col("doc_id") % 14 == 2).select("doc_id"),
+        "reqB": corpus.filter(F.col("doc_id") % 14 == 8).select("doc_id"),
+    }
+
+    work = tempfile.mkdtemp(prefix="erase_req_stream_")
+    try:
+        mpath, pfx, led = f"{work}/m", f"{work}/pfx", f"{work}/led"
+        build_manifest_artifact(corpus, mpath)
+        build_sft_prefix_index(prompts, pfx)
+        appliers = {
+            "shard_manifest": lambda ids: manifest_erase(
+                spark,
+                mpath,
+                corpus.join(F.broadcast(ids), "doc_id", "left_semi"),
+            ),
+            "sft_prefix_index": lambda ids: sft_prefix_index_erase(
+                spark, pfx, ids
+            ),
+        }
+        in_dir = f"{work}/in"
+        _os.makedirs(in_dir)
+        base_t = _time.time()
+        for i, rid in enumerate(sorted(reqs)):
+            stage = f"{work}/stage_{i}"
+            reqs[rid].select(
+                F.lit(rid).alias("request_id"), "doc_id"
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        stream = (
+            spark.readStream.schema("request_id string, doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_erase_request_stream(
+            spark, stream, led, appliers, f"{work}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "erase-request stream did not drain within 300 s"
+                + (f": {q.exception()}" if q.exception() else "")
+            )
+
+        applied = {
+            (r.request_id, r.artifact): int(r.applied)
+            for r in gov.erase_request_status(
+                spark, led, artifacts=tuple(sorted(appliers))
+            ).collect()
+        }
+        all_subj = reqs["reqA"].unionByName(reqs["reqB"])
+        n_ref = {}
+        n_ref["sft_prefix_index"] = int(
+            read_sft_prefix_index(spark, pfx)
+            .join(F.broadcast(all_subj), "doc_id", "left_semi")
+            .count()
+        )
+        survivors = corpus.join(
+            F.broadcast(all_subj), "doc_id", "left_anti"
+        )
+        served = read_manifest_serving(spark, mpath)
+        want = _manifest_shard_rows(survivors)
+        n_ref["shard_manifest"] = int(
+            served.unionByName(want)
+            .groupBy("shard", "n_docs", "n_tokens", "content_xor")
+            .count()
+            .filter(F.col("count") != 2)
+            .count()
+        )
+        n_subj = {rid: int(df.count()) for rid, df in reqs.items()}
+        rows = [
+            (rid, art, n_subj[rid], applied[(rid, art)], n_ref[art])
+            for rid in sorted(reqs)
+            for art in sorted(appliers)
+        ]
+    finally:
+        corpus.unpersist()
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "request_id string, artifact string, n_subjects long, "
+        "applied long, n_rows_referencing_erased long",
+    ).orderBy("request_id", "artifact")
+
+
 @query("simhash_signatures", _simhash_oracle())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))

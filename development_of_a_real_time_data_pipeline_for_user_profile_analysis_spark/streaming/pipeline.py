@@ -1472,6 +1472,65 @@ def run_cluster_erase_stream(
     return writer.start()
 
 
+def run_erase_request_stream(
+    spark: SparkSession,
+    req_stream: DataFrame,
+    ledger_path: str,
+    appliers: dict,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """GDPR erase-request INTAKE as a stream: each micro-batch of
+    (request_id, doc_id) rows is grouped per request, durably OPENED
+    in the erase-request ledger (subjects recorded before any
+    artifact is touched), then driven across all artifact appliers
+    by the resumable workflow — the durable batch machinery
+    (operators/governance.py) running per micro-batch, completing
+    the serve-mode symmetry for governance itself: requests arrive
+    continuously, and a driver crash at ANY point (mid-batch,
+    between artifacts) leaves a visible, resumable gap instead of a
+    silent partial application.
+
+    Replay safety is BOOKKEPT BY THE LEDGER, not by the stream: a
+    replayed batch re-opens the same request with the same subjects
+    (idempotent overwrite; a request is complete within one batch by
+    intake contract) and apply_erase_request skips every artifact
+    whose applied marker exists — a marker lost in the crash window
+    re-runs the artifact's own idempotent erase as a no-op. Distinct
+    request ids per batch are a bounded driver collect (requests are
+    human-scale, the ledger's own listing discipline)."""
+    from ..operators import governance as gov
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            rids = [
+                r.request_id
+                for r in batch_df.select("request_id")
+                .distinct()
+                .collect()
+            ]
+            for rid in sorted(rids):
+                subjects = batch_df.filter(
+                    F.col("request_id") == rid
+                ).select("doc_id")
+                gov.erase_request_open(spark, ledger_path, rid, subjects)
+                gov.apply_erase_request(
+                    spark, ledger_path, rid, appliers
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        req_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_boilerplate_scrub_stream(
     spark: SparkSession,
     doc_stream: DataFrame,

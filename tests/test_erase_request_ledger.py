@@ -200,3 +200,190 @@ def test_ledger_drives_real_artifacts_end_to_end(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def _stream_requests(spark, tmp_path, reqs):
+    """Stage (request_id, doc_id) micro-batch files with pinned
+    mtimes so FileStreamSource order is deterministic."""
+    import glob
+    import shutil
+    import time
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    bt = time.time()
+    for i, (rid, ids) in enumerate(reqs):
+        stage = str(tmp_path / f"stage_{i}")
+        spark.createDataFrame(
+            [(rid, int(d)) for d in ids], "request_id string, doc_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (bt + 10 * i, bt + 10 * i))
+    return in_dir
+
+
+def test_erase_request_stream_applies_and_replays_as_noop(
+    spark, tmp_path
+):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming import (
+        pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [(int(i), f"erase stream doc {i} word{i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    mpath, led = str(tmp_path / "m"), str(tmp_path / "led")
+    pipeline.build_manifest_artifact(docs, mpath)
+    appliers = {
+        "shard_manifest": lambda ids: pipeline.manifest_erase(
+            spark,
+            mpath,
+            docs.join(F.broadcast(ids), "doc_id", "left_semi"),
+        ),
+    }
+    in_dir = _stream_requests(
+        spark, tmp_path, [("r1", range(0, 5)), ("r2", range(10, 14))]
+    )
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("request_id string, doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = pipeline.run_erase_request_stream(
+            spark, stream, led, appliers, ck
+        )
+        assert q.awaitTermination(120), q.exception()
+
+    run(str(tmp_path / "ck1"))
+    assert gov.list_requests(led) == ["r1", "r2"]
+    status = {
+        (r.request_id, r.artifact): r.applied
+        for r in gov.erase_request_status(
+            spark, led, artifacts=("shard_manifest",)
+        ).collect()
+    }
+    assert all(v == 1 for v in status.values()) and len(status) == 2
+    survivors = docs.filter(
+        ~F.col("doc_id").isin(*range(0, 5), *range(10, 14))
+    )
+    want = {
+        (r.shard, r.n_docs, r.n_tokens, r.content_xor)
+        for r in pipeline._manifest_shard_rows(survivors).collect()
+    }
+    got = {
+        (r.shard, r.n_docs, r.n_tokens, r.content_xor)
+        for r in pipeline.read_manifest_serving(spark, mpath).collect()
+    }
+    assert got == want
+
+    # checkpoint reset: both request batches REPLAY into the same
+    # ledger and artifact — idempotent re-open + applied-marker skip
+    # + the artifact's own repeat suppression keep the fold identical
+    run(str(tmp_path / "ck2"))
+    got2 = {
+        (r.shard, r.n_docs, r.n_tokens, r.content_xor)
+        for r in pipeline.read_manifest_serving(spark, mpath).collect()
+    }
+    assert got2 == want
+
+
+def test_erase_request_stream_crash_mid_batch_resumes_gap(
+    spark, tmp_path
+):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming import (
+        pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [(int(i), f"crash stream doc {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    mpath, pfx, led = (
+        str(tmp_path / "m"),
+        str(tmp_path / "pfx"),
+        str(tmp_path / "led"),
+    )
+    pipeline.build_manifest_artifact(docs, mpath)
+    pipeline.build_sft_prefix_index(
+        docs.withColumn("text", F.concat(F.lit("u: "), F.col("text"))),
+        pfx,
+    )
+    calls = {"n": 0}
+
+    def flaky_prefix(ids):
+        # crash on the FIRST attempt only — after the manifest
+        # applier already ran and was marked
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("planted crash between artifacts")
+        pipeline.sft_prefix_index_erase(spark, pfx, ids)
+
+    appliers = {
+        "a_manifest": lambda ids: pipeline.manifest_erase(
+            spark,
+            mpath,
+            docs.join(F.broadcast(ids), "doc_id", "left_semi"),
+        ),
+        "b_prefix": flaky_prefix,
+    }
+    in_dir = _stream_requests(spark, tmp_path, [("r1", range(0, 6))])
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("request_id string, doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = pipeline.run_erase_request_stream(
+            spark, stream, led, appliers, ck
+        )
+        try:
+            ok = q.awaitTermination(120)
+            return ok, q.exception()
+        except Exception as e:  # StreamingQueryException surfaces here
+            return False, e
+
+    ok, exc = run(str(tmp_path / "ck1"))
+    assert exc is not None  # the planted crash surfaced loudly
+    status = {
+        r.artifact: r.applied
+        for r in gov.erase_request_status(
+            spark, led, artifacts=("a_manifest", "b_prefix")
+        ).collect()
+    }
+    assert status == {"a_manifest": 1, "b_prefix": 0}  # visible gap
+
+    # restart (fresh checkpoint — the batch replays): ONLY the gap
+    # applies; the manifest applier is skipped via its marker
+    ok, exc = run(str(tmp_path / "ck2"))
+    assert ok and exc is None
+    status = {
+        r.artifact: r.applied
+        for r in gov.erase_request_status(
+            spark, led, artifacts=("a_manifest", "b_prefix")
+        ).collect()
+    }
+    assert status == {"a_manifest": 1, "b_prefix": 1}
+    assert (
+        pipeline.read_sft_prefix_index(spark, pfx)
+        .filter(F.col("doc_id") < 6)
+        .count()
+        == 0
+    )
+    # the manifest folded the subjects out exactly ONCE
+    want = {
+        (r.shard, r.n_docs, r.n_tokens, r.content_xor)
+        for r in pipeline._manifest_shard_rows(
+            docs.filter(F.col("doc_id") >= 6)
+        ).collect()
+    }
+    got = {
+        (r.shard, r.n_docs, r.n_tokens, r.content_xor)
+        for r in pipeline.read_manifest_serving(spark, mpath).collect()
+    }
+    assert got == want
