@@ -10324,8 +10324,15 @@ def q_streaming_boilerplate_scrub(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="boiler_stream_")
     try:
         _ph0 = _time.monotonic()
-        tidx = f"{work}/tidx"
-        text.write_template_index(tdocs, tidx)
+        # the maintained template artifact from the build-once cache
+        # — the stream only READS it (frozen broadcast templates), so
+        # no invocation-local copy is needed; detection-once is the
+        # family's whole point
+        tidx = _artifact_dir_cached(
+            sf_dir,
+            "templateidx",
+            lambda sc: text.write_template_index(tdocs, sc),
+        )
         in_dir = f"{work}/in"
         _os.makedirs(in_dir)
         base_t = _time.time()
