@@ -206,10 +206,20 @@ def publish_base(
 
     cur = os.path.join(path, base_name)
     if snapshot_epoch is not None:
+        snap = snapshot_dir(path, snapshot_epoch)
         if os.path.isdir(cur):
-            _move_retired(
-                cur,
-                os.path.join(snapshot_dir(path, snapshot_epoch), base_name),
+            _move_retired(cur, os.path.join(snap, base_name))
+        # carry the provenance stamp (if the artifact has one) into
+        # the snapshot, so an as-of read can verify WHICH corpus
+        # version that epoch reflects — the stamp at the root keeps
+        # tracking the live artifact
+        prov = os.path.join(path, "_provenance")
+        if os.path.isfile(prov) and not os.path.exists(
+            os.path.join(snap, "_provenance")
+        ):
+            os.makedirs(snap, exist_ok=True)
+            shutil.copyfile(
+                prov, os.path.join(snap, "_provenance")
             )
         os.rename(scratch, cur)
         return

@@ -187,3 +187,40 @@ def test_prefix_index_snapshots_and_targeted_drop(spark, tmp_path):
     read_sft_prefix_index_as_of(spark, pfx, st2["epoch"]).collect()
     with pytest.raises(ValueError, match="no retained snapshot"):
         read_sft_prefix_index_as_of(spark, pfx, st1["epoch"])
+
+
+def test_snapshot_carries_provenance_stamp(spark, tmp_path):
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        governance as gov,
+    )
+
+    c0 = _docs(spark, range(0, 30))
+    b1 = _docs(spark, range(50, 60))
+    b2 = _docs(spark, range(80, 90))
+    m = str(tmp_path / "m")
+    build_manifest_artifact(c0, m)
+    v0, n0 = gov.corpus_version_scalar(c0)
+    gov.stamp_provenance(m, "shard_manifest", v0, n0)
+    # the revision discipline: the DELTA stamps the provenance when
+    # it lands, BEFORE any compaction — so the snapshot a later
+    # compaction retains carries the version matching its own fold
+    manifest_add_batch(spark, m, b1, 1)
+    gov.provenance_apply_delta(m, added_docs=b1)
+    v1, n1 = gov.corpus_version_scalar(c0.unionByName(b1))
+    st = manifest_compact(spark, m, snapshot=True)
+    snap_prov = gov.read_provenance(alc.snapshot_dir(m, st["epoch"]))
+    assert snap_prov == {
+        "artifact": "shard_manifest",
+        "version_xor": v1,
+        "n_docs": n1,
+    }
+    # the live artifact moves on; the snapshot's stamp stays frozen
+    manifest_add_batch(spark, m, b2, 2)
+    gov.provenance_apply_delta(m, added_docs=b2)
+    assert gov.read_provenance(m)["version_xor"] != v1
+    assert (
+        gov.read_provenance(alc.snapshot_dir(m, st["epoch"]))[
+            "version_xor"
+        ]
+        == v1
+    )
