@@ -753,7 +753,9 @@ def boilerplate_ngram_report(documents: DataFrame) -> DataFrame:
     )
 
 
-def boilerplate_scrub_report(documents: DataFrame) -> DataFrame:
+def boilerplate_scrub_report(
+    documents: DataFrame, templates: DataFrame | None = None
+) -> DataFrame:
     """The scrub decision the template detection feeds: a word
     POSITION is boilerplate when any template 3-gram covers it (the
     occurrence-cover semantics a real cleaner deletes by). Per
@@ -767,9 +769,10 @@ def boilerplate_scrub_report(documents: DataFrame) -> DataFrame:
     twice (detect + scrub) — at production scale the detection
     report is a maintained per-corpus-version artifact, so the serve
     path pays one scan."""
-    templates = boilerplate_ngram_report(documents).select(
-        "source", "shingle"
-    )
+    if templates is None:
+        templates = boilerplate_ngram_report(documents).select(
+            "source", "shingle"
+        )
     starts = positioned_shingles(documents).join(
         F.broadcast(templates), ["source", "shingle"]
     )
@@ -1526,7 +1529,9 @@ def scrub_with_templates(
     )
 
 
-def boilerplate_cleaned_docs(documents: DataFrame) -> DataFrame:
+def boilerplate_cleaned_docs(
+    documents: DataFrame, templates: DataFrame | None = None
+) -> DataFrame:
     """The curation OUTPUT the scrub report only sizes: detect the
     corpus's template set, then scrub_with_templates — documents
     re-assembled without template-covered positions, byte-parity
@@ -1536,10 +1541,11 @@ def boilerplate_cleaned_docs(documents: DataFrame) -> DataFrame:
     pages. At production scale the detection half is the maintained
     template-index artifact (write_template_index) and the serve
     path pays one scan."""
-    return scrub_with_templates(
-        documents,
-        boilerplate_ngram_report(documents).select("source", "shingle"),
-    )
+    if templates is None:
+        templates = boilerplate_ngram_report(documents).select(
+            "source", "shingle"
+        )
+    return scrub_with_templates(documents, templates)
 
 
 def write_template_index(documents: DataFrame, path: str) -> None:

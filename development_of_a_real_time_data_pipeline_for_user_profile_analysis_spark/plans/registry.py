@@ -10209,6 +10209,21 @@ tpl AS (SELECT source, shingle, n_docs,
 )
 
 
+def _cached_templates(spark, sf_dir, tdocs):
+    """The maintained template artifact from the build-once cache —
+    the serve-path economics boilerplate_scrub_report's docstring
+    promises (detection once per corpus version); detection itself
+    stays proven by boilerplate_ngram_report's own oracle row."""
+    return text.read_template_index(
+        spark,
+        _artifact_dir_cached(
+            sf_dir,
+            "templateidx",
+            lambda sc: text.write_template_index(tdocs, sc),
+        ),
+    )
+
+
 @query(
     "boilerplate_ngram_report",
     "WITH "
@@ -10262,7 +10277,10 @@ def q_boilerplate_scrub_report(spark, sf_dir):
     Per source: docs, total words, boilerplate words, removal ppm.
     Template set broadcast; cover exploded n-wide, distinct per doc;
     doc-keyed join back to the corpus."""
-    return text.boilerplate_scrub_report(_tdocs_df(spark, sf_dir))
+    tdocs = _tdocs_df(spark, sf_dir)
+    return text.boilerplate_scrub_report(
+        tdocs, templates=_cached_templates(spark, sf_dir, tdocs)
+    )
 
 
 _BOILER_CLEAN_SQL = (
@@ -10296,7 +10314,10 @@ def q_boilerplate_cleaned_docs(spark, sf_dir):
     deleted, documents re-assembled in order, byte-parity value-hashed
     corpus-wide (the pii_redact_documents discipline applied to
     boilerplate). Pure-template docs leave the corpus."""
-    return text.boilerplate_cleaned_docs(_tdocs_df(spark, sf_dir))
+    tdocs = _tdocs_df(spark, sf_dir)
+    return text.boilerplate_cleaned_docs(
+        tdocs, templates=_cached_templates(spark, sf_dir, tdocs)
+    )
 
 
 @query("streaming_boilerplate_scrub", _BOILER_CLEAN_SQL)
@@ -10332,7 +10353,7 @@ def q_streaming_boilerplate_scrub(spark, sf_dir):
             sf_dir,
             "templateidx",
             lambda sc: text.write_template_index(tdocs, sc),
-        )
+        )  # same cache _cached_templates serves the batch ops from
         in_dir = f"{work}/in"
         _os.makedirs(in_dir)
         base_t = _time.time()
