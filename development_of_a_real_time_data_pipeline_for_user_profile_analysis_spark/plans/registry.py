@@ -3057,6 +3057,87 @@ def q_streaming_erase_requests(spark, sf_dir):
     ).orderBy("request_id", "artifact")
 
 
+@query(
+    "doc_lineage_probe",
+    "WITH RECURSIVE "
+    + dedup.DUPES_ORACLE_CTE
+    + _CLUSTERS_CTES
+    + f""",
+csizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM clusters GROUP BY cluster_id),
+s AS (SELECT doc_id, text FROM dupes WHERE doc_id % 97 = 11)
+SELECT s.doc_id,
+       CASE WHEN CAST(CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)),
+                 1, 8) AS UBIGINT) AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST(CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)),
+                 1, 8) AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)
+            AS UBIGINT) % {text.PACK_SHARDS} AS BIGINT) AS shard,
+       CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_tokens,
+       md5(s.text) AS content_hash,
+       CAST(clusters.cluster_id AS BIGINT) AS cluster_id,
+       csizes.cluster_size
+FROM s LEFT JOIN clusters ON s.doc_id = clusters.doc_id
+LEFT JOIN csizes ON clusters.cluster_id = csizes.cluster_id
+ORDER BY s.doc_id""",
+)
+def q_doc_lineage_probe(spark, sf_dir):
+    """Data-debugging POINT LOOKUP across the engine's devices: for
+    a sampled doc set, everything a pipeline operator would ask when
+    a training run misbehaves — which split the doc landed in (the
+    md5 split assignment), which loader shard (the packing/manifest
+    device), its token count and content hash, and its near-dup
+    cluster membership + cluster size (NULL for unclustered docs —
+    absent IS the answer). One row per sampled doc; the oracle
+    recomputes every column independently, including the clusters
+    via the recursive-CTE transitive closure.
+
+    Scale shape: the sample is a pushed-down filter; split/shard/
+    hash are narrow projections; the labels come from the MAINTAINED
+    artifact (the build-once cache — a real deployment reads the
+    published labels parquet) via one broadcast-sized join of the
+    sample against it; cluster sizes aggregate only the labels."""
+    dupes = _dupes_df(spark, sf_dir)
+    sample = dupes.filter(F.col("doc_id") % 97 == 11)
+    lab = _labels_dir_cached(sf_dir, "labelsdupes", lambda: dupes)
+    labels = spark.read.parquet(f"{lab}/labels")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % text.PACK_SHARDS
+    )
+    return (
+        sample.select(
+            "doc_id",
+            text.split_col(F.col("doc_id")).alias("split"),
+            shard.alias("shard"),
+            text.token_count(F.col("text")).cast("long").alias(
+                "n_tokens"
+            ),
+            F.md5(F.col("text")).alias("content_hash"),
+        )
+        .join(labels, "doc_id", "left")
+        .join(sizes, "cluster_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            "shard",
+            "n_tokens",
+            "content_hash",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("simhash_signatures", _simhash_oracle())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
