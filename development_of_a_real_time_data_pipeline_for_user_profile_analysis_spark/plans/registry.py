@@ -2007,13 +2007,27 @@ SELECT * FROM (
                WHERE vec_id % {similarity.IVFPQ_ERASE_MOD}
                      <> {similarity.IVFPQ_ERASE_RESIDUE}) AS BIGINT),
          CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'shard_manifest',
+         CAST({_AUDIT_N_REQ_DOCS} AS BIGINT),
+         CAST((SELECT count(DISTINCT
+                 CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                      1, 8) AS UBIGINT) % {text.PACK_SHARDS} AS BIGINT))
+               FROM dupes) AS BIGINT),
+         CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'sft_prefix_index',
+         CAST({_AUDIT_N_REQ_DOCS} AS BIGINT),
+         CAST((SELECT count(*) FROM dupes) AS BIGINT),
+         CAST(0 AS BIGINT)
 ) ORDER BY artifact""",
 )
 def q_erasure_completeness_audit(spark, sf_dir):
-    """GDPR completeness across EVERY maintained derived artifact in
-    one governance view: one erase request (originals with doc_id %
-    {band mod} == {res}) is applied to the band index, the
-    chunk-digest index and the cluster labels, the standing vec_id
+    """GDPR completeness across EVERY maintained derived artifact —
+    all SIX — in one governance view: one erase request (originals
+    with doc_id % {band mod} == {res}) is applied to the band index,
+    the chunk-digest index, the cluster labels, the shard manifest
+    and the SFT prefix index, the standing vec_id
     erase set to the IVF-PQ codes; each artifact is then FOLDED
     (compaction / labels re-derive) and audited — physical row count
     must equal the rebuild-without-erased count (oracle recomputes it
@@ -2036,10 +2050,19 @@ def q_erasure_completeness_audit(spark, sf_dir):
 
     from ..operators.text import cdc_chunk_table
     from ..streaming.pipeline import (
+        _manifest_shard_rows,
         build_chunk_digest_index,
+        build_manifest_artifact,
+        build_sft_prefix_index,
         chunk_index_compact,
         chunk_index_erase,
         cluster_labels_erase_artifact,
+        manifest_compact,
+        manifest_erase,
+        read_manifest_serving,
+        read_sft_prefix_index,
+        sft_prefix_index_compact,
+        sft_prefix_index_erase,
     )
 
     dupes = _dupes_df(spark, sf_dir)
@@ -2087,8 +2110,15 @@ def q_erasure_completeness_audit(spark, sf_dir):
         cdc_chunk_table(dupes).select("doc_id", "digest").write.parquet(
             f"{scratch}/chunks"
         )
+        build_manifest_artifact(dupes, f"{scratch}/manifest")
+        build_sft_prefix_index(
+            dupes.withColumn(
+                "text", F.concat(F.lit("u: "), F.col("text"))
+            ),
+            f"{scratch}/pfx",
+        )
 
-    cache = _artifact_dir_cached(sf_dir, "eraseaudit", _build_pristine)
+    cache = _artifact_dir_cached(sf_dir, "eraseaudit2", _build_pristine)
 
     work = tempfile.mkdtemp(prefix="erasure_audit_")
     rows = []
@@ -2178,6 +2208,56 @@ def q_erasure_completeness_audit(spark, sf_dir):
                 int(
                     codes.join(
                         F.broadcast(er_vecs), "vec_id", "left_semi"
+                    ).count()
+                ),
+            )
+        )
+
+        survivors = dupes.join(
+            F.broadcast(er_docs), "doc_id", "left_anti"
+        )
+        mpath = f"{work}/manifest"
+        shutil.copytree(f"{cache}/manifest", mpath)
+        manifest_erase(
+            spark,
+            mpath,
+            dupes.join(F.broadcast(er_docs), "doc_id", "left_semi"),
+        )
+        manifest_compact(spark, mpath)
+        served = read_manifest_serving(spark, mpath)
+        # the manifest has no per-doc rows: "referencing" = shards
+        # whose served fold differs from rebuild-without-erased
+        want = _manifest_shard_rows(survivors)
+        rows.append(
+            (
+                "shard_manifest",
+                n_req_docs,
+                int(served.count()),
+                int(
+                    served.unionByName(want)
+                    .groupBy(
+                        "shard", "n_docs", "n_tokens", "content_xor"
+                    )
+                    .count()
+                    .filter(F.col("count") != 2)
+                    .count()
+                ),
+            )
+        )
+
+        pfx = f"{work}/pfx"
+        shutil.copytree(f"{cache}/pfx", pfx)
+        sft_prefix_index_erase(spark, pfx, er_docs, seg_id=1)
+        sft_prefix_index_compact(spark, pfx)
+        chains = read_sft_prefix_index(spark, pfx)
+        rows.append(
+            (
+                "sft_prefix_index",
+                n_req_docs,
+                int(chains.count()),
+                int(
+                    chains.join(
+                        F.broadcast(er_docs), "doc_id", "left_semi"
                     ).count()
                 ),
             )
