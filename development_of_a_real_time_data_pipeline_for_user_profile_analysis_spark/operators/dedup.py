@@ -269,6 +269,10 @@ def jaccard_pairs_content_addressed(
     d = (
         docs.join(F.broadcast(ids), "doc_id", "left_semi")
         .select("doc_id", F.md5("text").alias("h"))
+        # distinct: duplicate doc rows (the 30× soak's replica
+        # id-space collisions put TWO texts under one doc_id) must
+        # not fan keyed pairs out per duplicate row
+        .distinct()
         .localCheckpoint(eager=True)
     )
     keyed = cands.join(
@@ -297,8 +301,13 @@ def jaccard_pairs_content_addressed(
         "ha", "hb", F.col("r.doc_a").alias("doc_a"), F.col("r.doc_b").alias("doc_b")
     )
     verdicts = (
+        # distinct: a collided doc_id carrying two digests can elect
+        # the SAME (doc_a, doc_b) representative for two (ha, hb)
+        # groups — duplicate pair rows would double n_inter inside
+        # the verify and break the union-size invariant (the 30×
+        # soak's DIVIDE_BY_ZERO); on healthy corpora this is a no-op
         ngram_jaccard_pairs(
-            docs, rep_pairs.select("doc_a", "doc_b"), sh=sh
+            docs, rep_pairs.select("doc_a", "doc_b").distinct(), sh=sh
         )
         .join(rep_pairs, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -1321,8 +1330,14 @@ def near_dup_pairs_from_band_index(
     )
     sh = shingles(docs).persist()
     try:
-        verified = ngram_jaccard_pairs(docs, cands, sh=sh).filter(
-            F.col("jaccard") >= jaccard_threshold
+        # content-addressed verify (near_dedup_minhash's): byte-equal
+        # candidates short-circuit on a digest join and the rest
+        # verify once per distinct content pair — value-identical to
+        # the per-pair verify, robust to m-replica candidate blowup
+        # (and to the soak fixture's replica id collisions, which
+        # broke the naive path's union-size invariant at 30×)
+        verified = jaccard_pairs_content_addressed(
+            docs, cands, sh, jaccard_threshold
         )
         return verified.localCheckpoint(eager=True)
     finally:
