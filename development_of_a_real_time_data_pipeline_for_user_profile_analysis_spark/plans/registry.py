@@ -3218,6 +3218,200 @@ def q_doc_lineage_probe(spark, sf_dir):
     )
 
 
+_FANOUT_TERM = (
+    "CAST(CAST('0x' || substr({expr}, 1, 15) AS UBIGINT) AS BIGINT)"
+)
+
+
+@query(
+    "streaming_ingest_fanout",
+    f"""WITH u AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 IN (0, 1, 2)),
+mt AS (
+  SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % {text.PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         {_FANOUT_TERM.format(expr='md5(text)')} AS ct
+  FROM u),
+m AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(bit_xor(ct) AS BIGINT) AS cx
+      FROM mt GROUP BY shard),
+cw AS (SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS word FROM u),
+chv AS (SELECT doc_id, pos, word,
+          CAST(CAST('0x' || substr(md5(word), 1, 8) AS UBIGINT)
+               AS BIGINT) AS hv FROM cw),
+cc2 AS (SELECT doc_id, pos, word,
+          sum(CASE WHEN hv % {text.CDC_BOUNDARY_MOD} = 0
+                   THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+        FROM chv),
+cdig AS (SELECT md5(string_agg(word, ' ' ORDER BY pos)) AS digest
+         FROM cc2 GROUP BY doc_id, chunk_id),
+cagg AS (SELECT digest, CAST(count(*) AS BIGINT) AS refs
+         FROM cdig GROUP BY digest)
+SELECT * FROM (
+  SELECT 'chunk_digest_index' AS artifact,
+         CAST((SELECT count(*) FROM cagg) AS BIGINT) AS n_rows,
+         CAST((SELECT sum(refs) FROM cagg) AS BIGINT) AS n_refs,
+         CAST((SELECT bit_xor({_FANOUT_TERM.format(expr='digest')})
+               FROM cagg) AS BIGINT) AS value_xor
+  UNION ALL
+  SELECT 'sft_prefix_index',
+         CAST((SELECT count(*) FROM u) AS BIGINT),
+         CAST((SELECT count(*) FROM u) AS BIGINT),
+         CAST((SELECT bit_xor(
+                 {_FANOUT_TERM.format(expr='md5(md5(text))')})
+               FROM u) AS BIGINT)
+  UNION ALL
+  SELECT 'shard_manifest',
+         CAST((SELECT count(*) FROM m) AS BIGINT),
+         CAST((SELECT sum(n_docs) FROM m) AS BIGINT),
+         CAST((SELECT bit_xor(cx) FROM m) AS BIGINT)
+) ORDER BY artifact""",
+)
+def q_streaming_ingest_fanout(spark, sf_dir):
+    """ONE ingest stream maintains THREE artifacts at once
+    (run_ingest_fanout_stream): the corpus seeds the shard manifest,
+    the SFT prefix index and the refcounted chunk-digest index, then
+    two document micro-batches fan out through a SINGLE foreachBatch
+    read — each batch lands manifest terms, prompt prefix chains and
+    chunk refcounts as batch-keyed segment overwrites (replays
+    replace their own segments on every artifact). After the stream,
+    each artifact's SERVED state (manifest fold; prefix relation;
+    chunk index post-compaction) must equal its one-shot rebuild
+    over corpus ∪ both batches — per artifact: row count, reference
+    total, and a 60-bit xor value checksum over the served rows, all
+    independently recomputed by the oracle.
+
+    This is the reference's K2 lesson (single read, multi-sink
+    foreachBatch — Real_Time_Data.py:139-159 re-read the stream 3×)
+    elevated to the artifact lifecycle: at 100 TB, ingest cannot
+    afford one pass per maintained artifact.
+
+    Scale shape: per batch, one manifest aggregate (|shards| rows),
+    one per-doc window chain (prefix digests), one CDC chunk
+    aggregate — all map-side-combinable; segments are batch-sized
+    writes; the final compare folds artifact-sized relations only."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    import os as _os
+
+    from ..operators.text import sft_prefix_digests
+    from ..streaming.pipeline import (
+        build_chunk_digest_index,
+        build_manifest_artifact,
+        build_sft_prefix_index,
+        chunk_index_compact,
+        read_manifest_serving,
+        read_sft_prefix_index,
+        run_ingest_fanout_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus0 = docs.filter(F.col("doc_id") % 4 == 0)
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 2)
+
+    def xor_of(df, col):
+        expr = F.conv(F.substring(F.col(col), 1, 15), 16, 10).cast(
+            "long"
+        )
+        row = df.select(expr.alias("t")).agg(
+            F.expr("bit_xor(t)").cast("long").alias("x")
+        ).collect()[0]
+        return int(row["x"])
+
+    work = tempfile.mkdtemp(prefix="ingest_fanout_")
+    try:
+        _ph0 = _time.monotonic()
+        mpath, pfx, cidx = f"{work}/m", f"{work}/pfx", f"{work}/cidx"
+        build_manifest_artifact(corpus0, mpath)
+        build_sft_prefix_index(
+            corpus0.withColumn(
+                "text", F.concat(F.lit("u: "), F.col("text"))
+            ),
+            pfx,
+        )
+        build_chunk_digest_index(corpus0, cidx)
+        in_dir = f"{work}/in"
+        _os.makedirs(in_dir)
+        base_t = _time.time()
+        for i, b in enumerate((b1, b2)):
+            stage = f"{work}/stage_{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        _ph1 = _time.monotonic()
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_ingest_fanout_stream(
+            spark, stream, mpath, pfx, cidx, f"{work}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "ingest-fanout stream did not drain within 300 s"
+                + (f": {q.exception()}" if q.exception() else "")
+            )
+        _ph2 = _time.monotonic()
+
+        served_m = read_manifest_serving(spark, mpath).persist()
+        m_rows = int(served_m.count())
+        m_docs = int(
+            served_m.agg(F.sum("n_docs").cast("long").alias("s"))
+            .collect()[0]["s"]
+        )
+        m_xor = int(
+            served_m.agg(
+                F.expr("bit_xor(content_xor)").cast("long").alias("x")
+            ).collect()[0]["x"]
+        )
+        served_m.unpersist()
+
+        chains = read_sft_prefix_index(spark, pfx).persist()
+        p_rows = int(chains.count())
+        p_docs = int(chains.select("doc_id").distinct().count())
+        p_xor = xor_of(chains, "prefix_digest")
+        chains.unpersist()
+
+        chunk_index_compact(spark, cidx)
+        base = spark.read.parquet(f"{cidx}/base").persist()
+        c_rows = int(base.count())
+        c_refs = int(
+            base.agg(F.sum("refs").cast("long").alias("s")).collect()[
+                0
+            ]["s"]
+        )
+        c_xor = xor_of(base, "digest")
+        base.unpersist()
+
+        rows = [
+            ("chunk_digest_index", c_rows, c_refs, c_xor),
+            ("sft_prefix_index", p_rows, p_docs, p_xor),
+            ("shard_manifest", m_rows, m_docs, m_xor),
+        ]
+        _record_phases("streaming_ingest_fanout", _ph0, _ph1, _ph2)
+        return spark.createDataFrame(
+            rows,
+            "artifact string, n_rows long, n_refs long, value_xor long",
+        ).orderBy("artifact")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("simhash_signatures", _simhash_oracle())
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))

@@ -1531,6 +1531,65 @@ def run_erase_request_stream(
     return writer.start()
 
 
+def run_ingest_fanout_stream(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    manifest_path: str,
+    prefix_path: str,
+    chunk_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """ONE ingest read maintains THREE artifacts per micro-batch —
+    the reference's multi-sink fix (foreachBatch fan-out over a
+    single read, Real_Time_Data.py re-read 3×; K2) elevated to
+    artifact maintenance: each document batch lands its shard-
+    manifest terms, its prompt prefix chains, and its refcounted
+    chunk digests, all as batch-keyed segment OVERWRITES so a
+    replayed batch replaces its own segments on every artifact
+    (the bookkept discipline each artifact already mandates — fold
+    happens at serving read / compaction, never in place).
+
+    Chunk-index note: the fan-out writes the batch's FULL refcount
+    delta as one adds segment; the dedup gate's adds/rerefs split
+    (first-introduction vs re-reference) is a classification-ledger
+    concern, not a refcount one — each chunk instance lands in
+    exactly one segment, so compaction's Σrefs equals the rebuild's
+    (value-checked by streaming_ingest_fanout's oracle)."""
+    from ..operators import dedup
+    from ..operators.text import sft_prefix_digests
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            manifest_add_batch(spark, manifest_path, batch_df, batch_id)
+            sft_prefix_digests(
+                batch_df.withColumn(
+                    "text", F.concat(F.lit("u: "), F.col("text"))
+                )
+            ).write.mode("overwrite").parquet(
+                os.path.join(
+                    prefix_path, "adds", f"batch_id={batch_id}"
+                )
+            )
+            dedup.chunk_digest_index(batch_df).write.mode(
+                "overwrite"
+            ).parquet(
+                os.path.join(chunk_path, "adds", f"batch_id={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_boilerplate_scrub_stream(
     spark: SparkSession,
     doc_stream: DataFrame,

@@ -190,3 +190,129 @@ def _manifest_rebuild(spark, corpus):
     return shard_manifest(corpus).select(
         "shard", "n_docs", "n_tokens", "content_xor"
     ).collect()
+
+
+def test_ingest_fanout_replay_is_noop_on_all_artifacts(spark, tmp_path):
+    """One ingest read maintains three artifacts; a checkpoint reset
+    replays both batches — batch-keyed segment overwrite on EVERY
+    artifact keeps each fold identical (the bookkept discipline)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.text import (
+        sft_prefix_digests,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        build_chunk_digest_index,
+        build_sft_prefix_index,
+        chunk_index_compact,
+        read_manifest_serving,
+        read_sft_prefix_index,
+        run_ingest_fanout_stream,
+    )
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [
+                (int(i), f"fanout doc {i} w{i % 6}", "en", "src0", 20)
+                for i in ids
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+
+    c0, b1, b2 = mk(range(0, 30)), mk(range(50, 70)), mk(range(80, 95))
+    m, pfx, cidx = (
+        str(tmp_path / "m"),
+        str(tmp_path / "pfx"),
+        str(tmp_path / "cidx"),
+    )
+    build_manifest_artifact(c0, m)
+    build_sft_prefix_index(
+        c0.withColumn("text", F.concat(F.lit("u: "), F.col("text"))),
+        pfx,
+    )
+    build_chunk_digest_index(c0, cidx)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    bt = time.time()
+    for i, b in enumerate((b1, b2)):
+        st = str(tmp_path / f"s{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(st)
+        part = glob.glob(f"{st}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (bt + 10 * i, bt + 10 * i))
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_ingest_fanout_stream(
+            spark, stream, m, pfx, cidx, str(tmp_path / ck)
+        )
+        assert q.awaitTermination(120), q.exception()
+
+    def state():
+        mrows = frozenset(
+            (r.shard, r.n_docs, r.n_tokens, r.content_xor)
+            for r in read_manifest_serving(spark, m).collect()
+        )
+        prows = frozenset(
+            (r.doc_id, r.u_idx, r.prefix_digest)
+            for r in read_sft_prefix_index(spark, pfx).collect()
+        )
+        from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+            read_chunk_digest_index,
+        )
+
+        crows = frozenset(
+            r.digest
+            for r in read_chunk_digest_index(spark, cidx)
+            .select("digest")
+            .distinct()
+            .collect()
+        )
+        return mrows, prows, crows
+
+    run("ck1")
+    s1 = state()
+    run("ck2")  # fresh checkpoint: both batches REPLAY
+    assert state() == s1
+    # the folds equal one-shot rebuilds over corpus ∪ batches
+    alld = c0.unionByName(b1).unionByName(b2)
+    want_m = frozenset(
+        (r.shard, r.n_docs, r.n_tokens, r.content_xor)
+        for r in _manifest_rebuild(spark, alld)
+    )
+    assert s1[0] == want_m
+    want_p = frozenset(
+        (r.doc_id, r.u_idx, r.prefix_digest)
+        for r in sft_prefix_digests(
+            alld.withColumn(
+                "text", F.concat(F.lit("u: "), F.col("text"))
+            )
+        ).collect()
+    )
+    assert s1[1] == want_p
+    # chunk refcounts fold exactly at compaction
+    chunk_index_compact(spark, cidx)
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.dedup import (
+        chunk_digest_index,
+    )
+
+    got = {
+        (r.digest, r.refs)
+        for r in spark.read.parquet(f"{cidx}/base").collect()
+    }
+    want = {
+        (r.digest, r.refs) for r in chunk_digest_index(alld).collect()
+    }
+    assert got == want
