@@ -1271,3 +1271,36 @@ def test_novelty_curve_single_gram_shuffle(spark, sf_dir):
     # is the gram
     assert plan.count("Window") >= 1
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_corpus_version_is_one_partial_aggregable_reduce(spark, sf_dir):
+    """The provenance stamp's whole 100 TB argument: the corpus
+    version digest folds to ONE row through map-side partials — the
+    plan must show the two-phase xor aggregate (partial + final) and
+    a single-partition exchange, never a wide shuffle or a sort."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        governance as gov,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        gov.corpus_version(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("bit_xor") >= 2  # partial + final phases
+    assert "SinglePartition" in plan
+    assert "Sort" not in plan
+
+
+def test_lineage_probe_broadcasts_the_label_joins(spark, sf_dir):
+    """doc_lineage_probe's point lookups must stay broadcast-shaped:
+    the sampled docs join the maintained labels without a sort-merge
+    shuffle of either side."""
+    plan = _plan(spark, "doc_lineage_probe", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
