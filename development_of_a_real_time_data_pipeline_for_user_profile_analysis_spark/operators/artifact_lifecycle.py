@@ -197,18 +197,20 @@ def publish_base(
     scratch: str,
     snapshot_epoch: int | None = None,
 ) -> None:
-    """Rename-swap the epoch-stamped scratch over the base. The old
-    base is parked dot-prefixed (invisible to readers) and removed —
-    or, when `snapshot_epoch` is given, RETAINED under the snapshot
-    tree (rename only, no data copy): the as-of read folds it with
-    the retired segments finish_compaction parks beside it."""
-    import uuid
-
-    cur = os.path.join(path, base_name)
+    """Publish the epoch-stamped scratch over the base through the
+    SWAP FENCE (atomic_swap_dir): a crash between the two publish
+    renames used to leave the base missing with the old copy parked
+    in an invisible dot-dir — a loud read failure repairable only by
+    hand; now recovery rolls forward to the complete scratch or back
+    to the old base, never to 'missing'. With `snapshot_epoch`, the
+    replaced base is RETAINED under the snapshot tree (rename only,
+    no data copy; recorded in the swap marker so a crash cannot turn
+    a retaining publish into a discarding one) and the artifact's
+    provenance stamp is copied beside it."""
+    old_dest = None
     if snapshot_epoch is not None:
         snap = snapshot_dir(path, snapshot_epoch)
-        if os.path.isdir(cur):
-            _move_retired(cur, os.path.join(snap, base_name))
+        old_dest = os.path.join(snap, base_name)
         # carry the provenance stamp (if the artifact has one) into
         # the snapshot, so an as-of read can verify WHICH corpus
         # version that epoch reflects — the stamp at the root keeps
@@ -218,16 +220,8 @@ def publish_base(
             os.path.join(snap, "_provenance")
         ):
             os.makedirs(snap, exist_ok=True)
-            shutil.copyfile(
-                prov, os.path.join(snap, "_provenance")
-            )
-        os.rename(scratch, cur)
-        return
-    old = os.path.join(path, f".{base_name}_old_{uuid.uuid4().hex}")
-    if os.path.isdir(cur):
-        os.rename(cur, old)
-    os.rename(scratch, cur)
-    shutil.rmtree(old, ignore_errors=True)
+            shutil.copyfile(prov, os.path.join(snap, "_provenance"))
+    atomic_swap_dir(path, base_name, scratch, old_dest=old_dest)
 
 
 def finish_compaction(path: str, marker: dict) -> None:
@@ -266,14 +260,23 @@ def _swap_marker_path(root: str, name: str) -> str:
     return os.path.join(root, f"._SWAP_PENDING_{name}.json")
 
 
-def atomic_swap_dir(root: str, name: str, scratch: str) -> None:
+def atomic_swap_dir(
+    root: str, name: str, scratch: str, old_dest: str | None = None
+) -> None:
     """Crash-fenced directory swap for small rewritten ledgers (the
-    suppression ledgers): without the fence, a crash between the two
-    renames leaves NO ledger — indistinguishable from a legitimately
-    empty one, so a repeated erase request for a folded subject would
-    double-apply. The marker records old/scratch names; recovery
-    (`recover_torn_swap`) rolls forward to the fully-written scratch
-    or back to the parked old directory — never to 'missing'."""
+    suppression ledgers) AND, via publish_base, the artifact bases:
+    without the fence, a crash between the two renames leaves NO
+    directory — for a ledger that is indistinguishable from
+    legitimately empty (double-applied erases), for a base it is a
+    lost artifact recoverable only by hand from a dot-dir. The
+    marker records old/scratch names; recovery (`recover_torn_swap`)
+    rolls forward to the fully-written scratch or back to the parked
+    old directory — never to 'missing'.
+
+    `old_dest`: retain the replaced directory at this path (snapshot
+    retention) instead of deleting it. The move happens BEFORE the
+    marker is removed and is recorded IN the marker, so a crash
+    anywhere still lands the old directory at its destination."""
     import uuid
 
     cur = os.path.join(root, name)
@@ -283,6 +286,8 @@ def atomic_swap_dir(root: str, name: str, scratch: str) -> None:
         "old": old,
         "scratch": os.path.basename(scratch),
     }
+    if old_dest is not None:
+        marker["old_dest"] = old_dest
     tmp = _swap_marker_path(root, name) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(marker, fh)
@@ -290,14 +295,23 @@ def atomic_swap_dir(root: str, name: str, scratch: str) -> None:
     if os.path.isdir(cur):
         os.rename(cur, os.path.join(root, old))
     os.rename(scratch, cur)
-    shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    _retire_old(os.path.join(root, old), old_dest)
     os.remove(_swap_marker_path(root, name))
+
+
+def _retire_old(old: str, old_dest: str | None) -> None:
+    """Drop or retain the swapped-out directory, idempotently."""
+    if old_dest is None:
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    _move_retired(old, old_dest)
 
 
 def recover_torn_swap(root: str, name: str) -> str | None:
     """Repair a torn atomic_swap_dir: scratch (fully written before
     the marker) wins when the live dir is gone; a completed swap just
-    finishes its cleanup. Returns the action or None."""
+    finishes its cleanup — including the recorded old_dest retention,
+    so a crash cannot turn a retaining swap into a discarding one."""
     m = _swap_marker_path(root, name)
     if not os.path.isfile(m):
         return None
@@ -306,13 +320,14 @@ def recover_torn_swap(root: str, name: str) -> str | None:
     cur = os.path.join(root, name)
     old = os.path.join(root, marker["old"])
     scratch = os.path.join(root, marker["scratch"])
+    old_dest = marker.get("old_dest")
     if os.path.isdir(cur):
-        shutil.rmtree(old, ignore_errors=True)
+        _retire_old(old, old_dest)
         os.remove(m)
         return "finished"
     if os.path.isdir(scratch):
         os.rename(scratch, cur)
-        shutil.rmtree(old, ignore_errors=True)
+        _retire_old(old, old_dest)
         os.remove(m)
         return "rolled_forward"
     if os.path.isdir(old):
@@ -327,7 +342,13 @@ def recover_torn_compaction(path: str, base_name: str) -> str | None:
     """Repair a torn compaction before any read/erase/compaction
     touches the artifact. Returns "rolled_forward", "rolled_back",
     or None (no pending marker). See module docstring for the
-    correctness argument."""
+    correctness argument.
+
+    A torn PUBLISH (crash between the swap fence's two renames) is
+    repaired first — recover_torn_swap restores the base from the
+    complete scratch or the parked old copy, after which the epoch
+    comparison below resolves the compaction marker as usual."""
+    recover_torn_swap(path, base_name)
     m = os.path.join(path, PENDING_MARKER)
     if not os.path.isfile(m):
         return None

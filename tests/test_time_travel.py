@@ -224,3 +224,61 @@ def test_snapshot_carries_provenance_stamp(spark, tmp_path):
         ]
         == v1
     )
+
+
+def _torn_publish_state(spark, tmp_path, monkeypatch, crash_at_call):
+    """Drive a real snapshotting compaction into a torn PUBLISH by
+    crashing the Nth os.rename inside the swap fence (1 = after the
+    marker, before the base is parked; 2 = base parked, scratch not
+    yet live — the previously unrecoverable 'missing base' window)."""
+    c0 = _docs(spark, range(0, 40))
+    b1 = _docs(spark, range(100, 120))
+    m = str(tmp_path / "m")
+    build_manifest_artifact(c0, m)
+    manifest_add_batch(spark, m, b1, 1)
+    calls = {"n": 0}
+    real_rename = alc.os.rename
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] == crash_at_call:
+            raise RuntimeError("torn publish")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(alc.os, "rename", flaky)
+    with pytest.raises(RuntimeError, match="torn publish"):
+        manifest_compact(spark, m, snapshot=True)
+    monkeypatch.setattr(alc.os, "rename", real_rename)
+    want = _rows(_rebuild(c0.unionByName(b1)))
+    return m, want
+
+
+def test_torn_publish_before_park_rolls_back_cleanly(
+    spark, tmp_path, monkeypatch
+):
+    m, want = _torn_publish_state(spark, tmp_path, monkeypatch, 1)
+    # base never moved: recovery finishes the swap bookkeeping and
+    # rolls the compaction back — the pre-fold serving view is
+    # value-identical (fold invariance) and a retry compacts fine
+    assert _rows(read_manifest_serving(spark, m)) == want
+    st = manifest_compact(spark, m, snapshot=True)
+    assert _rows(read_manifest_serving(spark, m)) == want
+    assert _rows(read_manifest_as_of(spark, m, st["epoch"])) == want
+
+
+def test_torn_publish_mid_swap_self_heals_forward(
+    spark, tmp_path, monkeypatch
+):
+    """The window that used to LOSE the base to an invisible dot-dir
+    (loud failure, manual restore): base parked, scratch complete
+    but not yet live. The swap fence now rolls forward to the
+    scratch, the compaction marker resolves, and the snapshot
+    retention is honored — all on the next serving read."""
+    m, want = _torn_publish_state(spark, tmp_path, monkeypatch, 2)
+    assert _rows(read_manifest_serving(spark, m)) == want
+    assert alc.snapshot_epochs(m) == [1]
+    assert _rows(read_manifest_as_of(spark, m, 1)) == want
+    # exactly-once: no segment survived to double-fold
+    import os
+
+    assert not os.path.isdir(f"{m}/adds")
