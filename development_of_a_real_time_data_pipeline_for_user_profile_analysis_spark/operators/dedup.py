@@ -2458,9 +2458,13 @@ def band_index_erase(
     band rows are md5 signatures DERIVED from the subject's content,
     so they are erasure-scoped too): publish a request-sized
     tombstone segment keyed `seg_id` (explicit for foreachBatch
-    idempotence, auto-next otherwise); band_index_compact folds it
-    permanently. Cost: one tiny parquet write."""
+    idempotence; None → a fresh uuid, not max+1 over a directory
+    listing — concurrent un-keyed erases must not race the listing
+    and overwrite each other's segment, VERDICT r9 #1);
+    band_index_compact folds it permanently. Cost: one tiny parquet
+    write."""
     import os
+    import uuid
 
     from . import artifact_lifecycle as alc
 
@@ -2469,20 +2473,7 @@ def band_index_erase(
     ids = erase_ids.select("doc_id").distinct()
     ts_dir = os.path.join(path, "tombstones")
     if seg_id is None:
-        seg_id = (
-            max(
-                (
-                    int(e.split("=", 1)[1])
-                    for e in os.listdir(ts_dir)
-                    if e.startswith("seg_id=")
-                    and e.split("=", 1)[1].isdigit()
-                ),
-                default=-1,
-            )
-            + 1
-            if os.path.isdir(ts_dir)
-            else 0
-        )
+        seg_id = uuid.uuid4().hex
     rows = [(int(r.doc_id),) for r in ids.collect()]  # request-sized
     spark.createDataFrame(rows, "doc_id long").write.mode(
         "overwrite"

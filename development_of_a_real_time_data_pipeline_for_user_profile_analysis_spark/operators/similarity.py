@@ -2348,10 +2348,13 @@ def ivfpq_erase(
     `seg_id`: explicit segment key — pass a batch-derived key from
     foreachBatch (run_ivfpq_erase_stream) so a replayed micro-batch
     OVERWRITES its own segment instead of appending a duplicate
-    (at-least-once safety, the adds-segment discipline). None →
-    auto-next integer.
+    (at-least-once safety, the adds-segment discipline). None → a
+    fresh uuid, not max+1 over a directory listing — concurrent
+    un-keyed erases must not race the listing and overwrite each
+    other's segment (VERDICT r9 #1).
     """
     import os
+    import uuid
 
     from . import artifact_lifecycle as alc
     from .dedup import require_local_index_path
@@ -2377,20 +2380,7 @@ def ivfpq_erase(
         if r.vec_id not in found
     ]
     if seg_id is None:
-        seg_id = (
-            max(
-                (
-                    int(e.split("=", 1)[1])
-                    for e in os.listdir(ts_dir)
-                    if e.startswith("seg_id=")
-                    and e.split("=", 1)[1].isdigit()
-                ),
-                default=-1,
-            )
-            + 1
-            if os.path.isdir(ts_dir)
-            else 0
-        )
+        seg_id = uuid.uuid4().hex
     rows = [(int(r.vec_id), int(r.cell)) for r in found_rows] + missing
     out = spark.createDataFrame(rows, "vec_id long, cell long")
     out.write.mode("overwrite").partitionBy("cell").parquet(

@@ -12973,10 +12973,11 @@ DRIVER_PRIORITY = [
     "streaming_session_windows",
     "streaming_dedup_profiles",
     "streaming_boilerplate_scrub",  # r9: the serve-mode content gate over the MAINTAINED template artifact enters (evicts streaming_user_totals -> past window; the custom-stateful discipline stays pytest-covered in tests/test_stateful*.py and streaming aggregation stays in-window via streaming_events_hourly + streaming_session_windows)
+    "streaming_sft_prefix_gate",  # r10: the prompt-prefix dedup as a STREAMING admission gate over the maintained prefix index — later batches dedup against earlier batches through adds segments, replay-safe via monotone batch-id exclusion (evicts sft_prefix_dedup -> past window; the cumulative turn-digest chain and the prefix-dedup semantics stay in-window INSIDE this gate, which probes the same maintained chains, and the batch chat-dedup family keeps sft_user_dedup)
     # text analysis / training-data ops
     "sft_user_dedup",  # r9: role-aware keep-one-response-per-prompt dedup enters (chat/SFT family's first window rep; evicts conversion_funnel -> past window, conditional-agg funnels stay in-window via segment_priority_grouping_sets' conditional aggregates + events_rollup_multi)
-    "sft_prefix_dedup",  # r9: multi-turn prompt-PREFIX dedup — cumulative turn-digest chain finds shared-prefix/divergent-tail dupes both byte and whole-content digests miss (evicts monthly_revenue_ewma -> past window; sequential smoothing stays oracle-covered, window discipline stays via chunk_dedup_report's keeper + the IVF-PQ re-ranks)
-    "artifact_provenance_audit",  # r9w9: version-skew audit — every artifact stamped with the order-independent corpus version digest, the audit diffs stamps against one recompute (evicts boilerplate_scrub_report -> past window; the boilerplate family keeps streaming_boilerplate_scrub in-window, which scrubs per micro-batch against the SAME maintained template artifact and shares the batch scrub's oracle)
+    "preference_pair_audit",  # r10: RLHF/reward-model pair hygiene — degenerate chosen==rejected pairs, canned colliding prompts, eval-split prompt leakage under the standard md5 split device, exact counts + ppm (evicts zorder_files -> past window; the data-layout family keeps manifest_packing_verify in-window — the shard-packing consumer contract — and z-order clustering stays oracle-covered past window)
+    "provenance_incremental_audit",  # r10: provenance stamps maintained at DELTA cost — stamp ⊕ xor(added) ⊕ xor(removed) scanning only the delta slices, incremental == recompute value-checked, stale artifact flags (evicts artifact_provenance_audit -> past window; the stamp device, the one-scan recompute, and the stale-stamp flagging all stay in-window INSIDE this audit — same family, superset discipline)
     "gopher_quality_report",  # r3w6: rule-based quality gate (evicts top_ngrams)
     "split_leakage_repair",  # r7: cross-split near-dup REPAIR enters as the split-governance rep (evicts deterministic_split -> past window; the 80/10/10 md5 assignment stays in-window INSIDE this query's split priority rule)
     "soft_dedup_weights",  # r7: downweight-instead-of-drop dedup decision (soft-dedup family rep; evicts purchasing_customers -> past window, semi-join discipline stays in-window inside dedup_funnel_report's survivor semi-join and benchmark_bloom_contamination's gram probe)
@@ -12989,21 +12990,26 @@ DRIVER_PRIORITY = [
     "edit_distance_dupes",  # r9: char-level threshold-Levenshtein verify tier enters (content-addressed DP on LSH band candidates, the 944->20.9s A/B chain; evicts jl_shortlist_curve -> past window, the recall-curve discipline stays in-window via ivfpq_tuning_curve — the same explode-config-and-rank device)
     "dedup_funnel_report",  # r6w2: cumulative tier funnel (raw→exact→normalized→chunk); evicts dedup_exact_groups -> past window, the exact keeper discipline stays in-window as this funnel's tier 2
     "near_dedup_minhash",
+    "lang_dedup_delta_report",  # r10: the language-aware tokenization tier — whitespace vs lang-keyed char-shingle near-dup funnels replayed end-to-end on the planted de-spaced fixture; the delta IS the audit of what the whitespace tokenizer misses (evicts shard_manifest_time_travel -> past window; snapshot retention + as-of reads stay in-window INSIDE snapshot_erasure_audit, which takes two snapshotting commits and value-checks the per-epoch folds before auditing the leak)
     "chunk_dedup_report",  # r6w2: chunk-substring dedup with reconstruction ledger (ExactSubstr family rep; evicts ngram_jaccard_dupes -> past window, Jaccard verify stays in-window inside near_dedup_minhash's candidate-verify stage)
     "cluster_erase_update",  # r8: right-to-be-forgotten on the cluster artifact, oracle = recompute WITHOUT the erased (ghost bridges split; evicts near_dup_clusters -> past window, the connected-components discipline stays in-window INSIDE this query, which builds the labels before erasing)
     "profiles_upsert",
     "semdedup_prune_plan",  # r6: semantic dedup on the MAINTAINED frozen-cell layout (evicts simhash_dupes -> past window; near-dup family keeps minhash/ngram/clusters reps in-window)
     "curation_pipeline",
     "ann_ivfpq_serve",  # r5: probe-only serve from the MAINTAINED index artifact (ANN family rep; evicts ann_ivfpq_topk -> past window, same pipeline minus the artifact)
-    "shard_manifest_time_travel",  # r9w10: snapshot retention + as-of reads on the fenced lifecycle — two snapshotting commits with adds/erase between, epoch folds value-checked (evicts ivfpq_incremental_add -> past window; the add==rebuild equivalence stays in-window INSIDE ann_ivfpq_erase_serve, which serves from the post-ADD artifact)
+    "manifest_packing_verify",  # r10: the manifest CONSUMER closure — served fold matched per shard against the loader's own sequence-packing view (same md5(doc_id) device + recomputed content xor), a corrupted shard flips exactly its row (evicts shard_manifest_erase_serve -> past window; the manifest erase+fold+serve discipline stays in-window via erasure_completeness_audit and erasure_request_ledger_audit, both of which drive the manifest's erase + fenced fold among the six artifacts)
     "erasure_completeness_audit",  # r8: GDPR closure across ALL FOUR maintained artifacts in one governance view (evicts ann_ivfpq_add_serve -> past window, the add==rebuild equivalence stays in-window INSIDE ann_ivfpq_erase_serve, which serves from the post-ADD artifact)
     "ann_ivfpq_erase_serve",  # r7: tombstone erasure on the maintained artifact, oracle = rebuild WITHOUT the erased subjects (governance-reaches-the-index proof; evicts embedding_near_dupes -> past window, embedding near-dup stays in-window via semdedup_prune_plan's cell-bounded Arrow matmul — the same device)
     "snapshot_erasure_audit",  # r9w10: the governance hole time travel opens — a pre-erase snapshot still carries the subjects; per-epoch leak measured and closed by targeted drop_snapshot (evicts ivfpq_tuning_curve -> past window; the explode-config recall-curve device stays oracle-covered past window and the ANN artifact keeps serve + erase-serve reps in-window)
-    "shard_manifest_erase_serve",  # r9: the manifest artifact's erase+fold+serve rep enters — exercises the idempotent subject-ledger erase and the fenced compaction in one row (evicts profiles_quality_report -> past window; the rule-gate discipline stays in-window via gopher_quality_report and profile integrity via referential_integrity_report)
     "erasure_request_ledger_audit",  # r9: the durable erase-request ledger — planted crash before the last artifact, resumable gap, zero pending + zero referencing rows after resume across all six maintained artifacts incl. the r9 SFT prefix index (evicts hybrid_rrf_search -> past window; retrieval stays in-window via the IVF-PQ serves, fusion stays oracle-covered)
     "multimodal_features",
-    "zorder_files",
     "referential_integrity_report",
+    # --- past-window (evicted) entries keep their export order stable ---
+    "sft_prefix_dedup",  # r10 evicted: prefix-dedup semantics stay in-window inside streaming_sft_prefix_gate (same maintained chain index, same digest device); batch chat dedup keeps sft_user_dedup
+    "artifact_provenance_audit",  # r10 evicted: the stamp device + recompute diff + stale flagging stay in-window inside provenance_incremental_audit (superset: adds the delta-fold identity)
+    "shard_manifest_time_travel",  # r10 evicted: snapshot retention/as-of folds stay in-window inside snapshot_erasure_audit (two snapshotting commits, per-epoch folds value-checked)
+    "shard_manifest_erase_serve",  # r10 evicted: manifest erase+fenced-fold stays in-window via erasure_completeness_audit + erasure_request_ledger_audit; the consumer contract enters via manifest_packing_verify
+    "zorder_files",  # r10 evicted: data-layout family keeps manifest_packing_verify in-window (shard-packing consumer contract); z-order clustering stays oracle-covered past window
     "boilerplate_scrub_report",  # r9w9 evicted: streaming_boilerplate_scrub carries the family in-window over the same maintained template artifact with the same oracle
     "ivfpq_incremental_add",  # r9w10 evicted: add==rebuild stays in-window inside ann_ivfpq_erase_serve (serves from the post-ADD artifact)
     "ivfpq_tuning_curve",  # r9w10 evicted: tuning/recall curve stays oracle-covered past window; ANN family keeps serve + erase-serve in-window

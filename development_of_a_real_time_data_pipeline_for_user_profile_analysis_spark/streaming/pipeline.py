@@ -887,7 +887,11 @@ def chunk_index_erase(
     digest alive while Σrefs > 0, and chunk_index_compact folds the
     ledgers into a clean base, physically dropping digests whose
     count reached zero. `seg_id`: explicit batch-derived key for
-    foreachBatch idempotence; None → auto-next integer.
+    foreachBatch idempotence; None → a fresh uuid (NOT max+1 over a
+    directory listing — two concurrent un-keyed erases would race
+    the listing, allocate the same segment, and one overwrite the
+    other; VERDICT r9 #1, the manifest_erase discipline applied
+    here).
 
     Repeat-request safety: refcounts alone cannot tell a NEW erasure
     from a REPEAT of one already folded (the fold removed the
@@ -903,24 +907,13 @@ def chunk_index_erase(
     from ..operators.dedup import require_local_index_path
     from ..operators.text import cdc_chunk_table
 
+    import uuid
+
     require_local_index_path("chunk_index_erase", index_path)
     recover_torn_compaction(index_path, "base")
     er_dir = os.path.join(index_path, "erases")
     if seg_id is None:
-        seg_id = (
-            max(
-                (
-                    int(e.split("=", 1)[1])
-                    for e in os.listdir(er_dir)
-                    if e.startswith("seg_id=")
-                    and e.split("=", 1)[1].isdigit()
-                ),
-                default=-1,
-            )
-            + 1
-            if os.path.isdir(er_dir)
-            else 0
-        )
+        seg_id = uuid.uuid4().hex
     n_requested = int(erased_docs.select("doc_id").distinct().count())
     delta = (
         cdc_chunk_table(erased_docs)

@@ -176,7 +176,9 @@ def test_erase_is_request_sized(spark, base_index):
     path, emb, corpus = base_index
     ids = corpus.select("vec_id").orderBy("vec_id").limit(3)
     stats = similarity.ivfpq_erase(spark, path, ids)
-    assert stats == {"seg_id": 0, "n_ids": 3, "n_cells": stats["n_cells"]}
+    # auto seg_id is a uuid now (concurrent un-keyed erases must not
+    # race a max+1 directory listing), so assert shape, not value
+    assert isinstance(stats["seg_id"], str) and stats["n_ids"] == 3
     ts = similarity.read_ivfpq_tombstones(spark, path)
     assert ts.count() == 3
 

@@ -138,7 +138,8 @@ def test_driver_window_covers_component_families():
         # BM25 stays in-window inside hybrid_rrf_search;
         # mixture_sampled_counts rotated out r6 —
         # dsir_selection_report carries data selection/mixing)
-        "zorder_files",
+        # (zorder_files rotated out r10 — data layout keeps
+        # manifest_packing_verify, the shard-packing consumer contract)
         # r3 third wave: data-quality audit (events_sessionized
         # rotated out — streaming_session_windows carries
         # sessionization; unigram_logprob_quality rotated out r6 —
@@ -206,8 +207,8 @@ def test_driver_window_covers_component_families():
         # stateful ops stay pytest-covered; hybrid_rrf_search —
         # retrieval stays via the IVF-PQ serves; monthly_revenue_ewma
         # — smoothing stays oracle-covered past window)
-        "sft_user_dedup", "sft_prefix_dedup", "edit_distance_dupes",
-        "shard_manifest_erase_serve", "streaming_boilerplate_scrub",
+        "sft_user_dedup", "edit_distance_dupes",
+        "streaming_boilerplate_scrub",
         "erasure_request_ledger_audit",
         # r9 second rotation: artifact provenance (version-skew
         # stamps), snapshot time travel on the fenced lifecycle, and
@@ -219,12 +220,55 @@ def test_driver_window_covers_component_families():
         # post-ADD artifact; ivfpq_tuning_curve — the recall-curve
         # device stays oracle-covered past window, ANN keeps serve +
         # erase-serve reps)
-        "artifact_provenance_audit", "shard_manifest_time_travel",
         "snapshot_erasure_audit",
+        # r10 rotation (VERDICT r9 ask #2): the five unwatched
+        # round-9 families enter — lang-aware tokenization tier,
+        # manifest consumer/packing closure, incremental provenance,
+        # the streaming prefix gate, and RLHF pair hygiene (evicted:
+        # sft_prefix_dedup — prefix dedup stays in-window inside
+        # streaming_sft_prefix_gate, same maintained chain index;
+        # artifact_provenance_audit — the stamp/recompute/stale-flag
+        # discipline stays inside provenance_incremental_audit;
+        # shard_manifest_time_travel — snapshot as-of folds stay
+        # value-checked inside snapshot_erasure_audit;
+        # shard_manifest_erase_serve — manifest erase+fold stays via
+        # erasure_completeness_audit + erasure_request_ledger_audit;
+        # zorder_files — data layout keeps manifest_packing_verify,
+        # z-order clustering stays oracle-covered past window)
+        "lang_dedup_delta_report", "manifest_packing_verify",
+        "provenance_incremental_audit", "streaming_sft_prefix_gate",
+        "preference_pair_audit",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
     assert len(names) == len(set(names))
+
+
+def test_queries_md_count_matches_registry():
+    """VERDICT r9 #2: the QUERIES.md header count drifted once
+    (292 vs 342) because it was hand-maintained. It is now synced by
+    tools/sync_queries_header.py; this contract makes drift a test
+    failure: header count == registry count == numbered table rows."""
+    import re
+    from pathlib import Path
+
+    import __spark_entry__ as e
+
+    n = len(e.queries())
+    text = (Path(__file__).parent.parent / "QUERIES.md").read_text()
+    m = re.search(r"^(\d+) queries, ALL (\d+) verified", text, re.M)
+    assert m, "QUERIES.md header count line missing"
+    assert int(m.group(1)) == int(m.group(2)) == n, (
+        f"QUERIES.md header says {m.group(1)} but the registry has "
+        f"{n} — run tools/sync_queries_header.py"
+    )
+    rows = sum(
+        1 for ln in text.splitlines() if re.match(r"^\| \d+ \| `", ln)
+    )
+    assert rows == n, (
+        f"QUERIES.md table has {rows} numbered rows vs {n} registry "
+        "queries — add the missing row(s)"
+    )
 
 
 def test_rollup_reaggregates_partials_not_raw(spark, sf_dir):
