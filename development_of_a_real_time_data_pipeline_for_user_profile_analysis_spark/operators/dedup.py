@@ -138,18 +138,27 @@ def with_cjk_docs(documents: DataFrame) -> DataFrame:
     return base.unionByName(variants)
 
 
-CJK_ORACLE_CTE = f"""
-cdocs AS (
+def cjk_oracle_cte(src: str = "documents", name: str = "cdocs") -> str:
+    """SQL mirror of with_cjk_docs over an arbitrary source CTE —
+    parametrized so the planted non-whitespace fixture composes with
+    other fixture CTEs (e.g. the synthetic-dupes corpus for the
+    lang-aware funnel default). Keep in lockstep with
+    with_cjk_docs."""
+    return f"""
+{name} AS (
   SELECT doc_id,
          CASE WHEN lang = 'zh' THEN replace(text, ' ', '')
               ELSE text END AS text,
          lang, source, n_chars
-  FROM documents
+  FROM {src}
   UNION ALL
   SELECT doc_id + {CJK_VARIANT_ID_OFFSET},
          replace(text, ' ', '') || 'xtail', lang, source, n_chars
-  FROM documents WHERE lang = 'zh' AND doc_id % 2 = 1
+  FROM {src} WHERE lang = 'zh' AND doc_id % 2 = 1
 )"""
+
+
+CJK_ORACLE_CTE = cjk_oracle_cte()
 
 
 def char_shingles(
@@ -555,13 +564,26 @@ def lsh_candidate_pairs(
     )
 
 
-def near_dedup_minhash(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataFrame:
+def near_dedup_minhash(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.6,
+    tokenizer: str = "lang_aware",
+) -> DataFrame:
     """Full near-dedup pipeline: LSH candidates → exact Jaccard verify
     → confirmed near-duplicate pairs. The verify is CONTENT-ADDRESSED
     (jaccard_pairs_content_addressed, round 9): exact re-crawl groups
     emit m² byte-identical candidate pairs that short-circuit on a
     digest join instead of fanning out shingles — the m²-dup-group
-    blowup measured superlinear on the 30× soak."""
+    blowup measured superlinear on the 30× soak.
+
+    The DEFAULT tokenizer is the language-aware tier (VERDICT r9
+    ask #3): word 3-grams for whitespace scripts, char 6-grams for
+    the no-whitespace partition keyed on the `lang` column — a
+    whitespace funnel sees a de-spaced CJK doc as ONE word and is
+    provably blind to its near-dups (lang_dedup_delta_report
+    measures the miss). `tokenizer="whitespace"` is the compat flag
+    for the historical word-shingle form; corpora without a `lang`
+    column fall back to it (no language tier to key on)."""
     # The shared shingle table executes ~4x across the pipeline
     # branches (signatures, verify a-side, verify b-side, sizes) and
     # each execution repeats the distinct SHUFFLE, so it is persisted.
@@ -569,7 +591,10 @@ def near_dedup_minhash(docs: DataFrame, jaccard_threshold: float = 0.6) -> DataF
     # round 3: 6.8 s → 5.2 s at sf0.1 with the cache. At cluster
     # scale the shingle table is corpus-sized — MEMORY_AND_DISK
     # semantics make the cache spill rather than evict the executors.)
-    sh = shingles(docs).persist()
+    lang_aware = tokenizer == "lang_aware" and "lang" in docs.columns
+    sh = (
+        lang_aware_shingles(docs) if lang_aware else shingles(docs)
+    ).persist()
     cands = lsh_candidate_pairs(docs, sh=sh)
     return jaccard_pairs_content_addressed(
         docs, cands, sh, jaccard_threshold
@@ -1036,8 +1061,12 @@ def near_dup_pairs_checkpointed(
     if _last_pairs is not None:
         _last_pairs.rdd.unpersist()
         _last_pairs = None
+    # tokenizer pinned: the cluster family interops with the
+    # maintained band/labels artifacts, which band on whitespace
+    # shingles — the banding tokenizer is an artifact parameter and
+    # must match probe-time discovery (incremental == rebuild)
     p = (
-        near_dedup_minhash(docs, jaccard_threshold)
+        near_dedup_minhash(docs, jaccard_threshold, tokenizer="whitespace")
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
@@ -1071,9 +1100,11 @@ def near_dup_clusters(
     convergence test.
     """
     if pairs is None:
-        pairs = near_dedup_minhash(docs, jaccard_threshold).select(
-            "doc_a", "doc_b"
-        )
+        # whitespace-pinned: labels artifacts fold band-index probe
+        # pairs (whitespace-banded) into these clusters — one tokenizer
+        pairs = near_dedup_minhash(
+            docs, jaccard_threshold, tokenizer="whitespace"
+        ).select("doc_a", "doc_b")
     # when a prebuilt (checkpointed) pair relation is passed in, this
     # re-checkpoint copies only the tiny pair set — the caller's
     # blocks stay alive for its own consumers (the in-loop unpersist
@@ -2056,7 +2087,9 @@ def split_near_dup_leakage(
     """
     from .text import split_col
 
-    pairs = near_dedup_minhash(docs, jaccard_threshold)
+    pairs = near_dedup_minhash(
+        docs, jaccard_threshold, tokenizer="whitespace"
+    )
     tagged = pairs.select(
         split_col(F.col("doc_a")).alias("split_a"),
         split_col(F.col("doc_b")).alias("split_b"),
@@ -2089,7 +2122,9 @@ def temporal_split_leakage(
     ≤4-row (split_a, split_b) aggregate."""
     from .text import acquired_with_split
 
-    pairs = near_dedup_minhash(docs, jaccard_threshold).select(
+    pairs = near_dedup_minhash(
+        docs, jaccard_threshold, tokenizer="whitespace"
+    ).select(
         "doc_a", "doc_b"
     )
     sp = acquired_with_split(docs, events).select("doc_id", "split")
@@ -3185,7 +3220,9 @@ def split_leakage_repair(
             F.when(s == "train", 0).when(s == "val", 1).otherwise(2)
         )
 
-    pairs = near_dedup_minhash(docs, jaccard_threshold).select(
+    pairs = near_dedup_minhash(
+        docs, jaccard_threshold, tokenizer="whitespace"
+    ).select(
         "doc_a", "doc_b"
     )
     tagged = pairs.select(

@@ -2139,6 +2139,9 @@ def bpe_pair_counts(documents: DataFrame, top_k: int = 20) -> DataFrame:
     )
 
 
+GOPHER_NONWS_CHARS_PER_TOKEN = 2  # CJK ~1.5-2 chars/word: unit scale
+
+
 def gopher_quality_report(documents: DataFrame) -> DataFrame:
     """Rule-based quality gating in the style of the published Gopher
     corpus-filtering rules (Rae et al. 2021, arXiv:2112.11446 §A1.1):
@@ -2149,32 +2152,61 @@ def gopher_quality_report(documents: DataFrame) -> DataFrame:
     training-data pipeline, before any model-based scoring
     (unigram_logprob_quality is the next tier).
 
+    LANG-AWARE UNITS (VERDICT r9 ask #3): for the no-whitespace
+    scripts (dedup.NONWS_LANGS) the gating unit is the CHARACTER, not
+    the whitespace token — a de-spaced 300-char document is ONE
+    whitespace token, so a whitespace length gate rejects it as too
+    short no matter how long it is (lang_aware_token_stats measures
+    exactly this lie). Length bounds scale by
+    GOPHER_NONWS_CHARS_PER_TOKEN; repetition and type-token ratio run
+    on char frequencies (same thresholds — a >25% single-char share
+    is spam in any script); the mean-word-length rule is undefined
+    without word boundaries and never fires for non-ws docs.
+
     Rule thresholds are evaluated on floor-rounded 4-dp ratios so the
-    pass/fail boundary is engine-portable. Scale shape: one token-key
-    shuffle (per-doc term frequencies — the TF-IDF shape), one per-doc
-    aggregate, one per-source rollup; all counts are mergeable
-    partials and nothing global sorts. No Python in the path.
+    pass/fail boundary is engine-portable. Scale shape: one unit-key
+    shuffle (per-doc term frequencies — the TF-IDF shape; the char
+    fan-out runs only on the no-whitespace language partition), one
+    per-doc aggregate, one per-source rollup; all counts are
+    mergeable partials and nothing global sorts. No Python in the
+    path.
     """
+    from .dedup import NONWS_LANGS
+
+    nonws = F.col("lang").isin(*NONWS_LANGS)
+    units = F.when(
+        nonws,
+        F.expr(
+            "transform(sequence(1, greatest(length(text), 1)),"
+            " i -> substring(text, i, 1))"
+        ),
+    ).otherwise(tokens(F.col("text")))
     tok = documents.select(
-        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+        "doc_id", "source", "lang", F.explode(units).alias("tok")
     ).filter(F.col("tok") != "")
-    tf = tok.groupBy("doc_id", "source", "tok").agg(
+    tf = tok.groupBy("doc_id", "source", "lang", "tok").agg(
         F.count(F.lit(1)).alias("tf"), F.length(F.first("tok")).alias("toklen")
     )
-    per_doc = tf.groupBy("doc_id", "source").agg(
+    per_doc = tf.groupBy("doc_id", "source", "lang").agg(
         F.sum("tf").alias("n_tokens"),
         F.max("tf").alias("max_tf"),
         F.count(F.lit(1)).alias("n_types"),
         F.sum(F.col("tf") * F.col("toklen")).alias("char_sum"),
     )
+    nonws_doc = F.col("lang").isin(*NONWS_LANGS)
+    k = GOPHER_NONWS_CHARS_PER_TOKEN
+    min_units = F.when(nonws_doc, F.lit(10 * k)).otherwise(F.lit(10))
+    max_units = F.when(nonws_doc, F.lit(1000 * k)).otherwise(F.lit(1000))
     mean_len = round4(F.col("char_sum") / F.col("n_tokens"))
     top_share = round4(F.col("max_tf") / F.col("n_tokens"))
     ttr = round4(F.col("n_types") / F.col("n_tokens"))
     flagged = per_doc.select(
         "source",
-        (F.col("n_tokens") < 10).cast("int").alias("f_short"),
-        (F.col("n_tokens") > 1000).cast("int").alias("f_long"),
-        ((mean_len < 2.0) | (mean_len > 8.0)).cast("int").alias("f_wordlen"),
+        (F.col("n_tokens") < min_units).cast("int").alias("f_short"),
+        (F.col("n_tokens") > max_units).cast("int").alias("f_long"),
+        F.when(nonws_doc, F.lit(0))
+        .otherwise(((mean_len < 2.0) | (mean_len > 8.0)).cast("int"))
+        .alias("f_wordlen"),
         (top_share > 0.25).cast("int").alias("f_repetitive"),
         (ttr < 0.3).cast("int").alias("f_low_ttr"),
     )

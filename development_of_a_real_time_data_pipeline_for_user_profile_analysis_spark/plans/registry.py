@@ -1371,10 +1371,54 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_dupes_df(spark, sf_dir))
 
 
+_NONWS_SQL = ", ".join(f"'{l}'" for l in dedup.NONWS_LANGS)
+
+
+def _ws_shingle_sql(src: str = "cdocs") -> str:
+    return f"""
+  SELECT DISTINCT doc_id,
+    array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')
+      AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+          unnest(generate_series(1,
+            greatest(len(string_split(text, ' ')) - 2, 1))) AS i
+        FROM {src})"""
+
+
+def _la_shingle_sql(src: str = "cdocs") -> str:
+    """DuckDB mirror of dedup.lang_aware_shingles over `src`: word
+    3-grams for whitespace scripts, char 6-grams for the
+    no-whitespace partition — the funnel's default tokenizer."""
+    return f"""
+  SELECT DISTINCT doc_id,
+    array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')
+      AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+          unnest(generate_series(1,
+            greatest(len(string_split(text, ' ')) - 2, 1))) AS i
+        FROM {src} WHERE lang NOT IN ({_NONWS_SQL}))
+  UNION
+  SELECT DISTINCT doc_id,
+    substr(text, CAST(i AS INTEGER), {dedup.CHAR_SHINGLE_CHARS})
+      AS shingle
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1,
+            greatest(len(text) - {dedup.CHAR_SHINGLE_CHARS - 1}, 1)))
+            AS i
+        FROM {src} WHERE lang IN ({_NONWS_SQL}))"""
+
+
+_WS_SHINGLE_SQL = _ws_shingle_sql()
+
+_LA_SHINGLE_SQL = _la_shingle_sql()
+
+
 @query(
     "near_dedup_minhash",
     _with_dupes(
-        f""", {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+        f""", {dedup.cjk_oracle_cte(src="dupes", name="cdupes").lstrip()},
+        sh AS ({_la_shingle_sql("cdupes")}),
+        {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
           SELECT c.doc_a, c.doc_b, count(*) AS n_inter
@@ -1392,10 +1436,17 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     ),
 )
 def q_near_dedup_minhash(spark, sf_dir):
-    return dedup.near_dedup_minhash(_dupes_df(spark, sf_dir))
+    """The near-dup funnel on its DEFAULT (language-aware) tokenizer
+    (VERDICT r9 ask #3), over a fixture where the default matters:
+    synthetic dupes ∪ the planted de-spaced CJK docs. The whitespace
+    compat form (tokenizer="whitespace") provably misses every
+    planted CJK near-dup pair — pytest pins the delta; the oracle
+    replays the lang-keyed shingle table through the same chain."""
+    return dedup.near_dedup_minhash(
+        dedup.with_cjk_docs(_dupes_df(spark, sf_dir))
+    )
 
 
-_NONWS_SQL = ", ".join(f"'{l}'" for l in dedup.NONWS_LANGS)
 
 
 def _lang_mode_ctes(p: str, shingle_cte: str) -> str:
@@ -1441,32 +1492,6 @@ def _lang_mode_ctes(p: str, shingle_cte: str) -> str:
           / 10000.0 >= 0.6)"""
 
 
-_WS_SHINGLE_SQL = """
-  SELECT DISTINCT doc_id,
-    array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')
-      AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS w,
-          unnest(generate_series(1,
-            greatest(len(string_split(text, ' ')) - 2, 1))) AS i
-        FROM cdocs)"""
-
-_LA_SHINGLE_SQL = f"""
-  SELECT DISTINCT doc_id,
-    array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')
-      AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS w,
-          unnest(generate_series(1,
-            greatest(len(string_split(text, ' ')) - 2, 1))) AS i
-        FROM cdocs WHERE lang NOT IN ({_NONWS_SQL}))
-  UNION
-  SELECT DISTINCT doc_id,
-    substr(text, CAST(i AS INTEGER), {dedup.CHAR_SHINGLE_CHARS})
-      AS shingle
-  FROM (SELECT doc_id, text,
-          unnest(generate_series(1,
-            greatest(len(text) - {dedup.CHAR_SHINGLE_CHARS - 1}, 1)))
-            AS i
-        FROM cdocs WHERE lang IN ({_NONWS_SQL}))"""
 
 
 def _lang_mode_row_sql(mode: str, p: str, token_units: str) -> str:
@@ -1728,7 +1753,10 @@ def q_incremental_cluster_update(spark, sf_dir):
     labels = spark.read.parquet(f"{lab}/labels")
     # the pairs a real ingest discovers: every verified pair with at
     # least one batch member (band-index probe ∪ batch-internal)
-    new_pairs = dedup.near_dedup_minhash(full).filter(
+    # whitespace-pinned: the probed band artifact is whitespace-banded
+    new_pairs = dedup.near_dedup_minhash(
+        full, tokenizer="whitespace"
+    ).filter(
         (F.col("doc_a") >= batch_floor) | (F.col("doc_b") >= batch_floor)
     )
     return dedup.incremental_near_dup_clusters(labels, new_pairs)
@@ -3518,10 +3546,12 @@ _curation_ckpt = None
 @query(
     "curation_pipeline",
     _with_dupes(
-        f""", keepers AS (
-          SELECT * FROM dupes
-          WHERE doc_id IN (SELECT min(doc_id) FROM dupes GROUP BY md5(text))
-        ), {_shingles_cte('keepers')}, {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+        f""", {dedup.cjk_oracle_cte(src="dupes", name="cdupes").lstrip()},
+        keepers AS (
+          SELECT * FROM cdupes
+          WHERE doc_id IN (SELECT min(doc_id) FROM cdupes GROUP BY md5(text))
+        ), sh AS ({_la_shingle_sql("keepers")}),
+        {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
           SELECT c.doc_a, c.doc_b, count(*) AS n_inter
@@ -3561,7 +3591,10 @@ def q_curation_pipeline(spark, sf_dir):
     if _curation_ckpt is not None:
         _curation_ckpt.rdd.unpersist()
         _curation_ckpt = None
-    d = _dupes_df(spark, sf_dir)
+    # fixture includes the planted de-spaced CJK docs: the curation
+    # near-dedup stage runs on the funnel's DEFAULT lang-aware
+    # tokenizer (VERDICT r9 ask #3) and must catch them
+    d = dedup.with_cjk_docs(_dupes_df(spark, sf_dir))
     step1 = dedup.exact_dedup(d).localCheckpoint(eager=False)
     _curation_ckpt = step1
     pairs = dedup.near_dedup_minhash(step1, jaccard_threshold=0.6)
@@ -6036,24 +6069,40 @@ def q_profiles_snapshot_cdf(spark, sf_dir):
 
 @query(
     "gopher_quality_report",
-    """WITH tok AS (
-         SELECT doc_id, source, tok FROM (
-           SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
-           FROM documents)
+    f"""WITH tok AS (
+         SELECT doc_id, source, lang, tok FROM (
+           SELECT doc_id, source, lang,
+                  unnest(string_split(text, ' ')) AS tok
+           FROM documents WHERE lang NOT IN ({_NONWS_SQL}))
+         WHERE tok <> ''
+         UNION ALL
+         SELECT doc_id, source, lang, tok FROM (
+           SELECT doc_id, source, lang,
+                  substr(text, CAST(i AS INTEGER), 1) AS tok
+           FROM (SELECT doc_id, source, lang, text,
+                   unnest(generate_series(1, greatest(length(text), 1)))
+                     AS i
+                 FROM documents WHERE lang IN ({_NONWS_SQL})))
          WHERE tok <> ''),
-       tf AS (SELECT doc_id, source, tok, count(*) AS tf,
+       tf AS (SELECT doc_id, source, lang, tok, count(*) AS tf,
                      length(tok) AS toklen
-              FROM tok GROUP BY doc_id, source, tok),
+              FROM tok GROUP BY doc_id, source, lang, tok),
        per_doc AS (
-         SELECT doc_id, source, sum(tf) AS n_tokens, max(tf) AS max_tf,
+         SELECT doc_id, source, lang, sum(tf) AS n_tokens,
+                max(tf) AS max_tf,
                 count(*) AS n_types, sum(tf * toklen) AS char_sum
-         FROM tf GROUP BY doc_id, source),
+         FROM tf GROUP BY doc_id, source, lang),
        r AS (
          SELECT source,
-           CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END AS f_short,
-           CASE WHEN n_tokens > 1000 THEN 1 ELSE 0 END AS f_long,
-           CASE WHEN floor(char_sum / n_tokens * 10000 + 0.5) / 10000.0 < 2.0
-                  OR floor(char_sum / n_tokens * 10000 + 0.5) / 10000.0 > 8.0
+           CASE WHEN n_tokens < (CASE WHEN lang IN ({_NONWS_SQL})
+                 THEN {10 * text.GOPHER_NONWS_CHARS_PER_TOKEN}
+                 ELSE 10 END) THEN 1 ELSE 0 END AS f_short,
+           CASE WHEN n_tokens > (CASE WHEN lang IN ({_NONWS_SQL})
+                 THEN {1000 * text.GOPHER_NONWS_CHARS_PER_TOKEN}
+                 ELSE 1000 END) THEN 1 ELSE 0 END AS f_long,
+           CASE WHEN lang NOT IN ({_NONWS_SQL})
+                AND (floor(char_sum / n_tokens * 10000 + 0.5) / 10000.0 < 2.0
+                  OR floor(char_sum / n_tokens * 10000 + 0.5) / 10000.0 > 8.0)
                 THEN 1 ELSE 0 END AS f_wordlen,
            CASE WHEN floor(max_tf / n_tokens * 10000 + 0.5) / 10000.0 > 0.25
                 THEN 1 ELSE 0 END AS f_repetitive,

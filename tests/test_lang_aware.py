@@ -30,7 +30,9 @@ def corpus(spark):
 
 
 def test_whitespace_shingles_are_blind_on_nonws_text(spark, corpus):
-    pairs = dedup.near_dedup_minhash(corpus).collect()
+    pairs = dedup.near_dedup_minhash(
+        corpus, tokenizer="whitespace"
+    ).collect()
     found = {(r.doc_a, r.doc_b) for r in pairs}
     assert (4, 5) not in found  # the planted zh near-dup is invisible
     # and the zh docs each carry exactly ONE whitespace token
@@ -95,3 +97,96 @@ def test_fixture_generator_delta(spark, sf_dir):
     assert la.nonws_token_units > 100 * ws.nonws_token_units
     # whitespace-language results are identical in both modes
     assert la.n_pairs - la.n_nonws_pairs == ws.n_pairs - ws.n_nonws_pairs
+
+
+def test_funnel_default_is_lang_aware(spark, corpus):
+    """VERDICT r9 ask #3: the corpus-hygiene DEFAULT is the honest
+    tokenizer — near_dedup_minhash with no flags catches the planted
+    CJK near-dup the whitespace compat form provably misses, and the
+    whitespace-language results are unchanged between the modes."""
+    default_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.near_dedup_minhash(corpus).collect()
+    }
+    ws_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.near_dedup_minhash(
+            corpus, tokenizer="whitespace"
+        ).collect()
+    }
+    assert (4, 5) in default_pairs and (4, 5) not in ws_pairs
+    assert not any(6 in p for p in default_pairs)
+    en_ids = {1, 2, 3}
+    assert {p for p in default_pairs if set(p) <= en_ids} == {
+        p for p in ws_pairs if set(p) <= en_ids
+    }
+    # corpora without a lang column fall back to whitespace (total)
+    nolang = corpus.drop("lang")
+    assert (4, 5) not in {
+        (r.doc_a, r.doc_b)
+        for r in dedup.near_dedup_minhash(nolang).collect()
+    }
+
+
+def test_honest_funnel_drives_delta_to_zero(spark, corpus):
+    """The lang_dedup_delta_report acceptance check inverted: once
+    the funnel default IS lang-aware, re-running the delta comparison
+    with the default as the 'whitespace' arm would find nothing extra
+    — i.e. default-mode pairs == lang-aware-mode pairs exactly."""
+    default_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.near_dedup_minhash(corpus).collect()
+    }
+    sh = dedup.lang_aware_shingles(corpus).persist()
+    try:
+        explicit = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.jaccard_pairs_content_addressed(
+                corpus,
+                dedup.lsh_candidate_pairs(corpus, sh=sh),
+                sh,
+                0.6,
+            ).collect()
+        }
+    finally:
+        sh.unpersist()
+    assert default_pairs == explicit
+
+
+def test_gopher_length_gates_key_on_lang_aware_units(spark):
+    """VERDICT r9 ask #3 (second half): the Gopher length gates run
+    on lang-aware units — a long de-spaced zh doc (ONE whitespace
+    token, many chars) passes the short-gate instead of being
+    rejected as a one-word doc; a genuinely short zh doc still
+    flags; the mean-word-length rule never fires without word
+    boundaries."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        text,
+    )
+
+    long_zh = "天气很好我们去公园散步喝茶聊天看书写字" * 3  # 60 chars
+    docs = spark.createDataFrame(
+        [
+            (0, long_zh, "zh", "web", len(long_zh)),
+            (1, "短文", "zh", "web", 2),  # 2 chars < 20-unit floor
+            (
+                2,
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu",
+                "en",
+                "web",
+                60,
+            ),
+            (3, "tiny doc here", "en", "web", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    row = text.gopher_quality_report(docs).collect()[0]
+    # zh short doc + en short doc flag; the LONG zh doc does not
+    assert row.n_docs == 4 and row.n_short == 2
+    # no wordlen flags: the zh docs are exempt, the en docs are sane
+    assert row.n_wordlen == 0
+    # whitespace gating would have flagged the long zh doc too:
+    ws_tokens = docs.filter(F.col("doc_id") == 0).select(
+        F.size(F.split("text", " ")).alias("n")
+    ).collect()[0].n
+    assert ws_tokens == 1

@@ -161,7 +161,13 @@ def test_near_dup_clusters_match_python_union_find(spark):
     docs = dedup.with_synthetic_dupes(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     )
-    pair_rows = dedup.near_dedup_minhash(docs).select("doc_a", "doc_b").collect()
+    # whitespace-pinned to match near_dup_clusters' artifact contract
+    # (the labels/band artifacts band on whitespace shingles)
+    pair_rows = (
+        dedup.near_dedup_minhash(docs, tokenizer="whitespace")
+        .select("doc_a", "doc_b")
+        .collect()
+    )
 
     parent: dict = {}
 
@@ -273,7 +279,13 @@ def test_temporal_leakage_flags_only_cross_boundary_pairs(spark):
         .select("doc_id", "split")
         .collect()
     }
-    pairs = dedup.near_dedup_minhash(docs).select("doc_a", "doc_b").collect()
+    # whitespace-pinned to match temporal_split_leakage's pinned
+    # pair discovery (oracle continuity for the report family)
+    pairs = (
+        dedup.near_dedup_minhash(docs, tokenizer="whitespace")
+        .select("doc_a", "doc_b")
+        .collect()
+    )
     expected: dict = {}
     for p in pairs:
         key = (split[p.doc_a], split[p.doc_b])
