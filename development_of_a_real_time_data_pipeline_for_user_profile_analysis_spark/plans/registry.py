@@ -62,6 +62,39 @@ def _record_phases(qname: str, t0: float, t1: float, t2: float) -> None:
     }
 
 
+# ------------------------------------------------------------------
+# Session-scoped result scratch (VERDICT r9 ask #5): lifecycle
+# wrappers build artifacts in an invocation-local temp dir that is
+# rmtree'd before returning, so the result relation must outlive the
+# artifact. The previous freeze (collect + createDataFrame) pulled
+# the rows through the DRIVER — harmless at the ≤5k-row bench sizes
+# but a silent bottleneck if any lifecycle query ever returns
+# corpus-scale rows. Instead the result parquet is copied into a
+# session-scoped scratch that outlives the invocation and the query
+# returns a distributed read over it.
+# ------------------------------------------------------------------
+_RESULT_SCRATCH: str | None = None
+_RESULT_SEQ = [0]
+
+
+def _publish_result(spark: SparkSession, out: DataFrame, name: str) -> DataFrame:
+    """Write `out` to the session result scratch and return a read
+    over it — the distributed replacement for collect+createDataFrame
+    in lifecycle wrappers whose inputs are about to be rmtree'd."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    global _RESULT_SCRATCH
+    if _RESULT_SCRATCH is None:
+        _RESULT_SCRATCH = tempfile.mkdtemp(prefix="eng_result_scratch_")
+        atexit.register(shutil.rmtree, _RESULT_SCRATCH, ignore_errors=True)
+    _RESULT_SEQ[0] += 1
+    d = os.path.join(_RESULT_SCRATCH, f"{name}_{_RESULT_SEQ[0]}")
+    out.write.parquet(d)
+    return spark.read.parquet(d)
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -1842,9 +1875,8 @@ def q_streaming_cluster_update(spark, sf_dir):
             )
         _ph2 = _time.monotonic()
         out = spark.read.parquet(f"{lab}/labels").orderBy("doc_id")
-        rows = out.collect()
         _record_phases("streaming_cluster_update", _ph0, _ph1, _ph2)
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "streaming_cluster_update")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1963,9 +1995,8 @@ def q_streaming_cluster_erase(spark, sf_dir):
             )
         _ph2 = _time.monotonic()
         out = spark.read.parquet(f"{lab}/labels").orderBy("doc_id")
-        rows = out.collect()
         _record_phases("streaming_cluster_erase", _ph0, _ph1, _ph2)
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "streaming_cluster_erase")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2699,8 +2730,7 @@ def q_artifact_provenance_audit(spark, sf_dir):
             },
             docs,
         ).orderBy("artifact")
-        rows = audit.collect()
-        return spark.createDataFrame(rows, audit.schema)
+        return _publish_result(spark, audit, "artifact_provenance_audit")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2785,8 +2815,7 @@ def q_provenance_incremental_audit(spark, sf_dir):
             {"shard_manifest": mpath, "band_index": stale},
             final_corpus,
         ).orderBy("artifact")
-        rows = audit.collect()
-        return spark.createDataFrame(rows, audit.schema)
+        return _publish_result(spark, audit, "provenance_incremental_audit")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2894,8 +2923,7 @@ def q_shard_manifest_time_travel(spark, sf_dir):
             .select("epoch", *cols)
             .orderBy("epoch", "shard")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "shard_manifest_time_travel")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -10315,8 +10343,7 @@ def q_streaming_pii_redact(spark, sf_dir):
             )
             .orderBy("doc_id")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "pii_scan_report")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -10399,8 +10426,7 @@ def q_manifest_packing_verify(spark, sf_dir):
             docs.filter(F.col("doc_id") % 3 == 0)
         ).write.parquet(f"{mpath}/adds/batch_id=1")
         out = manifest_packing_verify(spark, mpath, docs)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "manifest_packing_verify")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -10493,9 +10519,8 @@ def q_streaming_shard_manifest(spark, sf_dir):
         # compacted base
         manifest_compact(spark, mpath)
         out = read_manifest_serving(spark, mpath).orderBy("shard")
-        rows = out.collect()
         _record_phases("streaming_shard_manifest", _ph0, _ph1, _ph2)
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "streaming_shard_manifest")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -10540,8 +10565,7 @@ def q_shard_manifest_erase_serve(spark, sf_dir):
         build_manifest_artifact(dupes, mpath)
         manifest_erase(spark, mpath, er_docs)
         out = read_manifest_serving(spark, mpath).orderBy("shard")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "shard_manifest_erase_serve")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -10793,9 +10817,8 @@ def q_streaming_boilerplate_scrub(spark, sf_dir):
             .select("doc_id", "source", "cleaned_text")
             .orderBy("doc_id")
         )
-        rows = out.collect()
         _record_phases("streaming_boilerplate_scrub", _ph0, _ph1, _ph2)
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "streaming_boilerplate_scrub")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -11511,9 +11534,8 @@ def q_streaming_sft_prefix_gate(spark, sf_dir):
             "shared_depth",
             "n_partners",
         ).orderBy("doc_id")
-        rows = out.collect()
         _record_phases("streaming_sft_prefix_gate", _ph0, _ph1, _ph2)
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "streaming_sft_prefix_gate")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -11860,8 +11882,7 @@ def q_streaming_quality_gate(spark, sf_dir):
             )
             .orderBy("source")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "streaming_quality_gate")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -12157,9 +12178,8 @@ def q_streaming_leakage_monitor(spark, sf_dir):
             )
             .orderBy("batch_id")
         )
-        rows = out.collect()
         _record_phases("streaming_leakage_monitor", _ph0, _ph1, _ph2)
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "streaming_leakage_monitor")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -12702,8 +12722,7 @@ def q_chunk_index_gc_report(spark, sf_dir):
             .cast("long")
             .alias("dead_ppm"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "chunk_index_gc_report")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -12814,9 +12833,8 @@ def q_streaming_chunk_dedup(spark, sf_dir):
             )
             .orderBy("batch_id")
         )
-        rows = out.collect()
         _record_phases("streaming_chunk_dedup", _ph0, _ph1, _ph2)
-        return spark.createDataFrame(rows, out.schema)
+        return _publish_result(spark, out, "streaming_chunk_dedup")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
