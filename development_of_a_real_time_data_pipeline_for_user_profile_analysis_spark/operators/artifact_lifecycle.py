@@ -162,6 +162,9 @@ def drop_snapshot(path: str, epoch: int) -> bool:
     return True
 
 
+SNAPSHOT_RETAIN_LAST = 1  # keep-newest-K retention policy (oracle lockstep)
+
+
 def vacuum_snapshots(path: str, retain_last: int) -> list[int]:
     """Drop all but the newest `retain_last` snapshots (the table
     format's expire-snapshots). Returns the removed epochs."""

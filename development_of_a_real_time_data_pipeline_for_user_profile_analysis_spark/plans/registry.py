@@ -3038,6 +3038,131 @@ def q_snapshot_erasure_audit(spark, sf_dir):
 
 
 @query(
+    "snapshot_retention_enforce",
+    """WITH subj AS (
+  SELECT doc_id FROM documents WHERE doc_id % 4 = 0 AND doc_id % 7 = 2)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS epoch_seq,
+         CAST(1 AS BIGINT) AS past_retention_before,
+         CAST((SELECT count(*) FROM subj) AS BIGINT)
+           AS n_referencing_before,
+         CAST(0 AS BIGINT) AS retained_after,
+         CAST(0 AS BIGINT) AS past_retention_after,
+         CAST(0 AS BIGINT) AS n_referencing_after
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+) ORDER BY epoch_seq""",
+)
+def q_snapshot_retention_enforce(spark, sf_dir):
+    """RETENTION-POLICY ENFORCEMENT closure (VERDICT r9 ask #4):
+    retention_policy_audit reports what sits past the horizon and
+    drop_snapshot/vacuum_snapshots exist — this query registers the
+    LOOP: snapshots past the keep-newest-K policy → targeted drops
+    (vacuum_snapshots, the table format's expire-snapshots) →
+    post-drop audit proving (a) ZERO snapshots retained past the
+    policy and (b) ZERO erased-subject leaks in anything still
+    retained (the snapshot_erasure_audit composition).
+
+    Lifecycle: prefix index over the corpus prompts → adds →
+    snapshotting commit 1 (epoch 1 retains the pre-erase state —
+    the planted over-retention snapshot that ALSO leaks the erased
+    subjects) → subject tombstones → snapshotting commit 2 → adds →
+    snapshotting commit 3. Policy keep=SNAPSHOT_RETAIN_LAST(=1):
+    epochs 1-2 are past retention; the vacuum drops exactly them;
+    epoch 3 survives, references nothing erased, and the live
+    serving read stays clean throughout (asserted in-query).
+
+    Scale shape: referencing counts are broadcast semi-joins of
+    chain-sized snapshot folds against the request-sized subject
+    set; the enforcement is rename/rmtree-only metadata work —
+    no data rewrite at any scale. Extension tier (the reference has
+    no artifacts, snapshots, or retention policy)."""
+    import shutil
+    import tempfile
+
+    from ..operators import artifact_lifecycle as alc
+    from ..operators.text import sft_prefix_digests
+    from ..streaming.pipeline import (
+        build_sft_prefix_index,
+        read_sft_prefix_index,
+        read_sft_prefix_index_as_of,
+        sft_prefix_index_compact,
+        sft_prefix_index_erase,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    as_prompt = lambda d: d.withColumn(  # noqa: E731
+        "text", F.concat(F.lit("u: "), F.col("text"))
+    )
+    corpus = as_prompt(docs.filter(F.col("doc_id") % 4 == 0))
+    b1 = as_prompt(docs.filter(F.col("doc_id") % 4 == 1))
+    b2 = as_prompt(docs.filter(F.col("doc_id") % 4 == 2))
+    subj = corpus.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+
+    work = tempfile.mkdtemp(prefix="snap_retain_")
+    try:
+        pfx = f"{work}/pfx"
+        build_sft_prefix_index(corpus, pfx)
+        sft_prefix_digests(b1).write.parquet(f"{pfx}/adds/batch_id=1")
+        st1 = sft_prefix_index_compact(spark, pfx, snapshot=True)
+        sft_prefix_index_erase(spark, pfx, subj, seg_id=1)
+        st2 = sft_prefix_index_compact(spark, pfx, snapshot=True)
+        sft_prefix_digests(b2).write.parquet(f"{pfx}/adds/batch_id=2")
+        st3 = sft_prefix_index_compact(spark, pfx, snapshot=True)
+
+        def n_ref(df):
+            return int(
+                df.join(F.broadcast(subj), "doc_id", "left_semi").count()
+            )
+
+        epochs = [st1["epoch"], st2["epoch"], st3["epoch"]]
+        keep = alc.SNAPSHOT_RETAIN_LAST
+        expired_before = set(epochs[: len(epochs) - keep])
+        before = {
+            e: n_ref(read_sft_prefix_index_as_of(spark, pfx, e))
+            for e in epochs
+        }
+        if n_ref(read_sft_prefix_index(spark, pfx)) != 0:
+            raise AssertionError("live serving references erased subjects")
+        # THE ENFORCEMENT: drop everything past the keep-newest-K
+        # policy (covers the leaking pre-erase epoch 1 and the clean
+        # but expired epoch 2; epoch 3 is inside the policy)
+        dropped = set(alc.vacuum_snapshots(pfx, retain_last=keep))
+        if dropped != expired_before:
+            raise AssertionError(
+                f"vacuum dropped {sorted(dropped)}, policy says "
+                f"{sorted(expired_before)}"
+            )
+        retained_after = alc.snapshot_epochs(pfx)
+        expired_after = set(retained_after[: len(retained_after) - keep])
+        rows = [
+            (
+                i + 1,
+                1 if e in expired_before else 0,
+                before[e],
+                1 if e in retained_after else 0,
+                1 if e in expired_after else 0,
+                n_ref(read_sft_prefix_index_as_of(spark, pfx, e))
+                if e in retained_after
+                else 0,
+            )
+            for i, e in enumerate(epochs)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "epoch_seq long, past_retention_before long, "
+            "n_referencing_before long, retained_after long, "
+            "past_retention_after long, n_referencing_after long",
+        ).orderBy("epoch_seq")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "streaming_erase_requests",
     """WITH s1 AS (
   SELECT doc_id FROM documents WHERE doc_id % 4 = 0 AND doc_id % 14 = 2),

@@ -282,3 +282,44 @@ def test_torn_publish_mid_swap_self_heals_forward(
     import os
 
     assert not os.path.isdir(f"{m}/adds")
+
+
+def test_retention_enforcement_closes_both_audits(spark, tmp_path):
+    """VERDICT r9 ask #4: the enforcement loop — a planted
+    over-retention snapshot (pre-erase, leaking the erased subjects)
+    is dropped by the keep-newest-K vacuum; afterwards ZERO snapshots
+    sit past the policy AND zero retained snapshots reference erased
+    subjects, while the in-policy epoch still time-travels. Re-running
+    the enforcement is a no-op (idempotent)."""
+    c0 = _docs(spark, range(0, 40))
+    b1 = _docs(spark, range(100, 130))
+    rm = c0.filter(F.col("doc_id") % 10 == 3)
+    m = str(tmp_path / "m")
+    build_manifest_artifact(c0, m)
+    manifest_add_batch(spark, m, b1, 1)
+    st1 = manifest_compact(spark, m, snapshot=True)  # leaks rm
+    manifest_erase(spark, m, rm, seg_id=1)
+    st2 = manifest_compact(spark, m, snapshot=True)  # clean
+    subj = rm.select("doc_id")
+    survivors = c0.join(subj, "doc_id", "left_anti").unionByName(b1)
+
+    def leak(df):
+        # manifest rows are shard-level: a leak = any shard row whose
+        # fold differs from the subject-free rebuild
+        return _rows(df) != _rows(_rebuild(survivors))
+
+    # the planted over-retention snapshot leaks; the policy window
+    # (keep=SNAPSHOT_RETAIN_LAST) has exactly st2
+    assert leak(read_manifest_as_of(spark, m, st1["epoch"]))
+    keep = alc.SNAPSHOT_RETAIN_LAST
+    assert alc.vacuum_snapshots(m, retain_last=keep) == [st1["epoch"]]
+    retained = alc.snapshot_epochs(m)
+    assert retained == [st2["epoch"]]
+    # post-drop audit (a): zero retained past the policy
+    assert len(retained) <= keep
+    # post-drop audit (b): zero erased-subject leaks in the retained
+    assert not leak(read_manifest_as_of(spark, m, st2["epoch"]))
+    assert not leak(read_manifest_serving(spark, m))
+    # idempotent: nothing further to drop
+    assert alc.vacuum_snapshots(m, retain_last=keep) == []
+    assert alc.snapshot_epochs(m) == [st2["epoch"]]
