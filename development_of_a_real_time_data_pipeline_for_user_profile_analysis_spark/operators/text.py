@@ -1368,6 +1368,126 @@ def preference_pair_audit(pairs: DataFrame) -> DataFrame:
     )
 
 
+PREF_NEAR_DEGEN_MOD = 9  # every 9th pair: rejected ≈ chosen (near-dup)
+
+
+def with_near_degenerate_pairs(pairs: DataFrame) -> DataFrame:
+    """Plant the degenerate-pair mode RLHF corpora actually have
+    (VERDICT r9 ask #6): every PREF_NEAR_DEGEN_MOD-th pair's rejected
+    becomes chosen + ' though' — NOT byte-equal (the exact
+    chosen==rejected check passes it) but a word-3-gram Jaccard of
+    0.75 (3 shared shingles / 4): near-zero preference margin that
+    only a near-dup verify catches. Exact-degenerate pairs keep their
+    byte equality. Mirrored in the audit oracle's `pairs2` CTE."""
+    near = (F.col("pair_id") % PREF_NEAR_DEGEN_MOD == 2) & (
+        F.col("chosen") != F.col("rejected")
+    )
+    return pairs.withColumn(
+        "rejected",
+        F.when(near, F.concat(F.col("chosen"), F.lit(" though"))).otherwise(
+            F.col("rejected")
+        ),
+    )
+
+
+def preference_pair_near_dup_audit(
+    pairs: DataFrame, jaccard_threshold: float = 0.6
+) -> DataFrame:
+    """preference_pair_audit widened (VERDICT r9 ask #6): the two
+    defect modes the one-row count audit cannot see —
+
+    (1) CHOSEN≈REJECTED near-duplicates: a pair whose responses are
+    near-identical (trailing hedge, whitespace edit) carries almost
+    no preference signal, but chosen == rejected misses it. The pair
+    relation IS the candidate list (no LSH needed), so the
+    content-addressed Jaccard verify runs directly on it: byte-equal
+    pairs short-circuit on the digest join (jaccard 1.0 == the exact
+    degenerate set), the rest verify once per distinct content pair.
+
+    (2) CROSS-PAIR PROMPT DEDUP via the SFT prefix machinery: each
+    prompt is a 1-turn conversation, its depth-1 prefix digest the
+    dedup key (the same chain device the maintained prefix index
+    serves); groups ≥ 2 are collision groups and the keep-lowest-
+    pair_id rule prices the dedup (n_dropped = Σ(group − 1)) — the
+    decision, not just the count.
+
+    One audit row of exact integers + ppm. Scale shape: the verify
+    is pair-driven (request-sized candidate relation, digest
+    short-circuit for the byte-equal mass); the prompt side is one
+    digest-keyed aggregate; no self-joins, nothing corpus²."""
+    from .dedup import jaccard_pairs_content_addressed, shingles
+
+    resp = pairs.select(
+        (F.col("pair_id") * 2).alias("doc_id"),
+        F.col("chosen").alias("text"),
+    ).unionByName(
+        pairs.select(
+            (F.col("pair_id") * 2 + 1).alias("doc_id"),
+            F.col("rejected").alias("text"),
+        )
+    )
+    cands = pairs.select(
+        (F.col("pair_id") * 2).alias("doc_a"),
+        (F.col("pair_id") * 2 + 1).alias("doc_b"),
+    )
+    sh = shingles(resp)
+    flagged = jaccard_pairs_content_addressed(
+        resp, cands, sh, jaccard_threshold
+    ).select((F.col("doc_a") / 2).cast("long").alias("pair_id"))
+    exact = pairs.filter(F.col("chosen") == F.col("rejected")).select(
+        "pair_id"
+    )
+    near = flagged.join(exact, "pair_id", "left_anti")
+
+    conv = pairs.select(
+        F.col("pair_id").alias("doc_id"),
+        F.concat(F.lit("u: "), F.col("prompt")).alias("text"),
+    )
+    groups = (
+        sft_prefix_digests(conv)
+        .filter(F.col("u_idx") == 1)
+        .groupBy("prefix_digest")
+        .agg(F.count(F.lit(1)).alias("n_in_group"))
+        .filter(F.col("n_in_group") >= 2)
+    )
+    prompt_counts = groups.agg(
+        F.coalesce(F.sum("n_in_group"), F.lit(0))
+        .cast("long")
+        .alias("n_shared_prompt_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_shared_prompt_groups"),
+        F.coalesce(F.sum(F.col("n_in_group") - 1), F.lit(0))
+        .cast("long")
+        .alias("n_dropped_by_prompt_dedup"),
+    )
+    counts = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    ).crossJoin(
+        exact.agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact_degenerate")
+        )
+    ).crossJoin(
+        near.agg(
+            F.count(F.lit(1)).cast("long").alias("n_near_degenerate")
+        )
+    )
+    return counts.crossJoin(prompt_counts).select(
+        "n_pairs",
+        "n_exact_degenerate",
+        "n_near_degenerate",
+        "n_shared_prompt_pairs",
+        "n_shared_prompt_groups",
+        "n_dropped_by_prompt_dedup",
+        F.floor(
+            (F.col("n_exact_degenerate") + F.col("n_near_degenerate"))
+            * 1000000.0
+            / F.col("n_pairs")
+            + 0.5
+        )
+        .cast("long")
+        .alias("degenerate_any_ppm"),
+    )
+
+
 REVISION_RETIRE_MOD = 13  # v1 drops every 13th doc (oracle lockstep)
 REVISION_EDIT_MOD = 11  # every 11th doc's text is revised
 REVISION_FRESH_MOD = 9  # every 9th doc spawns a fresh-crawl doc

@@ -1619,6 +1619,82 @@ def q_preference_pair_audit(spark, sf_dir):
 
 
 @query(
+    "preference_pair_near_dup_audit",
+    "WITH "
+    + text.PREF_ORACLE_CTE.lstrip()
+    + f""",
+pairs2 AS (
+  SELECT pair_id, src_doc_id, prompt, chosen,
+         CASE WHEN pair_id % {text.PREF_NEAR_DEGEN_MOD} = 2
+                AND chosen <> rejected
+              THEN chosen || ' though' ELSE rejected END AS rejected
+  FROM pairs),
+rdocs AS (
+  SELECT pair_id * 2 AS doc_id, chosen AS text FROM pairs2
+  UNION ALL
+  SELECT pair_id * 2 + 1, rejected FROM pairs2),
+rsh AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')
+      AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+          unnest(generate_series(1,
+            greatest(len(string_split(text, ' ')) - 2, 1))) AS i
+        FROM rdocs)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
+inter AS (
+  SELECT CAST(a.doc_id // 2 AS BIGINT) AS pair_id, count(*) AS n_inter
+  FROM rsh a JOIN rsh b
+    ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+   AND b.shingle = a.shingle
+  GROUP BY 1),
+flagged AS (
+  SELECT i.pair_id FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.pair_id * 2
+  JOIN sizes sb ON sb.doc_id = i.pair_id * 2 + 1
+  WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5)
+          / 10000.0 >= 0.6),
+exact AS (SELECT pair_id FROM pairs2 WHERE chosen = rejected),
+near AS (SELECT pair_id FROM flagged
+         WHERE pair_id NOT IN (SELECT pair_id FROM exact)),
+g AS (SELECT prompt, count(*) AS n_in_group FROM pairs2
+      GROUP BY prompt HAVING count(*) >= 2),
+p AS (SELECT CAST(coalesce(sum(n_in_group), 0) AS BIGINT)
+         AS n_shared_prompt_pairs,
+       CAST(count(*) AS BIGINT) AS n_shared_prompt_groups,
+       CAST(coalesce(sum(n_in_group - 1), 0) AS BIGINT)
+         AS n_dropped_by_prompt_dedup
+      FROM g),
+c AS (SELECT CAST((SELECT count(*) FROM pairs2) AS BIGINT) AS n_pairs,
+        CAST((SELECT count(*) FROM exact) AS BIGINT)
+          AS n_exact_degenerate,
+        CAST((SELECT count(*) FROM near) AS BIGINT)
+          AS n_near_degenerate)
+SELECT n_pairs, n_exact_degenerate, n_near_degenerate,
+       n_shared_prompt_pairs, n_shared_prompt_groups,
+       n_dropped_by_prompt_dedup,
+       CAST(floor((n_exact_degenerate + n_near_degenerate)
+              * 1000000.0 / n_pairs + 0.5) AS BIGINT)
+         AS degenerate_any_ppm
+FROM c CROSS JOIN p""",
+)
+def q_preference_pair_near_dup_audit(spark, sf_dir):
+    """preference_pair_audit widened (VERDICT r9 ask #6): planted
+    chosen≈rejected NEAR-degenerate pairs (rejected = chosen + one
+    hedging token — byte-inequal, Jaccard 0.75) detected by the
+    content-addressed Jaccard verify running directly on the pair
+    relation, and cross-pair prompt dedup via the SFT prefix-digest
+    device with the keep-one rule priced (n_dropped). The oracle
+    replays the within-pair shingle Jaccard and the prompt groups
+    from the base table."""
+    return text.preference_pair_near_dup_audit(
+        text.with_near_degenerate_pairs(
+            text.with_preference_pairs(_t(spark, sf_dir, "documents"))
+        )
+    )
+
+
+@query(
     "lang_aware_token_stats",
     "WITH "
     + dedup.CJK_ORACLE_CTE.lstrip()
