@@ -1359,7 +1359,8 @@ def near_dup_pairs_from_band_index(
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    sh = shingles(docs).persist()
+    # verify with the artifact's recorded tokenizer
+    sh = _band_shingles(docs, band_index_tokenizer(index_path)).persist()
     try:
         # content-addressed verify (near_dedup_minhash's): byte-equal
         # candidates short-circuit on a digest join and the rest
@@ -2347,22 +2348,70 @@ def semdedup_incremental_prune(
     ).orderBy("cell")
 
 
-def write_band_index(corpus: DataFrame, path: str) -> None:
+BAND_TOKENIZER_FILE = "_tokenizer.json"
+BAND_TOKENIZERS = ("whitespace", "lang_aware")
+
+
+def _band_shingles(docs: DataFrame, tokenizer: str) -> DataFrame:
+    """The shingle table for a band artifact's recorded tokenizer."""
+    if tokenizer == "lang_aware":
+        return lang_aware_shingles(docs)
+    return shingles(docs)
+
+
+def band_index_tokenizer(path: str) -> str:
+    """The artifact's recorded banding tokenizer. The tokenizer is an
+    ARTIFACT PARAMETER (like the IVF-PQ codebooks): every add/probe
+    against the index must shingle with the same mode the base was
+    banded with, or incremental == rebuild silently breaks. Artifacts
+    written before the meta existed read as whitespace (their actual
+    mode)."""
+    import json
+    import os
+
+    meta = os.path.join(path, BAND_TOKENIZER_FILE)
+    if os.path.isfile(meta):
+        with open(meta) as fh:
+            return json.load(fh)["tokenizer"]
+    return "whitespace"
+
+
+def write_band_index(
+    corpus: DataFrame, path: str, tokenizer: str = "whitespace"
+) -> None:
     """Persist the corpus LSH band table — the maintained near-dup
     artifact incremental_near_dups' docstring promises: computed once
     per corpus version, probed by every ingest batch. Layout (v2):
     `{path}/bands` holds the band rows; `{path}/tombstones/seg_id=N`
     holds erasure segments (band_index_erase) excluded by
-    read_band_index_serving until band_index_compact folds them.
+    read_band_index_serving until band_index_compact folds them;
+    `{path}/_tokenizer.json` records the banding tokenizer (r10:
+    `lang_aware` bands the no-whitespace partition on char 6-grams —
+    the honest mode for CJK corpora; every add/probe path reads the
+    meta, so the artifact can never be probed with the wrong
+    tokenizer). The meta lives at the artifact root, outside the
+    bands/adds/tombstones lifecycle, so compaction and the crash
+    fence never touch it.
     (At production scale, write the bands bucketed on band_key so
     the batch probe join is shuffle-free on the corpus side; plain
     parquet here — the probe broadcasts the batch, so the corpus
     side never shuffles either way.)"""
+    import json
     import os
 
-    banded_signatures(corpus).write.mode("overwrite").parquet(
-        os.path.join(path, "bands")
-    )
+    if tokenizer not in BAND_TOKENIZERS:
+        raise ValueError(f"unknown band tokenizer: {tokenizer!r}")
+    if tokenizer == "lang_aware" and "lang" not in corpus.columns:
+        raise ValueError(
+            "lang_aware band index needs a lang column on the corpus"
+        )
+    banded_signatures(
+        corpus, sh=_band_shingles(corpus, tokenizer)
+    ).write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    tmp = os.path.join(path, f".{BAND_TOKENIZER_FILE}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"tokenizer": tokenizer}, fh)
+    os.replace(tmp, os.path.join(path, BAND_TOKENIZER_FILE))
 
 
 def require_local_index_path(fn: str, path: str) -> None:
@@ -2443,11 +2492,15 @@ def band_index_add(
     discover near-dups against THIS batch's content, not just the
     base corpus (the chunk-digest index's adds discipline applied to
     the band artifact). Batch-keyed overwrite: a foreachBatch replay
-    replaces its own segment."""
+    replaces its own segment. Bands with the ARTIFACT'S recorded
+    tokenizer — a lang-aware index must never take whitespace-banded
+    segments (and vice versa), or cross-batch probes silently miss."""
     import os
 
     require_local_index_path("band_index_add", path)
-    banded_signatures(batch).write.mode("overwrite").parquet(
+    banded_signatures(
+        batch, sh=_band_shingles(batch, band_index_tokenizer(path))
+    ).write.mode("overwrite").parquet(
         os.path.join(path, "adds", f"batch_id={batch_id}")
     )
 
@@ -2585,17 +2638,23 @@ def incremental_near_dups_indexed(
     only same-bucket pairs are Jaccard-verified. Per-batch cost:
     band the batch + one broadcast join + verify on candidates —
     O(|batch|)-driven, with the corpus touched only through the
-    precomputed index and the shingle fetch of candidate docs."""
+    precomputed index and the shingle fetch of candidate docs.
+    Batch banding AND the verify shingles follow the artifact's
+    recorded tokenizer (band_index_tokenizer)."""
+    mode = band_index_tokenizer(index_path)
     corpus_bands = read_band_index_serving(spark, index_path)
-    batch_bands = banded_signatures(batch).select(
-        F.col("doc_id").alias("doc_b"), "band_key"
-    )
+    batch_bands = banded_signatures(
+        batch, sh=_band_shingles(batch, mode)
+    ).select(F.col("doc_id").alias("doc_b"), "band_key")
     cands = (
         corpus_bands.join(F.broadcast(batch_bands), "band_key")
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    verified = ngram_jaccard_pairs(corpus.unionByName(batch), cands)
+    both = corpus.unionByName(batch)
+    verified = ngram_jaccard_pairs(
+        both, cands, sh=_band_shingles(both, mode)
+    )
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
 
 

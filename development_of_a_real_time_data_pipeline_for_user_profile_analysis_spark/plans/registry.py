@@ -1480,6 +1480,68 @@ def q_near_dedup_minhash(spark, sf_dir):
     )
 
 
+@query(
+    "lang_band_index_probe",
+    "WITH "
+    + dedup.CJK_ORACLE_CTE.lstrip()
+    + f""",
+sh AS ({_la_shingle_sql("cdocs")}),
+{_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+xcands AS (
+  SELECT doc_a, doc_b FROM cands
+  WHERE doc_a < {dedup.CJK_VARIANT_ID_OFFSET}
+    AND doc_b >= {dedup.CJK_VARIANT_ID_OFFSET}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM xcands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b,
+       floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5)
+         / 10000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000 + 0.5)
+        / 10000.0 >= 0.6""",
+)
+def q_lang_band_index_probe(spark, sf_dir):
+    """The honest tokenizer reaching the MAINTAINED band artifact
+    (r10: the wave-2 follow-up): the tokenizer is now a recorded
+    artifact parameter (`_tokenizer.json`) and every add/probe path
+    reads it, so a lang-aware index bands the no-whitespace
+    partition on char 6-grams end-to-end. The planted CJK variants
+    arrive as the INGEST BATCH and are probed against the base-only
+    artifact — a whitespace-mode index finds zero of them
+    (pytest-pinned), the lang-aware index finds every planted pair.
+    The oracle replays the lang-keyed chain over base ∪ batch
+    restricted to cross (base × batch) pairs — exactly the probe's
+    candidate shape."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    cdocs = dedup.with_cjk_docs(docs)
+    base = cdocs.filter(
+        F.col("doc_id") < dedup.CJK_VARIANT_ID_OFFSET
+    )
+    batch = cdocs.filter(
+        F.col("doc_id") >= dedup.CJK_VARIANT_ID_OFFSET
+    )
+    work = tempfile.mkdtemp(prefix="lang_bidx_")
+    try:
+        bidx = f"{work}/bidx"
+        dedup.write_band_index(base, bidx, tokenizer="lang_aware")
+        out = dedup.incremental_near_dups_indexed(
+            spark, bidx, base, batch
+        )
+        return _publish_result(spark, out, "lang_band_index_probe")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 
 
 def _lang_mode_ctes(p: str, shingle_cte: str) -> str:

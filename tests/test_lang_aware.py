@@ -190,3 +190,90 @@ def test_gopher_length_gates_key_on_lang_aware_units(spark):
         F.size(F.split("text", " ")).alias("n")
     ).collect()[0].n
     assert ws_tokens == 1
+
+
+def test_band_artifact_tokenizer_is_recorded_and_honored(
+    spark, tmp_path
+):
+    """r10: the banding tokenizer is an artifact parameter — a
+    lang-aware index finds the planted CJK batch pair a whitespace
+    index provably misses; adds and probes read the meta so
+    cross-batch discovery stays mode-consistent; the meta survives
+    erase + fenced compaction."""
+    zh_a = "今天天气很好我们去公园散步然后喝茶聊天看书写字画画唱歌跳舞运动休息"
+    zh_c = "另外一段毫不相关的中文内容讲的是机器学习训练数据去重的问题与方法"
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "en"),
+            (4, zh_a, "zh"),
+            (6, zh_c, "zh"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (104, zh_a + "再见", "zh"),  # near-dup of 4
+            (101, "the quick brown fox jumps over the lazy dog soon", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+    ws = str(tmp_path / "ws")
+    dedup.write_band_index(base, ws, tokenizer="whitespace")
+    assert dedup.band_index_tokenizer(ws) == "whitespace"
+    found_ws = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_near_dups_indexed(
+            spark, ws, base, batch
+        ).collect()
+    }
+    assert (4, 104) not in found_ws  # whitespace mode is blind
+    assert (1, 101) in found_ws  # en pair found either way
+
+    la = str(tmp_path / "la")
+    dedup.write_band_index(base, la, tokenizer="lang_aware")
+    assert dedup.band_index_tokenizer(la) == "lang_aware"
+    found_la = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_near_dups_indexed(
+            spark, la, base, batch
+        ).collect()
+    }
+    assert (4, 104) in found_la and (1, 101) in found_la
+    assert not any(6 in p for p in found_la)
+
+    # adds honor the mode: batch lands as a segment, a LATER batch
+    # near-dups against it through the segment
+    dedup.band_index_add(spark, la, batch, 1)
+    b2 = spark.createDataFrame(
+        [(204, zh_a + "再见了", "zh")],
+        "doc_id long, text string, lang string",
+    )
+    store = base.unionByName(batch)
+    found_b2 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_near_dups_indexed(
+            spark, la, store, b2
+        ).collect()
+    }
+    assert (4, 204) in found_b2 and (104, 204) in found_b2
+
+    # meta survives erase + fenced compaction
+    dedup.band_index_erase(spark, la, base.filter(F.col("doc_id") == 6))
+    dedup.band_index_compact(spark, la)
+    assert dedup.band_index_tokenizer(la) == "lang_aware"
+    after = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_near_dups_indexed(
+            spark, la, store, b2
+        ).collect()
+    }
+    assert (4, 204) in after and not any(6 in p for p in after)
+
+    # a lang_aware build without a lang column refuses loudly
+    with pytest.raises(ValueError, match="lang column"):
+        dedup.write_band_index(
+            base.drop("lang"), str(tmp_path / "x"), tokenizer="lang_aware"
+        )
+    with pytest.raises(ValueError, match="unknown band tokenizer"):
+        dedup.write_band_index(base, str(tmp_path / "y"), tokenizer="bogus")
