@@ -13317,7 +13317,7 @@ DRIVER_PRIORITY = [
     "dsir_selection_report",  # r6: DSIR importance selection, now histogram-CDF scale-safe (data-selection family rep; evicts mixture_sampled_counts -> past window, same family)
     "quality_classifier_eval",  # r6: TRAINED quality-model eval (model-based-filtering family rep; evicts unigram_logprob_quality -> past window, same family)
     # dedup / similarity / curation / multimodal
-    "edit_distance_dupes",  # r9: char-level threshold-Levenshtein verify tier enters (content-addressed DP on LSH band candidates, the 944->20.9s A/B chain; evicts jl_shortlist_curve -> past window, the recall-curve discipline stays in-window via ivfpq_tuning_curve — the same explode-config-and-rank device)
+    "lang_band_index_probe",  # r10w6: the honest tokenizer reaching the MAINTAINED band artifact — tokenizer recorded as an artifact parameter, planted CJK batch probed against a lang-aware base index, oracle = lang-keyed chain on cross pairs (evicts edit_distance_dupes -> past window; the candidate-verify discipline stays in-window inside near_dedup_minhash's content-addressed verify and the DP tier stays oracle-covered past window)
     "dedup_funnel_report",  # r6w2: cumulative tier funnel (raw→exact→normalized→chunk); evicts dedup_exact_groups -> past window, the exact keeper discipline stays in-window as this funnel's tier 2
     "near_dedup_minhash",
     "lang_dedup_delta_report",  # r10: the language-aware tokenization tier — whitespace vs lang-keyed char-shingle near-dup funnels replayed end-to-end on the planted de-spaced fixture; the delta IS the audit of what the whitespace tokenizer misses (evicts shard_manifest_time_travel -> past window; snapshot retention + as-of reads stay in-window INSIDE snapshot_erasure_audit, which takes two snapshotting commits and value-checks the per-epoch folds before auditing the leak)
@@ -13330,11 +13330,13 @@ DRIVER_PRIORITY = [
     "manifest_packing_verify",  # r10: the manifest CONSUMER closure — served fold matched per shard against the loader's own sequence-packing view (same md5(doc_id) device + recomputed content xor), a corrupted shard flips exactly its row (evicts shard_manifest_erase_serve -> past window; the manifest erase+fold+serve discipline stays in-window via erasure_completeness_audit and erasure_request_ledger_audit, both of which drive the manifest's erase + fenced fold among the six artifacts)
     "erasure_completeness_audit",  # r8: GDPR closure across ALL FOUR maintained artifacts in one governance view (evicts ann_ivfpq_add_serve -> past window, the add==rebuild equivalence stays in-window INSIDE ann_ivfpq_erase_serve, which serves from the post-ADD artifact)
     "ann_ivfpq_erase_serve",  # r7: tombstone erasure on the maintained artifact, oracle = rebuild WITHOUT the erased subjects (governance-reaches-the-index proof; evicts embedding_near_dupes -> past window, embedding near-dup stays in-window via semdedup_prune_plan's cell-bounded Arrow matmul — the same device)
-    "snapshot_erasure_audit",  # r9w10: the governance hole time travel opens — a pre-erase snapshot still carries the subjects; per-epoch leak measured and closed by targeted drop_snapshot (evicts ivfpq_tuning_curve -> past window; the explode-config recall-curve device stays oracle-covered past window and the ANN artifact keeps serve + erase-serve reps in-window)
+    "snapshot_retention_enforce",  # r10w4: the retention-policy ENFORCEMENT closure — keep-newest-K vacuum drops the expired epochs incl. the planted pre-erase leaker, post-drop audit value-checks zero past-retention + zero erased-subject references (evicts snapshot_erasure_audit -> past window; this query COMPOSES the same per-epoch leak audit and adds the policy loop — the snapshot/time-travel family's superset rep)
     "erasure_request_ledger_audit",  # r9: the durable erase-request ledger — planted crash before the last artifact, resumable gap, zero pending + zero referencing rows after resume across all six maintained artifacts incl. the r9 SFT prefix index (evicts hybrid_rrf_search -> past window; retrieval stays in-window via the IVF-PQ serves, fusion stays oracle-covered)
     "multimodal_features",
     "referential_integrity_report",
     # --- past-window (evicted) entries keep their export order stable ---
+    "edit_distance_dupes",  # r10w6 evicted: candidate-verify stays in-window inside near_dedup_minhash's content-addressed verify; the char-DP tier stays oracle-covered past window
+    "snapshot_erasure_audit",  # r10w4 evicted: snapshot_retention_enforce composes the same per-epoch leak audit and adds the policy-enforcement loop (family superset)
     "sft_prefix_dedup",  # r10 evicted: prefix-dedup semantics stay in-window inside streaming_sft_prefix_gate (same maintained chain index, same digest device); batch chat dedup keeps sft_user_dedup
     "artifact_provenance_audit",  # r10 evicted: the stamp device + recompute diff + stale flagging stay in-window inside provenance_incremental_audit (superset: adds the delta-fold identity)
     "shard_manifest_time_travel",  # r10 evicted: snapshot retention/as-of folds stay in-window inside snapshot_erasure_audit (two snapshotting commits, per-epoch folds value-checked)

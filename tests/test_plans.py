@@ -207,7 +207,9 @@ def test_driver_window_covers_component_families():
         # stateful ops stay pytest-covered; hybrid_rrf_search —
         # retrieval stays via the IVF-PQ serves; monthly_revenue_ewma
         # — smoothing stays oracle-covered past window)
-        "sft_user_dedup", "edit_distance_dupes",
+        "sft_user_dedup",
+        # (edit_distance_dupes rotated out r10w6 — candidate verify
+        # stays via near_dedup_minhash's content-addressed stage)
         "streaming_boilerplate_scrub",
         "erasure_request_ledger_audit",
         # r9 second rotation: artifact provenance (version-skew
@@ -220,7 +222,8 @@ def test_driver_window_covers_component_families():
         # post-ADD artifact; ivfpq_tuning_curve — the recall-curve
         # device stays oracle-covered past window, ANN keeps serve +
         # erase-serve reps)
-        "snapshot_erasure_audit",
+        # (snapshot_erasure_audit rotated out r10w4 —
+        # snapshot_retention_enforce composes the same leak audit)
         # r10 rotation (VERDICT r9 ask #2): the five unwatched
         # round-9 families enter — lang-aware tokenization tier,
         # manifest consumer/packing closure, incremental provenance,
@@ -238,6 +241,10 @@ def test_driver_window_covers_component_families():
         "lang_dedup_delta_report", "manifest_packing_verify",
         "provenance_incremental_audit", "streaming_sft_prefix_gate",
         "preference_pair_audit",
+        # r10 second rotation: the round's own additions enter so the
+        # external gate watches them this round — the tokenizer-
+        # parametric band artifact and the retention-enforcement loop
+        "lang_band_index_probe", "snapshot_retention_enforce",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
