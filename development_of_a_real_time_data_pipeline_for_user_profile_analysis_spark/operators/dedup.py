@@ -591,14 +591,27 @@ def near_dedup_minhash(
     # round 3: 6.8 s → 5.2 s at sf0.1 with the cache. At cluster
     # scale the shingle table is corpus-sized — MEMORY_AND_DISK
     # semantics make the cache spill rather than evict the executors.)
+    # The PREVIOUS call's shingle blocks are released here (the
+    # _last_pairs discipline): without it every call leaks a
+    # corpus-sized cache into executor storage for the rest of the
+    # session — the r10 bench caught downstream shingle-heavy queries
+    # paying ~2× once the lang-aware table grew the resident set.
+    global _last_minhash_sh
+    if _last_minhash_sh is not None:
+        _last_minhash_sh.unpersist()
+        _last_minhash_sh = None
     lang_aware = tokenizer == "lang_aware" and "lang" in docs.columns
     sh = (
         lang_aware_shingles(docs) if lang_aware else shingles(docs)
     ).persist()
+    _last_minhash_sh = sh
     cands = lsh_candidate_pairs(docs, sh=sh)
     return jaccard_pairs_content_addressed(
         docs, cands, sh, jaccard_threshold
     )
+
+
+_last_minhash_sh: DataFrame | None = None
 
 
 def ngram_jaccard_dupes(
