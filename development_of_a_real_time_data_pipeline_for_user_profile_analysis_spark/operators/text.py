@@ -1399,10 +1399,15 @@ def preference_pair_near_dup_audit(
     (1) CHOSEN≈REJECTED near-duplicates: a pair whose responses are
     near-identical (trailing hedge, whitespace edit) carries almost
     no preference signal, but chosen == rejected misses it. The pair
-    relation IS the candidate list (no LSH needed), so the
-    content-addressed Jaccard verify runs directly on it: byte-equal
-    pairs short-circuit on the digest join (jaccard 1.0 == the exact
-    degenerate set), the rest verify once per distinct content pair.
+    relation IS the candidate list — and unlike LSH output it SCALES
+    WITH THE CORPUS, so the generic content-addressed verify (whose
+    broadcasts are LSH-output-sized by contract) is the wrong tool
+    here. The within-pair comparison is 1:1 by construction, so the
+    same exact-Jaccard semantics collapse to ONE (pair_id, shingle)
+    keyed aggregate: explode each side's distinct shingles, flag
+    which sides a shingle appears on, fold to per-pair (sa, sb,
+    inter). No join, no broadcast, nothing pairwise — value-identical
+    to the verify (same floor-4dp jaccard cut).
 
     (2) CROSS-PAIR PROMPT DEDUP via the SFT prefix machinery: each
     prompt is a 1-turn conversation, its depth-1 prefix digest the
@@ -1411,33 +1416,50 @@ def preference_pair_near_dup_audit(
     pair_id rule prices the dedup (n_dropped = Σ(group − 1)) — the
     decision, not just the count.
 
-    One audit row of exact integers + ppm. Scale shape: the verify
-    is pair-driven (request-sized candidate relation, digest
-    short-circuit for the byte-equal mass); the prompt side is one
-    digest-keyed aggregate; no self-joins, nothing corpus²."""
-    from .dedup import jaccard_pairs_content_addressed, shingles
+    One audit row of exact integers + ppm. Scale shape: one
+    uniform (pair_id, shingle) shuffle + one pair_id aggregate for
+    the response side; one digest-keyed aggregate for the prompt
+    side; no self-joins, nothing corpus²."""
+    from .dedup import shingles
 
-    resp = pairs.select(
+    exact = pairs.filter(F.col("chosen") == F.col("rejected")).select(
+        "pair_id"
+    )
+    nonexact = pairs.filter(F.col("chosen") != F.col("rejected"))
+    resp = nonexact.select(
         (F.col("pair_id") * 2).alias("doc_id"),
         F.col("chosen").alias("text"),
     ).unionByName(
-        pairs.select(
+        nonexact.select(
             (F.col("pair_id") * 2 + 1).alias("doc_id"),
             F.col("rejected").alias("text"),
         )
     )
-    cands = pairs.select(
-        (F.col("pair_id") * 2).alias("doc_a"),
-        (F.col("pair_id") * 2 + 1).alias("doc_b"),
+    ps = shingles(resp).select(
+        F.floor(F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        "shingle",
     )
-    sh = shingles(resp)
-    flagged = jaccard_pairs_content_addressed(
-        resp, cands, sh, jaccard_threshold
-    ).select((F.col("doc_a") / 2).cast("long").alias("pair_id"))
-    exact = pairs.filter(F.col("chosen") == F.col("rejected")).select(
-        "pair_id"
+    per_pair = (
+        ps.groupBy("pair_id", "shingle")
+        .agg(
+            F.max((F.col("side") == 0).cast("int")).alias("a"),
+            F.max((F.col("side") == 1).cast("int")).alias("b"),
+        )
+        .groupBy("pair_id")
+        .agg(
+            F.sum("a").alias("sa"),
+            F.sum("b").alias("sb"),
+            F.sum(F.col("a") * F.col("b")).alias("n_inter"),
+        )
     )
-    near = flagged.join(exact, "pair_id", "left_anti")
+    jac = F.floor(
+        F.col("n_inter")
+        / (F.col("sa") + F.col("sb") - F.col("n_inter"))
+        * 10000
+        + 0.5
+    ) / 10000.0
+    near = per_pair.filter(jac >= jaccard_threshold).select("pair_id")
 
     conv = pairs.select(
         F.col("pair_id").alias("doc_id"),

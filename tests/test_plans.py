@@ -1355,3 +1355,58 @@ def test_lineage_probe_broadcasts_the_label_joins(spark, sf_dir):
     plan = _plan(spark, "doc_lineage_probe", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_preference_near_dup_audit_is_keyed_aggregate_only(spark, sf_dir):
+    """The within-pair verify must stay ONE (pair_id, shingle) keyed
+    aggregate — the pair relation scales with the corpus, so a
+    SortMergeJoin of shingle tables (or a corpus-sized broadcast)
+    would be the wrong plan at 100 TB. The only nested-loop joins
+    allowed are the three 1-row scalar attaches."""
+    plan = _plan(spark, "preference_pair_near_dup_audit", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3  # 1-row attaches
+
+
+def test_lang_band_probe_broadcasts_batch_and_prunes(spark, sf_dir):
+    """The lang-aware band-index probe (inner operator — the
+    registered query returns a published parquet read) must broadcast
+    the batch bands into the artifact join and never form a
+    cartesian."""
+    import os
+    import shutil
+    import tempfile
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        dedup,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.sources.readers import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    cdocs = dedup.with_cjk_docs(docs)
+    base = cdocs.filter(F.col("doc_id") < dedup.CJK_VARIANT_ID_OFFSET)
+    batch = cdocs.filter(
+        F.col("doc_id") >= dedup.CJK_VARIANT_ID_OFFSET
+    )
+    work = tempfile.mkdtemp(prefix="plan_bidx_")
+    try:
+        dedup.write_band_index(
+            base, os.path.join(work, "b"), tokenizer="lang_aware"
+        )
+        plan = (
+            dedup.incremental_near_dups_indexed(
+                spark, os.path.join(work, "b"), base, batch
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
