@@ -277,3 +277,105 @@ def test_band_artifact_tokenizer_is_recorded_and_honored(
         )
     with pytest.raises(ValueError, match="unknown band tokenizer"):
         dedup.write_band_index(base, str(tmp_path / "y"), tokenizer="bogus")
+
+
+def test_lang_aware_band_index_through_cluster_stream(spark, tmp_path):
+    """The streaming closure of the tokenizer story: the cluster-
+    update stream probes and appends through the meta-aware band
+    paths, so a LANG-AWARE artifact discovers CJK near-dups across
+    micro-batches (batch 1 vs base through the artifact, batch 2 vs
+    batch 1 through the adds segment) that the whitespace stream
+    provably cannot see. Final labels equal the full lang-aware
+    recompute, and a checkpoint-reset replay changes nothing
+    (algebraic CC idempotence, unchanged by the tokenizer)."""
+    import glob as _glob
+    import os
+    import shutil
+    import time as _time
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        run_cluster_update_stream,
+    )
+
+    zh_a = "今天天气很好我们去公园散步然后喝茶聊天看书写字画画唱歌跳舞运动休息"
+    zh_c = "另外一段毫不相关的中文内容讲的是机器学习训练数据去重的问题与方法"
+    schema = "doc_id long, text string, lang string"
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "en"),
+            (4, zh_a, "zh"),
+            (6, zh_c, "zh"),
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(104, zh_a + "再见", "zh")], schema  # near-dup of base 4
+    )
+    b2 = spark.createDataFrame(
+        [(204, zh_a + "再见了", "zh")], schema  # near-dup of 4 AND 104
+    )
+    every = base.unionByName(b1).unionByName(b2)
+
+    def la_pairs(docs):
+        sh = dedup.lang_aware_shingles(docs).persist()
+        try:
+            return dedup.jaccard_pairs_content_addressed(
+                docs, dedup.lsh_candidate_pairs(docs, sh=sh), sh, 0.6
+            ).localCheckpoint(eager=True)
+        finally:
+            sh.unpersist()
+
+    bidx = str(tmp_path / "bidx")
+    dedup.write_band_index(base, bidx, tokenizer="lang_aware")
+    lab = str(tmp_path / "lab")
+    os.makedirs(lab)
+    dedup.near_dup_clusters(base, pairs=la_pairs(base)).write.parquet(
+        f"{lab}/labels"
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base_t = _time.time()
+    for i, b in enumerate((b1, b2)):
+        stage = str(tmp_path / f"stage_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_cluster_update_stream(
+            spark, stream, bidx, base, lab, str(tmp_path / ckpt)
+        )
+        assert q.awaitTermination(300)
+
+    run("ck1")
+    streamed = {
+        (r.doc_id, r.cluster_id)
+        for r in spark.read.parquet(f"{lab}/labels").collect()
+    }
+    expected = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.near_dup_clusters(
+            every, pairs=la_pairs(every)
+        ).collect()
+    }
+    assert streamed == expected
+    # the planted CJK chain is ONE cluster rooted at the base doc —
+    # cross-batch discovery (104↔204) went through the adds segment
+    assert {(4, 4), (104, 4), (204, 4)} <= streamed
+    assert not any(d == 6 for d, _ in streamed)
+
+    # checkpoint-reset replay: no change
+    run("ck2")
+    again = {
+        (r.doc_id, r.cluster_id)
+        for r in spark.read.parquet(f"{lab}/labels").collect()
+    }
+    assert again == streamed
