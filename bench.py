@@ -36,10 +36,13 @@ def _round_number() -> int:
     return max(rounds) + 1
 
 
-def _previous_timings(sf: float | str) -> dict[str, float]:
-    """Most recent per-query map: prefer BENCH_DETAIL_r*.json (full
-    coverage), fall back to the driver-recorded BENCH_r*.json whose
-    'parsed' payload carried the map before round 3."""
+def _previous_timings(
+    sf: float | str,
+) -> tuple[dict[str, float], dict[str, dict]]:
+    """Most recent (per-query map, per-query phase map): prefer
+    BENCH_DETAIL_r*.json (full coverage incl. phase_timings), fall
+    back to the driver-recorded BENCH_r*.json whose 'parsed' payload
+    carried the map before round 3."""
     candidates: list[tuple[int, str]] = []
     for f in os.listdir(HERE):
         m = re.match(r"BENCH_DETAIL_r(\d+)\.json$", f)
@@ -51,7 +54,7 @@ def _previous_timings(sf: float | str) -> dict[str, float]:
             if m:
                 candidates.append((int(m.group(1)), f))
     if not candidates:
-        return {}
+        return {}, {}
     _, latest = max(candidates)
     try:
         with open(os.path.join(HERE, latest)) as fh:
@@ -60,10 +63,26 @@ def _previous_timings(sf: float | str) -> dict[str, float]:
         # never compare timings across scale factors (a local sf0.01
         # iteration run must not flag vs the driver's sf0.1 round)
         if "sf" in payload and payload["sf"] != sf:
-            return {}
-        return payload.get("queries", {}) or {}
+            return {}, {}
+        return (
+            payload.get("queries", {}) or {},
+            payload.get("phase_timings", {}) or {},
+        )
     except (OSError, ValueError):
-        return {}
+        return {}, {}
+
+
+def _phase_mins(ph: dict) -> tuple[float, float] | None:
+    """(engine_owned, stream) minima across a query's recorded passes:
+    engine_owned = build + fold (code-owned, stable under load);
+    stream = the micro-batch wall (scheduler-cadence dominated)."""
+    passes = [p for p in ph.values() if p and "stream" in p]
+    if not passes:
+        return None
+    return (
+        min(p.get("build", 0.0) + p.get("fold", 0.0) for p in passes),
+        min(p["stream"] for p in passes),
+    )
 
 
 def main() -> None:
@@ -199,34 +218,110 @@ def main() -> None:
 
     regressions: dict[str, dict] = {}
     drift = 1.0
-    prev = _previous_timings(sf)
+    stream_drift = 1.0
+    prev, prev_phases = _previous_timings(sf)
     if prev:
+        # scalar drift from NON-phase queries only: lifecycle-stream
+        # walls are scheduler-cadence dominated and heteroscedastic,
+        # so they must neither set nor be judged by the scalar
+        # coefficient (VERDICT r10 #3 — drift 1.23 runs flagged
+        # untouched stream code while box-alone reruns read at prev)
         ratios = sorted(
             per_query[n] / prev[n]
             for n in per_query
-            if n in prev and prev[n] > 0.2 and per_query[n] > 0
+            if n in prev
+            and prev[n] > 0.2
+            and per_query[n] > 0
+            and n not in phase_timings
         )
         if ratios:
             drift = round(ratios[len(ratios) // 2], 4)
 
-        def flagged(name: str, secs: float) -> bool:
-            if name not in prev or prev[name] <= 0.2:
-                return False
-            norm = secs / drift
-            return norm > 1.3 * prev[name] and norm - prev[name] > 0.5
+        # stream-tier drift: the median stream-phase ratio across ALL
+        # phase-recording queries IS the box's micro-batch cadence
+        # shift this run — a loaded box inflates every stream phase
+        # together; one query's code regression still stands out
+        stream_ratios = []
+        for n, ph in phase_timings.items():
+            if n not in prev_phases:
+                continue
+            now_pm, prev_pm = _phase_mins(ph), _phase_mins(prev_phases[n])
+            if now_pm and prev_pm and prev_pm[1] > 0.2:
+                stream_ratios.append(now_pm[1] / prev_pm[1])
+        if len(stream_ratios) >= 3:
+            stream_ratios.sort()
+            stream_drift = round(
+                stream_ratios[len(stream_ratios) // 2], 4
+            )
+        else:
+            stream_drift = drift
 
-        for name in [n for n, s in per_query.items() if flagged(n, s)]:
+        def flagged(name: str, secs: float) -> dict | None:
+            """None, or the regression record. Phase-recording
+            queries gate on ENGINE-OWNED wall (build+fold, scalar
+            drift) and on the stream phase under the stream-tier
+            drift — never on the conflated total."""
+            if name in phase_timings and name in prev_phases:
+                now_pm = _phase_mins(phase_timings[name])
+                prev_pm = _phase_mins(prev_phases[name])
+                if not now_pm or not prev_pm:
+                    return None
+                rec = None
+                eng_norm = now_pm[0] / drift
+                if prev_pm[0] > 0.2 and (
+                    eng_norm > 1.3 * prev_pm[0]
+                    and eng_norm - prev_pm[0] > 0.5
+                ):
+                    rec = {"component": "engine_owned(build+fold)"}
+                st_norm = now_pm[1] / stream_drift
+                if prev_pm[1] > 0.2 and (
+                    st_norm > 1.3 * prev_pm[1]
+                    and st_norm - prev_pm[1] > 0.5
+                ):
+                    rec = {
+                        "component": (rec or {}).get("component", "")
+                        + "+stream"
+                    }
+                if rec is None:
+                    return None
+                rec.update(
+                    {
+                        "prev_engine_owned": prev_pm[0],
+                        "now_engine_owned": now_pm[0],
+                        "prev_stream": prev_pm[1],
+                        "now_stream": now_pm[1],
+                        "stream_drift": stream_drift,
+                    }
+                )
+                return rec
+            if name not in prev or prev[name] <= 0.2:
+                return None
+            norm = secs / drift
+            if norm > 1.3 * prev[name] and norm - prev[name] > 0.5:
+                return {}
+            return None
+
+        retime = [
+            n for n, s in per_query.items() if flagged(n, s) is not None
+        ]
+        for name in retime:
+            PHASE_TIMINGS.pop(name, None)
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             per_query[name] = min(per_query[name], round(time.time() - t0, 3))
+            ph = PHASE_TIMINGS.get(name)
+            if ph and name in phase_timings:
+                phase_timings[name]["retime"] = ph
         for name, secs in per_query.items():
-            if flagged(name, secs):
+            rec = flagged(name, secs)
+            if rec is not None:
                 regressions[name] = {
-                    "prev": prev[name],
+                    "prev": prev.get(name),
                     "now": secs,
                     "now_drift_normalized": round(secs / drift, 3),
+                    **rec,
                 }
                 # phase attribution for lifecycle streams: a flag
                 # whose build/fold phases are stable while the
@@ -246,6 +341,7 @@ def main() -> None:
         "baseline_etl_records_per_sec": 0.153,
         "regressions_vs_prev": regressions,
         "drift_coefficient": drift,
+        "stream_drift_coefficient": stream_drift,
         "feeder_split": feeder_split,
         "phase_timings": phase_timings,
         "passes": 2,
@@ -280,6 +376,7 @@ def main() -> None:
                 "regressions_vs_prev": dict(list(regressions.items())[:8]),
                 "n_regressions": len(regressions),
                 "drift_coefficient": drift,
+                "stream_drift_coefficient": stream_drift,
                 "passes": 2,
                 "median_spread": sorted(spread.values())[len(spread) // 2],
                 "detail_file": detail_file,

@@ -97,6 +97,31 @@ def list_segment_dirs(path: str, specs: list[tuple[str, str]]) -> list[str]:
     return sorted(out)
 
 
+def refuse_stale_segments(
+    index_path: str, subs: tuple, what: str
+) -> None:
+    """Refuse to rewrite an artifact base over live ledger segments
+    (ADVICE r10, medium): a rebuild represents a NEW artifact
+    version, and stale adds/tombstones/erases were produced under the
+    previous base (possibly a different tokenizer) — the serving read
+    unions them, so proceeding would silently serve mixed-version
+    rows. Callers must fold (compact) or clear the segments first."""
+    stale = [
+        sub
+        for sub in subs
+        if os.path.isdir(os.path.join(index_path, sub))
+        and os.listdir(os.path.join(index_path, sub))
+    ]
+    if stale:
+        raise ValueError(
+            f"{what}: refusing to rewrite base at {index_path!r} over "
+            f"live segment dirs {stale} — they were produced under "
+            "the previous base (possibly a different tokenizer) and "
+            "the serving read would union them into mixed-version "
+            "results. Compact or clear the segments first."
+        )
+
+
 def begin_compaction(
     path: str,
     base_name: str,

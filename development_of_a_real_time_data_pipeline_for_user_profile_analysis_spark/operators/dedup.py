@@ -160,6 +160,53 @@ def cjk_oracle_cte(src: str = "documents", name: str = "cdocs") -> str:
 
 CJK_ORACLE_CTE = cjk_oracle_cte()
 
+CJK_SHIFT_PREFIX = "xheadinsertedxx"  # 15 chars — spans > CDC_CHAR_WINDOW
+
+
+def with_cjk_shift_docs(documents: DataFrame) -> DataFrame:
+    """Planted SHIFTED de-spaced duplicates for the CDC chunk tier
+    (VERDICT r10 #1): every 'zh' doc is de-spaced (as with_cjk_docs),
+    and every odd-id zh doc spawns a PREFIX-INSERTED variant
+    (id + CJK_VARIANT_ID_OFFSET) = a 15-char head inserted before the
+    de-spaced text. A whitespace chunker sees each de-spaced doc as
+    ONE word → (almost always) one whole-doc chunk whose digest the
+    insertion changes — zero shared chunks, the duplicate is
+    invisible. Char rolling-hash chunking re-aligns after the first
+    boundary past the insertion, so base and variant share every
+    later chunk. Mirrored by cjk_shift_oracle_cte (CTE `csdocs`)."""
+    despaced = F.translate(F.col("text"), " ", "")
+    base = documents.withColumn(
+        "text",
+        F.when(F.col("lang") == "zh", despaced).otherwise(F.col("text")),
+    )
+    variants = (
+        documents.filter(
+            (F.col("lang") == "zh") & (F.col("doc_id") % 2 == 1)
+        )
+        .withColumn("text", F.concat(F.lit(CJK_SHIFT_PREFIX), despaced))
+        .withColumn("doc_id", F.col("doc_id") + CJK_VARIANT_ID_OFFSET)
+    )
+    return base.unionByName(variants)
+
+
+def cjk_shift_oracle_cte(
+    src: str = "documents", name: str = "csdocs"
+) -> str:
+    """SQL mirror of with_cjk_shift_docs — keep in lockstep."""
+    return f"""
+{name} AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'zh' THEN replace(text, ' ', '')
+              ELSE text END AS text,
+         lang, source, n_chars
+  FROM {src}
+  UNION ALL
+  SELECT doc_id + {CJK_VARIANT_ID_OFFSET},
+         '{CJK_SHIFT_PREFIX}' || replace(text, ' ', ''),
+         lang, source, n_chars
+  FROM {src} WHERE lang = 'zh' AND doc_id % 2 = 1
+)"""
+
 
 def char_shingles(
     docs: DataFrame, n: int = CHAR_SHINGLE_CHARS
@@ -583,7 +630,27 @@ def near_dedup_minhash(
     provably blind to its near-dups (lang_dedup_delta_report
     measures the miss). `tokenizer="whitespace"` is the compat flag
     for the historical word-shingle form; corpora without a `lang`
-    column fall back to it (no language tier to key on)."""
+    column fall back to it (no language tier to key on). Unknown
+    tokenizer values raise (ADVICE r10: a typo like 'lang-aware'
+    must not silently degrade to the mode this tier exists to
+    replace).
+
+    SINGLE-FLIGHT contract (ADVICE r10): the module-global shingle
+    cache assumes one near_dedup_minhash pipeline in flight per
+    driver at a time — entering a new call releases the previous
+    call's persisted shingle table, so a caller still holding an
+    UNMATERIALIZED prior result recomputes the corpus-sized shingle
+    table (correctness unaffected). Materialize (collect/write) each
+    result before issuing the next call; concurrent driver threads
+    should pass their own pre-persisted `sh` via the lower-level
+    lsh_candidate_pairs/jaccard_pairs_content_addressed composition
+    instead (the registry's concurrent-erase suites exercise only
+    artifact paths, which do)."""
+    if tokenizer not in BAND_TOKENIZERS:
+        raise ValueError(
+            f"unknown tokenizer: {tokenizer!r} "
+            f"(expected one of {BAND_TOKENIZERS})"
+        )
     # The shared shingle table executes ~4x across the pipeline
     # branches (signatures, verify a-side, verify b-side, sizes) and
     # each execution repeats the distinct SHUFFLE, so it is persisted.
@@ -2405,6 +2472,12 @@ def write_band_index(
     tokenizer). The meta lives at the artifact root, outside the
     bands/adds/tombstones lifecycle, so compaction and the crash
     fence never touch it.
+    Refuses to rewrite the base over live adds/tombstones segments
+    (ADVICE r10, medium): those were banded under the PREVIOUS base's
+    tokenizer, and read_band_index_serving unions adds — a rebuild
+    that switched tokenizer would silently serve mixed-tokenizer
+    bands, the exact failure class the recorded meta exists to
+    prevent. Compact or clear the segments first.
     (At production scale, write the bands bucketed on band_key so
     the batch probe join is shuffle-free on the corpus side; plain
     parquet here — the probe broadcasts the batch, so the corpus
@@ -2418,6 +2491,11 @@ def write_band_index(
         raise ValueError(
             "lang_aware band index needs a lang column on the corpus"
         )
+    from .artifact_lifecycle import refuse_stale_segments
+
+    refuse_stale_segments(
+        path, ("adds", "tombstones"), "write_band_index"
+    )
     banded_signatures(
         corpus, sh=_band_shingles(corpus, tokenizer)
     ).write.mode("overwrite").parquet(os.path.join(path, "bands"))
@@ -2678,7 +2756,9 @@ def incremental_near_dups_indexed(
 # ------------------------------------------------------------------
 
 
-def chunk_dedup_report(documents: DataFrame) -> DataFrame:
+def chunk_dedup_report(
+    documents: DataFrame, tokenizer: str | None = None
+) -> DataFrame:
     """Exact-substring dedup at CDC-chunk granularity with document
     reconstruction accounting (the Lee et al. "deduplicating training
     data" ExactSubstr pass, approximated at content-defined chunk
@@ -2686,8 +2766,13 @@ def chunk_dedup_report(documents: DataFrame) -> DataFrame:
     by (doc_id, chunk_id) — survives; every later occurrence is cut
     from its document. Reports, per source, how much text the
     reconstruction keeps: a doc whose every chunk appeared earlier in
-    the corpus reconstructs to zero words (an exact or
+    the corpus reconstructs to zero units (an exact or
     subset-duplicate), partial overlaps lose only the shared spans.
+    `tokenizer` follows cdc_chunk_table's contract — the default
+    (lang_aware when a lang column exists) chunks the NONWS_LANGS
+    partition on char rolling-hash boundaries, so a de-spaced CJK
+    document no longer degrades to whole-doc exact dedup (VERDICT
+    r10 #1); word counts become unit counts on that partition.
 
     Scale shape: cdc_chunk_table's per-doc windows; keeper selection
     is a row_number over (digest) partitions — ONE digest-keyed
@@ -2702,7 +2787,7 @@ def chunk_dedup_report(documents: DataFrame) -> DataFrame:
 
     from .text import cdc_chunk_table
 
-    chunks = cdc_chunk_table(documents)
+    chunks = cdc_chunk_table(documents, tokenizer=tokenizer)
     rn = F.row_number().over(
         Window.partitionBy("digest").orderBy("doc_id", "chunk_id")
     )
@@ -3058,7 +3143,13 @@ def dedup_funnel_report(documents: DataFrame) -> DataFrame:
     survivors = base.join(
         uni_keep.select("doc_id"), "doc_id", "left_semi"
     ).select("doc_id", "text")
-    chunks = cdc_chunk_table(survivors)
+    # PINNED whitespace: every funnel tier reports WHITESPACE-WORD
+    # budgets (n_words above), so the chunk tier must count the same
+    # unit — a lang-aware char tier would report char units for the
+    # NONWS partition and break cross-tier comparability. The honest
+    # lang-aware chunk semantics live in chunk_dedup_report /
+    # content_defined_chunks (default lang_aware).
+    chunks = cdc_chunk_table(survivors, tokenizer="whitespace")
     chunk_rn = F.row_number().over(
         Window.partitionBy("digest").orderBy("doc_id", "chunk_id")
     )
@@ -3084,7 +3175,9 @@ def dedup_funnel_report(documents: DataFrame) -> DataFrame:
     )
 
 
-def chunk_digest_index(corpus: DataFrame) -> DataFrame:
+def chunk_digest_index(
+    corpus: DataFrame, tokenizer: str = "whitespace"
+) -> DataFrame:
     """The corpus's REFCOUNTED chunk-digest relation (digest, refs =
     chunk-instance occurrences) — the maintained index the
     incremental and streaming chunk-dedup paths probe. Refcounts are
@@ -3094,13 +3187,17 @@ def chunk_digest_index(corpus: DataFrame) -> DataFrame:
     reference remains (chunk_index_erase publishes negative-delta
     segments; a digest is ALIVE while Σrefs > 0). Probing only needs
     presence, so every existing consumer reads `.select("digest")`.
-    At production scale this is a persisted artifact appended per
-    batch (see streaming.pipeline.run_chunk_dedup_stream), not
-    recomputed."""
+    `tokenizer` is an ARTIFACT PARAMETER (the band-index discipline,
+    dedup.band_index_tokenizer): the persisted index records it in
+    `_tokenizer.json` and every add/probe/erase path must chunk with
+    the recorded mode — defaults to whitespace, the mode every
+    pre-r11 artifact was built with. At production scale this is a
+    persisted artifact appended per batch (see
+    streaming.pipeline.run_chunk_dedup_stream), not recomputed."""
     from .text import cdc_chunk_table
 
     return (
-        cdc_chunk_table(corpus)
+        cdc_chunk_table(corpus, tokenizer=tokenizer)
         .groupBy("digest")
         .agg(F.count(F.lit(1)).cast("long").alias("refs"))
     )
@@ -3201,37 +3298,48 @@ def rereference_refs_from_marked(marked: DataFrame) -> DataFrame:
 
 
 def chunk_dedup_batch_ledger(
-    corpus_digests: DataFrame, batch: DataFrame
+    corpus_digests: DataFrame,
+    batch: DataFrame,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Per-doc reconstruction ledger of a batch against a chunk-digest
     index: (doc_id, w_total, w_corpus_dup, w_batch_dup, w_kept). A
     batch chunk is kept iff its digest is absent from the index AND
     it is the first occurrence within the batch; the two removal
-    causes are accounted separately. Probe is one digest-keyed join;
-    everything else is keyed aggregation on batch-sized relations."""
+    causes are accounted separately. `tokenizer` must be the INDEX'S
+    recorded mode (streaming.pipeline.chunk_index_tokenizer) — a
+    batch chunked differently can never match the corpus digests.
+    Probe is one digest-keyed join; everything else is keyed
+    aggregation on batch-sized relations."""
     from .text import cdc_chunk_table
 
     return ledger_from_marked(
-        chunk_dedup_marked(corpus_digests, cdc_chunk_table(batch))
+        chunk_dedup_marked(
+            corpus_digests, cdc_chunk_table(batch, tokenizer=tokenizer)
+        )
     )
 
 
 def chunk_dedup_new_digests(
-    corpus_digests: DataFrame, batch: DataFrame
+    corpus_digests: DataFrame,
+    batch: DataFrame,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """The digests a batch introduces: its distinct chunk digests
     absent from the index. This is what the streaming maintenance
     appends per micro-batch (the index grows by exactly the kept
-    content)."""
+    content). `tokenizer`: the index's recorded mode."""
     from .text import cdc_chunk_table
 
     return new_digests_from_marked(
-        chunk_dedup_marked(corpus_digests, cdc_chunk_table(batch))
+        chunk_dedup_marked(
+            corpus_digests, cdc_chunk_table(batch, tokenizer=tokenizer)
+        )
     )
 
 
 def incremental_chunk_dedup(
-    corpus: DataFrame, batch: DataFrame
+    corpus: DataFrame, batch: DataFrame, tokenizer: str | None = None
 ) -> DataFrame:
     """Incremental-ingest chunk-substring dedup: a new batch is
     reconstructed against the existing corpus's chunk-digest index —
@@ -3240,6 +3348,10 @@ def incremental_chunk_dedup(
     ledger separates the two removal causes (corpus overlap vs
     intra-batch repetition), which is the signal an ingest pipeline
     uses to decide whether a crawl slice is worth keeping.
+    `tokenizer` follows cdc_chunk_table's contract and is applied to
+    BOTH sides (corpus digests and batch chunks are computed in this
+    one call, so the default lang-aware mode stays consistent; the
+    maintained-artifact sibling takes the recorded mode instead).
 
     Scale shape: the corpus is touched only to produce its distinct
     digest set — at production scale this is a MAINTAINED artifact
@@ -3249,7 +3361,17 @@ def incremental_chunk_dedup(
     batch's chunks (batch-sized output), and the rollups are keyed
     aggregations. Per-batch cost is O(|batch|) plus one index probe.
     """
-    per_doc = chunk_dedup_batch_ledger(chunk_digest_index(corpus), batch)
+    if tokenizer is None:
+        tokenizer = (
+            "lang_aware"
+            if "lang" in corpus.columns and "lang" in batch.columns
+            else "whitespace"
+        )
+    per_doc = chunk_dedup_batch_ledger(
+        chunk_digest_index(corpus, tokenizer=tokenizer),
+        batch,
+        tokenizer=tokenizer,
+    )
     return (
         per_doc.join(batch.select("doc_id", "source"), "doc_id")
         .groupBy("source")

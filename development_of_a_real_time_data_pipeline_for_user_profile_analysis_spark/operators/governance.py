@@ -63,22 +63,58 @@ def erase_request_open(
     ledger_path: str,
     request_id: str,
     subjects: DataFrame,
+    intake_ts: int | None = None,
 ) -> dict:
     """Durably record an erase request's subject set BEFORE any
     artifact is touched. Idempotent: re-opening overwrites the same
     request directory with the same ids; applied markers for the
     request are left untouched (a re-open after a crash must not
-    reset the progress record)."""
+    reset the progress record). `intake_ts` (epoch seconds, optional
+    — r11 SLA dimension) records WHEN the request entered; it is
+    caller-supplied EVENT TIME (production passes the clock, tests
+    and oracles plant deterministic values — the watermark
+    discipline) and lands as a `_intake_ts` sidecar inside the
+    request dir (underscore-prefixed → invisible to the parquet
+    reader, the Hadoop hidden-file convention). A re-open does NOT
+    overwrite an existing intake stamp: the SLA clock starts at
+    FIRST intake, and a crash-resume re-open must not reset it."""
+    import json
+
     _require_plain_path("erase_request_open", ledger_path)
     if not request_id or "/" in request_id or "=" in request_id:
         raise ValueError(
             f"request_id must be a plain token, got {request_id!r}"
         )
-    ids = subjects.select(subjects.columns[0]).distinct()
-    ids.write.mode("overwrite").parquet(
-        os.path.join(ledger_path, "requests", f"request_id={request_id}")
+    req_dir = os.path.join(
+        ledger_path, "requests", f"request_id={request_id}"
     )
+    # the parquet overwrite wipes the dir, so the FIRST-intake stamp
+    # must be captured before and re-published after
+    first_intake = read_intake_ts(ledger_path, request_id)
+    if first_intake is None:
+        first_intake = intake_ts
+    ids = subjects.select(subjects.columns[0]).distinct()
+    ids.write.mode("overwrite").parquet(req_dir)
+    if first_intake is not None:
+        tmp = os.path.join(req_dir, "._intake_ts.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"intake_ts": int(first_intake)}, fh)
+        os.replace(tmp, os.path.join(req_dir, "_intake_ts"))
     return {"request_id": request_id, "n_subjects": int(ids.count())}
+
+
+def read_intake_ts(ledger_path: str, request_id: str) -> int | None:
+    """The request's recorded intake time (None for pre-r11 ledger
+    entries written before the SLA dimension existed)."""
+    import json
+
+    marker = os.path.join(
+        ledger_path, "requests", f"request_id={request_id}", "_intake_ts"
+    )
+    if not os.path.isfile(marker):
+        return None
+    with open(marker) as fh:
+        return int(json.load(fh)["intake_ts"])
 
 
 def read_request_subjects(
@@ -91,17 +127,23 @@ def read_request_subjects(
 
 
 def erase_request_mark_applied(
-    ledger_path: str, request_id: str, artifact: str
+    ledger_path: str,
+    request_id: str,
+    artifact: str,
+    applied_ts: int | None = None,
 ) -> None:
     """Atomic applied marker (tmp + rename): written only AFTER the
     artifact's erase returned, so a crash before it re-runs the
-    (idempotent) erase rather than skipping it."""
+    (idempotent) erase rather than skipping it. `applied_ts` (epoch
+    seconds, caller-supplied event time) lands in the marker body —
+    the per-artifact completion time the SLA audit folds; pre-r11
+    markers carry "1" and read as an unknown (None) time."""
     _require_plain_path("erase_request_mark_applied", ledger_path)
     d = os.path.join(ledger_path, "applied", f"request_id={request_id}")
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".artifact={artifact}.tmp")
     with open(tmp, "w") as fh:
-        fh.write("1")
+        fh.write("1" if applied_ts is None else str(int(applied_ts)))
     os.replace(tmp, os.path.join(d, f"artifact={artifact}"))
 
 
@@ -114,6 +156,30 @@ def _applied_set(ledger_path: str, request_id: str) -> set[str]:
         for e in os.listdir(d)
         if e.startswith("artifact=")
     }
+
+
+def _applied_ts_map(
+    ledger_path: str, request_id: str
+) -> dict[str, int | None]:
+    """artifact → applied_ts for a request's markers (None where the
+    marker predates the SLA dimension or carries no parseable time)."""
+    d = os.path.join(ledger_path, "applied", f"request_id={request_id}")
+    out: dict[str, int | None] = {}
+    if not os.path.isdir(d):
+        return out
+    for e in os.listdir(d):
+        if not e.startswith("artifact="):
+            continue
+        with open(os.path.join(d, e)) as fh:
+            body = fh.read().strip()
+        try:
+            ts = int(body)
+            if ts <= 1:  # legacy "1" body — presence, not a time
+                ts = None
+        except ValueError:
+            ts = None
+        out[e.split("=", 1)[1]] = ts
+    return out
 
 
 def list_requests(ledger_path: str) -> list[str]:
@@ -153,6 +219,7 @@ def apply_erase_request(
     ledger_path: str,
     request_id: str,
     appliers: dict,
+    clock=None,
 ) -> dict:
     """Drive one request across the artifact appliers, resumably:
     `appliers` maps artifact name → callable(subjects_df). Artifacts
@@ -161,7 +228,10 @@ def apply_erase_request(
     on return. A crash mid-sequence leaves the gap visible in
     erase_request_status, and a re-run applies exactly the gap —
     safe because every artifact's erase is idempotent under repeat
-    requests (suppression ledgers / tombstone semantics)."""
+    requests (suppression ledgers / tombstone semantics). `clock`
+    (optional) → int epoch seconds, stamped into each applied marker
+    for the SLA audit (production passes time.time; fixtures pass a
+    deterministic sequence)."""
     _require_plain_path("apply_erase_request", ledger_path)
     subjects = read_request_subjects(spark, ledger_path, request_id)
     ran, skipped = [], []
@@ -170,9 +240,82 @@ def apply_erase_request(
             skipped.append(art)
             continue
         appliers[art](subjects)
-        erase_request_mark_applied(ledger_path, request_id, art)
+        erase_request_mark_applied(
+            ledger_path,
+            request_id,
+            art,
+            applied_ts=None if clock is None else int(clock()),
+        )
         ran.append(art)
     return {"request_id": request_id, "ran": ran, "skipped": skipped}
+
+
+def erase_request_sla_report(
+    spark: SparkSession,
+    ledger_path: str,
+    deadline_seconds: int,
+    as_of_ts: int,
+    artifacts: tuple[str, ...] = ERASURE_ARTIFACTS,
+) -> DataFrame:
+    """Per-request END-TO-END erasure latency against a policy
+    deadline (r11: the TIME dimension the GDPR story was missing —
+    sizing has gdpr_erasure_plan, completeness has
+    erasure_completeness_audit, intake/resume has
+    erasure_request_ledger_audit; nothing reported whether requests
+    complete ON TIME). A request completes when its LAST artifact
+    marker lands; latency = that time − intake. Overdue =
+    completed-too-late OR still-incomplete past the deadline at
+    `as_of_ts` (both matter to a DPO: the first is a recorded
+    breach, the second is a live one). Requests whose ledger
+    predates the time dimension report NULL latency and never flag
+    (no clock to judge them by — documented back-compat).
+
+    Scale shape: ledger listings are request-sized driver reads (the
+    bounded-scalar discipline every artifact lifecycle already
+    uses); the result is one tiny DataFrame row per request."""
+    _require_plain_path("erase_request_sla_report", ledger_path)
+    rows = []
+    for rid in list_requests(ledger_path):
+        intake = read_intake_ts(ledger_path, rid)
+        ts_map = _applied_ts_map(ledger_path, rid)
+        n_applied = sum(1 for a in artifacts if a in ts_map)
+        completed = n_applied == len(artifacts)
+        stamped = [ts_map[a] for a in artifacts if ts_map.get(a)]
+        completed_ts = (
+            max(stamped)
+            if completed and len(stamped) == len(artifacts)
+            else None
+        )
+        latency = (
+            completed_ts - intake
+            if completed_ts is not None and intake is not None
+            else None
+        )
+        if intake is None:
+            overdue = 0  # pre-SLA ledger entry: no clock to judge by
+        elif completed_ts is not None:
+            overdue = int(latency > deadline_seconds)
+        else:
+            # incomplete (or completed without full time stamps):
+            # live breach once the deadline has passed unresolved
+            overdue = int(as_of_ts - intake > deadline_seconds)
+        rows.append(
+            (
+                rid,
+                intake,
+                int(n_applied),
+                int(completed),
+                completed_ts,
+                latency,
+                overdue,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "request_id string, intake_ts long, n_artifacts_applied long, "
+        "completed long, completed_ts long, latency_seconds long, "
+        "overdue long",
+    )
 
 
 # ------------------------------------------------------------------

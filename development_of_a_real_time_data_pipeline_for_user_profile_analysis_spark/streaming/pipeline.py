@@ -682,16 +682,64 @@ def run_quality_gate_stream(
 # ------------------------------------------------------------------
 
 
-def build_chunk_digest_index(corpus: DataFrame, index_path: str) -> None:
+CHUNK_TOKENIZER_FILE = "_tokenizer.json"
+
+
+def chunk_index_tokenizer(index_path: str) -> str:
+    """The chunk-digest artifact's recorded chunking tokenizer — an
+    ARTIFACT PARAMETER (the band-index discipline,
+    dedup.band_index_tokenizer): every batch add, probe, and erase
+    against the index must chunk with the mode the base was built
+    with, or reconstruction silently sees zero matches. Artifacts
+    written before the meta existed read as whitespace (their actual
+    mode)."""
+    import json
+
+    meta = os.path.join(index_path, CHUNK_TOKENIZER_FILE)
+    if os.path.isfile(meta):
+        with open(meta) as fh:
+            return json.load(fh)["tokenizer"]
+    return "whitespace"
+
+
+def build_chunk_digest_index(
+    corpus: DataFrame, index_path: str, tokenizer: str = "whitespace"
+) -> None:
     """Materialize the base chunk-digest index — REFCOUNTED
     (digest, refs) so erasure on the content-addressed artifact is
     correct (see dedup.chunk_digest_index) — the artifact
-    run_chunk_dedup_stream probes and appends to."""
-    from ..operators import dedup
+    run_chunk_dedup_stream probes and appends to. The chunking
+    `tokenizer` is recorded in `{index_path}/_tokenizer.json`
+    (VERDICT r10 #1): `lang_aware` chunks the no-whitespace language
+    partition on char rolling-hash boundaries, the honest mode for
+    CJK corpora; every add/probe/erase path reads the meta. The meta
+    lives at the artifact root, outside the base/adds/erases
+    lifecycle, so compaction and the crash fence never touch it.
+    Refuses to rewrite over live adds/erases/rerefs segments."""
+    import json
 
-    dedup.chunk_digest_index(corpus).write.mode("overwrite").parquet(
-        os.path.join(index_path, "base")
+    from ..operators import dedup
+    from ..operators.artifact_lifecycle import refuse_stale_segments
+    from ..operators.text import CDC_TOKENIZERS
+
+    if tokenizer not in CDC_TOKENIZERS:
+        raise ValueError(f"unknown cdc tokenizer: {tokenizer!r}")
+    if tokenizer == "lang_aware" and "lang" not in corpus.columns:
+        raise ValueError(
+            "lang_aware chunk index needs a lang column on the corpus"
+        )
+    refuse_stale_segments(
+        index_path,
+        ("adds", "erases", "rerefs", "ledger"),
+        "build_chunk_digest_index",
     )
+    dedup.chunk_digest_index(corpus, tokenizer=tokenizer).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_path, "base"))
+    tmp = os.path.join(index_path, f".{CHUNK_TOKENIZER_FILE}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"tokenizer": tokenizer}, fh)
+    os.replace(tmp, os.path.join(index_path, CHUNK_TOKENIZER_FILE))
 
 
 def read_chunk_digest_index(
@@ -818,9 +866,15 @@ def run_chunk_dedup_stream(
                 # ledger and the new-digest segment derive from the
                 # same persisted marked relation (pre-share, the
                 # chunking windows and the full base+adds index scan
-                # ran twice per micro-batch)
+                # ran twice per micro-batch). Chunk with the INDEX'S
+                # recorded tokenizer — a lang-aware index must never
+                # take whitespace-chunked segments (and vice versa)
                 marked = dedup.chunk_dedup_marked(
-                    idx, cdc_chunk_table(batch_df)
+                    idx,
+                    cdc_chunk_table(
+                        batch_df,
+                        tokenizer=chunk_index_tokenizer(index_path),
+                    ),
                 ).persist()
                 dedup.ledger_from_marked(marked).write.mode(
                     "overwrite"
@@ -915,8 +969,12 @@ def chunk_index_erase(
     if seg_id is None:
         seg_id = uuid.uuid4().hex
     n_requested = int(erased_docs.select("doc_id").distinct().count())
+    # the erased docs' own chunks, under the INDEX'S recorded
+    # tokenizer — a differently-chunked delta would decrement nothing
     delta = (
-        cdc_chunk_table(erased_docs)
+        cdc_chunk_table(
+            erased_docs, tokenizer=chunk_index_tokenizer(index_path)
+        )
         .groupBy("doc_id", "digest")
         .agg(F.count(F.lit(1)).cast("long").alias("refs"))
     )

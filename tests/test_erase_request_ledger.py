@@ -387,3 +387,62 @@ def test_erase_request_stream_crash_mid_batch_resumes_gap(
         for r in pipeline.read_manifest_serving(spark, mpath).collect()
     }
     assert got == want
+
+
+def test_sla_time_dimension_and_report(spark, tmp_path):
+    """r11: intake/applied event times + the per-request SLA fold —
+    first-intake wins on re-open, the workflow clock stamps markers,
+    legacy markers read as time-unknown, and the four overdue
+    quadrants fold correctly."""
+    led = str(tmp_path / "led")
+    t0 = 1_700_000_000
+    gov.erase_request_open(
+        spark, led, "r1", _subjects(spark, range(5)), intake_ts=t0
+    )
+    # re-open with a LATER ts: the SLA clock starts at FIRST intake
+    gov.erase_request_open(
+        spark, led, "r1", _subjects(spark, range(5)), intake_ts=t0 + 999
+    )
+    assert gov.read_intake_ts(led, "r1") == t0
+    # the workflow's clock stamps each marker
+    ticks = iter(range(t0 + 100, t0 + 100 + 60, 10))
+    arts = list(gov.ERASURE_ARTIFACTS)
+    gov.apply_erase_request(
+        spark,
+        led,
+        "r1",
+        {a: (lambda ids: None) for a in arts},
+        clock=lambda: next(ticks),
+    )
+    # stuck request: intake only, no artifacts applied
+    gov.erase_request_open(
+        spark, led, "r2", _subjects(spark, [9]), intake_ts=t0
+    )
+    # legacy request: no intake ts, legacy "1" marker bodies
+    gov.erase_request_open(spark, led, "r0", _subjects(spark, [7]))
+    gov.erase_request_mark_applied(led, "r0", arts[0])
+    rows = {
+        r.request_id: r
+        for r in gov.erase_request_sla_report(
+            spark, led, deadline_seconds=3_600, as_of_ts=t0 + 10_000
+        ).collect()
+    }
+    r1 = rows["r1"]
+    assert r1.completed == 1
+    assert r1.intake_ts == t0
+    assert r1.completed_ts == t0 + 150  # last of 6 ticks
+    assert r1.latency_seconds == 150
+    assert r1.overdue == 0
+    r2 = rows["r2"]
+    assert (r2.completed, r2.latency_seconds) == (0, None)
+    assert r2.overdue == 1  # 10_000 s past a 3_600 s deadline
+    r0 = rows["r0"]
+    assert r0.intake_ts is None and r0.overdue == 0  # no clock: never flags
+    # within-deadline view of the same ledger: r2 not yet overdue
+    rows2 = {
+        r.request_id: r.overdue
+        for r in gov.erase_request_sla_report(
+            spark, led, deadline_seconds=3_600, as_of_ts=t0 + 1_000
+        ).collect()
+    }
+    assert rows2["r2"] == 0

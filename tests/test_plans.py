@@ -156,7 +156,9 @@ def test_driver_window_covers_component_families():
         # replaces split_contamination (deterministic_split carries
         # the split family); kafka_wire_roundtrip closes K4
         "kafka_wire_roundtrip", "ks_two_sample_drift",
-        "gdpr_erasure_plan",
+        # (gdpr_erasure_plan rotated out r11 — erasure sizing stays
+        # inside erasure_completeness_audit's n_requested; anti-join
+        # discipline via its left_anti counts + split_leakage_repair)
         # r5 rotation: the maintained-index triple replaces
         # ann_ivfpq_topk / cosine_topk / bm25_search (ANN family rep
         # is now the artifact serve; exact-cosine stays via
@@ -238,13 +240,23 @@ def test_driver_window_covers_component_families():
         # erasure_completeness_audit + erasure_request_ledger_audit;
         # zorder_files — data layout keeps manifest_packing_verify,
         # z-order clustering stays oracle-covered past window)
-        "lang_dedup_delta_report", "manifest_packing_verify",
+        "manifest_packing_verify",
         "provenance_incremental_audit", "streaming_sft_prefix_gate",
-        "preference_pair_audit",
         # r10 second rotation: the round's own additions enter so the
         # external gate watches them this round — the tokenizer-
         # parametric band artifact and the retention-enforcement loop
         "lang_band_index_probe", "snapshot_retention_enforce",
+        # r11 rotation (VERDICT r10 asks #1/#2/#5): the lang-aware
+        # chunk artifact probe, the wider RLHF hygiene audit, and the
+        # erasure-latency SLA report enter (evicted:
+        # preference_pair_audit — exact-degenerate + canned-prompt
+        # counting stay inside preference_pair_near_dup_audit, family
+        # superset; lang_dedup_delta_report — the lang-aware tier
+        # keeps near_dedup_minhash + lang_band_index_probe +
+        # chunk_dedup_report in-window; gdpr_erasure_plan — erasure
+        # sizing stays inside erasure_completeness_audit)
+        "lang_chunk_index_probe", "preference_pair_near_dup_audit",
+        "erasure_sla_audit",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []

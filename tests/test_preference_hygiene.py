@@ -79,3 +79,31 @@ def test_near_degenerate_planting_is_byte_inequal_but_near(spark):
         if r.pair_id % text.PREF_DEGENERATE_MOD != 1
     )
     assert row.n_near_degenerate == n_near_expected > 0
+
+
+def test_prompt_dedup_keys_on_full_prompt_despite_markers(spark):
+    """ADVICE r10: prompts CONTAINING dialogue-marker tokens
+    ('u:'/'a:') must not merge — the audit keys prompt dedup on
+    md5(prompt), not on a prefix-chain digest that truncates at the
+    first marker. These two prompts share the pre-marker head and
+    would collide under a depth-1 prefix digest."""
+    rows = [
+        (0, 1, "explain this trace\na: first variant tail",
+         "good answer", "bad answer"),
+        (1, 2, "explain this trace\na: second different tail",
+         "good answer two", "bad answer two"),
+        # a genuine duplicate prompt group, markers included
+        (2, 3, "same prompt\nu: with marker", "x", "y"),
+        (3, 4, "same prompt\nu: with marker", "p", "q"),
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "pair_id long, src_doc_id long, prompt string, chosen string, "
+        "rejected string",
+    )
+    row = text.preference_pair_near_dup_audit(pairs).collect()[0]
+    # only the byte-identical prompt pair groups; the marker-headed
+    # distinct prompts stay distinct
+    assert row.n_shared_prompt_groups == 1
+    assert row.n_shared_prompt_pairs == 2
+    assert row.n_dropped_by_prompt_dedup == 1

@@ -265,3 +265,49 @@ def test_prefix_index_erase_serve_and_fenced_compaction(
         .collect()
     }
     assert partners and not partners & {2, 3}
+
+
+def test_turn_digests_are_deliberately_token_exact_on_cjk(spark):
+    """VERDICT r10 ask #4, the choice pinned: the prefix chain is the
+    EXACT tier of the chat-dedup funnel — a de-spaced CJK user turn
+    and its segmented twin (same characters, different spacing) do
+    NOT chain-match (precision at the admission gate; a false merge
+    drops a novel prompt), while the funnel's lang-aware NEAR-DUP
+    tier catches exactly that pair (the miss is covered one tier up,
+    not silently)."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+        dedup,
+    )
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.text import (
+        sft_prefix_digests,
+    )
+
+    zh = "今天天气很好我们去公园散步然后喝茶聊天看书写字画画唱歌跳舞运动休息"
+    seg = zh[:4] + " " + zh[4:10] + " " + zh[10:]
+    convs = spark.createDataFrame(
+        [
+            (1, f"u: {zh} a: ok"),
+            (2, f"u: {seg} a: ok"),  # segmentation-only variant
+            (3, f"u: {zh} a: ok"),  # byte-identical twin of 1
+        ],
+        "doc_id long, text string",
+    )
+    d = {
+        r.doc_id: r.prefix_digest
+        for r in sft_prefix_digests(convs).filter(F.col("u_idx") == 1).collect()
+    }
+    assert d[1] == d[3]  # exact twins chain-match
+    assert d[1] != d[2]  # segmentation variant does NOT (deliberate)
+    # the near-dup tier (lang-aware default) catches what the exact
+    # tier passes: a CJK near-dup pair (tail variant — a pure
+    # segmentation variant de-spaces to byte-equal, which exact
+    # dedup upstream already catches)
+    docs = spark.createDataFrame(
+        [(1, zh, "zh"), (2, zh + "再见", "zh")],
+        "doc_id long, text string, lang string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.near_dedup_minhash(docs).collect()
+    }
+    assert (1, 2) in pairs or (2, 1) in pairs
