@@ -2727,11 +2727,25 @@ def incremental_near_dups_indexed(
     from the artifact (one parquet scan of (doc_id, band_key) rows),
     the batch is banded fresh and BROADCAST into the probe join, and
     only same-bucket pairs are Jaccard-verified. Per-batch cost:
-    band the batch + one broadcast join + verify on candidates —
-    O(|batch|)-driven, with the corpus touched only through the
-    precomputed index and the shingle fetch of candidate docs.
+    band the batch + one broadcast join + the verify (whose shingle
+    scan covers corpus ∪ batch — candidate-doc pruning was measured
+    SLOWER at every scale, see the body comment — and whose true
+    cost floor is the OUTPUT: one Jaccard per surviving pair).
     Batch banding AND the verify shingles follow the artifact's
     recorded tokenizer (band_index_tokenizer)."""
+    # MEASURED NON-OPTIMIZATION (r11): candidate-doc shingle pruning
+    # (broadcast semi-join on the cands' doc ids, the
+    # jaccard_pairs_content_addressed discipline) and the
+    # content-addressed verify were both tried here and REJECTED by
+    # same-session A/B — at sf0.1 the probe data is small enough that
+    # the extra materializations/broadcasts cost more than the 3×
+    # full-shingle recompute they avoid (plain 5.8 s vs pruned 7.5 s
+    # warm; content-addressed verify 5.0 s vs plain 2.9 s), and at
+    # the 10× replica soak the candidate set covers nearly the whole
+    # no-whitespace partition so the prune removes little (plain
+    # 18.7 s vs pruned 26.8 s). The batch-scale win is the CACHED
+    # base artifact (the registry serves it build-once), not probe
+    # surgery. Revisit only with a measured regression.
     mode = band_index_tokenizer(index_path)
     corpus_bands = read_band_index_serving(spark, index_path)
     batch_bands = banded_signatures(
