@@ -318,6 +318,39 @@ def erase_request_sla_report(
     )
 
 
+def erase_request_artifact_latency(
+    spark: SparkSession,
+    ledger_path: str,
+    artifacts: tuple[str, ...] = ERASURE_ARTIFACTS,
+) -> DataFrame:
+    """Per (request, artifact) applied event time and latency from
+    intake — the drill-down under erase_request_sla_report: WHERE a
+    slow request spent its time, so the DPO dashboard can name the
+    bottleneck artifact instead of just the breached request.
+    Markers or intakes without a recorded time yield NULL latency.
+    Same bounded driver-read shape as the ledger's other audits."""
+    _require_plain_path("erase_request_artifact_latency", ledger_path)
+    rows = []
+    for rid in list_requests(ledger_path):
+        intake = read_intake_ts(ledger_path, rid)
+        ts_map = _applied_ts_map(ledger_path, rid)
+        for art in artifacts:
+            if art not in ts_map:
+                continue
+            ts = ts_map[art]
+            lat = (
+                ts - intake
+                if ts is not None and intake is not None
+                else None
+            )
+            rows.append((rid, art, ts, lat))
+    return spark.createDataFrame(
+        rows,
+        "request_id string, artifact string, applied_ts long, "
+        "latency_seconds long",
+    )
+
+
 # ------------------------------------------------------------------
 # Artifact provenance / version-skew audit (VERDICT r8 seam: the six
 # maintained artifacts are built independently — nothing proved they

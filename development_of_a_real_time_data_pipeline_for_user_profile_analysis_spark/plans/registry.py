@@ -2945,28 +2945,80 @@ def q_erasure_sla_audit(spark, sf_dir):
 
     from ..operators import governance as gov
 
-    docs = _t(spark, sf_dir, "documents")
     work = tempfile.mkdtemp(prefix="erase_sla_")
     try:
-        led = f"{work}/ledger"
-        for i, (rid, (its, marks)) in enumerate(
-            sorted(_SLA_FIXTURE.items())
-        ):
-            gov.erase_request_open(
-                spark,
-                led,
-                rid,
-                docs.filter(F.col("doc_id") % 11 == i).select("doc_id"),
-                intake_ts=its,
-            )
-            for art, ats in sorted(marks.items()):
-                gov.erase_request_mark_applied(
-                    led, rid, art, applied_ts=ats
-                )
+        led = _build_sla_ledger(spark, sf_dir, work)
         out = gov.erase_request_sla_report(
             spark, led, _SLA_DEADLINE, _SLA_AS_OF
         ).orderBy("request_id")
         return _publish_result(spark, out, "erasure_sla_audit")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _build_sla_ledger(spark, sf_dir: str, work: str) -> str:
+    """Materialize the four-quadrant SLA fixture ledger through the
+    public ledger API (shared by the request-level and per-artifact
+    SLA audits)."""
+    from ..operators import governance as gov
+
+    docs = _t(spark, sf_dir, "documents")
+    led = f"{work}/ledger"
+    for i, (rid, (its, marks)) in enumerate(sorted(_SLA_FIXTURE.items())):
+        gov.erase_request_open(
+            spark,
+            led,
+            rid,
+            docs.filter(F.col("doc_id") % 11 == i).select("doc_id"),
+            intake_ts=its,
+        )
+        for art, ats in sorted(marks.items()):
+            gov.erase_request_mark_applied(led, rid, art, applied_ts=ats)
+    return led
+
+
+@query(
+    "erasure_sla_by_artifact",
+    f"""WITH intake(rid, its) AS (VALUES {_SLA_INTAKE_VALUES}),
+  marks(rid, artifact, ats) AS (VALUES {_SLA_MARK_VALUES})
+SELECT m.artifact,
+       CAST(count(*) AS BIGINT) AS n_applied,
+       CAST(max(m.ats - i.its) AS BIGINT) AS max_latency_seconds,
+       CAST(floor(avg(m.ats - i.its)) AS BIGINT) AS avg_latency_seconds
+FROM marks m JOIN intake i ON i.rid = m.rid
+GROUP BY m.artifact ORDER BY m.artifact""",
+)
+def q_erasure_sla_by_artifact(spark, sf_dir):
+    """The drill-down under erasure_sla_audit: per-ARTIFACT erasure
+    latency across requests (applied time − intake, max and floored
+    mean) — a breached request names its bottleneck artifact instead
+    of just the breach. Same planted four-quadrant ledger, driven
+    through the same public API; oracle replays the join + fold over
+    the planted event times. Ledger listings stay request-sized
+    driver reads."""
+    import shutil
+    import tempfile
+
+    from ..operators import governance as gov
+
+    work = tempfile.mkdtemp(prefix="erase_sla_art_")
+    try:
+        led = _build_sla_ledger(spark, sf_dir, work)
+        per = gov.erase_request_artifact_latency(spark, led)
+        out = (
+            per.groupBy("artifact")
+            .agg(
+                F.count(F.lit(1)).alias("n_applied"),
+                F.max("latency_seconds")
+                .cast("long")
+                .alias("max_latency_seconds"),
+                F.floor(F.avg("latency_seconds"))
+                .cast("long")
+                .alias("avg_latency_seconds"),
+            )
+            .orderBy("artifact")
+        )
+        return _publish_result(spark, out, "erasure_sla_by_artifact")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -1530,6 +1530,7 @@ def run_erase_request_stream(
     appliers: dict,
     checkpoint_dir: str,
     available_now: bool = True,
+    clock=None,
 ):
     """GDPR erase-request INTAKE as a stream: each micro-batch of
     (request_id, doc_id) rows is grouped per request, durably OPENED
@@ -1549,7 +1550,13 @@ def run_erase_request_stream(
     whose applied marker exists — a marker lost in the crash window
     re-runs the artifact's own idempotent erase as a no-op. Distinct
     request ids per batch are a bounded driver collect (requests are
-    human-scale, the ledger's own listing discipline)."""
+    human-scale, the ledger's own listing discipline).
+
+    `clock` (optional, () -> int epoch seconds) stamps intake and
+    per-artifact applied event times into the ledger — the SLA
+    dimension (erase_request_sla_report) flowing through the
+    streaming intake path too; first-intake wins on replay, so a
+    replayed batch cannot reset a request's SLA clock."""
     from ..operators import governance as gov
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
@@ -1565,9 +1572,15 @@ def run_erase_request_stream(
                 subjects = batch_df.filter(
                     F.col("request_id") == rid
                 ).select("doc_id")
-                gov.erase_request_open(spark, ledger_path, rid, subjects)
+                gov.erase_request_open(
+                    spark,
+                    ledger_path,
+                    rid,
+                    subjects,
+                    intake_ts=None if clock is None else int(clock()),
+                )
                 gov.apply_erase_request(
-                    spark, ledger_path, rid, appliers
+                    spark, ledger_path, rid, appliers, clock=clock
                 )
         finally:
             batch_df.unpersist()
@@ -1623,9 +1636,11 @@ def run_ingest_fanout_stream(
                     prefix_path, "adds", f"batch_id={batch_id}"
                 )
             )
-            dedup.chunk_digest_index(batch_df).write.mode(
-                "overwrite"
-            ).parquet(
+            # chunk with the INDEX'S recorded tokenizer — a lang-aware
+            # artifact must never take whitespace-chunked segments
+            dedup.chunk_digest_index(
+                batch_df, tokenizer=chunk_index_tokenizer(chunk_path)
+            ).write.mode("overwrite").parquet(
                 os.path.join(chunk_path, "adds", f"batch_id={batch_id}")
             )
         finally:

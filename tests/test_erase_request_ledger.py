@@ -446,3 +446,58 @@ def test_sla_time_dimension_and_report(spark, tmp_path):
         ).collect()
     }
     assert rows2["r2"] == 0
+
+
+def test_erase_request_stream_stamps_sla_times(spark, tmp_path):
+    """r11: the streaming intake path stamps the SLA event times —
+    intake at request open, applied per artifact — and a checkpoint
+    reset replay does NOT reset a request's intake clock
+    (first-intake wins)."""
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming import (
+        pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [(int(i), f"sla stream doc {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    mpath, led = str(tmp_path / "m"), str(tmp_path / "led")
+    pipeline.build_manifest_artifact(docs, mpath)
+    appliers = {
+        "shard_manifest": lambda ids: pipeline.manifest_erase(
+            spark,
+            mpath,
+            docs.join(F.broadcast(ids), "doc_id", "left_semi"),
+        ),
+    }
+    in_dir = _stream_requests(spark, tmp_path, [("r1", range(0, 3))])
+    t0 = 1_700_000_000
+    ticks = iter(range(t0, t0 + 10_000, 7))
+
+    def run(ck, clk):
+        stream = (
+            spark.readStream.schema("request_id string, doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = pipeline.run_erase_request_stream(
+            spark, stream, led, appliers, ck, clock=clk
+        )
+        assert q.awaitTermination(120), q.exception()
+
+    run(str(tmp_path / "ck1"), lambda: next(ticks))
+    assert gov.read_intake_ts(led, "r1") == t0
+    row = gov.erase_request_sla_report(
+        spark,
+        led,
+        deadline_seconds=3_600,
+        as_of_ts=t0 + 100,
+        artifacts=("shard_manifest",),
+    ).collect()[0]
+    assert row.completed == 1 and row.overdue == 0
+    assert row.intake_ts == t0 and row.completed_ts == t0 + 7
+    assert row.latency_seconds == 7
+    # replay with a much later clock: intake must NOT move
+    late = iter(range(t0 + 999_000, t0 + 999_100, 1))
+    run(str(tmp_path / "ck2"), lambda: next(late))
+    assert gov.read_intake_ts(led, "r1") == t0
