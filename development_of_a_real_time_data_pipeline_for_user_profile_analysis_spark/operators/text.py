@@ -5278,6 +5278,16 @@ def cdc_granularity_curve(
     computed ONCE per word occurrence, then the modulus dimension
     multiplies rows map-side.
 
+    DELIBERATELY WHITESPACE-UNIT (r11, documented so the pinning is
+    a choice, not a carve-out): this is the word-tier OPERATING-POINT
+    tuner — its x-axis is the word-hash boundary modulus, and mixing
+    char-unit rows in would average two different geometries into one
+    curve. The char tier's operating point is a separate knob
+    (CDC_CHAR_WINDOW + the same modulus, exercised end-to-end by the
+    lang-aware chunk family: cdc_chunk_table(tokenizer='lang_aware'),
+    lang_chunk_index_probe); tune it by running this curve shape on
+    the nonws partition with char units if the corpus mix shifts.
+
     Scale shape: one posexplode scan, per-(modulus, doc) windows
     (bounded by doc length), one (modulus, doc, chunk) groupBy, one
     (modulus, digest) groupBy, |mods| output rows.

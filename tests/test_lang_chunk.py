@@ -182,6 +182,9 @@ def test_erase_uses_recorded_tokenizer(spark, corpus, tmp_path):
     assert stats["n_dead"] > 0
     n1 = spark.read.parquet(f"{path}/base").count()
     assert n1 == n0 - stats["n_dead"]
+    # the tokenizer meta lives at the artifact root, outside the
+    # base/segment lifecycle — the fenced compaction must not touch it
+    assert chunk_index_tokenizer(path) == "lang_aware"
     # doc 4's digests are gone from serving
     d4 = (
         cdc_chunk_table(
