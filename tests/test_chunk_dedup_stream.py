@@ -321,3 +321,61 @@ def test_cluster_update_stream_matches_full_and_replays_idempotent(
         for r in spark.read.parquet(f"{lab}/labels").collect()
     }
     assert again == streamed
+
+
+def test_stream_over_lang_aware_artifact(spark, tmp_path):
+    """r11: the STREAMING chunk-dedup path over a LANG-AWARE artifact
+    — batches chunk with the index's recorded tokenizer, so (a) a
+    prefix-shifted de-spaced CJK duplicate of corpus content
+    reconstructs mostly corpus-dup (a whitespace-mode stream would
+    reconstruct it fully novel), and (b) a second batch copying the
+    first reconstructs to zero through the lang-aware adds segment
+    (cross-batch growth under char chunking)."""
+    zh = (
+        "今天天气很好我们去公园散步然后喝茶聊天看书写字画画唱歌跳舞运动休息"
+        "另外一段内容讲的是机器学习训练数据去重的问题与方法模型评估指标"
+        "以及大规模语料清洗流程中的分块指纹去重策略和增量维护机制设计细节"
+    )
+    corpus = spark.createDataFrame(
+        [(1, zh, "zh", "s", 0),
+         (2, "plain english filler words here " * 6, "en", "s", 0)],
+        DOC_SCHEMA,
+    )
+    index_path = str(tmp_path / "cidx")
+    build_chunk_digest_index(corpus, index_path, tokenizer="lang_aware")
+    b0 = spark.createDataFrame(
+        [(10, "前面插入了一段新的开头" + zh, "zh", "s", 0)], DOC_SCHEMA
+    )
+    b1 = b0.withColumn("doc_id", F.col("doc_id") + 10)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base_t = time.time()
+    for i, b in enumerate((b0, b1)):
+        stage = str(tmp_path / f"stage_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"b{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = run_chunk_dedup_stream(
+        spark, stream, index_path, str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(300), q.exception()
+    r0 = spark.read.parquet(
+        os.path.join(index_path, "ledger", "batch_id=0")
+    ).collect()[0]
+    # shifted duplicate: most units reclaim against the corpus via
+    # char CDC (whitespace chunking would give w_corpus_dup == 0)
+    assert r0.w_corpus_dup > 0
+    assert r0.w_corpus_dup >= r0.w_total // 2
+    # the copy batch reconstructs to zero through b0's adds segment
+    r1 = spark.read.parquet(
+        os.path.join(index_path, "ledger", "batch_id=1")
+    ).collect()[0]
+    assert r1.w_kept == 0
+    assert r1.w_corpus_dup == r1.w_total
