@@ -251,8 +251,14 @@ def lang_aware_shingles(
     every `sh=` parameter in the minhash/LSH/verify pipeline; the
     two partitions' shingle spaces are disjoint in practice (word
     shingles carry spaces), so cross-language false candidates don't
-    arise."""
-    ws = docs.filter(~F.col("lang").isin(*nonws_langs))
+    arise. NULL/unknown lang routes to the WORD partition (the
+    `~isin` predicate is NULL for a NULL lang, so without the
+    explicit isNull branch such docs fell out of BOTH partitions
+    and silently lost their shingles — same hazard class as the
+    ADVICE r11 cdc_chunk_table medium)."""
+    ws = docs.filter(
+        (~F.col("lang").isin(*nonws_langs)) | F.col("lang").isNull()
+    )
     nonws = docs.filter(F.col("lang").isin(*nonws_langs))
     return shingles(ws, n_words).unionByName(
         char_shingles(nonws, n_chars)

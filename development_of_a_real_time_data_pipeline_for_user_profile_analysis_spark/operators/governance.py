@@ -73,11 +73,15 @@ def erase_request_open(
     — r11 SLA dimension) records WHEN the request entered; it is
     caller-supplied EVENT TIME (production passes the clock, tests
     and oracles plant deterministic values — the watermark
-    discipline) and lands as a `_intake_ts` sidecar inside the
-    request dir (underscore-prefixed → invisible to the parquet
-    reader, the Hadoop hidden-file convention). A re-open does NOT
-    overwrite an existing intake stamp: the SLA clock starts at
-    FIRST intake, and a crash-resume re-open must not reset it."""
+    discipline) and lands as a `_intake_ts` sidecar under the
+    `requests_meta/` SIBLING of the request dir, published BEFORE
+    the subject-set overwrite so a crash at any later point leaves
+    the SLA clock durable (r12; the r11 in-dir sidecar was wiped by
+    the overwrite and re-published after — a crash in between lost
+    first-intake forever). A re-open does NOT overwrite an existing
+    intake stamp: the SLA clock starts at FIRST intake, and a
+    crash-resume re-open must not reset it; legacy in-dir stamps
+    are read via fallback and migrated forward on re-open."""
     import json
 
     _require_plain_path("erase_request_open", ledger_path)
@@ -88,33 +92,45 @@ def erase_request_open(
     req_dir = os.path.join(
         ledger_path, "requests", f"request_id={request_id}"
     )
-    # the parquet overwrite wipes the dir, so the FIRST-intake stamp
-    # must be captured before and re-published after
+    # first-intake wins: an existing stamp (meta sidecar, or the
+    # legacy pre-r12 in-request-dir location) beats the caller clock
     first_intake = read_intake_ts(ledger_path, request_id)
     if first_intake is None:
         first_intake = intake_ts
-    ids = subjects.select(subjects.columns[0]).distinct()
-    ids.write.mode("overwrite").parquet(req_dir)
+    # publish the stamp BEFORE the parquet overwrite, in a sibling
+    # dir the overwrite never touches (ADVICE r11 low: the in-dir
+    # sidecar had a crash window — overwrite wipes the dir, a crash
+    # before the re-publish permanently lost the SLA clock)
     if first_intake is not None:
-        tmp = os.path.join(req_dir, "._intake_ts.tmp")
+        meta_dir = os.path.join(
+            ledger_path, "requests_meta", f"request_id={request_id}"
+        )
+        os.makedirs(meta_dir, exist_ok=True)
+        tmp = os.path.join(meta_dir, "._intake_ts.tmp")
         with open(tmp, "w") as fh:
             json.dump({"intake_ts": int(first_intake)}, fh)
-        os.replace(tmp, os.path.join(req_dir, "_intake_ts"))
+        os.replace(tmp, os.path.join(meta_dir, "_intake_ts"))
+    ids = subjects.select(subjects.columns[0]).distinct()
+    ids.write.mode("overwrite").parquet(req_dir)
     return {"request_id": request_id, "n_subjects": int(ids.count())}
 
 
 def read_intake_ts(ledger_path: str, request_id: str) -> int | None:
     """The request's recorded intake time (None for pre-r11 ledger
-    entries written before the SLA dimension existed)."""
+    entries written before the SLA dimension existed). Reads the
+    crash-safe `requests_meta/` sidecar first (r12), then the
+    legacy r11 in-request-dir location — a pre-migration ledger
+    keeps its clock, and the next re-open migrates it forward."""
     import json
 
-    marker = os.path.join(
-        ledger_path, "requests", f"request_id={request_id}", "_intake_ts"
-    )
-    if not os.path.isfile(marker):
-        return None
-    with open(marker) as fh:
-        return int(json.load(fh)["intake_ts"])
+    for sub in ("requests_meta", "requests"):
+        marker = os.path.join(
+            ledger_path, sub, f"request_id={request_id}", "_intake_ts"
+        )
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                return int(json.load(fh)["intake_ts"])
+    return None
 
 
 def read_request_subjects(
@@ -268,7 +284,10 @@ def erase_request_sla_report(
     `as_of_ts` (both matter to a DPO: the first is a recorded
     breach, the second is a live one). Requests whose ledger
     predates the time dimension report NULL latency and never flag
-    (no clock to judge them by — documented back-compat).
+    (no clock to judge them by — documented back-compat); a request
+    that COMPLETED but carries a legacy no-timestamp marker reports
+    overdue NULL (time unknown — r12: it used to fold into the
+    live-breach branch and flag a finished request forever).
 
     Scale shape: ledger listings are request-sized driver reads (the
     bounded-scalar discipline every artifact lifecycle already
@@ -295,9 +314,15 @@ def erase_request_sla_report(
             overdue = 0  # pre-SLA ledger entry: no clock to judge by
         elif completed_ts is not None:
             overdue = int(latency > deadline_seconds)
+        elif completed:
+            # completed, but some marker is a legacy/no-timestamp
+            # "1" (ADVICE r11 low): the request FINISHED — flagging
+            # it as a live breach forever was a false positive, but
+            # on-time can't be proven either. NULL = time unknown.
+            overdue = None
         else:
-            # incomplete (or completed without full time stamps):
-            # live breach once the deadline has passed unresolved
+            # incomplete: live breach once the deadline has passed
+            # unresolved at the audit time
             overdue = int(as_of_ts - intake > deadline_seconds)
         rows.append(
             (

@@ -3273,7 +3273,16 @@ def cdc_chunk_table(
             )
         from .dedup import NONWS_LANGS
 
-        ws = documents.filter(~F.col("lang").isin(*NONWS_LANGS))
+        # NULL/unknown lang routes to the word partition (ADVICE
+        # r11 medium: `~isin` is NULL for a NULL lang, so both
+        # partition filters excluded the row and null-lang docs
+        # produced ZERO chunks — silent data loss in every chunk
+        # ledger). Word units are the graceful default the other
+        # lang-aware tiers (token stats, Gopher) already use.
+        ws = documents.filter(
+            (~F.col("lang").isin(*NONWS_LANGS))
+            | F.col("lang").isNull()
+        )
         nonws = documents.filter(F.col("lang").isin(*NONWS_LANGS))
         return _cdc_word_chunks(ws, boundary_mod).unionByName(
             _cdc_char_chunks(nonws, boundary_mod)

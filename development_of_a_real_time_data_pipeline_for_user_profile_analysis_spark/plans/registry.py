@@ -1430,7 +1430,8 @@ def _la_shingle_sql(src: str = "cdocs") -> str:
   FROM (SELECT doc_id, string_split(text, ' ') AS w,
           unnest(generate_series(1,
             greatest(len(string_split(text, ' ')) - 2, 1))) AS i
-        FROM {src} WHERE lang NOT IN ({_NONWS_SQL}))
+        FROM {src}
+        WHERE lang NOT IN ({_NONWS_SQL}) OR lang IS NULL)
   UNION
   SELECT DISTINCT doc_id,
     substr(text, CAST(i AS INTEGER), {dedup.CHAR_SHINGLE_CHARS})
@@ -1461,7 +1462,10 @@ def _cdc_ctes(rel: str, p: str = "", tokenizer: str = "whitespace") -> str:
     ws_src = (
         rel
         if tokenizer == "whitespace"
-        else f"(SELECT * FROM {rel} WHERE lang NOT IN ({_NONWS_SQL}))"
+        else (
+            f"(SELECT * FROM {rel} WHERE lang NOT IN ({_NONWS_SQL})"
+            " OR lang IS NULL)"
+        )
     )
     word_ctes = f"""{p}w AS (SELECT doc_id,
               generate_subscripts(string_split(text, ' '), 1) AS pos,
@@ -6616,7 +6620,8 @@ def q_profiles_snapshot_cdf(spark, sf_dir):
          SELECT doc_id, source, lang, tok FROM (
            SELECT doc_id, source, lang,
                   unnest(string_split(text, ' ')) AS tok
-           FROM documents WHERE lang NOT IN ({_NONWS_SQL}))
+           FROM documents
+           WHERE lang NOT IN ({_NONWS_SQL}) OR lang IS NULL)
          WHERE tok <> ''
          UNION ALL
          SELECT doc_id, source, lang, tok FROM (
@@ -6643,7 +6648,7 @@ def q_profiles_snapshot_cdf(spark, sf_dir):
            CASE WHEN n_tokens > (CASE WHEN lang IN ({_NONWS_SQL})
                  THEN {1000 * text.GOPHER_NONWS_CHARS_PER_TOKEN}
                  ELSE 1000 END) THEN 1 ELSE 0 END AS f_long,
-           CASE WHEN lang NOT IN ({_NONWS_SQL})
+           CASE WHEN (lang NOT IN ({_NONWS_SQL}) OR lang IS NULL)
                 AND (floor(char_sum / n_tokens * 10000 + 0.5) / 10000.0 < 2.0
                   OR floor(char_sum / n_tokens * 10000 + 0.5) / 10000.0 > 8.0)
                 THEN 1 ELSE 0 END AS f_wordlen,
@@ -13127,13 +13132,18 @@ def _link_cached_chunk_base(spark, sf_dir, docs, index_path) -> None:
     _os.makedirs(index_path)
     _os.symlink(cached, _os.path.join(index_path, "base"))
     # record the build tokenizer explicitly (the cached base predates
-    # or omits the meta — it was built whitespace, the default)
+    # or omits the meta — it was built whitespace, the default);
+    # tmp + os.replace like build_chunk_digest_index's publish
+    # (ADVICE r11 low: a crash mid-write left a truncated meta that
+    # chunk_index_tokenizer would fail to json-load)
     import json as _json
 
-    with open(
-        _os.path.join(index_path, "_tokenizer.json"), "w"
-    ) as fh:
+    meta_tmp = _os.path.join(index_path, "._tokenizer.json.tmp")
+    with open(meta_tmp, "w") as fh:
         _json.dump({"tokenizer": "whitespace"}, fh)
+    _os.replace(
+        meta_tmp, _os.path.join(index_path, "_tokenizer.json")
+    )
 
 
 @query(
