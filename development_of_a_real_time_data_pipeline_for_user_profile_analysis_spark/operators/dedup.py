@@ -641,17 +641,19 @@ def near_dedup_minhash(
     must not silently degrade to the mode this tier exists to
     replace).
 
-    SINGLE-FLIGHT contract (ADVICE r10): the module-global shingle
-    cache assumes one near_dedup_minhash pipeline in flight per
-    driver at a time — entering a new call releases the previous
-    call's persisted shingle table, so a caller still holding an
-    UNMATERIALIZED prior result recomputes the corpus-sized shingle
-    table (correctness unaffected). Materialize (collect/write) each
-    result before issuing the next call; concurrent driver threads
-    should pass their own pre-persisted `sh` via the lower-level
-    lsh_candidate_pairs/jaccard_pairs_content_addressed composition
-    instead (the registry's concurrent-erase suites exercise only
-    artifact paths, which do)."""
+    Shingle-cache lifecycle (r12 — VERDICT r11 #3, replacing the
+    r10 single-flight contract): each call's persisted shingle
+    table enters a bounded FIFO (_MINHASH_SH_KEEP deep) instead of
+    a single slot, so TWO interleaved funnel calls — the exercised
+    concurrent-driver pattern — both keep their caches live until
+    materialization; entering a call beyond the bound releases only
+    the OLDEST cache (correctness unaffected, that caller
+    recomputes), and session storage stays bounded at
+    _MINHASH_SH_KEEP corpus-sized tables rather than leaking one
+    per call (the r10 bench regression the eager eviction fixed).
+    Deeper fan-out should pass its own pre-persisted `sh` via the
+    lower-level lsh_candidate_pairs /
+    jaccard_pairs_content_addressed composition."""
     if tokenizer not in BAND_TOKENIZERS:
         raise ValueError(
             f"unknown tokenizer: {tokenizer!r} "
@@ -664,27 +666,29 @@ def near_dedup_minhash(
     # round 3: 6.8 s → 5.2 s at sf0.1 with the cache. At cluster
     # scale the shingle table is corpus-sized — MEMORY_AND_DISK
     # semantics make the cache spill rather than evict the executors.)
-    # The PREVIOUS call's shingle blocks are released here (the
-    # _last_pairs discipline): without it every call leaks a
+    # Caches beyond the FIFO bound are released here (the
+    # _last_pairs discipline, widened to depth 2 for the concurrent
+    # driver pattern): without ANY release every call leaks a
     # corpus-sized cache into executor storage for the rest of the
     # session — the r10 bench caught downstream shingle-heavy queries
     # paying ~2× once the lang-aware table grew the resident set.
-    global _last_minhash_sh
-    if _last_minhash_sh is not None:
-        _last_minhash_sh.unpersist()
-        _last_minhash_sh = None
+    while len(_minhash_sh_cache) >= _MINHASH_SH_KEEP:
+        _minhash_sh_cache.pop(0).unpersist()
     lang_aware = tokenizer == "lang_aware" and "lang" in docs.columns
     sh = (
         lang_aware_shingles(docs) if lang_aware else shingles(docs)
     ).persist()
-    _last_minhash_sh = sh
+    _minhash_sh_cache.append(sh)
     cands = lsh_candidate_pairs(docs, sh=sh)
     return jaccard_pairs_content_addressed(
         docs, cands, sh, jaccard_threshold
     )
 
 
-_last_minhash_sh: DataFrame | None = None
+# bounded FIFO of live shingle caches (oldest evicted first); depth
+# 2 = the exercised concurrency (two interleaved funnel calls)
+_MINHASH_SH_KEEP = 2
+_minhash_sh_cache: list[DataFrame] = []
 
 
 def ngram_jaccard_dupes(

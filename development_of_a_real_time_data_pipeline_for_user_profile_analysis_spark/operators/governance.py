@@ -272,6 +272,7 @@ def erase_request_sla_report(
     deadline_seconds: int,
     as_of_ts: int,
     artifacts: tuple[str, ...] = ERASURE_ARTIFACTS,
+    event_time_cutoff: int | None = None,
 ) -> DataFrame:
     """Per-request END-TO-END erasure latency against a policy
     deadline (r11: the TIME dimension the GDPR story was missing —
@@ -289,6 +290,15 @@ def erase_request_sla_report(
     overdue NULL (time unknown — r12: it used to fold into the
     live-breach branch and flag a finished request forever).
 
+    `event_time_cutoff` (r12 — the streaming twin's AS-OF fold):
+    when set, the report sees the ledger AS IT WAS at that event
+    time — requests whose first intake is after the cutoff (or
+    unstamped) are invisible, and applied markers stamped after it
+    are treated as not-yet-applied (a legacy no-timestamp marker
+    cannot be placed in time and stays visible). This is what makes
+    a replayed micro-batch's report byte-identical even after later
+    batches folded newer events into the same durable ledger.
+
     Scale shape: ledger listings are request-sized driver reads (the
     bounded-scalar discipline every artifact lifecycle already
     uses); the result is one tiny DataFrame row per request."""
@@ -296,7 +306,17 @@ def erase_request_sla_report(
     rows = []
     for rid in list_requests(ledger_path):
         intake = read_intake_ts(ledger_path, rid)
+        if event_time_cutoff is not None and (
+            intake is None or intake > event_time_cutoff
+        ):
+            continue  # not yet visible at this event-time cutoff
         ts_map = _applied_ts_map(ledger_path, rid)
+        if event_time_cutoff is not None:
+            ts_map = {
+                a: t
+                for a, t in ts_map.items()
+                if t is None or t <= event_time_cutoff
+            }
         n_applied = sum(1 for a in artifacts if a in ts_map)
         completed = n_applied == len(artifacts)
         stamped = [ts_map[a] for a in artifacts if ts_map.get(a)]

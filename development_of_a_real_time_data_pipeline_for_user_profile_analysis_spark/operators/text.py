@@ -32,6 +32,58 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+BUDGET_TOKENIZERS = ("whitespace", "lang_aware")
+
+
+def resolve_budget_tokenizer(
+    documents: DataFrame, tokenizer: str | None
+) -> str:
+    """Resolve the token UNIT for the budget/packing tiers (r12 —
+    VERDICT r11 #1: whitespace counting sees a de-spaced CJK doc as
+    ONE token, so context budgets under-fill and epoch/token
+    accounting lies on the no-whitespace partition). None picks
+    `lang_aware` when a `lang` column exists, else `whitespace` —
+    the near_dedup_minhash / cdc_chunk_table graceful-fallback
+    contract. Artifact-coupled callers (the maintained shard
+    manifest) must pass the artifact's RECORDED tokenizer
+    (streaming.pipeline.manifest_tokenizer) explicitly."""
+    if tokenizer is None:
+        return (
+            "lang_aware"
+            if "lang" in documents.columns
+            else "whitespace"
+        )
+    if tokenizer not in BUDGET_TOKENIZERS:
+        raise ValueError(
+            f"unknown budget tokenizer: {tokenizer!r} "
+            f"(expected one of {BUDGET_TOKENIZERS})"
+        )
+    if tokenizer == "lang_aware" and "lang" not in documents.columns:
+        raise ValueError(
+            "lang_aware token budgeting needs a lang column on the "
+            "corpus (pass tokenizer='whitespace', or None for the "
+            "graceful fallback)"
+        )
+    return tokenizer
+
+
+def budget_token_count(tokenizer: str) -> Column:
+    """The token-unit column for a resolved budget tokenizer:
+    whitespace words everywhere, or the lang-aware unit — CHARS for
+    the no-whitespace scripts (the honest unit when there are no
+    word boundaries — lang_aware_token_stats' `la_tok`), words
+    otherwise; NULL/unknown lang takes the word path (when/otherwise
+    — the ADVICE r11 NULL-routing contract)."""
+    if tokenizer == "whitespace":
+        return token_count(F.col("text"))
+    from .dedup import NONWS_LANGS
+
+    return F.when(
+        F.col("lang").isin(*NONWS_LANGS),
+        F.length("text").cast("long"),
+    ).otherwise(token_count(F.col("text")))
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-approximating token count: word-pieces of <=4 chars —
     ceil(len(word)/4) summed. A cheap, deterministic stand-in for a
@@ -205,14 +257,9 @@ def ngram_counts(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     )
 
 
-def chunk_documents(
-    documents: DataFrame, chunk_tokens: int = 64, stride: int = 32
+def _chunk_words(
+    documents: DataFrame, chunk_tokens: int, stride: int
 ) -> DataFrame:
-    """Context-window chunking: slide a `chunk_tokens`-wide window
-    over each document with `stride`, one output row per chunk —
-    the map from curated docs to training sequences. Pure JVM
-    sequence/slice (explode is map-side; no shuffle); a document's
-    chunk count is ~len/stride so output scales linearly."""
     words = F.split(F.col("text"), " ")
     last_start = F.greatest(F.size(words) - (chunk_tokens - 1), F.lit(1))
     return (
@@ -234,7 +281,72 @@ def chunk_documents(
     )
 
 
-def pack_documents(documents: DataFrame, budget_tokens: int = 2048) -> DataFrame:
+def _chunk_chars(
+    documents: DataFrame, chunk_tokens: int, stride: int
+) -> DataFrame:
+    """Char-unit twin of _chunk_words for the no-whitespace
+    partition: the window slides over CHARACTERS (the honest context
+    unit without word boundaries); start_token is a char position."""
+    last_start = F.greatest(
+        F.length("text") - (chunk_tokens - 1), F.lit(1)
+    )
+    return (
+        documents.select(
+            "doc_id",
+            F.col("text"),
+            F.posexplode(
+                F.sequence(F.lit(1), last_start, F.lit(stride))
+            ).alias("chunk_id", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("start_token"),
+            F.col("text")
+            .substr(F.col("start"), F.lit(chunk_tokens))
+            .alias("chunk"),
+        )
+    )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 32,
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """Context-window chunking: slide a `chunk_tokens`-wide window
+    over each document with `stride`, one output row per chunk —
+    the map from curated docs to training sequences. Pure JVM
+    sequence/slice (explode is map-side; no shuffle); a document's
+    chunk count is ~len/stride so output scales linearly.
+
+    `tokenizer` (r12 — the token-budget honest-unit migration):
+    `whitespace` windows over words everywhere (pre-r12 behavior);
+    `lang_aware` keeps word windows for whitespace scripts (and
+    NULL lang) and windows the NONWS_LANGS partition over CHARS —
+    a de-spaced CJK doc used to be ONE "token" and produced a
+    single whole-doc chunk regardless of chunk_tokens. None =
+    lang_aware when a lang column exists (graceful fallback)."""
+    tokenizer = resolve_budget_tokenizer(documents, tokenizer)
+    if tokenizer == "whitespace":
+        return _chunk_words(documents, chunk_tokens, stride)
+    from .dedup import NONWS_LANGS
+
+    ws = documents.filter(
+        (~F.col("lang").isin(*NONWS_LANGS)) | F.col("lang").isNull()
+    )
+    nonws = documents.filter(F.col("lang").isin(*NONWS_LANGS))
+    return _chunk_words(ws, chunk_tokens, stride).unionByName(
+        _chunk_chars(nonws, chunk_tokens, stride)
+    )
+
+
+def pack_documents(
+    documents: DataFrame,
+    budget_tokens: int = 2048,
+    tokenizer: str | None = None,
+) -> DataFrame:
     """Sequence packing (training-batch assembly): concatenate docs in
     deterministic order and cut packs every `budget_tokens` tokens.
     pack_id/offset derive from a running token sum — one window over
@@ -243,15 +355,20 @@ def pack_documents(documents: DataFrame, budget_tokens: int = 2048) -> DataFrame
 
     Docs may straddle pack boundaries (concatenation-packing
     semantics, the standard pretraining layout).
-    """
+
+    `tokenizer` (r12): the budget UNIT — `lang_aware` counts CHARS
+    for NONWS_LANGS docs (whitespace counting saw a de-spaced CJK
+    doc as ONE token, so packs under-filled by ~300× on that
+    partition); None = lang_aware when a lang column exists."""
     from pyspark.sql import Window
 
+    tokenizer = resolve_budget_tokenizer(documents, tokenizer)
     w = (
         Window.partitionBy(split_col(F.col("doc_id")))
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_tokens = budget_token_count(tokenizer)
     cum = F.sum(n_tokens).over(w)
     before = cum - n_tokens
     return documents.select(
@@ -1843,6 +1960,10 @@ def chunk_documents_udtf(spark, documents: DataFrame) -> DataFrame:
     this registers the capability end to end and is oracle-checked to
     the identical chunk grid. Row-at-a-time Python: acceptable here
     because the UDTF is the API artifact, never the scale path.
+    Deliberately PINNED to the whitespace word grid (the API-surface
+    demo); the honest-unit path is chunk_documents(tokenizer=...) —
+    r12's lang-aware migration targets the budget semantics, not
+    this registration artifact.
 
     Registration is idempotent (fixed function/view names, register
     overwrites, createOrReplaceTempView) — repeated bench/gate calls
@@ -4157,6 +4278,7 @@ def sequence_packing_plan(
     documents: DataFrame,
     seq_len: int = PACK_SEQ_LEN,
     n_shards: int = PACK_SHARDS,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """The loader's sequence-packing plan: documents are concatenated
     CONTIGUOUSLY (token stream order) into fixed-length training
@@ -4178,7 +4300,14 @@ def sequence_packing_plan(
     run sets shards so each holds one worker's slice; this plan's
     cost is the same shuffle the loader itself pays), and the ledger
     is an n_shards-row aggregate.
+
+    `tokenizer` (r12): the packing UNIT — lang_aware counts CHARS
+    for NONWS_LANGS docs so sequences/padding/utilization stop
+    lying on the de-spaced partition; None = lang_aware when a lang
+    column exists. Artifact-coupled callers (manifest_packing_verify)
+    pass the manifest's RECORDED tokenizer.
     """
+    tokenizer = resolve_budget_tokenizer(documents, tokenizer)
     h = F.md5(F.col("doc_id").cast("string"))
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
@@ -4186,7 +4315,7 @@ def sequence_packing_plan(
     base = documents.select(
         "doc_id",
         shard.alias("shard"),
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        budget_token_count(tokenizer).alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
     w = (
         Window.partitionBy("shard")
@@ -4235,6 +4364,7 @@ def packing_length_curve(
     documents: DataFrame,
     lens: tuple = PACK_CURVE_LENS,
     n_shards: int = PACK_SHARDS,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """The context-length TRADE-OFF the single-length packing plan
     cannot show: sequences produced, boundary-crossing documents,
@@ -4245,7 +4375,10 @@ def packing_length_curve(
     pad more on small shards). All lengths evaluated in ONE plan via
     the exploded-literal device (ivfpq_tuning_curve): the shard
     offsets are length-independent, so the window runs ONCE and the
-    curve is arithmetic over |lens| × rows."""
+    curve is arithmetic over |lens| × rows. `tokenizer` (r12): the
+    context-length UNIT — lang_aware counts CHARS on NONWS_LANGS
+    docs; None = lang_aware when a lang column exists."""
+    tokenizer = resolve_budget_tokenizer(documents, tokenizer)
     h = F.md5(F.col("doc_id").cast("string"))
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
@@ -4253,7 +4386,7 @@ def packing_length_curve(
     base = documents.select(
         "doc_id",
         shard.alias("shard"),
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        budget_token_count(tokenizer).alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
     w = (
         Window.partitionBy("shard")
@@ -4327,7 +4460,9 @@ def packing_length_curve(
 
 
 def shard_manifest(
-    documents: DataFrame, n_shards: int = PACK_SHARDS
+    documents: DataFrame,
+    n_shards: int = PACK_SHARDS,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """Reproducibility manifest for the training shards: per shard,
     doc count, token count, id range and an ORDER-INDEPENDENT content
@@ -4342,7 +4477,15 @@ def shard_manifest(
 
     Scale shape: one corpus scan, one shard-keyed aggregate with
     partials (xor and sums combine associatively map-side). 60-bit
-    digests keep the xor inside BIGINT on both engines."""
+    digests keep the xor inside BIGINT on both engines.
+
+    `tokenizer` (r12): the n_tokens UNIT — lang_aware counts CHARS
+    for NONWS_LANGS docs (honest budgets on de-spaced scripts);
+    None = lang_aware when a lang column exists. The MAINTAINED
+    manifest artifact records its build tokenizer
+    (streaming.pipeline.build_manifest_artifact `_tokenizer.json`);
+    artifact-coupled callers pass the recorded mode."""
+    tokenizer = resolve_budget_tokenizer(documents, tokenizer)
     h = F.md5(F.col("doc_id").cast("string"))
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
@@ -4354,7 +4497,7 @@ def shard_manifest(
         documents.select(
             shard.alias("shard"),
             "doc_id",
-            token_count(F.col("text")).alias("n_tok"),
+            budget_token_count(tokenizer).alias("n_tok"),
             content_term.alias("ct"),
         )
         .groupBy("shard")
@@ -4369,7 +4512,9 @@ def shard_manifest(
     )
 
 
-def shard_manifest_update(v0: DataFrame, v1: DataFrame) -> DataFrame:
+def shard_manifest_update(
+    v0: DataFrame, v1: DataFrame, tokenizer: str | None = None
+) -> DataFrame:
     """Maintain the shard manifest INCREMENTALLY across a corpus
     revision: instead of recomputing over v1, patch manifest(v0) with
     only the delta docs — counts add/subtract, and the xor content
@@ -4386,7 +4531,12 @@ def shard_manifest_update(v0: DataFrame, v1: DataFrame) -> DataFrame:
 
     Scale shape: manifest(v0) is |shards| rows; the delta is two
     anti-joins on doc_id (uniform key) aggregated per shard with the
-    same map-side partials; the patch is a |shards|-row outer join."""
+    same map-side partials; the patch is a |shards|-row outer join.
+
+    `tokenizer` (r12): the n_tokens UNIT, resolved over v1 (both
+    versions must count in the same unit or the patch algebra is
+    meaningless); None = lang_aware when v1 carries a lang column."""
+    tokenizer = resolve_budget_tokenizer(v1, tokenizer)
     h = F.md5(F.col("doc_id").cast("string"))
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % PACK_SHARDS
@@ -4399,7 +4549,7 @@ def shard_manifest_update(v0: DataFrame, v1: DataFrame) -> DataFrame:
         return (
             df.select(
                 shard.alias("shard"),
-                token_count(F.col("text")).alias("n_tok"),
+                budget_token_count(tokenizer).alias("n_tok"),
                 content_term.alias("ct"),
             )
             .groupBy("shard")
@@ -4414,8 +4564,11 @@ def shard_manifest_update(v0: DataFrame, v1: DataFrame) -> DataFrame:
     # the delta: docs only in v0 (removed / revised-away) and docs
     # only in v1 (added / revised-in) — revision = remove + add, and
     # a changed text changes the (doc_id, text) identity
-    k0 = v0.select("doc_id", F.md5("text").alias("hh"), "text")
-    k1 = v1.select("doc_id", F.md5("text").alias("hh"), "text")
+    keep = ["doc_id", "text"] + (
+        ["lang"] if tokenizer == "lang_aware" else []
+    )
+    k0 = v0.select(*keep, F.md5("text").alias("hh"))
+    k1 = v1.select(*keep, F.md5("text").alias("hh"))
     removed = per_shard(k0.join(k1, ["doc_id", "hh"], "left_anti"))
     added = per_shard(k1.join(k0, ["doc_id", "hh"], "left_anti"))
 

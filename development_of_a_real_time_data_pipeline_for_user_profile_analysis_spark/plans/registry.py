@@ -1174,6 +1174,19 @@ def q_lang_confusion(spark, sf_dir):
     return text.lang_confusion(_t(spark, sf_dir, "documents"))
 
 
+# defined here (before the first budget-tier oracle) — the module
+# interpolates f-strings in file order
+_NONWS_SQL = ", ".join(f"'{l}'" for l in dedup.NONWS_LANGS)
+
+# the lang-aware token UNIT (r12 budget-tier migration): chars for
+# the no-whitespace scripts, whitespace words otherwise (NULL lang →
+# ELSE → word path) — SQL mirror of text.budget_token_count
+_LA_NTOK_SQL = (
+    f"CASE WHEN lang IN ({_NONWS_SQL}) THEN length(text) "
+    "ELSE len(string_split(text, ' ')) END"
+)
+
+
 @query(
     "top_ngrams",
     """SELECT array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS ngram,
@@ -1189,15 +1202,28 @@ def q_top_ngrams(spark, sf_dir):
 
 @query(
     "chunk_documents",
-    """SELECT doc_id,
+    f"""SELECT doc_id,
        CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
        CAST(s AS BIGINT) AS start_token,
        array_to_string(w[CAST(s AS INTEGER):CAST(s + 63 AS INTEGER)], ' ') AS chunk
        FROM (SELECT doc_id, w,
                     unnest(generate_series(1, greatest(len(w) - 63, 1), 32)) AS s
-             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""",
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                   WHERE lang NOT IN ({_NONWS_SQL}) OR lang IS NULL))
+       UNION ALL
+       SELECT doc_id,
+       CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_token,
+       substr(text, CAST(s AS INTEGER), 64) AS chunk
+       FROM (SELECT doc_id, text,
+                    unnest(generate_series(1, greatest(length(text) - 63, 1), 32)) AS s
+             FROM documents WHERE lang IN ({_NONWS_SQL}))""",
 )
 def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking in the honest token unit (r12): word
+    windows for whitespace scripts, CHAR windows on the NONWS_LANGS
+    partition — whitespace windowing saw a de-spaced CJK doc as one
+    'token' and emitted a single whole-doc chunk."""
     return text.chunk_documents(_t(spark, sf_dir, "documents"))
 
 
@@ -1249,10 +1275,14 @@ def q_doc_fingerprints(spark, sf_dir):
                      sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
                                          ROWS UNBOUNDED PRECEDING) AS cum
               FROM (SELECT doc_id, {_SPLIT_SQL} AS split,
-                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                           CAST({_LA_NTOK_SQL} AS BIGINT) AS n_tokens
                     FROM documents))""",
 )
 def q_pack_documents(spark, sf_dir):
+    """Concatenation packing budgeted in the honest token unit
+    (r12): chars for NONWS_LANGS docs — the whitespace unit counted
+    a de-spaced CJK doc as ONE token, so packs under-filled ~300×
+    on that partition."""
     return text.pack_documents(_t(spark, sf_dir, "documents"))
 
 
@@ -1403,9 +1433,6 @@ cands AS (
 )
 def q_minhash_lsh_candidates(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_dupes_df(spark, sf_dir))
-
-
-_NONWS_SQL = ", ".join(f"'{l}'" for l in dedup.NONWS_LANGS)
 
 
 def _ws_shingle_sql(src: str = "cdocs") -> str:
@@ -3023,6 +3050,189 @@ def q_erasure_sla_by_artifact(spark, sf_dir):
             .orderBy("artifact")
         )
         return _publish_result(spark, out, "erasure_sla_by_artifact")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# the SLA fixture as a STREAM of ledger events: batch 0 = everything
+# up to the split, batch 1 = the late tail (r2's breaching final
+# apply, r4's fresh intake+applies) — the live/recorded breaches
+# must APPEAR between the two batch reports
+_SLA_STREAM_SPLIT = _SLA_T0 + 100_000
+
+
+def _sla_stream_events() -> list[tuple]:
+    ev = []
+    for rid, (its, marks) in sorted(_SLA_FIXTURE.items()):
+        ev.append(
+            (rid, "intake", None, its,
+             0 if its <= _SLA_STREAM_SPLIT else 1)
+        )
+        for art, ats in sorted(marks.items()):
+            ev.append(
+                (rid, "applied", art, ats,
+                 0 if ats <= _SLA_STREAM_SPLIT else 1)
+            )
+    return ev
+
+
+_SLA_EV_VALUES = ", ".join(
+    f"('{rid}', '{kind}', "
+    + ("NULL" if art is None else f"'{art}'")
+    + f", CAST({ts} AS BIGINT), {b})"
+    for rid, kind, art, ts, b in _sla_stream_events()
+)
+
+
+@query(
+    "streaming_erasure_sla_monitor",
+    f"""WITH ev(rid, kind, artifact, ts, b) AS (VALUES {_SLA_EV_VALUES}),
+  cut AS (SELECT bb.batch_id, max(e.ts) AS hwm
+          FROM (VALUES (0), (1)) bb(batch_id)
+          JOIN ev e ON e.b <= bb.batch_id GROUP BY bb.batch_id),
+  ints AS (SELECT c.batch_id, c.hwm, e.rid, min(e.ts) AS its
+           FROM cut c JOIN ev e ON e.b <= c.batch_id
+           WHERE e.kind = 'intake'
+           GROUP BY c.batch_id, c.hwm, e.rid),
+  apps AS (SELECT c.batch_id, e.rid,
+                  CAST(count(*) AS BIGINT) AS n_applied,
+                  max(e.ts) AS cts
+           FROM cut c JOIN ev e ON e.b <= c.batch_id
+           WHERE e.kind = 'applied'
+           GROUP BY c.batch_id, e.rid)
+SELECT CAST(i.batch_id AS BIGINT) AS batch_id,
+       i.rid AS request_id,
+       its AS intake_ts,
+       i.hwm AS as_of_ts,
+       COALESCE(n_applied, CAST(0 AS BIGINT)) AS n_artifacts_applied,
+       CAST(CASE WHEN COALESCE(n_applied, 0) = {_SLA_N_ARTIFACTS}
+                 THEN 1 ELSE 0 END AS BIGINT) AS completed,
+       CASE WHEN n_applied = {_SLA_N_ARTIFACTS} THEN cts END
+         AS completed_ts,
+       CASE WHEN n_applied = {_SLA_N_ARTIFACTS} THEN cts - its END
+         AS latency_seconds,
+       CAST(CASE
+         WHEN n_applied = {_SLA_N_ARTIFACTS}
+           THEN CASE WHEN cts - its > {_SLA_DEADLINE} THEN 1 ELSE 0 END
+         ELSE CASE WHEN i.hwm - its > {_SLA_DEADLINE}
+                   THEN 1 ELSE 0 END
+       END AS BIGINT) AS overdue
+FROM ints i LEFT JOIN apps a
+  ON a.batch_id = i.batch_id AND a.rid = i.rid
+ORDER BY batch_id, request_id""",
+)
+def q_streaming_erasure_sla_monitor(spark, sf_dir):
+    """The erasure-SLA time dimension as a STREAM (r12 — VERDICT r11
+    #4): the four-quadrant fixture arrives as TWO micro-batches of
+    ledger events (intakes with subject slices, per-artifact applied
+    stamps, all event-time) through run_erasure_sla_stream — each
+    batch folds its events into the durable ledger via the public
+    API and publishes the SLA report as of the ledger's event-time
+    high-water mark. The result is BOTH batch reports: at batch 0
+    (hwm inside the deadline) nothing flags; at batch 1 the
+    high-water mark crosses the deadline and r2 flips to a RECORDED
+    breach (completed too late) while r3 flips to a LIVE breach
+    (still incomplete) — the transition a batch audit cannot show.
+    Oracle replays the per-cutoff fold over the same planted events.
+
+    Scale shape: per-batch driver work is request-sized (ledger
+    listing discipline); output is |batches| × |visible requests|
+    rows."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.pipeline import run_erasure_sla_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="sla_stream_")
+    try:
+        in_dir = f"{work}/in"
+        _os.makedirs(in_dir)
+        ev_schema = (
+            "request_id string, kind string, artifact string, "
+            "doc_id long, event_ts long"
+        )
+        base_t = _time.time()
+        for b in (0, 1):
+            parts = []
+            for i, (rid, (its, marks)) in enumerate(
+                sorted(_SLA_FIXTURE.items())
+            ):
+                if (0 if its <= _SLA_STREAM_SPLIT else 1) == b:
+                    parts.append(
+                        docs.filter(F.col("doc_id") % 11 == i).select(
+                            F.lit(rid).alias("request_id"),
+                            F.lit("intake").alias("kind"),
+                            F.lit(None).cast("string").alias("artifact"),
+                            "doc_id",
+                            F.lit(int(its)).alias("event_ts"),
+                        )
+                    )
+                applied = [
+                    (rid, "applied", art, None, int(ats))
+                    for art, ats in sorted(marks.items())
+                    if (0 if ats <= _SLA_STREAM_SPLIT else 1) == b
+                ]
+                if applied:
+                    parts.append(
+                        spark.createDataFrame(applied, ev_schema)
+                    )
+            rel = parts[0]
+            for p in parts[1:]:
+                rel = rel.unionByName(p)
+            stage = f"{work}/stage_{b}"
+            rel.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{b}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (base_t + 10 * b, base_t + 10 * b))
+        stream = (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out_dir = f"{work}/out"
+        q = run_erasure_sla_stream(
+            spark,
+            stream,
+            f"{work}/ledger",
+            _SLA_DEADLINE,
+            out_dir,
+            f"{work}/ckpt",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "erasure SLA stream did not drain within 300 s"
+                + (f": {q.exception()}" if q.exception() else "")
+            )
+        out = (
+            spark.read.option(
+                "basePath", _os.path.join(out_dir, "sla")
+            )
+            .parquet(_os.path.join(out_dir, "sla"))
+            .withColumn(
+                "batch_id", F.col("batch_id").cast("long")
+            )
+            .select(
+                "batch_id",
+                "request_id",
+                "intake_ts",
+                "as_of_ts",
+                "n_artifacts_applied",
+                "completed",
+                "completed_ts",
+                "latency_seconds",
+                "overdue",
+            )
+            .orderBy("batch_id", "request_id")
+        )
+        return _publish_result(
+            spark, out, "streaming_erasure_sla_monitor"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -10862,7 +11072,7 @@ def q_streaming_pii_redact(spark, sf_dir):
   SELECT doc_id,
          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
               AS UBIGINT) % {text.PACK_SHARDS} AS BIGINT) AS shard,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST({_LA_NTOK_SQL} AS BIGINT) AS n_tok,
          CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
               AS BIGINT) AS ct
   FROM documents)
@@ -10935,6 +11145,73 @@ def q_manifest_packing_verify(spark, sf_dir):
         ).write.parquet(f"{mpath}/adds/batch_id=1")
         out = manifest_packing_verify(spark, mpath, docs)
         return _publish_result(spark, out, "manifest_packing_verify")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "manifest_packing_verify_lang_aware",
+    f"""WITH {dedup.CJK_ORACLE_CTE.strip()},
+t AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % {text.PACK_SHARDS} AS BIGINT) AS shard,
+         CAST({_LA_NTOK_SQL} AS BIGINT) AS n_tok,
+         CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+              AS BIGINT) AS ct
+  FROM cdocs),
+m AS (SELECT shard,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        CAST(bit_xor(ct) AS BIGINT) AS content_xor
+      FROM t GROUP BY shard)
+SELECT shard, n_docs, n_tokens, content_xor,
+       n_docs AS packing_n_docs, n_tokens AS packing_n_tokens,
+       CAST(1 AS BIGINT) AS counts_match,
+       CAST(1 AS BIGINT) AS xor_match
+FROM m ORDER BY shard""",
+)
+def q_manifest_packing_verify_lang_aware(spark, sf_dir):
+    """The manifest consumer closure in the RECORDED lang-aware unit
+    (r12 — the token-budget migration's driver-window
+    representative): the manifest artifact is BUILT with
+    tokenizer='lang_aware' over the planted de-spaced CJK corpus
+    (with_cjk_docs: every zh doc whitespace-free, like real CJK —
+    whitespace counting sees each as ONE token and would under-fill
+    a 2048 budget ~300×), the batch add lands through the recorded
+    mode (manifest_tokenizer), and the packing-verify consumer
+    recounts BOTH sides in the recorded unit — counts_match =
+    xor_match = 1 everywhere proves the artifact, its segments and
+    the loader agree on the honest unit end to end. The oracle
+    recomputes the lang-aware per-shard fold from the same planted
+    corpus."""
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import (
+        _manifest_shard_rows,
+        build_manifest_artifact,
+        manifest_packing_verify,
+        manifest_tokenizer,
+    )
+
+    docs = dedup.with_cjk_docs(_t(spark, sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="manifest_verify_la_")
+    try:
+        mpath = f"{work}/manifest"
+        build_manifest_artifact(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            mpath,
+            tokenizer="lang_aware",
+        )
+        _manifest_shard_rows(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            tokenizer=manifest_tokenizer(mpath),
+        ).write.parquet(f"{mpath}/adds/batch_id=1")
+        out = manifest_packing_verify(spark, mpath, docs)
+        return _publish_result(
+            spark, out, "manifest_packing_verify_lang_aware"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -11089,7 +11366,7 @@ t AS (
   SELECT doc_id,
          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
               AS UBIGINT) % {text.PACK_SHARDS} AS BIGINT) AS shard,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST({_LA_NTOK_SQL} AS BIGINT) AS n_tok,
          CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
               AS BIGINT) AS ct
   FROM rdocs)
@@ -11660,7 +11937,7 @@ _PSH = text.PACK_SHARDS
   SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
               AS UBIGINT) % {_PSH} AS BIGINT) AS shard,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         CAST({_LA_NTOK_SQL} AS BIGINT) AS n_tok
   FROM documents),
 o AS (SELECT shard, n_tok,
         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
@@ -11698,7 +11975,7 @@ _PACK_LENS_SQL = ", ".join(f"({s})" for s in text.PACK_CURVE_LENS)
   SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
               AS UBIGINT) % {_PSH} AS BIGINT) AS shard,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         CAST({_LA_NTOK_SQL} AS BIGINT) AS n_tok
   FROM documents),
 o AS (SELECT shard, n_tok,
         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
@@ -13644,7 +13921,7 @@ DRIVER_PRIORITY = [
     "semdedup_prune_plan",  # r6: semantic dedup on the MAINTAINED frozen-cell layout (evicts simhash_dupes -> past window; near-dup family keeps minhash/ngram/clusters reps in-window)
     "curation_pipeline",
     "ann_ivfpq_serve",  # r5: probe-only serve from the MAINTAINED index artifact (ANN family rep; evicts ann_ivfpq_topk -> past window, same pipeline minus the artifact)
-    "manifest_packing_verify",  # r10: the manifest CONSUMER closure — served fold matched per shard against the loader's own sequence-packing view (same md5(doc_id) device + recomputed content xor), a corrupted shard flips exactly its row (evicts shard_manifest_erase_serve -> past window; the manifest erase+fold+serve discipline stays in-window via erasure_completeness_audit and erasure_request_ledger_audit, both of which drive the manifest's erase + fenced fold among the six artifacts)
+    "manifest_packing_verify_lang_aware",  # r12 (VERDICT r11 #1/#2): the token-budget honest unit reaching the MAINTAINED manifest artifact — unit recorded in _tokenizer.json, built lang_aware over the planted de-spaced CJK corpus (whitespace counting sees each zh doc as ONE token), batch add through the recorded mode, packing-verify consumer recounting BOTH sides in it (evicts manifest_packing_verify -> past window; the consumer closure, corrupted-shard flip, and md5-shard device stay in-window INSIDE this query — family superset — and the whitespace recorded mode stays oracle-covered past window + pytest back-compat-pinned)
     "erasure_completeness_audit",  # r8: GDPR closure across ALL FOUR maintained artifacts in one governance view (evicts ann_ivfpq_add_serve -> past window, the add==rebuild equivalence stays in-window INSIDE ann_ivfpq_erase_serve, which serves from the post-ADD artifact)
     "ann_ivfpq_erase_serve",  # r7: tombstone erasure on the maintained artifact, oracle = rebuild WITHOUT the erased subjects (governance-reaches-the-index proof; evicts embedding_near_dupes -> past window, embedding near-dup stays in-window via semdedup_prune_plan's cell-bounded Arrow matmul — the same device)
     "snapshot_retention_enforce",  # r10w4: the retention-policy ENFORCEMENT closure — keep-newest-K vacuum drops the expired epochs incl. the planted pre-erase leaker, post-drop audit value-checks zero past-retention + zero erased-subject references (evicts snapshot_erasure_audit -> past window; this query COMPOSES the same per-epoch leak audit and adds the policy loop — the snapshot/time-travel family's superset rep)
@@ -13652,6 +13929,7 @@ DRIVER_PRIORITY = [
     "multimodal_features",
     "referential_integrity_report",
     # --- past-window (evicted) entries keep their export order stable ---
+    "manifest_packing_verify",  # r12 evicted: the consumer closure + corrupted-shard flip stay in-window inside manifest_packing_verify_lang_aware (family superset, recorded-unit on top); the whitespace recorded mode stays oracle-covered past window and back-compat pytest-pinned (test_token_budget_unit)
     "preference_pair_audit",  # r11 evicted: exact-degenerate + canned-prompt counting stay in-window inside preference_pair_near_dup_audit (family superset); eval-split leakage stays oracle-covered past window
     "lang_dedup_delta_report",  # r11 evicted: lang-aware tier keeps near_dedup_minhash (default) + lang_band_index_probe + chunk_dedup_report (planted shift fixture) in-window; the ws-vs-lang delta measurement stays oracle-covered past window
     "gdpr_erasure_plan",  # r11 evicted: erasure sizing stays in-window inside erasure_completeness_audit (n_requested) and anti-join discipline via its left_anti counts + split_leakage_repair

@@ -1595,6 +1595,147 @@ def run_erase_request_stream(
     return writer.start()
 
 
+def _sla_prior_hwm(
+    spark: SparkSession, out_dir: str, batch_id: int
+) -> int | None:
+    """The event-time high-water mark recorded by EARLIER batches'
+    published reports (`as_of_ts` column of sla/batch_id<N) — the
+    durable watermark chain a replayed batch re-derives its cutoff
+    from. Strictly-earlier segments only: a replay must not see its
+    own (or a later) batch's mark."""
+    d = os.path.join(out_dir, "sla")
+    if not os.path.isdir(d):
+        return None
+    segs = [
+        os.path.join(d, e)
+        for e in os.listdir(d)
+        if e.startswith("batch_id=")
+        and int(e.split("=", 1)[1]) < batch_id
+    ]
+    if not segs:
+        return None
+    row = (
+        spark.read.parquet(*segs)
+        .agg(F.max("as_of_ts").alias("m"))
+        .collect()[0]
+    )
+    return None if row.m is None else int(row.m)
+
+
+def run_erasure_sla_stream(
+    spark: SparkSession,
+    event_stream: DataFrame,
+    ledger_path: str,
+    deadline_seconds: int,
+    out_dir: str,
+    checkpoint_dir: str,
+    artifacts: tuple[str, ...] | None = None,
+    available_now: bool = True,
+):
+    """The erasure-SLA TIME dimension as a STREAM (r12 — VERDICT r11
+    #4: erasure_sla_audit is batch-over-ledger; every other
+    lifecycle family has both modes). Input: ledger EVENTS with
+    event time — `kind='intake'` rows open a request (doc_id =
+    subject, event_ts = intake), `kind='applied'` rows stamp an
+    artifact's completion. Each micro-batch (1) folds its events
+    into the durable ledger through the same public API the batch
+    workflow uses (erase_request_open / erase_request_mark_applied —
+    first-intake wins, marker overwrite idempotent), then (2)
+    evaluates erase_request_sla_report AS OF the batch's event-time
+    high-water mark — max(batch event times, earlier batches'
+    recorded marks) — with `event_time_cutoff` at the same mark, and
+    publishes it (with its `as_of_ts`) as `sla/batch_id=N`. A
+    request whose deadline passes unresolved flags in the FIRST
+    batch whose high-water mark crosses intake + deadline:
+    live-breach detection in event time, the availableNow analogue
+    of a watermark-driven windowed monitor.
+
+    Replay safety: the ledger bookkeeps the fold (a replayed batch's
+    opens/stamps no-op — first-intake wins, marker bodies
+    identical), the high-water mark re-derives from the batch plus
+    STRICTLY-EARLIER published segments (never driver state, never
+    its own or later segments), and the event-time cutoff makes the
+    fold see the ledger as it was at that mark — so a replayed
+    batch's report is byte-identical even after later batches
+    folded newer events, and the batch-keyed overwrite republishes
+    it.
+
+    Scale shape: per-batch driver work is request-sized (the
+    ledger's bounded-scalar discipline); the report is one row per
+    request; no corpus-sized relation anywhere."""
+    from ..operators import governance as gov
+
+    arts = (
+        tuple(artifacts)
+        if artifacts is not None
+        else gov.ERASURE_ARTIFACTS
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            intakes = batch_df.filter(F.col("kind") == "intake")
+            rids = [
+                (r.request_id, r.its)
+                for r in intakes.groupBy("request_id")
+                .agg(F.min("event_ts").alias("its"))
+                .collect()
+            ]
+            for rid, its in sorted(rids):
+                gov.erase_request_open(
+                    spark,
+                    ledger_path,
+                    rid,
+                    intakes.filter(
+                        F.col("request_id") == rid
+                    ).select("doc_id"),
+                    intake_ts=int(its),
+                )
+            applied = [
+                (r.request_id, r.artifact, r.event_ts)
+                for r in batch_df.filter(
+                    F.col("kind") == "applied"
+                ).collect()
+            ]
+            for rid, art, ts in sorted(applied):
+                gov.erase_request_mark_applied(
+                    ledger_path, rid, art, applied_ts=int(ts)
+                )
+            batch_max = batch_df.agg(
+                F.max("event_ts").alias("m")
+            ).collect()[0].m
+            prior = _sla_prior_hwm(spark, out_dir, int(batch_id))
+            marks = [
+                t for t in (batch_max, prior) if t is not None
+            ]
+            if not marks:
+                return
+            hwm = max(int(t) for t in marks)
+            gov.erase_request_sla_report(
+                spark,
+                ledger_path,
+                deadline_seconds,
+                as_of_ts=hwm,
+                artifacts=arts,
+                event_time_cutoff=hwm,
+            ).withColumn(
+                "as_of_ts", F.lit(hwm).cast("long")
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "sla", f"batch_id={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        event_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_ingest_fanout_stream(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -2034,12 +2175,46 @@ def run_sft_prefix_gate_stream(
     return writer.start()
 
 
-def _manifest_shard_rows(documents: DataFrame) -> DataFrame:
+MANIFEST_TOKENIZER_FILE = "_tokenizer.json"
+
+
+def manifest_tokenizer(path: str) -> str:
+    """The manifest artifact's recorded token UNIT — an ARTIFACT
+    PARAMETER (the band/chunk-index discipline): every batch add,
+    erase delta, and the packing-verify consumer must count tokens
+    in the unit the base was built with, or the additive n_tokens
+    algebra silently mixes units. Artifacts written before the meta
+    existed read as whitespace (their actual unit)."""
+    import json
+
+    meta = os.path.join(path, MANIFEST_TOKENIZER_FILE)
+    if os.path.isfile(meta):
+        with open(meta) as fh:
+            return json.load(fh)["tokenizer"]
+    return "whitespace"
+
+
+def _manifest_shard_rows(
+    documents: DataFrame, tokenizer: str = "whitespace"
+) -> DataFrame:
     """Per-shard (n_docs, n_tokens, content_xor) rows for a document
     slice — the manifest's additive/xor terms (text.shard_manifest
-    minus the non-invertible id range)."""
-    from ..operators.text import PACK_SHARDS, token_count
+    minus the non-invertible id range). `tokenizer` is the EXPLICIT
+    unit (r12): artifact paths pass the recorded mode
+    (manifest_tokenizer); `lang_aware` counts CHARS on the
+    NONWS_LANGS partition (text.budget_token_count)."""
+    from ..operators.text import (
+        BUDGET_TOKENIZERS,
+        PACK_SHARDS,
+        budget_token_count,
+    )
 
+    if tokenizer not in BUDGET_TOKENIZERS:
+        raise ValueError(f"unknown budget tokenizer: {tokenizer!r}")
+    if tokenizer == "lang_aware" and "lang" not in documents.columns:
+        raise ValueError(
+            "lang_aware manifest rows need a lang column on the docs"
+        )
     h = F.md5(F.col("doc_id").cast("string"))
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % PACK_SHARDS
@@ -2050,7 +2225,7 @@ def _manifest_shard_rows(documents: DataFrame) -> DataFrame:
     return (
         documents.select(
             shard.alias("shard"),
-            token_count(F.col("text")).alias("n_tok"),
+            budget_token_count(tokenizer).alias("n_tok"),
             ct.alias("ct"),
         )
         .groupBy("shard")
@@ -2062,17 +2237,43 @@ def _manifest_shard_rows(documents: DataFrame) -> DataFrame:
     )
 
 
-def build_manifest_artifact(corpus: DataFrame, path: str) -> None:
+def build_manifest_artifact(
+    corpus: DataFrame, path: str, tokenizer: str = "whitespace"
+) -> None:
     """Materialize the MAINTAINED manifest artifact (the fifth
     maintained artifact, after the IVF-PQ index, band index,
     chunk-digest index and cluster labels): `{path}/base` holds the
     per-shard manifest rows; `adds/batch_id=N` and `erases/seg_id=N`
-    segments accumulate until a compaction folds them."""
+    segments accumulate until a compaction folds them.
+
+    The token-count `tokenizer` is RECORDED in
+    `{path}/_tokenizer.json` (r12 — the recorded-parameter
+    migration: n_tokens is additive across base/adds/erases, so a
+    unit flip mid-life would silently mix words and chars; every
+    add/erase/verify path reads the recorded mode). The meta lives
+    at the artifact root, outside the base/adds/erases lifecycle,
+    so compaction and the crash fence never touch it. Refuses to
+    rebuild over live segments (the band/chunk-index discipline) —
+    a rebuild with a different unit over live segments is exactly
+    the mixed-unit serve the meta exists to prevent."""
+    import json
     import os
 
-    _manifest_shard_rows(corpus).write.mode("overwrite").parquet(
-        os.path.join(path, "base")
+    from ..operators.artifact_lifecycle import refuse_stale_segments
+    from ..operators.text import BUDGET_TOKENIZERS
+
+    if tokenizer not in BUDGET_TOKENIZERS:
+        raise ValueError(f"unknown budget tokenizer: {tokenizer!r}")
+    refuse_stale_segments(
+        path, ("adds", "erases"), "build_manifest_artifact"
     )
+    _manifest_shard_rows(corpus, tokenizer=tokenizer).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "base"))
+    tmp = os.path.join(path, f".{MANIFEST_TOKENIZER_FILE}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"tokenizer": tokenizer}, fh)
+    os.replace(tmp, os.path.join(path, MANIFEST_TOKENIZER_FILE))
 
 
 def manifest_packing_verify(
@@ -2097,15 +2298,19 @@ def manifest_packing_verify(
     check at fixture scale."""
     from ..operators.text import sequence_packing_plan, shard_manifest
 
+    # both sides count in the artifact's RECORDED unit (r12) — the
+    # loader must pack by the same unit the manifest promises, or
+    # counts_match would flag every NONWS-bearing shard
+    tok = manifest_tokenizer(path)
     served = read_manifest_serving(spark, path).select(
         "shard", "n_docs", "n_tokens", "content_xor"
     )
-    plan = sequence_packing_plan(documents).select(
+    plan = sequence_packing_plan(documents, tokenizer=tok).select(
         "shard",
         F.col("n_docs").alias("packing_n_docs"),
         F.col("n_tokens").alias("packing_n_tokens"),
     )
-    recomputed = shard_manifest(documents).select(
+    recomputed = shard_manifest(documents, tokenizer=tok).select(
         "shard", F.col("content_xor").alias("recomputed_xor")
     )
     return (
@@ -2285,10 +2490,13 @@ def manifest_add_batch(
     (batch-keyed segment OVERWRITE for bookkept replay safety, the
     add_subjects re-consent sidecar, suppression-ledger release)
     exposed to the batch revision pipeline, so a one-shot revision
-    lands through the same door a micro-batch does."""
+    lands through the same door a micro-batch does. Counts in the
+    artifact's RECORDED token unit (manifest_tokenizer)."""
     docs.persist()
     try:
-        _manifest_shard_rows(docs).write.mode("overwrite").parquet(
+        _manifest_shard_rows(
+            docs, tokenizer=manifest_tokenizer(path)
+        ).write.mode("overwrite").parquet(
             os.path.join(path, "adds", f"batch_id={batch_id}")
         )
         docs.select("doc_id").distinct().write.mode("overwrite").parquet(
@@ -2409,7 +2617,9 @@ def manifest_erase(
             "n_docs_erased": 0,
             "n_suppressed": n_requested,
         }
-    delta = _manifest_shard_rows(surviving).select(
+    delta = _manifest_shard_rows(
+        surviving, tokenizer=manifest_tokenizer(path)
+    ).select(
         "shard",
         (-F.col("n_docs")).alias("n_docs"),
         (-F.col("n_tokens")).alias("n_tokens"),

@@ -1,0 +1,70 @@
+"""Minhash shingle-cache lifecycle (r12 — VERDICT r11 #3): the
+module-global single-slot cache evicted the PREVIOUS call's live
+shingle table on entry, so under the exercised concurrent-driver
+pattern a second funnel call forced the first to recompute its
+corpus-sized shingle table. The cache is now a bounded FIFO
+(depth 2): two interleaved near_dedup_minhash calls both keep
+their caches; a third evicts only the oldest, keeping session
+storage bounded."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+    dedup,
+)
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+def _docs(spark, seed: int, n: int = 30):
+    rows = []
+    for i in range(n):
+        base = f"s{seed} doc {i} " + " ".join(
+            f"w{seed}x{i}y{j}" for j in range(12)
+        )
+        rows.append((i, base, "en"))
+    # one planted near-dup pair per corpus
+    rows.append((n, rows[0][1] + " tail", "en"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+
+
+def test_two_interleaved_funnel_calls_keep_both_caches(spark):
+    d1, d2 = _docs(spark, 1), _docs(spark, 2)
+    # singleton references for the expected results
+    want1 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.near_dedup_minhash(d1).collect()
+    }
+    want2 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.near_dedup_minhash(d2).collect()
+    }
+    assert want1 and want2  # the planted pairs were found
+    # interleave: issue both, materialize both afterwards
+    r1 = dedup.near_dedup_minhash(d1)
+    r2 = dedup.near_dedup_minhash(d2)
+    assert len(dedup._minhash_sh_cache) == 2
+    assert all(df.is_cached for df in dedup._minhash_sh_cache)
+    got1 = {(r.doc_a, r.doc_b) for r in r1.collect()}
+    got2 = {(r.doc_a, r.doc_b) for r in r2.collect()}
+    assert got1 == want1 and got2 == want2
+    # both caches still live at materialization time (neither call
+    # evicted the other's)
+    assert all(df.is_cached for df in dedup._minhash_sh_cache)
+
+
+def test_third_call_evicts_only_the_oldest(spark):
+    d1, d2, d3 = _docs(spark, 5), _docs(spark, 6), _docs(spark, 7)
+    dedup.near_dedup_minhash(d1)
+    first = dedup._minhash_sh_cache[0]
+    dedup.near_dedup_minhash(d2)
+    second = dedup._minhash_sh_cache[-1]
+    dedup.near_dedup_minhash(d3)
+    assert len(dedup._minhash_sh_cache) == dedup._MINHASH_SH_KEEP
+    assert not first.is_cached  # oldest released
+    assert second.is_cached  # the newer survivor stays live

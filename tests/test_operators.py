@@ -2833,13 +2833,28 @@ def test_sequence_packing_invariants_and_tiny_case(spark):
         text,
     )
 
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators.dedup import (
+        NONWS_LANGS,
+    )
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # default = lang_aware (the corpus has a lang column, r12): the
+    # token total counts CHARS on the NONWS_LANGS partition
     rows = text.sequence_packing_plan(docs).collect()
     assert len(rows) == text.PACK_SHARDS
-    total_tok = docs.select(
+    la_unit = F.when(
+        F.col("lang").isin(*NONWS_LANGS), F.length("text")
+    ).otherwise(F.size(F.split("text", " ")))
+    total_tok = docs.select(F.sum(la_unit).alias("t")).collect()[0].t
+    assert sum(r.n_tokens for r in rows) == total_tok
+    # the explicit whitespace mode still sums the word unit
+    ws_rows = text.sequence_packing_plan(
+        docs, tokenizer="whitespace"
+    ).collect()
+    ws_tok = docs.select(
         F.sum(F.size(F.split("text", " "))).alias("t")
     ).collect()[0].t
-    assert sum(r.n_tokens for r in rows) == total_tok
+    assert sum(r.n_tokens for r in ws_rows) == ws_tok
     for r in rows:
         assert 0 <= r.tail_padding_tokens < text.PACK_SEQ_LEN
         assert r.n_sequences * text.PACK_SEQ_LEN == (

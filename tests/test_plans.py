@@ -240,7 +240,11 @@ def test_driver_window_covers_component_families():
         # erasure_completeness_audit + erasure_request_ledger_audit;
         # zorder_files — data layout keeps manifest_packing_verify,
         # z-order clustering stays oracle-covered past window)
-        "manifest_packing_verify",
+        # (manifest_packing_verify rotated out r12 — the consumer
+        # closure + corrupted-shard flip stay in-window inside
+        # manifest_packing_verify_lang_aware, family superset with
+        # the recorded token unit on top; whitespace recorded mode
+        # stays oracle-covered past window + pytest back-compat)
         "provenance_incremental_audit", "streaming_sft_prefix_gate",
         # r10 second rotation: the round's own additions enter so the
         # external gate watches them this round — the tokenizer-
@@ -257,6 +261,12 @@ def test_driver_window_covers_component_families():
         # sizing stays inside erasure_completeness_audit)
         "lang_chunk_index_probe", "preference_pair_near_dup_audit",
         "erasure_sla_audit",
+        # r12 rotation (VERDICT r11 asks #1/#2): the token-budget
+        # honest unit reaching the MAINTAINED manifest artifact —
+        # the packing family's first in-window rep counts in the
+        # RECORDED lang-aware unit over the planted de-spaced CJK
+        # corpus (evicts manifest_packing_verify, see above)
+        "manifest_packing_verify_lang_aware",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
