@@ -1,8 +1,10 @@
-"""Tokenizer A/B (VERDICT r10 ask #6): whitespace vs lang_aware cost
-of the near-dup funnel at soak scale. Runs near_dedup_minhash under
-both tokenizers on the replicated soak corpus (tools/soak.py layout)
-and prints wall seconds (min of two passes each), plus the shingle-row
-counts that explain the delta.
+"""Tokenizer A/B (VERDICT r10 ask #6, extended r12 per VERDICT r11
+#5): whitespace vs lang_aware cost at soak scale for BOTH the
+near-dup funnel (near_dedup_minhash) and the CDC chunk tier
+(chunk_dedup_report). Runs each op under both tokenizers on the
+replicated soak corpus (tools/soak.py layout) and prints wall
+seconds (min of two passes each), plus the shingle-row and
+chunk-row counts that explain the deltas.
 
     python tools/tokenizer_ab.py [replication ...]   # default: 10 30
 
@@ -39,10 +41,20 @@ def main() -> None:
         if not os.path.exists(src):
             print(f"missing {src} — run tools/soak.py {rep} first")
             continue
+        from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.operators import (
+            text,
+        )
+
         docs = spark.read.parquet(src)
         counts = {
             "ws_shingle_rows": dedup.shingles(docs).count(),
             "la_shingle_rows": dedup.lang_aware_shingles(docs).count(),
+            "ws_chunk_rows": text.cdc_chunk_table(
+                docs, tokenizer="whitespace"
+            ).count(),
+            "la_chunk_rows": text.cdc_chunk_table(
+                docs, tokenizer="lang_aware"
+            ).count(),
         }
         walls = {}
         for mode in ("whitespace", "lang_aware"):
@@ -54,6 +66,14 @@ def main() -> None:
                 ).mode("overwrite").save()
                 ts.append(round(time.time() - t0, 2))
             walls[mode] = min(ts)
+            cs = []
+            for _ in range(2):
+                t0 = time.time()
+                dedup.chunk_dedup_report(
+                    docs, tokenizer=mode
+                ).write.format("noop").mode("overwrite").save()
+                cs.append(round(time.time() - t0, 2))
+            walls[f"chunk_{mode}"] = min(cs)
         out[f"x{rep}"] = {**walls, **counts}
         print(json.dumps({f"x{rep}": out[f"x{rep}"]}))
     print(json.dumps(out))
