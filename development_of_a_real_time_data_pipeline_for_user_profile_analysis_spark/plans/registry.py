@@ -3149,6 +3149,7 @@ def q_streaming_erasure_sla_monitor(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     work = tempfile.mkdtemp(prefix="sla_stream_")
     try:
+        _ph0 = _time.monotonic()
         in_dir = f"{work}/in"
         _os.makedirs(in_dir)
         ev_schema = (
@@ -3189,6 +3190,7 @@ def q_streaming_erasure_sla_monitor(spark, sf_dir):
             dst = f"{in_dir}/b{b}.parquet"
             shutil.move(part, dst)
             _os.utime(dst, (base_t + 10 * b, base_t + 10 * b))
+        _ph1 = _time.monotonic()
         stream = (
             spark.readStream.schema(ev_schema)
             .option("maxFilesPerTrigger", 1)
@@ -3209,6 +3211,8 @@ def q_streaming_erasure_sla_monitor(spark, sf_dir):
                 "erasure SLA stream did not drain within 300 s"
                 + (f": {q.exception()}" if q.exception() else "")
             )
+        _ph2 = _time.monotonic()
+        _record_phases("streaming_erasure_sla_monitor", _ph0, _ph1, _ph2)
         out = (
             spark.read.option(
                 "basePath", _os.path.join(out_dir, "sla")
