@@ -2707,7 +2707,9 @@ def grouped_split_counts(
 
 
 def temperature_mixture_weights(
-    documents: DataFrame, budget_tokens: int = 100000
+    documents: DataFrame,
+    budget_tokens: int = 100000,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """Temperature-scaled data mixing (α = 0.5): per-source sampling
     weight ∝ n_tokens^α — the standard multilingual/multi-source
@@ -2720,9 +2722,15 @@ def temperature_mixture_weights(
     division, so the normalization is addition-order-free and
     engine-portable. One token-count aggregate per source (uniform
     shuffle with partials) + a 1-row total broadcast. No Python.
+
+    `tokenizer` (r12, the budget-family unit): whitespace counting
+    gives a de-spaced CJK source n_tokens ≈ n_docs, skewing every
+    weight in the mixture; None = lang_aware when a lang column
+    exists (text.budget_token_count).
     """
+    tokenizer = resolve_budget_tokenizer(documents, tokenizer)
     per_source = documents.groupBy("source").agg(
-        F.sum(token_count(F.col("text"))).alias("n_tokens")
+        F.sum(budget_token_count(tokenizer)).alias("n_tokens")
     )
     w_micro = F.floor(F.sqrt(F.col("n_tokens")) * 1000000).cast("long")
     weighted = per_source.select("source", "n_tokens", w_micro.alias("w"))
@@ -2753,6 +2761,7 @@ def temperature_mixture_curve(
     documents: DataFrame,
     budget_tokens: int | None = None,
     taus: tuple = MIXTURE_TAUS,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """The temperature-mixing TRADE-OFF curve the fixed-α report
     cannot show: per-source sampling share, token allocation,
@@ -2773,8 +2782,9 @@ def temperature_mixture_curve(
     """
     if budget_tokens is None:
         budget_tokens = TRAIN_TOKEN_BUDGET
+    tokenizer = resolve_budget_tokenizer(documents, tokenizer)
     per_source = documents.groupBy("source").agg(
-        F.sum(token_count(F.col("text"))).alias("n_tokens")
+        F.sum(budget_token_count(tokenizer)).alias("n_tokens")
     )
     curve = per_source.select(
         "source",
@@ -3494,16 +3504,26 @@ def dataset_card_report(documents: DataFrame) -> DataFrame:
     assembled from independent small aggregates over one logical
     scan, combined by 1-row broadcast joins.
 
+    Token volume reports BOTH units (r12): `total_ws_tokens` (the
+    whitespace count, named for what it is) and `total_la_tokens`
+    (the lang-aware unit — chars on the no-whitespace partition, the
+    honest headline for a card whose corpus has de-spaced scripts;
+    equals the ws count when no lang column exists).
+
     Scale shape: three corpus-shaped aggregates (global, digest,
     per-source/lang argmax via max(struct)); no window over the
     corpus, no collect.
     """
+    la_unit = budget_token_count(
+        resolve_budget_tokenizer(documents, None)
+    )
     base = documents.select(
         "doc_id",
         "source",
         "lang",
         F.col("n_chars").cast("long").alias("n_chars"),
         token_count(F.col("text")).alias("ws"),
+        la_unit.alias("la"),
         quality_score(F.col("text")).alias("q"),
         F.md5("text").alias("digest"),
     )
@@ -3512,6 +3532,7 @@ def dataset_card_report(documents: DataFrame) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("ws").cast("long").alias("total_ws_tokens"),
+        F.sum("la").cast("long").alias("total_la_tokens"),
         F.sum("n_chars").cast("long").alias("total_chars"),
         round4(F.avg("q")).alias("mean_quality"),
         F.countDistinct("digest").alias("n_distinct_texts"),
@@ -3536,6 +3557,7 @@ def dataset_card_report(documents: DataFrame) -> DataFrame:
             "n_sources",
             "n_langs",
             "total_ws_tokens",
+            "total_la_tokens",
             "total_chars",
             "mean_quality",
             (F.col("n_docs") - F.col("n_distinct_texts"))
@@ -3555,6 +3577,7 @@ def epoch_budget_report(
     documents: DataFrame,
     budget_tokens: int = TRAIN_TOKEN_BUDGET,
     repeat_cap: float = EPOCH_REPEAT_CAP,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """Data-constrained epoch planning: under a training-run token
     target and the α=0.5 temperature mixture (same integer-micro
@@ -3565,11 +3588,18 @@ def epoch_budget_report(
     shrink its weight or go get more data). The planning table a
     pretraining run signs off on before tokenization starts.
 
+    `tokenizer` (r12, the budget-family unit): a de-spaced CJK
+    source under whitespace counting has n_tokens ≈ n_docs, so its
+    sqrt-weight underweights it ~17× and its implied epochs inflate
+    ~300× (spurious repeat-cap flags). None = lang_aware when a
+    lang column exists (text.budget_token_count).
+
     Scale shape: one per-source token aggregate + 1-row total
     broadcast; pure arithmetic on the |sources|-row relation.
     """
+    tokenizer = resolve_budget_tokenizer(documents, tokenizer)
     per_source = documents.groupBy("source").agg(
-        F.sum(token_count(F.col("text"))).alias("n_tokens")
+        F.sum(budget_token_count(tokenizer)).alias("n_tokens")
     )
     w_micro = F.floor(F.sqrt(F.col("n_tokens")) * 1000000).cast("long")
     weighted = per_source.select("source", "n_tokens", w_micro.alias("w"))
@@ -5214,7 +5244,9 @@ def doremi_mixture_weights(documents: DataFrame) -> DataFrame:
 CURRICULUM_PHASES = ((1, 0), (2, 3), (3, 6))  # (phase, min quality decile)
 
 
-def curriculum_phase_plan(documents: DataFrame) -> DataFrame:
+def curriculum_phase_plan(
+    documents: DataFrame, tokenizer: str | None = None
+) -> DataFrame:
     """Quality-annealed curriculum plan — the "end training on the
     best data" recipe (quality-ordered curricula / annealed data
     schedules): each training phase admits only documents at or above
@@ -5229,10 +5261,16 @@ def curriculum_phase_plan(documents: DataFrame) -> DataFrame:
     CDF device, then phases × deciles is a ≤|phases|·10-row join —
     no per-doc decile join, no global sort, nothing corpus-sized
     after the first aggregate.
+
+    `tokenizer` (r12, the budget-family unit): the per-phase token
+    mass a run schedules against; whitespace counting under-counts
+    de-spaced scripts ~300×. None = lang_aware when a lang column
+    exists (text.budget_token_count).
     """
+    tokenizer = resolve_budget_tokenizer(documents, tokenizer)
     scored = documents.select(
         quality_score(F.col("text")).alias("q"),
-        token_count(F.col("text")).alias("n_tokens"),
+        budget_token_count(tokenizer).alias("n_tokens"),
     )
     hist = scored.groupBy("q").agg(
         F.count(F.lit(1)).alias("n"),

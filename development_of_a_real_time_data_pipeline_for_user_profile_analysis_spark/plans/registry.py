@@ -7861,9 +7861,9 @@ def q_ab_test_report(spark, sf_dir):
 
 @query(
     "temperature_mixture_weights",
-    """WITH per_source AS (
+    f"""WITH per_source AS (
          SELECT source,
-                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                CAST(sum({_LA_NTOK_SQL}) AS BIGINT)
                   AS n_tokens
          FROM documents GROUP BY source),
        w AS (SELECT source, n_tokens,
@@ -7891,7 +7891,7 @@ _MIX_TAU_VALUES = ", ".join(f"({t})" for t in text.MIXTURE_TAUS)
     "temperature_mixture_curve",
     f"""WITH per_source AS (
          SELECT source,
-                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                CAST(sum({_LA_NTOK_SQL}) AS BIGINT)
                   AS n_tokens
          FROM documents GROUP BY source),
        c AS (SELECT source, n_tokens, CAST(t.tau AS INT) AS tau
@@ -9729,6 +9729,7 @@ def q_tokenizer_fertility_report(spark, sf_dir):
     f"""WITH base AS (SELECT doc_id, source, lang,
                      CAST(n_chars AS BIGINT) AS n_chars,
                      CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+                     CAST({_LA_NTOK_SQL} AS BIGINT) AS la,
                      {_SQL_QUALITY} AS q,
                      md5(text) AS digest
               FROM documents),
@@ -9736,6 +9737,7 @@ def q_tokenizer_fertility_report(spark, sf_dir):
                     count(DISTINCT source) AS n_sources,
                     count(DISTINCT lang) AS n_langs,
                     CAST(sum(ws) AS BIGINT) AS total_ws_tokens,
+                    CAST(sum(la) AS BIGINT) AS total_la_tokens,
                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
                     floor(avg(q) * 10000 + 0.5) / 10000.0 AS mean_quality,
                     count(DISTINCT digest) AS n_distinct
@@ -9746,7 +9748,8 @@ def q_tokenizer_fertility_report(spark, sf_dir):
        tl AS (SELECT lang AS top_lang FROM (
                 SELECT lang, count(*) AS n FROM base GROUP BY 1)
               ORDER BY n DESC, lang DESC LIMIT 1)
-       SELECT n_docs, n_sources, n_langs, total_ws_tokens, total_chars,
+       SELECT n_docs, n_sources, n_langs, total_ws_tokens,
+              total_la_tokens, total_chars,
               mean_quality,
               CAST(n_docs - n_distinct AS BIGINT) AS n_exact_dup_docs,
               top_source, top_lang
@@ -10140,7 +10143,7 @@ def q_offpolicy_value_eval(spark, sf_dir):
 @query(
     "epoch_budget_report",
     f"""WITH ps AS (SELECT source,
-                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                    CAST(sum({_LA_NTOK_SQL}) AS BIGINT)
                       AS n_tokens
              FROM documents GROUP BY source),
        w AS (SELECT source, n_tokens,
@@ -12984,7 +12987,7 @@ _PHASES_SQL = ", ".join(
     "curriculum_phase_plan",
     f"""WITH hist AS (
   SELECT {{q}} AS q, count(*) AS n,
-         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+         CAST(sum({_LA_NTOK_SQL}) AS BIGINT) AS tok
   FROM documents GROUP BY 1),
 cdf AS (
   SELECT n, tok,

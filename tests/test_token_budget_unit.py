@@ -199,3 +199,46 @@ def test_shard_manifest_update_lang_aware_patch_equals_rebuild(
         ).collect()
     }
     assert patched == rebuilt
+
+
+def test_budget_family_extensions_count_honest_units(spark):
+    """r12 extension sweep: the mixture/epoch/curriculum/card tiers
+    allocate or report token mass — a de-spaced zh source must enter
+    those folds at its char mass, not as one-token-per-doc."""
+    zh_text = "今天天气很好" * 20  # 120 chars, no spaces
+    rows = [
+        (i, "english words here " * 10, "en", "web", 190)
+        for i in range(10)
+    ] + [(100 + i, zh_text, "zh", "cjk", 120) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # mixture weights: zh source mass = 10 * 120 chars, not 10 * 1
+    w = {
+        r.source: r.n_tokens
+        for r in text.temperature_mixture_weights(docs).collect()
+    }
+    assert w["cjk"] == 10 * 120
+    ws_mode = {
+        r.source: r.n_tokens
+        for r in text.temperature_mixture_weights(
+            docs, tokenizer="whitespace"
+        ).collect()
+    }
+    assert ws_mode["cjk"] == 10  # the lie, preserved under the flag
+    # epoch budget: honest zh mass keeps implied epochs sane
+    ep = {
+        r.source: r.n_tokens
+        for r in text.epoch_budget_report(docs).collect()
+    }
+    assert ep["cjk"] == 10 * 120
+    # curriculum: total phase-0 token mass includes zh chars
+    cur = text.curriculum_phase_plan(docs).collect()
+    phase0 = [r for r in cur if r.min_decile == 0][0]
+    assert phase0.n_tokens == sum(
+        len(t.split(" ")) for _, t, lang, _, _ in rows if lang == "en"
+    ) + 10 * 120
+    # dataset card: both units reported, la > ws on this corpus
+    card = text.dataset_card_report(docs).collect()[0]
+    assert card.total_la_tokens > card.total_ws_tokens
+    assert card.total_la_tokens - card.total_ws_tokens == 10 * (120 - 1)
