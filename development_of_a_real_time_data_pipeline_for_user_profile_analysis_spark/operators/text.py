@@ -4489,6 +4489,57 @@ def packing_length_curve(
     )
 
 
+def packing_unit_delta(
+    documents: DataFrame,
+    lens: tuple = PACK_CURVE_LENS,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """The MEASUREMENT companion of the r12 token-unit migration
+    (lang_dedup_delta_report's role, for the packing family): per
+    context length, the sequence count and utilization the loader
+    would schedule under the WHITESPACE unit vs the LANG-AWARE unit,
+    and how many training sequences whitespace counting
+    UNDER-schedules (`missing_sequences` — a de-spaced doc collapses
+    to one "token", and even a spaced CJK doc counts ~5× fewer words
+    than honest char units, so the ws plan thinks the corpus is
+    smaller than it is). Zero everywhere ⇔ the corpus has no
+    no-whitespace-script docs — the audit a migration sign-off
+    reads. Requires a lang column (the delta is undefined without
+    the language tier).
+
+    Scale shape: two packing_length_curve plans (each one corpus
+    scan + per-shard window + |lens|-row arithmetic) joined on the
+    |lens|-row key — broadcast-sized by construction."""
+    ws = packing_length_curve(
+        documents, lens, n_shards, tokenizer="whitespace"
+    ).select(
+        "seq_len",
+        F.col("n_sequences").alias("ws_n_sequences"),
+        F.col("utilization_ppm").alias("ws_utilization_ppm"),
+    )
+    la = packing_length_curve(
+        documents, lens, n_shards, tokenizer="lang_aware"
+    ).select(
+        "seq_len",
+        F.col("n_sequences").alias("la_n_sequences"),
+        F.col("utilization_ppm").alias("la_utilization_ppm"),
+    )
+    return (
+        ws.join(F.broadcast(la), "seq_len")
+        .select(
+            "seq_len",
+            "ws_n_sequences",
+            "la_n_sequences",
+            (F.col("la_n_sequences") - F.col("ws_n_sequences"))
+            .cast("long")
+            .alias("missing_sequences"),
+            "ws_utilization_ppm",
+            "la_utilization_ppm",
+        )
+        .orderBy("seq_len")
+    )
+
+
 def shard_manifest(
     documents: DataFrame,
     n_shards: int = PACK_SHARDS,

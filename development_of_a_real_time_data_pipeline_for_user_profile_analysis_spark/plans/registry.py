@@ -12013,6 +12013,55 @@ def q_packing_length_curve(spark, sf_dir):
     return text.packing_length_curve(_t(spark, sf_dir, "documents"))
 
 
+def _pack_curve_ctes(p: str, ntok_sql: str) -> str:
+    """One packing-curve CTE chain under a given token-unit SQL,
+    prefixed so two units coexist in one oracle (the
+    packing_unit_delta device). Produces `{p}res(seq_len,
+    n_sequences, utilization_ppm)`."""
+    return f"""{p}t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) % {_PSH} AS BIGINT) AS shard,
+         CAST({ntok_sql} AS BIGINT) AS n_tok
+  FROM documents),
+{p}o AS (SELECT shard, n_tok
+      FROM {p}t WHERE n_tok > 0),
+{p}ps AS (SELECT seq_len, shard, sum(n_tok) AS toks,
+         floor((sum(n_tok) - 1) / seq_len) + 1 AS n_seq
+       FROM (SELECT o.*, ls.seq_len
+             FROM {p}o o, (VALUES {_PACK_LENS_SQL}) ls(seq_len))
+       GROUP BY seq_len, shard),
+{p}res AS (SELECT seq_len,
+       CAST(sum(n_seq) AS BIGINT) AS n_sequences,
+       CAST(floor(sum(toks) * 1000000.0 / sum(n_seq * seq_len) + 0.5)
+            AS BIGINT) AS utilization_ppm
+FROM {p}ps GROUP BY seq_len)"""
+
+
+@query(
+    "packing_unit_delta",
+    f"""WITH {_pack_curve_ctes("w", "len(string_split(text, ' '))")},
+{_pack_curve_ctes("l", _LA_NTOK_SQL)}
+SELECT w.seq_len AS seq_len,
+       w.n_sequences AS ws_n_sequences,
+       l.n_sequences AS la_n_sequences,
+       CAST(l.n_sequences - w.n_sequences AS BIGINT)
+         AS missing_sequences,
+       w.utilization_ppm AS ws_utilization_ppm,
+       l.utilization_ppm AS la_utilization_ppm
+FROM wres w JOIN lres l ON l.seq_len = w.seq_len
+ORDER BY seq_len""",
+)
+def q_packing_unit_delta(spark, sf_dir):
+    """The token-unit migration's MEASUREMENT query (r12 — the
+    packing family's lang_dedup_delta_report): per context length,
+    sequences and utilization under the whitespace vs lang-aware
+    units, and the training sequences whitespace counting
+    UNDER-schedules on the NONWS partition. Oracle replays both
+    curve folds and the join."""
+    return text.packing_unit_delta(_t(spark, sf_dir, "documents"))
+
+
 @query(
     "edit_distance_dupes",
     _with_dupes(

@@ -1003,6 +1003,30 @@ def chunk_index_erase(
     }
 
 
+def _committed_segment_dirs(
+    d: str, exclude=None
+) -> list[str]:
+    """seg_id=* child dirs that carry Spark's `_SUCCESS` commit
+    marker. Per-child parquet reads MUST gate on it: a CONCURRENT
+    un-keyed erase's segment dir exists mid-write with only a
+    `_temporary` subtree inside, and reading it throws
+    AnalysisException (parent-level reads are safe — partition
+    discovery hides underscore dirs — but these readers point
+    INSIDE the child). Skipping an uncommitted segment is correct
+    by the same argument that makes concurrent erases safe at all:
+    a mid-flight request's subjects are not yet "known", and
+    overlap dedupes at aggregation time on (doc_id, digest)."""
+    if not os.path.isdir(d):
+        return []
+    return [
+        os.path.join(d, e)
+        for e in sorted(os.listdir(d))
+        if e.startswith("seg_id=")
+        and e != f"seg_id={exclude}"
+        and os.path.isfile(os.path.join(d, e, "_SUCCESS"))
+    ]
+
+
 def _known_erased_subjects(
     spark: SparkSession, index_path: str, exclude=None
 ) -> DataFrame | None:
@@ -1015,15 +1039,10 @@ def _known_erased_subjects(
     require_local_index_path("_known_erased_subjects", index_path)
     recover_torn_swap(index_path, "erased_subjects")
     parts = []
-    er_dir = os.path.join(index_path, "erases")
-    if os.path.isdir(er_dir):
-        for e in os.listdir(er_dir):
-            if e.startswith("seg_id=") and e != f"seg_id={exclude}":
-                parts.append(
-                    spark.read.parquet(
-                        os.path.join(er_dir, e)
-                    ).select("doc_id")
-                )
+    for seg in _committed_segment_dirs(
+        os.path.join(index_path, "erases"), exclude=exclude
+    ):
+        parts.append(spark.read.parquet(seg).select("doc_id"))
     led = os.path.join(index_path, "erased_subjects")
     if os.path.isdir(led) and os.listdir(led):
         parts.append(spark.read.parquet(led).select("doc_id"))
@@ -1611,6 +1630,9 @@ def _sla_prior_hwm(
         for e in os.listdir(d)
         if e.startswith("batch_id=")
         and int(e.split("=", 1)[1]) < batch_id
+        # committed segments only: a torn earlier segment (crash
+        # mid-publish) replays before this batch anyway
+        and os.path.isfile(os.path.join(d, e, "_SUCCESS"))
     ]
     if not segs:
         return None
@@ -2543,15 +2565,12 @@ def _known_manifest_erased_subjects(
 
     recover_torn_swap(path, "erased_subjects")
     parts = []
-    es_dir = os.path.join(path, "erase_subjects")
-    if os.path.isdir(es_dir):
-        for e in os.listdir(es_dir):
-            if e.startswith("seg_id=") and e != f"seg_id={exclude}":
-                parts.append(
-                    spark.read.parquet(
-                        os.path.join(es_dir, e)
-                    ).select("doc_id")
-                )
+    # committed segments only (_SUCCESS gate) — a concurrent erase's
+    # mid-write sidecar dir would throw on the per-child read
+    for seg in _committed_segment_dirs(
+        os.path.join(path, "erase_subjects"), exclude=exclude
+    ):
+        parts.append(spark.read.parquet(seg).select("doc_id"))
     led = os.path.join(path, "erased_subjects")
     if os.path.isdir(led) and os.listdir(led):
         parts.append(spark.read.parquet(led).select("doc_id"))

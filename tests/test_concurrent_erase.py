@@ -136,3 +136,37 @@ def test_ivfpq_concurrent_unkeyed_erases_do_not_collide(
     assert {r.vec_id for r in ts.collect()} == set(range(8))
     served = similarity.read_ivfpq_index_serving(spark, path)["codes"]
     assert served.filter(F.col("vec_id") < 8).count() == 0
+
+
+def test_known_subjects_skip_uncommitted_segment_dirs(spark, tmp_path):
+    """The concurrency flake's root cause, pinned: a sibling
+    thread's erase segment exists MID-WRITE with only a _temporary
+    subtree inside — the per-child parquet read used to throw
+    AnalysisException. The _SUCCESS gate skips it (its subjects are
+    not yet 'known'; overlap dedupes at aggregation time)."""
+    docs = _docs(spark, range(20))
+    cidx = str(tmp_path / "cidx")
+    pipeline.build_chunk_digest_index(docs, cidx)
+    pipeline.chunk_index_erase(
+        spark, cidx, docs.filter(F.col("doc_id") < 3), seg_id=1
+    )
+    # plant the mid-write state a concurrent erase exposes
+    torn = os.path.join(cidx, "erases", "seg_id=racing", "_temporary", "0")
+    os.makedirs(torn)
+    known = pipeline._known_erased_subjects(spark, cidx)
+    assert {r.doc_id for r in known.collect()} == {0, 1, 2}
+
+    from development_of_a_real_time_data_pipeline_for_user_profile_analysis_spark.streaming.pipeline import (
+        _known_manifest_erased_subjects,
+        build_manifest_artifact,
+        manifest_erase,
+    )
+
+    m = str(tmp_path / "m")
+    build_manifest_artifact(docs, m)
+    manifest_erase(spark, m, docs.filter(F.col("doc_id") < 2), seg_id=1)
+    os.makedirs(
+        os.path.join(m, "erase_subjects", "seg_id=racing", "_temporary")
+    )
+    mk = _known_manifest_erased_subjects(spark, m)
+    assert {r.doc_id for r in mk.collect()} == {0, 1}
