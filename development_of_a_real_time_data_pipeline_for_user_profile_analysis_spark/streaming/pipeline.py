@@ -1949,6 +1949,16 @@ def read_sft_prefix_index(
                 and int(bid) >= int(exclude_batch_id)
             ):
                 continue
+            # committed segments only (_SUCCESS gate, the
+            # _committed_segment_dirs argument): a CONCURRENT add's
+            # dir exists mid-write with only a _temporary subtree and
+            # the per-child read throws; an uncommitted batch's
+            # prefixes are not yet published, and its foreachBatch
+            # replay re-lands them idempotently
+            if not os.path.isfile(
+                os.path.join(adds_dir, e, "_SUCCESS")
+            ):
+                continue
             rel = rel.unionByName(
                 spark.read.parquet(os.path.join(adds_dir, e)).select(
                     "doc_id", "u_idx", "prefix_digest"

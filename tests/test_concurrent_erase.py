@@ -170,3 +170,30 @@ def test_known_subjects_skip_uncommitted_segment_dirs(spark, tmp_path):
     )
     mk = _known_manifest_erased_subjects(spark, m)
     assert {r.doc_id for r in mk.collect()} == {0, 1}
+
+
+def test_prefix_index_read_skips_uncommitted_add_dirs(spark, tmp_path):
+    """Same hazard class on the SFT prefix index's serving read: a
+    CONCURRENT gate batch's adds/batch_id=N dir exists mid-write
+    with only a _temporary subtree — the per-child read used to
+    throw. The _SUCCESS gate skips it (an uncommitted batch's
+    prefixes are not yet published; its foreachBatch replay re-lands
+    them idempotently) while committed adds still serve."""
+    convs = spark.createDataFrame(
+        [(int(i), f"u: prefix conv {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pfx = str(tmp_path / "pfx")
+    pipeline.build_sft_prefix_index(convs, pfx)
+    base = pipeline.read_sft_prefix_index(spark, pfx)
+    # a COMMITTED add segment (Spark write stamps _SUCCESS)
+    base.limit(1).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "u_idx", "prefix_digest"
+    ).write.parquet(os.path.join(pfx, "adds", "batch_id=0"))
+    # the mid-write state a concurrent gate batch exposes
+    os.makedirs(
+        os.path.join(pfx, "adds", "batch_id=1", "_temporary", "0")
+    )
+    rel = pipeline.read_sft_prefix_index(spark, pfx)
+    ids = {r.doc_id for r in rel.select("doc_id").distinct().collect()}
+    assert set(range(6)).issubset(ids) and any(i >= 100 for i in ids)
