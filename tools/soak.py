@@ -274,6 +274,14 @@ def main() -> None:
         get_spark,
     )
 
+    if "SPARK_DRIVER_MEMORY" not in os.environ and replication > 30:
+        # The 100x probe OOM'd the funnel's banding aggregation under
+        # the 8g default. local-mode driver memory stands in for the
+        # cluster's TOTAL executor memory, so it must scale with the
+        # probe; on a real cluster this is executors x memory, which
+        # scales by provisioning, not config.
+        os.environ["SPARK_DRIVER_MEMORY"] = "48g"
+        print("# SPARK_DRIVER_MEMORY=48g (replication > 30)", file=sys.stderr)
     spark = get_spark("soak")
     spark.sparkContext.setLogLevel("ERROR")
     if os.path.exists(os.path.join(dst, "lineitem.parquet")):
