@@ -122,6 +122,55 @@ def refuse_stale_segments(
         )
 
 
+BUILD_PENDING_FILE = "_build_pending.json"  # at the artifact root
+
+
+def begin_param_build(path: str, builder: str, params: dict) -> None:
+    """Durably record a recorded-parameter artifact build IN FLIGHT
+    (r12 hardening — the torn-build window): every builder that
+    records an artifact parameter (`_tokenizer.json` on the band
+    index, chunk-digest index and shard manifest) writes its base
+    FIRST and publishes the meta AFTER — a crash between the two
+    leaves a lang_aware-built base whose meta-less fallback reads
+    as *whitespace*, exactly the silent unit-mix the recorded
+    parameter exists to prevent (and on a REBUILD, the stale old
+    meta misdescribes the fresh base the same way). The intent
+    marker closes the window: written atomically before the base
+    write, removed only after the meta publish; the parameter
+    readers refuse a path carrying the marker, so every crash
+    inside the build window is LOUD (rebuild clears it) instead of
+    silently mis-unitted."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{BUILD_PENDING_FILE}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"builder": builder, **params}, fh)
+    os.replace(tmp, os.path.join(path, BUILD_PENDING_FILE))
+
+
+def finish_param_build(path: str) -> None:
+    try:
+        os.remove(os.path.join(path, BUILD_PENDING_FILE))
+    except FileNotFoundError:
+        pass
+
+
+def require_completed_build(path: str, reader: str) -> None:
+    """Refuse to read a recorded artifact parameter while (or after a
+    crash inside) a parameter build: the base on disk may not match
+    the recorded meta — or the meta-less whitespace fallback. Loud
+    beats silently serving the wrong unit; re-running the build
+    clears the marker."""
+    marker = os.path.join(path, BUILD_PENDING_FILE)
+    if os.path.exists(marker):
+        raise RuntimeError(
+            f"{reader}: artifact at {path!r} carries "
+            f"{BUILD_PENDING_FILE} — a parameter build is in flight "
+            "or crashed between the base write and the meta publish, "
+            "so the base may not match the recorded parameters. "
+            "Re-run the build to clear it."
+        )
+
+
 def begin_compaction(
     path: str,
     base_name: str,

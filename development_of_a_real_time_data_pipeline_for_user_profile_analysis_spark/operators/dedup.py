@@ -2459,6 +2459,9 @@ def band_index_tokenizer(path: str) -> str:
     import json
     import os
 
+    from .artifact_lifecycle import require_completed_build
+
+    require_completed_build(path, "band_index_tokenizer")
     meta = os.path.join(path, BAND_TOKENIZER_FILE)
     if os.path.isfile(meta):
         with open(meta) as fh:
@@ -2501,11 +2504,19 @@ def write_band_index(
         raise ValueError(
             "lang_aware band index needs a lang column on the corpus"
         )
-    from .artifact_lifecycle import refuse_stale_segments
+    from .artifact_lifecycle import (
+        begin_param_build,
+        finish_param_build,
+        refuse_stale_segments,
+    )
 
     refuse_stale_segments(
         path, ("adds", "tombstones"), "write_band_index"
     )
+    # build-intent fence (r12): a crash between the bands write and
+    # the meta publish must read LOUD, not as the meta-less
+    # whitespace fallback (or, on rebuild, the stale old meta).
+    begin_param_build(path, "write_band_index", {"tokenizer": tokenizer})
     banded_signatures(
         corpus, sh=_band_shingles(corpus, tokenizer)
     ).write.mode("overwrite").parquet(os.path.join(path, "bands"))
@@ -2513,6 +2524,7 @@ def write_band_index(
     with open(tmp, "w") as fh:
         json.dump({"tokenizer": tokenizer}, fh)
     os.replace(tmp, os.path.join(path, BAND_TOKENIZER_FILE))
+    finish_param_build(path)
 
 
 def require_local_index_path(fn: str, path: str) -> None:

@@ -8,6 +8,7 @@ shuffle.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1183,6 +1184,212 @@ def sft_dedup_corpus(documents: DataFrame) -> DataFrame:
         F.md5("text").alias("content_hash"),
         token_count(F.col("text")).alias("n_tokens"),
     ).orderBy("doc_id")
+
+
+INSTR_PREFIX_TOKENS = 12  # instruction = first 12 tokens of the doc
+INSTR_PARA_MOD = 10  # residue 3 spawns a light paraphrase (flagged)
+INSTR_PARA_RESIDUE = 3
+INSTR_PARA_ID_OFFSET = 600_000
+INSTR_TAIL_RESIDUE = 7  # residue 7 spawns a diverging-tail variant
+INSTR_TAIL_ID_OFFSET = 700_000
+ROUGEL_THRESHOLD = 0.7  # the self-instruct similarity cutoff
+ROUGEL_BLOCK_GRAM = 4  # blocking n-gram length
+ROUGEL_BLOCK_MAX_DF = 20  # rare-gram document-frequency cap
+
+
+def instruction_corpus(documents: DataFrame) -> DataFrame:
+    """The INSTRUCTION corpus (synthetic-SFT shape): each doc's
+    first INSTR_PREFIX_TOKENS tokens stand in for a generated
+    instruction, plus two planted variant tiers — the ground truth
+    for sequence-similarity dedup that set-based measures blur:
+
+      * residue 3 (mod 10) → id + 600000: a LIGHT PARAPHRASE (two
+        tokens swapped for politeness fillers at positions 5 and 9)
+        — ROUGE-L ≈ 0.83 against its base, ABOVE the 0.7 cutoff;
+      * residue 7 → id + 700000: same opening 6 tokens, then a
+        fully diverging tail — ROUGE-L ≈ 0.5, BELOW the cutoff but
+        sharing blocking grams, so it exercises the verify filter.
+
+    Mirrored by INSTRUCTION_ORACLE_CTE (CTE `instr`)."""
+    ws = F.split(F.col("text"), " ")
+    first_k = F.slice(ws, 1, INSTR_PREFIX_TOKENS)
+    para = F.transform(
+        F.sequence(F.lit(1), F.least(F.size(ws), F.lit(INSTR_PREFIX_TOKENS))),
+        lambda i: F.when(i == 5, F.lit("pls"))
+        .when(i == 9, F.lit("kindly"))
+        .otherwise(F.element_at(ws, i)),
+    )
+    tail = F.concat(
+        F.slice(ws, 1, 6),
+        F.array(
+            *[F.lit(w) for w in (
+                "totally", "new", "request", "about", "different",
+                "things",
+            )]
+        ),
+    )
+    base = documents.select(
+        "doc_id", F.array_join(first_k, " ").alias("instruction")
+    )
+    paras = (
+        documents.filter(
+            F.col("doc_id") % INSTR_PARA_MOD == INSTR_PARA_RESIDUE
+        )
+        .select(
+            (F.col("doc_id") + INSTR_PARA_ID_OFFSET).alias("doc_id"),
+            F.array_join(para, " ").alias("instruction"),
+        )
+    )
+    tails = (
+        documents.filter(
+            F.col("doc_id") % INSTR_PARA_MOD == INSTR_TAIL_RESIDUE
+        )
+        .select(
+            (F.col("doc_id") + INSTR_TAIL_ID_OFFSET).alias("doc_id"),
+            F.array_join(tail, " ").alias("instruction"),
+        )
+    )
+    return base.unionByName(paras).unionByName(tails)
+
+
+# SQL mirror of instruction_corpus (DuckDB dialect), CTE `instr`.
+# Keep in lockstep with the function above.
+INSTRUCTION_ORACLE_CTE = f"""
+instr AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+                                    {INSTR_PREFIX_TOKENS}), ' ')
+           AS instruction
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {INSTR_PARA_ID_OFFSET},
+         array_to_string(list_transform(
+           generate_series(1, least(len(string_split(text, ' ')),
+                                    {INSTR_PREFIX_TOKENS})),
+           i -> CASE WHEN i = 5 THEN 'pls'
+                     WHEN i = 9 THEN 'kindly'
+                     ELSE string_split(text, ' ')[i] END), ' ')
+  FROM documents
+  WHERE doc_id % {INSTR_PARA_MOD} = {INSTR_PARA_RESIDUE}
+  UNION ALL
+  SELECT doc_id + {INSTR_TAIL_ID_OFFSET},
+         array_to_string(
+           list_slice(string_split(text, ' '), 1, 6)
+             || ['totally', 'new', 'request', 'about', 'different',
+                 'things'], ' ')
+  FROM documents
+  WHERE doc_id % {INSTR_PARA_MOD} = {INSTR_TAIL_RESIDUE}
+)"""
+
+
+def rougel_instruction_dupes(
+    instructions: DataFrame,
+    threshold: float = ROUGEL_THRESHOLD,
+    block_gram: int = ROUGEL_BLOCK_GRAM,
+    max_df: int = ROUGEL_BLOCK_MAX_DF,
+) -> DataFrame:
+    """ROUGE-L near-dup detection over an instruction corpus — the
+    self-instruct hygiene rule (a candidate instruction is dropped
+    when its ROUGE-L F-measure against an existing instruction
+    exceeds 0.7). ROUGE-L is LCS-based: it sees token ORDER, so a
+    light paraphrase scores high while a same-vocabulary reshuffle
+    does not — the gap set-based Jaccard/minhash measures blur.
+
+    rouge_l = 2·|LCS(a,b)| / (|a|+|b|)  (the F-measure with P =
+    LCS/|b|, R = LCS/|a|).
+
+    Scale shape: candidates block on shared RARE `block_gram`-grams
+    (document frequency <= max_df — the ngram_jaccard_dupes
+    device: linear in the corpus, never all-pairs); the LCS DP runs
+    only on candidate pairs as an Arrow-batched pandas UDF
+    (numpy DP, O(prefix²) per pair with instruction-length inputs —
+    the genuinely non-relational step, exactly where the UDF tier
+    belongs). Output: (doc_a, doc_b, n_a, n_b, lcs, rouge_l) pairs
+    at or above the threshold."""
+    ws = F.split(F.col("instruction"), " ")
+    toks = instructions.select("doc_id", ws.alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= block_gram,
+                F.expr(
+                    f"transform(sequence(1, size(w) - {block_gram - 1}),"
+                    f" i -> array_join(slice(w, i, {block_gram}), ' '))"
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    ).distinct()
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("gram")
+    )
+    rg = grams.join(rare, "gram", "left_semi")
+    cands = (
+        rg.alias("ga")
+        .join(rg.alias("gb"), "gram")
+        .filter(F.col("ga.doc_id") < F.col("gb.doc_id"))
+        .select(
+            F.col("ga.doc_id").alias("doc_a"),
+            F.col("gb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    @F.pandas_udf("long")
+    def lcs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for sa, sb in zip(a, b):
+            ta, tb = sa.split(" "), sb.split(" ")
+            n, m = len(ta), len(tb)
+            dp = np.zeros((n + 1, m + 1), dtype=np.int64)
+            for i in range(1, n + 1):
+                ai = ta[i - 1]
+                row, prev = dp[i], dp[i - 1]
+                for j in range(1, m + 1):
+                    row[j] = max(
+                        prev[j],
+                        row[j - 1],
+                        prev[j - 1] + (ai == tb[j - 1]),
+                    )
+            out.append(int(dp[n, m]))
+        return pd.Series(out)
+
+    ia = instructions.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("instruction").alias("ia"),
+    )
+    ib = instructions.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("instruction").alias("ib"),
+    )
+    scored = (
+        cands.join(ia, "doc_a")
+        .join(ib, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.split("ia", " ")).cast("long").alias("n_a"),
+            F.size(F.split("ib", " ")).cast("long").alias("n_b"),
+            lcs_udf(F.col("ia"), F.col("ib")).alias("lcs"),
+        )
+        .withColumn(
+            "rouge_l",
+            F.floor(
+                2.0 * F.col("lcs") / (F.col("n_a") + F.col("n_b"))
+                * 10000
+                + 0.5
+            ).cast("long")
+            / 10000.0,
+        )
+    )
+    return scored.filter(
+        F.col("rouge_l") >= threshold
+    ).orderBy("doc_a", "doc_b")
 
 
 PREFIX_FORK_MOD = 8  # dialogues with residue 6 spawn a prefix fork
@@ -3803,6 +4010,51 @@ def _doc_bucket(col: Column, mod: int) -> Column:
         F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
         .cast("long")
         % mod
+    )
+
+
+def _gram_array_expr(n: int) -> Column:
+    """The n-token span array for the decontamination rule: all
+    n-grams of consecutive whitespace tokens (empty for docs shorter
+    than n tokens). JVM higher-order transform — no per-token
+    explode beyond the n-gram fan-out."""
+    return F.expr(
+        f"CASE WHEN size(split(text, ' ')) >= {n}"
+        f" THEN transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+        f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+        f" ELSE array() END"
+    )
+
+
+def benchmark_gram_set(
+    documents: DataFrame,
+    n: int = BENCH_NGRAM_N,
+    mod: int = BENCH_SAMPLE_MOD,
+    residue: int = BENCH_SAMPLE_RESIDUE,
+) -> DataFrame:
+    """The held-out benchmark's distinct n-gram relation (the 1/`mod`
+    md5 doc bucket standing in for the eval suite) — the reference
+    set every decontamination probe broadcasts. Orders of magnitude
+    smaller than the corpus; callers that probe it repeatedly (the
+    streaming gate) should persist it."""
+    return (
+        documents.filter(_doc_bucket(F.col("doc_id"), mod) == residue)
+        .select(F.explode(_gram_array_expr(n)).alias("gram"))
+        .distinct()
+    )
+
+
+def flag_contaminated(
+    batch: DataFrame, bench_grams: DataFrame, n: int = BENCH_NGRAM_N
+) -> DataFrame:
+    """Distinct doc_ids in `batch` sharing any n-token span with the
+    benchmark gram set (broadcast semi-join — the batch side is never
+    shuffled on the gram key)."""
+    return (
+        batch.select("doc_id", F.explode(_gram_array_expr(n)).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
     )
 
 

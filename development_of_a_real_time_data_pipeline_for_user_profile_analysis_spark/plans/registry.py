@@ -3157,36 +3157,59 @@ def q_streaming_erasure_sla_monitor(spark, sf_dir):
             "doc_id long, event_ts long"
         )
         base_t = _time.time()
-        for b in (0, 1):
-            parts = []
-            for i, (rid, (its, marks)) in enumerate(
+        # One job builds BOTH batch files (r12 perf: the previous
+        # per-request union of docs-filter branches under
+        # coalesce(1) serialized 9 scan branches through one task —
+        # build was 21-31 s of the query's 24 s wall while the
+        # stream phase it was blamed on was <3 s). The intake
+        # slices come from ONE parallel docs scan broadcast-joined
+        # to the 4-row fixture map; applied marks are a local
+        # relation; partitionBy("b") emits exactly one file per
+        # batch (repartition("b") first so each batch is one task's
+        # output), moved/mtime-staged exactly as before.
+        fix_rows = [
+            (i, rid, int(its), 0 if its <= _SLA_STREAM_SPLIT else 1)
+            for i, (rid, (its, _marks)) in enumerate(
                 sorted(_SLA_FIXTURE.items())
-            ):
-                if (0 if its <= _SLA_STREAM_SPLIT else 1) == b:
-                    parts.append(
-                        docs.filter(F.col("doc_id") % 11 == i).select(
-                            F.lit(rid).alias("request_id"),
-                            F.lit("intake").alias("kind"),
-                            F.lit(None).cast("string").alias("artifact"),
-                            "doc_id",
-                            F.lit(int(its)).alias("event_ts"),
-                        )
-                    )
-                applied = [
-                    (rid, "applied", art, None, int(ats))
-                    for art, ats in sorted(marks.items())
-                    if (0 if ats <= _SLA_STREAM_SPLIT else 1) == b
-                ]
-                if applied:
-                    parts.append(
-                        spark.createDataFrame(applied, ev_schema)
-                    )
-            rel = parts[0]
-            for p in parts[1:]:
-                rel = rel.unionByName(p)
-            stage = f"{work}/stage_{b}"
-            rel.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            )
+        ]
+        fix_df = spark.createDataFrame(
+            fix_rows, "i int, request_id string, event_ts long, b int"
+        )
+        intakes = (
+            docs.select(
+                "doc_id",
+                (F.col("doc_id") % 11).cast("int").alias("i"),
+            )
+            .join(F.broadcast(fix_df), "i")
+            .select(
+                "request_id",
+                F.lit("intake").alias("kind"),
+                F.lit(None).cast("string").alias("artifact"),
+                "doc_id",
+                "event_ts",
+                "b",
+            )
+        )
+        applied_rows = [
+            (rid, "applied", art, None, int(ats),
+             0 if ats <= _SLA_STREAM_SPLIT else 1)
+            for rid, (_its, marks) in sorted(_SLA_FIXTURE.items())
+            for art, ats in sorted(marks.items())
+        ]
+        applied_df = spark.createDataFrame(
+            applied_rows, ev_schema + ", b int"
+        )
+        stage = f"{work}/stage"
+        (
+            intakes.unionByName(applied_df)
+            .repartition("b")
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(stage)
+        )
+        for b in (0, 1):
+            part = _glob.glob(f"{stage}/b={b}/part-*.parquet")[0]
             dst = f"{in_dir}/b{b}.parquet"
             shutil.move(part, dst)
             _os.utime(dst, (base_t + 10 * b, base_t + 10 * b))
@@ -13025,6 +13048,249 @@ def q_streaming_leakage_monitor(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+_DECON_RECRAWL_BASE = 100_000  # planted re-crawl doc_id offset
+
+
+@query(
+    "streaming_decontamination_gate",
+    f"""WITH b AS (
+  SELECT doc_id, source,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) AS BIGINT) % {_BM} AS bk,
+         string_split(text, ' ') AS w
+  FROM documents),
+g AS (SELECT doc_id, bk,
+             unnest(list_transform(generate_series(1, len(w) - {_BN - 1}),
+                    i -> array_to_string(list_slice(w, i, i + {_BN - 1}),
+                                         ' '))) AS gram
+      FROM b WHERE len(w) >= {_BN}),
+bg AS (SELECT DISTINCT gram FROM g WHERE bk = {_BR}),
+train AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS batch_id
+  FROM b WHERE bk <> {_BR}
+  UNION ALL
+  SELECT doc_id + {_DECON_RECRAWL_BASE}, 'recrawl', 1
+  FROM b WHERE bk = {_BR}),
+cont AS (
+  SELECT doc_id FROM g WHERE bk <> {_BR}
+    AND gram IN (SELECT gram FROM bg)
+  UNION
+  SELECT DISTINCT doc_id + {_DECON_RECRAWL_BASE} FROM g
+  WHERE bk = {_BR})
+SELECT CAST(t.batch_id AS BIGINT) AS batch_id, t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       floor(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / count(*) * 10000 + 0.5) / 10000.0
+         AS contamination_rate
+FROM train t LEFT JOIN cont c ON t.doc_id = c.doc_id
+GROUP BY t.batch_id, t.source
+ORDER BY batch_id, source""",
+)
+def q_streaming_decontamination_gate(spark, sf_dir):
+    """The decontamination family's STREAMING twin (r12 — the last
+    curation family without an ingest-time mode): candidate training
+    docs arrive as micro-batches and are probed against the
+    broadcast benchmark 13-gram set BEFORE admission
+    (run_decontamination_stream) — per-batch, per-source report plus
+    admitted/quarantine ledgers. Batch 0 is ordinary crawl traffic
+    (natural contamination only); batch 1 ALSO sweeps an
+    eval-hosting mirror — re-crawls of benchmark docs under a new
+    source — and its report shows the 'recrawl' source flagged at
+    ~100% while ordinary sources stay flat: the transition the
+    one-shot batch audit (benchmark_ngram_contamination) cannot
+    show. A benchmark doc shorter than 13 tokens has no grams, so
+    its re-crawl legitimately passes — the oracle mirrors that via
+    the gram relation rather than assuming every re-crawl flags.
+
+    Scale shape: the benchmark gram set is persisted once and
+    BROADCAST into every batch's semi-join; per-batch cost is the
+    batch's n-gram fan-out + per-source aggregate, O(|batch|); the
+    corpus is never shuffled on the gram key."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.pipeline import run_decontamination_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = text._doc_bucket(F.col("doc_id"), text.BENCH_SAMPLE_MOD)
+    train = docs.filter(bucket != text.BENCH_SAMPLE_RESIDUE)
+    bench_docs = docs.filter(bucket == text.BENCH_SAMPLE_RESIDUE)
+    b0 = train.filter(F.col("doc_id") % 3 == 0)
+    b1 = train.filter(F.col("doc_id") % 3 != 0).unionByName(
+        bench_docs.select(
+            (F.col("doc_id") + _DECON_RECRAWL_BASE).alias("doc_id"),
+            "text",
+            "lang",
+            F.lit("recrawl").alias("source"),
+            "n_chars",
+        )
+    )
+    work = tempfile.mkdtemp(prefix="decon_gate_")
+    bench_grams = text.benchmark_gram_set(docs).persist()
+    try:
+        _ph0 = _time.monotonic()
+        in_dir = f"{work}/in"
+        _os.makedirs(in_dir)
+        base_t = _time.time()
+        for i, rel in enumerate((b0, b1)):
+            stage = f"{work}/stage_{i}"
+            rel.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            shutil.move(part, dst)
+            _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
+        _ph1 = _time.monotonic()
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = run_decontamination_stream(
+            spark,
+            stream,
+            bench_grams,
+            f"{work}/out",
+            f"{work}/ckpt",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "decontamination stream did not drain within 300 s"
+                + (f": {q.exception()}" if q.exception() else "")
+            )
+        _ph2 = _time.monotonic()
+        _record_phases("streaming_decontamination_gate", _ph0, _ph1, _ph2)
+        out = (
+            spark.read.option("basePath", f"{work}/out/report")
+            .parquet(f"{work}/out/report")
+            .select(
+                F.col("batch_id").cast("long").alias("batch_id"),
+                "source",
+                "n_docs",
+                "n_contaminated",
+                "contamination_rate",
+            )
+            .orderBy("batch_id", "source")
+        )
+        return _publish_result(
+            spark, out, "streaming_decontamination_gate"
+        )
+    finally:
+        bench_grams.unpersist()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "rougel_instruction_dupes",
+    f"""WITH RECURSIVE {text.INSTRUCTION_ORACLE_CTE.lstrip()},
+toks AS (SELECT doc_id, string_split(instruction, ' ') AS w FROM instr),
+gg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, len(w) - {text.ROUGEL_BLOCK_GRAM - 1}),
+             i -> array_to_string(
+               list_slice(w, i, i + {text.ROUGEL_BLOCK_GRAM - 1}), ' ')))
+             AS gram
+    FROM toks WHERE len(w) >= {text.ROUGEL_BLOCK_GRAM})),
+rare AS (SELECT gram FROM gg GROUP BY gram
+         HAVING count(*) <= {text.ROUGEL_BLOCK_MAX_DF}),
+rg AS (SELECT doc_id, gram FROM gg
+       WHERE gram IN (SELECT gram FROM rare)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rg a JOIN rg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT c.doc_a, c.doc_b, ta.w AS a, tb.w AS b
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b),
+sizes AS (SELECT doc_a, doc_b, len(a) AS n, len(b) AS m FROM pairs),
+dp AS (
+  SELECT p.doc_a, p.doc_b, 1 AS i, 1 AS j,
+         CASE WHEN p.a[1] = p.b[1] THEN 1 ELSE 0 END AS v, 1 AS tag
+  FROM pairs p JOIN sizes s USING (doc_a, doc_b)
+  WHERE s.n >= 1 AND s.m >= 1
+  UNION ALL
+  SELECT c.doc_a, c.doc_b, c.i, c.j,
+         CASE WHEN c.tag = 1 AND (c.i = 1 OR c.j = 1)
+              THEN greatest(max(c.v),
+                   CASE WHEN p2.a[c.i] = p2.b[c.j] THEN 1 ELSE 0 END)
+              ELSE max(c.v) END AS v,
+         c.tag
+  FROM (
+    SELECT d.doc_a, d.doc_b,
+           CAST(t.cell[1] AS INT) AS i, CAST(t.cell[2] AS INT) AS j,
+           t.cell[3]
+             + CASE WHEN t.cell[4] = 1
+                         AND p.a[CAST(t.cell[1] AS INT)]
+                             = p.b[CAST(t.cell[2] AS INT)]
+                    THEN 1 ELSE 0 END AS v,
+           CASE WHEN t.cell[4] = 9 THEN 0 ELSE 1 END AS tag
+    FROM dp d
+    JOIN pairs p USING (doc_a, doc_b)
+    JOIN sizes s USING (doc_a, doc_b),
+    UNNEST(CASE
+      WHEN d.tag = 1 AND d.i + d.j < s.n + s.m THEN
+        [[d.i + 1, d.j, d.v, 0],
+         [d.i, d.j + 1, d.v, 0],
+         [d.i, d.j, d.v, 9]]
+      WHEN d.tag = 1 THEN
+        [[d.i + 1, d.j, d.v, 0],
+         [d.i, d.j + 1, d.v, 0]]
+      ELSE
+        [[d.i + 1, d.j + 1, d.v, 1]]
+    END) AS t(cell)
+    WHERE CAST(t.cell[1] AS INT) <= s.n
+      AND CAST(t.cell[2] AS INT) <= s.m
+  ) c
+  JOIN pairs p2 USING (doc_a, doc_b)
+  GROUP BY c.doc_a, c.doc_b, c.i, c.j, c.tag, p2.a, p2.b
+),
+lcs AS (
+  SELECT s.doc_a, s.doc_b, s.n, s.m,
+         COALESCE(f.v, 0) AS lcs
+  FROM sizes s
+  LEFT JOIN (SELECT d.doc_a, d.doc_b, d.v FROM dp d
+             JOIN sizes s2 USING (doc_a, doc_b)
+             WHERE d.i = s2.n AND d.j = s2.m AND d.tag = 1) f
+    USING (doc_a, doc_b))
+SELECT doc_a, doc_b,
+       CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+       CAST(lcs AS BIGINT) AS lcs,
+       CAST(floor(2.0 * lcs / (n + m) * 10000 + 0.5) AS BIGINT)
+         / 10000.0 AS rouge_l
+FROM lcs
+WHERE CAST(floor(2.0 * lcs / (n + m) * 10000 + 0.5) AS BIGINT)
+        / 10000.0 >= {text.ROUGEL_THRESHOLD}
+ORDER BY doc_a, doc_b""",
+)
+def q_rougel_instruction_dupes(spark, sf_dir):
+    """ROUGE-L near-dup detection over the instruction corpus — the
+    self-instruct hygiene rule (drop a candidate instruction whose
+    ROUGE-L F-measure against an existing one exceeds 0.7). The
+    LCS-based measure sees token ORDER, the axis Jaccard/minhash
+    blur: the planted light paraphrase (two filler swaps, ≈0.83)
+    flags, the shared-opening diverging-tail variant (≈0.5) blocks
+    into the candidate set but fails the verify. Candidates block on
+    shared rare 4-grams (the ngram_jaccard device — linear, never
+    all-pairs); the LCS DP runs only on candidates as an
+    Arrow-batched numpy UDF. The oracle replays the FULL dynamic
+    program in SQL — an anti-diagonal recursive CTE (cell (i,j)
+    depends only on diagonals i+j-1 and i+j-2, so the recursion
+    carries two diagonals and every LCS cell is reproduced
+    engine-independently)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.rougel_instruction_dupes(text.instruction_corpus(docs))
 
 
 _PHASES_SQL = ", ".join(
@@ -13954,8 +14220,9 @@ DRIVER_PRIORITY = [
     "streaming_dedup_profiles",
     "streaming_boilerplate_scrub",  # r9: the serve-mode content gate over the MAINTAINED template artifact enters (evicts streaming_user_totals -> past window; the custom-stateful discipline stays pytest-covered in tests/test_stateful*.py and streaming aggregation stays in-window via streaming_events_hourly + streaming_session_windows)
     "streaming_sft_prefix_gate",  # r10: the prompt-prefix dedup as a STREAMING admission gate over the maintained prefix index — later batches dedup against earlier batches through adds segments, replay-safe via monotone batch-id exclusion (evicts sft_prefix_dedup -> past window; the cumulative turn-digest chain and the prefix-dedup semantics stay in-window INSIDE this gate, which probes the same maintained chains, and the batch chat-dedup family keeps sft_user_dedup)
+    "streaming_decontamination_gate",  # r12w9: decontamination's STREAMING twin — the last curation family without an ingest-time mode; per-batch broadcast 13-gram probe with admitted/quarantine ledgers, batch 1 sweeps an eval-hosting mirror and the 'recrawl' source flags at ~100% (evicts referential_integrity_report -> past window; FK/anti-join integrity discipline stays in-window via erasure_completeness_audit's anti-join counts + erasure_request_ledger_audit's zero-referencing-rows checks, and the batch contamination family keeps benchmark_bloom_contamination)
     # text analysis / training-data ops
-    "sft_user_dedup",  # r9: role-aware keep-one-response-per-prompt dedup enters (chat/SFT family's first window rep; evicts conversion_funnel -> past window, conditional-agg funnels stay in-window via segment_priority_grouping_sets' conditional aggregates + events_rollup_multi)
+    "rougel_instruction_dupes",  # r12w10: ROUGE-L (LCS) instruction near-dup — the self-instruct 0.7 hygiene rule; ORDER-aware similarity the set-based tiers blur, rare-gram blocked, Arrow-batched numpy DP, oracle = the FULL dynamic program as an anti-diagonal recursive CTE (evicts sft_user_dedup -> past window; the role-aware keep-one discipline stays oracle-covered past window and the chat/SFT family keeps streaming_sft_prefix_gate — the maintained prefix-chain gate — plus preference_pair_near_dup_audit in-window)
     "preference_pair_near_dup_audit",  # r11 (VERDICT r10 ask #2): the WIDER RLHF hygiene audit enters — chosen≈rejected near-degenerates as one (pair_id, shingle) keyed aggregate + cross-pair prompt dedup on md5(prompt) with the keep-one rule priced (evicts preference_pair_audit -> past window; exact-degenerate and canned-prompt counting stay in-window INSIDE this audit — family superset — and the eval-split leakage column stays oracle-covered past window)
     "provenance_incremental_audit",  # r10: provenance stamps maintained at DELTA cost — stamp ⊕ xor(added) ⊕ xor(removed) scanning only the delta slices, incremental == recompute value-checked, stale artifact flags (evicts artifact_provenance_audit -> past window; the stamp device, the one-scan recompute, and the stale-stamp flagging all stay in-window INSIDE this audit — same family, superset discipline)
     "gopher_quality_report",  # r3w6: rule-based quality gate (evicts top_ngrams)
@@ -13983,8 +14250,9 @@ DRIVER_PRIORITY = [
     "snapshot_retention_enforce",  # r10w4: the retention-policy ENFORCEMENT closure — keep-newest-K vacuum drops the expired epochs incl. the planted pre-erase leaker, post-drop audit value-checks zero past-retention + zero erased-subject references (evicts snapshot_erasure_audit -> past window; this query COMPOSES the same per-epoch leak audit and adds the policy loop — the snapshot/time-travel family's superset rep)
     "erasure_request_ledger_audit",  # r9: the durable erase-request ledger — planted crash before the last artifact, resumable gap, zero pending + zero referencing rows after resume across all six maintained artifacts incl. the r9 SFT prefix index (evicts hybrid_rrf_search -> past window; retrieval stays in-window via the IVF-PQ serves, fusion stays oracle-covered)
     "multimodal_features",
-    "referential_integrity_report",
     # --- past-window (evicted) entries keep their export order stable ---
+    "sft_user_dedup",  # r12w10 evicted: the role-aware keep-one-response rule stays oracle-covered past window; the chat/SFT family keeps streaming_sft_prefix_gate (maintained prefix chains) + preference_pair_near_dup_audit + the new rougel_instruction_dupes in-window
+    "referential_integrity_report",  # r12w9 evicted: FK/anti-join integrity discipline stays in-window via erasure_completeness_audit's anti-join counts + erasure_request_ledger_audit's zero-referencing-rows checks; the report itself stays oracle-covered past window
     "manifest_packing_verify",  # r12 evicted: the consumer closure + corrupted-shard flip stay in-window inside manifest_packing_verify_lang_aware (family superset, recorded-unit on top); the whitespace recorded mode stays oracle-covered past window and back-compat pytest-pinned (test_token_budget_unit)
     "preference_pair_audit",  # r11 evicted: exact-degenerate + canned-prompt counting stay in-window inside preference_pair_near_dup_audit (family superset); eval-split leakage stays oracle-covered past window
     "lang_dedup_delta_report",  # r11 evicted: lang-aware tier keeps near_dedup_minhash (default) + lang_band_index_probe + chunk_dedup_report (planted shift fixture) in-window; the ws-vs-lang delta measurement stays oracle-covered past window

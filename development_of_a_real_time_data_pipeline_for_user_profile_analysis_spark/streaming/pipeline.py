@@ -695,6 +695,9 @@ def chunk_index_tokenizer(index_path: str) -> str:
     mode)."""
     import json
 
+    from ..operators.artifact_lifecycle import require_completed_build
+
+    require_completed_build(index_path, "chunk_index_tokenizer")
     meta = os.path.join(index_path, CHUNK_TOKENIZER_FILE)
     if os.path.isfile(meta):
         with open(meta) as fh:
@@ -733,6 +736,17 @@ def build_chunk_digest_index(
         ("adds", "erases", "rerefs", "ledger"),
         "build_chunk_digest_index",
     )
+    from ..operators.artifact_lifecycle import (
+        begin_param_build,
+        finish_param_build,
+    )
+
+    # build-intent fence (r12): a crash between the base write and
+    # the meta publish must read LOUD, not as the meta-less
+    # whitespace fallback (or, on rebuild, the stale old meta).
+    begin_param_build(
+        index_path, "build_chunk_digest_index", {"tokenizer": tokenizer}
+    )
     dedup.chunk_digest_index(corpus, tokenizer=tokenizer).write.mode(
         "overwrite"
     ).parquet(os.path.join(index_path, "base"))
@@ -740,6 +754,7 @@ def build_chunk_digest_index(
     with open(tmp, "w") as fh:
         json.dump({"tokenizer": tokenizer}, fh)
     os.replace(tmp, os.path.join(index_path, CHUNK_TOKENIZER_FILE))
+    finish_param_build(index_path)
 
 
 def read_chunk_digest_index(
@@ -1289,6 +1304,121 @@ def run_near_dup_monitor_stream(
             batch_df.unpersist()
         if timings is not None:
             timings.append((batch_id, n, n_pairs, time.monotonic() - t0))
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_decontamination_stream(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    bench_grams: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int | None = None,
+    available_now: bool = True,
+    timings: list | None = None,
+):
+    """Benchmark decontamination as an INGEST GATE (r12 — the
+    decontamination family's streaming twin; the batch audit is
+    text.benchmark_ngram_contamination): every micro-batch of
+    candidate training documents is probed against the broadcast
+    benchmark n-gram set BEFORE admission. Three per-batch ledgers:
+
+      `out_dir/report/batch_id=N`     per-source doc counts,
+                                      contaminated counts, rate
+      `out_dir/admitted/batch_id=N`   docs passing the gate (what
+                                      feeds the training run)
+      `out_dir/quarantine/batch_id=N` flagged docs (kept for audit,
+                                      never silently dropped)
+
+    This is what decontamination looks like in a live crawl: a batch
+    that swept an eval-hosting mirror shows its source's rate jump
+    in that batch's report — the transition the one-shot batch audit
+    cannot show.
+
+    Idempotent under foreachBatch's at-least-once (batch-keyed
+    overwrite). Per-batch cost: n-gram fan-out of the batch + one
+    broadcast semi-join + per-source aggregate — O(|batch|); the
+    benchmark set is precomputed by the caller (persist it — it is
+    probed every batch) and the corpus is never touched.
+
+    `timings` (optional test hook): (batch_id, n_docs, n_flagged,
+    seconds)."""
+    import time
+
+    from ..operators import text as text_ops
+
+    n = text_ops.BENCH_NGRAM_N if n is None else n
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        batch_df.persist()
+        n_docs = n_flagged = 0
+        try:
+            n_docs = batch_df.count()
+            if not n_docs:
+                return
+            flagged = text_ops.flag_contaminated(
+                batch_df, bench_grams, n
+            ).persist()
+            try:
+                report = (
+                    batch_df.join(
+                        flagged.withColumn("hit", F.lit(1)),
+                        "doc_id",
+                        "left",
+                    )
+                    .groupBy("source")
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("n_docs"),
+                        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                        .cast("long")
+                        .alias("n_contaminated"),
+                        (
+                            F.floor(
+                                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                                / F.count(F.lit(1))
+                                * 10000
+                                + 0.5
+                            ).cast("long")
+                            / 10000.0
+                        ).alias("contamination_rate"),
+                    )
+                )
+                report.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "report", f"batch_id={batch_id}")
+                )
+                batch_df.join(flagged, "doc_id", "left_anti").write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(
+                        out_dir, "admitted", f"batch_id={batch_id}"
+                    )
+                )
+                batch_df.join(flagged, "doc_id", "left_semi").write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(
+                        out_dir, "quarantine", f"batch_id={batch_id}"
+                    )
+                )
+                if timings is not None:
+                    n_flagged = flagged.count()
+            finally:
+                flagged.unpersist()
+        finally:
+            batch_df.unpersist()
+            if timings is not None:
+                timings.append(
+                    (batch_id, n_docs, n_flagged, time.monotonic() - t0)
+                )
 
     writer = (
         doc_stream.writeStream.outputMode("append")
@@ -2219,6 +2349,9 @@ def manifest_tokenizer(path: str) -> str:
     existed read as whitespace (their actual unit)."""
     import json
 
+    from ..operators.artifact_lifecycle import require_completed_build
+
+    require_completed_build(path, "manifest_tokenizer")
     meta = os.path.join(path, MANIFEST_TOKENIZER_FILE)
     if os.path.isfile(meta):
         with open(meta) as fh:
@@ -2299,6 +2432,17 @@ def build_manifest_artifact(
     refuse_stale_segments(
         path, ("adds", "erases"), "build_manifest_artifact"
     )
+    from ..operators.artifact_lifecycle import (
+        begin_param_build,
+        finish_param_build,
+    )
+
+    # build-intent fence (r12): a crash between the base write and
+    # the meta publish must read LOUD, not as the meta-less
+    # whitespace fallback (or, on rebuild, the stale old meta).
+    begin_param_build(
+        path, "build_manifest_artifact", {"tokenizer": tokenizer}
+    )
     _manifest_shard_rows(corpus, tokenizer=tokenizer).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "base"))
@@ -2306,6 +2450,7 @@ def build_manifest_artifact(
     with open(tmp, "w") as fh:
         json.dump({"tokenizer": tokenizer}, fh)
     os.replace(tmp, os.path.join(path, MANIFEST_TOKENIZER_FILE))
+    finish_param_build(path)
 
 
 def manifest_packing_verify(

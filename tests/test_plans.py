@@ -144,7 +144,10 @@ def test_driver_window_covers_component_families():
         # rotated out — streaming_session_windows carries
         # sessionization; unigram_logprob_quality rotated out r6 —
         # quality_classifier_eval carries model-based filtering)
-        "referential_integrity_report",
+        # (referential_integrity_report rotated out r12w9 — FK/
+        # anti-join integrity stays via erasure_completeness_audit's
+        # anti-join counts + the ledger audit's zero-referencing
+        # checks)
         # r3 sixth wave: rule gate / stats test / retrieval fusion /
         # sequential smoothing (approx_quantiles_check, top_ngrams,
         # label_centroids, user_event_type_sets rotated out — their
@@ -209,7 +212,10 @@ def test_driver_window_covers_component_families():
         # stateful ops stay pytest-covered; hybrid_rrf_search —
         # retrieval stays via the IVF-PQ serves; monthly_revenue_ewma
         # — smoothing stays oracle-covered past window)
-        "sft_user_dedup",
+        # (sft_user_dedup rotated out r12w10 — the keep-one-response
+        # rule stays oracle-covered past window; the chat family
+        # keeps streaming_sft_prefix_gate +
+        # preference_pair_near_dup_audit + rougel_instruction_dupes)
         # (edit_distance_dupes rotated out r10w6 — candidate verify
         # stays via near_dedup_minhash's content-addressed stage)
         "streaming_boilerplate_scrub",
@@ -267,6 +273,18 @@ def test_driver_window_covers_component_families():
         # RECORDED lang-aware unit over the planted de-spaced CJK
         # corpus (evicts manifest_packing_verify, see above)
         "manifest_packing_verify_lang_aware",
+        # r12 second rotation (wave 9): decontamination's STREAMING
+        # twin enters — the last curation family without an
+        # ingest-time mode (evicts referential_integrity_report, see
+        # above; batch contamination keeps
+        # benchmark_bloom_contamination in-window)
+        "streaming_decontamination_gate",
+        # r12 third rotation (wave 10): ROUGE-L instruction near-dup
+        # — the self-instruct 0.7 rule, ORDER-aware similarity with
+        # the full LCS dynamic program replayed by the oracle as an
+        # anti-diagonal recursive CTE (evicts sft_user_dedup, see
+        # above)
+        "rougel_instruction_dupes",
     ]
     assert [m for m in musts if m not in first50] == []
     assert [n for n in first50 if n not in oracles] == []
