@@ -4375,10 +4375,10 @@ def _qc_feature_tables(
     ]
     counts = tok.groupBy("doc_id", "source").agg(*aggs)
     if materialize:
-        # one real token shuffle, materialized; every GD step job
-        # then scans the narrow counts relation instead of re-running
-        # the explode+aggregate (the materialize_steps=True path —
-        # exchange reuse can't span the per-step jobs)
+        # one real token shuffle, materialized; every GD step's
+        # gradient job then scans the narrow counts relation instead
+        # of re-running the explode+aggregate (exchange reuse can't
+        # span the per-step jobs)
         counts = counts.localCheckpoint(eager=True)
     out: dict[int, DataFrame] = {}
     for w in widths:
@@ -4409,61 +4409,94 @@ def _qc_gd_chain(
     n_steps: int = QC_GD_STEPS,
     eta: float = QC_ETA,
     feats: DataFrame | None = None,
-    materialize_steps: bool = False,
 ):
     """Train the quality classifier: `n_steps` full-batch GD steps
     over the TRAIN split, weights floor-quantized to 1e-6 after every
     step so both engines walk the identical integer-grid trajectory
     (logistic_churn_gd's device, generalized to n_buckets+1 weights).
-    No driver loop — each step's 1-row gradient aggregate folds back
-    in as a broadcast, the whole trajectory is one lazy plan.
+    Each step is ONE 1-row gradient aggregate whose result folds into
+    the next step's expressions as LITERALS (a bounded n_buckets+1-
+    value collect — the quality_model_artifact device applied to the
+    trajectory itself). The previous column-fold (each step's weights
+    crossJoin-broadcast onto feats, re-selected every step) built an
+    O(n_steps × n_buckets)-column plan whose Catalyst analysis cost
+    dominated the query wall (r12 profile: 9.4 s of driver gap vs
+    2.1 s of job time at sf0.1; the py4j thread burned ~20 s CPU in
+    analyzer collections, and the 113-178 KB formatted plans shrank
+    ~30× under literals). The trajectory values are bit-identical:
+    both folds run the same Spark aggregate over the same relation
+    and the same IEEE-double `w + eta*g` / floor-quantize arithmetic,
+    driver-side instead of expression-side.
     `feats`: pass a prebuilt feature table (the shared-scan path,
     _qc_feature_tables) to share one token shuffle across chains.
     Returns (feats-with-final-weights, final weight column names)."""
+    import math
+
     if feats is None:
         feats = _qc_feature_table(documents, n_buckets)
+    # materialize the feature table with the x-columns as REAL
+    # attributes: each step's gradient aggregate otherwise inlines
+    # every x_j's full normalization expression (an n_buckets-term
+    # sqrt-sum) into all n_buckets+1 aggregate trees — an O(n²)-node
+    # expression tree per step that cost ~1-2 s of Catalyst analysis
+    # per step at width 32 (r12 profile). Also keeps each per-step
+    # job from re-running the token explode+shuffle (exchange reuse
+    # cannot span jobs).
+    feats = feats.localCheckpoint(eager=True)
     xcols = [f"x{j}" for j in range(n_buckets)]
-    ws = [F.lit(0.0)] * (n_buckets + 1)
-    wcols: list[str] = []
-    for i in range(1, n_steps + 1):
-        z = ws[0] + sum(
-            ws[j + 1] * F.col(xcols[j]) for j in range(n_buckets)
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        resid = F.col("y") - p
-        carry = [F.max(c).alias(c) for c in wcols]
-        g = feats.filter(F.col("is_train")).agg(
-            _floor_round(F.avg(resid), 6).alias("g0"),
-            *[
-                _floor_round(F.avg(resid * F.col(xcols[j])), 6).alias(
-                    f"g{j + 1}"
-                )
+    ws = [0.0] * (n_buckets + 1)
+    train = feats.filter(F.col("is_train"))
+
+    def _fq(v: float) -> float:  # _floor_round on driver doubles
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    def _dlit(v: float) -> str:
+        # SQL double literal: bare decimals parse as DECIMAL in Spark
+        # SQL, so suffix E0 (repr round-trips the exact binary64)
+        s = repr(float(v))
+        return s if ("e" in s or "E" in s) else s + "E0"
+
+    # per-step aggregate as SQL strings: the Column-API construction
+    # of these ~n_buckets² -node trees cost ~0.7 s of py4j chatter
+    # per step at width 32 (r12 measurement); one parse call per
+    # aggregate is ~10× cheaper and yields the identical expression
+    # tree (left-associative sum order preserved)
+    for _ in range(n_steps):
+        z = " + ".join(
+            [_dlit(ws[0])]
+            + [
+                f"({_dlit(ws[j + 1])} * x{j})"
                 for j in range(n_buckets)
-            ],
-            *carry,
-        )
-        new_wcols = [f"w{j}_{i}" for j in range(n_buckets + 1)]
-        step = g.select(
-            *[
-                _floor_round(ws[j] + eta * F.col(f"g{j}"), 6).alias(
-                    new_wcols[j]
-                )
-                for j in range(n_buckets + 1)
             ]
         )
-        if materialize_steps:
-            # truncate the trajectory plan: each step's 1-row weight
-            # relation is computed eagerly (a bounded planner job —
-            # feats should be a materialized counts projection), so
-            # the wide chain's plan stays one step deep instead of
-            # nesting every previous step's aggregate into the next
-            # step's codegen (the measured 32-bucket compile wall)
-            step = step.localCheckpoint(eager=True)
-        feats = feats.crossJoin(F.broadcast(step)).select(
-            "doc_id", "source", "y", "is_train", *xcols, *new_wcols
-        )
-        ws = [F.col(c) for c in new_wcols]
-        wcols = new_wcols
+        resid = f"(y - (1.0E0 / (1.0E0 + EXP(-({z})))))"
+
+        def _g(expr: str, alias: str) -> str:
+            return (
+                f"CAST(FLOOR(AVG({expr}) * 1000000 + 0.5E0) AS BIGINT)"
+                f" / 1000000.0E0 AS {alias}"
+            )
+
+        g = train.agg(
+            F.expr(_g(resid, "g0")),
+            *[
+                F.expr(_g(f"({resid} * x{j})", f"g{j + 1}"))
+                for j in range(n_buckets)
+            ],
+        ).collect()[0]
+        ws = [
+            _fq(ws[j] + eta * float(g[f"g{j}"]))
+            for j in range(n_buckets + 1)
+        ]
+    wcols = [f"w{j}_{n_steps}" for j in range(n_buckets + 1)]
+    feats = feats.select(
+        "doc_id",
+        "source",
+        "y",
+        "is_train",
+        *xcols,
+        *[F.lit(ws[j]).alias(wcols[j]) for j in range(n_buckets + 1)],
+    )
     return feats, wcols
 
 
@@ -4986,10 +5019,7 @@ def quality_capacity_eval(documents: DataFrame) -> DataFrame:
     )
     for label, nb in (("base", QC_N_FEATURES), ("wide", QC_WIDE_FEATURES)):
         feats, wcols = _qc_gd_chain(
-            documents,
-            n_buckets=nb,
-            feats=shared[nb],
-            materialize_steps=True,
+            documents, n_buckets=nb, feats=shared[nb]
         )
         held = feats.filter(~F.col("is_train"))
         z = F.col(wcols[0]) + sum(
