@@ -24,6 +24,7 @@ import pandas as pd  # module-level: pandas_udf type-hint resolution
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..sources.readers import read_parquet_pinned as _rpp
 
 SHINGLE_WORDS = 3  # word-level 3-gram shingles
 JACCARD_THRESHOLD = 0.6  # near-dup verify cut, mirrored in oracles
@@ -486,11 +487,16 @@ def lang_dedup_delta_report(
             )
         )
 
-    return (
-        mode_row("whitespace")
-        .unionByName(mode_row("lang_aware"))
-        .orderBy("tokenizer")
-    )
+    # the two mode passes are INDEPENDENT pipelines over the same
+    # input (disjoint shingle caches; the FIFO depth-2 cache above
+    # covers exactly this concurrency) and each materializes eagerly
+    # at its localCheckpoint — run them on two threads so one pass's
+    # serial stages back-fill the other's idle cores (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ws, la = pool.map(mode_row, ("whitespace", "lang_aware"))
+    return ws.unionByName(la).orderBy("tokenizer")
 
 
 def ngram_jaccard_pairs(
@@ -2593,7 +2599,7 @@ def read_band_tombstones(spark, path: str) -> DataFrame | None:
     if os.path.isdir(ts_dir) and any(
         e.startswith("seg_id=") for e in os.listdir(ts_dir)
     ):
-        return spark.read.parquet(ts_dir).select("doc_id").distinct()
+        return _rpp(spark, ts_dir).select("doc_id").distinct()
     return None
 
 
@@ -2630,7 +2636,7 @@ def read_band_index_serving(spark, path: str) -> DataFrame:
     from . import artifact_lifecycle as alc
 
     alc.recover_torn_compaction(path, "bands")
-    bands = spark.read.parquet(os.path.join(path, "bands"))
+    bands = _rpp(spark, os.path.join(path, "bands"))
     adds_dir = os.path.join(path, "adds")
     if os.path.isdir(adds_dir) and any(
         e.startswith("batch_id=") for e in os.listdir(adds_dir)
@@ -2712,7 +2718,7 @@ def band_index_compact(spark, path: str) -> dict:
     ts_segs = [s for s in segs if s.startswith("tombstones/")]
     def _union_segs(seg_list, cols):
         parts = [
-            spark.read.parquet(os.path.join(path, s)).select(*cols)
+            _rpp(spark, os.path.join(path, s)).select(*cols)
             for s in seg_list
         ]
         out = parts[0]
@@ -2720,7 +2726,7 @@ def band_index_compact(spark, path: str) -> dict:
             out = out.unionByName(pt)
         return out
 
-    bands = spark.read.parquet(os.path.join(path, "bands"))
+    bands = _rpp(spark, os.path.join(path, "bands"))
     if add_segs:
         bands = bands.unionByName(_union_segs(add_segs, bands.columns))
     n = 0

@@ -39,6 +39,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from ..sources.readers import read_parquet_pinned as _rpp
 
 # the six maintained artifacts a request must reach (kept in one
 # place so the audit and the workflow can never disagree on the set)
@@ -137,7 +138,7 @@ def read_request_subjects(
     spark: SparkSession, ledger_path: str, request_id: str
 ) -> DataFrame:
     _require_plain_path("read_request_subjects", ledger_path)
-    return spark.read.parquet(
+    return _rpp(spark, 
         os.path.join(ledger_path, "requests", f"request_id={request_id}")
     )
 

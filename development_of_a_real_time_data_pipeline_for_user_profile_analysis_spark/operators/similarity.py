@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..sources.readers import read_parquet_pinned as _rpp
 
 LSH_PLANES = 8
 
@@ -1732,9 +1733,9 @@ def read_ivfpq_index(spark, path: str) -> dict:
     comes back via directory inference — cast to long so appended
     in-memory batches union cleanly."""
     return {
-        "centroids": spark.read.parquet(f"{path}/centroids"),
-        "codebooks": spark.read.parquet(f"{path}/codebooks"),
-        "codes": spark.read.parquet(f"{path}/codes").select(
+        "centroids": _rpp(spark, f"{path}/centroids"),
+        "codebooks": _rpp(spark, f"{path}/codebooks"),
+        "codes": _rpp(spark, f"{path}/codes").select(
             "vec_id",
             F.col("cell").cast("long").alias("cell"),
             "sub_id",
@@ -1764,7 +1765,7 @@ def read_ivfpq_index_with_adds(spark, path: str) -> dict:
     if os.path.isdir(adds_dir) and any(
         e.startswith("batch_id=") for e in os.listdir(adds_dir)
     ):
-        adds = spark.read.parquet(adds_dir).select(
+        adds = _rpp(spark, adds_dir).select(
             "vec_id",
             F.col("cell").cast("long").alias("cell"),
             "sub_id",
@@ -2405,7 +2406,7 @@ def read_ivfpq_tombstones(spark, path: str) -> DataFrame | None:
     if os.path.isdir(ts_dir) and any(
         e.startswith("seg_id=") for e in os.listdir(ts_dir)
     ):
-        return spark.read.parquet(ts_dir).select(
+        return _rpp(spark, ts_dir).select(
             "vec_id", F.col("cell").cast("long").alias("cell")
         )
     return None
@@ -2519,14 +2520,14 @@ def ivfpq_compact_segments(spark, path: str) -> dict:
     marker = alc.begin_compaction(path, "codes", segs)
     add_segs = [s for s in segs if s.startswith("codes_adds/")]
     ts_segs = [s for s in segs if s.startswith("tombstones/")]
-    merged = spark.read.parquet(os.path.join(path, "codes")).select(
+    merged = _rpp(spark, os.path.join(path, "codes")).select(
         "vec_id", F.col("cell").cast("long").alias("cell"), "sub_id", "code"
     )
     # per-segment reads (each segment dir is itself cell-partitioned,
     # so a single multi-root read would trip partition discovery)
     def _union(segs, cols):
         parts = [
-            spark.read.parquet(os.path.join(path, s)).select(*cols)
+            _rpp(spark, os.path.join(path, s)).select(*cols)
             for s in segs
         ]
         out = parts[0]

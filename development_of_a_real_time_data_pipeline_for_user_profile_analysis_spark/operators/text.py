@@ -2045,9 +2045,11 @@ def read_template_index(spark, path: str) -> DataFrame:
     rows, threshold-bounded — always broadcast-sized."""
     import os
 
-    return spark.read.parquet(os.path.join(path, "templates")).select(
-        "source", "shingle"
-    )
+    from ..sources.readers import read_parquet_pinned
+
+    return read_parquet_pinned(
+        spark, os.path.join(path, "templates")
+    ).select("source", "shingle")
 
 
 def pii_scan_report(documents: DataFrame) -> DataFrame:
@@ -5013,11 +5015,15 @@ def quality_capacity_eval(documents: DataFrame) -> DataFrame:
     broadcasts over one token shuffle); scoring is a narrow
     projection; AUC runs over bounded milli-logit bins and ECE over
     10 decile bins."""
-    out = None
     shared = _qc_feature_tables(
         documents, (QC_N_FEATURES, QC_WIDE_FEATURES), materialize=True
     )
-    for label, nb in (("base", QC_N_FEATURES), ("wide", QC_WIDE_FEATURES)):
+
+    # the base and wide chains are independent (disjoint feature
+    # tables off the one shared token shuffle) and each is a serial
+    # loop of 1-row gradient collects — run the two chains on two
+    # threads so their per-step jobs interleave (guide §2.6)
+    def _one_chain(label: str, nb: int) -> DataFrame:
         feats, wcols = _qc_gd_chain(
             documents, n_buckets=nb, feats=shared[nb]
         )
@@ -5096,8 +5102,17 @@ def quality_capacity_eval(documents: DataFrame) -> DataFrame:
             F.col("p").cast("long").alias("n_pos"),
             (F.col("t") - F.col("p")).cast("long").alias("n_neg"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("n_features")
+        return row
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(_one_chain, "base", QC_N_FEATURES),
+            pool.submit(_one_chain, "wide", QC_WIDE_FEATURES),
+        ]
+        base_row, wide_row = (f.result() for f in futs)
+    return base_row.unionByName(wide_row).orderBy("n_features")
 
 
 def decontaminated_docs(

@@ -32,6 +32,7 @@ from ..sources import synthetic, userfeed
 from ..sources.readers import load_table
 from ..sources.synthetic import PROFILES_ORACLE_CTE, envelopes_from_customers
 from ..sources.sinks import CSV_CORRUPT_EVERY
+from ..sources.readers import read_parquet_pinned as _rpp
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -94,7 +95,7 @@ def _publish_result(spark: SparkSession, out: DataFrame, name: str) -> DataFrame
     _RESULT_SEQ[0] += 1
     d = os.path.join(_RESULT_SCRATCH, f"{name}_{_RESULT_SEQ[0]}")
     out.write.parquet(d)
-    return spark.read.parquet(d)
+    return _rpp(spark, d)
 
 
 def query(name: str, oracle: str | None = None):
@@ -2015,7 +2016,7 @@ def q_incremental_cluster_update(spark, sf_dir):
         "labelscorpus",
         lambda: full.filter(F.col("doc_id") < batch_floor),
     )
-    labels = spark.read.parquet(f"{lab}/labels")
+    labels = _rpp(spark, f"{lab}/labels")
     # the pairs a real ingest discovers: every verified pair with at
     # least one batch member (band-index probe ∪ batch-internal)
     # whitespace-pinned: the probed band artifact is whitespace-banded
@@ -2106,7 +2107,7 @@ def q_streaming_cluster_update(spark, sf_dir):
                 + (f": {q.exception()}" if q.exception() else "")
             )
         _ph2 = _time.monotonic()
-        out = spark.read.parquet(f"{lab}/labels").orderBy("doc_id")
+        out = _rpp(spark, f"{lab}/labels").orderBy("doc_id")
         _record_phases("streaming_cluster_update", _ph0, _ph1, _ph2)
         return _publish_result(spark, out, "streaming_cluster_update")
     finally:
@@ -2141,7 +2142,7 @@ def q_cluster_erase_update(spark, sf_dir):
     # read IS the required independent materialization (the erase's
     # CC call can't release blocks a parquet scan depends on)
     lab = _labels_dir_cached(sf_dir, "labelsdupes", lambda: dupes)
-    labels = spark.read.parquet(f"{lab}/labels")
+    labels = _rpp(spark, f"{lab}/labels")
     erase = dupes.filter(
         (F.col("doc_id") < 100000)
         & (
@@ -2226,7 +2227,7 @@ def q_streaming_cluster_erase(spark, sf_dir):
                 + (f": {q.exception()}" if q.exception() else "")
             )
         _ph2 = _time.monotonic()
-        out = spark.read.parquet(f"{lab}/labels").orderBy("doc_id")
+        out = _rpp(spark, f"{lab}/labels").orderBy("doc_id")
         _record_phases("streaming_cluster_erase", _ph0, _ph1, _ph2)
         return _publish_result(spark, out, "streaming_cluster_erase")
     finally:
@@ -2412,29 +2413,38 @@ def q_erasure_completeness_audit(spark, sf_dir):
 
     cache = _artifact_dir_cached(sf_dir, "eraseaudit2", _build_pristine)
 
+    # IVF-PQ's post-erase session cache is built OUTSIDE the thread
+    # pool (it is shared with other queries; building it under two
+    # threads would race its publish marker)
+    src = _ivfpq_index_post_erase(spark, sf_dir)
+
     work = tempfile.mkdtemp(prefix="erasure_audit_")
-    rows = []
-    try:
+
+    # the six artifact lifecycles are INDEPENDENT (disjoint dirs,
+    # disjoint Spark relations): run them on a small thread pool so
+    # each one's serial chain of request-sized jobs back-fills the
+    # idle cores left by the others (guide §2.6 — actions are only
+    # sequential because driver code calls them sequentially). Each
+    # worker returns its audit row; assembly order is fixed by the
+    # worker list, so the output is deterministic.
+    def _band():
         bidx = f"{work}/bidx"
         shutil.copytree(f"{cache}/bidx", bidx)
-        lab = f"{work}/lab"
-        shutil.copytree(f"{cache}/lab", lab)
         dedup.band_index_erase(spark, bidx, er_docs)
         dedup.band_index_compact(spark, bidx)
-        bands = spark.read.parquet(f"{bidx}/bands")
-        rows.append(
-            (
-                "band_index",
-                n_req_docs,
-                int(bands.count()),
-                int(
-                    bands.join(
-                        F.broadcast(er_docs), "doc_id", "left_semi"
-                    ).count()
-                ),
-            )
+        bands = _rpp(spark, f"{bidx}/bands")
+        return (
+            "band_index",
+            n_req_docs,
+            int(bands.count()),
+            int(
+                bands.join(
+                    F.broadcast(er_docs), "doc_id", "left_semi"
+                ).count()
+            ),
         )
 
+    def _chunk():
         cidx = f"{work}/cidx"
         shutil.copytree(f"{cache}/cidx", cidx)
         chunk_index_erase(
@@ -2443,45 +2453,44 @@ def q_erasure_completeness_audit(spark, sf_dir):
             dupes.join(F.broadcast(er_docs), "doc_id", "left_semi"),
         )
         chunk_index_compact(spark, cidx)
-        base = spark.read.parquet(f"{cidx}/base")
+        base = _rpp(spark, f"{cidx}/base")
         surviving_digests = (
-            spark.read.parquet(f"{cache}/chunks")
+            _rpp(spark, f"{cache}/chunks")
             .join(F.broadcast(er_docs), "doc_id", "left_anti")
             .select("digest")
             .distinct()
         )
-        rows.append(
-            (
-                "chunk_digest_index",
-                n_req_docs,
-                int(base.count()),
-                # a remaining digest REFERENCES an erased subject only
-                # if no surviving doc carries it — refcount GC must
-                # have dropped every such row
-                int(
-                    base.join(
-                        surviving_digests, "digest", "left_anti"
-                    ).count()
-                ),
-            )
+        return (
+            "chunk_digest_index",
+            n_req_docs,
+            int(base.count()),
+            # a remaining digest REFERENCES an erased subject only
+            # if no surviving doc carries it — refcount GC must
+            # have dropped every such row
+            int(
+                base.join(
+                    surviving_digests, "digest", "left_anti"
+                ).count()
+            ),
         )
 
+    def _labels():
+        lab = f"{work}/lab"
+        shutil.copytree(f"{cache}/lab", lab)
         cluster_labels_erase_artifact(spark, lab, dupes, er_docs)
-        labels = spark.read.parquet(f"{lab}/labels")
-        rows.append(
-            (
-                "cluster_labels",
-                n_req_docs,
-                int(labels.count()),
-                int(
-                    labels.join(
-                        F.broadcast(er_docs), "doc_id", "left_semi"
-                    ).count()
-                ),
-            )
+        labels = _rpp(spark, f"{lab}/labels")
+        return (
+            "cluster_labels",
+            n_req_docs,
+            int(labels.count()),
+            int(
+                labels.join(
+                    F.broadcast(er_docs), "doc_id", "left_semi"
+                ).count()
+            ),
         )
 
-        src = _ivfpq_index_post_erase(spark, sf_dir)
+    def _ivfpq():
         vidx = f"{work}/vidx"
         _os.makedirs(vidx)
         _os.symlink(_os.path.join(src, "centroids"), f"{vidx}/centroids")
@@ -2491,20 +2500,19 @@ def q_erasure_completeness_audit(spark, sf_dir):
             _os.path.join(src, "tombstones"), f"{vidx}/tombstones"
         )
         similarity.ivfpq_compact_segments(spark, vidx)
-        codes = spark.read.parquet(f"{vidx}/codes")
-        rows.append(
-            (
-                "ivfpq_codes",
-                n_req_vecs,
-                int(codes.count()),
-                int(
-                    codes.join(
-                        F.broadcast(er_vecs), "vec_id", "left_semi"
-                    ).count()
-                ),
-            )
+        codes = _rpp(spark, f"{vidx}/codes")
+        return (
+            "ivfpq_codes",
+            n_req_vecs,
+            int(codes.count()),
+            int(
+                codes.join(
+                    F.broadcast(er_vecs), "vec_id", "left_semi"
+                ).count()
+            ),
         )
 
+    def _manifest():
         survivors = dupes.join(
             F.broadcast(er_docs), "doc_id", "left_anti"
         )
@@ -2520,40 +2528,54 @@ def q_erasure_completeness_audit(spark, sf_dir):
         # the manifest has no per-doc rows: "referencing" = shards
         # whose served fold differs from rebuild-without-erased
         want = _manifest_shard_rows(survivors)
-        rows.append(
-            (
-                "shard_manifest",
-                n_req_docs,
-                int(served.count()),
-                int(
-                    served.unionByName(want)
-                    .groupBy(
-                        "shard", "n_docs", "n_tokens", "content_xor"
-                    )
-                    .count()
-                    .filter(F.col("count") != 2)
-                    .count()
-                ),
-            )
+        return (
+            "shard_manifest",
+            n_req_docs,
+            int(served.count()),
+            int(
+                served.unionByName(want)
+                .groupBy(
+                    "shard", "n_docs", "n_tokens", "content_xor"
+                )
+                .count()
+                .filter(F.col("count") != 2)
+                .count()
+            ),
         )
 
+    def _pfx():
         pfx = f"{work}/pfx"
         shutil.copytree(f"{cache}/pfx", pfx)
         sft_prefix_index_erase(spark, pfx, er_docs, seg_id=1)
         sft_prefix_index_compact(spark, pfx)
         chains = read_sft_prefix_index(spark, pfx)
-        rows.append(
-            (
-                "sft_prefix_index",
-                n_req_docs,
-                int(chains.count()),
-                int(
-                    chains.join(
-                        F.broadcast(er_docs), "doc_id", "left_semi"
-                    ).count()
-                ),
-            )
+        return (
+            "sft_prefix_index",
+            n_req_docs,
+            int(chains.count()),
+            int(
+                chains.join(
+                    F.broadcast(er_docs), "doc_id", "left_semi"
+                ).count()
+            ),
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            futs = [
+                pool.submit(f)
+                for f in (
+                    _band,
+                    _chunk,
+                    _labels,
+                    _ivfpq,
+                    _manifest,
+                    _pfx,
+                )
+            ]
+            rows = [f.result() for f in futs]
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
@@ -2785,68 +2807,105 @@ def q_erasure_request_ledger_audit(spark, sf_dir):
             for r in gov.erase_request_status(spark, led).collect()
         }
 
-        # post-resume: zero serving rows reference the subjects
-        ref = {}
-        ref["band_index"] = int(
-            dedup.read_band_index_serving(spark, bidx)
-            .join(F.broadcast(subj_ids), "doc_id", "left_semi")
-            .count()
-        )
-        chunks = spark.read.parquet(f"{cache}/chunks")
-        subj_only = (
-            chunks.join(F.broadcast(subj_ids), "doc_id", "left_semi")
-            .select("digest")
-            .distinct()
-            .join(
+        # post-resume: zero serving rows reference the subjects.
+        # The six checks are independent reads of disjoint artifacts
+        # — run them on a thread pool so the serial chains of
+        # request-sized jobs overlap (guide §2.6); the erase APPLIES
+        # above stay sequential (the ledger's deterministic apply
+        # order is what the planted crash tests).
+        def _ref_band():
+            return int(
+                dedup.read_band_index_serving(spark, bidx)
+                .join(F.broadcast(subj_ids), "doc_id", "left_semi")
+                .count()
+            )
+
+        def _ref_chunk():
+            chunks = _rpp(spark, f"{cache}/chunks")
+            subj_only = (
                 chunks.join(
-                    F.broadcast(subj_ids), "doc_id", "left_anti"
+                    F.broadcast(subj_ids), "doc_id", "left_semi"
                 )
                 .select("digest")
-                .distinct(),
-                "digest",
-                "left_anti",
+                .distinct()
+                .join(
+                    chunks.join(
+                        F.broadcast(subj_ids), "doc_id", "left_anti"
+                    )
+                    .select("digest")
+                    .distinct(),
+                    "digest",
+                    "left_anti",
+                )
             )
-        )
-        ref["chunk_digest_index"] = int(
-            read_chunk_digest_index(spark, cidx)
-            .select("digest")
-            .distinct()
-            .join(subj_only, "digest", "left_semi")
-            .count()
-        )
-        ref["cluster_labels"] = int(
-            spark.read.parquet(f"{lab}/labels")
-            .join(F.broadcast(subj_ids), "doc_id", "left_semi")
-            .count()
-        )
-        ref["sft_prefix_index"] = int(
-            read_sft_prefix_index(spark, pfx)
-            .join(F.broadcast(subj_ids), "doc_id", "left_semi")
-            .count()
-        )
-        ref["ivfpq_codes"] = int(
-            similarity.read_ivfpq_index_serving(spark, vidx)["codes"]
-            .join(
-                F.broadcast(
-                    subj_ids.select(F.col("doc_id").alias("vec_id"))
-                ),
-                "vec_id",
-                "left_semi",
+            return int(
+                read_chunk_digest_index(spark, cidx)
+                .select("digest")
+                .distinct()
+                .join(subj_only, "digest", "left_semi")
+                .count()
             )
-            .count()
-        )
-        # the manifest has no per-doc rows: "referencing" = shards
-        # whose served (n_docs, n_tokens, xor) differ from the
-        # rebuild-without-erased fold
-        served = read_manifest_serving(spark, mpath)
-        want = _manifest_shard_rows(survivors)
-        ref["shard_manifest"] = int(
-            served.unionByName(want)
-            .groupBy("shard", "n_docs", "n_tokens", "content_xor")
-            .count()
-            .filter(F.col("count") != 2)
-            .count()
-        )
+
+        def _ref_labels():
+            return int(
+                _rpp(spark, f"{lab}/labels")
+                .join(F.broadcast(subj_ids), "doc_id", "left_semi")
+                .count()
+            )
+
+        def _ref_pfx():
+            return int(
+                read_sft_prefix_index(spark, pfx)
+                .join(F.broadcast(subj_ids), "doc_id", "left_semi")
+                .count()
+            )
+
+        def _ref_ivfpq():
+            return int(
+                similarity.read_ivfpq_index_serving(spark, vidx)[
+                    "codes"
+                ]
+                .join(
+                    F.broadcast(
+                        subj_ids.select(
+                            F.col("doc_id").alias("vec_id")
+                        )
+                    ),
+                    "vec_id",
+                    "left_semi",
+                )
+                .count()
+            )
+
+        def _ref_manifest():
+            # the manifest has no per-doc rows: "referencing" =
+            # shards whose served (n_docs, n_tokens, xor) differ
+            # from the rebuild-without-erased fold
+            served = read_manifest_serving(spark, mpath)
+            want = _manifest_shard_rows(survivors)
+            return int(
+                served.unionByName(want)
+                .groupBy("shard", "n_docs", "n_tokens", "content_xor")
+                .count()
+                .filter(F.col("count") != 2)
+                .count()
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        ref_workers = {
+            "band_index": _ref_band,
+            "chunk_digest_index": _ref_chunk,
+            "cluster_labels": _ref_labels,
+            "sft_prefix_index": _ref_pfx,
+            "ivfpq_codes": _ref_ivfpq,
+            "shard_manifest": _ref_manifest,
+        }
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            futs = {
+                art: pool.submit(f) for art, f in ref_workers.items()
+            }
+            ref = {art: fut.result() for art, fut in futs.items()}
 
         rows = [
             (
@@ -3993,7 +4052,7 @@ def q_doc_lineage_probe(spark, sf_dir):
     dupes = _dupes_df(spark, sf_dir)
     sample = dupes.filter(F.col("doc_id") % 97 == 11)
     lab = _labels_dir_cached(sf_dir, "labelsdupes", lambda: dupes)
-    labels = spark.read.parquet(f"{lab}/labels")
+    labels = _rpp(spark, f"{lab}/labels")
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
@@ -4200,7 +4259,7 @@ def q_streaming_ingest_fanout(spark, sf_dir):
         chains.unpersist()
 
         chunk_index_compact(spark, cidx)
-        base = spark.read.parquet(f"{cidx}/base").persist()
+        base = _rpp(spark, f"{cidx}/base").persist()
         c_rows = int(base.count())
         c_refs = int(
             base.agg(F.sum("refs").cast("long").alias("s")).collect()[
@@ -12736,7 +12795,7 @@ def q_streaming_quality_gate(spark, sf_dir):
         )
         q.awaitTermination(300)
         out = (
-            spark.read.parquet(f"{work}/kept")
+            _rpp(spark, f"{work}/kept")
             .groupBy("source")
             .agg(
                 F.count(F.lit(1)).alias("n_kept"),
@@ -12883,7 +12942,7 @@ def _band_index_post_erase_path(spark, sf_dir) -> str:
             _tf.gettempdir(), f".band_er_build_{_uuid.uuid4().hex}"
         )
         base = _band_index_path(spark, sf_dir)
-        spark.read.parquet(_os.path.join(base, "bands")).write.mode(
+        _rpp(spark, _os.path.join(base, "bands")).write.mode(
             "overwrite"
         ).parquet(_os.path.join(scratch, "bands"))
         erase = (
@@ -13790,9 +13849,9 @@ def q_chunk_index_gc_report(spark, sf_dir):
             == dedup.CHUNK_ERASE_RESIDUE
         )
         chunk_index_erase(spark, index_path, erased)
-        base = spark.read.parquet(_os.path.join(index_path, "base"))
+        base = _rpp(spark, _os.path.join(index_path, "base"))
         er = (
-            spark.read.parquet(_os.path.join(index_path, "erases"))
+            _rpp(spark, _os.path.join(index_path, "erases"))
             .select("doc_id", "digest", "refs")
             .distinct()
             .groupBy("digest")

@@ -64,7 +64,13 @@ def get_spark(
 
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-mutable engine conf to an externally-created
-    session (the driver hands us one we didn't build)."""
+    session (the driver hands us one we didn't build). Memoized per
+    session object: this runs on EVERY registry query invocation, and
+    the four py4j conf round-trips are pure overhead after the first
+    call (r12 — ~2,800 calls per bench run)."""
+    if getattr(spark, "_eng_conf_applied", False):
+        return spark
+    spark._eng_conf_applied = True
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -32,6 +32,16 @@ from ..operators.etl import curate_profiles, parse_envelopes
 DEFAULT_GAP = "10 minutes"
 
 
+def _rp(spark: SparkSession, *paths: str) -> DataFrame:
+    """``spark.read.parquet`` with the schema pinned from the local
+    footer when safely possible — identical result, no
+    schema-inference job (sources.readers.read_parquet_pinned)."""
+    from ..sources.readers import read_parquet_pinned
+
+    return read_parquet_pinned(spark, *paths)
+
+
+
 def read_envelope_file_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -143,7 +153,7 @@ def reingest_wire_log(spark: SparkSession, path: str, schema) -> DataFrame:
     serialization and consumer parse (field order, type coercion,
     null handling, timestamp format) drops rows and turns the
     roundtrip oracle red instead of passing silently."""
-    back = spark.read.parquet(path)
+    back = _rp(spark, path)
     parsed = back.select(
         F.col("key").cast("string").alias("wire_key"),
         F.col("value").cast("string").alias("wire_value"),
@@ -662,7 +672,7 @@ def run_quality_gate_stream(
         finally:
             batch_df.unpersist()
         if timings is not None:
-            n_kept = spark.read.parquet(
+            n_kept = _rp(spark, 
                 os.path.join(kept_dir, f"batch_id={batch_id}")
             ).count()
             timings.append((batch_id, n_in, n_kept, time.monotonic() - t0))
@@ -797,7 +807,7 @@ def read_chunk_digest_index(
             return df
         return None
 
-    base = _refs(spark.read.parquet(os.path.join(index_path, "base")))
+    base = _refs(_rp(spark, os.path.join(index_path, "base")))
     adds = _segments("adds", "batch_id")
     # presence = base ∪ adds (first introductions only — rerefs never
     # grant presence, so a replayed batch cannot see its own content
@@ -999,10 +1009,18 @@ def chunk_index_erase(
     delta.write.mode("overwrite").parquet(
         os.path.join(er_dir, f"seg_id={seg_id}")
     )
-    written = spark.read.parquet(
+    written = _rp(spark, 
         os.path.join(er_dir, f"seg_id={seg_id}")
     )
-    n_subjects = int(written.select("doc_id").distinct().count())
+    # one pass for all three segment stats (was three separate
+    # count jobs — r12: the audit queries chain many request-sized
+    # lifecycle calls, so per-call job count is the wall)
+    st = written.agg(
+        F.countDistinct("doc_id").alias("n_subjects"),
+        F.countDistinct("digest").alias("n_digests"),
+        F.sum("refs").alias("n_refs"),
+    ).collect()[0]
+    n_subjects = int(st.n_subjects)
     return {
         "seg_id": seg_id,
         "n_subjects": n_subjects,
@@ -1011,10 +1029,8 @@ def chunk_index_erase(
         # already pending or suppressed-after-fold and this request
         # was a no-op for them
         "n_suppressed": n_requested - n_subjects,
-        "n_digests": int(written.select("digest").distinct().count()),
-        "n_refs": int(
-            written.agg(F.sum("refs").alias("s")).collect()[0].s or 0
-        ),
+        "n_digests": int(st.n_digests),
+        "n_refs": int(st.n_refs or 0),
     }
 
 
@@ -1057,10 +1073,10 @@ def _known_erased_subjects(
     for seg in _committed_segment_dirs(
         os.path.join(index_path, "erases"), exclude=exclude
     ):
-        parts.append(spark.read.parquet(seg).select("doc_id"))
+        parts.append(_rp(spark, seg).select("doc_id"))
     led = os.path.join(index_path, "erased_subjects")
     if os.path.isdir(led) and os.listdir(led):
-        parts.append(spark.read.parquet(led).select("doc_id"))
+        parts.append(_rp(spark, led).select("doc_id"))
     if not parts:
         return None
     out = parts[0]
@@ -1128,7 +1144,7 @@ def chunk_index_compact(spark: SparkSession, index_path: str) -> dict:
 
     def _union_segs(seg_list, project):
         parts = [
-            project(spark.read.parquet(os.path.join(index_path, s)))
+            project(_rp(spark, os.path.join(index_path, s)))
             for s in seg_list
         ]
         out = parts[0]
@@ -1136,7 +1152,7 @@ def chunk_index_compact(spark: SparkSession, index_path: str) -> dict:
             out = out.unionByName(pt)
         return out
 
-    rel = _refs(spark.read.parquet(os.path.join(index_path, "base")))
+    rel = _refs(_rp(spark, os.path.join(index_path, "base")))
     if ref_segs:
         rel = rel.unionByName(_union_segs(ref_segs, _refs))
     if er_segs:
@@ -1222,7 +1238,7 @@ def chunk_index_release_subjects(
     led = os.path.join(index_path, "erased_subjects")
     if not (os.path.isdir(led) and os.listdir(led)):
         return {"n_released": 0}
-    ledger = spark.read.parquet(led).select("doc_id").distinct()
+    ledger = _rp(spark, led).select("doc_id").distinct()
     ids = doc_ids.select("doc_id").distinct()
     n_released = int(ledger.join(F.broadcast(ids), "doc_id").count())
     if not n_released:
@@ -1295,7 +1311,7 @@ def run_near_dup_monitor_stream(
                     os.path.join(out_dir, "pairs", f"batch_id={batch_id}")
                 )
                 if timings is not None:
-                    n_pairs = spark.read.parquet(
+                    n_pairs = _rp(spark, 
                         os.path.join(
                             out_dir, "pairs", f"batch_id={batch_id}"
                         )
@@ -1507,7 +1523,7 @@ def run_cluster_update_stream(
                 cur = os.path.join(labels_path, "labels")
                 seeded = os.path.join(labels_path, "_labels_seeded")
                 if os.path.isdir(cur):
-                    prev = spark.read.parquet(cur)
+                    prev = _rp(spark, cur)
                 elif os.path.exists(seeded):
                     # the artifact has published before but the
                     # labels dir is gone AND recover_torn_swap found
@@ -1608,7 +1624,7 @@ def cluster_labels_erase_artifact(
                 "the pre-swap .labels_old_* directory before erasing."
             )
         return {"n_rows_before": 0, "n_rows_after": 0, "n_erased_rows": 0}
-    labels = spark.read.parquet(cur)
+    labels = _rp(spark, cur)
     n_before = int(labels.count())
     ids = erase_ids.select("doc_id").distinct()
     n_erased_rows = int(labels.join(F.broadcast(ids), "doc_id").count())
@@ -1620,7 +1636,7 @@ def cluster_labels_erase_artifact(
     alc.atomic_swap_dir(labels_path, "labels", scratch)
     # count from the published dir (a dot-prefixed scratch read trips
     # Spark's hidden-path filter warning)
-    n_after = int(spark.read.parquet(cur).count())
+    n_after = int(_rp(spark, cur).count())
     return {
         "n_rows_before": n_before,
         "n_rows_after": n_after,
@@ -1983,7 +1999,7 @@ def run_boilerplate_scrub_stream(
             os.path.join(cleaned_dir, f"batch_id={batch_id}")
         )
         if timings is not None:
-            n_out = spark.read.parquet(
+            n_out = _rp(spark, 
                 os.path.join(cleaned_dir, f"batch_id={batch_id}")
             ).count()
             timings.append(
@@ -2064,7 +2080,7 @@ def read_sft_prefix_index(
 
     require_local_index_path("read_sft_prefix_index", path)
     alc.recover_torn_compaction(path, "base")
-    rel = spark.read.parquet(os.path.join(path, "base")).select(
+    rel = _rp(spark, os.path.join(path, "base")).select(
         "doc_id", "u_idx", "prefix_digest"
     )
     adds_dir = os.path.join(path, "adds")
@@ -2090,7 +2106,7 @@ def read_sft_prefix_index(
             ):
                 continue
             rel = rel.unionByName(
-                spark.read.parquet(os.path.join(adds_dir, e)).select(
+                _rp(spark, os.path.join(adds_dir, e)).select(
                     "doc_id", "u_idx", "prefix_digest"
                 )
             )
@@ -2132,7 +2148,7 @@ def sft_prefix_index_erase(
         os.path.join(path, "tombstones", f"seg_id={seg_id}")
     )
     n = int(
-        spark.read.parquet(
+        _rp(spark, 
             os.path.join(path, "tombstones", f"seg_id={seg_id}")
         ).count()
     )
@@ -2144,7 +2160,7 @@ def _read_prefix_tombstones(spark: SparkSession, path: str):
     if os.path.isdir(ts_dir) and any(
         e.startswith("seg_id=") for e in os.listdir(ts_dir)
     ):
-        return spark.read.parquet(ts_dir).select("doc_id").distinct()
+        return _rp(spark, ts_dir).select("doc_id").distinct()
     return None
 
 
@@ -2171,19 +2187,19 @@ def sft_prefix_index_compact(
     marker = alc.begin_compaction(path, "base", segs, snapshot=snapshot)
     add_segs = [s for s in segs if s.startswith("adds/")]
     ts_segs = [s for s in segs if s.startswith("tombstones/")]
-    rel = spark.read.parquet(os.path.join(path, "base")).select(
+    rel = _rp(spark, os.path.join(path, "base")).select(
         "doc_id", "u_idx", "prefix_digest"
     )
     for s in add_segs:
         rel = rel.unionByName(
-            spark.read.parquet(os.path.join(path, s)).select(
+            _rp(spark, os.path.join(path, s)).select(
                 "doc_id", "u_idx", "prefix_digest"
             )
         )
     n_ts = 0
     if ts_segs:
         parts = [
-            spark.read.parquet(os.path.join(path, s)).select("doc_id")
+            _rp(spark, os.path.join(path, s)).select("doc_id")
             for s in ts_segs
         ]
         ts = parts[0]
@@ -2230,7 +2246,7 @@ def read_sft_prefix_index_as_of(
             f"no retained snapshot for epoch {epoch} under {path!r} "
             f"(retained: {alc.snapshot_epochs(path)})"
         )
-    rel = spark.read.parquet(os.path.join(snap, "base")).select(
+    rel = _rp(spark, os.path.join(snap, "base")).select(
         "doc_id", "u_idx", "prefix_digest"
     )
     adds_dir = os.path.join(snap, "adds")
@@ -2238,7 +2254,7 @@ def read_sft_prefix_index_as_of(
         e.startswith("batch_id=") for e in os.listdir(adds_dir)
     ):
         rel = rel.unionByName(
-            spark.read.parquet(adds_dir).select(
+            _rp(spark, adds_dir).select(
                 "doc_id", "u_idx", "prefix_digest"
             )
         )
@@ -2246,7 +2262,7 @@ def read_sft_prefix_index_as_of(
     if os.path.isdir(ts_dir) and any(
         e.startswith("seg_id=") for e in os.listdir(ts_dir)
     ):
-        ts = spark.read.parquet(ts_dir).select("doc_id").distinct()
+        ts = _rp(spark, ts_dir).select("doc_id").distinct()
         rel = rel.join(F.broadcast(ts), "doc_id", "left_anti")
     return rel
 
@@ -2531,7 +2547,7 @@ def read_manifest_serving(spark: SparkSession, path: str) -> DataFrame:
 
     require_local_index_path("read_manifest_serving", path)
     recover_torn_compaction(path, "base")
-    parts = [spark.read.parquet(os.path.join(path, "base"))]
+    parts = [_rp(spark, os.path.join(path, "base"))]
     for seg in ("adds", "erases"):
         d = os.path.join(path, seg)
         if os.path.isdir(d) and any(
@@ -2539,7 +2555,7 @@ def read_manifest_serving(spark: SparkSession, path: str) -> DataFrame:
             for e in os.listdir(d)
         ):
             parts.append(
-                spark.read.parquet(d).select(
+                _rp(spark, d).select(
                     "shard", "n_docs", "n_tokens", "content_xor"
                 )
             )
@@ -2586,7 +2602,7 @@ def read_manifest_as_of(
             f"(retained: {alc.snapshot_epochs(path)}) — compact with "
             "snapshot=True, or the epoch was vacuumed"
         )
-    parts = [spark.read.parquet(os.path.join(snap, "base"))]
+    parts = [_rp(spark, os.path.join(snap, "base"))]
     for seg in ("adds", "erases"):
         d = os.path.join(snap, seg)
         if os.path.isdir(d) and any(
@@ -2594,7 +2610,7 @@ def read_manifest_as_of(
             for e in os.listdir(d)
         ):
             parts.append(
-                spark.read.parquet(d).select(
+                _rp(spark, d).select(
                     "shard", "n_docs", "n_tokens", "content_xor"
                 )
             )
@@ -2725,10 +2741,10 @@ def _known_manifest_erased_subjects(
     for seg in _committed_segment_dirs(
         os.path.join(path, "erase_subjects"), exclude=exclude
     ):
-        parts.append(spark.read.parquet(seg).select("doc_id"))
+        parts.append(_rp(spark, seg).select("doc_id"))
     led = os.path.join(path, "erased_subjects")
     if os.path.isdir(led) and os.listdir(led):
-        parts.append(spark.read.parquet(led).select("doc_id"))
+        parts.append(_rp(spark, led).select("doc_id"))
     if not parts:
         return None
     out = parts[0]
@@ -2835,7 +2851,7 @@ def manifest_release_subjects(
     led = os.path.join(path, "erased_subjects")
     if not (os.path.isdir(led) and os.listdir(led)):
         return {"n_released": 0}
-    ledger = spark.read.parquet(led).select("doc_id").distinct()
+    ledger = _rp(spark, led).select("doc_id").distinct()
     ids = doc_ids.select("doc_id").distinct()
     n_released = int(ledger.join(F.broadcast(ids), "doc_id").count())
     if not n_released:
@@ -2904,10 +2920,10 @@ def manifest_compact(
         return {"n_segments": 0, "n_shards": None}
     marker = alc.begin_compaction(path, "base", segs, snapshot=snapshot)
     cols = ["shard", "n_docs", "n_tokens", "content_xor"]
-    rel = spark.read.parquet(os.path.join(path, "base")).select(*cols)
+    rel = _rp(spark, os.path.join(path, "base")).select(*cols)
     for s in fold_segs:
         rel = rel.unionByName(
-            spark.read.parquet(os.path.join(path, s)).select(*cols)
+            _rp(spark, os.path.join(path, s)).select(*cols)
         )
     merged = (
         rel.groupBy("shard")
@@ -2926,11 +2942,11 @@ def manifest_compact(
     er_sub_segs = [s for s in segs if s.startswith("erase_subjects/")]
     add_sub_segs = [s for s in segs if s.startswith("add_subjects/")]
     if er_sub_segs:
-        er_subj = spark.read.parquet(
+        er_subj = _rp(spark, 
             *[os.path.join(path, s) for s in er_sub_segs]
         ).select("doc_id").distinct()
         if add_sub_segs:
-            readded = spark.read.parquet(
+            readded = _rp(spark, 
                 *[os.path.join(path, s) for s in add_sub_segs]
             ).select("doc_id").distinct()
             er_subj = er_subj.join(
@@ -2947,7 +2963,7 @@ def manifest_compact(
         snapshot_epoch=marker["to_epoch"] if snapshot else None,
     )
     alc.finish_compaction(path, marker)
-    n_shards = int(spark.read.parquet(os.path.join(path, "base")).count())
+    n_shards = int(_rp(spark, os.path.join(path, "base")).count())
     return {
         "n_segments": len(fold_segs),
         "n_shards": n_shards,
