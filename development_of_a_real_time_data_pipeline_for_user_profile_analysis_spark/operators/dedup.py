@@ -33,6 +33,31 @@ MINHASH_FUNCS = 8
 LSH_BANDS = 4  # 4 bands x 2 rows
 
 
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Scale-adaptive parallelism floor for per-row-heavy stages
+    (guide §2.5 input skew / §1.2 algorithm shape): a small corpus or
+    micro-batch arrives as 1-3 scan partitions (one small parquet
+    file is one split), so every downstream shingle explode and
+    string kernel runs on that many cores while the rest of the
+    machine idles — measured r12 at sf0.1: the whole word-shingle
+    derivation ran on ONE core (2.6 s; 0.8 s after the fan-out).
+    One round-robin exchange of the small input raises the floor to
+    the session's scheduler parallelism; inputs that already carry
+    >= target partitions (any at-scale table) pass through with NO
+    added exchange, so the fan-out never costs a corpus shuffle in
+    production. Values are partitioning-independent everywhere this
+    is used (aggregates / joins / set ops)."""
+    sc = df.sparkSession.sparkContext
+    want = target or sc.defaultParallelism
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:  # planning-only probe must never fail a query
+        return df
+    if have >= want:
+        return df
+    return df.repartition(want)
+
+
 def with_synthetic_dupes(documents: DataFrame) -> DataFrame:
     """Augment the corpus with deterministic duplicates so dedup
     operators have known positives: every 5th doc gets an exact copy
@@ -91,7 +116,11 @@ def shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
     offsets. Word-level (not char-level) keeps the shingle count at
     ~|words| per doc instead of ~|chars| — 5× fewer rows through the
     distinct shuffle and the minhash with equivalent near-dup power.
-    Map-side row multiplication only."""
+    Map-side row multiplication only (after the scale-adaptive
+    fan_out: a 1-file corpus otherwise runs the whole explode and
+    every downstream kernel on one core — r12 measured 2.6 s -> 0.8 s
+    at sf0.1)."""
+    docs = fan_out(docs)
     words = F.split(F.col("text"), " ")
     return (
         docs.select(
@@ -217,6 +246,7 @@ def char_shingles(
     doc (vs ~|words| for word shingles): the cost of not having word
     boundaries; at scale the char tier runs only on the no-
     whitespace language partition, never corpus-wide."""
+    docs = fan_out(docs)
     return (
         docs.select(
             "doc_id",
@@ -680,7 +710,17 @@ def near_dedup_minhash(
     # paying ~2× once the lang-aware table grew the resident set.
     while len(_minhash_sh_cache) >= _MINHASH_SH_KEEP:
         _minhash_sh_cache.pop(0).unpersist()
+    # fan out once here so the digest/verify branches over `docs`
+    # share the raised parallelism floor with the shingle tiers
+    docs = fan_out(docs)
     lang_aware = tokenizer == "lang_aware" and "lang" in docs.columns
+    # persist (recompute-safe), NOT localCheckpoint: the ckpt form
+    # was A/B'd r12 at 7.5 -> 7.0 s for this query — not worth the
+    # depth-2 FIFO's failure mode (an evicted checkpoint cannot
+    # recompute, so a third interleaved funnel construction would
+    # ERROR the first's un-materialized result instead of slowing
+    # it; the blocked set-overlap pipeline takes the ckpt win
+    # because its gain is 2x, not 7%)
     sh = (
         lang_aware_shingles(docs) if lang_aware else shingles(docs)
     ).persist()
@@ -696,12 +736,23 @@ def near_dedup_minhash(
 _MINHASH_SH_KEEP = 2
 _minhash_sh_cache: list[DataFrame] = []
 
+# bounded FIFO of live shingle LOCAL CHECKPOINTS for the blocked
+# set-overlap pipeline (r12): a released checkpoint cannot be
+# recomputed (lineage truncated), so the depth covers the exercised
+# concurrency (2) plus two construct-ahead calls of slack — a
+# consumer that constructs FOUR more blocked pipelines before
+# materializing a result would fail loudly (job error, never a
+# wrong value); no engine/bench/test path constructs more than two
+# ahead (tests/test_minhash_cache.py pins the semantics)
+_SH_CKPT_KEEP = 4
+_sh_ckpt_cache: list[DataFrame] = []
+
 
 def ngram_jaccard_dupes(
     docs: DataFrame,
     jaccard_threshold: float = 0.6,
     max_df: int = 20,
-    persist_shingles: bool = False,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Direct n-gram Jaccard dedup — no MinHash sketching.
 
@@ -753,7 +804,7 @@ def ngram_jaccard_dupes(
 
 
 def _blocked_pair_intersections(
-    docs: DataFrame, max_df: int, ub_keep, persist_shingles: bool = False
+    docs: DataFrame, max_df: int, ub_keep, persist_shingles: bool = True
 ) -> DataFrame:
     """Shared candidate/prune/verify pipeline for set-overlap dedup
     metrics (Jaccard resemblance, containment): rare-shingle blocked
@@ -767,22 +818,36 @@ def _blocked_pair_intersections(
     final threshold would keep): I <= I_rare + min(n_freq_a,
     n_freq_b) bounds any intersection-monotone score from above.
 
-    NB: persisting the shingle table here was A/B-measured SLOWER at
-    every scale — round 1 at sf0.1 (16.4/8.6 s vs 8.9/5.3 s
-    cold/warm for containment_dupes) and re-measured round 4 at
-    1x/10x/30x soak (e.g. ngram_jaccard 26.6 s uncached vs 36.8 s
-    persisted at 30x; full table in PERF.md) — unlike
-    near_dedup_minhash, every branch of this pipeline consumes a
-    DIFFERENT projection/filter of the shingles (df-filtered rare
-    subset, per-doc counts, pair join), so the shared cache
-    materializes strictly more data than any branch needs while the
-    uncached plan lets Catalyst prune each branch independently.
-    Share the plan, not a cache, here; `persist_shingles` keeps the
-    knob for corpora whose branch pruning is weaker.
+    NB (r12 revision): the shingle table is now materialized ONCE
+    (persist + FIFO release) and every branch reads the cache. The
+    round-1/round-4 A/Bs that measured the persist SLOWER (16.4/8.6 s
+    vs 8.9/5.3 s cold/warm for containment_dupes; ngram_jaccard
+    26.6 s uncached vs 36.8 s persisted at 30x) predate the fan_out
+    above them: the shingle derivation then ran on the input's 1-3
+    scan partitions, so the persist added a single-core fill on top
+    of single-core branches. With the derivation fanned out to the
+    scheduler width the fill costs ~0.8 s where each of the ~6 branch
+    re-derivations cost 2.6 s (r12, sf0.1: blocked-pairs stage 3.9 s
+    plan-shared -> 1.4 s cache-shared). `persist_shingles=False`
+    keeps the old share-the-plan form as the A/B knob.
     """
     sh = shingles(docs)
     if persist_shingles:  # A/B knob — see NB above and PERF.md soaks
-        sh = sh.persist()
+        # localCheckpoint, NOT persist: the InMemoryRelation columnar
+        # cache was re-measured r12 and is still slower than the
+        # share-the-plan form here (ngram_jaccard 12.4 s cached vs
+        # 7.7 s uncached at sf0.1 — cache build + the optimization
+        # fence it puts under every join), while the eager local
+        # checkpoint (plain deserialized blocks, lineage truncated)
+        # wins: 1.4 s for the blocked stage. FIFO-bounded like the
+        # minhash cache; a released checkpoint cannot recompute, so
+        # the bound is a generous _SH_CKPT_KEEP (consumers
+        # materialize their result before that many further funnel
+        # constructions everywhere in the engine, bench and tests).
+        while len(_sh_ckpt_cache) >= _SH_CKPT_KEEP:
+            _sh_ckpt_cache.pop(0).unpersist()
+        sh = sh.localCheckpoint(eager=True)
+        _sh_ckpt_cache.append(sh)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -852,7 +917,7 @@ def containment_dupes(
     docs: DataFrame,
     threshold: float = 0.8,
     max_df: int = 20,
-    persist_shingles: bool = False,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Asymmetric shingle-containment dedup: C(A in B) = |A∩B| / |A|.
 

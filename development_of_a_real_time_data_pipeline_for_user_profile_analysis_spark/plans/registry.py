@@ -381,7 +381,20 @@ def q_age_histogram(spark, sf_dir):
 
 
 def _t(spark, sf_dir, name):
-    return load_table(spark, sf_dir, name)
+    df = load_table(spark, sf_dir, name)
+    if name == "documents":
+        # The text corpus feeds per-row-HEAVY kernels (shingle
+        # explodes, chunkers, LM scorers) but arrives as 1-3 scan
+        # partitions at bench SFs (one small parquet file is one
+        # split), so whole operator families ran on 1-3 of the
+        # session's cores (r12, guide §2.5/§1.2). One round-robin
+        # exchange of the small corpus raises the floor to the
+        # scheduler width; at-scale corpora already exceed it and
+        # pass through unchanged. Values are partition-independent
+        # by the engine's determinism contract
+        # (tools/determinism_sweep.py proves it each round).
+        df = dedup.fan_out(df)
+    return df
 
 
 @query(

@@ -68,3 +68,23 @@ def test_third_call_evicts_only_the_oldest(spark):
     assert len(dedup._minhash_sh_cache) == dedup._MINHASH_SH_KEEP
     assert not first.is_cached  # oldest released
     assert second.is_cached  # the newer survivor stays live
+
+
+def test_blocked_pipeline_ckpt_fifo_keeps_constructed_results_live(spark):
+    """r12: the blocked set-overlap pipeline (ngram/containment)
+    shares its shingle table through an EAGER localCheckpoint in a
+    bounded FIFO (_sh_ckpt_cache). Unlike a persist, an evicted
+    checkpoint cannot recompute — so the depth must cover every
+    construct-ahead pattern: two results constructed before either
+    materializes must both stay collectable, and the FIFO must stay
+    bounded at _SH_CKPT_KEEP across further calls."""
+    docs = [_docs(spark, 20 + i) for i in range(dedup._SH_CKPT_KEEP + 1)]
+    r1 = dedup.ngram_jaccard_dupes(docs[0])
+    r2 = dedup.containment_dupes(docs[1])
+    assert len(dedup._sh_ckpt_cache) == 2
+    # construct-ahead: both materialize AFTER both were constructed
+    assert {(r.doc_a, r.doc_b) for r in r1.collect()}
+    assert r2.count() >= 0  # containment may legitimately be empty
+    for d in docs[2:]:
+        dedup.ngram_jaccard_dupes(d).collect()
+    assert len(dedup._sh_ckpt_cache) == dedup._SH_CKPT_KEEP
