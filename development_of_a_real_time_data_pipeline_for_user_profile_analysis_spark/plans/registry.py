@@ -5986,16 +5986,37 @@ def q_revenue_projection(spark, sf_dir):
         (F.col("rev_cents") / 100.0).alias("base")
     )
     params = g_row.crossJoin(base_row)
-    # fixed name + createOrReplaceTempView: repeated calls replace
-    # rather than accumulate catalog entries
-    view = "proj_params"
-    params.createOrReplaceTempView(view)
+    # The recursion's parameters are ONE row of two doubles. Left as a
+    # temp view, every recursion step's scalar subqueries re-executed
+    # the params lineage — the full orders aggregation, twice per step
+    # (r12 profile: 166 jobs / 6.6 s warm for 13 output rows). Collect
+    # the row once (one job computes both aggregates) and inline the
+    # doubles as literals: repr() round-trips IEEE doubles exactly and
+    # the SQL parser reads them back to the identical bits, so the
+    # floor-rounded trajectory is bit-identical to the subquery form.
+    rows = params.collect()
+    if not rows:  # empty orders: preserve the empty-anchor semantics
+        params.createOrReplaceTempView("proj_params")
+        return spark.sql(
+            """WITH RECURSIVE proj(step, projected) AS (
+                  SELECT 0, base FROM proj_params
+                  UNION ALL
+                  SELECT step + 1,
+                         floor(projected * (SELECT g FROM proj_params) * 100 + 0.5) / 100.0
+                  FROM proj WHERE step < 12)
+                SELECT step, projected FROM proj"""
+        )
+
+    def _dlit(v) -> str:
+        return "CAST(NULL AS DOUBLE)" if v is None else f"CAST({v!r} AS DOUBLE)"
+
+    g_lit, base_lit = _dlit(rows[0]["g"]), _dlit(rows[0]["base"])
     return spark.sql(
         f"""WITH RECURSIVE proj(step, projected) AS (
-              SELECT 0, base FROM {view}
+              SELECT 0, {base_lit} AS projected
               UNION ALL
               SELECT step + 1,
-                     floor(projected * (SELECT g FROM {view}) * 100 + 0.5) / 100.0
+                     floor(projected * {g_lit} * 100 + 0.5) / 100.0
               FROM proj WHERE step < 12)
             SELECT step, projected FROM proj"""
     )
