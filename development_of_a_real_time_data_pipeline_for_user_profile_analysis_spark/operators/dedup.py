@@ -2814,6 +2814,7 @@ def incremental_near_dups_indexed(
     corpus: DataFrame,
     batch: DataFrame,
     jaccard_threshold: float = 0.6,
+    corpus_sh: DataFrame | None = None,
 ) -> DataFrame:
     """incremental_near_dups served from the MAINTAINED band index:
     the corpus is NEVER re-banded — its band table reads straight
@@ -2850,9 +2851,25 @@ def incremental_near_dups_indexed(
         .distinct()
     )
     both = corpus.unionByName(batch)
-    verified = ngram_jaccard_pairs(
-        both, cands, sh=_band_shingles(both, mode)
-    )
+    # The verify consumes the shingle table THREE times (a-side,
+    # b-side, per-doc sizes) and Catalyst shares no exchange across
+    # the branches, so an inline derivation runs the whole corpus
+    # shingle stage 3× per probe call (r12 profile: the dominant jobs
+    # of every probe-per-micro-batch stream). Materialize it once in
+    # the bounded ckpt FIFO — or, when the caller probes the SAME
+    # static corpus every micro-batch, take its pre-materialized
+    # table (`corpus_sh`, covering exactly `corpus`'s docs with this
+    # artifact's tokenizer; corpus/batch doc_ids must be disjoint —
+    # per-doc shingle rows may not appear twice) and derive only the
+    # batch-sized remainder per call.
+    if corpus_sh is not None:
+        sh = corpus_sh.unionByName(_band_shingles(batch, mode))
+    else:
+        while len(_sh_ckpt_cache) >= _SH_CKPT_KEEP:
+            _sh_ckpt_cache.pop(0).unpersist()
+        sh = _band_shingles(both, mode).localCheckpoint(eager=True)
+        _sh_ckpt_cache.append(sh)
+    verified = ngram_jaccard_pairs(both, cands, sh=sh)
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
 
 

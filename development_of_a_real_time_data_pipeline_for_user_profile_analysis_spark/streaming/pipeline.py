@@ -1293,6 +1293,18 @@ def run_near_dup_monitor_stream(
 
     from ..operators import dedup
 
+    # the probed corpus is STATIC across the stream — shingle it once
+    # (eager ckpt in the bounded FIFO) instead of 3× per micro-batch
+    # inside every probe's verify (r12; see incremental_near_dups_
+    # indexed's corpus_sh contract: batch doc_ids are disjoint from
+    # the corpus here — the monitor admits NEW ids by construction)
+    while len(dedup._sh_ckpt_cache) >= dedup._SH_CKPT_KEEP:
+        dedup._sh_ckpt_cache.pop(0).unpersist()
+    corpus_sh = dedup._band_shingles(
+        corpus, dedup.band_index_tokenizer(band_index_path)
+    ).localCheckpoint(eager=True)
+    dedup._sh_ckpt_cache.append(corpus_sh)
+
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
         batch_df.persist()
@@ -1306,6 +1318,7 @@ def run_near_dup_monitor_stream(
                     corpus,
                     batch_df,
                     jaccard_threshold,
+                    corpus_sh=corpus_sh,
                 )
                 pairs.write.mode("overwrite").parquet(
                     os.path.join(out_dir, "pairs", f"batch_id={batch_id}")
@@ -1483,6 +1496,19 @@ def run_cluster_update_stream(
 
     from ..operators import dedup
 
+    # the seed corpus is STATIC across the stream — shingle it once
+    # (eager ckpt in the bounded FIFO); per micro-batch only the
+    # published doc segments + the batch itself are shingled fresh
+    # (r12; pre-share, every batch's verify re-derived the corpus
+    # shingle stage 3×)
+    _mode = dedup.band_index_tokenizer(band_index_path)
+    while len(dedup._sh_ckpt_cache) >= dedup._SH_CKPT_KEEP:
+        dedup._sh_ckpt_cache.pop(0).unpersist()
+    corpus_sh = dedup._band_shingles(corpus, _mode).localCheckpoint(
+        eager=True
+    )
+    dedup._sh_ckpt_cache.append(corpus_sh)
+
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
         batch_df.persist()
@@ -1501,13 +1527,22 @@ def run_cluster_update_stream(
                 )
                 # (2) probe base ∪ segments; shingle-verify needs the
                 # candidate partners' TEXT — corpus plus every doc
-                # segment published so far
-                store = corpus
+                # segment published so far. The CURRENT batch's
+                # segment is excluded from the store: the probe
+                # unions `batch_df` itself, so the segment copy only
+                # duplicated those rows (collapsed downstream by
+                # distinct before), and corpus_sh's disjointness
+                # contract forbids a doc's shingles appearing twice.
                 docs_dir = os.path.join(labels_path, "docs")
-                store = store.unionByName(
+                prior_segs = (
                     spark.read.option("basePath", docs_dir)
                     .parquet(docs_dir)
+                    .filter(F.col("batch_id") != batch_id)
                     .select(*corpus.columns)
+                )
+                store = corpus.unionByName(prior_segs)
+                store_sh = corpus_sh.unionByName(
+                    dedup._band_shingles(prior_segs, _mode)
                 )
                 pairs = dedup.incremental_near_dups_indexed(
                     spark,
@@ -1515,6 +1550,7 @@ def run_cluster_update_stream(
                     store,
                     batch_df,
                     jaccard_threshold,
+                    corpus_sh=store_sh,
                 ).filter(F.col("doc_a") != F.col("doc_b"))
                 # (3) fold into the maintained labels (fenced swap)
                 from ..operators import artifact_lifecycle as alc

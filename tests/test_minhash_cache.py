@@ -88,3 +88,43 @@ def test_blocked_pipeline_ckpt_fifo_keeps_constructed_results_live(spark):
     for d in docs[2:]:
         dedup.ngram_jaccard_dupes(d).collect()
     assert len(dedup._sh_ckpt_cache) == dedup._SH_CKPT_KEEP
+
+
+def test_probe_corpus_sh_path_matches_inline_derivation(spark, tmp_path):
+    """r12: incremental_near_dups_indexed can take a pre-materialized
+    corpus shingle table (corpus_sh) so probe-per-micro-batch streams
+    shingle the static corpus once instead of 3x per batch. The
+    corpus_sh path must be value-identical to the inline derivation,
+    and the inline path's ckpt must enter the bounded FIFO."""
+    base = _docs(spark, 30)
+    batch = spark.createDataFrame(
+        [(200, base.collect()[0].text + " tail tail", "en"),
+         (201, "completely unrelated fresh content words here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    idx = str(tmp_path / "bidx")
+    dedup.write_band_index(base, idx, tokenizer="whitespace")
+
+    inline = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.incremental_near_dups_indexed(
+            spark, idx, base, batch
+        ).collect()
+    }
+    # the inline path registered its checkpoint in the bounded FIFO
+    # (is_cached is persist-only — a checkpoint does not set it)
+    assert dedup._sh_ckpt_cache
+
+    corpus_sh = dedup._band_shingles(base, "whitespace").localCheckpoint(
+        eager=True
+    )
+    try:
+        shared = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.incremental_near_dups_indexed(
+                spark, idx, base, batch, corpus_sh=corpus_sh
+            ).collect()
+        }
+    finally:
+        corpus_sh.unpersist()
+    assert inline == shared and inline  # planted pair found, values equal
