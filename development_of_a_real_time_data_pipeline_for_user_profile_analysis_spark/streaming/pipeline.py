@@ -901,28 +901,47 @@ def run_chunk_dedup_stream(
                         tokenizer=chunk_index_tokenizer(index_path),
                     ),
                 ).persist()
-                dedup.ledger_from_marked(marked).write.mode(
-                    "overwrite"
-                ).parquet(
-                    os.path.join(index_path, "ledger", f"batch_id={batch_id}")
-                )
-                # presence segment: the batch's NEW digests (replay-
-                # safe — only first introductions), carrying refcounts
-                dedup.new_digest_refs_from_marked(marked).write.mode(
-                    "overwrite"
-                ).parquet(
-                    os.path.join(index_path, "adds", f"batch_id={batch_id}")
-                )
-                # refcount-only segment: re-references of existing
-                # digests, so a later erasure of the original
-                # contributor cannot GC content this batch still uses
-                dedup.rereference_refs_from_marked(marked).write.mode(
-                    "overwrite"
-                ).parquet(
-                    os.path.join(
-                        index_path, "rerefs", f"batch_id={batch_id}"
+                # ledger + presence (adds: first introductions) +
+                # refcount-only (rerefs: re-references, so a later
+                # erasure of the original contributor cannot GC
+                # content this batch still uses) all derive from the
+                # same persisted marked relation and land in disjoint
+                # dirs — overlap the writes (guide §2.6)
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _w_ledger():
+                    dedup.ledger_from_marked(marked).write.mode(
+                        "overwrite"
+                    ).parquet(
+                        os.path.join(
+                            index_path, "ledger", f"batch_id={batch_id}"
+                        )
                     )
-                )
+
+                def _w_adds():
+                    dedup.new_digest_refs_from_marked(marked).write.mode(
+                        "overwrite"
+                    ).parquet(
+                        os.path.join(
+                            index_path, "adds", f"batch_id={batch_id}"
+                        )
+                    )
+
+                def _w_rerefs():
+                    dedup.rereference_refs_from_marked(
+                        marked
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(
+                            index_path, "rerefs", f"batch_id={batch_id}"
+                        )
+                    )
+
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    for fu in [
+                        pool.submit(f)
+                        for f in (_w_ledger, _w_adds, _w_rerefs)
+                    ]:
+                        fu.result()
                 # re-consent: these subjects' content just re-entered
                 # the index — lift any post-fold erasure suppression
                 # so they can be erased again (idempotent on replay)
@@ -1421,23 +1440,42 @@ def run_decontamination_stream(
                         ).alias("contamination_rate"),
                     )
                 )
-                report.write.mode("overwrite").parquet(
-                    os.path.join(out_dir, "report", f"batch_id={batch_id}")
-                )
-                batch_df.join(flagged, "doc_id", "left_anti").write.mode(
-                    "overwrite"
-                ).parquet(
-                    os.path.join(
-                        out_dir, "admitted", f"batch_id={batch_id}"
+                # the three ledgers derive from the same persisted
+                # relations and land in disjoint dirs — overlap the
+                # writes (guide §2.6)
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _w_report():
+                    report.write.mode("overwrite").parquet(
+                        os.path.join(
+                            out_dir, "report", f"batch_id={batch_id}"
+                        )
                     )
-                )
-                batch_df.join(flagged, "doc_id", "left_semi").write.mode(
-                    "overwrite"
-                ).parquet(
-                    os.path.join(
-                        out_dir, "quarantine", f"batch_id={batch_id}"
+
+                def _w_admitted():
+                    batch_df.join(
+                        flagged, "doc_id", "left_anti"
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(
+                            out_dir, "admitted", f"batch_id={batch_id}"
+                        )
                     )
-                )
+
+                def _w_quarantine():
+                    batch_df.join(
+                        flagged, "doc_id", "left_semi"
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(
+                            out_dir, "quarantine", f"batch_id={batch_id}"
+                        )
+                    )
+
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    for fu in [
+                        pool.submit(f)
+                        for f in (_w_report, _w_admitted, _w_quarantine)
+                    ]:
+                        fu.result()
                 if timings is not None:
                     n_flagged = flagged.count()
             finally:
@@ -1516,15 +1554,28 @@ def run_cluster_update_stream(
         try:
             n = batch_df.count()
             if n:
-                # (1) publish this batch's bands + docs (idempotent)
-                dedup.band_index_add(
-                    spark, band_index_path, batch_df, batch_id
-                )
-                batch_df.write.mode("overwrite").parquet(
-                    os.path.join(
-                        labels_path, "docs", f"batch_id={batch_id}"
+                # (1) publish this batch's bands + docs (idempotent;
+                # independent writes to disjoint dirs — overlap them,
+                # guide §2.6; the probe below needs both landed)
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _w_bands():
+                    dedup.band_index_add(
+                        spark, band_index_path, batch_df, batch_id
                     )
-                )
+
+                def _w_docs():
+                    batch_df.write.mode("overwrite").parquet(
+                        os.path.join(
+                            labels_path, "docs", f"batch_id={batch_id}"
+                        )
+                    )
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    for fu in [
+                        pool.submit(f) for f in (_w_bands, _w_docs)
+                    ]:
+                        fu.result()
                 # (2) probe base ∪ segments; shingle-verify needs the
                 # candidate partners' TEXT — corpus plus every doc
                 # segment published so far. The CURRENT batch's
@@ -1970,8 +2021,11 @@ def run_ingest_fanout_stream(
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
-        try:
+
+        def _land_manifest():
             manifest_add_batch(spark, manifest_path, batch_df, batch_id)
+
+        def _land_prefix():
             sft_prefix_digests(
                 batch_df.withColumn(
                     "text", F.concat(F.lit("u: "), F.col("text"))
@@ -1981,6 +2035,8 @@ def run_ingest_fanout_stream(
                     prefix_path, "adds", f"batch_id={batch_id}"
                 )
             )
+
+        def _land_chunks():
             # chunk with the INDEX'S recorded tokenizer — a lang-aware
             # artifact must never take whitespace-chunked segments
             dedup.chunk_digest_index(
@@ -1988,6 +2044,23 @@ def run_ingest_fanout_stream(
             ).write.mode("overwrite").parquet(
                 os.path.join(chunk_path, "adds", f"batch_id={batch_id}")
             )
+
+        try:
+            # the three artifact landings are independent batch-keyed
+            # segment writes to disjoint dirs — overlap them (guide
+            # §2.6): one batch's three pipelines back-fill each
+            # other's barrier tails; the shared batch_df persist is
+            # block-locked, so the first task computes each partition
+            # and the other threads' jobs read the cached blocks
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [
+                    pool.submit(f)
+                    for f in (_land_manifest, _land_prefix, _land_chunks)
+                ]
+                for fu in futs:
+                    fu.result()
         finally:
             batch_df.unpersist()
 
@@ -2362,16 +2435,35 @@ def run_sft_prefix_gate_stream(
                         )
                     ),
                 ).filter(F.col("rn") == 1)
-                deepest.select(
-                    "doc_id",
-                    F.col("u_idx").cast("long").alias("shared_depth"),
-                    F.col("n_partners").cast("long").alias("n_partners"),
-                ).write.mode("overwrite").parquet(
-                    os.path.join(out_dir, "flags", f"batch_id={batch_id}")
-                )
-                pf.write.mode("overwrite").parquet(
-                    os.path.join(index_path, "adds", f"batch_id={batch_id}")
-                )
+                # flags and the adds segment both read the persisted
+                # pf and land in disjoint dirs — overlap (guide §2.6)
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _w_flags():
+                    deepest.select(
+                        "doc_id",
+                        F.col("u_idx").cast("long").alias("shared_depth"),
+                        F.col("n_partners").cast("long").alias(
+                            "n_partners"
+                        ),
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(
+                            out_dir, "flags", f"batch_id={batch_id}"
+                        )
+                    )
+
+                def _w_adds():
+                    pf.write.mode("overwrite").parquet(
+                        os.path.join(
+                            index_path, "adds", f"batch_id={batch_id}"
+                        )
+                    )
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    for fu in [
+                        pool.submit(f) for f in (_w_flags, _w_adds)
+                    ]:
+                        fu.result()
         finally:
             if pf is not None:
                 pf.unpersist()
