@@ -187,7 +187,15 @@ def fingerprint(text: Column) -> Column:
 
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per-document curation features (the 'score every doc' pass a
-    training-data pipeline runs before filtering)."""
+    training-data pipeline runs before filtering). Per-row-HEAVY
+    expressions (BPE-ish tokenization, quality score, fingerprint), so
+    the scale-adaptive fan_out raises a 1-file corpus off its 1-3 scan
+    cores (r12: operator-level, where the exchange is amortized by
+    real per-row work — the corpus-wide fixture fan-out taxed every
+    cheap documents query instead)."""
+    from .dedup import fan_out
+
+    documents = fan_out(documents)
     t = F.col("text")
     return documents.select(
         "doc_id",
@@ -385,7 +393,12 @@ def doc_repetition_scores(documents: DataFrame, n: int = 3) -> DataFrame:
     """Intra-document repetition (Gopher-style quality signal): the
     fraction of word n-gram occurrences that are repeats of an n-gram
     already seen in the same document. High ratio → boilerplate/spam.
-    Pure array ops per row — no shuffle at all."""
+    Pure array ops per row — no shuffle beyond the scale-adaptive
+    fan_out (per-row-heavy gram arrays on a 1-file corpus otherwise
+    run on 1-3 cores; r12 measured 1.8 s → 0.4 s at sf0.1)."""
+    from .dedup import fan_out
+
+    documents = fan_out(documents)
     words = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
@@ -807,7 +820,11 @@ def positioned_shingles(
     and the doc's word count (so cover explodes can CLAMP to the
     document end — docs shorter than n words emit one truncated
     shingle whose cover must not count phantom positions, ADVICE r9
-    low). Map-side row multiplication only."""
+    low). Map-side row multiplication only, after the scale-adaptive
+    fan_out (r12: a 1-file corpus otherwise explodes on 1-3 cores)."""
+    from .dedup import fan_out
+
+    docs = fan_out(docs)
     words = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
@@ -2659,8 +2676,9 @@ def gopher_quality_report(documents: DataFrame) -> DataFrame:
     counts are mergeable partials and nothing global sorts. No
     Python in the path.
     """
-    from .dedup import NONWS_LANGS
+    from .dedup import NONWS_LANGS, fan_out
 
+    documents = fan_out(documents)  # per-row-heavy unit fan-out (r12)
     if "lang" not in documents.columns:
         documents = documents.withColumn(
             "lang", F.lit(None).cast("string")
@@ -4039,8 +4057,10 @@ def benchmark_gram_set(
     set every decontamination probe broadcasts. Orders of magnitude
     smaller than the corpus; callers that probe it repeatedly (the
     streaming gate) should persist it."""
+    from .dedup import fan_out
+
     return (
-        documents.filter(_doc_bucket(F.col("doc_id"), mod) == residue)
+        fan_out(documents.filter(_doc_bucket(F.col("doc_id"), mod) == residue))
         .select(F.explode(_gram_array_expr(n)).alias("gram"))
         .distinct()
     )
@@ -4052,8 +4072,10 @@ def flag_contaminated(
     """Distinct doc_ids in `batch` sharing any n-token span with the
     benchmark gram set (broadcast semi-join — the batch side is never
     shuffled on the gram key)."""
+    from .dedup import fan_out
+
     return (
-        batch.select("doc_id", F.explode(_gram_array_expr(n)).alias("gram"))
+        fan_out(batch).select("doc_id", F.explode(_gram_array_expr(n)).alias("gram"))
         .join(F.broadcast(bench_grams), "gram", "left_semi")
         .select("doc_id")
         .distinct()
@@ -4081,6 +4103,9 @@ def benchmark_ngram_contamination(
     the corpus — it BROADCASTS into a semi-join against training
     grams, so the corpus is never shuffled on the gram key at all.
     """
+    from .dedup import fan_out
+
+    documents = fan_out(documents)  # per-row-heavy gram arrays (r12)
     grams = F.expr(
         f"CASE WHEN size(split(text, ' ')) >= {n}"
         f" THEN transform(sequence(1, size(split(text, ' ')) - {n - 1}),"

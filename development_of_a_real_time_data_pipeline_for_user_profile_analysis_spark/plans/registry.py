@@ -381,20 +381,7 @@ def q_age_histogram(spark, sf_dir):
 
 
 def _t(spark, sf_dir, name):
-    df = load_table(spark, sf_dir, name)
-    if name == "documents":
-        # The text corpus feeds per-row-HEAVY kernels (shingle
-        # explodes, chunkers, LM scorers) but arrives as 1-3 scan
-        # partitions at bench SFs (one small parquet file is one
-        # split), so whole operator families ran on 1-3 of the
-        # session's cores (r12, guide §2.5/§1.2). One round-robin
-        # exchange of the small corpus raises the floor to the
-        # scheduler width; at-scale corpora already exceed it and
-        # pass through unchanged. Values are partition-independent
-        # by the engine's determinism contract
-        # (tools/determinism_sweep.py proves it each round).
-        df = dedup.fan_out(df)
-    return df
+    return load_table(spark, sf_dir, name)
 
 
 @query(
@@ -4201,27 +4188,26 @@ def q_streaming_ingest_fanout(spark, sf_dir):
     b1 = docs.filter(F.col("doc_id") % 4 == 1)
     b2 = docs.filter(F.col("doc_id") % 4 == 2)
 
-    def xor_of(df, col):
-        expr = F.conv(F.substring(F.col(col), 1, 15), 16, 10).cast(
-            "long"
-        )
-        row = df.select(expr.alias("t")).agg(
-            F.expr("bit_xor(t)").cast("long").alias("x")
-        ).collect()[0]
-        return int(row["x"])
-
     work = tempfile.mkdtemp(prefix="ingest_fanout_")
     try:
         _ph0 = _time.monotonic()
         mpath, pfx, cidx = f"{work}/m", f"{work}/pfx", f"{work}/cidx"
-        build_manifest_artifact(corpus0, mpath)
-        build_sft_prefix_index(
-            corpus0.withColumn(
-                "text", F.concat(F.lit("u: "), F.col("text"))
-            ),
-            pfx,
-        )
-        build_chunk_digest_index(corpus0, cidx)
+        # the three seed builds are independent pipelines over
+        # disjoint dirs — overlap them (guide §2.6; r12: the serial
+        # chain left the box idle through each build's barriers)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=3) as _pool:
+            _b1 = _pool.submit(build_manifest_artifact, corpus0, mpath)
+            _b2 = _pool.submit(
+                build_sft_prefix_index,
+                corpus0.withColumn(
+                    "text", F.concat(F.lit("u: "), F.col("text"))
+                ),
+                pfx,
+            )
+            _b3 = _pool.submit(build_chunk_digest_index, corpus0, cidx)
+            _b1.result(), _b2.result(), _b3.result()
         in_dir = f"{work}/in"
         _os.makedirs(in_dir)
         base_t = _time.time()
@@ -4252,35 +4238,52 @@ def q_streaming_ingest_fanout(spark, sf_dir):
             )
         _ph2 = _time.monotonic()
 
-        served_m = read_manifest_serving(spark, mpath).persist()
-        m_rows = int(served_m.count())
-        m_docs = int(
-            served_m.agg(F.sum("n_docs").cast("long").alias("s"))
-            .collect()[0]["s"]
-        )
-        m_xor = int(
-            served_m.agg(
-                F.expr("bit_xor(content_xor)").cast("long").alias("x")
-            ).collect()[0]["x"]
-        )
-        served_m.unpersist()
+        # each artifact's audit stats fold into ONE aggregate job
+        # (three separate count/sum/xor passes per artifact before —
+        # guide §1.2: one relation, one pass), and the three
+        # independent artifact audits overlap on a 3-thread pool
+        # (guide §2.6); values unchanged, assembled in fixed order
+        def _digest_xor(col: str):
+            # = xor_of's expr: conv → cast long BEFORE the bit_xor
+            return F.expr(
+                f"bit_xor(cast(conv(substring({col}, 1, 15), 16, 10)"
+                " as bigint))"
+            ).cast("long")
 
-        chains = read_sft_prefix_index(spark, pfx).persist()
-        p_rows = int(chains.count())
-        p_docs = int(chains.select("doc_id").distinct().count())
-        p_xor = xor_of(chains, "prefix_digest")
-        chains.unpersist()
+        def _audit_manifest():
+            r = read_manifest_serving(spark, mpath).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_docs").cast("long").alias("d"),
+                F.expr("bit_xor(content_xor)").cast("long").alias("x"),
+            ).collect()[0]
+            return int(r["n"]), int(r["d"]), int(r["x"])
 
-        chunk_index_compact(spark, cidx)
-        base = _rpp(spark, f"{cidx}/base").persist()
-        c_rows = int(base.count())
-        c_refs = int(
-            base.agg(F.sum("refs").cast("long").alias("s")).collect()[
-                0
-            ]["s"]
-        )
-        c_xor = xor_of(base, "digest")
-        base.unpersist()
+        def _audit_prefix():
+            r = read_sft_prefix_index(spark, pfx).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("doc_id").alias("d"),
+                _digest_xor("prefix_digest").alias("x"),
+            ).collect()[0]
+            return int(r["n"]), int(r["d"]), int(r["x"])
+
+        def _audit_chunks():
+            chunk_index_compact(spark, cidx)
+            r = _rpp(spark, f"{cidx}/base").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("refs").cast("long").alias("d"),
+                _digest_xor("digest").alias("x"),
+            ).collect()[0]
+            return int(r["n"]), int(r["d"]), int(r["x"])
+
+        from concurrent.futures import ThreadPoolExecutor as _TPE2
+
+        with _TPE2(max_workers=3) as _pool:
+            _fm = _pool.submit(_audit_manifest)
+            _fp = _pool.submit(_audit_prefix)
+            _fc = _pool.submit(_audit_chunks)
+            (m_rows, m_docs, m_xor) = _fm.result()
+            (p_rows, p_docs, p_xor) = _fp.result()
+            (c_rows, c_refs, c_xor) = _fc.result()
 
         rows = [
             ("chunk_digest_index", c_rows, c_refs, c_xor),
