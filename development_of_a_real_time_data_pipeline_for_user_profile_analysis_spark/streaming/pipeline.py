@@ -901,47 +901,30 @@ def run_chunk_dedup_stream(
                         tokenizer=chunk_index_tokenizer(index_path),
                     ),
                 ).persist()
-                # ledger + presence (adds: first introductions) +
-                # refcount-only (rerefs: re-references, so a later
-                # erasure of the original contributor cannot GC
-                # content this batch still uses) all derive from the
-                # same persisted marked relation and land in disjoint
-                # dirs — overlap the writes (guide §2.6)
-                from concurrent.futures import ThreadPoolExecutor
-
-                def _w_ledger():
-                    dedup.ledger_from_marked(marked).write.mode(
-                        "overwrite"
-                    ).parquet(
-                        os.path.join(
-                            index_path, "ledger", f"batch_id={batch_id}"
-                        )
+                # (r12: threading these three writes A/B'd a wash —
+                # sub-0.5 s jobs; see the decontamination gate note)
+                dedup.ledger_from_marked(marked).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(index_path, "ledger", f"batch_id={batch_id}")
+                )
+                # presence segment: the batch's NEW digests (replay-
+                # safe — only first introductions), carrying refcounts
+                dedup.new_digest_refs_from_marked(marked).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(index_path, "adds", f"batch_id={batch_id}")
+                )
+                # refcount-only segment: re-references of existing
+                # digests, so a later erasure of the original
+                # contributor cannot GC content this batch still uses
+                dedup.rereference_refs_from_marked(marked).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(
+                        index_path, "rerefs", f"batch_id={batch_id}"
                     )
-
-                def _w_adds():
-                    dedup.new_digest_refs_from_marked(marked).write.mode(
-                        "overwrite"
-                    ).parquet(
-                        os.path.join(
-                            index_path, "adds", f"batch_id={batch_id}"
-                        )
-                    )
-
-                def _w_rerefs():
-                    dedup.rereference_refs_from_marked(
-                        marked
-                    ).write.mode("overwrite").parquet(
-                        os.path.join(
-                            index_path, "rerefs", f"batch_id={batch_id}"
-                        )
-                    )
-
-                with ThreadPoolExecutor(max_workers=3) as pool:
-                    for fu in [
-                        pool.submit(f)
-                        for f in (_w_ledger, _w_adds, _w_rerefs)
-                    ]:
-                        fu.result()
+                )
                 # re-consent: these subjects' content just re-entered
                 # the index — lift any post-fold erasure suppression
                 # so they can be erased again (idempotent on replay)
@@ -1440,42 +1423,28 @@ def run_decontamination_stream(
                         ).alias("contamination_rate"),
                     )
                 )
-                # the three ledgers derive from the same persisted
-                # relations and land in disjoint dirs — overlap the
-                # writes (guide §2.6)
-                from concurrent.futures import ThreadPoolExecutor
-
-                def _w_report():
-                    report.write.mode("overwrite").parquet(
-                        os.path.join(
-                            out_dir, "report", f"batch_id={batch_id}"
-                        )
+                # NOTE r12: threading these three writes was A/B'd a
+                # WASH — each is a sub-0.5 s batch-sized job, and the
+                # pool's py4j contention eats the overlap (unlike the
+                # ingest fan-out gate, whose three landings are heavy
+                # enough to profit). Kept serial deliberately.
+                report.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "report", f"batch_id={batch_id}")
+                )
+                batch_df.join(flagged, "doc_id", "left_anti").write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(
+                        out_dir, "admitted", f"batch_id={batch_id}"
                     )
-
-                def _w_admitted():
-                    batch_df.join(
-                        flagged, "doc_id", "left_anti"
-                    ).write.mode("overwrite").parquet(
-                        os.path.join(
-                            out_dir, "admitted", f"batch_id={batch_id}"
-                        )
+                )
+                batch_df.join(flagged, "doc_id", "left_semi").write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(
+                        out_dir, "quarantine", f"batch_id={batch_id}"
                     )
-
-                def _w_quarantine():
-                    batch_df.join(
-                        flagged, "doc_id", "left_semi"
-                    ).write.mode("overwrite").parquet(
-                        os.path.join(
-                            out_dir, "quarantine", f"batch_id={batch_id}"
-                        )
-                    )
-
-                with ThreadPoolExecutor(max_workers=3) as pool:
-                    for fu in [
-                        pool.submit(f)
-                        for f in (_w_report, _w_admitted, _w_quarantine)
-                    ]:
-                        fu.result()
+                )
                 if timings is not None:
                     n_flagged = flagged.count()
             finally:
@@ -1555,27 +1524,16 @@ def run_cluster_update_stream(
             n = batch_df.count()
             if n:
                 # (1) publish this batch's bands + docs (idempotent;
-                # independent writes to disjoint dirs — overlap them,
-                # guide §2.6; the probe below needs both landed)
-                from concurrent.futures import ThreadPoolExecutor
-
-                def _w_bands():
-                    dedup.band_index_add(
-                        spark, band_index_path, batch_df, batch_id
+                # r12: threading this pair A/B'd a wash — see the
+                # decontamination gate note)
+                dedup.band_index_add(
+                    spark, band_index_path, batch_df, batch_id
+                )
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(
+                        labels_path, "docs", f"batch_id={batch_id}"
                     )
-
-                def _w_docs():
-                    batch_df.write.mode("overwrite").parquet(
-                        os.path.join(
-                            labels_path, "docs", f"batch_id={batch_id}"
-                        )
-                    )
-
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    for fu in [
-                        pool.submit(f) for f in (_w_bands, _w_docs)
-                    ]:
-                        fu.result()
+                )
                 # (2) probe base ∪ segments; shingle-verify needs the
                 # candidate partners' TEXT — corpus plus every doc
                 # segment published so far. The CURRENT batch's
@@ -2435,35 +2393,18 @@ def run_sft_prefix_gate_stream(
                         )
                     ),
                 ).filter(F.col("rn") == 1)
-                # flags and the adds segment both read the persisted
-                # pf and land in disjoint dirs — overlap (guide §2.6)
-                from concurrent.futures import ThreadPoolExecutor
-
-                def _w_flags():
-                    deepest.select(
-                        "doc_id",
-                        F.col("u_idx").cast("long").alias("shared_depth"),
-                        F.col("n_partners").cast("long").alias(
-                            "n_partners"
-                        ),
-                    ).write.mode("overwrite").parquet(
-                        os.path.join(
-                            out_dir, "flags", f"batch_id={batch_id}"
-                        )
-                    )
-
-                def _w_adds():
-                    pf.write.mode("overwrite").parquet(
-                        os.path.join(
-                            index_path, "adds", f"batch_id={batch_id}"
-                        )
-                    )
-
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    for fu in [
-                        pool.submit(f) for f in (_w_flags, _w_adds)
-                    ]:
-                        fu.result()
+                # (r12: threading this write pair A/B'd a wash —
+                # sub-0.5 s jobs; see the decontamination gate note)
+                deepest.select(
+                    "doc_id",
+                    F.col("u_idx").cast("long").alias("shared_depth"),
+                    F.col("n_partners").cast("long").alias("n_partners"),
+                ).write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "flags", f"batch_id={batch_id}")
+                )
+                pf.write.mode("overwrite").parquet(
+                    os.path.join(index_path, "adds", f"batch_id={batch_id}")
+                )
         finally:
             if pf is not None:
                 pf.unpersist()
