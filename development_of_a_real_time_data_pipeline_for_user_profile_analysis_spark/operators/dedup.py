@@ -974,8 +974,11 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     chars → 32-bit int). Signature bit j = sign of sum over tokens of
     (bit j ? +1 : -1). Near-dups have small Hamming distance.
     Map + one groupBy-free aggregate per row (all higher-order array
-    functions) — scales as a pure scan.
+    functions) — scales as a pure scan, after the scale-adaptive
+    fan_out (per-row md5+vote kernel on a 1-file corpus otherwise
+    runs on 1-3 cores; r12).
     """
+    docs = fan_out(docs)
     # ONE traversal of the token array, accumulating all `bits` votes
     # in an array accumulator (the per-bit-aggregate formulation costs
     # `bits` traversals and a 32× larger expression tree). Bit

@@ -248,8 +248,12 @@ def zscore_by_source(documents: DataFrame) -> DataFrame:
 
 def ngram_counts(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     """Top-k word n-grams by raw occurrence (vocab/contamination
-    analysis). Explode is map-side; the count shuffles (ngram) keys
-    with partial aggregation; top-k is TakeOrderedAndProject."""
+    analysis). Explode is map-side (after the scale-adaptive fan_out,
+    r12); the count shuffles (ngram) keys with partial aggregation;
+    top-k is TakeOrderedAndProject."""
+    from .dedup import fan_out
+
+    documents = fan_out(documents)
     words = F.split(F.col("text"), " ")
     return (
         documents.select(
@@ -5153,6 +5157,9 @@ def decontaminated_docs(
     Benchmark-bucket docs are excluded by definition (they are the
     eval suite). Same broadcast-semi-join shape as the audit, with
     the final step flipped to an anti-join."""
+    from .dedup import fan_out
+
+    documents = fan_out(documents)  # per-row-heavy gram arrays (r12)
     grams = F.expr(
         f"CASE WHEN size(split(text, ' ')) >= {n}"
         f" THEN transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
@@ -5221,6 +5228,9 @@ def benchmark_bloom_contamination(
     piece that stays broadcastable after the exact gram set stops
     being so.
     """
+    from .dedup import fan_out
+
+    documents = fan_out(documents)  # per-row-heavy gram arrays (r12)
     grams = F.expr(
         f"CASE WHEN size(split(text, ' ')) >= {n}"
         f" THEN transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
