@@ -78,6 +78,12 @@ def test_blocked_pipeline_ckpt_fifo_keeps_constructed_results_live(spark):
     construct-ahead pattern: two results constructed before either
     materializes must both stay collectable, and the FIFO must stay
     bounded at _SH_CKPT_KEEP across further calls."""
+    # drain residue from earlier tests in the shared session — the
+    # FIFO is now fed by every ckpt-sharing pipeline (blocked
+    # set-overlap AND the indexed probe), so suite order would
+    # otherwise leak entries into the count below
+    while dedup._sh_ckpt_cache:
+        dedup._sh_ckpt_cache.pop(0).unpersist()
     docs = [_docs(spark, 20 + i) for i in range(dedup._SH_CKPT_KEEP + 1)]
     r1 = dedup.ngram_jaccard_dupes(docs[0])
     r2 = dedup.containment_dupes(docs[1])
