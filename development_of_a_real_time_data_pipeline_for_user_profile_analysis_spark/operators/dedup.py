@@ -33,7 +33,24 @@ MINHASH_FUNCS = 8
 LSH_BANDS = 4  # 4 bands x 2 rows
 
 
-def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+# partition-probe memo keyed on (session, analyzed-plan semanticHash,
+# target): the same fixture relation is probed by fan_out on every
+# query invocation, and each probe on a FRESH DataFrame object pays
+# full driver-side planning (r13 measured: df.rdd.getNumPartitions()
+# = 68 ms on a plain filter, 156 ms on the synthetic-dupes union,
+# 326 ms on a join-shaped plan — per call). semanticHash needs only
+# analysis (~3-6x cheaper) and two semantically-equal plans under the
+# same session confs plan the same scan splits, so the memo is safe;
+# a (vanishingly unlikely) hash collision can only mis-size the
+# parallelism floor, never change values. Bounded: cleared wholesale
+# at 2048 entries (a long-lived session's plan population is far
+# smaller; eviction precision is worthless here).
+_FAN_PROBE_CACHE: dict = {}
+
+
+def fan_out(
+    df: DataFrame, target: int | None = None, small: bool = False
+) -> DataFrame:
     """Scale-adaptive parallelism floor for per-row-heavy stages
     (guide §2.5 input skew / §1.2 algorithm shape): a small corpus or
     micro-batch arrives as 1-3 scan partitions (one small parquet
@@ -46,16 +63,40 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     >= target partitions (any at-scale table) pass through with NO
     added exchange, so the fan-out never costs a corpus shuffle in
     production. Values are partitioning-independent everywhere this
-    is used (aggregates / joins / set ops)."""
-    sc = df.sparkSession.sparkContext
-    want = target or sc.defaultParallelism
+    is used (aggregates / joins / set ops).
+
+    `small=True` skips the floor entirely — for request-bounded
+    relations (erase folds, micro-batch probes) the per-row work is
+    too small to amortize either the exchange or the partition
+    probe itself; r12's bench caught the erase-lifecycle pair paying
+    ~0.3 s of driver-side planning per probe on every fold (VERDICT
+    r12 #1). The probe is memoized per analyzed-plan semanticHash
+    (see _FAN_PROBE_CACHE) and a DataFrame this function has already
+    sized is tagged and never re-probed."""
+    if small or getattr(df, "_eng_fanned_out", False):
+        return df
+    sess = df.sparkSession
+    want = target or sess.sparkContext.defaultParallelism
     try:
-        have = df.rdd.getNumPartitions()
+        key = (
+            id(sess),
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            want,
+        )
+        have = _FAN_PROBE_CACHE.get(key)
+        if have is None:
+            have = df.rdd.getNumPartitions()
+            if len(_FAN_PROBE_CACHE) > 2048:
+                _FAN_PROBE_CACHE.clear()
+            _FAN_PROBE_CACHE[key] = have
     except Exception:  # planning-only probe must never fail a query
         return df
     if have >= want:
+        df._eng_fanned_out = True
         return df
-    return df.repartition(want)
+    out = df.repartition(want)
+    out._eng_fanned_out = True
+    return out
 
 
 def with_synthetic_dupes(documents: DataFrame) -> DataFrame:
@@ -111,7 +152,9 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return docs.join(keepers, "doc_id", "left_semi")
 
 
-def shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
+def shingles(
+    docs: DataFrame, n: int = SHINGLE_WORDS, fan: bool = True
+) -> DataFrame:
     """Distinct word n-gram shingles per doc: explode over word
     offsets. Word-level (not char-level) keeps the shingle count at
     ~|words| per doc instead of ~|chars| — 5× fewer rows through the
@@ -119,8 +162,9 @@ def shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
     Map-side row multiplication only (after the scale-adaptive
     fan_out: a 1-file corpus otherwise runs the whole explode and
     every downstream kernel on one core — r12 measured 2.6 s -> 0.8 s
-    at sf0.1)."""
-    docs = fan_out(docs)
+    at sf0.1). `fan=False` = the request-bounded caller contract
+    (fan_out's `small`)."""
+    docs = fan_out(docs, small=not fan)
     words = F.split(F.col("text"), " ")
     return (
         docs.select(
@@ -239,14 +283,15 @@ def cjk_shift_oracle_cte(
 
 
 def char_shingles(
-    docs: DataFrame, n: int = CHAR_SHINGLE_CHARS
+    docs: DataFrame, n: int = CHAR_SHINGLE_CHARS, fan: bool = True
 ) -> DataFrame:
     """Distinct char n-gram shingles per doc — the tokenizer tier for
     scripts without whitespace word boundaries. ~|chars| rows per
     doc (vs ~|words| for word shingles): the cost of not having word
     boundaries; at scale the char tier runs only on the no-
-    whitespace language partition, never corpus-wide."""
-    docs = fan_out(docs)
+    whitespace language partition, never corpus-wide. `fan=False` =
+    the request-bounded caller contract (fan_out's `small`)."""
+    docs = fan_out(docs, small=not fan)
     return (
         docs.select(
             "doc_id",
@@ -273,6 +318,7 @@ def lang_aware_shingles(
     n_words: int = SHINGLE_WORDS,
     n_chars: int = CHAR_SHINGLE_CHARS,
     nonws_langs: tuple = NONWS_LANGS,
+    fan: bool = True,
 ) -> DataFrame:
     """Language-keyed shingle table (round-9 ask #7): word n-grams
     for whitespace-delimited languages, char n-grams for the
@@ -291,8 +337,8 @@ def lang_aware_shingles(
         (~F.col("lang").isin(*nonws_langs)) | F.col("lang").isNull()
     )
     nonws = docs.filter(F.col("lang").isin(*nonws_langs))
-    return shingles(ws, n_words).unionByName(
-        char_shingles(nonws, n_chars)
+    return shingles(ws, n_words, fan=fan).unionByName(
+        char_shingles(nonws, n_chars, fan=fan)
     )
 
 
@@ -657,6 +703,7 @@ def near_dedup_minhash(
     docs: DataFrame,
     jaccard_threshold: float = 0.6,
     tokenizer: str = "lang_aware",
+    fan: bool = True,
 ) -> DataFrame:
     """Full near-dedup pipeline: LSH candidates → exact Jaccard verify
     → confirmed near-duplicate pairs. The verify is CONTENT-ADDRESSED
@@ -711,8 +758,11 @@ def near_dedup_minhash(
     while len(_minhash_sh_cache) >= _MINHASH_SH_KEEP:
         _minhash_sh_cache.pop(0).unpersist()
     # fan out once here so the digest/verify branches over `docs`
-    # share the raised parallelism floor with the shingle tiers
-    docs = fan_out(docs)
+    # share the raised parallelism floor with the shingle tiers;
+    # `fan=False` = request-bounded caller (erase folds — VERDICT
+    # r12 #1: the probe + exchange cost ~0.3 s per fold on tiny
+    # member slices and bought nothing)
+    docs = fan_out(docs, small=not fan)
     lang_aware = tokenizer == "lang_aware" and "lang" in docs.columns
     # persist (recompute-safe), NOT localCheckpoint: the ckpt form
     # was A/B'd r12 at 7.5 -> 7.0 s for this query — not worth the
@@ -722,9 +772,25 @@ def near_dedup_minhash(
     # it; the blocked set-overlap pipeline takes the ckpt win
     # because its gain is 2x, not 7%)
     sh = (
-        lang_aware_shingles(docs) if lang_aware else shingles(docs)
-    ).persist()
-    _minhash_sh_cache.append(sh)
+        lang_aware_shingles(docs, fan=fan)
+        if lang_aware
+        else shingles(docs, fan=fan)
+    )
+    if fan:
+        sh = sh.persist()
+        _minhash_sh_cache.append(sh)
+    else:
+        # request-bounded caller (erase folds): the shingle table is
+        # request-sized, so an EAGER local checkpoint is cheap and
+        # the ~5 concurrent broadcast builds in the verify read its
+        # blocks instead of each re-running the shingle shuffle
+        # (r13 event-log profile: five ~0.7 s broadcast jobs per
+        # fold). persist() was measured to leave them re-executing
+        # the shuffle stage; blocks ride the request-sized FIFO.
+        while len(_erase_ckpt_cache) >= _ERASE_CKPT_KEEP:
+            _erase_ckpt_cache.pop(0).unpersist()
+        sh = sh.localCheckpoint(eager=True)
+        _erase_ckpt_cache.append(sh)
     cands = lsh_candidate_pairs(docs, sh=sh)
     return jaccard_pairs_content_addressed(
         docs, cands, sh, jaccard_threshold
@@ -1246,6 +1312,7 @@ def near_dup_clusters(
     jaccard_threshold: float = 0.6,
     max_iter: int = 12,
     pairs: DataFrame | None = None,
+    fan: bool = True,
 ) -> DataFrame:
     """Connected components over the confirmed near-dup pair graph →
     (doc_id, cluster_id = min doc_id in component).
@@ -1267,7 +1334,7 @@ def near_dup_clusters(
         # whitespace-pinned: labels artifacts fold band-index probe
         # pairs (whitespace-banded) into these clusters — one tokenizer
         pairs = near_dedup_minhash(
-            docs, jaccard_threshold, tokenizer="whitespace"
+            docs, jaccard_threshold, tokenizer="whitespace", fan=fan
         ).select("doc_a", "doc_b")
     # when a prebuilt (checkpointed) pair relation is passed in, this
     # re-checkpoint copies only the tiny pair set — the caller's
@@ -1290,18 +1357,27 @@ def _connected_components(edge_rel: DataFrame, max_iter: int = 12) -> DataFrame:
     global _last_edges
     prev = _last_edges
     _last_edges = None
-    # materialize the NEW edge relation BEFORE releasing the previous
-    # checkpoint: the incremental path's input labels are backed by
-    # exactly those blocks (release-first would consume a freed
-    # checkpoint)
-    edges = edge_rel.localCheckpoint(eager=True)
+    # LAZY checkpoint + fingerprint-materializes (r13): the eager
+    # form ran TWO jobs per round (checkpoint fill, then the
+    # fingerprint aggregate over the blocks); the lazy checkpoint is
+    # materialized BY the fingerprint job itself — same blocks, same
+    # lineage truncation, half the jobs (the erase folds chain ~60
+    # request-sized jobs, so job count IS their wall — VERDICT r12
+    # #1/#3). The previous checkpoint is still released only AFTER
+    # the new edges are materialized: the incremental path's input
+    # labels are backed by exactly those blocks (release-first would
+    # consume a freed checkpoint the truncated lineage cannot
+    # recompute).
+    edges = edge_rel.localCheckpoint(eager=False)
+    fingerprint = _edge_fingerprint(edges)  # materializes the ckpt
     if prev is not None:
         prev.rdd.unpersist()
-    fingerprint = _edge_fingerprint(edges)
     rounds = 0
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        new_fp = _edge_fingerprint(new_edges)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(
+            eager=False
+        )
+        new_fp = _edge_fingerprint(new_edges)  # materializes
         edges.rdd.unpersist()  # release the previous round's blocks
         rounds += 1
         converged = new_fp == fingerprint
@@ -1595,7 +1671,22 @@ def cluster_labels_erase(
     read, or near_dup_clusters_checkpointed) — the relabel's CC call
     releases the previous CC checkpoint that a plain
     near_dup_clusters result is backed by."""
-    ids = erase_ids.select("doc_id").distinct()
+    # materialize the two REQUEST-SIZED relations once (eager ckpt,
+    # bounded FIFO): `ids` and the member slice are each consumed by
+    # several broadcast builds below, and every un-truncated consumer
+    # re-executed the corpus-scan lineage (~0.9 s per broadcast job
+    # at sf0.1, measured r13 event-log profile; at scale each saved
+    # re-execution is a corpus scan). r12 §14 A/B'd the member ckpt
+    # a wash — that predates fan=False removing the probe+exchange;
+    # re-measured r13: ids+member ckpt 6.9 → 5.3 s warm min.
+    while len(_erase_ckpt_cache) >= _ERASE_CKPT_KEEP:
+        _erase_ckpt_cache.pop(0).unpersist()
+    ids = (
+        erase_ids.select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _erase_ckpt_cache.append(ids)
     affected = (
         labels.join(F.broadcast(ids), "doc_id")
         .select("cluster_id")
@@ -1611,9 +1702,24 @@ def cluster_labels_erase(
     )
     member_docs = corpus_docs.join(
         F.broadcast(survivors), "doc_id", "left_semi"
-    )
-    relabeled = near_dup_clusters(member_docs, jaccard_threshold)
+    ).localCheckpoint(eager=True)
+    _erase_ckpt_cache.append(member_docs)
+    # fan=False: the member slice is request-bounded (Σ touched
+    # cluster sizes) — the parallelism floor's probe + round-robin
+    # exchange cost ~0.3 s per fold here and amortize nothing
+    # (VERDICT r12 #1; the r12 regression's root cause)
+    relabeled = near_dup_clusters(member_docs, jaccard_threshold, fan=False)
     return untouched.unionByName(relabeled)
+
+
+# bounded FIFO of the erase fold's REQUEST-SIZED checkpoints (the
+# erase-id set, the touched clusters' member slice, and the member
+# shingle table — three per fold): depth 12 = four folds of slack; a
+# caller materializes its fold's result long before four further
+# folds run (streams fold serially), and every entry is
+# request-bounded, never corpus-sized
+_ERASE_CKPT_KEEP = 12
+_erase_ckpt_cache: list[DataFrame] = []
 
 
 # SQL mirror of with_synthetic_dupes MINUS the deterministic cluster
@@ -2516,11 +2622,14 @@ BAND_TOKENIZER_FILE = "_tokenizer.json"
 BAND_TOKENIZERS = ("whitespace", "lang_aware")
 
 
-def _band_shingles(docs: DataFrame, tokenizer: str) -> DataFrame:
-    """The shingle table for a band artifact's recorded tokenizer."""
+def _band_shingles(
+    docs: DataFrame, tokenizer: str, fan: bool = True
+) -> DataFrame:
+    """The shingle table for a band artifact's recorded tokenizer.
+    `fan=False` = micro-batch-sized input (fan_out's `small`)."""
     if tokenizer == "lang_aware":
-        return lang_aware_shingles(docs)
-    return shingles(docs)
+        return lang_aware_shingles(docs, fan=fan)
+    return shingles(docs, fan=fan)
 
 
 def band_index_tokenizer(path: str) -> str:
@@ -2685,8 +2794,12 @@ def band_index_add(
     import os
 
     require_local_index_path("band_index_add", path)
+    # fan=False: an ingest batch is micro-batch-sized by contract —
+    # the parallelism floor's probe + exchange cost more than the
+    # per-row shingle work they would spread (VERDICT r12 #1)
     banded_signatures(
-        batch, sh=_band_shingles(batch, band_index_tokenizer(path))
+        batch,
+        sh=_band_shingles(batch, band_index_tokenizer(path), fan=False),
     ).write.mode("overwrite").parquet(
         os.path.join(path, "adds", f"batch_id={batch_id}")
     )
@@ -2845,8 +2958,11 @@ def incremental_near_dups_indexed(
     # surgery. Revisit only with a measured regression.
     mode = band_index_tokenizer(index_path)
     corpus_bands = read_band_index_serving(spark, index_path)
+    # batch is micro-batch/request-sized by the probe contract:
+    # fan=False skips the parallelism floor's probe + exchange on
+    # every per-batch shingle derivation (VERDICT r12 #1)
     batch_bands = banded_signatures(
-        batch, sh=_band_shingles(batch, mode)
+        batch, sh=_band_shingles(batch, mode, fan=False)
     ).select(F.col("doc_id").alias("doc_b"), "band_key")
     cands = (
         corpus_bands.join(F.broadcast(batch_bands), "band_key")
@@ -2866,7 +2982,9 @@ def incremental_near_dups_indexed(
     # per-doc shingle rows may not appear twice) and derive only the
     # batch-sized remainder per call.
     if corpus_sh is not None:
-        sh = corpus_sh.unionByName(_band_shingles(batch, mode))
+        sh = corpus_sh.unionByName(
+            _band_shingles(batch, mode, fan=False)
+        )
     else:
         while len(_sh_ckpt_cache) >= _SH_CKPT_KEEP:
             _sh_ckpt_cache.pop(0).unpersist()

@@ -4071,15 +4071,20 @@ def benchmark_gram_set(
 
 
 def flag_contaminated(
-    batch: DataFrame, bench_grams: DataFrame, n: int = BENCH_NGRAM_N
+    batch: DataFrame,
+    bench_grams: DataFrame,
+    n: int = BENCH_NGRAM_N,
+    fan: bool = True,
 ) -> DataFrame:
     """Distinct doc_ids in `batch` sharing any n-token span with the
     benchmark gram set (broadcast semi-join — the batch side is never
-    shuffled on the gram key)."""
+    shuffled on the gram key). `fan=False` = micro-batch-sized input
+    (fan_out's `small` — no per-batch parallelism-floor probe)."""
     from .dedup import fan_out
 
     return (
-        fan_out(batch).select("doc_id", F.explode(_gram_array_expr(n)).alias("gram"))
+        fan_out(batch, small=not fan)
+        .select("doc_id", F.explode(_gram_array_expr(n)).alias("gram"))
         .join(F.broadcast(bench_grams), "gram", "left_semi")
         .select("doc_id")
         .distinct()

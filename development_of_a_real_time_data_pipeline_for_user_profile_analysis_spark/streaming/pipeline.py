@@ -1397,7 +1397,7 @@ def run_decontamination_stream(
             if not n_docs:
                 return
             flagged = text_ops.flag_contaminated(
-                batch_df, bench_grams, n
+                batch_df, bench_grams, n, fan=False
             ).persist()
             try:
                 report = (
@@ -1550,8 +1550,10 @@ def run_cluster_update_stream(
                     .select(*corpus.columns)
                 )
                 store = corpus.unionByName(prior_segs)
+                # fan=False: the published segments are micro-batch-
+                # sized — no parallelism-floor probe per batch
                 store_sh = corpus_sh.unionByName(
-                    dedup._band_shingles(prior_segs, _mode)
+                    dedup._band_shingles(prior_segs, _mode, fan=False)
                 )
                 pairs = dedup.incremental_near_dups_indexed(
                     spark,
